@@ -1,13 +1,341 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the executable operator inventory: one entry per SURVEY §2
+  * operator (names carry the §2 ids), each implemented Spark-first in
+  * graft.operators.* and paired with a semantically-identical DuckDB SQL
+  * oracle in `oracleSql` (same column names, same types, deterministic
+  * ORDER BY on both sides).
+  *
+  * Numeric-parity conventions (SURVEY §7.4):
+  *   - integral outputs are BIGINT on both sides;
+  *   - money sums route through decimal(18,2) (associative → identical
+  *     under any aggregation order and across engines);
+  *   - all hashing is md5/sha256 (portable), never engine-local rand;
+  *   - double divisions are single operations on exact inputs, rounded.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001 — the reference's signature playlist-stats
+    * computation (itdbloader.py:269-293): join + star-bucketed histogram,
+    * the N+1 loop collapsed to one aggregation. Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Library.playlistStats(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregations (SURVEY §2.5) ----
+    "a1_count_total" -> ((s, d) => Library.countTotal(s, d)),
+    "a2_count_distinct" -> ((s, d) => Library.countDistincts(s, d)),
+    "a3_stars_histogram" -> ((s, d) => Library.starsHistogram(s, d).orderBy("stars")),
+    "a4_two_key_histogram" -> ((s, d) => Library.twoKeyHistogram(s, d).orderBy("flag", "stars")),
+    "a5_param_histogram" -> ((s, d) => Library.paramHistogram(s, d).orderBy("grp", "stars")),
+    "a6_playlist_stats" -> ((s, d) => Library.playlistStats(s, d).orderBy("priority", "stars")),
+    "a7_reagg_stats" -> ((s, d) => Library.reaggStats(s, d).orderBy("stars")),
+    "a8_group_ordered" -> ((s, d) => Library.groupOrdered(s, d)),
+    "a9_pivot_stars" -> ((s, d) => Library.pivotStars(s, d).orderBy("grp")),
+    "a10_quality" -> ((s, d) => Library.qualityPerGroup(s, d).orderBy("grp")),
+    "a11_percent_of_total" -> ((s, d) => Library.percentOfTotal(s, d).orderBy("stars")),
+    "a12_profile_maxlen" -> ((s, d) => Library.profileMaxLengths(s, d)),
+    "a13_json_max_having" -> ((s, d) => Library.jsonMaxHaving(s, d).orderBy("user_id")),
+    "a14_group_threshold" -> ((s, d) => Library.groupThreshold(s, d)),
+    // ---- joins (§2.4) ----
+    "j1_bridge_join_agg" -> ((s, d) => Library.bridgeJoinAgg(s, d).orderBy("p_brand")),
+    "j2_join_literal_filter" -> ((s, d) => Library.joinLiteralFilter(s, d).orderBy("l_orderkey", "l_linenumber")),
+    "j3_left_join_agg" -> ((s, d) => Library.leftJoinAgg(s, d).orderBy("segment")),
+    "j4_anti_join" -> ((s, d) => Library.antiJoin(s, d).orderBy("c_custkey")),
+    "j5_hierarchy_expand" -> ((s, d) => Library.hierarchyExpand(s, d).orderBy("parent", "child")),
+    "j8_similar_name_join" -> ((s, d) => Library.similarNameJoin(s, d).orderBy("key_a", "key_b")),
+    // ---- filters (§2.3) ----
+    "f3_like" -> ((s, d) => Library.likeFilter(s, d).orderBy("p_partkey")),
+    "f4_regexp" -> ((s, d) => Library.regexFilter(s, d).orderBy("p_partkey")),
+    "f5_null_guard" -> ((s, d) => Library.nullGuard(s, d)),
+    "f6_bool_or" -> ((s, d) => Library.boolOrFilter(s, d)),
+    "f7_derived_filter" -> ((s, d) => Library.derivedFilter(s, d)),
+    "f11_adhoc_sql" -> ((s, d) => Library.adhocSql(s, d,
+      "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+    // ---- sorts / windows (§2.6, §2.7) ----
+    "o1_sorted_projection" -> ((s, d) => Library.sortedProjection(s, d)),
+    "o4_shrink_topk" -> ((s, d) => Library.shrinkTopK(s, d)),
+    "o5_deterministic_shuffle" -> ((s, d) => Library.deterministicShuffle(s, d)),
+    "o6_row_numbering" -> ((s, d) => Library.rowNumbering(s, d).orderBy("o_custkey", "rn")),
+    "w1_adjacent_dups" -> ((s, d) => Library.adjacentDuplicates(s, d)),
+    "w2_top_n_per_group" -> ((s, d) => Library.topNPerGroup(s, d).orderBy("o_orderpriority", "rn")),
+    // ---- set ops (§2.10) ----
+    "u1_set_compare" -> ((s, d) => Library.setCompareBothDirections(s, d).orderBy("side", "key")),
+    "u2_semi_join" -> ((s, d) => Library.semiJoin(s, d)),
+    "u3_union_selections" -> ((s, d) => Library.unionSelections(s, d).orderBy("src")),
+    // ---- scalar functions (§2.8) ----
+    "x1_stars_roundtrip" -> ((s, d) => Scalars.starsRoundtrip(s, d).orderBy("l_orderkey", "l_linenumber")),
+    "x3_format_time" -> ((s, d) => Scalars.formatTimes(s, d).orderBy("o_orderkey")),
+    "x4_sanitize" -> ((s, d) => Scalars.sanitizeNames(s, d).orderBy("p_partkey")),
+    "x5_url_decode" -> ((s, d) => Scalars.urlCodec(s, d).orderBy("p_partkey")),
+    "x8_capwords" -> ((s, d) => Scalars.capWords(s, d).orderBy("p_partkey")),
+    "x13_content_hashes" -> ((s, d) => Scalars.contentHashes(s, d).orderBy("doc_id")),
+    "x19_format_paths" -> ((s, d) => Scalars.formatPaths(s, d).orderBy("p_partkey")),
+    "x20_path_ops" -> ((s, d) => Scalars.pathOps(s, d).orderBy("p_partkey")),
+    "x21_format_number" -> ((s, d) => Scalars.humanizeNumbers(s, d).orderBy("o_orderkey")),
+    "t1_hourly_rollup" -> ((s, d) => Scalars.hourlyRollup(s, d).orderBy("hour", "event_type")),
+    // ---- dedup (training-data pipeline) ----
+    "d1_dedup_exact" -> ((s, d) => Dedup.exactGroups(s, d).orderBy("digest")),
+    "d2_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d).orderBy("doc_id")),
+    "d3_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, d).orderBy("id_a", "id_b")),
+    "d4_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d).orderBy("id_a", "id_b")),
+    "d5_simhash" -> ((s, d) => Dedup.simhash(s, d).orderBy("doc_id")),
+    "d6_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDups(s, d, 0.35).orderBy("id_a", "id_b")),
+    "d7_tail_fingerprint" -> ((s, d) => Dedup.tailFingerprint(s, d).orderBy("doc_id")),
+    // ---- similarity search ----
+    "s1_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d).orderBy("probe_id", "rn")),
+    "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d).orderBy("probe_id", "rn")),
+    "s3_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d).orderBy("label")),
+    // ---- text analysis ----
+    "t2_language_id" -> ((s, d) => TextAnalysis.languageId(s, d).orderBy("doc_id")),
+    "t3_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d).orderBy("doc_id")),
+    "t4_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d).orderBy("doc_id")),
+    "t5_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).orderBy("doc_id")),
+    "t6_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d).orderBy("lang", "source")),
+    // ---- multimodal plumbing ----
+    "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d).drop("payload").orderBy("media_id")),
+    "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
+    "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d).orderBy("media_id", "frame_ts_ms")))
+
+  /** Shared oracle fragments (DuckDB dialect). */
+  private val starsD = "CAST(floor(l_discount*50) AS BIGINT)"
+  private val shinglesCte =
+    """WITH t AS (SELECT doc_id, lang, string_split(trim(text),' ') AS w FROM documents),
+      |s AS (SELECT doc_id, lang, w[1] AS tok0,
+      |  CASE WHEN len(w)<3 THEN [array_to_string(w,' ')]
+      |       ELSE [array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)] END AS sh FROM t)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_count_total" -> "SELECT count(*) AS n FROM lineitem",
+    "a2_count_distinct" ->
+      "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps FROM lineitem",
+    "a3_stars_histogram" ->
+      s"SELECT coalesce($starsD, 0) AS stars, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY stars",
+    "a4_two_key_histogram" ->
+      s"SELECT coalesce(l_returnflag,'') AS flag, coalesce($starsD,0) AS stars, count(*) AS n FROM lineitem GROUP BY 1,2 ORDER BY flag, stars",
+    "a5_param_histogram" ->
+      "SELECT p_brand AS grp, CAST(p_size % 6 AS BIGINT) AS stars, count(*) AS n FROM part GROUP BY 1,2 ORDER BY grp, stars",
+    "a6_playlist_stats" ->
+      s"SELECT o_orderpriority AS priority, coalesce($starsD,0) AS stars, count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1,2 ORDER BY priority, stars",
+    "a7_reagg_stats" ->
+      s"SELECT stars, CAST(sum(n) AS BIGINT) AS total FROM (SELECT o_orderpriority AS priority, coalesce($starsD,0) AS stars, count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1,2) GROUP BY stars ORDER BY stars",
+    "a8_group_ordered" ->
+      "SELECT l_quantity AS rating, count(*) AS n FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1 ORDER BY rating",
+    "a9_pivot_stars" ->
+      s"""SELECT priority AS grp,
+         | count(CASE WHEN stars=0 THEN 1 END) AS s0, count(CASE WHEN stars=1 THEN 1 END) AS s1,
+         | count(CASE WHEN stars=2 THEN 1 END) AS s2, count(CASE WHEN stars=3 THEN 1 END) AS s3,
+         | count(CASE WHEN stars=4 THEN 1 END) AS s4, count(CASE WHEN stars=5 THEN 1 END) AS s5
+         |FROM (SELECT o_orderpriority AS priority, coalesce($starsD,0) AS stars FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         |GROUP BY 1 ORDER BY grp""".stripMargin,
+    "a10_quality" ->
+      s"""WITH piv AS (SELECT priority AS grp,
+         | count(CASE WHEN stars=0 THEN 1 END) AS s0, count(CASE WHEN stars=1 THEN 1 END) AS s1,
+         | count(CASE WHEN stars=2 THEN 1 END) AS s2, count(CASE WHEN stars=3 THEN 1 END) AS s3,
+         | count(CASE WHEN stars=4 THEN 1 END) AS s4, count(CASE WHEN stars=5 THEN 1 END) AS s5
+         |FROM (SELECT o_orderpriority AS priority, coalesce($starsD,0) AS stars FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         |GROUP BY 1)
+         |SELECT grp, s0, s1, s2, s3, s4, s5,
+         | round(CASE WHEN (s0+s1+s2+s3+s4+s5) > 0 AND CAST(s1+s2+s3+s4+s5 AS DOUBLE)/(s0+s1+s2+s3+s4+s5) > 0.2
+         |   THEN CAST(s1 + 2*s2 + 3*s3 + 4*s4 + 5*s5 AS DOUBLE)/(s1+s2+s3+s4+s5) ELSE 0.0 END, 4) AS quality
+         |FROM piv ORDER BY grp""".stripMargin,
+    "a11_percent_of_total" ->
+      s"""SELECT stars, n, round(n * 100.0 / sum(n) OVER (), 4) AS pct
+         |FROM (SELECT coalesce($starsD,0) AS stars, count(*) AS n FROM lineitem GROUP BY 1) ORDER BY stars""".stripMargin,
+    "a12_profile_maxlen" ->
+      "SELECT CAST(max(length(p_name)) AS BIGINT) AS len_name, CAST(max(length(p_brand)) AS BIGINT) AS len_brand, CAST(max(length(p_type)) AS BIGINT) AS len_type FROM part",
+    "a13_json_max_having" ->
+      "SELECT user_id, max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k FROM events GROUP BY 1 HAVING max(CAST(json_extract_string(props, '$.k') AS BIGINT)) < 50 ORDER BY user_id",
+    "a14_group_threshold" ->
+      "SELECT o_orderpriority AS grp, o_orderstatus AS status, count(*) AS n FROM orders GROUP BY 1,2 HAVING count(*) > 3 ORDER BY n DESC, grp, status",
+    "j1_bridge_join_agg" ->
+      "SELECT p_brand, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY p_brand",
+    "j2_join_literal_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_extendedprice AS price FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT' ORDER BY l_orderkey, l_linenumber",
+    "j3_left_join_agg" ->
+      "SELECT coalesce(c_mktsegment, 'NONE') AS segment, count(*) AS n FROM orders LEFT JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY segment",
+    "j4_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') ORDER BY c_custkey",
+    "j5_hierarchy_expand" ->
+      "SELECT r_name AS parent, n_name AS child FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY parent, child",
+    "j8_similar_name_join" ->
+      """WITH wk AS (SELECT p_partkey, p_name, regexp_replace(p_name, ' \d$', '') AS ckey FROM part WHERE p_partkey < 500)
+        |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_name AS name_a, b.p_name AS name_b
+        |FROM wk a JOIN wk b ON a.ckey = b.ckey AND a.p_partkey < b.p_partkey ORDER BY key_a, key_b""".stripMargin,
+    "f3_like" ->
+      "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%OM%' ORDER BY p_partkey",
+    "f4_regexp" ->
+      "SELECT p_partkey, p_name FROM part WHERE regexp_matches(p_name, '^[a-z]+ (ring|bolt|gear)$') ORDER BY p_partkey",
+    "f5_null_guard" ->
+      "SELECT count(*) AS n_nonempty FROM documents WHERE text IS NOT NULL AND length(text) != 0",
+    "f6_bool_or" ->
+      "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F' OR o_orderpriority LIKE '1%'",
+    "f7_derived_filter" ->
+      s"SELECT count(*) AS n, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price FROM lineitem WHERE $starsD = 3",
+    "f11_adhoc_sql" ->
+      "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "o1_sorted_projection" ->
+      "SELECT p_name, p_retailprice FROM part ORDER BY p_name, p_retailprice",
+    "o4_shrink_topk" ->
+      """WITH per AS (SELECT p_brand, count(*) AS total,
+        |  round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
+        |  FROM part GROUP BY 1),
+        |s1 AS (SELECT * FROM per ORDER BY total ASC, p_brand LIMIT 20)
+        |SELECT * FROM s1 ORDER BY avg_price DESC, p_brand LIMIT 10""".stripMargin,
+    "o5_deterministic_shuffle" ->
+      "SELECT p_partkey, p_name, md5(CAST(p_partkey AS VARCHAR)) AS shuffle_key FROM part ORDER BY shuffle_key LIMIT 20",
+    "o6_row_numbering" ->
+      "SELECT o_custkey, o_orderkey, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, rn",
+    "w1_adjacent_dups" ->
+      "SELECT count(*) AS n_adjacent_dups FROM (SELECT value, lag(value) OVER (ORDER BY value, event_id) AS prev FROM events) WHERE value = prev",
+    "w2_top_n_per_group" ->
+      "SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn",
+    "u1_set_compare" ->
+      """WITH cwo AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'), ac AS (SELECT c_custkey AS key FROM customer)
+        |SELECT 'no_orders' AS side, key FROM ac WHERE key NOT IN (SELECT key FROM cwo)
+        |UNION ALL SELECT 'no_customer' AS side, key FROM cwo WHERE key NOT IN (SELECT key FROM ac)
+        |ORDER BY side, key""".stripMargin,
+    "u2_semi_join" ->
+      "SELECT count(*) AS n_with_orders FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "u3_union_selections" ->
+      "SELECT src, count(*) AS n FROM (SELECT 'urgent' AS src, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT' UNION ALL SELECT 'finished' AS src, o_orderkey FROM orders WHERE o_orderstatus = 'F') GROUP BY 1 ORDER BY src",
+    "x1_stars_roundtrip" ->
+      s"SELECT l_orderkey, l_linenumber, coalesce($starsD,0) AS stars, coalesce($starsD,0)*20 AS rating FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber",
+    "x3_format_time" ->
+      """SELECT o_orderkey,
+        | CASE WHEN ms//3600000 > 0
+        |  THEN (ms//3600000)::VARCHAR || ':' || lpad(((ms%3600000)//60000)::VARCHAR, 2, '0') || ':' || lpad(((ms%60000)//1000)::VARCHAR, 2, '0')
+        |  ELSE ((ms%3600000)//60000)::VARCHAR || ':' || lpad(((ms%60000)//1000)::VARCHAR, 2, '0') END AS dur
+        |FROM (SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS ms FROM orders WHERE o_orderkey < 200) ORDER BY o_orderkey""".stripMargin,
+    "x4_sanitize" ->
+      "SELECT p_partkey, CASE WHEN length(coalesce(p_name,'')) = 0 THEN '_NONE_' ELSE regexp_replace(p_name, '[^A-Za-z0-9-_.]', '_', 'g') END AS fname FROM part WHERE p_partkey < 100 ORDER BY p_partkey",
+    "x5_url_decode" ->
+      "SELECT p_partkey, p_name AS decoded FROM part WHERE p_partkey < 100 ORDER BY p_partkey",
+    "x8_capwords" ->
+      "SELECT p_partkey, array_to_string([upper(x[1]) || lower(x[2:]) for x in string_split(p_name, ' ')], ' ') AS capped FROM part WHERE p_partkey < 100 ORDER BY p_partkey",
+    "x13_content_hashes" ->
+      "SELECT doc_id, sha256(right(text, 100)) AS tail_sha, md5(text) AS full_md5 FROM documents WHERE doc_id < 50 ORDER BY doc_id",
+    "x19_format_paths" ->
+      "SELECT p_partkey, printf('%s/%s-%03d', p_brand, p_type, p_size) AS path FROM part WHERE p_partkey < 100 ORDER BY p_partkey",
+    "x20_path_ops" ->
+      """SELECT p_partkey, string_split(path, '/')[-1] AS base, regexp_replace(path, '/[^/]*$', '') AS dir
+        |FROM (SELECT p_partkey, p_brand || '/' || p_type || '/' || p_name AS path FROM part WHERE p_partkey < 100) ORDER BY p_partkey""".stripMargin,
+    "x21_format_number" ->
+      "SELECT o_orderkey, format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) AS pretty FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey",
+    "t1_hourly_rollup" ->
+      "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value FROM events GROUP BY 1,2 ORDER BY hour, event_type",
+    // ---- dedup ----
+    "d1_dedup_exact" ->
+      "SELECT sha256(text) AS digest, count(*) AS n, min(doc_id) AS first_doc FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY digest",
+    "d2_minhash_signatures" -> {
+      val sigs = (0 until 9).map(i => s"list_min([md5('mh$i:' || x) for x in sh]) AS mh$i").mkString(", ")
+      s"$shinglesCte SELECT doc_id, lang, $sigs FROM s ORDER BY doc_id"
+    },
+    "d3_minhash_lsh_pairs" -> {
+      val sigList = (0 until 9).map(i => s"list_min([md5('mh$i:' || x) for x in sh])").mkString(", ")
+      s"""$shinglesCte,
+         |sig AS (SELECT doc_id, [$sigList] AS mh FROM s),
+         |banded AS (SELECT doc_id, b, md5(array_to_string(mh[b*3+1:b*3+3], '|')) AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest([0,1,2]) AS b) bb),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |ds AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b, round(CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE) / len(list_distinct(list_concat(x.dsh, y.dsh))), 4) AS jaccard
+         |  FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b)
+         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
+    },
+    "d4_ngram_jaccard_pairs" ->
+      s"""$shinglesCte,
+         |ds AS (SELECT doc_id, lang, tok0, list_distinct(sh) AS dsh FROM s)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE) / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) AS jaccard
+         |  FROM ds a JOIN ds b ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "d5_simhash" -> {
+      val hexv = (c: String) => s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+      val bits = (1 to 16).map { p =>
+        s"(CASE WHEN list_sum([${hexv(s"substr(md5(x), $p, 1)")} - 7.5 for x in w]) > 0 THEN ${1L << (p - 1)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t ORDER BY doc_id""".stripMargin
+    },
+    "d6_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT id_a, id_b, cos FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+    "d7_tail_fingerprint" ->
+      "SELECT doc_id, sha256(right(text, 100)) AS tail_digest FROM documents ORDER BY doc_id",
+    // ---- similarity ----
+    "s1_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5)
+        |SELECT probe_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT probe_id, vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) AS cos,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) DESC, vec_id) AS rn
+        |  FROM p CROSS JOIN e WHERE probe_id != vec_id)
+        |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
+    // ---- text analysis ----
+    "t2_language_id" -> {
+      val lex = Map(
+        "en" -> "['the','a','of','and','to']", "es" -> "['el','la','de','y','que']",
+        "fr" -> "['le','la','de','et','que']", "de" -> "['der','die','das','und','zu']")
+      val scores = Seq("en", "es", "fr", "de")
+        .map(l => s"round(CAST(len(list_intersect(dt, ${lex(l)})) AS DOUBLE) / len(dt), 4) AS score_$l").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, list_distinct(string_split(trim(text), ' ')) AS dt FROM documents),
+         |sc AS (SELECT doc_id, lang, $scores FROM t),
+         |b AS (SELECT *, greatest(score_en, score_es, score_fr, score_de) AS best FROM sc)
+         |SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
+         | CASE WHEN best > 0 AND score_en = best THEN 'en' WHEN best > 0 AND score_es = best THEN 'es'
+         |      WHEN best > 0 AND score_fr = best THEN 'fr' WHEN best > 0 AND score_de = best THEN 'de'
+         |      ELSE 'und' END AS predicted
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "t3_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents)
+        |SELECT doc_id,
+        | CAST(length(text) AS INTEGER) AS n_chars_measured,
+        | CAST(len(w) AS INTEGER) AS n_tokens,
+        | round(CAST(length(text) AS DOUBLE) / len(w), 4) AS mean_tok_len,
+        | round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+        | round(CAST(len(list_intersect(list_distinct(w), ['the','a','of','and','to','in','is'])) AS DOUBLE) / len(w), 4) AS stopword_ratio,
+        | (len(w) >= 10 AND len(w) <= 100000 AND CAST(length(text) AS DOUBLE) / len(w) >= 2.0) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "t4_token_counts" ->
+      """SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_fingerprints" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |  ELSE [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)] END AS sh FROM t)
+        |SELECT doc_id, list_min([md5(x) for x in sh]) AS fingerprint FROM s ORDER BY doc_id""".stripMargin,
+    "t6_corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+        | round(avg(length(text)), 4) AS avg_chars
+        |FROM documents GROUP BY 1,2 ORDER BY lang, source""".stripMargin,
+    // ---- multimodal ----
+    "m1_binary_meta" ->
+      """SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | lower(hex(encode(substr(text, 1, 4)))) AS magic
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "m3_frame_sample" ->
+      """SELECT media_id, duration_ms, unnest(generate_series(0, duration_ms, 5000)) AS frame_ts_ms
+        |FROM (SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) * 10 AS duration_ms
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY media_id, frame_ts_ms""".stripMargin)
 }

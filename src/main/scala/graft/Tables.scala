@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Harness-table access layer.
+  *
+  * The reference keeps all state in four MySQL tables plus JSON sidecars
+  * (itdb.sql:14-114; itdbmetadata.py:107-125) and every query starts from a
+  * table scan with a mandatory `User_ID` partition filter. Here the tables
+  * are the driver's parquet star schema (TESTDATA.md); each accessor is a
+  * plain columnar parquet scan so Catalyst can push filters/projections down
+  * into the scan (PushedFilters / ReadSchema) — the Spark-native analogue of
+  * MySQL delegating to its storage engine.
+  *
+  * At 100 TB these reads stay valid: parquet is splittable, the scans carry
+  * no driver-side work, and nothing below ever calls collect() on a fact
+  * table.
+  */
+object Tables {
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
+    * cannot represent natively; with spark.sql.legacy.parquet.nanosAsLong the
+    * column arrives as nanos-since-epoch LongType and is converted here to a
+    * proper timestamp (micros — the generator's values are micro-aligned).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = read(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so arbitrary user SQL runs against
+    * them — the reference's ad-hoc pass-through surface (sql_to_playlist:58-71,
+    * playlistlinks.py:177-184 `--where`) requires a full SQL entry point.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach(t => read(spark, dir, t).createOrReplaceTempView(t))
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exprs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines, built on
+  * the reference's checksum-dedup shape (dupes/dedup.py:38-43,127-143 groups
+  * files by content fingerprint; dedup.py:146-171 joins "similar name"
+  * candidates) generalized to document-level exact and near-duplicate
+  * detection.
+  *
+  * Design for 100 TB:
+  *   - exact dedup is a single hash-aggregate on a 64-hex-char digest — the
+  *     shuffle carries (digest, id), never the document text;
+  *   - MinHash/LSH turns O(n²) pair comparison into band-bucket joins: only
+  *     documents agreeing on one band's signature ever meet, and verification
+  *     runs true Jaccard on the (tiny) candidate set;
+  *   - SimHash reduces each document to a fixed 16-nibble signature and
+  *     compares within blocking buckets;
+  *   - all hashing is portable md5 (Exprs.seededHash) so every operator has a
+  *     cross-engine SQL oracle and is deterministic run-to-run — no
+  *     engine-local rand() or murmur seeds.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: sha-256 of content, keep groups of size > 1
+    * (dedup.py:127-131 / J9, A15). The aggregation ships only (digest, count,
+    * min id) — safe at any document size.
+    */
+  def exactGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n") > 1)
+
+  /** X13 (dedup.py:42,133-143): content fingerprint over the TAIL of the
+    * payload (the reference hashes the last 100,000 bytes to ignore header
+    * edits) — here the last 100 chars of each document.
+    */
+  def tailFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        sha2(substring(col("text"), -100, 100), 256).as("tail_digest"))
+
+  /** Documents with their word-3-shingle MinHash signature: k independent
+    * min-hashes, each = min over shingles of md5(seed_i ++ shingle).
+    * Lexicographic min of fixed-width hex == numeric min (Exprs.seededHash).
+    * Pure map-side: no shuffle to compute signatures.
+    */
+  def minhashSignatures(spark: SparkSession, dir: String, k: Int = 9): DataFrame = {
+    val toks = tokens(col("text"))
+    val sh = shingles(toks, 3)
+    val sigCols = (0 until k).map { i =>
+      array_min(transform(sh, s => seededHash(s"mh$i", s))).as(s"mh$i")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang") +: sigCols: _*)
+  }
+
+  /** MinHash + LSH candidate pairs with verified Jaccard: signatures are cut
+    * into `bands` bands of `rowsPerBand` hashes; documents sharing any band
+    * key become candidates (one shuffle keyed on the band digest); candidates
+    * are then verified with true shingle-set Jaccard and filtered.
+    *
+    * At scale the band join is the only n-dependent shuffle and its keys are
+    * 32-char digests; the quadratic blowup is confined to genuinely-similar
+    * buckets (classic LSH guarantee). Band skew (a degenerate bucket) would
+    * be handled by AQE skew-join splitting.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+      bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(spark, dir, bands * rowsPerBand)
+    // band key = md5 over the band's concatenated member hashes
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        val members = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"), md5(concat_ws("|", members: _*)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    verifyJaccard(spark, dir, candidates, threshold)
+  }
+
+  /** n-gram Jaccard near-dup with cheap blocking (same lang + same leading
+    * token): pairs only form within a block, then true Jaccard filters.
+    * Blocking bounds the pair count; the heavy set ops run only on
+    * block-local candidates.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        element_at(tokens(col("text")), 1).as("tok0"))
+    val a = docs.select(col("lang"), col("tok0"), col("doc_id").as("id_a"))
+    val b = docs.select(col("lang"), col("tok0"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, Seq("lang", "tok0"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    verifyJaccard(spark, dir, candidates, threshold)
+  }
+
+  /** True 3-shingle Jaccard for candidate (id_a, id_b) pairs; returns pairs
+    * with jaccard >= threshold. Shingle sets are re-derived per side via two
+    * broadcast-able joins against a distinct-shingle projection.
+    */
+  private def verifyJaccard(spark: SparkSession, dir: String,
+      candidates: DataFrame, threshold: Double): DataFrame = {
+    val shingleSets = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+    val withA = candidates.join(shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+    val withB = withA.join(shingleSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    withB
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash: 16-nibble signature. For hex position p (1..16), sum
+    * (hexval(md5(token)[p]) - 7.5) over all tokens; positive → bit 1.
+    * The signature is a 16-bit int, compared within blocking buckets by
+    * Hamming distance. All-builtin expressions (transform/aggregate over the
+    * token array), portable hashing → oracle-checkable.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val hashes = transform(toks, t => md5(t))
+    val sig = (1 to 16).map { p =>
+      // per-position sum of (hexdigit - 7.5): multiples of 0.5, so the fold
+      // is binary-exact and order-independent — deterministic across engines
+      val s = aggregate(hashes, lit(0.0),
+        (acc, h) => acc + (hexVal(substring(h, p, 1)) - lit(7.5)))
+      when(s > 0, lit(1L << (p - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine similarity: block by label
+    * (an upstream coarse cluster), pair within blocks, filter by cosine.
+    * The all-pairs form is O(n²/buckets); at scale the blocking key would be
+    * an ANN bucket (Similarity.lshBuckets) rather than a label.
+    */
+  def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.999): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,377 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exprs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator inventory — the reference's query surface
+  * (SURVEY.md §2: scans, filters, joins, aggregations, sorts, windows, set
+  * ops) restated over the harness star schema per FIXTURES.md §B.
+  *
+  * Scale notes, applied throughout:
+  *   - dimension tables (part/orders-sized next to lineitem) are broadcast —
+  *     no shuffle of the fact side for J1/J2/J6-shaped joins;
+  *   - every histogram is a single hash aggregation (partial+final), the
+  *     reference's per-playlist N+1 loop (itdbloader.py:260-267) collapses
+  *     into ONE shuffle;
+  *   - filters/projections sit directly on the parquet scan so Catalyst
+  *     pushes them down;
+  *   - window functions always carry a full deterministic ordering key.
+  */
+object Library {
+
+  /** A1 (itdb2html.py:371-374): total count smoke stat. */
+  def countTotal(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(count(lit(1)).as("n"))
+
+  /** A2 (itdb2html.py:375-384): exact distinct counts. Exact (not approx) to
+    * match the reference's COUNT(DISTINCT ...); both computed in one pass.
+    */
+  def countDistincts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** A3 (itdb2html.py:388-398): ratings histogram, null→0 bucket. */
+  def starsHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(starsFromDiscount(col("l_discount")).as("stars"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A4 (itdb2html.py:264-284): two-key grouped histogram (genre×stars
+    * analogue), null group → ''.
+    */
+  def twoKeyHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(coalesce(col("l_returnflag"), lit("")).as("flag"),
+        starsFromDiscount(col("l_discount")).as("stars"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A5 (itdb2html.py:286-308): parameterized histogram over a named
+    * dimension column.
+    */
+  def paramHistogram(spark: SparkSession, dir: String, dim: String = "p_brand"): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col(dim).as("grp"), (col("p_size") % 6).cast("long").as("stars"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A6 + J1 — the reference's flagship: per-playlist star histogram
+    * (itdbloader.py:269-293). tracks⋈playlist_tracks ≅ lineitem⋈orders; the
+    * N+1 per-playlist loop becomes ONE broadcast join + ONE hash aggregation.
+    * orders:lineitem is 1:4 here, but the grouped result is tiny, so the agg
+    * is the only shuffle; at 100 TB AQE sizes the final aggregation and the
+    * join stays shuffle-on-orderkey (or bucketed/co-partitioned storage).
+    */
+  def playlistStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_discount"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"),
+        starsFromDiscount(col("l_discount")).as("stars"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** A7 (itdb2html.py:478-493): re-aggregation of the materialized aggregate —
+    * partial/final pattern over playlistStats' output.
+    */
+  def reaggStats(spark: SparkSession, dir: String): DataFrame =
+    playlistStats(spark, dir)
+      .groupBy(col("stars"))
+      .agg(sum(col("n")).cast("long").as("total"))
+
+  /** A8 (itdb2html.py:310-322): single-group histogram with ORDER BY. */
+  def groupOrdered(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_quantity").as("rating"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("rating"))
+
+  /** A9 (itdb2html.py:74-98 addStars): pivot to fixed 6-bucket star columns.
+    * Expressed as conditional aggregation — exactly what `pivot` compiles to,
+    * but in one job (no distinct-values pre-scan) and codegen-friendly.
+    */
+  def pivotStars(spark: SparkSession, dir: String, dim: String = "o_orderpriority"): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_discount"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col(dim))
+    val st = starsFromDiscount(col("l_discount"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col(dim).as("grp"))
+      .agg(
+        count(when(st === 0, 1)).as("s0"), count(when(st === 1, 1)).as("s1"),
+        count(when(st === 2, 1)).as("s2"), count(when(st === 3, 1)).as("s3"),
+        count(when(st === 4, 1)).as("s4"), count(when(st === 5, 1)).as("s5"))
+  }
+
+  /** A10 (itdb2html.py:90-98): gated weighted-mean quality per group, built
+    * on the A9 pivot. See also the typed Aggregator variant in QualityAgg.
+    */
+  def qualityPerGroup(spark: SparkSession, dir: String): DataFrame =
+    pivotStars(spark, dir)
+      .withColumn("quality",
+        round(quality(col("s0"), col("s1"), col("s2"), col("s3"), col("s4"), col("s5")), 4))
+
+  /** A11 (itdb2html.py:400-408): percent-of-total via an empty-frame window
+    * sum — no second scan, no collect.
+    */
+  def percentOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val hist = starsHistogram(spark, dir)
+    hist.withColumn("pct",
+      round(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy()), 4))
+  }
+
+  /** A12 (itdbloader.py:170-178, 239-247): ingest profiler — max observed
+    * width per string column, one aggregation pass over all columns.
+    */
+  def profileMaxLengths(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.agg(
+      max(length(col("p_name"))).cast("long").as("len_name"),
+      max(length(col("p_brand"))).cast("long").as("len_brand"),
+      max(length(col("p_type"))).cast("long").as("len_type"))
+  }
+
+  /** A13 + X17 (itdbmetadata.py:10-11): JSON scalar extraction, MAX ...
+    * GROUP BY ... HAVING. events.props is the JSON sidecar analogue.
+    */
+  def jsonMaxHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(get_json_object(col("props"), "$.k").cast("long")).as("max_k"))
+      .filter(col("max_k") < 50)
+
+  /** A14 (orphaned_files:114-129): grouped count, descending, threshold. */
+  def groupThreshold(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("grp"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 3)
+      .orderBy(col("n").desc, col("grp"), col("status"))
+
+  // ---- Joins ----------------------------------------------------------
+
+  /** J1/J6 (itdb.sql:117-118; restore_playlist.py:90-136): fact ⋈ broadcast
+    * dimension + grouped rollup. part is the small side → explicit broadcast:
+    * zero shuffle of lineitem at any scale.
+    */
+  def bridgeJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"), col("l_quantity"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n"))
+  }
+
+  /** J2 (playlistlinks.py:164-175): join + literal playlist filter + explicit
+    * column-list projection (P1). The filter lands on the dimension BEFORE
+    * the join, so only matching orders are broadcast.
+    */
+  def joinLiteralFilter(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
+  }
+
+  /** J3 (itdbmetadata.py:8-11): left outer join preserving unmatched rows,
+    * rolled up so missing-dimension rows are visible as a group.
+    */
+  def leftJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** J4/F8 (itdbmetadata.py:128-133): NOT IN subquery → left anti join —
+    * Spark's hash-based anti join replaces MySQL's per-row subquery probe.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** J5 (playlistlinks.py:153-162): one-level hierarchy expansion
+    * (folder → children), region→nation here. Both sides are tiny dims;
+    * the join broadcasts.
+    */
+  def hierarchyExpand(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("r_name").as("parent"), col("n_name").as("child"))
+  }
+
+  /** J8 + X14 (dedup.py:146-171): similar-name candidate generation via
+    * explode of deterministic variants, then self-join. The generator is a
+    * codegen'd transform/explode (no custom Generator, SURVEY §2.9).
+    * Variant rule mirrors the reference: a name and its " N"-suffixed forms
+    * collide on the same candidate key.
+    */
+  def similarNameJoin(spark: SparkSession, dir: String): DataFrame = {
+    // key-capped so the synthetic vocabulary's name collisions don't grow
+    // quadratically with SF; the operator shape is what's exercised
+    val p = Tables.part(spark, dir)
+      .filter(col("p_partkey") < 500)
+      .select(col("p_partkey"), col("p_name"))
+    // candidate key = name with any trailing " <digit>" stripped
+    val withKey = p.withColumn("ckey", regexp_replace(col("p_name"), " \\d$", ""))
+    val a = withKey.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"), col("ckey"))
+    val b = withKey.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"), col("ckey"))
+    a.join(b, Seq("ckey"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"))
+  }
+
+  // ---- Filters --------------------------------------------------------
+
+  /** F3 (playlistlinks.py:139-144): LIKE pattern filter. */
+  def likeFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_type").like("%OM%"))
+      .select(col("p_partkey"), col("p_type"))
+
+  /** F4 (README.md:146 REGEXP BINARY): case-sensitive regex filter —
+    * rlike is case-sensitive by default, matching MySQL's BINARY modifier.
+    */
+  def regexFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").rlike("^[a-z]+ (ring|bolt|gear)$"))
+      .select(col("p_partkey"), col("p_name"))
+
+  /** F5 (itdb2html.py:295-296): null/empty guard. */
+  def nullGuard(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) =!= 0)
+      .agg(count(lit(1)).as("n_nonempty"))
+
+  /** F6 (itdbmetadata.py:130): boolean OR predicate. */
+  def boolOrFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F" || col("o_orderpriority").like("1%"))
+      .agg(count(lit(1)).as("n"))
+
+  /** F7 (itdb2html.py:516-517): filter on a derived star value. */
+  def derivedFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(starsFromDiscount(col("l_discount")) === 3)
+      .agg(count(lit(1)).as("n"), round(exactSum(col("l_extendedprice")), 2).as("sum_price"))
+
+  // ---- Sorts / top-k / windows ---------------------------------------
+
+  /** O1 (itdb2html.py:331-336): ordered projection. */
+  def sortedProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_name"), col("p_retailprice"))
+
+  /** O4/W2 (itdb2html.py:445-458 `shrink`): two-phase top-k — sort by total
+    * ascending, truncate to 2k, re-sort by quality desc, truncate to k.
+    * Fully tie-broken so results are deterministic (SURVEY §7.4).
+    */
+  def shrinkTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val perBrand = Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("total"),
+        round(exactSum(col("p_retailprice")) / count(lit(1)), 4).as("avg_price"))
+    perBrand.orderBy(col("total").asc, col("p_brand")).limit(2 * k)
+      .orderBy(col("avg_price").desc, col("p_brand")).limit(k)
+  }
+
+  /** O5 (playlistlinks.py:186-189 random.shuffle): deterministic shuffle —
+    * seeded by hashing the key (portable md5, not engine-local rand) so the
+    * "random" order is reproducible across engines and re-runs.
+    */
+  def deterministicShuffle(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .withColumn("shuffle_key", md5(col("p_partkey").cast("string")))
+      .orderBy(col("shuffle_key"))
+      .limit(20)
+      .select(col("p_partkey"), col("p_name"), col("shuffle_key"))
+
+  /** O6/W3 (playlistlinks.py:212-221): per-group sequence numbering. */
+  def rowNumbering(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
+  }
+
+  /** W1 (dupes/finddupes.py:10-18): adjacent-duplicate detection on a sorted
+    * stream via lag.
+    */
+  def adjacentDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("value"))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("value") === col("prev"))
+      .agg(count(lit(1)).as("n_adjacent_dups"))
+  }
+
+  /** W2: rank-and-filter top-N per group (the window form of shrink). */
+  def topNPerGroup(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+  }
+
+  // ---- Set operations -------------------------------------------------
+
+  /** U1/J7 (orphaned_files:101-121): set difference in BOTH directions with
+    * a side tag — missing = library∖disk, orphans = disk∖library. Two anti
+    * joins unioned; each is a broadcast-able key-only compare.
+    */
+  def setCompareBothDirections(spark: SparkSession, dir: String): DataFrame = {
+    val custWithOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("key")).distinct()
+    val allCust = Tables.customer(spark, dir).select(col("c_custkey").as("key"))
+    val missing = allCust.join(custWithOrders, Seq("key"), "left_anti")
+      .select(lit("no_orders").as("side"), col("key"))
+    val orphans = custWithOrders.join(allCust, Seq("key"), "left_anti")
+      .select(lit("no_customer").as("side"), col("key"))
+    missing.unionByName(orphans)
+  }
+
+  /** U2 (dedup.py:77-99): semi-join membership flag. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with_orders"))
+  }
+
+  /** U3 (playlistlinks.py:361-403): union of multiple selections. */
+  def unionSelections(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderpriority") === "1-URGENT").select(lit("urgent").as("src"), col("o_orderkey"))
+    val b = o.filter(col("o_orderstatus") === "F").select(lit("finished").as("src"), col("o_orderkey"))
+    a.unionByName(b).groupBy(col("src")).agg(count(lit(1)).as("n"))
+  }
+
+  // ---- Ad-hoc SQL pass-through ---------------------------------------
+
+  /** F11/§2.11 (sql_to_playlist:58-71; playlistlinks.py:177-184 --where):
+    * arbitrary user SQL against registered views — the reference's raw SQL
+    * surface, satisfied wholesale by Spark SQL.
+    */
+  def adhocSql(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(sql)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exprs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY §2.8) exercised as whole queries — each
+  * is a pure codegen'd projection over a table scan (column-pruned, no
+  * shuffle except where an ORDER BY pins output determinism).
+  */
+object Scalars {
+
+  /** X1/X2: star bucketing and its inverse as a projection. */
+  def starsRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        starsFromDiscount(col("l_discount")).as("stars"))
+      .withColumn("rating", ratingFromStars(col("stars")))
+      .filter(col("l_orderkey") < 100)
+
+  /** X3 (itdb2html.py:124-131): duration formatting h:mm:ss. */
+  def formatTimes(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 200)
+      .select(col("o_orderkey"),
+        // floor-then-cast: double→long cast truncation differs across
+        // engines (DuckDB rounds), floor is unambiguous
+        formatTime(floor(col("o_totalprice")).cast("long")).as("dur"))
+
+  /** X4 (itdb2html.py:63-71): filename sanitize. */
+  def sanitizeNames(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") < 100)
+      .select(col("p_partkey"), sanitizeFilename(col("p_name")).as("fname"))
+
+  /** X5/X6 (playlistlinks.py:268-283): URL decode of an encoded location. */
+  def urlCodec(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") < 100)
+      .select(col("p_partkey"),
+        url_decode(regexp_replace(col("p_name"), " ", "%20")).as("decoded"))
+
+  /** X8 (itdb2html.py:173-179 capwords): capitalize each word. */
+  def capWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") < 100)
+      .select(col("p_partkey"), initcap(col("p_name")).as("capped"))
+
+  /** X19 (playlistlinks.py:191-219): %-format path projection. */
+  def formatPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") < 100)
+      .select(col("p_partkey"),
+        format_string("%s/%s-%03d", col("p_brand"), col("p_type"), col("p_size")).as("path"))
+
+  /** X20: basename/dirname path ops over a manufactured path. */
+  def pathOps(spark: SparkSession, dir: String): DataFrame = {
+    val path = concat_ws("/", col("p_brand"), col("p_type"), col("p_name"))
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") < 100)
+      .select(col("p_partkey"), basename(path).as("base"), dirname(path).as("dir"))
+  }
+
+  /** X21 (itdb2html.py:419-421): humanized numbers with thousands
+    * separators (integer part — rounding-mode-neutral).
+    */
+  def humanizeNumbers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 200)
+      .select(col("o_orderkey"),
+        format_number(floor(col("o_totalprice")).cast("long"), 0).as("pretty"))
+
+  /** X13 tail fingerprint + md5 both exposed (dedup.py:133-143). */
+  def contentHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        sha2(substring(col("text"), -100, 100), 256).as("tail_sha"),
+        md5(col("text")).as("full_md5"))
+
+  /** Batch time-window rollup over events (the batch twin of the streaming
+    * path in streaming/EventsStream): hourly tumbling buckets via
+    * date_trunc, count+sum per event type.
+    */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exprs._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * language ID (stopword-overlap heuristic), quality scoring, token
+  * counting, and rolling-hash fingerprinting. All pure map-side columnar
+  * expressions — a 100 TB corpus runs these with zero shuffle (the final
+  * rollups aggregate tiny per-doc scalars, never text).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language marker lexicons for the heuristic scorer. Real
+    * pipelines plug in fastText-style models here; the operator shape
+    * (per-doc arg-max over per-language evidence scores) is what matters.
+    */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "que"),
+    "de" -> Seq("der", "die", "das", "und", "zu"))
+
+  private def langScore(toks: Column, lex: Seq[String]): Column =
+    size(array_intersect(toks, array(lex.map(lit): _*))).cast("double") / size(toks)
+
+  /** Language-ID: score each document against each lexicon (fraction of
+    * distinct marker tokens present), predict the best-scoring language or
+    * 'und' when no evidence. greatest/when chain = deterministic arg-max
+    * with fixed preference order on ties.
+    */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = array_distinct(tokens(col("text")))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang") +:
+        lexicons.map { case (l, lex) => round(langScore(toks, lex), 4).as(s"score_$l") }: _*)
+    val best = lexicons.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
+    val predicted = lexicons.foldRight(lit("und")) { case ((l, _), els) =>
+      when(best > 0 && col(s"score_$l") === best, lit(l)).otherwise(els)
+    }
+    scored.withColumn("predicted", predicted)
+  }
+
+  /** Quality scoring (length / punctuation ratio / stopword ratio / mean
+    * token length) with a composite keep/drop signal — the Gopher-rule
+    * shape. One projection, no shuffle.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nToks = size(toks)
+    val nChars = length(col("text"))
+    val punct = length(regexp_replace(col("text"), "[^.,!?;:]", ""))
+    val stop = size(array_intersect(array_distinct(toks),
+      array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nChars.as("n_chars_measured"),
+      nToks.as("n_tokens"),
+      round(nChars.cast("double") / nToks, 4).as("mean_tok_len"),
+      round(punct.cast("double") / nChars, 4).as("punct_ratio"),
+      round(stop.cast("double") / nToks, 4).as("stopword_ratio"),
+      (nToks >= 10 && nToks <= 100000 &&
+        (nChars.cast("double") / nToks) >= 2.0).as("keep"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex token count
+    * (letter runs / digits / single non-space symbols) — the standard
+    * pre-tokenizer approximation for LLM token budgeting.
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"))
+
+  /** Document fingerprinting: min-of-window-hashes (winnowing-style) — the
+    * minimum md5 over word-5-gram windows is a robust content fingerprint
+    * stable under small edits outside the minimal window.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(tokens(col("text")), 5)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      array_min(transform(sh, s => md5(s))).as("fingerprint"))
+  }
+
+  /** Corpus rollup: per (lang, source) doc counts, token totals, mean
+    * quality signals — the summary a pipeline reports after scoring.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks)).cast("long").as("total_tokens"),
+        round(avg(length(col("text"))), 4).as("avg_chars"))
+  }
+}
