@@ -18,9 +18,12 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
+  /** events.parquet is TIMESTAMP(NANOS): under nanosAsLong the column reads
+    * as LongType and is converted after the scan (same as Tables.events).
+    */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -30,7 +33,10 @@ object EventsStream {
   def hourlyAgg(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(eventSchema)
-      .parquet(s"$dir/events.parquet")
+      // file streams need a directory source; glob-filter to the one table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))

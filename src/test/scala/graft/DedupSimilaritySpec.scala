@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Dedup / ANN / multimodal over a planted-fixture documents+embeddings dir
+  * (written once to a temp dir so the dir-based operators run unmodified).
+  */
+class DedupSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Fixture corpus: 48/49 are clones with one token changed (near-dup),
+    * 50/51 byte-identical (exact dup), the rest unique-ish noise.
+    */
+  lazy val fixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fixture").toString
+    val base = (1 to 60).map(i => s"tok${i}").mkString(" ")
+    val docs = (0 until 48).map { i =>
+      // structureless per-(doc,pos) tokens — no accidental cross-doc overlap
+      val words = (1 to 60).map(j =>
+        s"w${scala.util.hashing.MurmurHash3.productHash((i, j)) & 0xffff}").mkString(" ")
+      (i.toLong, words, if (i % 2 == 0) "en" else "de", s"src$i", words.length.toLong)
+    } ++ Seq(
+      (48L, base, "en", "srcA", base.length.toLong),
+      (49L, base.replace("tok30", "CHANGED"), "en", "srcB", base.length.toLong),
+      (50L, "dup dup " + base, "en", "srcC", base.length.toLong),
+      (51L, "dup dup " + base, "en", "srcD", base.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val vecs = (0 until 20).map { i =>
+      val v = (0 until 64).map(d => math.sin(i * 64 + d).toFloat).toArray
+      (i.toLong, v, i % 3)
+    } :+ ((20L, (0 until 64).map(d => math.sin(5 * 64 + d).toFloat).toArray, 2))
+    // vec 20 clones vec 5 (planted ANN hit; labels differ on purpose)
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("exact dedup finds only the byte-identical pair") {
+    val groups = Dedup.exactGroups(spark, fixtureDir).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n") == 2)
+    assert(groups.head.getAs[Long]("first_doc") == 50)
+  }
+
+  test("minhash LSH finds all planted near-dup pairs, no noise pairs") {
+    // 48..51 are all mutual near-dups (50/51 are base+prefix), so every
+    // pair among them is a true positive; no noise doc may appear
+    val pairs = Dedup.minhashLshPairs(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)) ==
+      Seq((48L, 49L), (48L, 50L), (48L, 51L), (49L, 50L), (49L, 51L), (50L, 51L)))
+    assert(pairs.find(p => p._1 == 50 && p._2 == 51).get._3 == 1.0) // exact dup
+    assert(pairs.forall(_._3 > 0.8))
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val a = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
+    val b = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("simhash: near-dups land within small hamming distance, random docs don't") {
+    val sigs = Dedup.simhash(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(50L) == sigs(51L))          // identical docs -> same signature
+    assert(hamming(sigs(48L), sigs(49L)) <= 3)
+    val rnd = hamming(sigs(0L), sigs(7L))
+    assert(rnd > 3, s"random docs unexpectedly close: $rnd")
+  }
+
+  test("ANN brute force: planted clone is its twin's top neighbor at cosine 1") {
+    val top = Similarity.bruteForceTopK(spark, fixtureDir, nProbes = 6, k = 3)
+      .filter(col("probe_id") === 5 && col("rn") === 1).collect().head
+    assert(top.getAs[Long]("neighbor_id") == 20L)
+    assert(top.getAs[Double]("cos") == 1.0)
+  }
+
+  test("ANN LSH: clone shares probe's bucket and is retrieved there") {
+    val top = Similarity.lshTopK(spark, fixtureDir, nProbes = 6, k = 3)
+      .filter(col("probe_id") === 5 && col("rn") === 1).collect().head
+    assert(top.getAs[Long]("neighbor_id") == 20L) // identical vector -> identical bucket
+  }
+
+  test("multimodal: stub decode preserves ids, metadata query sees byte lengths") {
+    val meta = Multimodal.binaryMeta(spark, fixtureDir)
+    assert(meta.count() == 52)
+    val decoded = Multimodal.decoded(spark, fixtureDir)
+    assert(decoded.count() == 52)
+    val one = decoded.filter(_.media_id == 50L).collect().head
+    assert(one.n_bytes > 0 && one.duration_ms == one.n_bytes * 10L)
+    val stats = Multimodal.mediaStats(spark, fixtureDir).collect()
+    assert(stats.map(_.getAs[String]("kind")).sorted.toSeq == Seq("audio", "image", "video"))
+  }
+}

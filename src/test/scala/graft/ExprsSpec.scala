@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.Exprs
+import org.apache.spark.sql.functions._
+
+class ExprsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("X1 stars: floor(rating/20), null -> 0, all six buckets") {
+    val ratings = Seq[Option[Int]](None, Some(0), Some(19), Some(20), Some(40),
+      Some(60), Some(80), Some(99), Some(100))
+    val got = ratings.toDF("rating")
+      .select(Exprs.stars($"rating").as("s")).as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 0L, 1L, 2L, 3L, 4L, 4L, 5L))
+  }
+
+  test("X2 inverse: rating = stars*20 (itdbloader.py:292)") {
+    val got = Seq(0L, 3L, 5L).toDF("s")
+      .select(Exprs.ratingFromStars($"s").as("r")).as[Long].collect().toSeq
+    assert(got == Seq(0L, 60L, 100L))
+  }
+
+  test("X3 formatTime: h:mm:ss with zero-hour stripped (itdb2html.py:124-131)") {
+    val cases = Seq(
+      0L -> "0:00", 59000L -> "0:59", 61000L -> "1:01",
+      3600000L -> "1:00:00", 3661000L -> "1:01:01", 86399000L -> "23:59:59")
+    val got = cases.map(_._1).toDF("ms")
+      .select(Exprs.formatTime($"ms").as("t")).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("X4 sanitize: non-alnum -> _, empty -> _NONE_ (itdb2html.py:63-71)") {
+    val got = Seq("AC/DC & Friends!", "ok-1.2_x", "").toDF("n")
+      .select(Exprs.sanitizeFilename($"n").as("f")).as[String].collect().toSeq
+    assert(got == Seq("AC_DC___Friends_", "ok-1.2_x", "_NONE_"))
+  }
+
+  test("X20 basename/dirname") {
+    val got = Seq("a/b/c.mp3").toDF("p")
+      .select(Exprs.basename($"p"), Exprs.dirname($"p")).as[(String, String)]
+      .collect().head
+    assert(got == ("c.mp3", "a/b"))
+  }
+
+  test("shingles: k-gram generation incl. short docs") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(Exprs.shingles(Exprs.tokens($"t"), 3).as("sh")).as[Seq[String]]
+      .collect().toSeq
+    assert(got.head == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b")) // shorter than k -> whole doc
+  }
+
+  test("hexVal maps all 16 hex digits") {
+    val digits = "0123456789abcdef".map(_.toString)
+    val got = digits.toDF("c").select(Exprs.hexVal($"c").as("v")).as[Int].collect().toSeq
+    assert(got == (0 until 16))
+  }
+
+  test("A10 quality gate: closed at exactly 20% rated, open above (itdb2html.py:90-98)") {
+    // 10 tracks, 2 rated (exactly 20%) -> 0; 3 rated (30%) -> weighted mean
+    def q(s0: Long, s3: Long) = Seq((s0, s3)).toDF("s0", "s3")
+      .select(Exprs.quality(lit(s0), lit(0L), lit(0L), lit(s3), lit(0L), lit(0L)).as("q"))
+      .as[Double].collect().head
+    assert(q(8, 2) == 0.0)   // 2/10 = 20% -> gate closed (strict >)
+    assert(q(7, 3) == 3.0)   // 3/10 = 30% -> all 3-star -> 3.0
+    assert(q(0, 0) == 0.0)   // empty group
+  }
+
+  test("cosine: identical vectors -> 1, orthogonal -> 0") {
+    val df = Seq(
+      (Seq(1f, 0f, 2f), Seq(1f, 0f, 2f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))).toDF("a", "b")
+    val got = df.select(round(Exprs.cosine($"a", $"b"), 6).as("c")).as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0))
+  }
+}

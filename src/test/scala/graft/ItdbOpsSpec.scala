@@ -1,0 +1,147 @@
+package graft
+
+import graft.ingest.{ItdbSchema, Upsert}
+import graft.operators.ItdbOps
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Literal itdb semantics over FIXTURES.md §A-shaped fixtures. */
+class ItdbOpsSpec extends SparkSuite {
+  import scala.jdk.CollectionConverters._
+
+  private def df(schema: org.apache.spark.sql.types.StructType, rows: Row*): DataFrame =
+    spark.createDataFrame(rows.asJava, schema)
+
+  // tracks: (User_ID, Track_ID, Name, Artist, Album, Genre, Kind, Rating, ...)
+  private def track(tid: Int, name: String, genre: String, rating: Integer,
+      pid: String = null, tv: Boolean = false): Row =
+    Row(1, tid, name, s"artist$tid", s"album$tid", genre, "MPEG audio file",
+      rating, 200000, 1, 1, 1000L, 3, false, tv, false,
+      Option(pid).getOrElse(f"PID$tid%016X"), s"file://localhost/m/$name.mp3",
+      null, 2020, 256, 44100, 0)
+
+  lazy val tracks: DataFrame = df(ItdbSchema.tracks,
+    track(1, "one", "Rock", 100), track(2, "two", "Rock", 80),
+    track(3, "three", "Jazz", null), track(4, "four", null, 60),
+    track(5, "five", "Rock", null), track(6, "six", "Jazz", 20, tv = true))
+
+  lazy val playlistTracks: DataFrame = df(ItdbSchema.playlistTracks,
+    Row(1, 10, 1), Row(1, 10, 2), Row(1, 10, 3), Row(1, 11, 1), Row(1, 11, 6),
+    Row(1, 11, 99)) // 99 dangles (restore_playlist.py:136)
+
+  lazy val playlists: DataFrame = df(ItdbSchema.playlists,
+    Row(1, 10, "Mix", "P010", null),
+    Row(1, 11, "Oldies", "P011", "F001"),
+    Row(1, 12, "Folder", "F001", null),
+    Row(1, 13, "Inside", "P013", "F001"))
+
+  test("A6 playlist stats: single-pass agg == reference per-playlist loop") {
+    val got = ItdbOps.playlistStats(tracks, playlistTracks)
+      .orderBy("Playlist_ID", "Rating")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    // playlist 10: t1(stars5) t2(stars4) t3(null->0); playlist 11: t1(5), t6(1)
+    assert(got == Seq((10, 0, 1L), (10, 80, 1L), (10, 100, 1L), (11, 20, 1L), (11, 100, 1L)))
+
+    // equality against the reference's N+1 shape (one query per playlist)
+    val perPlaylist = playlistTracks.select("Playlist_ID").distinct().collect()
+      .map(_.getInt(0)).flatMap { pid =>
+        ItdbOps.playlistStats(tracks,
+          playlistTracks.filter(col("Playlist_ID") === pid)).collect()
+      }.map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(perPlaylist == got)
+  }
+
+  test("A3/A4 histograms: null rating -> 0 stars, null genre -> ''") {
+    val hist = ItdbOps.starsHistogram(tracks, 1).orderBy("Stars")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hist == Seq((0L, 2L), (1L, 1L), (3L, 1L), (4L, 1L), (5L, 1L)))
+    val byGenre = ItdbOps.groupedHistogram(tracks, 1, "Genre")
+      .filter(col("grp") === "").collect()
+    assert(byGenre.map(_.getLong(2)).sum == 1L) // track 4 null genre
+  }
+
+  test("O4 shrink: truncation order is total-asc then quality-desc (itdb2html.py:445-458)") {
+    val q = ItdbOps.qualityByGroup(tracks, 1, "Genre")
+    // k=1: first phase keeps the 2 SMALLEST groups ('' total 1, Jazz total 2),
+    // so Rock (best quality 4.5 but biggest) is excluded — exactly the
+    // reference's bias toward small groups; then best quality of those wins.
+    val top1 = ItdbOps.shrink(q, 1).collect()
+    assert(top1.length == 1)
+    assert(top1.head.getAs[String]("grp") == "")
+    assert(top1.head.getAs[Double]("quality") == 3.0)
+    // k large enough to keep all groups: global best quality (Rock) surfaces
+    val top3 = ItdbOps.shrink(q, 3).collect()
+    assert(top3.head.getAs[String]("grp") == "Rock")
+    assert(top3.head.getAs[Double]("quality") == 4.5)
+  }
+
+  test("J5 folder expansion: one-level children (playlistlinks.py:153-162)") {
+    val kids = ItdbOps.folderChildren(playlists, 1, "Folder")
+      .orderBy("Playlist_ID").collect().map(_.getString(1)).toSeq
+    assert(kids == Seq("Oldies", "Inside"))
+  }
+
+  test("J4 anti join: video tracks lacking ffprobe rows (itdbmetadata.py:128-133)") {
+    val ffprobe = df(ItdbSchema.ffprobe, Row("X", """{"streams":[]}"""))
+    val got = ItdbOps.tracksWithoutFfprobe(tracks, ffprobe).collect()
+    assert(got.map(_.getAs[Int]("Track_ID")).toSeq == Seq(6))
+  }
+
+  test("S7/X16/A13 json: stream explode, wildcard codec types, low-res report") {
+    val doc = """{"streams":[{"index":0,"codec_type":"video","height":480,"width":640},
+                 {"index":1,"codec_type":"audio"}]}""".replaceAll("\n\\s*", "")
+    val ffprobe = df(ItdbSchema.ffprobe, Row("V1", doc))
+    val streams = ItdbOps.explodeStreams(ffprobe)
+    assert(streams.count() == 2)
+    assert(streams.orderBy("stream_index").collect()(0).getAs[Int]("stream_index") == 0)
+
+    val codecs = ItdbOps.codecTypes(ffprobe).collect().head.getSeq[String](1)
+    assert(codecs == Seq("video", "audio"))
+
+    val lowres = ItdbOps.lowResVideos(streams, 720).collect()
+    assert(lowres.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("V1", 480)))
+  }
+
+  test("J7/U1 orphans + missing with url-decode and case folding (orphaned_files:66-121)") {
+    import spark.implicits._
+    val lib = Seq("file://localhost/Music/A%20Song.mp3", "file:///Music/gone.mp3")
+      .toDF("location")
+    val fs = Seq("/music/a song.mp3", "/music/extra.mp3").toDF("path")
+    val got = ItdbOps.orphansAndMissing(lib, fs)
+      .orderBy("side", "path").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("missing", "/music/gone.mp3"), ("orphan", "/music/extra.mp3")))
+  }
+
+  test("REPLACE keeps last / IGNORE keeps first per PK (itdbloader.py:202,230)") {
+    import spark.implicits._
+    val arrivals = Seq((1, "v1", 1L), (1, "v2", 2L), (2, "only", 1L)).toDF("pk", "v", "seq")
+    val last = Upsert.replaceLastWins(arrivals, Seq("pk"), col("seq"))
+      .orderBy("pk").collect().map(_.getString(1)).toSeq
+    val first = Upsert.ignoreFirstWins(arrivals, Seq("pk"), col("seq"))
+      .orderBy("pk").collect().map(_.getString(1)).toSeq
+    assert(last == Seq("v2", "only"))
+    assert(first == Seq("v1", "only"))
+  }
+
+  test("F11 ad-hoc SQL over registered views incl. MySQL RLIKE translation (§2.11)") {
+    ItdbOps.registerItdbViews(tracks, playlists, playlistTracks)
+    // the reference example: REGEXP BINARY '^[^a-z]+$' -> RLIKE (sql_to_playlist, README.md:144-147)
+    val got = spark.sql(
+      "SELECT Name, Persistent_ID FROM tracks WHERE Kind = 'MPEG audio file' AND Name RLIKE '^[a-z]+$' ORDER BY Name")
+    assert(got.count() == 6)
+    val joined = spark.sql(
+      """SELECT p.Name, count(*) AS n FROM playlists p
+        |JOIN playlist_tracks pt ON p.Playlist_ID = pt.Playlist_ID AND p.User_ID = pt.User_ID
+        |GROUP BY p.Name ORDER BY p.Name""".stripMargin).collect()
+    assert(joined.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("Mix", 3L), ("Oldies", 3L)))
+  }
+
+  test("O5/O6/X19 numbered link paths: deterministic shuffle + sequence + sanitize") {
+    val got1 = ItdbOps.numberedLinkPaths(tracks, "seed1").collect().map(_.getString(1)).toSeq
+    val got2 = ItdbOps.numberedLinkPaths(tracks, "seed1").collect().map(_.getString(1)).toSeq
+    assert(got1 == got2) // reproducible
+    assert(got1.exists(_.matches("""\d{3}-Rock/artist\d+-\w+""")))
+    assert(got1.map(_.take(4)).sorted == Seq("001-", "002-", "003-", "004-", "005-", "006-"))
+  }
+}
