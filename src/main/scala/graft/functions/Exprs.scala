@@ -98,9 +98,12 @@ object Exprs {
 
   /** Sequential-fold dot product of two double-array columns —
     * deterministic, matching a row-at-a-time oracle engine's fold order.
+    * Backed by the native codegen'd expression (graft.plans.DotProductExpr);
+    * the builtin `aggregate∘zip_with` form computes the identical value but
+    * runs interpreted and allocates per pair.
     */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorExprs.dotProductNative(a, b)
 
   /** Float embedding → double vector (for carrying through joins with a
     * precomputed norm — see doubleVectorWithNorm callers).

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public Column(Expression) constructor (Column is now
+  * a ColumnNode facade shared with Connect); the classic converter is
+  * private[sql]. This bridge — placed in an org.apache.spark.sql subpackage,
+  * the standard pattern for Catalyst extensions — re-exports just the two
+  * conversions custom Expressions need.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
