@@ -127,6 +127,18 @@ object Exprs {
     dot / (na * nb)
   }
 
+  /** X7 (itdb2html.py:170-171): HTML entity escape for the render surface. */
+  def escapeHtml(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;")
+
+  /** X22 (itdb2html.py:133-149): star-rating display string — filled stars
+    * then empty to 5 (the reference emits img tags; same per-row function
+    * shape, text form).
+    */
+  def starsDisplay(s: Column): Column =
+    concat(repeat(lit("★"), s.cast("int")), repeat(lit("☆"), (lit(5) - s).cast("int")))
+
   /** A10 (itdb2html.py:90-98): gated weighted mean "quality" — 0 unless >20%
     * of items are rated; otherwise Σ(s·n_s)/Σ(n_s) over s=1..5.
     * Operates on the 6 pivoted star-count columns (A9).
