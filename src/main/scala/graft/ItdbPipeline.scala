@@ -1,0 +1,75 @@
+package graft
+
+import graft.emit.M3u
+import graft.ingest.PlistReader
+import graft.operators.ItdbOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end lifecycle facade — the reference's three entry points
+  * (SURVEY §3) composed from the operator library:
+  *
+  *   1. load (itdbloader.py): plist → tracks/playlists/playlist_tracks +
+  *      the materialized playlist_stats aggregate, computed in ONE pass and
+  *      persisted (vs the reference's N+1 loop + REPLACE INTO);
+  *   2. stats (itdb2html.py WriteStats): the library/genre/histogram
+  *      rollups each page renders;
+  *   3. export (playlistlinks.py): playlist → ordered, numbered link rows →
+  *      m3u.
+  */
+object ItdbPipeline {
+
+  final case class Library(
+      tracks: DataFrame,
+      playlists: DataFrame,
+      playlistTracks: DataFrame,
+      playlistStats: DataFrame)
+
+  /** §3.1: full-refresh load. playlist_stats is materialized (I5) exactly
+    * like the reference pre-fills it ("somewhat expensive so we pre fill it
+    * out", itdbloader.py:270-272) — persisted so every page query reuses it.
+    */
+  def load(spark: SparkSession, xml: String, userId: Int = 1): Library = {
+    val (tracks, playlists, bridge) = PlistReader.load(spark, xml, userId)
+    val stats = ItdbOps.playlistStats(tracks, bridge).persist()
+    ItdbOps.registerItdbViews(tracks, playlists, bridge)
+    stats.createOrReplaceTempView("playlist_stats")
+    Library(tracks, playlists, bridge, stats)
+  }
+
+  /** §3.2: the stats-index numbers (A1/A2/A3 in one pass each). */
+  def libraryStats(lib: Library, userId: Int): DataFrame =
+    lib.tracks.filter(col("User_ID") === userId).agg(
+      count(lit(1)).as("num_tracks"),
+      countDistinct(col("Album")).as("num_albums"),
+      countDistinct(col("Artist")).as("num_artists"))
+
+  /** §3.2: per-playlist star histogram straight off the materialized
+    * aggregate (A7 re-aggregation, itdb2html.py:478-493).
+    */
+  def playlistPage(lib: Library, userId: Int, playlistName: String): DataFrame = {
+    val ids = lib.playlists
+      .filter(col("User_ID") === userId && col("Name") === playlistName)
+      .select(col("Playlist_ID"))
+    lib.playlistStats.join(ids, Seq("Playlist_ID"))
+      .groupBy((col("Rating") / 20).cast("long").as("Stars"))
+      .agg(sum(col("Count")).cast("long").as("n"))
+  }
+
+  /** §3.3: playlist export — J2 join, deterministic shuffle + numbering,
+    * sanitize-formatted link paths, m3u lines.
+    */
+  def exportPlaylist(lib: Library, userId: Int, playlistName: String,
+      m3uPath: String, seed: String = "itdb"): Unit = {
+    val ids = lib.playlists
+      .filter(col("User_ID") === userId && col("Name") === playlistName)
+      .select(col("Playlist_ID"))
+    val members = lib.playlistTracks.join(ids, Seq("Playlist_ID"))
+      .select(col("User_ID"), col("Track_ID"))
+    val tracks = lib.tracks.join(members, Seq("User_ID", "Track_ID"))
+    val numbered = ItdbOps.numberedLinkPaths(tracks, seed)
+      .join(tracks.select(col("Track_ID"), col("Name"), col("Location")), Seq("Track_ID"))
+      .orderBy(col("link_path"))
+    M3u.write(numbered, m3uPath, "Name", "Location")
+  }
+}

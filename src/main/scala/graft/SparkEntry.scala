@@ -80,6 +80,8 @@ object SparkEntry {
     "x19_format_paths" -> ((s, d) => Scalars.formatPaths(s, d).orderBy("p_partkey")),
     "x20_path_ops" -> ((s, d) => Scalars.pathOps(s, d).orderBy("p_partkey")),
     "x21_format_number" -> ((s, d) => Scalars.humanizeNumbers(s, d).orderBy("o_orderkey")),
+    "x7_html_escape" -> ((s, d) => Scalars.htmlEscape(s, d).orderBy("p_partkey")),
+    "x22_stars_display" -> ((s, d) => Scalars.starsRendered(s, d).orderBy("stars")),
     "t1_hourly_rollup" -> ((s, d) => Scalars.hourlyRollup(s, d).orderBy("hour", "event_type")),
     // ---- dedup (training-data pipeline) ----
     "d1_dedup_exact" -> ((s, d) => Dedup.exactGroups(s, d).orderBy("digest")),
@@ -93,6 +95,7 @@ object SparkEntry {
     "s1_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d).orderBy("probe_id", "rn")),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d).orderBy("probe_id", "rn")),
     "s3_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d).orderBy("label")),
+    "s4_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d).orderBy("probe_id", "rn")),
     // ---- text analysis ----
     "t2_language_id" -> ((s, d) => TextAnalysis.languageId(s, d).orderBy("doc_id")),
     "t3_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d).orderBy("doc_id")),
@@ -231,6 +234,11 @@ object SparkEntry {
       "SELECT o_orderkey, format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) AS pretty FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey",
     "t1_hourly_rollup" ->
       "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value FROM events GROUP BY 1,2 ORDER BY hour, event_type",
+    "x7_html_escape" ->
+      """SELECT p_partkey, replace(replace(replace(replace('<' || p_name || '> & "' || p_brand || '"', '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;') AS escaped FROM part WHERE p_partkey < 100 ORDER BY p_partkey""",
+    "x22_stars_display" ->
+      s"""SELECT stars, n, repeat('★', CAST(stars AS INTEGER)) || repeat('☆', CAST(5 - stars AS INTEGER)) AS display
+         |FROM (SELECT coalesce($starsD,0) AS stars, count(*) AS n FROM lineitem GROUP BY 1) ORDER BY stars""".stripMargin,
     // ---- dedup ----
     "d1_dedup_exact" ->
       "SELECT sha256(text) AS digest, count(*) AS n, min(doc_id) AS first_doc FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY digest",
@@ -287,6 +295,29 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) DESC, vec_id) AS rn
         |  FROM p CROSS JOIN e WHERE probe_id != vec_id)
         |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
+    "s2_ann_lsh" -> {
+      val hexv = (c: String) => s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+      val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+         |bk AS (SELECT vec_id,
+         |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+         |    THEN 1 << j ELSE 0 END for j in range(0, 8)]) AS bucket FROM e),
+         |w AS (SELECT e.vec_id, e.v, e.n, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, n AS pn, bucket FROM w WHERE vec_id < 5)
+         |SELECT probe_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT probe_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(pv, c.v) / (pn * c.n), 4) AS cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS rn
+         |  FROM p JOIN w c ON p.bucket = c.bucket WHERE probe_id != c.vec_id)
+         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+    },
+    "m2_media_stats" ->
+      """SELECT kind, count(*) AS n,
+        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        | CAST(max(16 + octet_length(encode(text)) % 640) AS INTEGER) AS max_width
+        |FROM (SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS kind, text FROM documents)
+        |GROUP BY 1 ORDER BY kind""".stripMargin,
     // ---- text analysis ----
     "t2_language_id" -> {
       val lex = Map(

@@ -79,6 +79,21 @@ object Scalars {
         sha2(substring(col("text"), -100, 100), 256).as("tail_sha"),
         md5(col("text")).as("full_md5"))
 
+  /** X7 (itdb2html.py:170-171): HTML escape at the render surface. */
+  def htmlEscape(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") < 100)
+      .select(col("p_partkey"),
+        escapeHtml(concat(lit("<"), col("p_name"), lit("> & \""), col("p_brand"), lit("\"")))
+          .as("escaped"))
+
+  /** X22 (itdb2html.py:133-149): star display per histogram bucket. */
+  def starsRendered(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(starsFromDiscount(col("l_discount")).as("stars"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("display", starsDisplay(col("stars")))
+
   /** Batch time-window rollup over events (the batch twin of the streaming
     * path in streaming/EventsStream): hourly tumbling buckets via
     * date_trunc, count+sum per event type.

@@ -101,6 +101,42 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** IVF-style ANN: label is the coarse cluster (the trained quantizer's
+    * assignment); each probe ranks the cluster CENTROIDS first, then
+    * searches only its `nprobe` nearest clusters exactly. At scale the
+    * corpus is partitioned by cluster id, probes broadcast, and only
+    * nprobe/nclusters of the data is touched per probe — the classic IVF
+    * recall/cost dial.
+    */
+  def ivfTopK(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val cents = labelCentroids(spark, dir)
+      .select(col("label"), doubleVector(col("centroid")).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val e = withVecNorm(Tables.embeddings(spark, dir))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+    val probesN = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    // rank clusters per probe by centroid cosine; keep nprobe best
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val probeClusters = probesN.crossJoin(broadcast(cents))
+      .withColumn("ccos", dotProduct(col("pv"), col("cv")) / (col("pn") * col("cn")))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("pn"), col("label"))
+    // exact search inside the selected clusters only
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v"), col("n"), col("label"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probeClusters), Seq("label"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** Centroid per label — the IVF coarse-quantizer training step (mean
     * vector per cluster), one hash aggregation using element-wise array
     * sums. Demonstrates vector aggregation without ever collecting vectors.

@@ -1,0 +1,95 @@
+package graft
+
+import graft.sqlsurface.MySqlDialect
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PipelineSpec extends SparkSuite {
+
+  val xml: String =
+    """<?xml version="1.0"?><plist version="1.0"><dict>
+      | <key>Tracks</key><dict>
+      |  <key>1</key><dict><key>Track ID</key><integer>1</integer><key>Name</key><string>Alpha</string>
+      |    <key>Artist</key><string>Ann</string><key>Album</key><string>One</string>
+      |    <key>Genre</key><string>Rock</string><key>Rating</key><integer>100</integer>
+      |    <key>Location</key><string>file://localhost/m/alpha.mp3</string></dict>
+      |  <key>2</key><dict><key>Track ID</key><integer>2</integer><key>Name</key><string>Beta</string>
+      |    <key>Artist</key><string>Bob</string><key>Album</key><string>One</string>
+      |    <key>Genre</key><string>Rock</string><key>Rating</key><integer>60</integer>
+      |    <key>Location</key><string>file://localhost/m/beta.mp3</string></dict>
+      |  <key>3</key><dict><key>Track ID</key><integer>3</integer><key>Name</key><string>Gamma</string>
+      |    <key>Artist</key><string>Ann</string><key>Album</key><string>Two</string></dict>
+      | </dict>
+      | <key>Playlists</key><array>
+      |  <dict><key>Playlist ID</key><integer>7</integer><key>Name</key><string>Mix</string>
+      |   <key>Playlist Persistent ID</key><string>P007</string>
+      |   <key>Playlist Items</key><array>
+      |    <dict><key>Track ID</key><integer>1</integer></dict>
+      |    <dict><key>Track ID</key><integer>2</integer></dict>
+      |    <dict><key>Track ID</key><integer>3</integer></dict>
+      |   </array></dict>
+      | </array>
+      |</dict></plist>""".stripMargin
+
+  test("golden end-to-end: load -> stats -> playlist page -> m3u export (SURVEY §3)") {
+    val lib = ItdbPipeline.load(spark, xml)
+    // README.md:59 smoke counts
+    val stats = ItdbPipeline.libraryStats(lib, 1).collect().head
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == (3L, 2L, 2L))
+
+    // materialized aggregate matches the literal expectation
+    val page = ItdbPipeline.playlistPage(lib, 1, "Mix")
+      .orderBy("Stars").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(page == Seq((0L, 1L), (3L, 1L), (5L, 1L))) // null->0, 60->3, 100->5
+
+    // ad-hoc SQL over the registered views, incl. the materialized stats
+    val viaSql = spark.sql(
+      "SELECT sum(Count) AS total FROM playlist_stats WHERE Playlist_ID = 7")
+      .collect().head.getLong(0)
+    assert(viaSql == 3L)
+
+    // m3u export: ordered, numbered, only tracks with locations
+    val m3u = Files.createTempFile("pipeline", ".m3u").toString
+    ItdbPipeline.exportPlaylist(lib, 1, "Mix", m3u)
+    val lines = Files.readString(java.nio.file.Paths.get(m3u)).trim.split("\n").toSeq
+    assert(lines.head == "#EXTM3U")
+    assert(lines.count(_.startsWith("#ITDBFILE:")) == 2) // Gamma has no Location
+  }
+
+  test("MySQL dialect translation: REGEXP BINARY, bare REGEXP, LIKE collation") {
+    assert(MySqlDialect.translate("SELECT * FROM t WHERE name REGEXP BINARY '^[a-z]+$'") ==
+      "SELECT * FROM t WHERE name RLIKE '^[a-z]+$'")
+    assert(MySqlDialect.translate("SELECT * FROM t WHERE name REGEXP 'abc'") ==
+      "SELECT * FROM t WHERE name RLIKE '(?i)abc'")
+    assert(MySqlDialect.translate("WHERE a LIKE 'x%' AND b RLIKE 'y'") ==
+      "WHERE a ILIKE 'x%' AND b RLIKE 'y'")
+    assert(MySqlDialect.translate("WHERE a LIKE 'x%'", caseInsensitiveLike = false)
+      .contains("LIKE"))
+
+    // the README.md:144-147 example runs end to end after translation
+    val lib = ItdbPipeline.load(spark, xml)
+    val got = MySqlDialect.sql(spark,
+      "SELECT Name FROM tracks WHERE Name REGEXP BINARY '^[A-Z][a-z]+$' AND Genre REGEXP 'rock'")
+    assert(got.count() == 2) // CI genre match; CS name match
+  }
+
+  test("extensions: dot_product available in SQL via GraftExtensions") {
+    // the shared suite session predates extension injection; register the
+    // same builder path directly
+    graft.plans.VectorExprs.register(spark)
+    val got = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(got == 11.0)
+  }
+
+  test("IVF ANN: planted clone found via its cluster") {
+    val dir = sf("sf0.001")
+    val ivf = graft.operators.Similarity.ivfTopK(spark, dir, nProbes = 3, k = 3)
+    assert(ivf.count() > 0)
+    // every probe returns at most k rows with rn dense from 1
+    val byProbe = ivf.collect().groupBy(_.getLong(0))
+    byProbe.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rows.length))
+    }
+  }
+}
