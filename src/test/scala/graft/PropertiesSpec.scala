@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.Exprs
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property tests (SURVEY §5.3) — ScalaCheck-generated inputs,
+  * expression-level invariants, one DataFrame pass per property.
+  */
+class PropertiesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("property: stars ∈ [0,5] for any rating in [0,100] or null") {
+    val ratings = Gen.listOfN(200, Gen.option(Gen.choose(0, 100))).sample.get
+    val got = ratings.toDF("r").select(Exprs.stars($"r").as("s")).as[Long].collect()
+    assert(got.forall(s => s >= 0 && s <= 5))
+    // inverse stays within the rating domain
+    val inv = ratings.toDF("r")
+      .select(Exprs.ratingFromStars(Exprs.stars($"r")).as("r2")).as[Long].collect()
+    assert(inv.forall(r => r >= 0 && r <= 100))
+  }
+
+  test("property: shingle count == max(1, n_tokens - k + 1)") {
+    val texts = Gen.listOfN(100, Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(5)))
+        .map(_.mkString(" ")))).sample.get
+    val got = texts.toDF("t")
+      .select(size(Exprs.tokens($"t")).as("n"), size(Exprs.shingles(Exprs.tokens($"t"), 3)).as("sh"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (n, sh) => assert(sh == math.max(1, n - 2), s"n=$n sh=$sh") }
+  }
+
+  test("property: quality is 0 or within [1,5], gate respected") {
+    val buckets = Gen.listOfN(150, Gen.listOfN(6, Gen.choose(0L, 50L))).sample.get
+    val got = buckets.map { case List(s0, s1, s2, s3, s4, s5) =>
+      Seq((s0, s1, s2, s3, s4, s5)).toDF("s0", "s1", "s2", "s3", "s4", "s5")
+        .select(Exprs.quality($"s0", $"s1", $"s2", $"s3", $"s4", $"s5").as("q"))
+        .as[Double].collect().head -> (s0, s1 + s2 + s3 + s4 + s5)
+    }
+    got.foreach { case (q, (s0, rated)) =>
+      if (rated + s0 == 0 || rated.toDouble / (rated + s0) <= 0.2) assert(q == 0.0)
+      else assert(q >= 1.0 && q <= 5.0, s"q=$q")
+    }
+  }
+
+  test("property: sanitize emits only [A-Za-z0-9-_.] or _NONE_") {
+    val strs = Gen.listOfN(200, Gen.asciiPrintableStr.map(_.take(20))).sample.get
+    val got = strs.toDF("s").select(Exprs.sanitizeFilename($"s").as("f")).as[String].collect()
+    assert(got.forall(f => f == "_NONE_" || f.matches("[A-Za-z0-9\\-_.]*")))
+  }
+
+  test("property: dot product native == builtin fold on random vectors") {
+    val vecs = Gen.listOfN(60,
+      Gen.listOfN(16, Gen.choose(-5.0, 5.0))).sample.get
+    val df = vecs.grouped(2).collect { case List(a, b) => (a, b) }.toSeq.toDF("a", "b")
+    val builtin = aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val native = graft.plans.VectorExprs.dotProductNative($"a", $"b")
+    assert(df.filter(not(builtin === native)).count() == 0)
+  }
+}
