@@ -142,6 +142,9 @@ object ItdbOps {
     */
   def numberedLinkPaths(tracks: DataFrame, seed: String, startAt: Int = 1): DataFrame = {
     val shuffleKey = md5(concat(lit(seed), col("Track_ID").cast("string")))
+    // global ordering is inherent to the export (one numbered sequence per
+    // playlist); inputs are single-playlist sized, so the one-task window
+    // is the correct plan here, not a scale hazard
     val w = Window.orderBy(shuffleKey)
     tracks
       .withColumn("seq", row_number().over(w) + lit(startAt - 1))

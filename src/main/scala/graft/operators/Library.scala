@@ -309,7 +309,11 @@ object Library {
   }
 
   /** W1 (dupes/finddupes.py:10-18): adjacent-duplicate detection on a sorted
-    * stream via lag.
+    * stream via lag — the literal window form of the reference's scan.
+    * Scale note: an unpartitioned window funnels into one task; at 100 TB
+    * this identity computes distributed instead:
+    * n_adjacent_dups == count(*) - count(DISTINCT value)
+    * (each equal-value run of length c contributes c-1 adjacent pairs).
     */
   def adjacentDuplicates(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("value"), col("event_id"))
@@ -362,6 +366,22 @@ object Library {
     val a = o.filter(col("o_orderpriority") === "1-URGENT").select(lit("urgent").as("src"), col("o_orderkey"))
     val b = o.filter(col("o_orderstatus") === "F").select(lit("finished").as("src"), col("o_orderkey"))
     a.unionByName(b).groupBy(col("src")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Skew fallback: salted join. AQE's skew-join split handles most skew at
+    * runtime; manual salting is the escape hatch when the hot key sits in a
+    * shuffle join AQE can't split (or the dim side can't broadcast). The
+    * fact side gets a random-but-deterministic salt (portable hash of a
+    * unique key, SURVEY §7.4 — never rand()); the dim side is exploded
+    * across all salt values so every (key, salt) partition joins locally.
+    * Result set is identical to the unsalted join (proven in PlanSpec).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(crc32(concat_ws("|", fact.columns.map(col): _*)), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
 
   // ---- Ad-hoc SQL pass-through ---------------------------------------

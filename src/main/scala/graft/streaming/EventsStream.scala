@@ -56,4 +56,56 @@ object EventsStream {
     q.awaitTermination()
     spark.table(name)
   }
+
+  private def eventSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  /** Session windows per user (30-minute inactivity gap) — the builtin
+    * `session_window` aggregation under a watermark; the Spark-first way to
+    * sessionize before reaching for custom state.
+    */
+  def sessionAgg(spark: SparkSession, dir: String, gap: String = "30 minutes"): DataFrame =
+    eventSource(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom arbitrary state via mapGroupsWithState: per-user running
+    * totals maintained in the state store across micro-batches — the
+    * KeyValueGroupedDataset state surface for logic session_window can't
+    * express.
+    */
+  def statefulTotals(spark: SparkSession, dir: String, name: String = "events_state"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ds = eventSource(spark, dir)
+      .select(col("user_id"), col("value")).as[UserEvent]
+    val updated = ds.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          val next = events.foldLeft(prev)((acc, e) =>
+            UserTotals(uid, acc.n_events + 1, acc.sum_value + e.value))
+          state.update(next)
+          next
+      }
+    val q = updated.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }

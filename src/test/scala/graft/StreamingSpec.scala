@@ -20,4 +20,34 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("session windows: builtin session_window under watermark, sane bounds") {
+    val dir = sf("sf0.001")
+    val q = EventsStream.sessionAgg(spark, dir).writeStream
+      .outputMode("complete").format("memory").queryName("events_sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sessions = spark.table("events_sessions").collect()
+    assert(sessions.nonEmpty)
+    sessions.foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("session_start")
+        .after(r.getAs[java.sql.Timestamp]("session_end")))
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+    // per-user event totals across sessions == raw counts
+    val perUser = sessions.groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_events")).sum).toMap
+    val raw = graft.Tables.events(spark, dir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perUser == raw)
+  }
+
+  test("mapGroupsWithState running totals == batch aggregation") {
+    val dir = sf("sf0.001")
+    val state = EventsStream.statefulTotals(spark, dir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toMap
+    val batch = graft.Tables.events(spark, dir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state == batch)
+  }
 }
