@@ -91,6 +91,7 @@ object SparkEntry {
     "d5_simhash" -> ((s, d) => Dedup.simhash(s, d).orderBy("doc_id")),
     "d6_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDups(s, d, 0.35).orderBy("id_a", "id_b")),
     "d7_tail_fingerprint" -> ((s, d) => Dedup.tailFingerprint(s, d).orderBy("doc_id")),
+    "d8_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d, 0.3).orderBy("id_a", "id_b")),
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d).orderBy("probe_id", "rn")),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d).orderBy("probe_id", "rn")),
@@ -285,6 +286,21 @@ object SparkEntry {
         |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
     "d7_tail_fingerprint" ->
       "SELECT doc_id, sha256(right(text, 100)) AS tail_digest FROM documents ORDER BY doc_id",
+    "d8_embedding_neardup_lsh" -> {
+      val hexv = (c: String) => s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+      val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+         |bk AS (SELECT vec_id,
+         |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+         |    THEN 1 << j ELSE 0 END for j in range(0, 8)]) AS bucket FROM e),
+         |w AS (SELECT e.vec_id, e.v, e.n, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) AS cos
+         |  FROM w a JOIN w b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
+    },
     // ---- similarity ----
     "s1_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -162,10 +162,33 @@ object Dedup {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
+  /** Embedding near-dup, scale path: block by the sign-random-projection
+    * LSH bucket (Similarity.lshBuckets) instead of a given label — pairs
+    * only form inside a bucket (2^nPlanes buckets ⇒ expected n²/2^p pair
+    * reduction), then exact cosine filters. True near-dups (cos→1) agree on
+    * every hyperplane sign, so recall at high thresholds is ~1.
+    */
+  def embeddingNearDupsLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.35, nPlanes: Int = 8): DataFrame = {
+    val buckets = Similarity.lshBuckets(spark, dir, nPlanes)
+      .select(col("vec_id"), col("bucket"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), doubleVector(col("embedding")).as("v"))
+      .withColumn("n", l2Norm(col("v")))
+      .join(buckets, Seq("vec_id"))
+    val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Near-duplicate pairs by embedding cosine similarity: block by label
     * (an upstream coarse cluster), pair within blocks, filter by cosine.
-    * The all-pairs form is O(n²/buckets); at scale the blocking key would be
-    * an ANN bucket (Similarity.lshBuckets) rather than a label.
+    * The all-pairs form is O(n²/buckets); at scale the blocking key is
+    * the LSH bucket variant above.
     */
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.999): DataFrame = {
     // each vector's norm is computed ONCE below the join boundary (the

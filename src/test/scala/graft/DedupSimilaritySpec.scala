@@ -86,6 +86,23 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(top.getAs[Long]("neighbor_id") == 20L) // identical vector -> identical bucket
   }
 
+  test("embedding LSH near-dup: planted clone pair found (bucket-blocked)") {
+    val pairs = Dedup.embeddingNearDupsLsh(spark, fixtureDir, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((5L, 20L))) // identical vectors share every plane sign
+  }
+
+  test("ANN LSH recall vs brute force is nontrivial on real data") {
+    val dir = sf("sf0.001")
+    val exact = Similarity.bruteForceTopK(spark, dir, nProbes = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(spark, dir, nProbes = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.0, s"LSH retrieved nothing from the exact top-k (recall=$recall)")
+    assert(approx.nonEmpty)
+  }
+
   test("multimodal: stub decode preserves ids, metadata query sees byte lengths") {
     val meta = Multimodal.binaryMeta(spark, fixtureDir)
     assert(meta.count() == 52)
