@@ -149,6 +149,6 @@ object PlistReader {
     val stringCols = df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name)
     val aggs = stringCols.map(c => max(length(col(c))).cast("long").as(s"len_$c"))
-    df.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 }

@@ -378,7 +378,7 @@ object Library {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(crc32(concat_ws("|", fact.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(crc32(concat_ws("|", fact.columns.toIndexedSeq.map(col): _*)), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")

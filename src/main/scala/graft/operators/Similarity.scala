@@ -68,7 +68,7 @@ object Similarity {
     val planes = planeCoeffs(nPlanes, dim)
     val emb = doubleVector(col("embedding"))
     val bucket = (0 until nPlanes).map { j =>
-      val plane = array(planes(j).map(lit): _*)
+      val plane = array(planes(j).toIndexedSeq.map(lit): _*)
       val dot = dotProduct(emb, plane)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
