@@ -111,7 +111,7 @@ object SparkEntry {
   /** Shared oracle fragments (DuckDB dialect). */
   private val starsD = "CAST(floor(l_discount*50) AS BIGINT)"
   private val shinglesCte =
-    """WITH t AS (SELECT doc_id, lang, string_split(trim(text),' ') AS w FROM documents),
+    """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
       |s AS (SELECT doc_id, lang, w[1] AS tok0, w[-1] AS tokz,
       |  CASE WHEN len(w)<3 THEN [array_to_string(w,' ')]
       |       ELSE [array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)] END AS sh FROM t)""".stripMargin
@@ -274,7 +274,7 @@ object SparkEntry {
       val bits = (1 to 16).map { p =>
         s"(CASE WHEN list_sum([${hexv(s"substr(md5(x), $p, 1)")} - 7.5 for x in w]) > 0 THEN ${1L << (p - 1)} ELSE 0 END)"
       }.mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t ORDER BY doc_id""".stripMargin
     },
     "d6_embedding_neardup" ->
@@ -341,7 +341,7 @@ object SparkEntry {
         "fr" -> "['le','la','de','et','que']", "de" -> "['der','die','das','und','zu']")
       val scores = Seq("en", "es", "fr", "de")
         .map(l => s"round(CAST(len(list_intersect(dt, ${lex(l)})) AS DOUBLE) / len(dt), 4) AS score_$l").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, lang, list_distinct(string_split(trim(text), ' ')) AS dt FROM documents),
+      s"""WITH t AS (SELECT doc_id, lang, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS dt FROM documents),
          |sc AS (SELECT doc_id, lang, $scores FROM t),
          |b AS (SELECT *, greatest(score_en, score_es, score_fr, score_de) AS best FROM sc)
          |SELECT doc_id, lang, score_en, score_es, score_fr, score_de,
@@ -351,7 +351,7 @@ object SparkEntry {
          |FROM b ORDER BY doc_id""".stripMargin
     },
     "t3_quality_score" ->
-      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents)
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
         |SELECT doc_id,
         | CAST(length(text) AS INTEGER) AS n_chars_measured,
         | CAST(len(w) AS INTEGER) AS n_tokens,
@@ -361,24 +361,24 @@ object SparkEntry {
         | (len(w) >= 10 AND len(w) <= 100000 AND CAST(length(text) AS DOUBLE) / len(w) >= 2.0) AS keep
         |FROM t ORDER BY doc_id""".stripMargin,
     "t4_token_counts" ->
-      """SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
+      """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t5_fingerprints" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |s AS (SELECT doc_id, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
         |  ELSE [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)] END AS sh FROM t)
         |SELECT doc_id, list_min([md5(x) for x in sh]) AS fingerprint FROM s ORDER BY doc_id""".stripMargin,
     "t6_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
-        | CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+        | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
         | round(avg(length(text)), 4) AS avg_chars
         |FROM documents GROUP BY 1,2 ORDER BY lang, source""".stripMargin,
     // ---- multimodal ----
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | lower(hex(encode(substr(text, 1, 4)))) AS magic
+        | substr(lower(hex(encode(text))), 1, 8) AS magic
         |FROM documents ORDER BY media_id""".stripMargin,
     "m3_frame_sample" ->
       """SELECT media_id, duration_ms, unnest(generate_series(0, duration_ms, 5000)) AS frame_ts_ms

@@ -32,8 +32,10 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = read(spark, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // integer division: `/` on longs promotes to double, and nano epochs
+      // (~1.7e18) exceed double's 2^53 exact range — `div` keeps it exact
       raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
     else raw
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")

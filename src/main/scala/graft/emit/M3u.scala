@@ -37,11 +37,19 @@ object M3u {
   }
 
   /** Parse m3u lines back to (description, location) pairs — the read side
-    * (moveplaylist.py:232-253).
+    * (moveplaylist.py:232-253). A #ITDBDESC header describes the NEXT
+    * location line; entries without a header get None (index-pairing would
+    * shift every later description onto the wrong track).
     */
   def parse(ls: Seq[String]): Seq[(Option[String], String)] = {
-    val descs = ls.filter(_.startsWith("#ITDBDESC:")).map(_.stripPrefix("#ITDBDESC:"))
-    val locs = ls.filterNot(_.startsWith("#"))
-    locs.zipWithIndex.map { case (l, i) => (descs.lift(i), l) }
+    val out = Seq.newBuilder[(Option[String], String)]
+    var pending: Option[String] = None
+    ls.foreach {
+      case d if d.startsWith("#ITDBDESC:") => pending = Some(d.stripPrefix("#ITDBDESC:"))
+      case c if c.startsWith("#") => () // other headers don't clear a pending desc
+      case loc if loc.nonEmpty => out += ((pending, loc)); pending = None
+      case _ => ()
+    }
+    out.result()
   }
 }

@@ -21,7 +21,10 @@ object CsvInterchange {
   def write(df: DataFrame, path: String): Unit = {
     val encoded = df.schema.fields.foldLeft(df) { (acc, f) =>
       if (f.dataType == BooleanType)
-        acc.withColumn(f.name, when(col(f.name), "1").otherwise("0"))
+        // null must stay null (absent plist keys), not collapse to "0"
+        acc.withColumn(f.name,
+          when(col(f.name).isNull, lit(null: String))
+            .when(col(f.name), "1").otherwise("0"))
       else acc
     }
     encoded.write.mode("overwrite")

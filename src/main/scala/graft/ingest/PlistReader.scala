@@ -74,6 +74,11 @@ object PlistReader {
     case (null, _) => null
     case (l: Long, org.apache.spark.sql.types.IntegerType) => l.toInt
     case (l: Long, org.apache.spark.sql.types.LongType) => l
+    case (l: Long, org.apache.spark.sql.types.DoubleType) => l.toDouble
+    // plist <real> into an integral column (schema tolerance: coerce, don't crash)
+    case (d: Double, org.apache.spark.sql.types.IntegerType) => d.toInt
+    case (d: Double, org.apache.spark.sql.types.LongType) => d.toLong
+    case (d: Double, org.apache.spark.sql.types.DoubleType) => d
     case (b: Boolean, org.apache.spark.sql.types.BooleanType) => b
     case (s: String, org.apache.spark.sql.types.StringType) => s
     case (t: Timestamp, org.apache.spark.sql.types.TimestampType) => t

@@ -63,6 +63,16 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), shingles(tokens(col("text")), 3).as("sh"))
 
+  /** One persisted shingle table per (session, dir): repeated query runs
+    * reuse the same cached blocks instead of leaking a new persisted copy
+    * per call (the materialized-aggregate pattern, itdbloader.py:269-293).
+    */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def persistedShingleTable(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate((spark, dir), shingleTable(spark, dir).persist())
+
   private def signaturesFrom(withSh: DataFrame, k: Int): DataFrame = {
     val sigCols = (0 until k).map { i =>
       array_min(transform(col("sh"), s => seededHash(s"mh$i", s))).as(s"mh$i")
@@ -83,9 +93,8 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, dir: String,
       bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8): DataFrame = {
     // the shingle projection feeds BOTH signature generation and Jaccard
-    // verification — materialize it once (the reference materializes its
-    // reused aggregate the same way, itdbloader.py:269-293)
-    val withSh = shingleTable(spark, dir).persist()
+    // verification — materialized once per (session, dir)
+    val withSh = persistedShingleTable(spark, dir)
     val sigs = signaturesFrom(withSh, bands * rowsPerBand)
     // band key = md5 over the band's concatenated member hashes
     val banded = sigs.select(
@@ -170,12 +179,10 @@ object Dedup {
     */
   def embeddingNearDupsLsh(spark: SparkSession, dir: String,
       threshold: Double = 0.35, nPlanes: Int = 8): DataFrame = {
-    val buckets = Similarity.lshBuckets(spark, dir, nPlanes)
-      .select(col("vec_id"), col("bucket"))
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), doubleVector(col("embedding")).as("v"))
       .withColumn("n", l2Norm(col("v")))
-      .join(buckets, Seq("vec_id"))
+      .withColumn("bucket", Similarity.bucketExpr(col("v"), nPlanes))
     val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
     val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, Seq("bucket"))

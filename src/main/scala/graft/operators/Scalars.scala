@@ -102,5 +102,7 @@ object Scalars {
     Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        // decimal-routed sum (order-independent) matching the oracle
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
 }

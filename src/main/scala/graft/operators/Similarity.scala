@@ -22,9 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def withVecNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), doubleVector(col("embedding")).as("v"))
+  private def withVecNorm(df: DataFrame, extra: String*): DataFrame =
+    df.select(col("vec_id") +: extra.map(col) :+ doubleVector(col("embedding")).as("v"): _*)
       .withColumn("n", l2Norm(col("v")))
+
+  /** Bucket id as an expression over an existing double-vector column —
+    * lets callers derive buckets in the same projection as v/n instead of
+    * re-scanning the table and joining (one scan, no join).
+    */
+  private[operators] def bucketExpr(v: Column, nPlanes: Int, dim: Int = 64): Column = {
+    val planes = planeCoeffs(nPlanes, dim)
+    (0 until nPlanes).map { j =>
+      val plane = array(planes(j).toIndexedSeq.map(lit): _*)
+      when(dotProduct(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
 
   /** Exact top-k cosine neighbors for each probe vector (vec_id < nProbes),
     * excluding self. Probe side is broadcast; ties broken by vec_id.
@@ -64,17 +76,10 @@ object Similarity {
     * bucket = Σ bit_j << j. Pure map-side arithmetic over literal plane
     * arrays — no hashing in the per-row path.
     */
-  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = planeCoeffs(nPlanes, dim)
-    val emb = doubleVector(col("embedding"))
-    val bucket = (0 until nPlanes).map { j =>
-      val plane = array(planes(j).toIndexedSeq.map(lit): _*)
-      val dot = dotProduct(emb, plane)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8, dim: Int = 64): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), bucket.as("bucket"))
-  }
+      .select(col("vec_id"), col("label"),
+        bucketExpr(doubleVector(col("embedding")), nPlanes, dim).as("bucket"))
 
   /** ANN via LSH buckets: probes meet only corpus vectors in the same
     * bucket; exact cosine re-ranks within the candidate set. Recall < 1 by
@@ -84,9 +89,9 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String,
       nProbes: Int = 5, k: Int = 5, nPlanes: Int = 8): DataFrame = {
-    val e = withVecNorm(Tables.embeddings(spark, dir))
-    val buckets = lshBuckets(spark, dir, nPlanes).select(col("vec_id"), col("bucket"))
-    val withBucket = e.join(buckets, Seq("vec_id"))
+    // bucket derived in the same projection as v/n: one scan, no self-join
+    val withBucket = withVecNorm(Tables.embeddings(spark, dir))
+      .withColumn("bucket", bucketExpr(col("v"), nPlanes))
     val probes = withBucket.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"), col("bucket"))
     val corpus = withBucket
@@ -113,8 +118,7 @@ object Similarity {
     val cents = labelCentroids(spark, dir)
       .select(col("label"), doubleVector(col("centroid")).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
-    val e = withVecNorm(Tables.embeddings(spark, dir))
-      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+    val e = withVecNorm(Tables.embeddings(spark, dir), "label")
     val probesN = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
     // rank clusters per probe by centroid cosine; keep nprobe best

@@ -36,7 +36,7 @@ object EventsStream {
       // file streams need a directory source; glob-filter to the one table
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -62,7 +62,7 @@ object EventsStream {
       .schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Session windows per user (30-minute inactivity gap) — the builtin
     * `session_window` aggregation under a watermark; the Spark-first way to

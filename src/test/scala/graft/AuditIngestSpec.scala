@@ -9,20 +9,20 @@ import java.nio.file.{Files, Paths}
 class AuditIngestSpec extends SparkSuite {
   import spark.implicits._
 
-  test("S2/S3/X18 csv interchange roundtrip with 1/0 booleans") {
+  test("S2/S3/X18 csv interchange roundtrip with 1/0 and NULL booleans") {
     val dir = Files.createTempDirectory("graft_csv").toString
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(Seq(
-      org.apache.spark.sql.Row(1, 10, "A, with comma", "P\"quoted\"", null, null),
-      org.apache.spark.sql.Row(1, 11, "B", "Q", null, null)).asJava,
+      org.apache.spark.sql.Row(1, 10, "A, with comma", "P\"quoted\"", null, true),
+      org.apache.spark.sql.Row(1, 11, "B", "Q", null, false),
+      org.apache.spark.sql.Row(1, 12, "C", "R", null, null)).asJava,
       ItdbSchema.playlists
         .add("Compilation", org.apache.spark.sql.types.BooleanType))
-      .withColumn("Compilation", col("Playlist_ID") === 10)
     CsvInterchange.write(df, s"$dir/out")
     val back = CsvInterchange.read(spark, s"$dir/out", df.schema)
     val a = df.orderBy("Playlist_ID").collect().toSeq
     val b = back.orderBy("Playlist_ID").collect().toSeq
-    assert(a == b)
+    assert(a == b) // null boolean must roundtrip as null, not false
   }
 
   test("I1/I2 freshness gate: runs once, skips when fresh, forces on demand") {

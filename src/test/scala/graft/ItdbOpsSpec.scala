@@ -137,6 +137,12 @@ class ItdbOpsSpec extends SparkSuite {
       Seq(("Mix", 3L), ("Oldies", 3L)))
   }
 
+  test("S10 m3u parse: descriptions attach to the NEXT location, gaps stay None") {
+    val parsed = graft.emit.M3u.parse(Seq(
+      "#EXTM3U", "/m/first.mp3", "#ITDBDESC:B", "#ITDBFILE:/m/b.mp3", "/m/b.mp3"))
+    assert(parsed == Seq((None, "/m/first.mp3"), (Some("B"), "/m/b.mp3")))
+  }
+
   test("O5/O6/X19 numbered link paths: deterministic shuffle + sequence + sanitize") {
     val got1 = ItdbOps.numberedLinkPaths(tracks, "seed1").collect().map(_.getString(1)).toSeq
     val got2 = ItdbOps.numberedLinkPaths(tracks, "seed1").collect().map(_.getString(1)).toSeq
