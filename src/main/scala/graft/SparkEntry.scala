@@ -32,6 +32,14 @@ object SparkEntry {
     // ---- aggregations (SURVEY §2.5) ----
     "a1_count_total" -> ((s, d) => Library.countTotal(s, d)),
     "a2_count_distinct" -> ((s, d) => Library.countDistincts(s, d)),
+    // sketch twin of a2 (rows-only: sketch estimates are engine-specific);
+    // at scale the shuffle carries 2KB registers instead of distinct values
+    "a2b_approx_distinct" -> ((s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.plans.HllAgg.hllDistinct(col("l_partkey")).as("hll_parts"),
+        approx_count_distinct(col("l_partkey")).as("hllpp_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")),
     "a3_stars_histogram" -> ((s, d) => Library.starsHistogram(s, d).orderBy("stars")),
     "a4_two_key_histogram" -> ((s, d) => Library.twoKeyHistogram(s, d).orderBy("flag", "stars")),
     "a5_param_histogram" -> ((s, d) => Library.paramHistogram(s, d).orderBy("grp", "stars")),
