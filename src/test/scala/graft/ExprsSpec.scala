@@ -50,6 +50,14 @@ class ExprsSpec extends SparkSuite {
     assert(got(1) == Seq("a b")) // shorter than k -> whole doc
   }
 
+  test("tokens: any whitespace run is one separator (oracle parity contract)") {
+    // oracles use regexp_split_to_array('\s+') — Spark must agree on tabs,
+    // newlines, and runs of spaces
+    val got = Seq("a  b\tc\nd", " x y ").toDF("t")
+      .select(Exprs.tokens($"t").as("w")).as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a", "b", "c", "d"), Seq("x", "y")))
+  }
+
   test("hexVal maps all 16 hex digits") {
     val digits = "0123456789abcdef".map(_.toString)
     val got = digits.toDF("c").select(Exprs.hexVal($"c").as("v")).as[Int].collect().toSeq

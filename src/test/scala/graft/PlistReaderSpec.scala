@@ -67,6 +67,24 @@ class PlistReaderSpec extends SparkSuite {
     assert(widths.getAs[Long]("len_Name") == "Søng Ñame".length)
   }
 
+  test("schema tolerance: <real> coerces into integral columns (no crash)") {
+    val xml =
+      """<?xml version="1.0"?><plist version="1.0"><dict>
+        | <key>Tracks</key><dict>
+        |  <key>7</key><dict>
+        |   <key>Track ID</key><integer>7</integer>
+        |   <key>Name</key><string>RealRating</string>
+        |   <key>Rating</key><real>80.0</real>
+        |   <key>Size</key><real>12345.0</real>
+        |  </dict>
+        | </dict>
+        |</dict></plist>""".stripMargin
+    val (tracks, _, _) = PlistReader.load(spark, xml)
+    val row = tracks.collect().head
+    assert(row.getAs[Int]("Rating") == 80)
+    assert(row.getAs[Long]("Size") == 12345L)
+  }
+
   test("null-rating track buckets to 0 stars end to end") {
     val (tracks, _, _) = PlistReader.load(spark, fixtureXml)
     val hist = graft.operators.ItdbOps.starsHistogram(tracks, 1)
