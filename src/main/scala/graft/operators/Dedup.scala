@@ -54,7 +54,7 @@ object Dedup {
     * keeps expensive multi-referenced expressions un-inlined).
     */
   def minhashSignatures(spark: SparkSession, dir: String, k: Int = 9): DataFrame =
-    signaturesFrom(shingleTable(spark, dir), k)
+    signaturesFrom(persistedShingleTable(spark, dir), k)
 
   /** (doc_id, lang, sh): the shared word-3-shingle projection every
     * signature/verification stage derives from.
@@ -130,7 +130,7 @@ object Dedup {
     val candidates = a.join(b, Seq("lang", "tok0", "tokz"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    verifyJaccard(shingleTable(spark, dir), candidates, threshold)
+    verifyJaccard(persistedShingleTable(spark, dir), candidates, threshold)
   }
 
   /** True 3-shingle Jaccard for candidate (id_a, id_b) pairs; returns pairs
