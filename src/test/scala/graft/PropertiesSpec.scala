@@ -21,8 +21,9 @@ class PropertiesSpec extends SparkSuite {
   }
 
   test("property: shingle count == max(1, n_tokens - k + 1)") {
+    // no suchThat: a filtered Gen can make sample return None (flaky)
     val texts = Gen.listOfN(100, Gen.choose(1, 30).flatMap(n =>
-      Gen.listOfN(n, Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(5)))
+      Gen.listOfN(n, Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(5)))
         .map(_.mkString(" ")))).sample.get
     val got = texts.toDF("t")
       .select(size(Exprs.tokens($"t")).as("n"), size(Exprs.shingles(Exprs.tokens($"t"), 3)).as("sh"))
