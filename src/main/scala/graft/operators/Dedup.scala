@@ -61,7 +61,8 @@ object Dedup {
     */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), shingles(tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), col("lang"),
+        graft.plans.ShinglesExpr.wordShingles(col("text"), 3).as("sh"))
 
   /** One persisted shingle table per (session, dir): repeated query runs
     * reuse the same cached blocks instead of leaking a new persisted copy
@@ -73,11 +74,17 @@ object Dedup {
   private def persistedShingleTable(spark: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark, dir), shingleTable(spark, dir).persist())
 
+  /** All k signatures in ONE pass over the shingle array via the native
+    * expression (value-identical to k× array_min∘transform∘md5 — same bytes
+    * hashed, hex==byte-order comparison; see plans.MinHashSigsExpr). The
+    * array is materialized in its own projection so the k element_at
+    * extractions read an attribute, not k re-evaluations.
+    */
   private def signaturesFrom(withSh: DataFrame, k: Int): DataFrame = {
-    val sigCols = (0 until k).map { i =>
-      array_min(transform(col("sh"), s => seededHash(s"mh$i", s))).as(s"mh$i")
-    }
-    withSh.select(col("doc_id") +: col("lang") +: sigCols: _*)
+    val packed = withSh.select(col("doc_id"), col("lang"),
+      graft.plans.MinHashExpr.minhashSigs(col("sh"), k).as("sigs"))
+    packed.select(col("doc_id") +: col("lang") +:
+      (0 until k).map(i => element_at(col("sigs"), i + 1).as(s"mh$i")): _*)
   }
 
   /** MinHash + LSH candidate pairs with verified Jaccard: signatures are cut

@@ -80,7 +80,7 @@ object TextAnalysis {
     * stable under small edits outside the minimal window.
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(tokens(col("text")), 5)
+    val sh = graft.plans.ShinglesExpr.wordShingles(col("text"), 5)
     Tables.documents(spark, dir).select(
       col("doc_id"),
       array_min(transform(sh, s => md5(s))).as("fingerprint"))

@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word k-shingles straight from the text column in one pass.
+  *
+  * Value-identical to the builtin chain
+  * `transform(sequence(...), i => array_join(slice(split(trim(text),'\s+'), i, k), ' '))`
+  * (Exprs.shingles ∘ Exprs.tokens — both split trimmed text on `\s+` runs
+  * and join windows with single spaces; short docs yield one whole-doc
+  * shingle), but without materializing the token array or running k
+  * interpreted slice/join lambdas per window.
+  */
+case class WordShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.trim
+    val toks = s.split("\\s+")
+    val out: Array[AnyRef] =
+      if (toks.length < k) Array(UTF8String.fromString(toks.mkString(" ")))
+      else {
+        val n = toks.length - k + 1
+        val arr = new Array[AnyRef](n)
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          arr(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        arr
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+object ShinglesExpr {
+  /** Word k-shingles of a text column (native single pass). */
+  def wordShingles(text: Column, k: Int): Column =
+    Bridge.column(WordShinglesExpr(Bridge.expression(text), k))
+}

@@ -50,6 +50,25 @@ class ExprsSpec extends SparkSuite {
     assert(got(1) == Seq("a b")) // shorter than k -> whole doc
   }
 
+  test("native word_shingles == builtin chain on edge cases") {
+    val inputs = Seq("", "a", "a b", "a  b\tc d", " x y z w ", "a b c")
+    val df = inputs.toDF("t").select(
+      Exprs.shingles(Exprs.tokens($"t"), 3).as("a"),
+      graft.plans.ShinglesExpr.wordShingles($"t", 3).as("b"))
+    val rows = df.as[(Seq[String], Seq[String])].collect()
+    rows.zip(inputs).foreach { case ((a, b), in) => assert(a == b, s"input='$in'") }
+  }
+
+  test("native minhash_sigs == builtin k-column formulation") {
+    val df = Seq("a b c d e", "one two three").toDF("t")
+      .select(graft.plans.ShinglesExpr.wordShingles($"t", 3).as("sh"))
+    val builtin = df.select((0 until 4).map(i =>
+      array_min(transform($"sh", s => md5(concat(lit(s"mh$i:"), s)))).as(s"m$i")): _*)
+    val native = df.select(graft.plans.MinHashExpr.minhashSigs($"sh", 4).as("sigs"))
+      .select((0 until 4).map(i => element_at($"sigs", i + 1).as(s"m$i")): _*)
+    assert(builtin.collect().toSeq == native.collect().toSeq)
+  }
+
   test("tokens: any whitespace run is one separator (oracle parity contract)") {
     // oracles use regexp_split_to_array('\s+') — Spark must agree on tabs,
     // newlines, and runs of spaces
