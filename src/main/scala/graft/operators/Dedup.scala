@@ -165,17 +165,18 @@ object Dedup {
     * token array), portable hashing → oracle-checkable.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val hashes = transform(toks, t => md5(t))
+    // token hashes materialized once — the 16 per-position sums read the
+    // attribute instead of re-hashing every token 16×
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), transform(tokens(col("text")), t => md5(t)).as("hashes"))
     val sig = (1 to 16).map { p =>
       // per-position sum of (hexdigit - 7.5): multiples of 0.5, so the fold
       // is binary-exact and order-independent — deterministic across engines
-      val s = aggregate(hashes, lit(0.0),
+      val s = aggregate(col("hashes"), lit(0.0),
         (acc, h) => acc + (hexVal(substring(h, p, 1)) - lit(7.5)))
       when(s > 0, lit(1L << (p - 1))).otherwise(lit(0L))
     }.reduce(_ + _)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), sig.as("simhash"))
+    hashed.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** Embedding near-dup, scale path: block by the sign-random-projection

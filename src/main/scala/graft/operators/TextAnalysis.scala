@@ -32,10 +32,13 @@ object TextAnalysis {
     * with fixed preference order on ties.
     */
   def languageId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = array_distinct(tokens(col("text")))
-    val scored = Tables.documents(spark, dir)
+    // distinct-token array materialized once; the per-language scores read
+    // the attribute (4× tokenization otherwise — CollapseProject discipline)
+    val withToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), array_distinct(tokens(col("text"))).as("dt"))
+    val scored = withToks
       .select(col("doc_id") +: col("lang") +:
-        lexicons.map { case (l, lex) => round(langScore(toks, lex), 4).as(s"score_$l") }: _*)
+        lexicons.map { case (l, lex) => round(langScore(col("dt"), lex), 4).as(s"score_$l") }: _*)
     val best = lexicons.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
     val predicted = lexicons.foldRight(lit("und")) { case ((l, _), els) =>
       when(best > 0 && col(s"score_$l") === best, lit(l)).otherwise(els)
@@ -48,13 +51,15 @@ object TextAnalysis {
     * shape. One projection, no shuffle.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("tk")
     val nToks = size(toks)
     val nChars = length(col("text"))
     val punct = length(regexp_replace(col("text"), "[^.,!?;:]", ""))
     val stop = size(array_intersect(array_distinct(toks),
       array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)))
-    Tables.documents(spark, dir).select(
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
+      .select(
       col("doc_id"),
       nChars.as("n_chars_measured"),
       nToks.as("n_tokens"),
