@@ -26,6 +26,7 @@ case class MinHashSigsExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // empty shingle array -> NULL
   override def prettyName: String = "minhash_sigs"
 
   @transient private lazy val prefixes: Array[Array[Byte]] =
@@ -52,6 +53,8 @@ case class MinHashSigsExpr(child: Expression, k: Int)
     val md = mdLocal.get()
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // builtin array_min over an empty array is NULL — match it
+    if (n == 0) return null
     val mins = new Array[Array[Byte]](k)
     var s = 0
     while (s < n) {
@@ -71,7 +74,7 @@ case class MinHashSigsExpr(child: Expression, k: Int)
     var i = 0
     while (i < k) {
       val sb = new java.lang.StringBuilder(32)
-      val m = if (mins(i) == null) new Array[Byte](16) else mins(i)
+      val m = mins(i)
       var j = 0
       while (j < 16) {
         sb.append(Character.forDigit((m(j) >> 4) & 0xf, 16))

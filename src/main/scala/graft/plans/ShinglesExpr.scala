@@ -23,9 +23,25 @@ case class WordShinglesExpr(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  // precompiled (String.split would recompile per row); split with limit -1
+  // keeps leading/trailing empty tokens exactly like Spark's 2-arg split
+  @transient private lazy val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** Spark's trim(col) strips ASCII SPACES ONLY (not tabs/newlines) — must
+    * match, or documents with tab/newline edges diverge from the oracle's
+    * regexp_split_to_array(trim(text), '\s+').
+    */
+  private def trimSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.trim
-    val toks = s.split("\\s+")
+    val s = trimSpaces(input.asInstanceOf[UTF8String].toString)
+    val toks = WS.split(s, -1)
     val out: Array[AnyRef] =
       if (toks.length < k) Array(UTF8String.fromString(toks.mkString(" ")))
       else {

@@ -51,22 +51,38 @@ class ExprsSpec extends SparkSuite {
   }
 
   test("native word_shingles == builtin chain on edge cases") {
-    val inputs = Seq("", "a", "a b", "a  b\tc d", " x y z w ", "a b c")
+    // tab/newline EDGES are the hard cases: Spark trim strips spaces only,
+    // and Spark split keeps leading/trailing empty tokens
+    val inputs = Seq("", "a", "a b", "a  b\tc d", " x y z w ", "a b c",
+      "a b c d\n", "\tx y", "a b \t", "  ")
     val df = inputs.toDF("t").select(
       Exprs.shingles(Exprs.tokens($"t"), 3).as("a"),
       graft.plans.ShinglesExpr.wordShingles($"t", 3).as("b"))
     val rows = df.as[(Seq[String], Seq[String])].collect()
-    rows.zip(inputs).foreach { case ((a, b), in) => assert(a == b, s"input='$in'") }
+    rows.zip(inputs).foreach { case ((a, b), in) =>
+      assert(a == b, s"input=${in.map(c => if (c < ' ') f"\\x${c.toInt}%02x" else c)}")
+    }
   }
 
-  test("native minhash_sigs == builtin k-column formulation") {
+  test("native minhash_sigs == builtin k-column formulation (via seededHash)") {
     val df = Seq("a b c d e", "one two three").toDF("t")
       .select(graft.plans.ShinglesExpr.wordShingles($"t", 3).as("sh"))
+    // builtin side MUST go through Exprs.seededHash — the production seed
+    // format — so this test tracks the real contract, not a copy of it
     val builtin = df.select((0 until 4).map(i =>
-      array_min(transform($"sh", s => md5(concat(lit(s"mh$i:"), s)))).as(s"m$i")): _*)
+      array_min(transform($"sh", s => Exprs.seededHash(s"mh$i", s))).as(s"m$i")): _*)
     val native = df.select(graft.plans.MinHashExpr.minhashSigs($"sh", 4).as("sigs"))
       .select((0 until 4).map(i => element_at($"sigs", i + 1).as(s"m$i")): _*)
     assert(builtin.collect().toSeq == native.collect().toSeq)
+  }
+
+  test("native minhash_sigs of an empty shingle array is NULL like the builtin") {
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(Seq.empty[String])),
+      StructType(Seq(StructField("sh", ArrayType(StringType)))))
+    val got = df.select(graft.plans.MinHashExpr.minhashSigs(col("sh"), 3).as("sigs")).collect().head
+    assert(got.isNullAt(0))
   }
 
   test("tokens: any whitespace run is one separator (oracle parity contract)") {
