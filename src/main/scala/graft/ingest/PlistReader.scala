@@ -55,8 +55,16 @@ object PlistReader {
   /** Parse a plist document from an InputStream into the root dict. */
   def parse(in: InputStream): Map[String, Any] = {
     val dbf = DocumentBuilderFactory.newInstance()
-    // the doctype references apple.com; never fetch it (offline, untrusted)
+    // Untrusted input hardening. Real plists carry a DOCTYPE (the Apple DTD
+    // reference), so doctype declarations can't be disallowed outright;
+    // instead: never fetch the external DTD, never resolve external general/
+    // parameter entities (file:// disclosure), and enable secure processing
+    // (caps recursive entity expansion — billion laughs).
     dbf.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+    dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    dbf.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    dbf.setXIncludeAware(false)
     val doc = dbf.newDocumentBuilder().parse(in)
     val root = childElements(doc.getDocumentElement).head
     parseDict(root)
