@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — driver contract: ONE machine-parseable JSON line.
+  *
+  * The driver keeps only the TAIL of the process output (~2000 chars), so
+  * the summary line must be short AND last: every per-query time for all
+  * ~70 queries blows past the window once sbt's trailer is appended.
+  * Therefore: all queries are timed, the FULL per-query map is written to
+  * `target/bench_full.json`, and the printed line carries the total plus a
+  * fixed headline subset, values rounded to milliseconds.
+  */
 object Bench {
+
+  /** Representative subset printed in the summary line: the historically
+    * slowest queries plus one per operator family. Everything else is still
+    * timed and lands in the detail file.
+    */
+  private val headline = Seq(
+    "a1_count_total", "a6_playlist_stats", "a10_quality", "j1_bridge_join_agg",
+    "w1_adjacent_dups", "w2_top_n_per_group", "o4_shrink_topk",
+    "d1_dedup_exact", "d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs",
+    "d6_embedding_neardup", "d8_embedding_neardup_lsh",
+    "s1_ann_bruteforce", "s2_ann_lsh", "s4_ann_ivf",
+    "t2_language_id", "t5_fingerprints", "m2_media_stats")
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -23,10 +48,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+      .mkString("{", ",", "}")
+    val detailPath = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath,
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+        .getBytes("UTF-8"))
+    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${fmt(v)}"))
+      .mkString("{", ",", "}")
     spark.stop()
+    // LAST line, compact: fits entirely inside the driver's tail window
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"detail":"target/bench_full.json","sf":"$sfDir"}""")
   }
 }
