@@ -97,13 +97,13 @@ object SparkEntry {
     "d3_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, d).orderBy("id_a", "id_b")),
     "d4_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d).orderBy("id_a", "id_b")),
     "d5_simhash" -> ((s, d) => Dedup.simhash(s, d).orderBy("doc_id")),
-    "d6_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDups(s, d, 0.35).orderBy("id_a", "id_b")),
+    "d6_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDupsBounded(s, d, 0.35).orderBy("id_a", "id_b")),
     "d7_tail_fingerprint" -> ((s, d) => Dedup.tailFingerprint(s, d).orderBy("doc_id")),
     "d8_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d, 0.3).orderBy("id_a", "id_b")),
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d).orderBy("probe_id", "rn")),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d).orderBy("probe_id", "rn")),
-    "s3_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d).orderBy("label")),
+    "s3_label_centroids" -> ((s, d) => Similarity.labelCentroidsFlat(s, d).orderBy("label", "dim_idx")),
     "s4_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d).orderBy("probe_id", "rn")),
     // ---- text analysis ----
     "t2_language_id" -> ((s, d) => TextAnalysis.languageId(s, d).orderBy("doc_id")),
@@ -155,7 +155,7 @@ object SparkEntry {
          |FROM (SELECT o_orderpriority AS priority, coalesce($starsD,0) AS stars FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
          |GROUP BY 1)
          |SELECT grp, s0, s1, s2, s3, s4, s5,
-         | round(CASE WHEN (s0+s1+s2+s3+s4+s5) > 0 AND CAST(s1+s2+s3+s4+s5 AS DOUBLE)/(s0+s1+s2+s3+s4+s5) > 0.2
+         | round(CASE WHEN (s1+s2+s3+s4+s5) >= 1 AND (s1+s2+s3+s4+s5)*5 >= (s0+s1+s2+s3+s4+s5)
          |   THEN CAST(s1 + 2*s2 + 3*s3 + 4*s4 + 5*s5 AS DOUBLE)/(s1+s2+s3+s4+s5) ELSE 0.0 END, 4) AS quality
          |FROM piv ORDER BY grp""".stripMargin,
     "a11_percent_of_total" ->
@@ -206,7 +206,7 @@ object SparkEntry {
     "o6_row_numbering" ->
       "SELECT o_custkey, o_orderkey, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, rn",
     "w1_adjacent_dups" ->
-      "SELECT count(*) AS n_adjacent_dups FROM (SELECT value, lag(value) OVER (ORDER BY value, event_id) AS prev FROM events) WHERE value = prev",
+      "SELECT count(value) - count(DISTINCT value) AS n_adjacent_dups FROM events",
     "w2_top_n_per_group" ->
       "SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn",
     "u1_set_compare" ->
@@ -285,13 +285,22 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t ORDER BY doc_id""".stripMargin
     },
-    "d6_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT id_a, id_b, cos FROM (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-        |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+    "d6_embedding_neardup" -> {
+      val hexv = (c: String) => s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+      val coeff = hexv("substr(md5('plane:' || (b*2+j) || ':' || i), 1, 1)")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+         |bk AS (SELECT vec_id, label, b,
+         |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+         |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) AS bucket
+         |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM bk a JOIN bk b2 ON a.label = b2.label AND a.b = b2.b AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT id_a, id_b, round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) AS cos
+         |  FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b)
+         |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
+    },
     "d7_tail_fingerprint" ->
       "SELECT doc_id, sha256(right(text, 100)) AS tail_digest FROM documents ORDER BY doc_id",
     "d8_embedding_neardup_lsh" -> {
@@ -336,6 +345,32 @@ object SparkEntry {
          |  FROM p JOIN w c ON p.bucket = c.bucket WHERE probe_id != c.vec_id)
          |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
     },
+    "s3_label_centroids" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT label, n, CAST(i AS INTEGER) AS dim_idx, value FROM (
+        |  SELECT label, count(*) AS n, i, round(sum(v[i+1]) / count(*), 4) AS value
+        |  FROM e, range(0, 64) r(i) GROUP BY label, i)
+        |ORDER BY label, dim_idx""".stripMargin,
+    "s4_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |en AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+        |cd AS (SELECT label, i, round(sum(v[i+1]) / count(*), 4) AS val
+        |       FROM e, range(0, 64) r(i) GROUP BY label, i),
+        |cent AS (SELECT label, list(val ORDER BY i) AS cv FROM cd GROUP BY label),
+        |centn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, n AS pn FROM en WHERE vec_id < 5),
+        |pc AS (SELECT probe_id, pv, pn, label FROM (
+        |  SELECT p.probe_id, p.pv, p.pn, c.label,
+        |    row_number() OVER (PARTITION BY p.probe_id
+        |      ORDER BY list_dot_product(pv, cv) / (pn * cn) DESC, c.label) AS crn
+        |  FROM p CROSS JOIN centn c) WHERE crn <= 2)
+        |SELECT probe_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT probe_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, c.v) / (pn * c.n), 4) AS cos,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS rn
+        |  FROM pc JOIN en c ON pc.label = c.label WHERE probe_id != c.vec_id)
+        |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
     "m2_media_stats" ->
       """SELECT kind, count(*) AS n,
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

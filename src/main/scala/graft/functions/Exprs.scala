@@ -31,7 +31,12 @@ object Exprs {
   def ratingFromStars(s: Column): Column = (s * 20).cast("long")
 
   /** X3 (itdb2html.py:124-131): milliseconds → "h:mm:ss" with leading hours
-    * stripped when zero, as the reference's formatTime does.
+    * stripped when zero. Deliberate deviation: the reference's
+    * `lstrip("0:")` also eats a zero MINUTES field (5000 ms → "5" there,
+    * "0:05" here, and 0 ms → "" there) — that collapses distinct durations
+    * to the same display, so this engine keeps the unambiguous "m:ss" floor.
+    * The DuckDB oracle implements this form, so parity is engine-vs-oracle
+    * exact.
     */
   def formatTime(ms: Column): Column = {
     val totalSec = (ms / 1000).cast("long")
@@ -139,15 +144,18 @@ object Exprs {
   def starsDisplay(s: Column): Column =
     concat(repeat(lit("★"), s.cast("int")), repeat(lit("☆"), (lit(5) - s).cast("int")))
 
-  /** A10 (itdb2html.py:90-98): gated weighted mean "quality" — 0 unless >20%
-    * of items are rated; otherwise Σ(s·n_s)/Σ(n_s) over s=1..5.
+  /** A10 (itdb2html.py:90-98): gated weighted mean "quality" — 0 unless at
+    * least one item is rated AND rated*5 >= total (the reference's exact
+    * integer gate `tot < 1 or (tot * 5) < sum(stars)` inverted — i.e. at
+    * least 20% rated, boundary inclusive); otherwise Σ(s·n_s)/Σ(n_s) over
+    * s=1..5. Exact integer arithmetic, no double-compare boundary drift.
     * Operates on the 6 pivoted star-count columns (A9).
     */
   def quality(s0: Column, s1: Column, s2: Column, s3: Column, s4: Column, s5: Column): Column = {
     val rated = s1 + s2 + s3 + s4 + s5
     val total = s0 + rated
     val weighted = s1 * 1 + s2 * 2 + s3 * 3 + s4 * 4 + s5 * 5
-    when(total > 0 && rated / total.cast("double") > 0.2,
+    when(rated >= 1 && rated * 5 >= total,
       weighted.cast("double") / rated.cast("double")).otherwise(lit(0.0))
   }
 }

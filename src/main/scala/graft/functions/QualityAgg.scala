@@ -31,11 +31,13 @@ object QualityAgg extends Aggregator[Long, Array[Long], Double] {
     a
   }
 
-  /** itdb2html.py:90-98: 0 unless >20% of items rated; else Σ(s·n_s)/Σn_s. */
+  /** itdb2html.py:95: zero iff `rated < 1 or rated*5 < total` — exact
+    * integer gate (>= 20% rated, boundary inclusive); else Σ(s·n_s)/Σn_s.
+    */
   override def finish(buf: Array[Long]): Double = {
     val rated = buf(1) + buf(2) + buf(3) + buf(4) + buf(5)
     val total = buf(0) + rated
-    if (total == 0 || rated.toDouble / total <= 0.2) 0.0
+    if (rated < 1 || rated * 5 < total) 0.0
     else (buf(1) + 2L * buf(2) + 3L * buf(3) + 4L * buf(4) + 5L * buf(5)).toDouble / rated
   }
 

@@ -200,10 +200,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Bounded near-dup tier: block by (label, band, band-bucket) with
+    * OR-amplified sign-random-projection LSH — the banded analogue of the
+    * minhash-LSH pipeline (`minhashLshPairs`). `bands` disjoint slices of
+    * `planesPerBand` hyperplanes each hash every vector into a per-band
+    * bucket; a pair becomes a candidate when ANY band agrees (recall
+    * 1-(1-p^r)^b, ~0.85 at cos 0.35 with 4×2), then the exact cosine
+    * verifies. Candidates are bounded per (label, band, bucket) block —
+    * a hot label splits 2^planesPerBand ways per band, and the candidate
+    * join carries only (ids, keys); vectors re-join AFTER distinct, so the
+    * wide rows never multiply through the banded explode. This is the gate
+    * query's plan; `embeddingNearDups` below is the documented exact tier.
+    */
+  def embeddingNearDupsBounded(spark: SparkSession, dir: String,
+      threshold: Double = 0.35, bands: Int = 4, planesPerBand: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), doubleVector(col("embedding")).as("v"))
+      .withColumn("n", l2Norm(col("v")))
+      .persist()
+    // all band buckets in ONE projection over one scan, then (band, bucket)
+    // rows via posexplode — only (label, vec_id, band, bucket) shuffles
+    val bandCols = array((0 until bands).map(b =>
+      Similarity.bandBucketExpr(col("v"), b * planesPerBand, planesPerBand)): _*)
+    val banded = e.select(col("label"), col("vec_id"), posexplode(bandCols).as(Seq("band", "bucket")))
+    val cand = banded.as("a")
+      .join(banded.as("b"), Seq("label", "band", "bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val vb = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cos", round(dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Near-duplicate pairs by embedding cosine similarity: block by label
     * (an upstream coarse cluster), pair within blocks, filter by cosine.
-    * The all-pairs form is O(n²/buckets); at scale the blocking key is
-    * the LSH bucket variant above.
+    * EXACT tier — full recall within a label, but all-pairs O(n²/blocks):
+    * a skewed label goes quadratic at scale. The gate query ships
+    * `embeddingNearDupsBounded` (label + LSH bucket) instead; use this form
+    * only when block sizes are known-bounded.
     */
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.999): DataFrame = {
     // each vector's norm is computed ONCE below the join boundary (the

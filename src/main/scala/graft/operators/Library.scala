@@ -308,14 +308,26 @@ object Library {
       .select(col("o_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
   }
 
-  /** W1 (dupes/finddupes.py:10-18): adjacent-duplicate detection on a sorted
-    * stream via lag — the literal window form of the reference's scan.
-    * Scale note: an unpartitioned window funnels into one task; at 100 TB
-    * this identity computes distributed instead:
-    * n_adjacent_dups == count(*) - count(DISTINCT value)
-    * (each equal-value run of length c contributes c-1 adjacent pairs).
+  /** W1 (dupes/finddupes.py:10-18): adjacent-duplicate count on the
+    * value-sorted stream, computed DISTRIBUTED: each equal-value run of
+    * length c contributes c-1 adjacent pairs, so
+    * n_adjacent_dups == count(value) - count(DISTINCT value)
+    * (count(value) ignores nulls, matching the lag form where NULL = NULL
+    * never compares true). One partial-aggregated shuffle on `value`,
+    * no global sort, no single-task window — this is the 100 TB plan.
+    * `adjacentDuplicatesWindow` below is the literal lag-window surface
+    * proof, asserted equal in ExprsSpec.
     */
-  def adjacentDuplicates(spark: SparkSession, dir: String): DataFrame = {
+  def adjacentDuplicates(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg((count(col("value")) - countDistinct(col("value"))).as("n_adjacent_dups"))
+
+  /** W1 surface form: lag over a totally-ordered window. Correct but funnels
+    * all rows through ONE task (no partition key) — kept for the unit-test
+    * identity proof and small ordered streams only; the gate query ships the
+    * distributed identity above.
+    */
+  def adjacentDuplicatesWindow(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("value"), col("event_id"))
     Tables.events(spark, dir)
       .select(col("event_id"), col("value"))

@@ -30,10 +30,18 @@ object Similarity {
     * lets callers derive buckets in the same projection as v/n instead of
     * re-scanning the table and joining (one scan, no join).
     */
-  private[operators] def bucketExpr(v: Column, nPlanes: Int, dim: Int = 64): Column = {
-    val planes = planeCoeffs(nPlanes, dim)
-    (0 until nPlanes).map { j =>
-      val plane = array(planes(j).toIndexedSeq.map(lit): _*)
+  private[operators] def bucketExpr(v: Column, nPlanes: Int, dim: Int = 64): Column =
+    bandBucketExpr(v, 0, nPlanes, dim)
+
+  /** Per-band bucket: bit j = sign(v · plane_{planeOffset+j}). Used by the
+    * banded (OR-amplified) near-dup tier, where each band hashes a disjoint
+    * slice of the hyperplane family.
+    */
+  private[operators] def bandBucketExpr(v: Column, planeOffset: Int,
+      planesPerBand: Int, dim: Int = 64): Column = {
+    val planes = planeCoeffs(planeOffset + planesPerBand, dim)
+    (0 until planesPerBand).map { j =>
+      val plane = array(planes(planeOffset + j).toIndexedSeq.map(lit): _*)
       when(dotProduct(v, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -156,4 +164,16 @@ object Similarity {
     agg.select(col("label"), col("n"),
       array((0 until dim).map(i => round(col(s"s$i") / col("n"), 4)): _*).as("centroid"))
   }
+
+  /** Canonical scalar-row form of `labelCentroids` for the correctness
+    * gate: posexplode the centroid to (label, n, dim_idx, value) so the
+    * output carries no array column — the driver's compare (and any ANSI
+    * oracle) canonicalizes scalar rows; array columns it cannot sort.
+    * Same single hash aggregation; the explode is a bounded ×dim fan-out
+    * of an already-tiny (one row per cluster) result.
+    */
+  def labelCentroidsFlat(spark: SparkSession, dir: String): DataFrame =
+    labelCentroids(spark, dir)
+      .select(col("label"), col("n"),
+        posexplode(col("centroid")).as(Seq("dim_idx", "value")))
 }

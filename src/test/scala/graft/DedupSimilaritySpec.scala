@@ -92,6 +92,18 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pairs.contains((5L, 20L))) // identical vectors share every plane sign
   }
 
+  test("embedding bounded near-dup: subset of exact tier, planted pair kept") {
+    // bounded tier = label blocking AND bucket agreement — candidates only
+    // shrink relative to the exact (label-only) tier, never grow
+    val exact = Dedup.embeddingNearDups(spark, fixtureDir, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bounded = Dedup.embeddingNearDupsBounded(spark, fixtureDir, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded.subsetOf(exact))
+    // identical vectors share the label AND every hyperplane sign
+    assert(bounded.contains((5L, 20L)))
+  }
+
   test("ANN LSH recall vs brute force is nontrivial on real data") {
     val dir = sf("sf0.001")
     val exact = Similarity.bruteForceTopK(spark, dir, nProbes = 5, k = 5)

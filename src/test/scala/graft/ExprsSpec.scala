@@ -99,14 +99,34 @@ class ExprsSpec extends SparkSuite {
     assert(got == (0 until 16))
   }
 
-  test("A10 quality gate: closed at exactly 20% rated, open above (itdb2html.py:90-98)") {
-    // 10 tracks, 2 rated (exactly 20%) -> 0; 3 rated (30%) -> weighted mean
+  test("A10 quality gate: open at exactly 20% rated, closed below (itdb2html.py:95)") {
+    // reference gate: zero iff rated < 1 or rated*5 < total — exact integers
     def q(s0: Long, s3: Long) = Seq((s0, s3)).toDF("s0", "s3")
       .select(Exprs.quality(lit(s0), lit(0L), lit(0L), lit(s3), lit(0L), lit(0L)).as("q"))
       .as[Double].collect().head
-    assert(q(8, 2) == 0.0)   // 2/10 = 20% -> gate closed (strict >)
+    assert(q(8, 2) == 3.0)   // 2/10 = exactly 20% -> gate OPEN (2*5 >= 10)
+    assert(q(9, 2) == 0.0)   // 2/11 < 20% -> closed (2*5 < 11)
     assert(q(7, 3) == 3.0)   // 3/10 = 30% -> all 3-star -> 3.0
     assert(q(0, 0) == 0.0)   // empty group
+  }
+
+  test("W1 identity: distributed count(value)-count(DISTINCT) == lag-window scan") {
+    val dir = "/root/testdata/sf0.001"
+    val dist = graft.operators.Library.adjacentDuplicates(spark, dir)
+      .as[Long].collect().head
+    val window = graft.operators.Library.adjacentDuplicatesWindow(spark, dir)
+      .as[Long].collect().head
+    assert(dist == window)
+    assert(dist > 0)  // sf0.001 events has duplicate values — nontrivial check
+  }
+
+  test("dot product: dimension mismatch -> null, never a truncated number") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val got = df.select(Exprs.dotProduct($"a", $"b").as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(14.0), None))
   }
 
   test("cosine: identical vectors -> 1, orthogonal -> 0") {

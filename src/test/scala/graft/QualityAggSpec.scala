@@ -30,9 +30,11 @@ class QualityAggSpec extends SparkSuite {
     // direct buffer-level checks
     val b = QualityAgg.zero
     Seq(5L, 5L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L).foreach(QualityAgg.reduce(b, _))
-    assert(QualityAgg.finish(b) == 0.0) // 2/10 rated = 20% -> closed
+    assert(QualityAgg.finish(b) == 5.0) // 2/10 rated = exactly 20% -> OPEN (2*5 >= 10)
+    QualityAgg.reduce(b, 0L)
+    assert(QualityAgg.finish(b) == 0.0) // 2/11 rated < 20% -> closed (2*5 < 11)
     QualityAgg.reduce(b, 3L)
-    assert(QualityAgg.finish(b) == (5 + 5 + 3) / 3.0) // 3/11 > 20%
+    assert(QualityAgg.finish(b) == (5 + 5 + 3) / 3.0) // 3/12 -> open (3*5 >= 12)
     val merged = QualityAgg.merge(QualityAgg.zero, b)
     assert(QualityAgg.finish(merged) == QualityAgg.finish(b))
     val clamped = QualityAgg.zero
