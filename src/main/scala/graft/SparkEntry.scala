@@ -90,6 +90,7 @@ object SparkEntry {
     "x21_format_number" -> ((s, d) => Scalars.humanizeNumbers(s, d).orderBy("o_orderkey")),
     "x7_html_escape" -> ((s, d) => Scalars.htmlEscape(s, d).orderBy("p_partkey")),
     "x22_stars_display" -> ((s, d) => Scalars.starsRendered(s, d).orderBy("stars")),
+    "x16_codec_types" -> ((s, d) => Scalars.codecTypesFromDocs(s, d).orderBy("media_id")),
     "t1_hourly_rollup" -> ((s, d) => Scalars.hourlyRollup(s, d).orderBy("hour", "event_type")),
     // ---- dedup (training-data pipeline) ----
     "d1_dedup_exact" -> ((s, d) => Dedup.exactGroups(s, d).orderBy("digest")),
@@ -241,6 +242,12 @@ object SparkEntry {
         |FROM (SELECT p_partkey, p_brand || '/' || p_type || '/' || p_name AS path FROM part WHERE p_partkey < 100) ORDER BY p_partkey""".stripMargin,
     "x21_format_number" ->
       "SELECT o_orderkey, format('{:,}', CAST(floor(o_totalprice) AS BIGINT)) AS pretty FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey",
+    "x16_codec_types" ->
+      """WITH f AS (SELECT doc_id AS media_id,
+        |  '{"streams":[' || array_to_string(['{"codec_type":"' || CASE WHEN i % 2 = 0 THEN 'video' ELSE 'audio' END || '"}' for i in range(0, doc_id % 3 + 1)], ',') || ']}' AS doc
+        |  FROM documents)
+        |SELECT media_id, array_to_string(CAST(json_extract_string(doc, '$.streams[*].codec_type') AS VARCHAR[]), ',') AS codecs
+        |FROM f ORDER BY media_id""".stripMargin,
     "t1_hourly_rollup" ->
       "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value FROM events GROUP BY 1,2 ORDER BY hour, event_type",
     "x7_html_escape" ->

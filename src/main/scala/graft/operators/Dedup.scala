@@ -217,7 +217,6 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), doubleVector(col("embedding")).as("v"))
       .withColumn("n", l2Norm(col("v")))
-      .persist()
     // all band buckets in ONE projection over one scan, then (band, bucket)
     // rows via posexplode — only (label, vec_id, band, bucket) shuffles
     val bandCols = array((0 until bands).map(b =>

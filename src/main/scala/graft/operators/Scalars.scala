@@ -105,4 +105,25 @@ object Scalars {
       .agg(count(lit(1)).as("n"),
         // decimal-routed sum (order-independent) matching the oracle
         round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
+
+  /** X16 gate form (itdbmetadata.py:7 `$.streams[*].codec_type`): the test
+    * tables carry no JSON-array column, so a deterministic ffprobe-style
+    * document is CONSTRUCTED per documents-row (1 + doc_id%3 streams,
+    * codec_type alternating video/audio) and the wildcard path is then
+    * extracted by the real operator (ItdbOps.codecTypes — typed
+    * from_json + transform). The extracted array is joined to a scalar
+    * string so the gate compare can canonicalize rows.
+    */
+  def codecTypesFromDocs(spark: SparkSession, dir: String): DataFrame = {
+    val streams = transform(
+      sequence(lit(0), (col("doc_id") % 3).cast("int")),
+      i => concat(lit("{\"codec_type\":\""),
+        when(i % 2 === 0, lit("video")).otherwise(lit("audio")), lit("\"}")))
+    val ffprobe = Tables.documents(spark, dir)
+      .select(col("doc_id").as("Persistent_ID"),
+        concat(lit("{\"streams\":["), array_join(streams, ","), lit("]}")).as("ffprobe"))
+    ItdbOps.codecTypes(ffprobe)
+      .select(col("Persistent_ID").as("media_id"),
+        array_join(col("codec_types"), ",").as("codecs"))
+  }
 }

@@ -15,20 +15,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `ISNULL(x)` needs no mapping (Spark ships isnull());
   *   - backtick quoting is identical.
   *
-  * This is a pragmatic token-level rewrite for the reference's observed
-  * query shapes, not a full MySQL grammar — documented limitation.
+  * Rewrites are applied OUTSIDE quoted regions only: the SQL text is split
+  * into single-quoted string literals (with `''` escapes), backtick-quoted
+  * identifiers (with ``` `` ``` escapes), and plain segments — keywords
+  * inside a literal like `WHERE note = 'we LIKE it'` pass through untouched.
+  * `REGEXP <non-literal>` (column/expr pattern) stays an operator Spark also
+  * accepts, case-sensitively — the CI injection needs a literal to edit;
+  * documented limitation of the token-level approach.
   */
 object MySqlDialect {
 
+  // one quoted region: a '…' literal (doubled-quote escapes) or a `…` ident
+  private val quotedRegion = "'(?:[^']|'')*'|`(?:[^`]|``)*`".r
+
   def translate(sql: String, caseInsensitiveLike: Boolean = true): String = {
-    var s = sql
-    // REGEXP BINARY -> RLIKE (case-sensitive on both sides)
-    s = s.replaceAll("(?i)\\bREGEXP\\s+BINARY\\b", "RLIKE")
-    // bare REGEXP 'pat' -> RLIKE '(?i)pat' (MySQL default collation is CI)
-    s = s.replaceAll("(?i)\\bREGEXP\\s+'", "RLIKE '(?i)")
-    if (caseInsensitiveLike)
-      s = s.replaceAll("(?i)(?<![RI])\\bLIKE\\b", "ILIKE")
-    s
+    val out = new StringBuilder
+    // set when a plain segment ends in bare REGEXP: the literal that follows
+    // is the pattern and gets the (?i) MySQL-default-collation flag injected
+    var pendingCi = false
+    var last = 0
+    def plain(seg: String): String = {
+      var s = seg
+      s = s.replaceAll("(?i)\\bREGEXP\\s+BINARY\\b", "RLIKE")
+      if (s.matches("(?is).*\\bREGEXP\\s*")) {
+        s = s.replaceAll("(?is)\\bREGEXP(\\s*)$", "RLIKE$1")
+        pendingCi = true
+      }
+      if (caseInsensitiveLike) s = s.replaceAll("(?i)\\bLIKE\\b", "ILIKE")
+      s
+    }
+    quotedRegion.findAllMatchIn(sql).foreach { m =>
+      out ++= plain(sql.substring(last, m.start))
+      val q = m.matched
+      if (pendingCi && q.startsWith("'")) out ++= "'(?i)" + q.substring(1)
+      else out ++= q
+      pendingCi = false
+      last = m.end
+    }
+    out ++= plain(sql.substring(last))
+    out.toString
   }
 
   /** Translate then run against the registered views. */

@@ -40,6 +40,43 @@ class PlanSpec extends SparkSuite {
     assert(out.toString.contains("LessThan(l_orderkey,100)"))
   }
 
+  test("dedup/ANN pipeline: no cartesian or nested-loop joins anywhere") {
+    // every near-dup/ANN stage must pair rows through an EQUI join on its
+    // blocking key — a cartesian/nested-loop appearing here is the O(n²)
+    // regression this guard exists for
+    val dir = sf("sf0.001")
+    val plans = Seq(
+      "d3" -> graft.operators.Dedup.minhashLshPairs(spark, dir),
+      "d4" -> graft.operators.Dedup.ngramJaccardPairs(spark, dir),
+      "d6" -> graft.operators.Dedup.embeddingNearDupsBounded(spark, dir),
+      "d8" -> graft.operators.Dedup.embeddingNearDupsLsh(spark, dir),
+      "s2" -> graft.operators.Similarity.lshTopK(spark, dir))
+    for ((name, df) <- plans) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"$name plan has a CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plan has a nested-loop join")
+    }
+  }
+
+  test("d3: persisted shingle table is scanned from cache, not recomputed") {
+    val plan = executedPlan(graft.operators.Dedup.minhashLshPairs(spark, sf("sf0.001")))
+    assert(plan.contains("InMemoryTableScan"),
+      "shared shingle projection should come from the per-(session,dir) cache")
+  }
+
+  test("s1/s4: the only non-equi join is the bounded broadcast probe side") {
+    // brute-force ANN: corpus x broadcast(tiny probes) is the intended plan —
+    // nested-loop is fine ONLY because one side is broadcast and bounded
+    val s1 = executedPlan(graft.operators.Similarity.bruteForceTopK(spark, sf("sf0.001")))
+    assert(s1.contains("BroadcastNestedLoopJoin"))
+    assert(!s1.contains("CartesianProduct"))
+    // IVF: probe x broadcast(centroids) ranking is the bounded cross product;
+    // the in-cluster search itself must be an equi join on label
+    val s4 = executedPlan(graft.operators.Similarity.ivfTopK(spark, sf("sf0.001")))
+    assert(!s4.contains("CartesianProduct"))
+    assert(s4.contains("BroadcastHashJoin") || s4.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("salted join: result identical to plain join, salt column gone") {
     val fact = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "payload")
     val dim = Seq((1, "dim1"), (2, "dim2")).toDF("k", "name")
