@@ -96,20 +96,60 @@ object PlistReader {
 
   private def dictToRow(d: Map[String, Any], schema: org.apache.spark.sql.types.StructType,
       overrides: Map[String, Any] = Map.empty,
-      consumedElsewhere: Set[String] = Set.empty): Row = {
-    d.keys.filterNot(k =>
-      schema.fieldNames.contains(k.replace(' ', '_')) || consumedElsewhere(k))
-      .foreach { k =>
-        lastUnknownKeys.synchronized {
-          lastUnknownKeys(k) = lastUnknownKeys.getOrElse(k, 0L) + 1
+      consumedElsewhere: Set[String] = Set.empty,
+      trackUnknown: Boolean = true): Row = {
+    if (trackUnknown)
+      d.keys.filterNot(k =>
+        schema.fieldNames.contains(k.replace(' ', '_')) || consumedElsewhere(k))
+        .foreach { k =>
+          lastUnknownKeys.synchronized {
+            lastUnknownKeys(k) = lastUnknownKeys.getOrElse(k, 0L) + 1
+          }
         }
-      }
     Row.fromSeq(schema.fields.map { f =>
       val plistKey = f.name.replace('_', ' ')
       overrides.get(f.name)
         .orElse(d.get(plistKey)).orElse(d.get(f.name))
         .map(coerce(_, f.dataType)).orNull
     }.toSeq)
+  }
+
+  /** Rows of one logical element ("tracks" | "playlists" | "playlist_tracks")
+    * from a parsed root dict, shaped to `schema` — which may be a PRUNED
+    * subset of the full ItdbSchema (the DataSourceV2 column-pruning path:
+    * unrequested fields are never materialized). `trackUnknown=false` keeps
+    * executor-side reads from polluting the driver's unknown-key report.
+    */
+  private[graft] def elementRows(root: Map[String, Any], element: String,
+      schema: org.apache.spark.sql.types.StructType, userId: Int,
+      trackUnknown: Boolean = false): Seq[Row] = {
+    val uid = Map("User_ID" -> userId)
+    element match {
+      case "tracks" =>
+        root.getOrElse("Tracks", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]].values.toSeq
+          .map(t => dictToRow(t.asInstanceOf[Map[String, Any]], schema, uid,
+            trackUnknown = trackUnknown))
+      case "playlists" =>
+        // "Playlist Items" is consumed by the bridge flatten, not a lost key
+        root.getOrElse("Playlists", Seq.empty[Any]).asInstanceOf[Seq[Any]]
+          .map(p => dictToRow(p.asInstanceOf[Map[String, Any]], schema, uid,
+            consumedElsewhere = Set("Playlist Items"), trackUnknown = trackUnknown))
+      case "playlist_tracks" =>
+        root.getOrElse("Playlists", Seq.empty[Any]).asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Map[String, Any]]).flatMap { p =>
+            val pid = p("Playlist ID").asInstanceOf[Long].toInt
+            p.getOrElse("Playlist Items", Seq.empty[Any]).asInstanceOf[Seq[Any]]
+              .map(_.asInstanceOf[Map[String, Any]])
+              .map { item =>
+                val vals = Map[String, Any]("User_ID" -> userId, "Playlist_ID" -> pid,
+                  "Track_ID" -> item("Track ID").asInstanceOf[Long].toInt)
+                Row.fromSeq(schema.fieldNames.toIndexedSeq.map(vals(_)))
+              }
+          }
+      case other => throw new IllegalArgumentException(
+        s"unknown plist element '$other' (expected tracks|playlists|playlist_tracks)")
+    }
   }
 
   /** Full library load: plist XML → (tracks, playlists, playlist_tracks).
@@ -120,27 +160,13 @@ object PlistReader {
       (DataFrame, DataFrame, DataFrame) = {
     lastUnknownKeys.clear()
     val root = parse(xml)
-    val uid = Map("User_ID" -> userId)
-
-    val trackRows = root.getOrElse("Tracks", Map.empty[String, Any])
-      .asInstanceOf[Map[String, Any]].values.toSeq
-      .map(t => dictToRow(t.asInstanceOf[Map[String, Any]], ItdbSchema.tracks, uid))
-    val playlistDicts = root.getOrElse("Playlists", Seq.empty[Any])
-      .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
-    // "Playlist Items" is consumed by the bridge flatten, not a lost key
-    val playlistRows = playlistDicts.map(
-      dictToRow(_, ItdbSchema.playlists, uid, consumedElsewhere = Set("Playlist Items")))
-    val bridgeRows = playlistDicts.flatMap { p =>
-      val pid = p("Playlist ID").asInstanceOf[Long].toInt
-      p.getOrElse("Playlist Items", Seq.empty[Any]).asInstanceOf[Seq[Any]]
-        .map(_.asInstanceOf[Map[String, Any]])
-        .map(item => Row(userId, pid, item("Track ID").asInstanceOf[Long].toInt))
-    }
-
     import scala.jdk.CollectionConverters._
-    (spark.createDataFrame(trackRows.asJava, ItdbSchema.tracks),
-      spark.createDataFrame(playlistRows.asJava, ItdbSchema.playlists),
-      spark.createDataFrame(bridgeRows.asJava, ItdbSchema.playlistTracks))
+    def df(element: String, schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(
+        elementRows(root, element, schema, userId, trackUnknown = true).asJava, schema)
+    (df("tracks", ItdbSchema.tracks),
+      df("playlists", ItdbSchema.playlists),
+      df("playlist_tracks", ItdbSchema.playlistTracks))
   }
 
   /** A12 companion (itdbloader.py:239-247): the unknown-key report of the

@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** External Row → InternalRow converter for a DataSourceV2 reader
+    * (CatalystTypeConverters is private[sql] in Spark 4).
+    */
+  def rowToInternal(schema: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.Row => org.apache.spark.sql.catalyst.InternalRow = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    r => conv(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+  }
 }

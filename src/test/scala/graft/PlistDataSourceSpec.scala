@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** DataSourceV2 plist source: `spark.read.format("plist")` — file-per-task
+  * parallelism, pruned-column materialization, element selection.
+  */
+class PlistDataSourceSpec extends SparkSuite {
+
+  private lazy val fixtureFile: String = {
+    val xml = new PlistReaderSpec().fixtureXml
+    val f = java.nio.file.Files.createTempFile("graft_lib", ".xml")
+    java.nio.file.Files.write(f, xml.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("tracks element: short name registered, rows typed, userId stamped") {
+    val df = spark.read.format("plist").option("userId", "7").load(fixtureFile)
+    val rows = df.orderBy("Track_ID").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[String]("Name") == "Søng Ñame")
+    assert(rows.head.getAs[Boolean]("Compilation"))
+    assert(rows.forall(_.getAs[Int]("User_ID") == 7))
+  }
+
+  test("playlist_tracks element: bridge rows flattened from Playlist Items") {
+    val df = spark.read.format("plist")
+      .option("element", "playlist_tracks").load(fixtureFile)
+    val got = df.collect().map(r =>
+      (r.getAs[Int]("Playlist_ID"), r.getAs[Int]("Track_ID"))).toSet
+    assert(got == Set((7, 101), (7, 102)))
+  }
+
+  test("column pruning reaches the reader: scan schema carries only selected fields") {
+    val df = spark.read.format("plist").load(fixtureFile).select("Name")
+    assert(df.collect().map(_.getString(0)).toSet == Set("Søng Ñame", "No Rating"))
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("Name"))
+  }
+
+  test("two files -> two input partitions (file is the unit of parallelism)") {
+    val df = spark.read.format("plist").load(fixtureFile, fixtureFile)
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 4)
+  }
+
+  test("equivalence with the driver-side loader") {
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixtureFile)), "UTF-8")
+    val (tracks, _, bridge) = graft.ingest.PlistReader.load(spark, xml, userId = 1)
+    val v2tracks = spark.read.format("plist").load(fixtureFile)
+    assert(v2tracks.orderBy("Track_ID").collect().toSeq ==
+      tracks.orderBy("Track_ID").collect().toSeq)
+    val v2bridge = spark.read.format("plist")
+      .option("element", "playlist_tracks").load(fixtureFile)
+    assert(v2bridge.orderBy("Track_ID").collect().toSeq ==
+      bridge.orderBy("Track_ID").collect().toSeq)
+  }
+}
