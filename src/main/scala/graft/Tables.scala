@@ -50,7 +50,22 @@ object Tables {
   /** Register every table as a temp view so arbitrary user SQL runs against
     * them — the reference's ad-hoc pass-through surface (sql_to_playlist:58-71,
     * playlistlinks.py:177-184 `--where`) requires a full SQL entry point.
+    *
+    * Registered once per (session, dir): re-registration re-reads every
+    * table's parquet footer (~10 schema resolutions), which dominated the
+    * ad-hoc query's runtime when paid per call. `events` registers through
+    * the converting accessor so SQL users see a real timestamp, not the
+    * raw nanos long.
     */
+  private val registeredViews =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
   def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach(t => read(spark, dir, t).createOrReplaceTempView(t))
+    registeredViews.getOrElseUpdate((spark, dir), {
+      all.foreach { t =>
+        val df = if (t == "events") events(spark, dir) else read(spark, dir, t)
+        df.createOrReplaceTempView(t)
+      }
+      true
+    })
 }
