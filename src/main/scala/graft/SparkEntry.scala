@@ -112,6 +112,7 @@ object SparkEntry {
     "t4_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d).orderBy("doc_id")),
     "t5_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).orderBy("doc_id")),
     "t6_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d).orderBy("lang", "source")),
+    "t7_repetition" -> ((s, d) => TextAnalysis.repetition(s, d).orderBy("doc_id")),
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d).drop("payload").orderBy("media_id")),
     "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
@@ -424,6 +425,20 @@ object SparkEntry {
         | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
         | round(avg(length(text)), 4) AS avg_chars
         |FROM documents GROUP BY 1,2 ORDER BY lang, source""".stripMargin,
+    "t7_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM t),
+        |tok AS (SELECT doc_id, max(c) AS top_tok FROM
+        |  (SELECT doc_id, tk, count(*) AS c FROM (SELECT doc_id, unnest(w) AS tk FROM t) GROUP BY 1, 2) GROUP BY 1),
+        |bg AS (SELECT doc_id, max(c) AS top_bigram FROM
+        |  (SELECT doc_id, b, count(*) AS c FROM
+        |    (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b FROM t) GROUP BY 1, 2) GROUP BY 1)
+        |SELECT base.doc_id AS doc_id, n_tokens,
+        |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_ratio,
+        |  round(CAST(top_tok AS DOUBLE) / n_tokens, 4) AS top_token_ratio,
+        |  CASE WHEN n_tokens > 1 THEN round(CAST(top_bigram AS DOUBLE) / (n_tokens - 1), 4) END AS top_bigram_ratio
+        |FROM base JOIN tok ON base.doc_id = tok.doc_id LEFT JOIN bg ON base.doc_id = bg.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
     // ---- multimodal ----
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,

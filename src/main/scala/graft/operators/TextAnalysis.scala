@@ -103,4 +103,34 @@ object TextAnalysis {
         sum(size(toks)).cast("long").as("total_tokens"),
         round(avg(length(col("text"))), 4).as("avg_chars"))
   }
+
+  /** Repetition signals (Gopher-style quality filters over token streams):
+    * distinct-token ratio, most-frequent-token fraction, most-frequent-
+    * bigram fraction. Top-frequency is computed DISTRIBUTED — explode to
+    * (doc, token) and two hash aggregations — rather than any per-row map
+    * structure: the shuffle carries small (doc_id, token) pairs and both
+    * aggregations are partial+final, so a 100 TB corpus never materializes
+    * a per-document frequency table in one task.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val base = t.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"),
+      size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+    val topTok = t.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_tok"))
+    val topBigram = t.select(col("doc_id"), explode(shingles(col("w"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram"))
+    base.join(topTok, Seq("doc_id")).join(topBigram, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
+        round(col("top_tok").cast("double") / col("n_tokens"), 4).as("top_token_ratio"),
+        // a 1-token doc has no bigram (shingles degenerates to the whole doc)
+        when(col("n_tokens") > 1,
+          round(col("top_bigram").cast("double") / (col("n_tokens") - 1), 4))
+          .otherwise(lit(null)).as("top_bigram_ratio"))
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.emit.{Html, MusicAppPlaylist}
+
+/** S11 (HTML page) + S12 (Music.app playlist script) presentation sinks. */
+class EmitSinksSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val tracks = Seq(
+    ("Søng <b>Ñame</b>", "Artist & Co", 100),
+    ("Plain", "Nobody", 60),
+    ("Unrated", "Nobody", 0)).toDF("name", "artist", "rating")
+
+  test("S11 html page: title + histogram + escaped rows (itdb2html.py:324-350)") {
+    val page = Html.trackListPage("Rock & Roll", tracks, extraCols = Seq("artist"))
+    assert(page.contains("<title>Rock &amp; Roll</title>"))
+    assert(page.contains("Søng &lt;b&gt;Ñame&lt;/b&gt;"))   // escaped, not raw
+    assert(!page.contains("<b>Ñame</b>"))
+    assert(page.contains("Artist &amp; Co"))
+    assert(page.contains("<th>All Tracks</th><td>3</td>")) // total
+    assert(page.contains("★★★★★</th><td>1</td>"))           // rating 100 -> 5 stars
+    assert(page.contains("★★★☆☆</th><td>1</td>"))           // rating 60 -> 3 stars
+    assert(page.contains("☆☆☆☆☆</th><td>1</td>"))           // rating 0
+  }
+
+  test("S12 playlist script: ordered adds, quoted names (sql_to_playlist:42-55)") {
+    val df = Seq("PID1", "PID\"2", "PID3").toDF("Persistent_ID")
+    val s = MusicAppPlaylist.fromQuery("My \"Best\" Mix", df)
+    assert(s.startsWith("tell application \"Music\""))
+    assert(s.contains("make new user playlist with properties {name:\"My \\\"Best\\\" Mix\"}"))
+    // all ids present, in row order, with quote escaping
+    val i1 = s.indexOf("\"PID1\"")
+    val i2 = s.indexOf("\"PID\\\"2\"")
+    val i3 = s.indexOf("\"PID3\"")
+    assert(i1 >= 0 && i2 > i1 && i3 > i2)
+    assert(s.trim.endsWith("end tell"))
+  }
+
+  test("t7 repetition: planted repetitive doc scores high on top ratios") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq(
+      (1L, "spam spam spam spam spam ham", "en", "s", 1L),
+      (2L, "one two three four five six", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.repetition(spark, dir)
+      .orderBy("doc_id").collect()
+    val spam = got(0)
+    assert(spam.getAs[Long]("n_tokens") == 6L)
+    assert(spam.getAs[Double]("top_token_ratio") == 0.8333)  // 5/6 spam
+    assert(spam.getAs[Double]("top_bigram_ratio") == 0.8)    // "spam spam" 4/5
+    assert(spam.getAs[Double]("distinct_ratio") == 0.3333)   // 2/6
+    val clean = got(1)
+    assert(clean.getAs[Double]("distinct_ratio") == 1.0)
+    assert(clean.getAs[Double]("top_token_ratio") == 0.1667) // 1/6
+  }
+}
