@@ -50,6 +50,25 @@ object Audit {
     paths.filter(keep.reduce(_ && _))
   }
 
+  /** F10 (playlistlinks.py:223-252 `os.path.exists` per track): per-row
+    * existence flag, engine-side — the walked filesystem (S8) becomes the
+    * membership set and each row gets `exists` via a left join on the
+    * normalized path. The reference's per-row stat() call is a driver-side
+    * loop; this form is one key-only join with no driver involvement, and
+    * the same plan answers "which rows DON'T exist" (J7) by filtering.
+    * Join strategy is left to Catalyst/AQE: the membership side is
+    * (path)-only so it broadcasts when it fits and shuffles when the walked
+    * filesystem itself is huge.
+    */
+  def withExists(rows: DataFrame, pathCol: String, fsPaths: DataFrame,
+      fsPathCol: String = "path"): DataFrame = {
+    val fs = fsPaths.select(lower(col(fsPathCol)).as("__fs_path")).distinct()
+      .withColumn("__present", lit(true))
+    rows.join(fs, lower(col(pathCol)) === col("__fs_path"), "left")
+      .withColumn("exists", coalesce(col("__present"), lit(false)))
+      .drop("__fs_path", "__present")
+  }
+
   /** I3 (dedup.py:115-131): incremental checksum memo — re-hash ONLY files
     * whose (path, mtime) changed since the prior state; carry forward the
     * rest. A delta anti-join replaces the reference's per-file dict lookup;

@@ -54,6 +54,22 @@ class AuditIngestSpec extends SparkSuite {
     assert(sums("a.mp3") != sums("c.mp3"))
   }
 
+  test("F10 per-row existence via fs-walk membership join (playlistlinks.py:223-252)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_exists")
+    Files.write(dir.resolve("have.mp3"), "x".getBytes)
+    val walk = Audit.fileWalk(spark, dir.toString, "*.mp3")
+    val tracks = Seq(
+      (1, s"$dir/have.mp3"),
+      (2, s"$dir/MISSING.mp3"),
+      (3, s"$dir/HAVE.MP3")). // case-folded match, like the reference compare
+      toDF("id", "loc")
+    val got = Audit.withExists(tracks, "loc", walk.withColumn("path",
+        org.apache.spark.sql.functions.regexp_replace($"path", "^file:", "")))
+      .collect().map(r => r.getAs[Int]("id") -> r.getAs[Boolean]("exists")).toMap
+    assert(got == Map(1 -> true, 2 -> false, 3 -> true))
+  }
+
   test("S9/X15 regex-scrape locations from xml text") {
     val dir = Files.createTempDirectory("graft_scrape")
     val xml = dir.resolve("lib.xml")
