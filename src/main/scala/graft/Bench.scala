@@ -24,7 +24,10 @@ object Bench {
     "s1_ann_bruteforce", "s2_ann_lsh", "s4_ann_ivf",
     "t2_language_id", "t5_fingerprints", "m2_media_stats")
 
-  private def fmt(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: the f-interpolator uses the default locale, and a
+  // comma-decimal locale would corrupt the JSON contract line
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

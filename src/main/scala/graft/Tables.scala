@@ -51,21 +51,25 @@ object Tables {
     * them — the reference's ad-hoc pass-through surface (sql_to_playlist:58-71,
     * playlistlinks.py:177-184 `--where`) requires a full SQL entry point.
     *
-    * Registered once per (session, dir): re-registration re-reads every
-    * table's parquet footer (~10 schema resolutions), which dominated the
-    * ad-hoc query's runtime when paid per call. `events` registers through
-    * the converting accessor so SQL users see a real timestamp, not the
-    * raw nanos long.
+    * Memoized on the LAST dir registered per session — temp views are
+    * session-global, so the cache key must be too: after registering dirB,
+    * a later call for dirA must re-register (a (session, dir) keyed cache
+    * would silently leave dirB's views in place). Skipping only the
+    * repeated same-dir call still removes the ~10 parquet footer
+    * resolutions that dominated the ad-hoc query when paid per call.
+    * `events` registers through the converting accessor so SQL users see a
+    * real timestamp, not the raw nanos long.
     */
-  private val registeredViews =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+  private val registeredDir =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
 
-  def registerViews(spark: SparkSession, dir: String): Unit =
-    registeredViews.getOrElseUpdate((spark, dir), {
+  def registerViews(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!registeredDir.get(spark).contains(dir)) {
       all.foreach { t =>
         val df = if (t == "events") events(spark, dir) else read(spark, dir, t)
         df.createOrReplaceTempView(t)
       }
-      true
-    })
+      registeredDir(spark) = dir
+    }
+  }
 }

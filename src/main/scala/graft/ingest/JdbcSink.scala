@@ -1,6 +1,5 @@
 package graft.ingest
 
-import scala.util.Try
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,17 +10,26 @@ import org.apache.spark.sql.functions._
   *
   * Mapped engine-side rather than per-row: read the current table, union
   * with the incoming batch tagged by batch rank, resolve ONE winner per PK
-  * through Upsert's deterministic window, and overwrite the table. The
-  * merge is a single shuffle on the PK; `arrival` orders rows WITHIN the
+  * through Upsert's deterministic window, and rewrite the table. The merge
+  * is a single shuffle on the PK; `arrival` orders rows WITHIN the
   * incoming batch (the engine analogue of MySQL's file order, which a
   * distributed read cannot observe).
+  *
+  * Safety properties:
+  *   - table existence is decided by JDBC METADATA, not by whether a read
+  *     throws — a transient connection failure propagates instead of
+  *     silently taking the first-load path (which would drop stored rows);
+  *   - the merge lands in a STAGING table first, so the final overwrite of
+  *     the target never has the target itself in its lineage — an executor
+  *     loss mid-write recomputes from staging, not from the half-dropped
+  *     target.
   *
   * Scale notes: the rewrite is a full refresh, matching the reference's
   * loader which rebuilds tables per load (itdbloader.py:180-200 drops and
   * recreates). A true in-place upsert at 100 TB would push
   * `INSERT ... ON DUPLICATE KEY UPDATE` batches down per partition — that
   * path is MySQL-specific and untestable against the embedded JDBC targets
-  * available here, so the portable overwrite is the shipped default.
+  * available here, so the portable staged overwrite is the shipped default.
   */
 object JdbcSink {
 
@@ -47,28 +55,68 @@ object JdbcSink {
     p
   }
 
+  /** Existence via metadata on a real connection: a connection-level
+    * failure THROWS here (never misread as "table missing").
+    */
+  private def withConnection[A](url: String, options: Map[String, String])
+      (f: java.sql.Connection => A): A = {
+    val conn = java.sql.DriverManager.getConnection(url, props(options))
+    try f(conn) finally conn.close()
+  }
+
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    val md = conn.getMetaData
+    // unquoted identifiers are case-normalized per engine — check as-given,
+    // upper (Derby/Oracle convention) and lower (MySQL/Postgres on most fs)
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+      val rs = md.getTables(null, null, t, null)
+      try rs.next() finally rs.close()
+    }
+  }
+
+  /** Drop using the engine's STORED name and quote character — Spark
+    * writes quoted (case-preserved) identifiers while unquoted DDL gets
+    * case-normalized, so `DROP TABLE name` unquoted can miss the table
+    * Spark just created.
+    */
+  private def dropIfExists(conn: java.sql.Connection, table: String): Unit = {
+    val md = conn.getMetaData
+    val q = md.getIdentifierQuoteString
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.foreach { t =>
+      val rs = md.getTables(null, null, t, null)
+      val found = try { if (rs.next()) Option(rs.getString("TABLE_NAME")) else None }
+        finally rs.close()
+      found.foreach { name =>
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE $q$name$q") finally st.close()
+      }
+    }
+  }
+
   private def merge(spark: SparkSession, df: DataFrame, pk: Seq[String],
       arrival: Column, url: String, table: String,
       options: Map[String, String], lastWins: Boolean): Unit = {
     val p = props(options)
+    val exists = withConnection(url, options)(tableExists(_, table))
     val incoming = df.withColumn("__batch", lit(1))
-    val all = Try(spark.read.jdbc(url, table, p)).toOption match {
-      case Some(existing) =>
-        existing.select(df.columns.toIndexedSeq.map(col): _*)
+    val all =
+      if (exists)
+        spark.read.jdbc(url, table, p)
+          .select(df.columns.toIndexedSeq.map(col): _*)
           .withColumn("__batch", lit(0))
           .unionByName(incoming)
-      case None => incoming // first load: table doesn't exist yet
-    }
+      else incoming
     // ordering = (batch, arrival): REPLACE ranks incoming above stored and
     // later arrivals above earlier; IGNORE is the same order ascending
     val ord = struct(col("__batch"), arrival)
     val resolved =
       (if (lastWins) Upsert.replaceLastWins(all, pk, ord)
        else Upsert.ignoreFirstWins(all, pk, ord)).drop("__batch")
-    // materialize the merge BEFORE overwriting the table it lazily reads
-    val rows = resolved.persist()
-    rows.count()
-    try rows.write.mode(SaveMode.Overwrite).jdbc(url, table, p)
-    finally rows.unpersist()
+    // stage, then rewrite the target FROM the staging table: the final
+    // write's lineage reads staging, never the mid-overwrite target
+    val staging = table + "__graft_staging"
+    resolved.write.mode(SaveMode.Overwrite).jdbc(url, staging, p)
+    try spark.read.jdbc(url, staging, p).write.mode(SaveMode.Overwrite).jdbc(url, table, p)
+    finally withConnection(url, options)(dropIfExists(_, staging))
   }
 }

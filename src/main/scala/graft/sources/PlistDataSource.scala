@@ -88,34 +88,54 @@ class PlistScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap
     required,
     PlistDataSource.paths(options),
     options.getOrDefault("element", "tracks"),
-    options.getOrDefault("userId", "1").toInt)
+    options.getOrDefault("userId", "1").toInt,
+    new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+}
+
+/** Ships the session's Hadoop configuration to executor-side readers (the
+  * session conf carries spark.hadoop.* — credentials, fs implementations —
+  * that a blank `new Configuration()` would drop, breaking s3a/hdfs reads).
+  */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
 }
 
 case class PlistScan(required: StructType, files: Seq[String],
-    element: String, userId: Int) extends Scan with Batch {
+    element: String, userId: Int, conf: SerializableHadoopConf)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(PlistFilePartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    PlistReaderFactory(required, element, userId)
+    PlistReaderFactory(required, element, userId, conf)
 }
 
 case class PlistFilePartition(path: String) extends InputPartition
 
-case class PlistReaderFactory(required: StructType, element: String, userId: Int)
-    extends PartitionReaderFactory {
+case class PlistReaderFactory(required: StructType, element: String,
+    userId: Int, conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PlistPartitionReader(
-      partition.asInstanceOf[PlistFilePartition].path, required, element, userId)
+      partition.asInstanceOf[PlistFilePartition].path, required, element, userId, conf)
 }
 
 class PlistPartitionReader(path: String, required: StructType,
-    element: String, userId: Int) extends PartitionReader[InternalRow] {
+    element: String, userId: Int, conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[InternalRow] = {
     val p = new Path(path)
-    val in = p.getFileSystem(new Configuration()).open(p)
+    val in = p.getFileSystem(conf.value).open(p)
     val root = try PlistReader.parse(in: java.io.InputStream) finally in.close()
     val toInternal = Bridge.rowToInternal(required)
     PlistReader.elementRows(root, element, required, userId).iterator.map(toInternal)

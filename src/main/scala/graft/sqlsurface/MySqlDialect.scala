@@ -25,8 +25,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object MySqlDialect {
 
-  // one quoted region: a '…' literal (doubled-quote escapes) or a `…` ident
-  private val quotedRegion = "'(?:[^']|'')*'|`(?:[^`]|``)*`".r
+  // one quoted region: a '…' literal (backslash escapes — MySQL's default
+  // sql_mode — plus doubled-quote escapes) or a `…` identifier
+  private val quotedRegion = "'(?:[^'\\\\]|\\\\.|'')*'|`(?:[^`]|``)*`".r
 
   def translate(sql: String, caseInsensitiveLike: Boolean = true): String = {
     val out = new StringBuilder

@@ -137,6 +137,20 @@ class ItdbOpsSpec extends SparkSuite {
       Seq(("Mix", 3L), ("Oldies", 3L)))
   }
 
+  test("registerViews re-registers when the dir changes within one session") {
+    // temp views are session-global: after switching to another dir, a
+    // return to the first dir must NOT be served by stale views
+    val a = sf("sf0.001")
+    val b = sf("sf0.01")
+    def n(dir: String): Long =
+      graft.operators.Library.adhocSql(spark, dir, "SELECT count(*) AS n FROM orders")
+        .collect().head.getLong(0)
+    val nA = n(a)
+    val nB = n(b)
+    assert(nA != nB, "scale factors should differ")
+    assert(n(a) == nA) // back to dir A: must see A's data again
+  }
+
   test("S10 m3u parse: descriptions attach to the NEXT location, gaps stay None") {
     val parsed = graft.emit.M3u.parse(Seq(
       "#EXTM3U", "/m/first.mp3", "#ITDBDESC:B", "#ITDBFILE:/m/b.mp3", "/m/b.mp3"))

@@ -30,6 +30,9 @@ class MySqlDialectSpec extends AnyFunSuite {
     // doubled-quote escape keeps the literal as ONE region
     assert(translate("SELECT 'it''s LIKE that' FROM t") ==
       "SELECT 'it''s LIKE that' FROM t")
+    // backslash escape (MySQL default sql_mode) keeps it one region too
+    assert(translate("SELECT 'it\\'s LIKE that' FROM t") ==
+      "SELECT 'it\\'s LIKE that' FROM t")
   }
 
   test("backtick identifiers pass through; rewrites still apply around them") {
