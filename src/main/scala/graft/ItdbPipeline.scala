@@ -61,15 +61,44 @@ object ItdbPipeline {
     */
   def exportPlaylist(lib: Library, userId: Int, playlistName: String,
       m3uPath: String, seed: String = "itdb"): Unit = {
+    val numbered = playlistTracksFor(lib, userId, playlistName)
+    M3u.write(numbered, m3uPath, "Name", "Location")
+  }
+
+  /** §3.3 page render (S11, itdb2html.py:324-350): the same selection as
+    * the m3u export, written as the HTML track-list page.
+    */
+  def exportPlaylistPage(lib: Library, userId: Int, playlistName: String,
+      htmlPath: String): Unit = {
+    val rows = playlistTracksFor(lib, userId, playlistName)
+      .withColumnRenamed("Name", "name")
+      .withColumn("rating", coalesce(col("Rating"), lit(0)))
+    graft.emit.Html.write(playlistName, rows, htmlPath,
+      extraCols = Seq("Location"))
+  }
+
+  /** §3.3 Music.app sink (S12, sql_to_playlist:42-55): the same selection
+    * emitted as the AppleScript playlist-builder artifact.
+    */
+  def exportPlaylistScript(lib: Library, userId: Int, playlistName: String,
+      scriptPath: String): Unit =
+    graft.emit.MusicAppPlaylist.write(playlistName,
+      playlistTracksFor(lib, userId, playlistName), scriptPath)
+
+  /** Shared §3.3 selection: playlist members joined to tracks, numbered,
+    * ordered by link path (the export order every sink preserves).
+    */
+  private def playlistTracksFor(lib: Library, userId: Int,
+      playlistName: String, seed: String = "itdb"): DataFrame = {
     val ids = lib.playlists
       .filter(col("User_ID") === userId && col("Name") === playlistName)
       .select(col("Playlist_ID"))
     val members = lib.playlistTracks.join(ids, Seq("Playlist_ID"))
       .select(col("User_ID"), col("Track_ID"))
     val tracks = lib.tracks.join(members, Seq("User_ID", "Track_ID"))
-    val numbered = ItdbOps.numberedLinkPaths(tracks, seed)
-      .join(tracks.select(col("Track_ID"), col("Name"), col("Location")), Seq("Track_ID"))
+    ItdbOps.numberedLinkPaths(tracks, seed)
+      .join(tracks.select(col("Track_ID"), col("Name"), col("Location"),
+        col("Rating"), col("Persistent_ID")), Seq("Track_ID"))
       .orderBy(col("link_path"))
-    M3u.write(numbered, m3uPath, "Name", "Location")
   }
 }

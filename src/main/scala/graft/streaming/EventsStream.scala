@@ -77,6 +77,31 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeated event_ids across micro-batches
+    * with watermark-bounded state (`dropDuplicatesWithinWatermark`) — the
+    * continuous-ingest twin of the batch exact-dedup tier (Dedup
+    * .exactGroups). State holds one key per event inside the watermark
+    * horizon and is evicted as the watermark advances, so a 100 TB/day
+    * stream keeps bounded state instead of an ever-growing seen-set.
+    */
+  def dedupedEvents(spark: SparkSession, dir: String): DataFrame =
+    eventSource(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run the streaming dedup to completion (memory sink, AvailableNow). */
+  def runDedupToCompletion(spark: SparkSession, dir: String,
+      name: String = "events_dedup"): DataFrame = {
+    val q: StreamingQuery = dedupedEvents(spark, dir).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -12,10 +12,12 @@ class PipelineSpec extends SparkSuite {
       |  <key>1</key><dict><key>Track ID</key><integer>1</integer><key>Name</key><string>Alpha</string>
       |    <key>Artist</key><string>Ann</string><key>Album</key><string>One</string>
       |    <key>Genre</key><string>Rock</string><key>Rating</key><integer>100</integer>
+      |    <key>Persistent ID</key><string>AAAA0001</string>
       |    <key>Location</key><string>file://localhost/m/alpha.mp3</string></dict>
       |  <key>2</key><dict><key>Track ID</key><integer>2</integer><key>Name</key><string>Beta</string>
       |    <key>Artist</key><string>Bob</string><key>Album</key><string>One</string>
       |    <key>Genre</key><string>Rock</string><key>Rating</key><integer>60</integer>
+      |    <key>Persistent ID</key><string>AAAA0002</string>
       |    <key>Location</key><string>file://localhost/m/beta.mp3</string></dict>
       |  <key>3</key><dict><key>Track ID</key><integer>3</integer><key>Name</key><string>Gamma</string>
       |    <key>Artist</key><string>Ann</string><key>Album</key><string>Two</string></dict>
@@ -54,6 +56,22 @@ class PipelineSpec extends SparkSuite {
     val lines = Files.readString(java.nio.file.Paths.get(m3u)).trim.split("\n").toSeq
     assert(lines.head == "#EXTM3U")
     assert(lines.count(_.startsWith("#ITDBFILE:")) == 2) // Gamma has no Location
+
+    // S11: same selection rendered as the HTML page
+    val html = Files.createTempFile("graft", ".html").toString
+    ItdbPipeline.exportPlaylistPage(lib, 1, "Mix", html)
+    val htmlOut = Files.readString(java.nio.file.Paths.get(html))
+    assert(htmlOut.contains("<title>Mix</title>"))
+    assert(htmlOut.contains("<th>All Tracks</th><td>3</td>"))
+
+    // S12: same selection as the Music.app AppleScript artifact
+    val scpt = Files.createTempFile("graft", ".applescript").toString
+    ItdbPipeline.exportPlaylistScript(lib, 1, "Mix", scpt)
+    val script = Files.readString(java.nio.file.Paths.get(scpt))
+    assert(script.contains("make new user playlist with properties {name:\"Mix\"}"))
+    // Gamma has no Persistent ID -> cannot be located in Music.app, skipped
+    assert(script.linesIterator.count(_.contains("duplicate (first track")) == 2)
+    assert(script.contains("\"AAAA0001\"") && script.contains("\"AAAA0002\""))
   }
 
   test("MySQL dialect translation: REGEXP BINARY, bare REGEXP, LIKE collation") {

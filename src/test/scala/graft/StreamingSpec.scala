@@ -21,6 +21,17 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup: one row per event_id, watermark-bounded state") {
+    val dir = sf("sf0.001")
+    val deduped = EventsStream.runDedupToCompletion(spark, dir, "events_dedup_test")
+    val total = graft.Tables.events(spark, dir).count()
+    val distinctIds = graft.Tables.events(spark, dir)
+      .select("event_id").distinct().count()
+    assert(deduped.count() == distinctIds)
+    assert(deduped.select("event_id").distinct().count() == distinctIds)
+    assert(total >= distinctIds)
+  }
+
   test("session windows: builtin session_window under watermark, sane bounds") {
     val dir = sf("sf0.001")
     val q = EventsStream.sessionAgg(spark, dir).writeStream
