@@ -115,16 +115,18 @@ object TextAnalysis {
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("w"))
-    val base = t.select(col("doc_id"),
-      size(col("w")).cast("long").as("n_tokens"),
-      size(array_distinct(col("w"))).cast("long").as("n_distinct"))
-    val topTok = t.select(col("doc_id"), explode(col("w")).as("tok"))
+    // token counts, distinct count AND top frequency all come out of the
+    // single (doc, token)-level aggregation — no separate base-stats branch
+    val tokStats = t.select(col("doc_id"), explode(col("w")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_tok"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_tok"))
     val topBigram = t.select(col("doc_id"), explode(shingles(col("w"), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram"))
-    base.join(topTok, Seq("doc_id")).join(topBigram, Seq("doc_id"))
+    tokStats.join(topBigram, Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
         round(col("top_tok").cast("double") / col("n_tokens"), 4).as("top_token_ratio"),
