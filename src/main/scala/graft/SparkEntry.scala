@@ -356,13 +356,13 @@ object SparkEntry {
     "s3_label_centroids" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT label, n, CAST(i AS INTEGER) AS dim_idx, value FROM (
-        |  SELECT label, count(*) AS n, i, round(sum(v[i+1]) / count(*), 4) AS value
+        |  SELECT label, count(*) AS n, i, round(sum(v[i+1]) / count(*), 4) + 0.0 AS value
         |  FROM e, range(0, 64) r(i) GROUP BY label, i)
         |ORDER BY label, dim_idx""".stripMargin,
     "s4_ann_ivf" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |en AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS n FROM e),
-        |cd AS (SELECT label, i, round(sum(v[i+1]) / count(*), 4) AS val
+        |cd AS (SELECT label, i, round(sum(v[i+1]) / count(*), 4) + 0.0 AS val
         |       FROM e, range(0, 64) r(i) GROUP BY label, i),
         |cent AS (SELECT label, list(val ORDER BY i) AS cv FROM cd GROUP BY label),
         |centn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cent),

@@ -162,7 +162,10 @@ object Similarity {
     val agg = e.groupBy(col("label"))
       .agg(aggCols.head, aggCols.tail: _*)
     agg.select(col("label"), col("n"),
-      array((0 until dim).map(i => round(col(s"s$i") / col("n"), 4)): _*).as("centroid"))
+      // + 0.0 normalizes IEEE -0.0 → 0.0: near-zero sums are last-ulp
+      // order-dependent across engines, and rounding can land on ±0 whose
+      // sign would otherwise leak into the canonical output
+      array((0 until dim).map(i => round(col(s"s$i") / col("n"), 4) + 0.0): _*).as("centroid"))
   }
 
   /** Canonical scalar-row form of `labelCentroids` for the correctness
