@@ -61,7 +61,7 @@ object ItdbPipeline {
     */
   def exportPlaylist(lib: Library, userId: Int, playlistName: String,
       m3uPath: String, seed: String = "itdb"): Unit = {
-    val numbered = playlistTracksFor(lib, userId, playlistName)
+    val numbered = playlistTracksFor(lib, userId, playlistName, seed)
     M3u.write(numbered, m3uPath, "Name", "Location")
   }
 

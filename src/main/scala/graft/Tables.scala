@@ -62,14 +62,21 @@ object Tables {
     */
   private val registeredDir =
     scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+  private val registerLocks =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Object]
 
-  def registerViews(spark: SparkSession, dir: String): Unit = synchronized {
-    if (!registeredDir.get(spark).contains(dir)) {
-      all.foreach { t =>
-        val df = if (t == "events") events(spark, dir) else read(spark, dir, t)
-        df.createOrReplaceTempView(t)
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    // per-session lock: registration does ~10 footer reads, and a global
+    // lock would serialize unrelated sessions through that I/O
+    val lock = registerLocks.getOrElseUpdate(spark, new Object)
+    lock.synchronized {
+      if (!registeredDir.get(spark).contains(dir)) {
+        all.foreach { t =>
+          val df = if (t == "events") events(spark, dir) else read(spark, dir, t)
+          df.createOrReplaceTempView(t)
+        }
+        registeredDir(spark) = dir
       }
-      registeredDir(spark) = dir
     }
   }
 }

@@ -64,15 +64,26 @@ object JdbcSink {
     try f(conn) finally conn.close()
   }
 
-  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+  /** getTables treats `_`/`%` as LIKE wildcards — escape them with the
+    * engine's search-string escape so "play_list" can't match "playXlist",
+    * and keep only results whose stored name is a case-variant of the
+    * requested table (a LIKE hit on an unrelated name must not count).
+    */
+  private def storedNames(conn: java.sql.Connection, table: String): Seq[String] = {
     val md = conn.getMetaData
-    // unquoted identifiers are case-normalized per engine — check as-given,
-    // upper (Derby/Oracle convention) and lower (MySQL/Postgres on most fs)
-    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
-      val rs = md.getTables(null, null, t, null)
-      try rs.next() finally rs.close()
-    }
+    val esc = md.getSearchStringEscape
+    def escaped(t: String): String =
+      t.flatMap(c => if (c == '_' || c == '%') s"$esc$c" else c.toString)
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.flatMap { t =>
+      val rs = md.getTables(null, null, escaped(t), null)
+      val names = Seq.newBuilder[String]
+      try while (rs.next()) names += rs.getString("TABLE_NAME") finally rs.close()
+      names.result()
+    }.distinct.filter(_.equalsIgnoreCase(table))
   }
+
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean =
+    storedNames(conn, table).nonEmpty
 
   /** Drop using the engine's STORED name and quote character — Spark
     * writes quoted (case-preserved) identifiers while unquoted DDL gets
@@ -80,16 +91,10 @@ object JdbcSink {
     * Spark just created.
     */
   private def dropIfExists(conn: java.sql.Connection, table: String): Unit = {
-    val md = conn.getMetaData
-    val q = md.getIdentifierQuoteString
-    Seq(table, table.toUpperCase, table.toLowerCase).distinct.foreach { t =>
-      val rs = md.getTables(null, null, t, null)
-      val found = try { if (rs.next()) Option(rs.getString("TABLE_NAME")) else None }
-        finally rs.close()
-      found.foreach { name =>
-        val st = conn.createStatement()
-        try st.executeUpdate(s"DROP TABLE $q$name$q") finally st.close()
-      }
+    val q = conn.getMetaData.getIdentifierQuoteString
+    storedNames(conn, table).foreach { name =>
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $q$name$q") finally st.close()
     }
   }
 
@@ -113,10 +118,18 @@ object JdbcSink {
       (if (lastWins) Upsert.replaceLastWins(all, pk, ord)
        else Upsert.ignoreFirstWins(all, pk, ord)).drop("__batch")
     // stage, then rewrite the target FROM the staging table: the final
-    // write's lineage reads staging, never the mid-overwrite target
+    // write's lineage reads staging, never the mid-overwrite target.
+    // Staging is dropped ONLY after the target write succeeds — on failure
+    // it is the sole complete copy of the merge (the recovery source).
     val staging = table + "__graft_staging"
     resolved.write.mode(SaveMode.Overwrite).jdbc(url, staging, p)
-    try spark.read.jdbc(url, staging, p).write.mode(SaveMode.Overwrite).jdbc(url, table, p)
-    finally withConnection(url, options)(dropIfExists(_, staging))
+    try {
+      spark.read.jdbc(url, staging, p).write.mode(SaveMode.Overwrite).jdbc(url, table, p)
+    } catch {
+      case e: Throwable =>
+        throw new RuntimeException(
+          s"target rewrite of '$table' failed; merged rows preserved in staging table '$staging'", e)
+    }
+    withConnection(url, options)(dropIfExists(_, staging))
   }
 }

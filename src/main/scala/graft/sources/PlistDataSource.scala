@@ -4,13 +4,12 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import graft.ingest.{ItdbSchema, PlistReader}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.graftbridge.{Bridge, SerializableHadoopConf}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -91,22 +90,6 @@ class PlistScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap
     options.getOrDefault("userId", "1").toInt,
     new SerializableHadoopConf(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
-}
-
-/** Ships the session's Hadoop configuration to executor-side readers (the
-  * session conf carries spark.hadoop.* — credentials, fs implementations —
-  * that a blank `new Configuration()` would drop, breaking s3a/hdfs reads).
-  */
-class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    value.write(out)
-  }
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    value = new Configuration(false)
-    value.readFields(in)
-  }
 }
 
 case class PlistScan(required: StructType, files: Seq[String],

@@ -77,12 +77,16 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
-  /** Streaming exact dedup: drop repeated event_ids across micro-batches
-    * with watermark-bounded state (`dropDuplicatesWithinWatermark`) — the
-    * continuous-ingest twin of the batch exact-dedup tier (Dedup
-    * .exactGroups). State holds one key per event inside the watermark
-    * horizon and is evicted as the watermark advances, so a 100 TB/day
-    * stream keeps bounded state instead of an ever-growing seen-set.
+  /** Streaming dedup WITHIN the watermark horizon: drop repeated event_ids
+    * across micro-batches with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`) — the continuous-ingest twin of the
+    * batch exact-dedup tier (Dedup.exactGroups). State holds one key per
+    * event inside the horizon and is evicted as the watermark advances, so
+    * a 100 TB/day stream keeps bounded state instead of an ever-growing
+    * seen-set. The bound is the guarantee's limit too: a duplicate whose
+    * occurrences are separated by more than the delay (and land in
+    * different micro-batches) is NOT caught — global exactness needs the
+    * batch tier over the settled data.
     */
   def dedupedEvents(spark: SparkSession, dir: String): DataFrame =
     eventSource(spark, dir)

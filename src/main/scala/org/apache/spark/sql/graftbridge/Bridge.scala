@@ -24,3 +24,14 @@ object Bridge {
     r => conv(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
   }
 }
+
+/** Serializable Hadoop-configuration carrier for executor-side readers —
+  * delegates to Spark's own `org.apache.spark.util.SerializableConfiguration`
+  * (private[spark], hence re-exported here) instead of a second hand-rolled
+  * serialization of Configuration.
+  */
+class SerializableHadoopConf(conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private val inner = new org.apache.spark.util.SerializableConfiguration(conf)
+  def value: org.apache.hadoop.conf.Configuration = inner.value
+}

@@ -22,6 +22,9 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("streaming dedup: one row per event_id, watermark-bounded state") {
+    // the global-exactness assertion holds because the fixture is ONE file
+    // replayed as one AvailableNow micro-batch; across batches the
+    // guarantee is bounded by the watermark delay (see dedupedEvents doc)
     val dir = sf("sf0.001")
     val deduped = EventsStream.runDedupToCompletion(spark, dir, "events_dedup_test")
     val total = graft.Tables.events(spark, dir).count()
