@@ -20,7 +20,7 @@ object Bench {
     "a1_count_total", "a6_playlist_stats", "a10_quality", "j1_bridge_join_agg",
     "w1_adjacent_dups", "w2_top_n_per_group", "o4_shrink_topk",
     "d1_dedup_exact", "d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs",
-    "d6_embedding_neardup", "d8_embedding_neardup_lsh",
+    "d6_embedding_neardup", "d8_embedding_neardup_lsh", "d9_neardup_clusters",
     "s1_ann_bruteforce", "s2_ann_lsh", "s4_ann_ivf",
     "t2_language_id", "t5_fingerprints", "m2_media_stats")
 

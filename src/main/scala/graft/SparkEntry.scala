@@ -101,6 +101,7 @@ object SparkEntry {
     "d6_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDupsBounded(s, d, 0.35).orderBy("id_a", "id_b")),
     "d7_tail_fingerprint" -> ((s, d) => Dedup.tailFingerprint(s, d).orderBy("doc_id")),
     "d8_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d, 0.3).orderBy("id_a", "id_b")),
+    "d9_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d).orderBy("doc_id")),
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d).orderBy("probe_id", "rn")),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d).orderBy("probe_id", "rn")),
@@ -311,6 +312,29 @@ object SparkEntry {
     },
     "d7_tail_fingerprint" ->
       "SELECT doc_id, sha256(right(text, 100)) AS tail_digest FROM documents ORDER BY doc_id",
+    "d9_neardup_clusters" -> {
+      val sigList = (0 until 9).map(i => s"list_min([md5('mh$i:' || x) for x in sh])").mkString(", ")
+      val base = "WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ")
+      s"""$base,
+         |sig AS (SELECT doc_id, [$sigList] AS mh FROM s),
+         |banded AS (SELECT doc_id, b, md5(array_to_string(mh[b*3+1:b*3+3], '|')) AS bkey
+         |  FROM sig CROSS JOIN (SELECT unnest([0,1,2]) AS b) bb),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |dsh AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s),
+         |pairs AS (SELECT id_a, id_b FROM (
+         |  SELECT id_a, id_b, round(CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE) / len(list_distinct(list_concat(x.dsh, y.dsh))), 4) AS jaccard
+         |  FROM cand JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b)
+         |  WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS is_rep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    },
     "d8_embedding_neardup_lsh" -> {
       val hexv = (c: String) => s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
       val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")

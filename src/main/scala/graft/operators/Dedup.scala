@@ -120,6 +120,64 @@ object Dedup {
     verifyJaccard(withSh, candidates, threshold)
   }
 
+  /** Near-dup CLUSTERS: connected components over the verified MinHash-LSH
+    * pair graph — the step that turns pairwise evidence into dedup groups
+    * (keep one representative per component, drop the rest). Min-label
+    * propagation: every doc starts as its own cluster, each round takes the
+    * min cluster id over itself and its neighbors, repeat to fixpoint.
+    * Each round is ONE distributed join + aggregation; the driver loop only
+    * checks a 0/1 convergence count, and rounds are bounded by component
+    * DIAMETER (near-dup components are dense near-cliques, so 2-3 rounds in
+    * practice; hard cap backstops pathological chains). This is the
+    * standard Pregel-style CC — at 100 TB the same loop runs with the edge
+    * list partitioned by src, and no per-component state ever concentrates
+    * in one task.
+    *
+    * The returned frame is the final round's persisted labels (its lineage
+    * runs through the loop's unpersisted intermediates, so the cache IS the
+    * result); callers that are done with it may unpersist.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String,
+      bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8,
+      maxIters: Int = 20): DataFrame = {
+    // persist the verified pairs ONCE — the symmetric edge union reads the
+    // cache twice instead of running the whole LSH+verify pipeline twice
+    val pairs = minhashLshPairs(spark, dir, bands, rowsPerBand, threshold)
+      .select(col("id_a"), col("id_b")).persist()
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("cluster")).persist()
+    labels.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("cluster")), Seq("src"))
+        .groupBy(col("dst").as("doc_id")).agg(min(col("cluster")).as("nmin"))
+      // carry the old label through the same frame: the convergence check
+      // is then a filter over the cache, not a second join per round
+      val updated = labels.select(col("doc_id"), col("cluster").as("old"))
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("cluster"))
+        .persist()
+      updated.count()
+      val changed = updated.filter(col("cluster") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated.drop("old")
+      converged = changed == 0
+      iter += 1
+      if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+        // scalastyle:off println
+        println(s"[d9] round $iter changed=$changed")
+        // scalastyle:on println
+    }
+    pairs.unpersist()
+    labels.select(col("doc_id"), col("cluster"),
+      (col("doc_id") === col("cluster")).as("is_rep"))
+  }
+
   /** n-gram Jaccard near-dup with cheap blocking (same lang + same first and
     * last token): pairs only form within a block, then true Jaccard filters.
     * The two-endpoint key keeps block sizes (and thus the candidate pair

@@ -57,6 +57,23 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pairs.forall(_._3 > 0.8))
   }
 
+  test("near-dup clusters: components from the pair graph, min-id representative") {
+    val got = Dedup.nearDupClusters(spark, fixtureDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // planted pairs land in shared clusters
+    assert(got(50L)._1 == got(51L)._1)
+    assert(got(48L)._1 == got(49L)._1)
+    // representative = min doc_id of the component, flagged exactly there
+    got.foreach { case (id, (cluster, isRep)) =>
+      assert(cluster <= id)
+      assert(isRep == (cluster == id))
+    }
+    // noise docs stay singletons
+    assert(got(0L) == (0L, true))
+    // every cluster id is itself a member marked representative
+    got.values.map(_._1).toSet.foreach((c: Long) => assert(got(c) == (c, true)))
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
     val b = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
