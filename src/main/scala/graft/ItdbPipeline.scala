@@ -31,6 +31,23 @@ object ItdbPipeline {
     */
   def load(spark: SparkSession, xml: String, userId: Int = 1): Library = {
     val (tracks, playlists, bridge) = PlistReader.load(spark, xml, userId)
+    assemble(tracks, playlists, bridge)
+  }
+
+  /** §3.1 via the distributed source: load library FILES through the
+    * DataSourceV2 plist source — one task per file, no driver-side parse.
+    * Same downstream assembly as `load` (proven row-identical for a single
+    * file in PipelineSpec).
+    */
+  def loadFiles(spark: SparkSession, paths: Seq[String], userId: Int = 1): Library = {
+    def rd(element: String) = spark.read.format("plist")
+      .option("element", element).option("userId", userId)
+      .load(paths: _*)
+    assemble(rd("tracks"), rd("playlists"), rd("playlist_tracks"))
+  }
+
+  private def assemble(tracks: DataFrame, playlists: DataFrame,
+      bridge: DataFrame): Library = {
     val stats = ItdbOps.playlistStats(tracks, bridge).persist()
     ItdbOps.registerItdbViews(tracks, playlists, bridge)
     stats.createOrReplaceTempView("playlist_stats")

@@ -74,6 +74,17 @@ class PipelineSpec extends SparkSuite {
     assert(script.contains("\"AAAA0001\"") && script.contains("\"AAAA0002\""))
   }
 
+  test("loadFiles (DSv2 source) assembles the same library as the driver load") {
+    val f = Files.createTempFile("graft_lib", ".xml")
+    Files.writeString(f, xml)
+    val a = ItdbPipeline.load(spark, xml)
+    val b = ItdbPipeline.loadFiles(spark, Seq(f.toString))
+    assert(b.tracks.orderBy("Track_ID").collect().toSeq ==
+      a.tracks.orderBy("Track_ID").collect().toSeq)
+    assert(b.playlistStats.orderBy("Playlist_ID", "Rating").collect().toSeq ==
+      a.playlistStats.orderBy("Playlist_ID", "Rating").collect().toSeq)
+  }
+
   test("MySQL dialect translation: REGEXP BINARY, bare REGEXP, LIKE collation") {
     assert(MySqlDialect.translate("SELECT * FROM t WHERE name REGEXP BINARY '^[a-z]+$'") ==
       "SELECT * FROM t WHERE name RLIKE '^[a-z]+$'")
