@@ -114,6 +114,7 @@ object SparkEntry {
     "t5_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).orderBy("doc_id")),
     "t6_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d).orderBy("lang", "source")),
     "t7_repetition" -> ((s, d) => TextAnalysis.repetition(s, d).orderBy("doc_id")),
+    "t8_filter_funnel" -> ((s, d) => TextAnalysis.filterFunnel(s, d)),
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d).drop("payload").orderBy("media_id")),
     "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
@@ -463,6 +464,29 @@ object SparkEntry {
         |  CASE WHEN n_tokens > 1 THEN round(CAST(top_bigram AS DOUBLE) / (n_tokens - 1), 4) END AS top_bigram_ratio
         |FROM base JOIN tok ON base.doc_id = tok.doc_id LEFT JOIN bg ON base.doc_id = bg.doc_id
         |ORDER BY base.doc_id""".stripMargin,
+    "t8_filter_funnel" -> {
+      val lex = Map(
+        "en" -> "['the','a','of','and','to']", "es" -> "['el','la','de','y','que']",
+        "fr" -> "['le','la','de','et','que']", "de" -> "['der','die','das','und','zu']")
+      val scores = Seq("en", "es", "fr", "de")
+        .map(l => s"CAST(len(list_intersect(dt, ${lex(l)})) AS DOUBLE) / len(dt)").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+         |lg AS (SELECT doc_id, greatest($scores) > 0 AS lang_ok
+         |  FROM (SELECT doc_id, list_distinct(w) AS dt FROM t)),
+         |q AS (SELECT doc_id,
+         |  (len(w) >= 10 AND len(w) <= 100000 AND CAST(length(text) AS DOUBLE) / len(w) >= 2.0) AS quality_ok FROM t),
+         |tok AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_tok FROM
+         |  (SELECT doc_id, tk, count(*) AS c FROM (SELECT doc_id, unnest(w) AS tk FROM t) GROUP BY 1, 2) GROUP BY 1),
+         |rep AS (SELECT doc_id,
+         |  (round(CAST(top_tok AS DOUBLE) / n_tokens, 4) <= 0.2 AND
+         |   round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) >= 0.3) AS rep_ok FROM tok)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+         |  CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+         |  CAST(sum(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
+         |  CAST(sum(CASE WHEN lang_ok AND quality_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM lg JOIN q USING (doc_id) JOIN rep USING (doc_id)""".stripMargin
+    },
     // ---- multimodal ----
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,

@@ -112,6 +112,33 @@ object TextAnalysis {
     * aggregations are partial+final, so a 100 TB corpus never materializes
     * a per-document frequency table in one task.
     */
+  /** Corpus filter FUNNEL — the decision step of a training-data pipeline:
+    * language confidence (t2), quality gate (t3) and repetition bounds (t7)
+    * joined per doc, rolled up to survival counts per gate and overall.
+    * Each component is its own oracle-proven operator; this is the
+    * composition a 100 TB curation run executes before writing the kept
+    * split. Joins are doc_id equi joins of per-doc scalars — no text
+    * moves past the first projection of each branch.
+    */
+  def filterFunnel(spark: SparkSession, dir: String,
+      maxTopTokenRatio: Double = 0.2, minDistinctRatio: Double = 0.3): DataFrame = {
+    val lang = languageId(spark, dir)
+      .select(col("doc_id"), (col("predicted") =!= "und").as("lang_ok"))
+    val qual = qualityScore(spark, dir)
+      .select(col("doc_id"), col("keep").as("quality_ok"))
+    val rep = repetition(spark, dir)
+      .select(col("doc_id"),
+        (col("top_token_ratio") <= maxTopTokenRatio &&
+          col("distinct_ratio") >= minDistinctRatio).as("rep_ok"))
+    def n(c: Column): Column = sum(when(c, 1L).otherwise(0L)).cast("long")
+    lang.join(qual, Seq("doc_id")).join(rep, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        n(col("lang_ok")).as("n_lang_ok"),
+        n(col("quality_ok")).as("n_quality_ok"),
+        n(col("rep_ok")).as("n_rep_ok"),
+        n(col("lang_ok") && col("quality_ok") && col("rep_ok")).as("n_kept"))
+  }
+
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("w"))
