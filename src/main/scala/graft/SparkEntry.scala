@@ -120,13 +120,42 @@ object SparkEntry {
     "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
     "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d).orderBy("media_id", "frame_ts_ms")))
 
-  /** Shared oracle fragments (DuckDB dialect). */
+  /** Shared oracle fragments (DuckDB dialect) — one copy each, so a
+    * threshold/band/lexicon change can't silently desynchronize queries
+    * that share the semantics.
+    */
   private val starsD = "CAST(floor(l_discount*50) AS BIGINT)"
   private val shinglesCte =
     """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
       |s AS (SELECT doc_id, lang, w[1] AS tok0, w[-1] AS tokz,
       |  CASE WHEN len(w)<3 THEN [array_to_string(w,' ')]
       |       ELSE [array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)] END AS sh FROM t)""".stripMargin
+
+  /** sig → banded → cand → verified `pairs(id_a, id_b, jaccard >= 0.8)` —
+    * the minhash-LSH pipeline shared by d3 (pair listing) and d9
+    * (clustering). Appends to `shinglesCte`.
+    */
+  private val lshPairsCtes = {
+    val sigList = (0 until 9).map(i => s"list_min([md5('mh$i:' || x) for x in sh])").mkString(", ")
+    s"""sig AS (SELECT doc_id, [$sigList] AS mh FROM s),
+       |banded AS (SELECT doc_id, b, md5(array_to_string(mh[b*3+1:b*3+3], '|')) AS bkey
+       |  FROM sig CROSS JOIN (SELECT unnest([0,1,2]) AS b) bb),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |dsh AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s),
+       |pairs AS (SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b, round(CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE) / len(list_distinct(list_concat(x.dsh, y.dsh))), 4) AS jaccard
+       |  FROM cand JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b)
+       |  WHERE jaccard >= 0.8)""".stripMargin
+  }
+
+  /** Marker lexicons — the SQL rendering of TextAnalysis.lexicons, shared
+    * by the t2 and t8 oracles.
+    */
+  private val lexiconSql: Map[String, String] =
+    graft.operators.TextAnalysis.lexicons.toMap.map { case (l, ws) =>
+      l -> ws.mkString("['", "','", "']")
+    }
 
   def oracleSql: Map[String, String] = Map(
     "a1_count_total" -> "SELECT count(*) AS n FROM lineitem",
@@ -265,20 +294,10 @@ object SparkEntry {
       val sigs = (0 until 9).map(i => s"list_min([md5('mh$i:' || x) for x in sh]) AS mh$i").mkString(", ")
       s"$shinglesCte SELECT doc_id, lang, $sigs FROM s ORDER BY doc_id"
     },
-    "d3_minhash_lsh_pairs" -> {
-      val sigList = (0 until 9).map(i => s"list_min([md5('mh$i:' || x) for x in sh])").mkString(", ")
+    "d3_minhash_lsh_pairs" ->
       s"""$shinglesCte,
-         |sig AS (SELECT doc_id, [$sigList] AS mh FROM s),
-         |banded AS (SELECT doc_id, b, md5(array_to_string(mh[b*3+1:b*3+3], '|')) AS bkey
-         |  FROM sig CROSS JOIN (SELECT unnest([0,1,2]) AS b) bb),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |ds AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s)
-         |SELECT id_a, id_b, jaccard FROM (
-         |  SELECT id_a, id_b, round(CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE) / len(list_distinct(list_concat(x.dsh, y.dsh))), 4) AS jaccard
-         |  FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b)
-         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
-    },
+         |$lshPairsCtes
+         |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
     "d4_ngram_jaccard_pairs" ->
       s"""$shinglesCte,
          |ds AS (SELECT doc_id, lang, tok0, tokz, list_distinct(sh) AS dsh FROM s)
@@ -314,19 +333,9 @@ object SparkEntry {
     "d7_tail_fingerprint" ->
       "SELECT doc_id, sha256(right(text, 100)) AS tail_digest FROM documents ORDER BY doc_id",
     "d9_neardup_clusters" -> {
-      val sigList = (0 until 9).map(i => s"list_min([md5('mh$i:' || x) for x in sh])").mkString(", ")
       val base = "WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ")
       s"""$base,
-         |sig AS (SELECT doc_id, [$sigList] AS mh FROM s),
-         |banded AS (SELECT doc_id, b, md5(array_to_string(mh[b*3+1:b*3+3], '|')) AS bkey
-         |  FROM sig CROSS JOIN (SELECT unnest([0,1,2]) AS b) bb),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |dsh AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s),
-         |pairs AS (SELECT id_a, id_b FROM (
-         |  SELECT id_a, id_b, round(CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE) / len(list_distinct(list_concat(x.dsh, y.dsh))), 4) AS jaccard
-         |  FROM cand JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b)
-         |  WHERE jaccard >= 0.8),
+         |$lshPairsCtes,
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION ALL SELECT id_b, id_a FROM pairs),
          |reach(id, r) AS (
@@ -413,8 +422,8 @@ object SparkEntry {
     // ---- text analysis ----
     "t2_language_id" -> {
       val lex = Map(
-        "en" -> "['the','a','of','and','to']", "es" -> "['el','la','de','y','que']",
-        "fr" -> "['le','la','de','et','que']", "de" -> "['der','die','das','und','zu']")
+        "en" -> lexiconSql("en"), "es" -> lexiconSql("es"),
+        "fr" -> lexiconSql("fr"), "de" -> lexiconSql("de"))
       val scores = Seq("en", "es", "fr", "de")
         .map(l => s"round(CAST(len(list_intersect(dt, ${lex(l)})) AS DOUBLE) / len(dt), 4) AS score_$l").mkString(", ")
       s"""WITH t AS (SELECT doc_id, lang, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS dt FROM documents),
@@ -465,11 +474,11 @@ object SparkEntry {
         |FROM base JOIN tok ON base.doc_id = tok.doc_id LEFT JOIN bg ON base.doc_id = bg.doc_id
         |ORDER BY base.doc_id""".stripMargin,
     "t8_filter_funnel" -> {
-      val lex = Map(
-        "en" -> "['the','a','of','and','to']", "es" -> "['el','la','de','y','que']",
-        "fr" -> "['le','la','de','et','que']", "de" -> "['der','die','das','und','zu']")
+      // round exactly like the t2 oracle: Spark's languageId predicts from
+      // ROUNDED scores, so an unrounded >0 test here could diverge on a
+      // score inside (0, 0.00005)
       val scores = Seq("en", "es", "fr", "de")
-        .map(l => s"CAST(len(list_intersect(dt, ${lex(l)})) AS DOUBLE) / len(dt)").mkString(", ")
+        .map(l => s"round(CAST(len(list_intersect(dt, ${lexiconSql(l)})) AS DOUBLE) / len(dt), 4)").mkString(", ")
       s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
          |lg AS (SELECT doc_id, greatest($scores) > 0 AS lang_ok
          |  FROM (SELECT doc_id, list_distinct(w) AS dt FROM t)),

@@ -133,9 +133,9 @@ object Dedup {
     * list partitioned by src, and no per-component state ever concentrates
     * in one task.
     *
-    * The returned frame is the final round's persisted labels (its lineage
-    * runs through the loop's unpersisted intermediates, so the cache IS the
-    * result); callers that are done with it may unpersist.
+    * The RETURNED frame is itself persisted and materialized (every loop
+    * intermediate is freed before returning), so repeated actions read the
+    * cache and `result.unpersist()` genuinely releases the last block.
     */
   def nearDupClusters(spark: SparkSession, dir: String,
       bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8,
@@ -146,9 +146,14 @@ object Dedup {
       .select(col("id_a"), col("id_b")).persist()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = Tables.documents(spark, dir)
+    // `cached` tracks the frame persist() was actually called on: calling
+    // unpersist() on a PROJECTION of a cached plan is a silent no-op
+    // (CacheManager matches by root-plan sameResult), which would leak one
+    // cached round per iteration
+    var cached = Tables.documents(spark, dir)
       .select(col("doc_id"), col("doc_id").as("cluster")).persist()
-    labels.count()
+    cached.count()
+    var labels = cached
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -164,7 +169,8 @@ object Dedup {
         .persist()
       updated.count()
       val changed = updated.filter(col("cluster") =!= col("old")).limit(1).count()
-      labels.unpersist()
+      cached.unpersist()
+      cached = updated
       labels = updated.drop("old")
       converged = changed == 0
       iter += 1
@@ -173,9 +179,18 @@ object Dedup {
         println(s"[d9] round $iter changed=$changed")
         // scalastyle:on println
     }
+    if (!converged)
+      Console.err.println(s"[nearDupClusters] NOT converged after $maxIters rounds — " +
+        "labels may disagree with exact connected components (raise maxIters)")
     pairs.unpersist()
-    labels.select(col("doc_id"), col("cluster"),
-      (col("doc_id") === col("cluster")).as("is_rep"))
+    // persist the RESULT itself so (a) downstream actions don't re-run the
+    // loop lineage after the intermediates are freed and (b) the caller's
+    // unpersist() targets the plan that actually holds the cache
+    val result = labels.select(col("doc_id"), col("cluster"),
+      (col("doc_id") === col("cluster")).as("is_rep")).persist()
+    result.count()
+    cached.unpersist()
+    result
   }
 
   /** n-gram Jaccard near-dup with cheap blocking (same lang + same first and

@@ -104,21 +104,57 @@ object TextAnalysis {
         round(avg(length(col("text"))), 4).as("avg_chars"))
   }
 
+  /** (doc_id, n_tokens, n_distinct, top_tok) — token counts, distinct count
+    * AND top frequency all out of a single (doc, token)-level aggregation,
+    * shared by `repetition` and `filterFunnel` (which needs no bigrams).
+    * Top-frequency is computed DISTRIBUTED — explode to (doc, token) and
+    * two hash aggregations — rather than any per-row map structure: the
+    * shuffle carries small (doc_id, token) pairs and both aggregations are
+    * partial+final, so a 100 TB corpus never materializes a per-document
+    * frequency table in one task.
+    */
+  private def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_tok"))
+
+  private def distinctRatio: Column =
+    round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+  private def topTokenRatio: Column =
+    round(col("top_tok").cast("double") / col("n_tokens"), 4)
+
   /** Repetition signals (Gopher-style quality filters over token streams):
     * distinct-token ratio, most-frequent-token fraction, most-frequent-
-    * bigram fraction. Top-frequency is computed DISTRIBUTED — explode to
-    * (doc, token) and two hash aggregations — rather than any per-row map
-    * structure: the shuffle carries small (doc_id, token) pairs and both
-    * aggregations are partial+final, so a 100 TB corpus never materializes
-    * a per-document frequency table in one task.
+    * bigram fraction — the shared token stats plus the bigram branch.
     */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val topBigram = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram"))
+    tokenStats(spark, dir).join(topBigram, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        distinctRatio.as("distinct_ratio"),
+        topTokenRatio.as("top_token_ratio"),
+        // a 1-token doc has no bigram (shingles degenerates to the whole doc)
+        when(col("n_tokens") > 1,
+          round(col("top_bigram").cast("double") / (col("n_tokens") - 1), 4))
+          .otherwise(lit(null)).as("top_bigram_ratio"))
+  }
+
   /** Corpus filter FUNNEL — the decision step of a training-data pipeline:
     * language confidence (t2), quality gate (t3) and repetition bounds (t7)
     * joined per doc, rolled up to survival counts per gate and overall.
     * Each component is its own oracle-proven operator; this is the
     * composition a 100 TB curation run executes before writing the kept
-    * split. Joins are doc_id equi joins of per-doc scalars — no text
-    * moves past the first projection of each branch.
+    * split. Joins are doc_id equi joins of per-doc scalars — no text moves
+    * past the first projection of each branch, and the repetition gate
+    * reads the shared token-stats aggregation directly (no bigram branch:
+    * rep_ok never looks at it).
     */
   def filterFunnel(spark: SparkSession, dir: String,
       maxTopTokenRatio: Double = 0.2, minDistinctRatio: Double = 0.3): DataFrame = {
@@ -126,10 +162,10 @@ object TextAnalysis {
       .select(col("doc_id"), (col("predicted") =!= "und").as("lang_ok"))
     val qual = qualityScore(spark, dir)
       .select(col("doc_id"), col("keep").as("quality_ok"))
-    val rep = repetition(spark, dir)
+    val rep = tokenStats(spark, dir)
       .select(col("doc_id"),
-        (col("top_token_ratio") <= maxTopTokenRatio &&
-          col("distinct_ratio") >= minDistinctRatio).as("rep_ok"))
+        (topTokenRatio <= maxTopTokenRatio &&
+          distinctRatio >= minDistinctRatio).as("rep_ok"))
     def n(c: Column): Column = sum(when(c, 1L).otherwise(0L)).cast("long")
     lang.join(qual, Seq("doc_id")).join(rep, Seq("doc_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -137,29 +173,5 @@ object TextAnalysis {
         n(col("quality_ok")).as("n_quality_ok"),
         n(col("rep_ok")).as("n_rep_ok"),
         n(col("lang_ok") && col("quality_ok") && col("rep_ok")).as("n_kept"))
-  }
-
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-    // token counts, distinct count AND top frequency all come out of the
-    // single (doc, token)-level aggregation — no separate base-stats branch
-    val tokStats = t.select(col("doc_id"), explode(col("w")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(
-        sum(col("c")).cast("long").as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_tok"))
-    val topBigram = t.select(col("doc_id"), explode(shingles(col("w"), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram"))
-    tokStats.join(topBigram, Seq("doc_id"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
-        round(col("top_tok").cast("double") / col("n_tokens"), 4).as("top_token_ratio"),
-        // a 1-token doc has no bigram (shingles degenerates to the whole doc)
-        when(col("n_tokens") > 1,
-          round(col("top_bigram").cast("double") / (col("n_tokens") - 1), 4))
-          .otherwise(lit(null)).as("top_bigram_ratio"))
   }
 }
