@@ -77,6 +77,20 @@ class PlanSpec extends SparkSuite {
     assert(s4.contains("BroadcastHashJoin") || s4.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("t7/t8/d9: text-analysis and clustering plans stay equi-join + hash-agg") {
+    val dir = sf("sf0.001")
+    for ((name, df) <- Seq(
+      "t7" -> graft.operators.TextAnalysis.repetition(spark, dir),
+      "t8" -> graft.operators.TextAnalysis.filterFunnel(spark, dir),
+      "d9" -> graft.operators.Dedup.nearDupClusters(spark, dir))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(!plan.contains("SortMergeJoin") || name != "t8",
+        s"$name joins tiny per-doc scalars — should broadcast, not sort-merge")
+      assert(plan.contains("HashAggregate"), s"$name lost its hash aggregation")
+    }
+  }
+
   test("salted join: result identical to plain join, salt column gone") {
     val fact = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "payload")
     val dim = Seq((1, "dim1"), (2, "dim2")).toDF("k", "name")
