@@ -115,6 +115,7 @@ object SparkEntry {
     "t6_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d).orderBy("lang", "source")),
     "t7_repetition" -> ((s, d) => TextAnalysis.repetition(s, d).orderBy("doc_id")),
     "t8_filter_funnel" -> ((s, d) => TextAnalysis.filterFunnel(s, d)),
+    "t9_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d).orderBy("split", "lang")),
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d).drop("payload").orderBy("media_id")),
     "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
@@ -495,6 +496,16 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_ok,
          |  CAST(sum(CASE WHEN lang_ok AND quality_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM lg JOIN q USING (doc_id) JOIN rep USING (doc_id)""".stripMargin
+    },
+    "t9_split_assign" -> {
+      val hexv = (c: String) => s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+      val b = s"(${hexv("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)")})"
+      s"""SELECT split, lang, count(*) AS n_docs,
+         | CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens
+         |FROM (SELECT lang, text,
+         |  CASE WHEN $b < 250 THEN 'train' WHEN $b < 253 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents)
+         |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
     },
     // ---- multimodal ----
     "m1_binary_meta" ->

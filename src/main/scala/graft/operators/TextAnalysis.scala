@@ -146,6 +146,25 @@ object TextAnalysis {
           .otherwise(lit(null)).as("top_bigram_ratio"))
   }
 
+  /** Deterministic train/val/test split assignment — the LAST step of a
+    * curation pipeline: bucket = first md5 byte of the doc id (portable,
+    * reproducible run-to-run and engine-to-engine; never rand()), split by
+    * cumulative byte thresholds ≈ 250/3/3 ≙ 97.7%/1.2%/1.2%. Pure map-side
+    * expression + tiny rollup; re-running on a grown corpus keeps every
+    * previously-assigned doc in its split (content-stable hashing).
+    */
+  def splitAssign(spark: SparkSession, dir: String,
+      trainUpTo: Int = 250, valUpTo: Int = 253): DataFrame = {
+    val b = hexVal(substring(md5(col("doc_id").cast("string")), 1, 1)) * 16 +
+      hexVal(substring(md5(col("doc_id").cast("string")), 2, 1))
+    val split = when(b < trainUpTo, "train")
+      .when(b < valUpTo, "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split.as("split"), size(tokens(col("text"))).as("toks"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("total_tokens"))
+  }
+
   /** Corpus filter FUNNEL — the decision step of a training-data pipeline:
     * language confidence (t2), quality gate (t3) and repetition bounds (t7)
     * joined per doc, rolled up to survival counts per gate and overall.
