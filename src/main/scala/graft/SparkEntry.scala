@@ -150,6 +150,13 @@ object SparkEntry {
        |  WHERE jaccard >= 0.8)""".stripMargin
   }
 
+  /** Hex digit → 0..15 in portable SQL (ascii arithmetic) — the oracle
+    * rendering of Exprs.hexVal, shared by every md5-bucket oracle
+    * (simhash, LSH planes, split assignment).
+    */
+  private val hexv = (c: String) =>
+    s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+
   /** Marker lexicons — the SQL rendering of TextAnalysis.lexicons, shared
     * by the t2 and t8 oracles.
     */
@@ -308,7 +315,6 @@ object SparkEntry {
          |  FROM ds a JOIN ds b ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.tokz = b.tokz AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "d5_simhash" -> {
-      val hexv = (c: String) => s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
       val bits = (1 to 16).map { p =>
         s"(CASE WHEN list_sum([${hexv(s"substr(md5(x), $p, 1)")} - 7.5 for x in w]) > 0 THEN ${1L << (p - 1)} ELSE 0 END)"
       }.mkString(" + ")
@@ -316,7 +322,6 @@ object SparkEntry {
          |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t ORDER BY doc_id""".stripMargin
     },
     "d6_embedding_neardup" -> {
-      val hexv = (c: String) => s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
       val coeff = hexv("substr(md5('plane:' || (b*2+j) || ':' || i), 1, 1)")
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
          |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
@@ -347,7 +352,6 @@ object SparkEntry {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
     },
     "d8_embedding_neardup_lsh" -> {
-      val hexv = (c: String) => s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
       val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
@@ -372,7 +376,6 @@ object SparkEntry {
         |  FROM p CROSS JOIN e WHERE probe_id != vec_id)
         |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
     "s2_ann_lsh" -> {
-      val hexv = (c: String) => s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
       val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
@@ -498,7 +501,6 @@ object SparkEntry {
          |FROM lg JOIN q USING (doc_id) JOIN rep USING (doc_id)""".stripMargin
     },
     "t9_split_assign" -> {
-      val hexv = (c: String) => s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
       val b = s"(${hexv("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)")})"
       s"""SELECT split, lang, count(*) AS n_docs,
          | CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens

@@ -151,7 +151,9 @@ object TextAnalysis {
     * reproducible run-to-run and engine-to-engine; never rand()), split by
     * cumulative byte thresholds ≈ 250/3/3 ≙ 97.7%/1.2%/1.2%. Pure map-side
     * expression + tiny rollup; re-running on a grown corpus keeps every
-    * previously-assigned doc in its split (content-stable hashing).
+    * previously-assigned doc in its split PROVIDED ids are stable — the
+    * hash is id-stable, not content-stable (positionally reassigned ids
+    * would move docs between splits).
     */
   def splitAssign(spark: SparkSession, dir: String,
       trainUpTo: Int = 250, valUpTo: Int = 253): DataFrame = {
@@ -160,7 +162,7 @@ object TextAnalysis {
     val split = when(b < trainUpTo, "train")
       .when(b < valUpTo, "val").otherwise("test")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), split.as("split"), size(tokens(col("text"))).as("toks"))
+      .select(col("lang"), split.as("split"), size(tokens(col("text"))).as("toks"))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("total_tokens"))
   }

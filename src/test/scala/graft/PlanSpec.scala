@@ -85,8 +85,9 @@ class PlanSpec extends SparkSuite {
       "d9" -> graft.operators.Dedup.nearDupClusters(spark, dir))) {
       val plan = executedPlan(df)
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
-      assert(!plan.contains("SortMergeJoin") || name != "t8",
-        s"$name joins tiny per-doc scalars — should broadcast, not sort-merge")
+      if (name == "t8")
+        assert(!plan.contains("SortMergeJoin"),
+          "t8 joins tiny per-doc scalars — should broadcast, not sort-merge")
       assert(plan.contains("HashAggregate"), s"$name lost its hash aggregation")
     }
   }
