@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of `sbt "runMain graft.Bench"` output as
+// JSON. sbt's default LoggedOutput strategy prefixes every forked-process
+// line with [info]/[error] and appends its own "[success] Total time" -
+// both of which broke the round-1/2 bench parse. StdoutOutput passes the
+// child's stdout/stderr through verbatim; showSuccess drops the trailer.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

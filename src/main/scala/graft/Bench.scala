@@ -51,23 +51,33 @@ object Bench {
     // first ad-hoc SQL query's measurement
     try graft.Tables.registerViews(spark, sfDir)
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // (name -> (seconds, ok)): a crashing query must not masquerade as a
+    // fast one, so failures carry an explicit flag in the detail file and
+    // an n_failed count in the summary line.
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the timed set — local iteration aid;
+    // the driver never sets it, so gate runs always time every query
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (((System.nanoTime() - t0) / 1e9), ok)
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val detail = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
-      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    val failed = results.collect { case (k, (_, false)) => k }.toSeq
+    val detail = results.map { case (k, (v, ok)) =>
+      s""""$k":{"sec":${fmt(v)},"ok":$ok}"""
+    }.mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath,
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
-    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${fmt(v)}"))
+    val qs = headline.flatMap(k => results.get(k).map { case (v, _) => s"\"$k\":${fmt(v)}" })
       .mkString("{", ",", "}")
     spark.stop()
     // LAST line, compact: fits entirely inside the driver's tail window
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"detail":"target/bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench_full.json","sf":"$sfDir"}""")
   }
 }

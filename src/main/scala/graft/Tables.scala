@@ -60,22 +60,19 @@ object Tables {
     * `events` registers through the converting accessor so SQL users see a
     * real timestamp, not the raw nanos long.
     */
-  private val registeredDir =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
-  private val registerLocks =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, Object]
-
   def registerViews(spark: SparkSession, dir: String): Unit = {
     // per-session lock: registration does ~10 footer reads, and a global
-    // lock would serialize unrelated sessions through that I/O
-    val lock = registerLocks.getOrElseUpdate(spark, new Object)
+    // lock would serialize unrelated sessions through that I/O. Both the
+    // lock and the last-registered-dir marker live in SessionCache so a
+    // stopped session's entries are evicted instead of retained forever.
+    val lock = SessionCache.getOrElseUpdate(spark, "registerViewsLock")(new Object)
     lock.synchronized {
-      if (!registeredDir.get(spark).contains(dir)) {
+      if (!SessionCache.get[String](spark, "registeredDir").contains(dir)) {
         all.foreach { t =>
           val df = if (t == "events") events(spark, dir) else read(spark, dir, t)
           df.createOrReplaceTempView(t)
         }
-        registeredDir(spark) = dir
+        SessionCache.put(spark, "registeredDir", dir)
       }
     }
   }

@@ -18,6 +18,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // flagship smoke (the driver's entry gate): rows must be > 0
+    val entryRows =
+      try SparkEntry.entry(spark).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] entry failed: ${e.getMessage}"); -1L
+      }
+    if (entryRows <= 0) System.err.println(s"[verify] entry rows=$entryRows (must be > 0)")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

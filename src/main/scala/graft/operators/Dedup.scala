@@ -67,12 +67,13 @@ object Dedup {
   /** One persisted shingle table per (session, dir): repeated query runs
     * reuse the same cached blocks instead of leaking a new persisted copy
     * per call (the materialized-aggregate pattern, itdbloader.py:269-293).
+    * Evicted with the session via [[graft.SessionCache]].
     */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   private def persistedShingleTable(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((spark, dir), shingleTable(spark, dir).persist())
+    graft.SessionCache.getOrElseUpdate(spark, ("shingles", dir)) {
+      shingleTable(spark, dir).persist()
+    }
+
 
   /** All k signatures in ONE pass over the shingle array via the native
     * expression (value-identical to k× array_min∘transform∘md5 — same bytes
@@ -98,7 +99,17 @@ object Dedup {
     * be handled by AQE skew-join splitting.
     */
   def minhashLshPairs(spark: SparkSession, dir: String,
-      bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8): DataFrame = {
+      bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8): DataFrame =
+    // the verified pair table is the shared intermediate of the pair-report
+    // query (d3) and the clustering query (d9): materialize once per
+    // (session, dir, params) — the same reused-aggregate pattern as the
+    // shingle table, one level up the pipeline
+    graft.SessionCache.getOrElseUpdate(spark, ("lshPairs", dir, bands, rowsPerBand, threshold)) {
+      computeMinhashLshPairs(spark, dir, bands, rowsPerBand, threshold).persist()
+    }
+
+  private def computeMinhashLshPairs(spark: SparkSession, dir: String,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     // the shingle projection feeds BOTH signature generation and Jaccard
     // verification — materialized once per (session, dir)
     val withSh = persistedShingleTable(spark, dir)
@@ -122,16 +133,25 @@ object Dedup {
 
   /** Near-dup CLUSTERS: connected components over the verified MinHash-LSH
     * pair graph — the step that turns pairwise evidence into dedup groups
-    * (keep one representative per component, drop the rest). Min-label
-    * propagation: every doc starts as its own cluster, each round takes the
-    * min cluster id over itself and its neighbors, repeat to fixpoint.
-    * Each round is ONE distributed join + aggregation; the driver loop only
-    * checks a 0/1 convergence count, and rounds are bounded by component
-    * DIAMETER (near-dup components are dense near-cliques, so 2-3 rounds in
-    * practice; hard cap backstops pathological chains). This is the
-    * standard Pregel-style CC — at 100 TB the same loop runs with the edge
-    * list partitioned by src, and no per-component state ever concentrates
-    * in one task.
+    * (keep one representative per component, drop the rest).
+    *
+    * Two-phase structure (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14: shrink distributively, finish the
+    * small remainder in one place):
+    *   - the pair graph after LSH + Jaccard verification is orders of
+    *     magnitude smaller than the corpus (only near-duplicates appear).
+    *     When its edge count is within `smallGraphEdges`, one bounded task
+    *     runs union-find over the edge list (`mapPartitions`, not a driver
+    *     collect) — exact components, no iteration;
+    *   - above the bound, diameter-bounded min-label propagation runs
+    *     entirely on the edge-vertex set: one join+agg ACTION per round,
+    *     convergence counted in the same scan that materializes the round.
+    *     The cap THROWS when hit — unconverged labels would silently drop
+    *     the wrong documents downstream.
+    *
+    * Either way the corpus-sized table enters exactly once — the final left
+    * join, where isolated documents keep `cluster = doc_id` — so per-round
+    * state never scales with corpus size, only with near-dup density.
     *
     * The RETURNED frame is itself persisted and materialized (every loop
     * intermediate is freed before returning), so repeated actions read the
@@ -139,20 +159,86 @@ object Dedup {
     */
   def nearDupClusters(spark: SparkSession, dir: String,
       bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8,
-      maxIters: Int = 20): DataFrame = {
-    // persist the verified pairs ONCE — the symmetric edge union reads the
-    // cache twice instead of running the whole LSH+verify pipeline twice
+      maxIters: Int = 20, smallGraphEdges: Long = 5000000L): DataFrame = {
+    // the verified pair table is the shared d3/d9 intermediate (session-
+    // cached inside minhashLshPairs)
     val pairs = minhashLshPairs(spark, dir, bands, rowsPerBand, threshold)
-      .select(col("id_a"), col("id_b")).persist()
+      .select(col("id_a"), col("id_b"))
+    val nEdges = pairs.count()
+    // both paths return the frame persist() was actually called on, so the
+    // final unpersist below genuinely frees it (unpersisting a PROJECTION
+    // of a cached plan is a silent no-op)
+    val labels =
+      if (nEdges <= smallGraphEdges) unionFindLabels(spark, pairs)
+      else propagateLabels(spark, pairs, maxIters)
+    // isolated documents re-enter here with cluster = doc_id; the vertex
+    // labels are small by LSH construction, so the corpus side never shuffles
+    val result = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(labels.select(col("doc_id"), col("cluster"))), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .withColumn("is_rep", col("doc_id") === col("cluster"))
+      .persist()
+    result.count()
+    labels.unpersist()
+    result
+  }
+
+  /** Small-graph finish: exact union-find over the verified pair list in a
+    * single bounded task. `mapPartitions` over `repartition(1)` keeps the
+    * work on an executor (the edge list never crosses to the driver); the
+    * caller guarantees the edge count is bounded. Roots are canonicalized to
+    * the component MINIMUM so the labels match min-label propagation and the
+    * recursive-CTE oracle exactly.
+    */
+  private def unionFindLabels(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var root = x
+          while (parent.getOrElse(root, root) != root) root = parent(root)
+          // path compression
+          var cur = x
+          while (parent.getOrElse(cur, cur) != root) {
+            val next = parent(cur); parent(cur) = root; cur = next
+          }
+          root
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // union by min id: the smaller root absorbs the larger
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.map(v => (v, find(v))).toSeq.iterator
+      }
+      .toDF("doc_id", "cluster")
+      .persist()
+  }
+
+  /** Large-graph path: Pregel-style min-label propagation over the
+    * edge-vertex set, rounds bounded by component diameter (near-dup
+    * components are dense near-cliques, so 2-3 rounds in practice).
+    * `localCheckpoint` TRUNCATES the pair pipeline's lineage so each
+    * round's action analyzes a shallow plan over the materialized edge
+    * list, not the whole LSH tree (measured 4x per-action overhead
+    * without it); on a fault-tolerant cluster this would be `checkpoint()`
+    * against a reliable dir — the algorithm is identical.
+    */
+  private def propagateLabels(spark: SparkSession, pairs: DataFrame,
+      maxIters: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     // `cached` tracks the frame persist() was actually called on: calling
     // unpersist() on a PROJECTION of a cached plan is a silent no-op
     // (CacheManager matches by root-plan sameResult), which would leak one
-    // cached round per iteration
-    var cached = Tables.documents(spark, dir)
+    // cached round per iteration. No eager count: round 1 materializes it.
+    var cached = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster")).persist()
-    cached.count()
     var labels = cached
     var converged = false
     var iter = 0
@@ -160,15 +246,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("src"), col("cluster")), Seq("src"))
         .groupBy(col("dst").as("doc_id")).agg(min(col("cluster")).as("nmin"))
-      // carry the old label through the same frame: the convergence check
-      // is then a filter over the cache, not a second join per round
+      // every vertex has >= 1 incoming edge (symmetric union), but keep the
+      // left join so the algebra never depends on that invariant
       val updated = labels.select(col("doc_id"), col("cluster").as("old"))
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("old"),
           least(col("old"), coalesce(col("nmin"), col("old"))).as("cluster"))
         .persist()
-      updated.count()
-      val changed = updated.filter(col("cluster") =!= col("old")).limit(1).count()
+      // single action per round: materializes the persist AND counts changes
+      val changed = updated
+        .agg(coalesce(sum(when(col("cluster") =!= col("old"), 1L).otherwise(0L)), lit(0L)))
+        .first().getLong(0)
       cached.unpersist()
       cached = updated
       labels = updated.drop("old")
@@ -179,18 +267,15 @@ object Dedup {
         println(s"[d9] round $iter changed=$changed")
         // scalastyle:on println
     }
-    if (!converged)
-      Console.err.println(s"[nearDupClusters] NOT converged after $maxIters rounds — " +
-        "labels may disagree with exact connected components (raise maxIters)")
-    pairs.unpersist()
-    // persist the RESULT itself so (a) downstream actions don't re-run the
-    // loop lineage after the intermediates are freed and (b) the caller's
-    // unpersist() targets the plan that actually holds the cache
-    val result = labels.select(col("doc_id"), col("cluster"),
-      (col("doc_id") === col("cluster")).as("is_rep")).persist()
-    result.count()
-    cached.unpersist()
-    result
+    if (!converged) {
+      cached.unpersist()
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge after $maxIters rounds - " +
+          "labels would disagree with exact connected components (raise maxIters)")
+    }
+    // `cached` (not the `labels` projection) is what persist() was called
+    // on — return it so the caller's unpersist frees the real entry
+    cached
   }
 
   /** n-gram Jaccard near-dup with cheap blocking (same lang + same first and

@@ -104,23 +104,37 @@ object TextAnalysis {
         round(avg(length(col("text"))), 4).as("avg_chars"))
   }
 
-  /** (doc_id, n_tokens, n_distinct, top_tok) — token counts, distinct count
-    * AND top frequency all out of a single (doc, token)-level aggregation,
-    * shared by `repetition` and `filterFunnel` (which needs no bigrams).
-    * Top-frequency is computed DISTRIBUTED — explode to (doc, token) and
-    * two hash aggregations — rather than any per-row map structure: the
-    * shuffle carries small (doc_id, token) pairs and both aggregations are
-    * partial+final, so a 100 TB corpus never materializes a per-document
-    * frequency table in one task.
+  /** Longest run of equal adjacent values in the SORTED array == the top
+    * frequency of any value — a per-row fold instead of an explode+groupBy.
+    * null-prev on the first element falls to the `otherwise(1)` branch.
+    */
+  private def maxRunCount(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** (doc_id, n_tokens, n_distinct, top_tok) — token count, distinct count
+    * AND top frequency in one MAP-SIDE projection, shared by `repetition`
+    * and `filterFunnel`. Per-document frequency state is bounded by
+    * DOCUMENT size, not corpus size, so nothing here needs a shuffle: the
+    * earlier explode→groupBy form moved the entire token stream through an
+    * exchange (the whole corpus's tokens at 100 TB) to compute quantities
+    * each row already determines locally. The token array is materialized
+    * once; the three stats read the attribute.
     */
   private def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(
-        sum(col("c")).cast("long").as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_tok"))
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+        maxRunCount(col("tk")).as("top_tok"))
 
   private def distinctRatio: Column =
     round(col("n_distinct").cast("double") / col("n_tokens"), 4)
@@ -129,14 +143,18 @@ object TextAnalysis {
 
   /** Repetition signals (Gopher-style quality filters over token streams):
     * distinct-token ratio, most-frequent-token fraction, most-frequent-
-    * bigram fraction — the shared token stats plus the bigram branch.
+    * bigram fraction. Fully map-side like the shared token stats — the
+    * bigram branch is the same longest-sorted-run fold over the 2-shingle
+    * array, in the same projection (no join, no shuffle, one text scan).
     */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val topBigram = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram"))
-    tokenStats(spark, dir).join(topBigram, Seq("doc_id"))
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+        maxRunCount(col("tk")).as("top_tok"),
+        maxRunCount(shingles(col("tk"), 2)).as("top_bigram"))
       .select(col("doc_id"), col("n_tokens"),
         distinctRatio.as("distinct_ratio"),
         topTokenRatio.as("top_token_ratio"),
@@ -144,7 +162,6 @@ object TextAnalysis {
         when(col("n_tokens") > 1,
           round(col("top_bigram").cast("double") / (col("n_tokens") - 1), 4))
           .otherwise(lit(null)).as("top_bigram_ratio"))
-  }
 
   /** Deterministic train/val/test split assignment — the LAST step of a
     * curation pipeline: bucket = first md5 byte of the doc id (portable,

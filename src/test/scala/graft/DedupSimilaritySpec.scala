@@ -74,6 +74,16 @@ class DedupSimilaritySpec extends SparkSuite {
     got.values.map(_._1).toSet.foreach((c: Long) => assert(got(c) == (c, true)))
   }
 
+  test("near-dup clusters: propagation path (large-graph) matches union-find path") {
+    // smallGraphEdges = 0 forces the Pregel-style min-label loop the gate
+    // query skips at test scale — both paths must produce identical labels
+    val viaUnionFind = Dedup.nearDupClusters(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val viaPropagation = Dedup.nearDupClusters(spark, fixtureDir, smallGraphEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(viaPropagation == viaUnionFind)
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
     val b = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
