@@ -64,37 +64,59 @@ object JdbcSink {
     try f(conn) finally conn.close()
   }
 
-  /** getTables treats `_`/`%` as LIKE wildcards — escape them with the
-    * engine's search-string escape so "play_list" can't match "playXlist",
-    * and keep only results whose stored name is a case-variant of the
-    * requested table (a LIKE hit on an unrelated name must not count).
+  /** (schema-or-catalog qualifier, stored name) pairs for `table` in the
+    * CONNECTION'S CURRENT namespace. getTables treats `_`/`%` as LIKE
+    * wildcards — escape them with the engine's search-string escape so
+    * "play_list" can't match "playXlist" — and keep only results whose
+    * stored name is a case-variant of the requested table.
+    *
+    * Scoping matters on a real server: with null catalog/schema patterns a
+    * same-named table in ANOTHER database would make tableExists true (the
+    * merge then reads an unqualified name from the current schema and
+    * fails) and dropIfExists could act on the foreign table. The lookup is
+    * therefore pinned to getCatalog/getSchema, falling back to null only
+    * when the driver can't report them (pre-4.1 drivers throw on
+    * getSchema).
     */
-  private def storedNames(conn: java.sql.Connection, table: String): Seq[String] = {
+  private def storedNames(conn: java.sql.Connection,
+      table: String): Seq[(Option[String], String)] = {
     val md = conn.getMetaData
     val esc = md.getSearchStringEscape
     def escaped(t: String): String =
       t.flatMap(c => if (c == '_' || c == '%') s"$esc$c" else c.toString)
+    val cat = try Option(conn.getCatalog).filter(_.nonEmpty)
+      catch { case _: Throwable => None }
+    val sch = try Option(conn.getSchema).filter(_.nonEmpty)
+      catch { case _: Throwable => None }
     Seq(table, table.toUpperCase, table.toLowerCase).distinct.flatMap { t =>
-      val rs = md.getTables(null, null, escaped(t), null)
-      val names = Seq.newBuilder[String]
-      try while (rs.next()) names += rs.getString("TABLE_NAME") finally rs.close()
+      val rs = md.getTables(cat.orNull, sch.orNull, escaped(t), null)
+      val names = Seq.newBuilder[(Option[String], String)]
+      try while (rs.next()) {
+        // qualify with the STORED namespace (TABLE_SCHEM; MySQL reports the
+        // database as TABLE_CAT with a null schema) so DDL below hits the
+        // exact table metadata matched
+        val qual = Option(rs.getString("TABLE_SCHEM")).filter(_.nonEmpty)
+          .orElse(Option(rs.getString("TABLE_CAT")).filter(_.nonEmpty))
+        names += ((qual, rs.getString("TABLE_NAME")))
+      } finally rs.close()
       names.result()
-    }.distinct.filter(_.equalsIgnoreCase(table))
+    }.distinct.filter(_._2.equalsIgnoreCase(table))
   }
 
   private def tableExists(conn: java.sql.Connection, table: String): Boolean =
     storedNames(conn, table).nonEmpty
 
-  /** Drop using the engine's STORED name and quote character — Spark
-    * writes quoted (case-preserved) identifiers while unquoted DDL gets
-    * case-normalized, so `DROP TABLE name` unquoted can miss the table
-    * Spark just created.
+  /** Drop using the engine's STORED qualifier+name and quote character —
+    * Spark writes quoted (case-preserved) identifiers while unquoted DDL
+    * gets case-normalized, so `DROP TABLE name` unquoted can miss the
+    * table Spark just created.
     */
   private def dropIfExists(conn: java.sql.Connection, table: String): Unit = {
     val q = conn.getMetaData.getIdentifierQuoteString
-    storedNames(conn, table).foreach { name =>
+    storedNames(conn, table).foreach { case (qual, name) =>
+      val target = qual.fold(s"$q$name$q")(s => s"$q$s$q.$q$name$q")
       val st = conn.createStatement()
-      try st.executeUpdate(s"DROP TABLE $q$name$q") finally st.close()
+      try st.executeUpdate(s"DROP TABLE $target") finally st.close()
     }
   }
 

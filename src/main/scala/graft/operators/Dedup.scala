@@ -345,9 +345,7 @@ object Dedup {
     */
   def embeddingNearDupsLsh(spark: SparkSession, dir: String,
       threshold: Double = 0.35, nPlanes: Int = 8): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), doubleVector(col("embedding")).as("v"))
-      .withColumn("n", l2Norm(col("v")))
+    val e = Similarity.preparedEmbeddings(spark, dir)
       .withColumn("bucket", Similarity.bucketExpr(col("v"), nPlanes))
     val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
     val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
@@ -372,9 +370,7 @@ object Dedup {
     */
   def embeddingNearDupsBounded(spark: SparkSession, dir: String,
       threshold: Double = 0.35, bands: Int = 4, planesPerBand: Int = 2): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), doubleVector(col("embedding")).as("v"))
-      .withColumn("n", l2Norm(col("v")))
+    val e = Similarity.preparedEmbeddings(spark, dir)
     // all band buckets in ONE projection over one scan, then (band, bucket)
     // rows via posexplode — only (label, vec_id, band, bucket) shuffles
     val bandCols = array((0 until bands).map(b =>
@@ -401,12 +397,10 @@ object Dedup {
     * only when block sizes are known-bounded.
     */
   def embeddingNearDups(spark: SparkSession, dir: String, threshold: Double = 0.999): DataFrame = {
-    // each vector's norm is computed ONCE below the join boundary (the
-    // exchange materializes it), so per-pair work is a single dot product —
-    // vs dot + two norm folds per pair in the naive form
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), doubleVector(col("embedding")).as("v"))
-      .withColumn("n", l2Norm(col("v")))
+    // norms come precomputed from the shared prepared-vector cache, so
+    // per-pair work is a single dot product — vs dot + two norm folds per
+    // pair in the naive form
+    val e = Similarity.preparedEmbeddings(spark, dir)
     val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
     val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, Seq("label"))

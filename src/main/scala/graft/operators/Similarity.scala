@@ -26,6 +26,17 @@ object Similarity {
     df.select(col("vec_id") +: extra.map(col) :+ doubleVector(col("embedding")).as("v"): _*)
       .withColumn("n", l2Norm(col("v")))
 
+  /** Prepared-vector table (vec_id, label, v, n), materialized once per
+    * (session, dir) — every embedding operator (ANN tiers, near-dup tiers)
+    * starts from this same float→double + norm projection, so it is the
+    * natural shared intermediate (the vector-store "loaded index" step).
+    * Evicted with the session via [[graft.SessionCache]].
+    */
+  private[operators] def preparedEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("embeddingsVN", dir)) {
+      withVecNorm(Tables.embeddings(spark, dir), "label").persist()
+    }
+
   /** Bucket id as an expression over an existing double-vector column —
     * lets callers derive buckets in the same projection as v/n instead of
     * re-scanning the table and joining (one scan, no join).
@@ -51,7 +62,7 @@ object Similarity {
     */
   def bruteForceTopK(spark: SparkSession, dir: String,
       nProbes: Int = 5, k: Int = 10): DataFrame = {
-    val e = withVecNorm(Tables.embeddings(spark, dir))
+    val e = preparedEmbeddings(spark, dir)
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
@@ -97,8 +108,9 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String,
       nProbes: Int = 5, k: Int = 5, nPlanes: Int = 8): DataFrame = {
-    // bucket derived in the same projection as v/n: one scan, no self-join
-    val withBucket = withVecNorm(Tables.embeddings(spark, dir))
+    // bucket derived map-side over the prepared-vector cache: one scan
+    // (shared across all embedding operators), no self-join
+    val withBucket = preparedEmbeddings(spark, dir)
       .withColumn("bucket", bucketExpr(col("v"), nPlanes))
     val probes = withBucket.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"), col("bucket"))
@@ -126,7 +138,7 @@ object Similarity {
     val cents = labelCentroids(spark, dir)
       .select(col("label"), doubleVector(col("centroid")).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
-    val e = withVecNorm(Tables.embeddings(spark, dir), "label")
+    val e = preparedEmbeddings(spark, dir)
     val probesN = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
     // rank clusters per probe by centroid cosine; keep nprobe best
@@ -153,7 +165,15 @@ object Similarity {
     * vector per cluster), one hash aggregation using element-wise array
     * sums. Demonstrates vector aggregation without ever collecting vectors.
     */
-  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    // the trained coarse quantizer is reused by both the centroid report
+    // (s3) and IVF search (s4) — materialize the (tiny: one row per
+    // cluster) result once per (session, dir)
+    graft.SessionCache.getOrElseUpdate(spark, ("labelCentroids", dir)) {
+      computeLabelCentroids(spark, dir).persist()
+    }
+
+  private def computeLabelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val dim = 64
     val sumCols = (0 until dim).map(i =>

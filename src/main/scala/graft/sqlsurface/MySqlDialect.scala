@@ -21,7 +21,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * inside a literal like `WHERE note = 'we LIKE it'` pass through untouched.
   * `REGEXP <non-literal>` (column/expr pattern) stays an operator Spark also
   * accepts, case-sensitively — the CI injection needs a literal to edit;
-  * documented limitation of the token-level approach.
+  * documented limitation of the token-level approach. A literal pattern
+  * reached through opening parens (`REGEXP ('p')`) IS recognized (the
+  * pending-CI scan looks through `(`); a literal built by concatenation
+  * (`REGEXP 'a' || col`) gets the flag on its leading literal, which `(?i)`
+  * semantics make correct for the whole concatenated pattern.
   */
 object MySqlDialect {
 
@@ -38,8 +42,10 @@ object MySqlDialect {
     def plain(seg: String): String = {
       var s = seg
       s = s.replaceAll("(?i)\\bREGEXP\\s+BINARY\\b", "RLIKE")
-      if (s.matches("(?is).*\\bREGEXP\\s*")) {
-        s = s.replaceAll("(?is)\\bREGEXP(\\s*)$", "RLIKE$1")
+      // segment ending in REGEXP, possibly through opening parens
+      // (`REGEXP ('p')`): the literal that follows is still the pattern
+      if (s.matches("(?is).*\\bREGEXP[\\s(]*")) {
+        s = s.replaceAll("(?is)\\bREGEXP([\\s(]*)$", "RLIKE$1")
         pendingCi = true
       }
       if (caseInsensitiveLike) s = s.replaceAll("(?i)\\bLIKE\\b", "ILIKE")

@@ -47,4 +47,12 @@ class MySqlDialectSpec extends AnyFunSuite {
   test("REGEXP with non-literal pattern stays an operator (documented CS fallback)") {
     assert(translate("a REGEXP b") == "a REGEXP b")
   }
+
+  test("parenthesized literal pattern still gets the (?i) MySQL-CI flag") {
+    assert(translate("a REGEXP ('abc')") == "a RLIKE ('(?i)abc')")
+    assert(translate("a REGEXP ( ( 'abc' ) )") == "a RLIKE ( ( '(?i)abc' ) )")
+    // parenthesized NON-literal stays the CS operator like the bare form:
+    // the pending-CI flag must not leak to a LATER unrelated literal
+    assert(translate("a REGEXP (b) AND c = 'd'") == "a REGEXP (b) AND c = 'd'")
+  }
 }
