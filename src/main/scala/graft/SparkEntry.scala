@@ -116,6 +116,7 @@ object SparkEntry {
     "t7_repetition" -> ((s, d) => TextAnalysis.repetition(s, d).orderBy("doc_id")),
     "t8_filter_funnel" -> ((s, d) => TextAnalysis.filterFunnel(s, d)),
     "t9_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d).orderBy("split", "lang")),
+    "t10_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d).drop("payload").orderBy("media_id")),
     "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
@@ -509,6 +510,11 @@ object SparkEntry {
          |  FROM documents)
          |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
     },
+    "t10_vocabulary" ->
+      """SELECT tk AS token, CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk FROM documents)
+        |GROUP BY 1 ORDER BY n_total DESC, token LIMIT 50""".stripMargin,
     // ---- multimodal ----
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,

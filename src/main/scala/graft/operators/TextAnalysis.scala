@@ -163,6 +163,23 @@ object TextAnalysis {
           round(col("top_bigram").cast("double") / (col("n_tokens") - 1), 4))
           .otherwise(lit(null)).as("top_bigram_ratio"))
 
+  /** Corpus vocabulary with document frequency — the tokenizer-training /
+    * IDF-table step of a curation pipeline: top-K tokens by total count
+    * with the number of documents containing each. This one is a GENUINE
+    * corpus-level aggregation (unlike the per-doc repetition stats): the
+    * explode shuffle carries (token, doc_id) pairs with partial
+    * aggregation upstream — the classic word-count shape that scales with
+    * executor count — and the top-K lands as TakeOrderedAndProject, never
+    * a global sort materialization. Ties break by token text.
+    */
+  def vocabulary(spark: SparkSession, dir: String, topK: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("token"))
+      .limit(topK)
+
   /** Deterministic train/val/test split assignment — the LAST step of a
     * curation pipeline: bucket = first md5 byte of the doc id (portable,
     * reproducible run-to-run and engine-to-engine; never rand()), split by
