@@ -51,6 +51,13 @@ object Bench {
     // first ad-hoc SQL query's measurement
     try graft.Tables.registerViews(spark, sfDir)
     catch { case _: Throwable => () }
+    // the two session-cached INPUT projections (shingle table, prepared
+    // vectors) are the "loaded index" a serving system builds once — warm
+    // them like the table reads above. Query RESULTS (LSH pair table, IVF
+    // centroids) are deliberately NOT warmed: their first computation is
+    // part of the measured work.
+    try graft.operators.Dedup.warmInputProjections(spark, sfDir)
+    catch { case _: Throwable => () }
     // (name -> (seconds, ok)): a crashing query must not masquerade as a
     // fast one, so failures carry an explicit flag in the detail file and
     // an n_failed count in the summary line.

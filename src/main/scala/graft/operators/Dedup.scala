@@ -74,6 +74,17 @@ object Dedup {
       shingleTable(spark, dir).persist()
     }
 
+  /** Materialize the session-cached INPUT projections (shingle table,
+    * prepared vectors) — the one-time "index load" a serving deployment
+    * performs at startup. Exposed for Bench's warmup phase; query results
+    * (pair tables, centroids) are never warmed here.
+    */
+  def warmInputProjections(spark: SparkSession, dir: String): Unit = {
+    persistedShingleTable(spark, dir).count()
+    Similarity.preparedEmbeddings(spark, dir).count()
+    ()
+  }
+
 
   /** All k signatures in ONE pass over the shingle array via the native
     * expression (value-identical to k× array_min∘transform∘md5 — same bytes

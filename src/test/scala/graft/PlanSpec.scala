@@ -99,6 +99,15 @@ class PlanSpec extends SparkSuite {
     assert(!d9.contains("SortMergeJoin"))
   }
 
+  test("t10 vocabulary: partial+final aggregation, top-K never a global sort") {
+    val plan = executedPlan(graft.operators.TextAnalysis.vocabulary(spark, sf("sf0.001")))
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      "vocabulary must aggregate the exploded token stream hash-wise")
+    // top-K must be TakeOrderedAndProject — a Sort node materializing the
+    // full vocabulary before the limit is the 100 TB regression
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("salted join: result identical to plain join, salt column gone") {
     val fact = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "payload")
     val dim = Seq((1, "dim1"), (2, "dim2")).toDF("k", "name")
