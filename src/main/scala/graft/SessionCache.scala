@@ -17,6 +17,11 @@ import scala.collection.concurrent.TrieMap
   * `TrieMap.getOrElseUpdate` is atomic in Scala 2.13; a racing duplicate
   * `create` is tolerable for every use here (a losing `persist()` marks a
   * plan the CacheManager already tracks — sameResult dedups it).
+  *
+  * Eviction granularity is the CONTEXT, not the session: `newSession()`
+  * clones sharing one SparkContext are all evicted when that context
+  * stops. That is the right lifetime for what lives here — persisted
+  * DataFrames' cached blocks die with the context anyway.
   */
 object SessionCache {
   private val store = TrieMap.empty[(SparkSession, Any), Any]

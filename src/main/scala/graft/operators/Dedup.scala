@@ -170,7 +170,7 @@ object Dedup {
     */
   def nearDupClusters(spark: SparkSession, dir: String,
       bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8,
-      maxIters: Int = 20, smallGraphEdges: Long = 5000000L): DataFrame = {
+      maxIters: Int = 20, smallGraphEdges: Long = 1000000L): DataFrame = {
     // the verified pair table is the shared d3/d9 intermediate (session-
     // cached inside minhashLshPairs)
     val pairs = minhashLshPairs(spark, dir, bands, rowsPerBand, threshold)
@@ -198,9 +198,11 @@ object Dedup {
   /** Small-graph finish: exact union-find over the verified pair list in a
     * single bounded task. `mapPartitions` over `repartition(1)` keeps the
     * work on an executor (the edge list never crosses to the driver); the
-    * caller guarantees the edge count is bounded. Roots are canonicalized to
-    * the component MINIMUM so the labels match min-label propagation and the
-    * recursive-CTE oracle exactly.
+    * caller guarantees the edge count is bounded — the 1M-edge default
+    * keeps the parent map ≤ ~2M entries (~100-200 MB with HashMap
+    * overhead), comfortably inside one executor's heap. Roots are
+    * canonicalized to the component MINIMUM so the labels match min-label
+    * propagation and the recursive-CTE oracle exactly.
     */
   private def unionFindLabels(spark: SparkSession, pairs: DataFrame): DataFrame = {
     import spark.implicits._
