@@ -89,7 +89,10 @@ object JdbcSink {
     val sch = try Option(conn.getSchema).filter(_.nonEmpty)
       catch { case _: Throwable => None }
     Seq(table, table.toUpperCase, table.toLowerCase).distinct.flatMap { t =>
-      val rs = md.getTables(cat.orNull, sch.orNull, escaped(t), null)
+      // schemaPattern is a LIKE pattern too (catalog is an exact match per
+      // JDBC) — escape it, or '_' in the current schema name would match
+      // sibling schemas and reintroduce the cross-namespace hit
+      val rs = md.getTables(cat.orNull, sch.map(escaped).orNull, escaped(t), null)
       val names = Seq.newBuilder[(Option[String], String)]
       try while (rs.next()) {
         // qualify with the STORED namespace (TABLE_SCHEM; MySQL reports the

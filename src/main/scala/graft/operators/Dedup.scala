@@ -182,10 +182,16 @@ object Dedup {
     val labels =
       if (nEdges <= smallGraphEdges) unionFindLabels(spark, pairs)
       else propagateLabels(spark, pairs, maxIters)
-    // isolated documents re-enter here with cluster = doc_id; the vertex
-    // labels are small by LSH construction, so the corpus side never shuffles
+    // isolated documents re-enter here with cluster = doc_id. The explicit
+    // broadcast is justified ONLY on the union-find path, where the caller-
+    // guaranteed edge bound caps the label count; on the propagation path
+    // the vertex set can be arbitrarily large, so the join is left to AQE
+    // (which still broadcasts when the materialized labels turn out small,
+    // and shuffles when they don't — never an 8 GB broadcast failure)
+    val labelSide = labels.select(col("doc_id"), col("cluster"))
+    val joinSide = if (nEdges <= smallGraphEdges) broadcast(labelSide) else labelSide
     val result = Tables.documents(spark, dir).select(col("doc_id"))
-      .join(broadcast(labels.select(col("doc_id"), col("cluster"))), Seq("doc_id"), "left")
+      .join(joinSide, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .withColumn("is_rep", col("doc_id") === col("cluster"))

@@ -119,6 +119,25 @@ object TextAnalysis {
       },
       acc => acc.getField("best"))
 
+  /** (doc_id, tk) with NULL-text documents dropped — the old explode-based
+    * stats produced NO row for a NULL text (explode of null emits nothing)
+    * and the DuckDB oracles' inner join with their token CTE does the same,
+    * so the map-side form must filter explicitly to keep the row SET
+    * structurally identical, not just identical on null-free fixtures.
+    */
+  private def tokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+
+  /** The three per-doc stats over a materialized `tk` column — ONE copy,
+    * shared by `tokenStats` (t8's gate input) and `repetition` (t7), so a
+    * tokenization or stat change can't silently diverge between them.
+    */
+  private def tokenStatCols: Seq[Column] = Seq(
+    size(col("tk")).cast("long").as("n_tokens"),
+    size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+    maxRunCount(col("tk")).as("top_tok"))
+
   /** (doc_id, n_tokens, n_distinct, top_tok) — token count, distinct count
     * AND top frequency in one MAP-SIDE projection, shared by `repetition`
     * and `filterFunnel`. Per-document frequency state is bounded by
@@ -129,12 +148,7 @@ object TextAnalysis {
     * once; the three stats read the attribute.
     */
   private def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"),
-        size(col("tk")).cast("long").as("n_tokens"),
-        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
-        maxRunCount(col("tk")).as("top_tok"))
+    tokenized(spark, dir).select(col("doc_id") +: tokenStatCols: _*)
 
   private def distinctRatio: Column =
     round(col("n_distinct").cast("double") / col("n_tokens"), 4)
@@ -148,13 +162,9 @@ object TextAnalysis {
     * array, in the same projection (no join, no shuffle, one text scan).
     */
   def repetition(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"),
-        size(col("tk")).cast("long").as("n_tokens"),
-        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
-        maxRunCount(col("tk")).as("top_tok"),
-        maxRunCount(shingles(col("tk"), 2)).as("top_bigram"))
+    tokenized(spark, dir)
+      .select(col("doc_id") +: tokenStatCols :+
+        maxRunCount(shingles(col("tk"), 2)).as("top_bigram"): _*)
       .select(col("doc_id"), col("n_tokens"),
         distinctRatio.as("distinct_ratio"),
         topTokenRatio.as("top_token_ratio"),
