@@ -109,6 +109,66 @@ object EventsStream {
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class OpenSession(start: Long, end: Long, n_events: Long)
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Custom sessionization via flatMapGroupsWithState — the state surface
+    * for session logic `session_window` can't express (e.g. emitting a
+    * session the moment it closes, enriching it from accumulated state).
+    * Each invocation may emit 0..N CLOSED sessions for the group (hence
+    * flatMap, not map): batch events are folded into the open session,
+    * every gap > `gapMs` closes one, and the still-open tail stays in the
+    * state store with an event-time timeout — when the watermark passes
+    * `end + gap` with no new events, the timeout invocation emits it and
+    * clears state. State per user is ONE open session (three longs), so a
+    * 100 TB/day stream holds bounded state regardless of history length.
+    *
+    * Per-invocation sorting is over ONE user's events in ONE micro-batch —
+    * bounded by batch sizing, not by stream history.
+    */
+  def sessionizeFlat(events: org.apache.spark.sql.Dataset[TimedEvent],
+      gapMs: Long = 30L * 60 * 1000): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[TimedEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap with no new events: the open
+            // session is final — emit it and drop the state
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n_events))
+          } else {
+            val times = it.map(_.ts.getTime).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(OpenSession(s.start, math.max(s.end, t), s.n_events + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n_events)
+                  open = Some(OpenSession(t, t, 1L))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Custom arbitrary state via mapGroupsWithState: per-user running
     * totals maintained in the state store across micro-batches — the
     * KeyValueGroupedDataset state surface for logic session_window can't

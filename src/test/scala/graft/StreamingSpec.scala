@@ -64,4 +64,43 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(state == batch)
   }
+
+  test("flatMapGroupsWithState sessionization: gap-close in batch, timeout-close by watermark") {
+    // Spark 4.1 relocated MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventsStream.TimedEvent
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // offset from epoch 0: an event whose time equals the initial watermark
+    // (0) is dropped as late by the stateful operator
+    def ts(minutes: Long) = new java.sql.Timestamp((1000 + minutes) * 60000L)
+    val input = MemoryStream[TimedEvent]
+    val q = EventsStream.sessionizeFlat(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("flat_sessions")
+      .start()
+    try {
+      // batch 1: user 1 has two sessions separated by a > 30 min gap — the
+      // FIRST closes within the batch (the flatMap emit), the second stays
+      // open in state; user 2 has one open session
+      input.addData(TimedEvent(1L, ts(0)), TimedEvent(1L, ts(5)),
+        TimedEvent(1L, ts(60)), TimedEvent(2L, ts(10)))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("flat_sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000 - 1000,
+          r.getTimestamp(2).getTime / 60000 - 1000, r.getLong(3))).toSet
+      assert(afterBatch1 == Set((1L, 0L, 5L, 2L)), afterBatch1.toString)
+      // batch 2: a far-future event advances the watermark (1 h delay) past
+      // every open session's end + gap — the TIMEOUT path emits them
+      input.addData(TimedEvent(3L, ts(600)))
+      q.processAllAvailable()
+      input.addData(TimedEvent(3L, ts(601)))
+      q.processAllAvailable()
+      val closed = spark.table("flat_sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000 - 1000,
+          r.getTimestamp(2).getTime / 60000 - 1000, r.getLong(3))).toSet
+      assert(closed.contains((1L, 60L, 60L, 1L)), closed.toString)
+      assert(closed.contains((2L, 10L, 10L, 1L)), closed.toString)
+    } finally q.stop()
+  }
 }
