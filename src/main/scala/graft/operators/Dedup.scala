@@ -175,12 +175,14 @@ object Dedup {
     // cached inside minhashLshPairs)
     val pairs = minhashLshPairs(spark, dir, bands, rowsPerBand, threshold)
       .select(col("id_a"), col("id_b"))
-    val nEdges = pairs.count()
+    // ONE bound decides both the algorithm and the join strategy below —
+    // keep it a single value so they can't drift apart
+    val smallGraph = pairs.count() <= smallGraphEdges
     // both paths return the frame persist() was actually called on, so the
     // final unpersist below genuinely frees it (unpersisting a PROJECTION
     // of a cached plan is a silent no-op)
     val labels =
-      if (nEdges <= smallGraphEdges) unionFindLabels(spark, pairs)
+      if (smallGraph) unionFindLabels(spark, pairs)
       else propagateLabels(spark, pairs, maxIters)
     // isolated documents re-enter here with cluster = doc_id. The explicit
     // broadcast is justified ONLY on the union-find path, where the caller-
@@ -189,7 +191,7 @@ object Dedup {
     // (which still broadcasts when the materialized labels turn out small,
     // and shuffles when they don't — never an 8 GB broadcast failure)
     val labelSide = labels.select(col("doc_id"), col("cluster"))
-    val joinSide = if (nEdges <= smallGraphEdges) broadcast(labelSide) else labelSide
+    val joinSide = if (smallGraph) broadcast(labelSide) else labelSide
     val result = Tables.documents(spark, dir).select(col("doc_id"))
       .join(joinSide, Seq("doc_id"), "left")
       .select(col("doc_id"),

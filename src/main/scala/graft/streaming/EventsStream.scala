@@ -111,61 +111,63 @@ object EventsStream {
 
   final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class OpenSession(start: Long, end: Long, n_events: Long)
+  final case class PendingSessions(sessions: Seq[OpenSession])
   final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long)
 
   /** Custom sessionization via flatMapGroupsWithState — the state surface
-    * for session logic `session_window` can't express (e.g. emitting a
-    * session the moment it closes, enriching it from accumulated state).
-    * Each invocation may emit 0..N CLOSED sessions for the group (hence
-    * flatMap, not map): batch events are folded into the open session,
-    * every gap > `gapMs` closes one, and the still-open tail stays in the
-    * state store with an event-time timeout — when the watermark passes
-    * `end + gap` with no new events, the timeout invocation emits it and
-    * clears state. State per user is ONE open session (three longs), so a
-    * 100 TB/day stream holds bounded state regardless of history length.
+    * for session logic `session_window` can't express (e.g. enriching a
+    * session from accumulated state as it closes). Each invocation may
+    * emit 0..N CLOSED sessions for the group (hence flatMap, not map).
     *
-    * Per-invocation sorting is over ONE user's events in ONE micro-batch —
-    * bounded by batch sizing, not by stream history.
+    * Correctness under out-of-order arrival: state holds the LIST of
+    * pending sessions inside the watermark horizon (sorted, disjoint
+    * intervals). Each event merges into that list interval-wise — it can
+    * extend a session backward, bridge two neighbors, or open a new one —
+    * and a session is emitted only once the watermark passes
+    * `end + gap`, when no admissible event can still touch it (the same
+    * finality rule session_window applies). Emission happens on whichever
+    * comes first: the next batch touching the group, or the event-time
+    * timeout set to the earliest pending close. State per user is bounded
+    * by the sessions inside one watermark horizon, independent of stream
+    * history; per-invocation sorting is over ONE user's events in ONE
+    * micro-batch.
     */
   def sessionizeFlat(events: org.apache.spark.sql.Dataset[TimedEvent],
       gapMs: Long = 30L * 60 * 1000): org.apache.spark.sql.Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
+
+    // merge one event time into the sorted disjoint session list: absorbs
+    // every session within gap reach of t (possibly two, when t bridges)
+    def insert(ss: Vector[OpenSession], t: Long): Vector[OpenSession] = {
+      val (before, rest) = ss.span(_.end < t - gapMs)
+      val (mergeable, after) = rest.span(_.start <= t + gapMs)
+      val merged =
+        if (mergeable.isEmpty) OpenSession(t, t, 1L)
+        else OpenSession(math.min(mergeable.head.start, t),
+          math.max(mergeable.last.end, t), mergeable.map(_.n_events).sum + 1L)
+      (before :+ merged) ++ after
+    }
+
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[TimedEvent], state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            // watermark passed end + gap with no new events: the open
-            // session is final — emit it and drop the state
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(uid, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n_events))
-          } else {
-            val times = it.map(_.ts.getTime).toArray.sorted
-            var open = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            times.foreach { t =>
-              open match {
-                case Some(s) if t - s.end <= gapMs =>
-                  open = Some(OpenSession(s.start, math.max(s.end, t), s.n_events + 1))
-                case Some(s) =>
-                  closed += ClosedSession(uid, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n_events)
-                  open = Some(OpenSession(t, t, 1L))
-                case None =>
-                  open = Some(OpenSession(t, t, 1L))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.result().iterator
-          }
+        (uid: Long, it: Iterator[TimedEvent], state: GroupState[PendingSessions]) =>
+          val existing = state.getOption.map(_.sessions.toVector).getOrElse(Vector.empty)
+          val merged = it.map(_.ts.getTime).toArray.sorted.foldLeft(existing)(insert)
+          // final = watermark passed end + gap: no admissible event can
+          // still extend or bridge into this session
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, open) = merged.partition(s => s.end + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(PendingSessions(open))
+            // earliest pending close; > wm by construction of `open`
+            state.setTimeoutTimestamp(open.map(_.end).min + gapMs)
+          } else state.remove()
+          ripe.iterator.map(s => ClosedSession(uid, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.end), s.n_events))
       }
   }
 

@@ -65,7 +65,7 @@ class StreamingSpec extends SparkSuite {
     assert(state == batch)
   }
 
-  test("flatMapGroupsWithState sessionization: gap-close in batch, timeout-close by watermark") {
+  test("flatMapGroupsWithState sessionization: interval-merge state, watermark-final emission") {
     // Spark 4.1 relocated MemoryStream under execution.streaming.runtime
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventsStream.TimedEvent
@@ -79,26 +79,34 @@ class StreamingSpec extends SparkSuite {
       .writeStream.outputMode("append").format("memory")
       .queryName("flat_sessions")
       .start()
+    def collected(): Set[(Long, Long, Long, Long)] = spark.table("flat_sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000 - 1000,
+        r.getTimestamp(2).getTime / 60000 - 1000, r.getLong(3))).toSet
     try {
-      // batch 1: user 1 has two sessions separated by a > 30 min gap — the
-      // FIRST closes within the batch (the flatMap emit), the second stays
-      // open in state; user 2 has one open session
+      // batch 1: user 1 has two pending sessions (gap > 30 min between
+      // them), user 2 one. NOTHING is final yet — the watermark has not
+      // passed any session's end + gap, so nothing may be emitted (an
+      // out-of-order event could still merge or bridge)
       input.addData(TimedEvent(1L, ts(0)), TimedEvent(1L, ts(5)),
         TimedEvent(1L, ts(60)), TimedEvent(2L, ts(10)))
       q.processAllAvailable()
-      val afterBatch1 = spark.table("flat_sessions")
-        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000 - 1000,
-          r.getTimestamp(2).getTime / 60000 - 1000, r.getLong(3))).toSet
-      assert(afterBatch1 == Set((1L, 0L, 5L, 2L)), afterBatch1.toString)
-      // batch 2: a far-future event advances the watermark (1 h delay) past
-      // every open session's end + gap — the TIMEOUT path emits them
+      assert(collected().isEmpty, collected().toString)
+      // batch 2: an OUT-OF-ORDER (but admissible) event at minute 20
+      // bridges user 1's would-be-separate event into the first session?
+      // no — 20 is within 30 of 5 but 60-20=40 > 30, so it extends the
+      // first session to [0,20] and the two sessions stay distinct
+      input.addData(TimedEvent(1L, ts(20)))
+      q.processAllAvailable()
+      assert(collected().isEmpty, collected().toString)
+      // batch 3: a far-future event advances the watermark (1 h delay)
+      // past every pending session's end + gap; the following batch's
+      // timeout/merge pass emits them as FINAL
       input.addData(TimedEvent(3L, ts(600)))
       q.processAllAvailable()
       input.addData(TimedEvent(3L, ts(601)))
       q.processAllAvailable()
-      val closed = spark.table("flat_sessions")
-        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000 - 1000,
-          r.getTimestamp(2).getTime / 60000 - 1000, r.getLong(3))).toSet
+      val closed = collected()
+      assert(closed.contains((1L, 0L, 20L, 3L)), closed.toString)
       assert(closed.contains((1L, 60L, 60L, 1L)), closed.toString)
       assert(closed.contains((2L, 10L, 10L, 1L)), closed.toString)
     } finally q.stop()
