@@ -74,6 +74,7 @@ object SparkEntry {
     "o6_row_numbering" -> ((s, d) => Library.rowNumbering(s, d).orderBy("o_custkey", "rn")),
     "w1_adjacent_dups" -> ((s, d) => Library.adjacentDuplicates(s, d)),
     "w2_top_n_per_group" -> ((s, d) => Library.topNPerGroup(s, d).orderBy("o_orderpriority", "rn")),
+    "w4_asof_join" -> ((s, d) => Library.clickAsofView(s, d).orderBy("click_id")),
     // ---- set ops (§2.10) ----
     "u1_set_compare" -> ((s, d) => Library.setCompareBothDirections(s, d).orderBy("side", "key")),
     "u2_semi_join" -> ((s, d) => Library.semiJoin(s, d)),
@@ -251,6 +252,15 @@ object SparkEntry {
       "SELECT count(value) - count(DISTINCT value) AS n_adjacent_dups FROM events",
     "w2_top_n_per_group" ->
       "SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn",
+    // DuckDB's native ASOF LEFT JOIN is the independent oracle for the
+    // Spark window-composition as-of; epoch_us = engine-neutral timestamps
+    "w4_asof_join" ->
+      """SELECT a.event_id AS click_id, a.user_id AS user_id,
+        | epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS view_us, b.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type='click') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts
+        |ORDER BY click_id""".stripMargin,
     "u1_set_compare" ->
       """WITH cwo AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'), ac AS (SELECT c_custkey AS key FROM customer)
         |SELECT 'no_orders' AS side, key FROM ac WHERE key NOT IN (SELECT key FROM cwo)

@@ -300,6 +300,45 @@ object Library {
       .limit(20)
       .select(col("p_partkey"), col("p_name"), col("shuffle_key"))
 
+  /** AS-OF join — the time-series operator Spark has no native form of
+    * (SURVEY §2 custom-operator bucket, preference (a): compose existing
+    * ops). For each left-side event, attach the LATEST right-side event of
+    * the same key at-or-before its timestamp. Composition: union-tag both
+    * sides, ONE shuffle on the key, one per-key ordered window, and
+    * `last(_, ignoreNulls)` carries the most recent right-side attributes
+    * forward to each left row. Ordering (ts, is_right desc, event_id)
+    * makes an equal-timestamp right row eligible (ASOF `<=` semantics)
+    * and breaks duplicate-timestamp ties deterministically by the highest
+    * event_id. At 100 TB this is the plan you want: partition by key
+    * (bucketed storage co-locates it), sort within partitions, no
+    * per-row probing and no range cross-join blowup.
+    */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin(leftType, rightType))
+      .withColumn("is_right", (col("event_type") === rightType).cast("int"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_right").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("right_value",
+        last(when(col("is_right") === 1, col("value")), ignoreNulls = true).over(w))
+      .withColumn("right_ts",
+        last(when(col("is_right") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === leftType)
+  }
+
+  /** Gate form: each click joined to the user's most recent prior (or
+    * simultaneous) view. Timestamps emitted as epoch micros — the
+    * engine-neutral representation (generator values are micro-aligned).
+    */
+  def clickAsofView(spark: SparkSession, dir: String): DataFrame =
+    asofJoin(Tables.events(spark, dir), "click", "view")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        unix_micros(col("right_ts")).as("view_us"),
+        col("right_value").as("view_value"))
+
   /** O6/W3 (playlistlinks.py:212-221): per-group sequence numbering. */
   def rowNumbering(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))

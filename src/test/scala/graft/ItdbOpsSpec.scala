@@ -164,4 +164,26 @@ class ItdbOpsSpec extends SparkSuite {
     assert(got1.exists(_.matches("""\d{3}-Rock/artist\d+-\w+""")))
     assert(got1.map(_.take(4)).sorted == Seq("001-", "002-", "003-", "004-", "005-", "006-"))
   }
+
+  test("as-of join: <= semantics, duplicate-ts tiebreak, null when no prior right row") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    // (event_id, ts, user_id, event_type, value)
+    val events = Seq(
+      (1L, t(50L), 7L, "click", 0.0),   // before any view -> nulls
+      (2L, t(100L), 7L, "view", 10.0),
+      (3L, t(100L), 7L, "click", 0.0),  // simultaneous view IS eligible (<=)
+      (4L, t(200L), 7L, "view", 20.0),
+      (5L, t(200L), 7L, "view", 30.0),  // duplicate ts: highest event_id wins
+      (6L, t(300L), 7L, "click", 0.0),
+      (7L, t(250L), 8L, "click", 0.0)   // other user: no view at all
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Library.asofJoin(events, "click", "view")
+      .select("event_id", "right_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L) == None)
+    assert(got(3L) == Some(10.0))
+    assert(got(6L) == Some(30.0))
+    assert(got(7L) == None)
+  }
 }
