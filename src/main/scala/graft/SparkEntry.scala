@@ -75,6 +75,7 @@ object SparkEntry {
     "w1_adjacent_dups" -> ((s, d) => Library.adjacentDuplicates(s, d)),
     "w2_top_n_per_group" -> ((s, d) => Library.topNPerGroup(s, d).orderBy("o_orderpriority", "rn")),
     "w4_asof_join" -> ((s, d) => Library.clickAsofView(s, d).orderBy("click_id")),
+    "w5_range_join" -> ((s, d) => Library.rangeJoinCounts(s, d).orderBy("left_id")),
     // ---- set ops (§2.10) ----
     "u1_set_compare" -> ((s, d) => Library.setCompareBothDirections(s, d).orderBy("side", "key")),
     "u2_semi_join" -> ((s, d) => Library.semiJoin(s, d)),
@@ -261,6 +262,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') b
         |  ON a.user_id = b.user_id AND b.ts <= a.ts
         |ORDER BY click_id""".stripMargin,
+    // the oracle states the range join DECLARATIVELY (inequality left
+    // join); the Spark side must reproduce it through the binned equi-join
+    "w5_range_join" ->
+      """SELECT a.event_id AS left_id, CAST(count(b.event_id) AS BIGINT) AS n_matched
+        |FROM (SELECT * FROM events WHERE event_type='error') a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type='click') b
+        |  ON a.user_id = b.user_id AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "u1_set_compare" ->
       """WITH cwo AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'), ac AS (SELECT c_custkey AS key FROM customer)
         |SELECT 'no_orders' AS side, key FROM ac WHERE key NOT IN (SELECT key FROM cwo)

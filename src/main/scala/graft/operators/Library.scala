@@ -339,6 +339,44 @@ object Library {
         unix_micros(col("right_ts")).as("view_us"),
         col("right_value").as("view_value"))
 
+  /** RANGE join — the second custom time-series operator (SURVEY §2
+    * custom-operator bucket, compose-first): pair events of two types for
+    * the same key whose timestamps fall within ±window of each other.
+    * A naive inequality join degenerates to a per-key cross join; the
+    * scale composition BINS the time axis at the window size, explodes
+    * each left row to its 3 candidate bins, EQUI-joins on (key, bin) —
+    * two events within the window are never more than one bin apart, and
+    * each right row lives in exactly one bin so no pair is produced twice
+    * — then applies the exact range predicate to the bounded candidates.
+    * Shuffle keys are (user, bin): uniform, skew-safe, and the candidate
+    * count per task is bounded by per-key event density in one window,
+    * not by total key cardinality.
+    */
+  def rangeJoinCounts(spark: SparkSession, dir: String,
+      leftType: String = "error", rightType: String = "click",
+      windowUs: Long = 5L * 60 * 1000 * 1000): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"))
+    val left = e.filter(col("event_type") === leftType)
+      .withColumn("bin0", floor(col("us") / windowUs))
+      .withColumn("bin", explode(array(col("bin0") - 1, col("bin0"), col("bin0") + 1)))
+      .select(col("event_id").as("left_id"), col("us").as("left_us"),
+        col("user_id"), col("bin"))
+    val right = e.filter(col("event_type") === rightType)
+      .withColumn("bin", floor(col("us") / windowUs))
+      .select(col("event_id").as("right_id"), col("us").as("right_us"),
+        col("user_id"), col("bin"))
+    val matched = left.join(right, Seq("user_id", "bin"))
+      .filter(abs(col("left_us") - col("right_us")) <= windowUs)
+      .groupBy(col("left_id")).agg(count(lit(1)).as("n_matched"))
+    // left rows with zero matches re-enter with count 0 (oracle's LEFT JOIN)
+    e.filter(col("event_type") === leftType)
+      .select(col("event_id").as("left_id"))
+      .join(matched, Seq("left_id"), "left")
+      .select(col("left_id"), coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+  }
+
   /** O6/W3 (playlistlinks.py:212-221): per-group sequence numbering. */
   def rowNumbering(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))

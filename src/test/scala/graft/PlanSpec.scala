@@ -108,6 +108,19 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("w4/w5: time-series joins stay equi-join + partitioned window") {
+    val dir = sf("sf0.001")
+    // as-of: one keyed shuffle + partitioned window — never a range join
+    // or cross product, and the window must be partitioned (no global sort)
+    val w4 = executedPlan(Library.clickAsofView(spark, dir))
+    assert(!w4.contains("CartesianProduct") && !w4.contains("BroadcastNestedLoopJoin"), w4.take(500))
+    assert(w4.contains("Window"), "as-of should be the window composition")
+    // range: the bin rewrite must keep the join EQUI — a nested-loop join
+    // here means the inequality predicate leaked into the join condition
+    val w5 = executedPlan(Library.rangeJoinCounts(spark, dir))
+    assert(!w5.contains("CartesianProduct") && !w5.contains("BroadcastNestedLoopJoin"), w5.take(500))
+  }
+
   test("salted join: result identical to plain join, salt column gone") {
     val fact = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "payload")
     val dim = Seq((1, "dim1"), (2, "dim2")).toDF("k", "name")
