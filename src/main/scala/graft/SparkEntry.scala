@@ -254,12 +254,16 @@ object SparkEntry {
     "w2_top_n_per_group" ->
       "SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn",
     // DuckDB's native ASOF LEFT JOIN is the independent oracle for the
-    // Spark window-composition as-of; epoch_us = engine-neutral timestamps
+    // Spark window-composition as-of; epoch_us = engine-neutral
+    // timestamps. The right side pre-dedupes per (user, ts) with arg_max
+    // in BOTH engines so the duplicate-timestamp tiebreak (highest
+    // event_id wins) is deterministic and oracle-reproducible.
     "w4_asof_join" ->
       """SELECT a.event_id AS click_id, a.user_id AS user_id,
         | epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS view_us, b.value AS view_value
         |FROM (SELECT * FROM events WHERE event_type='click') a
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') b
+        |ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS value
+        |  FROM events WHERE event_type='view' GROUP BY user_id, ts) b
         |  ON a.user_id = b.user_id AND b.ts <= a.ts
         |ORDER BY click_id""".stripMargin,
     // the oracle states the range join DECLARATIVELY (inequality left

@@ -314,18 +314,40 @@ object Library {
     * per-row probing and no range cross-join blowup.
     */
   def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
-    val tagged = events
-      .filter(col("event_type").isin(leftType, rightType))
+    // the right side is pre-aggregated to ONE row per (user, ts) — the
+    // highest-event_id row's attributes win (max_by), which (a) makes the
+    // duplicate-timestamp tiebreak expressible in the oracle (arg_max) and
+    // (b) shrinks the right side before the shuffle. NULL-key right rows
+    // are dropped: join equality never matches NULL, so a NULL-key left
+    // row must surface NULL attributes, not another NULL-key row's.
+    val rights = events.filter(col("event_type") === rightType)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"),
+        max(col("event_id")).as("event_id"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        lit(rightType).as("event_type"), col("value"))
+    val lefts = events.filter(col("event_type") === leftType)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val tagged = lefts.unionByName(rights)
       .withColumn("is_right", (col("event_type") === rightType).cast("int"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("is_right").desc, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE struct through the window: ts and value always come from the
+    // SAME matched row (two independent last() calls would stitch a
+    // non-null value from an older row onto a newer row's ts whenever the
+    // newest right row carries a NULL value)
     tagged
-      .withColumn("right_value",
-        last(when(col("is_right") === 1, col("value")), ignoreNulls = true).over(w))
-      .withColumn("right_ts",
-        last(when(col("is_right") === 1, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("right_row",
+        last(when(col("is_right") === 1,
+          struct(col("ts").as("ts"), col("value").as("value"))),
+          ignoreNulls = true).over(w))
       .filter(col("event_type") === leftType)
+      .withColumn("right_ts", col("right_row.ts"))
+      .withColumn("right_value", col("right_row.value"))
+      .drop("right_row")
   }
 
   /** Gate form: each click joined to the user's most recent prior (or
@@ -367,14 +389,16 @@ object Library {
       .withColumn("bin", floor(col("us") / windowUs))
       .select(col("event_id").as("right_id"), col("us").as("right_us"),
         col("user_id"), col("bin"))
-    val matched = left.join(right, Seq("user_id", "bin"))
-      .filter(abs(col("left_us") - col("right_us")) <= windowUs)
-      .groupBy(col("left_id")).agg(count(lit(1)).as("n_matched"))
-    // left rows with zero matches re-enter with count 0 (oracle's LEFT JOIN)
-    e.filter(col("event_type") === leftType)
-      .select(col("event_id").as("left_id"))
-      .join(matched, Seq("left_id"), "left")
-      .select(col("left_id"), coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+    // LEFT OUTER with the exact range predicate in the join condition:
+    // every exploded left row survives (unmatched → NULL right_id), so
+    // count(right_id) gives zero-match lefts their 0 without a second
+    // scan or re-entry join; each genuine match still counts exactly once
+    // (one bin per right row)
+    left.join(right,
+        left("user_id") === right("user_id") && left("bin") === right("bin") &&
+          abs(left("left_us") - right("right_us")) <= windowUs,
+        "left_outer")
+      .groupBy(col("left_id")).agg(count(col("right_id")).as("n_matched"))
   }
 
   /** O6/W3 (playlistlinks.py:212-221): per-group sequence numbering. */

@@ -165,25 +165,34 @@ class ItdbOpsSpec extends SparkSuite {
     assert(got1.map(_.take(4)).sorted == Seq("001-", "002-", "003-", "004-", "005-", "006-"))
   }
 
-  test("as-of join: <= semantics, duplicate-ts tiebreak, null when no prior right row") {
+  test("as-of join: <= semantics, duplicate-ts tiebreak, NULL value/key handling") {
     import spark.implicits._
     def t(ms: Long) = new java.sql.Timestamp(ms)
     // (event_id, ts, user_id, event_type, value)
     val events = Seq(
-      (1L, t(50L), 7L, "click", 0.0),   // before any view -> nulls
-      (2L, t(100L), 7L, "view", 10.0),
-      (3L, t(100L), 7L, "click", 0.0),  // simultaneous view IS eligible (<=)
-      (4L, t(200L), 7L, "view", 20.0),
-      (5L, t(200L), 7L, "view", 30.0),  // duplicate ts: highest event_id wins
-      (6L, t(300L), 7L, "click", 0.0),
-      (7L, t(250L), 8L, "click", 0.0)   // other user: no view at all
+      (1L, t(50L), Some(7L), "click", Some(0.0)),  // before any view -> nulls
+      (2L, t(100L), Some(7L), "view", Some(10.0)),
+      (3L, t(100L), Some(7L), "click", Some(0.0)), // simultaneous view IS eligible (<=)
+      (4L, t(200L), Some(7L), "view", Some(20.0)),
+      (5L, t(200L), Some(7L), "view", Some(30.0)), // duplicate ts: highest event_id wins
+      (6L, t(300L), Some(7L), "click", Some(0.0)),
+      (7L, t(250L), Some(8L), "click", Some(0.0)), // other user: no view at all
+      (8L, t(100L), Some(9L), "view", Some(5.0)),
+      (9L, t(200L), Some(9L), "view", None),       // matched row has NULL value:
+      (10L, t(300L), Some(9L), "click", Some(0.0)), //  ts/value must come from ONE row
+      (11L, t(100L), None, "view", Some(99.0)),
+      (12L, t(200L), None, "click", Some(0.0))     // NULL key never matches (join equality)
     ).toDF("event_id", "ts", "user_id", "event_type", "value")
     val got = graft.operators.Library.asofJoin(events, "click", "view")
-      .select("event_id", "right_value")
-      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
-    assert(got(1L) == None)
-    assert(got(3L) == Some(10.0))
-    assert(got(6L) == Some(30.0))
-    assert(got(7L) == None)
+      .select("event_id", "right_ts", "right_value")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got(1L) == ((None, None)))
+    assert(got(3L) == ((Some(t(100L)), Some(10.0))))
+    assert(got(6L) == ((Some(t(200L)), Some(30.0))))
+    assert(got(7L) == ((None, None)))
+    // the NULL-valued ts=200 view is the match: its ts with its NULL value,
+    // never ts=200 stitched to the older row's 5.0
+    assert(got(10L) == ((Some(t(200L)), None)))
+    assert(got(12L) == ((None, None)))
   }
 }
