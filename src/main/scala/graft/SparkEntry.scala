@@ -52,6 +52,7 @@ object SparkEntry {
     "a12_profile_maxlen" -> ((s, d) => Library.profileMaxLengths(s, d)),
     "a13_json_max_having" -> ((s, d) => Library.jsonMaxHaving(s, d).orderBy("user_id")),
     "a14_group_threshold" -> ((s, d) => Library.groupThreshold(s, d)),
+    "a16_percentiles" -> ((s, d) => Library.groupPercentiles(s, d).orderBy("o_orderpriority")),
     // ---- joins (§2.4) ----
     "j1_bridge_join_agg" -> ((s, d) => Library.bridgeJoinAgg(s, d).orderBy("p_brand")),
     "j2_join_literal_filter" -> ((s, d) => Library.joinLiteralFilter(s, d).orderBy("l_orderkey", "l_linenumber")),
@@ -211,6 +212,12 @@ object SparkEntry {
       "SELECT user_id, max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k FROM events GROUP BY 1 HAVING max(CAST(json_extract_string(props, '$.k') AS BIGINT)) < 50 ORDER BY user_id",
     "a14_group_threshold" ->
       "SELECT o_orderpriority AS grp, o_orderstatus AS status, count(*) AS n FROM orders GROUP BY 1,2 HAVING count(*) > 3 ORDER BY n DESC, grp, status",
+    // Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    // interpolation definition, so the EXACT percentile tier hash-checks
+    "a16_percentiles" ->
+      """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "j1_bridge_join_agg" ->
       "SELECT p_brand, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY p_brand",
     "j2_join_literal_filter" ->

@@ -122,6 +122,24 @@ object Library {
       round(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy()), 4))
   }
 
+  /** A16: exact interpolated percentiles per group — the distribution
+    * summary the aggregation family lacked (median + tail). Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the same definition
+    * (linear interpolation at rank (n-1)·q over the sorted values), so the
+    * exact form is oracle-checkable. SCALE NOTE: exact percentiles
+    * aggregate a per-group value map whose size is the number of DISTINCT
+    * values — fine for bounded-cardinality measures; an unbounded 100 TB
+    * measure column would use `approx_percentile` (t-digest, bounded
+    * state), the engine-specific twin of this exact tier (same trade as
+    * a2 count-distinct vs a2b HLL).
+    */
+  def groupPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.95)), 4).as("p95"))
+
   /** A12 (itdbloader.py:170-178, 239-247): ingest profiler — max observed
     * width per string column, one aggregation pass over all columns.
     */
