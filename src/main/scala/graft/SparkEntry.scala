@@ -53,6 +53,8 @@ object SparkEntry {
     "a13_json_max_having" -> ((s, d) => Library.jsonMaxHaving(s, d).orderBy("user_id")),
     "a14_group_threshold" -> ((s, d) => Library.groupThreshold(s, d)),
     "a16_percentiles" -> ((s, d) => Library.groupPercentiles(s, d).orderBy("o_orderpriority")),
+    "a17_rollup" -> ((s, d) => Library.rollupStats(s, d).orderBy("g_lang", "g_source", "lang", "source")),
+    "w6_running_sum" -> ((s, d) => Library.runningSum(s, d).orderBy("event_id")),
     // ---- joins (§2.4) ----
     "j1_bridge_join_agg" -> ((s, d) => Library.bridgeJoinAgg(s, d).orderBy("p_brand")),
     "j2_join_literal_filter" -> ((s, d) => Library.joinLiteralFilter(s, d).orderBy("l_orderkey", "l_linenumber")),
@@ -218,6 +220,19 @@ object SparkEntry {
       """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         | round(quantile_cont(o_totalprice, 0.95), 4) AS p95
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "a17_rollup" ->
+      """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+        | CAST(grouping(lang) AS INTEGER) AS g_lang, CAST(grouping(source) AS INTEGER) AS g_source,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
+    // running sum: both engines accumulate in (ts, event_id) order, so the
+    // double fold is order-identical
+    "w6_running_sum" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING), 4) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
     "j1_bridge_join_agg" ->
       "SELECT p_brand, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY p_brand",
     "j2_join_literal_filter" ->

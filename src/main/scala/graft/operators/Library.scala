@@ -140,6 +140,38 @@ object Library {
         round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
         round(percentile(col("o_totalprice"), lit(0.95)), 4).as("p95"))
 
+  /** A17: ROLLUP multi-level aggregation — per (lang, source), per lang,
+    * and grand total in ONE pass (Catalyst plans an Expand + single
+    * shuffle, vs three scans for three GROUP BYs). `grouping()` flags
+    * disambiguate subtotal rows from genuine NULL key values; coalesced
+    * labels keep the output canonicalizable.
+    */
+  def rollupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        grouping(col("lang")).cast("int").as("g_lang"),
+        grouping(col("source")).cast("int").as("g_source"))
+      .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("g_lang"), col("g_source"), col("n_docs"), col("total_chars"))
+
+  /** W6: running-total window frame (ROWS UNBOUNDED PRECEDING) — the
+    * cumulative-sum surface distinct from rank/lag/row_number. Partitioned
+    * by user, so the sort is per-key and distributed; both engines
+    * accumulate in the same (ts, event_id) order, making the double sum
+    * fold-order identical.
+    */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 4).as("running_value"))
+  }
+
   /** A12 (itdbloader.py:170-178, 239-247): ingest profiler — max observed
     * width per string column, one aggregation pass over all columns.
     */
