@@ -54,6 +54,8 @@ object SparkEntry {
     "a14_group_threshold" -> ((s, d) => Library.groupThreshold(s, d)),
     "a16_percentiles" -> ((s, d) => Library.groupPercentiles(s, d).orderBy("o_orderpriority")),
     "a17_rollup" -> ((s, d) => Library.rollupStats(s, d).orderBy("g_lang", "g_source", "lang", "source")),
+    "a18_string_agg" -> ((s, d) => Library.memberList(s, d).orderBy("r_name")),
+    "a19_unpivot" -> ((s, d) => Library.unpivotWidths(s, d).orderBy("metric")),
     "w6_running_sum" -> ((s, d) => Library.runningSum(s, d).orderBy("event_id")),
     // ---- joins (§2.4) ----
     "j1_bridge_join_agg" -> ((s, d) => Library.bridgeJoinAgg(s, d).orderBy("p_brand")),
@@ -226,6 +228,16 @@ object SparkEntry {
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP(lang, source)
         |ORDER BY g_lang, g_source, lang, source""".stripMargin,
+    "a18_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS members, count(*) AS n_members
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY r_name""".stripMargin,
+    "a19_unpivot" ->
+      """SELECT metric, len FROM (
+        | SELECT 'len_name' AS metric, CAST(max(length(p_name)) AS BIGINT) AS len FROM part
+        | UNION ALL SELECT 'len_brand', CAST(max(length(p_brand)) AS BIGINT) FROM part
+        | UNION ALL SELECT 'len_type', CAST(max(length(p_type)) AS BIGINT) FROM part)
+        |ORDER BY metric""".stripMargin,
     // running sum: both engines accumulate in (ts, event_id) order, so the
     // double fold is order-identical
     "w6_running_sum" ->

@@ -172,6 +172,30 @@ object Library {
         round(sum(col("value")).over(w), 4).as("running_value"))
   }
 
+  /** A18: ordered string aggregation (the LISTAGG/string_agg reporting
+    * surface). `collect_list` is assembly-order-nondeterministic, so the
+    * deterministic composition is sort_array ∘ collect_list ∘ array_join —
+    * per-group member lists stay bounded by group size (here: nations per
+    * region), never by table size.
+    */
+  def memberList(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("members"),
+        count(lit(1)).as("n_members"))
+
+  /** A19: UNPIVOT/melt — wide-to-long reshaping, the inverse of the a9
+    * pivot. Uses the native `unpivot` (Expand under the hood: one pass,
+    * no union of per-column scans).
+    */
+  def unpivotWidths(spark: SparkSession, dir: String): DataFrame =
+    profileMaxLengths(spark, dir)
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("len_name"), col("len_brand"), col("len_type")),
+        "metric", "len")
+
   /** A12 (itdbloader.py:170-178, 239-247): ingest profiler — max observed
     * width per string column, one aggregation pass over all columns.
     */
