@@ -224,7 +224,7 @@ object SparkEntry {
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "a17_rollup" ->
       """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
-        | CAST(grouping(lang) AS INTEGER) AS g_lang, CAST(grouping(source) AS INTEGER) AS g_source,
+        | CAST(grouping(lang) AS BIGINT) AS g_lang, CAST(grouping(source) AS BIGINT) AS g_source,
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP(lang, source)
         |ORDER BY g_lang, g_source, lang, source""".stripMargin,
@@ -238,11 +238,12 @@ object SparkEntry {
         | UNION ALL SELECT 'len_brand', CAST(max(length(p_brand)) AS BIGINT) FROM part
         | UNION ALL SELECT 'len_type', CAST(max(length(p_type)) AS BIGINT) FROM part)
         |ORDER BY metric""".stripMargin,
-    // running sum: both engines accumulate in (ts, event_id) order, so the
-    // double fold is order-identical
+    // running sum: both engines accumulate in (micros, event_id) order —
+    // epoch_us truncates a nanos-preserving reader to Spark's granularity,
+    // so the double fold is order-identical even on micro-tied rows
     "w6_running_sum" ->
       """SELECT event_id, user_id,
-        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |   ROWS UNBOUNDED PRECEDING), 4) AS running_value
         |FROM events ORDER BY event_id""".stripMargin,
     "j1_bridge_join_agg" ->
@@ -292,12 +293,17 @@ object SparkEntry {
     // timestamps. The right side pre-dedupes per (user, ts) with arg_max
     // in BOTH engines so the duplicate-timestamp tiebreak (highest
     // event_id wins) is deterministic and oracle-reproducible.
+    // CAST(ts AS TIMESTAMP) pins the oracle to MICROsecond granularity:
+    // Spark reads events at micros (nanosAsLong div 1000), so a DuckDB
+    // build that preserves TIMESTAMP_NS natively must compare/group at the
+    // same truncation or micro-tied rows could order/match differently
     "w4_asof_join" ->
       """SELECT a.event_id AS click_id, a.user_id AS user_id,
         | epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS view_us, b.value AS view_value
-        |FROM (SELECT * FROM events WHERE event_type='click') a
-        |ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS value
-        |  FROM events WHERE event_type='view' GROUP BY user_id, ts) b
+        |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+        |  FROM events WHERE event_type='click') a
+        |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, arg_max(value, event_id) AS value
+        |  FROM events WHERE event_type='view' GROUP BY 1, 2) b
         |  ON a.user_id = b.user_id AND b.ts <= a.ts
         |ORDER BY click_id""".stripMargin,
     // the oracle states the range join DECLARATIVELY (inequality left

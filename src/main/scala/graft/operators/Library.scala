@@ -151,8 +151,8 @@ object Library {
       .rollup(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"),
-        grouping(col("lang")).cast("int").as("g_lang"),
-        grouping(col("source")).cast("int").as("g_source"))
+        grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_source"))
       .select(coalesce(col("lang"), lit("<all>")).as("lang"),
         coalesce(col("source"), lit("<all>")).as("source"),
         col("g_lang"), col("g_source"), col("n_docs"), col("total_chars"))
