@@ -19,7 +19,8 @@ object ExplainAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "t7_repetition", "d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs",
-      "d6_embedding_neardup", "s3_label_centroids", "s4_ann_ivf")
+      "d6_embedding_neardup", "s3_label_centroids", "s4_ann_ivf",
+      "w4_asof_join", "w5_range_join", "t10_vocabulary", "a17_rollup")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
