@@ -21,6 +21,7 @@ object Bench {
     "w1_adjacent_dups", "w2_top_n_per_group", "o4_shrink_topk",
     "d1_dedup_exact", "d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs",
     "d6_embedding_neardup", "d8_embedding_neardup_lsh", "d9_neardup_clusters",
+    "d10_contamination", "w7_sessionize",
     "s1_ann_bruteforce", "s2_ann_lsh", "s4_ann_ivf",
     "t2_language_id", "t5_fingerprints", "m2_media_stats")
 
@@ -66,25 +67,34 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
-    val results = selected.map { case (name, fn) =>
+    def timedPass(): Map[String, (Double, Boolean)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (((System.nanoTime() - t0) / 1e9), ok)
     }
+    // pass 1 (cold): first computation of every query result, comparable to
+    // previous rounds' `value`. pass 2 (steady): same queries re-executed in
+    // the warm session — plan/codegen caches hot, session-cached input
+    // projections resident — the serving steady state. Reporting both
+    // separates engine cost from one-time cost AND de-noises load spikes
+    // that land inside a single pass.
+    val results = timedPass()
+    val steady = timedPass()
     val total = results.values.map(_._1).sum
+    val steadyTotal = steady.values.map(_._1).sum
     val failed = results.collect { case (k, (_, false)) => k }.toSeq
     val detail = results.map { case (k, (v, ok)) =>
-      s""""$k":{"sec":${fmt(v)},"ok":$ok}"""
+      s""""$k":{"sec":${fmt(v)},"steady":${fmt(steady.get(k).fold(v)(_._1))},"ok":$ok}"""
     }.mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath,
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"unit":"sec","queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
     val qs = headline.flatMap(k => results.get(k).map { case (v, _) => s"\"$k\":${fmt(v)}" })
       .mkString("{", ",", "}")
     spark.stop()
     // LAST line, compact: fits entirely inside the driver's tail window
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench_full.json","sf":"$sfDir"}""")
   }
 }

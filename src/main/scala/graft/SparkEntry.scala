@@ -81,6 +81,8 @@ object SparkEntry {
     "w2_top_n_per_group" -> ((s, d) => Library.topNPerGroup(s, d).orderBy("o_orderpriority", "rn")),
     "w4_asof_join" -> ((s, d) => Library.clickAsofView(s, d).orderBy("click_id")),
     "w5_range_join" -> ((s, d) => Library.rangeJoinCounts(s, d).orderBy("left_id")),
+    "w7_sessionize" -> ((s, d) => Library.sessionize(s, d).orderBy("user_id", "session_idx")),
+    "w8_ntile_quartiles" -> ((s, d) => Library.priorityQuartiles(s, d).orderBy("o_orderpriority", "quartile")),
     // ---- set ops (§2.10) ----
     "u1_set_compare" -> ((s, d) => Library.setCompareBothDirections(s, d).orderBy("side", "key")),
     "u2_semi_join" -> ((s, d) => Library.semiJoin(s, d)),
@@ -109,6 +111,7 @@ object SparkEntry {
     "d7_tail_fingerprint" -> ((s, d) => Dedup.tailFingerprint(s, d).orderBy("doc_id")),
     "d8_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d, 0.3).orderBy("id_a", "id_b")),
     "d9_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d).orderBy("doc_id")),
+    "d10_contamination" -> ((s, d) => Dedup.crossSplitContamination(s, d).orderBy("doc_id")),
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d).orderBy("probe_id", "rn")),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d).orderBy("probe_id", "rn")),
@@ -124,6 +127,7 @@ object SparkEntry {
     "t8_filter_funnel" -> ((s, d) => TextAnalysis.filterFunnel(s, d)),
     "t9_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d).orderBy("split", "lang")),
     "t10_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
+    "t11_rebalance_sample" -> ((s, d) => TextAnalysis.rebalanceSample(s, d).orderBy("lang")),
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d).drop("payload").orderBy("media_id")),
     "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
@@ -164,6 +168,12 @@ object SparkEntry {
     */
   private val hexv = (c: String) =>
     s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+
+  /** t9's split bucket (first md5 byte of the doc id) — the SQL rendering
+    * of TextAnalysis.splitBucket, shared by the t9 and d10 oracles.
+    */
+  private val splitBucketSql =
+    s"(${hexv("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)")})"
 
   /** Marker lexicons — the SQL rendering of TextAnalysis.lexicons, shared
     * by the t2 and t8 oracles.
@@ -314,6 +324,29 @@ object SparkEntry {
         |LEFT JOIN (SELECT * FROM events WHERE event_type='click') b
         |  ON a.user_id = b.user_id AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sessionization: both engines mark session starts with the same lag
+    // predicate, number them with the same running sum, and fold the money
+    // sum through decimal (order-independent). CAST(ts AS TIMESTAMP) pins
+    // DuckDB to the micros granularity Spark reads at (see w4).
+    "w7_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS duration_us,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "w8_ntile_quartiles" ->
+      """SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders)
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, quartile""".stripMargin,
     "u1_set_compare" ->
       """WITH cwo AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'), ac AS (SELECT c_custkey AS key FROM customer)
         |SELECT 'no_orders' AS side, key FROM ac WHERE key NOT IN (SELECT key FROM cwo)
@@ -415,6 +448,20 @@ object SparkEntry {
          |SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS is_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
     },
+    // decontamination: the split definition is t9's md5 bucket (one shared
+    // rendering, splitBucketSql), the 8-gram CTE follows the t5/shingles
+    // length convention (short doc → one whole-text gram)
+    "d10_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $splitBucketSql AS bucket,
+         |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, bucket, list_distinct(
+         |  CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+         |       ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] END) AS g8 FROM t),
+         |tr AS (SELECT doc_id, len(g8) AS n_shingles, unnest(g8) AS g FROM s WHERE bucket < 250),
+         |te AS (SELECT DISTINCT unnest(g8) AS g FROM s WHERE bucket >= 253)
+         |SELECT doc_id, count(*) AS n_shared, n_shingles,
+         |  round(CAST(count(*) AS DOUBLE) / n_shingles, 4) AS shared_frac
+         |FROM tr JOIN te USING (g) GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin,
     "d8_embedding_neardup_lsh" -> {
       val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -565,7 +612,7 @@ object SparkEntry {
          |FROM lg JOIN q USING (doc_id) JOIN rep USING (doc_id)""".stripMargin
     },
     "t9_split_assign" -> {
-      val b = s"(${hexv("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)")})"
+      val b = splitBucketSql
       s"""SELECT split, lang, count(*) AS n_docs,
          | CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens
          |FROM (SELECT lang, text,
@@ -578,6 +625,20 @@ object SparkEntry {
         | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk FROM documents)
         |GROUP BY 1 ORDER BY n_total DESC, token LIMIT 50""".stripMargin,
+    // rebalance sampling: integer-only keep decision
+    // (bucket * n_lang < min_docs * 256) — no float threshold to round
+    // differently across engines; 'samp' seed keeps the coin independent
+    // of the t9 split hash
+    "t11_rebalance_sample" -> {
+      val b = s"(${hexv("substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 2, 1)")})"
+      s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+         |m AS (SELECT min(n_lang) AS min_docs FROM c),
+         |k AS (SELECT doc_id, lang, $b AS bucket FROM documents)
+         |SELECT k.lang AS lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN bucket * n_lang < min_docs * 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM k JOIN c ON k.lang = c.lang CROSS JOIN m
+         |GROUP BY 1 ORDER BY lang""".stripMargin
+    },
     // ---- multimodal ----
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,

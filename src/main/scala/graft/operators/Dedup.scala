@@ -337,6 +337,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark DECONTAMINATION — the cross-split n-gram overlap check a
+    * training pipeline runs before shipping a corpus: a train-split
+    * document is contaminated when it shares any word-8-gram with any
+    * test-split document (the splits are t9's md5-bucket assignment —
+    * `TextAnalysis.splitBucket`, the ONE shared definition). 8-grams are
+    * long enough that word-salad collisions vanish; what survives is
+    * genuine content overlap leaking evaluation data into training.
+    *
+    * Scale shape: both sides reduce to (doc, distinct-8-gram) streams and
+    * meet in ONE equi-join keyed on the n-gram — uniform string keys, no
+    * pair blowup (each join hit is a genuine shared n-gram), partial
+    * aggregation on the train doc id after. The test side is typically a
+    * small fraction (here ~1.2%); AQE broadcasts its distinct-gram set
+    * when it fits, and the plan degrades to a plain shuffle join — never
+    * all-pairs — when it doesn't.
+    */
+  def crossSplitContamination(spark: SparkSession, dir: String, k: Int = 8,
+      trainUpTo: Int = 250, valUpTo: Int = 253): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.splitBucket(col("doc_id")).as("bucket"),
+        array_distinct(graft.plans.ShinglesExpr.wordShingles(col("text"), k)).as("g8"))
+    val train = docs.filter(col("bucket") < trainUpTo)
+      .select(col("doc_id"), size(col("g8")).cast("long").as("n_shingles"),
+        explode(col("g8")).as("g"))
+    val test = docs.filter(col("bucket") >= valUpTo)
+      .select(explode(col("g8")).as("g")).distinct()
+    train.join(test, Seq("g"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 4).as("shared_frac"))
+  }
+
   /** SimHash: 16-nibble signature. For hex position p (1..16), sum
     * (hexval(md5(token)[p]) - 7.5) over all tokens; positive → bit 1.
     * The signature is a 16-bit int, compared within blocking buckets by

@@ -475,6 +475,58 @@ object Library {
       .groupBy(col("left_id")).agg(count(col("right_id")).as("n_matched"))
   }
 
+  /** W7: gap-based batch SESSIONIZATION — the batch twin of the streaming
+    * flatMapGroupsWithState sessionizer (streaming/EventsStream.scala): an
+    * event starts a new session when more than `gapUs` elapsed since the
+    * user's previous event. Classic two-window composition: lag marks
+    * session starts, a running sum of the marks numbers the sessions, then
+    * one aggregation rolls each (user, session) up to its stats. Both
+    * windows share the per-user partitioning, so the sort is per-key and
+    * distributed (ONE shuffle on user_id serves the lag, the running sum
+    * and the final aggregation — no global ordering anywhere). The money
+    * sum routes through decimal so the fold is order-independent and
+    * engine-exact (SURVEY §7.4).
+    */
+  def sessionize(spark: SparkSession, dir: String,
+      gapUs: Long = 30L * 60 * 1000 * 1000): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(running))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        (max(col("us")) - min(col("us"))).as("duration_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
+  }
+
+  /** W8: NTILE bucketing — the quantile-bucket window surface (deciles /
+    * quartiles for reporting and length-balanced sharding). Partitioned by
+    * group so the sort is per-key and distributed — never a global ntile
+    * (which would funnel the table through one task); the total order
+    * (price, orderkey) makes bucket boundaries deterministic on ties, so
+    * both engines cut identical quartiles.
+    */
+  def priorityQuartiles(spark: SparkSession, dir: String, buckets: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
   /** O6/W3 (playlistlinks.py:212-221): per-group sequence numbering. */
   def rowNumbering(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))

@@ -190,6 +190,43 @@ object TextAnalysis {
       .orderBy(col("n_total").desc, col("token"))
       .limit(topK)
 
+  /** First md5 byte of the id (0..255) — the portable bucket every
+    * deterministic-sampling operator keys on. ONE copy shared by
+    * `splitAssign` (t9) and the decontamination check
+    * (Dedup.crossSplitContamination, d10) so the split definition can't
+    * drift between the assigner and its consumers.
+    */
+  def splitBucket(id: Column): Column =
+    hexVal(substring(md5(id.cast("string")), 1, 1)) * 16 +
+      hexVal(substring(md5(id.cast("string")), 2, 1))
+
+  /** Deterministic STRATIFIED sampling — language rebalancing, the
+    * distribution-shaping step of a curation pipeline: downsample every
+    * language to the minority language's document count (expected), with a
+    * portable per-doc coin (md5 bucket, seeded independently of the t9
+    * split hash). The keep decision compares INTEGERS only
+    * (bucket * n_lang < min_docs * 256), so no float threshold can round
+    * differently across engines. Two tiny aggregations (per-lang counts,
+    * global min) broadcast back onto the map-side scan — the corpus itself
+    * is never shuffled, so the plan holds at 100 TB where the rate table
+    * is KBs and the fact scan streams.
+    */
+  def rebalanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minDocs = counts.agg(min(col("n_lang")).as("min_docs"))
+    val bucket = hexVal(substring(seededHash("samp", col("doc_id").cast("string")), 1, 1)) * 16 +
+      hexVal(substring(seededHash("samp", col("doc_id").cast("string")), 2, 1))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .join(broadcast(counts), Seq("lang"))
+      .crossJoin(broadcast(minDocs))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") * col("n_lang") < col("min_docs") * 256, 1L)
+          .otherwise(0L)).cast("long").as("n_sampled"))
+  }
+
   /** Deterministic train/val/test split assignment — the LAST step of a
     * curation pipeline: bucket = first md5 byte of the doc id (portable,
     * reproducible run-to-run and engine-to-engine; never rand()), split by
@@ -201,8 +238,7 @@ object TextAnalysis {
     */
   def splitAssign(spark: SparkSession, dir: String,
       trainUpTo: Int = 250, valUpTo: Int = 253): DataFrame = {
-    val b = hexVal(substring(md5(col("doc_id").cast("string")), 1, 1)) * 16 +
-      hexVal(substring(md5(col("doc_id").cast("string")), 2, 1))
+    val b = splitBucket(col("doc_id"))
     val split = when(b < trainUpTo, "train")
       .when(b < valUpTo, "val").otherwise("test")
     Tables.documents(spark, dir)

@@ -106,6 +106,46 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Stream-stream INTERVAL join — the continuous twin of the batch range
+    * join (Library.rangeJoinCounts): each click pairs with the same user's
+    * views from the preceding `reachMinutes`. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so the state store
+    * holds only rows inside the horizon and evicts as the watermark
+    * advances — the canonical bounded-state stream-stream topology. At
+    * scale both streams shuffle on user_id once and the per-key state is
+    * bounded by per-user event density in one reach window.
+    */
+  def clickViewJoin(spark: SparkSession, dir: String,
+      reachMinutes: Int = 10): DataFrame = {
+    val views = eventSource(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = eventSource(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    clicks.join(views, expr(
+      s"c_user = v_user AND view_ts BETWEEN click_ts - INTERVAL $reachMinutes MINUTES AND click_ts"))
+      .select(col("click_id"), col("view_id"), col("c_user").as("user_id"),
+        col("click_ts"), col("view_ts"), col("view_value"))
+  }
+
+  /** Run the stream-stream join to completion (memory sink, AvailableNow). */
+  def runJoinToCompletion(spark: SparkSession, dir: String,
+      name: String = "events_join"): DataFrame = {
+    val q: StreamingQuery = clickViewJoin(spark, dir).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 

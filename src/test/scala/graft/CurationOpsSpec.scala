@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.{Dedup, Library, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-4 curation operators (w7 sessionize, w8 ntile, t11 rebalance
+  * sample, d10 decontamination) checked against full DRIVER-SIDE
+  * recomputations at sf0.001 — an in-test oracle independent of both the
+  * Spark plan and the DuckDB gate.
+  */
+class CurationOpsSpec extends SparkSuite {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bucket256(key: String): Int = {
+    val h = md5hex(key)
+    def hv(c: Char): Int = if (c >= 'a') c - 87 else c - '0'
+    hv(h.charAt(0)) * 16 + hv(h.charAt(1))
+  }
+
+  /** Spark round(x, n) semantics: HALF_UP over the toString decimal form. */
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+
+  test("w7 sessionize: driver-side replay reproduces every session") {
+    val dir = sf("sf0.001")
+    val gap = 30L * 60 * 1000 * 1000
+    val got = Library.sessionize(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+
+    val evs = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(1), (r.getLong(0), r.getLong(2), r.getDouble(3))))
+    val expected = evs.groupBy(_._1).flatMap { case (uid, rows) =>
+      val sorted = rows.map(_._2).sortBy(e => (e._2, e._1))
+      val sessions = scala.collection.mutable.Buffer.empty[scala.collection.mutable.Buffer[(Long, Long, Double)]]
+      sorted.foreach { e =>
+        if (sessions.nonEmpty && e._2 - sessions.last.last._2 <= gap) sessions.last += e
+        else sessions += scala.collection.mutable.Buffer(e)
+      }
+      sessions.zipWithIndex.map { case (s, i) =>
+        // mirror the engine fold: each double -> decimal(18,6), exact sum
+        val sum = s.map(e => java.math.BigDecimal.valueOf(e._3)
+          .setScale(6, java.math.RoundingMode.HALF_UP)).reduce(_.add(_))
+        (uid, (i + 1).toLong, s.head._2, s.last._2, s.last._2 - s.head._2,
+          s.size.toLong, round4(sum.doubleValue))
+      }
+    }.toSet
+    assert(got == expected && got.size > 100)
+  }
+
+  test("w8 ntile quartiles: driver-side bucketing reproduces counts and bounds") {
+    val dir = sf("sf0.001")
+    val got = Library.priorityQuartiles(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = orders.groupBy(_._1).flatMap { case (prio, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val n = sorted.length
+      val base = n / 4
+      val extra = n % 4
+      // ntile: first (n mod b) buckets get one extra row
+      val bounds = (0 until 4).scanLeft(0)((acc, i) => acc + base + (if (i < extra) 1 else 0))
+      (0 until 4).filter(i => bounds(i + 1) > bounds(i)).map { i =>
+        val slice = sorted.slice(bounds(i), bounds(i + 1))
+        (prio, (i + 1).toLong, slice.size.toLong, slice.map(_._3).min, slice.map(_._3).max)
+      }
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("t11 rebalance sample: integer coin matches driver recompute, minority kept whole") {
+    val dir = sf("sf0.001")
+    val got = TextAnalysis.rebalanceSample(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).map { case (l, d) => l -> d.size.toLong }
+    val minDocs = counts.values.min
+    val expected = docs.groupBy(_._2).map { case (l, d) =>
+      val kept = d.count { case (id, _) => bucket256(s"samp:$id") * counts(l) < minDocs * 256 }
+      (l, d.size.toLong, kept.toLong)
+    }.toSet
+    assert(got == expected)
+    // the minority language's rate is 1: every bucket (<=255) passes 255*n < n*256
+    val minorityLang = counts.minBy(_._2)._1
+    val minority = got.find(_._1 == minorityLang).get
+    assert(minority._2 == minority._3)
+    // majority languages genuinely downsample
+    assert(got.exists(r => r._3 < r._2))
+  }
+
+  test("d10 decontamination: driver-side 8-gram overlap reproduces the report") {
+    val dir = sf("sf0.001")
+    val got = Dedup.crossSplitContamination(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    def shingle8(text: String): Set[String] = {
+      val w = text.trim.split("\\s+").toSeq
+      if (w.length < 8) Set(w.mkString(" "))
+      else w.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => Option(r.getString(1)).map(t => (r.getLong(0), t)))
+      .map { case (id, t) => (id, bucket256(id.toString), shingle8(t)) }
+    val testGrams = docs.filter(_._2 >= 253).flatMap(_._3).toSet
+    val expected = docs.filter(_._2 < 250).flatMap { case (id, _, g8) =>
+      val shared = g8.count(testGrams.contains)
+      if (shared > 0)
+        Some((id, shared.toLong, g8.size.toLong, round4(shared.toDouble / g8.size)))
+      else None
+    }.toSet
+    assert(got == expected)
+    // both splits are nonempty at sf0.001 — the check exercises real data
+    assert(docs.exists(_._2 >= 253) && docs.count(_._2 < 250) > 10)
+  }
+}

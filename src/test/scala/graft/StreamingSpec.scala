@@ -111,4 +111,23 @@ class StreamingSpec extends SparkSuite {
       assert(closed.contains((2L, 10L, 10L, 1L)), closed.toString)
     } finally q.stop()
   }
+
+  test("stream-stream interval join == batch join (clicks x prior views within reach)") {
+    val dir = sf("sf0.001")
+    val streamed = EventsStream.runJoinToCompletion(spark, dir, "events_join_test")
+      .select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val e = Tables.events(spark, dir)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val batch = c.join(v,
+        expr("c_user = v_user AND view_ts BETWEEN click_ts - INTERVAL 10 MINUTES AND click_ts"))
+      .select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty) // sf0.001 contains at least one in-reach pair
+  }
 }
