@@ -20,7 +20,9 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "t7_repetition", "d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs",
       "d6_embedding_neardup", "s3_label_centroids", "s4_ann_ivf",
-      "w4_asof_join", "w5_range_join", "t10_vocabulary", "a17_rollup")
+      "w4_asof_join", "w5_range_join", "t10_vocabulary", "a17_rollup",
+      "w7_sessionize", "w8_ntile_quartiles", "t11_rebalance_sample",
+      "d10_contamination")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -83,6 +83,7 @@ object SparkEntry {
     "w5_range_join" -> ((s, d) => Library.rangeJoinCounts(s, d).orderBy("left_id")),
     "w7_sessionize" -> ((s, d) => Library.sessionize(s, d).orderBy("user_id", "session_idx")),
     "w8_ntile_quartiles" -> ((s, d) => Library.priorityQuartiles(s, d).orderBy("o_orderpriority", "quartile")),
+    "w9_topk_agg" -> ((s, d) => Library.topNPerGroupAgg(s, d).orderBy("o_orderpriority", "rn")),
     // ---- set ops (§2.10) ----
     "u1_set_compare" -> ((s, d) => Library.setCompareBothDirections(s, d).orderBy("side", "key")),
     "u2_semi_join" -> ((s, d) => Library.semiJoin(s, d)),
@@ -340,6 +341,10 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    // the top-k AGGREGATE must reproduce the window form exactly, so its
+    // oracle IS w2's declarative ranking query
+    "w9_topk_agg" ->
+      "SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn",
     "w8_ntile_quartiles" ->
       """SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price

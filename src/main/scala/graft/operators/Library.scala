@@ -573,6 +573,22 @@ object Library {
       .filter(col("rn") <= n)
   }
 
+  /** W9: top-N per group through the bounded TOP-K AGGREGATE
+    * (plans.TopKAgg) — the scale form of `topNPerGroup`: the window form
+    * sorts every group's full row set after the shuffle; the aggregate's
+    * map-side partial pass reduces each group to ≤ n pairs per input
+    * partition BEFORE the exchange, so the shuffle carries
+    * O(groups × n × partitions) instead of O(rows). Same output contract
+    * as w2 (proven row-for-row equal in TopKAggSpec; same oracle SQL).
+    */
+  def topNPerGroupAgg(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.plans.TopKAgg.topK(col("o_totalprice"), col("o_orderkey"), n).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"), (col("pos") + 1).cast("int").as("rn"))
+
   // ---- Set operations -------------------------------------------------
 
   /** U1/J7 (orphaned_files:101-121): set difference in BOTH directions with

@@ -36,6 +36,40 @@ class EmitSinksSpec extends SparkSuite {
     assert(s.trim.endsWith("end tell"))
   }
 
+  test("corpus writer: split/lang partition tree, stable shards, lossless round-trip") {
+    val dir = sf("sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("corpus_out").toString
+    try {
+      val docs = Tables.documents(spark, dir)
+      graft.emit.CorpusWriter.write(docs, out, nShards = 4)
+      // hive-style partition tree with the trainer's selection predicates
+      val splits = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("split="))
+      assert(splits.contains("split=train"), splits.toSeq.toString)
+      assert(new java.io.File(s"$out/split=train").listFiles()
+        .exists(_.getName.startsWith("lang=")))
+      // lossless: every document comes back exactly once with its columns
+      val back = spark.read.parquet(out)
+      assert(back.count() == docs.count())
+      val origIds = docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == origIds)
+      // shard assignment is deterministic (id-hash): two layouts agree
+      val l1 = graft.emit.CorpusWriter.shardedLayout(docs, 4)
+        .select("doc_id", "split", "shard").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val l2 = graft.emit.CorpusWriter.shardedLayout(docs, 4)
+        .select("doc_id", "split", "shard").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(l1 == l2)
+      assert(l1.map(_._3).forall(s => s >= 0 && s < 4))
+      // split matches the t9 assigner — ONE definition, two consumers
+      val t9 = graft.operators.TextAnalysis.splitAssign(spark, dir)
+        .groupBy("split").agg(org.apache.spark.sql.functions.sum("n_docs").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mine = l1.groupBy(_._2).map { case (s, rs) => s -> rs.size.toLong }
+      assert(mine == t9)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("t7 repetition: planted repetitive doc scores high on top ratios") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
     Seq(

@@ -121,6 +121,38 @@ class PlanSpec extends SparkSuite {
     assert(!w5.contains("CartesianProduct") && !w5.contains("BroadcastNestedLoopJoin"), w5.take(500))
   }
 
+  test("w7/w8: sessionize and ntile keep per-key windows, one data shuffle") {
+    val dir = sf("sf0.001")
+    // sessionize: lag + running sum + rollup all ride ONE user_id shuffle;
+    // a second data exchange below the windows means the composition broke
+    val w7 = executedPlan(Library.sessionize(spark, dir).orderBy("user_id", "session_idx"))
+    assert(w7.contains("Window"), w7.take(500))
+    // exchanges: one hashpartitioning(user_id) + the final output sort's
+    // rangepartitioning — the aggregation must NOT add a third
+    assert("Exchange hashpartitioning".r.findAllIn(w7).size == 1,
+      s"sessionize should shuffle user data exactly once:\n${w7.take(1200)}")
+    // ntile: window must be partitioned — a global ntile plans as
+    // Exchange SinglePartition, the one-task funnel this guard forbids
+    val w8 = executedPlan(Library.priorityQuartiles(spark, dir))
+    assert(w8.contains("Window"), w8.take(500))
+    assert(!w8.contains("SinglePartition"), "ntile window lost its partitioning")
+  }
+
+  test("t11/d10: sampling and decontamination keep broadcast/equi shapes") {
+    val dir = sf("sf0.001")
+    // rebalance: the per-lang rate table and global min broadcast onto the
+    // map-side scan — the corpus itself must never shuffle pre-aggregation
+    val t11 = executedPlan(graft.operators.TextAnalysis.rebalanceSample(spark, dir))
+    assert(t11.contains("BroadcastHashJoin") || t11.contains("BroadcastNestedLoopJoin"),
+      t11.take(800))
+    assert(!t11.contains("SortMergeJoin"), "rate tables must broadcast, not sort-merge")
+    // decontamination: gram-keyed EQUI join only — a cartesian here is the
+    // all-pairs regression the blocking exists to prevent
+    val d10 = executedPlan(graft.operators.Dedup.crossSplitContamination(spark, dir))
+    assert(!d10.contains("CartesianProduct"), d10.take(500))
+    assert(d10.contains("HashAggregate"), "per-doc rollup should hash-aggregate")
+  }
+
   test("salted join: result identical to plain join, salt column gone") {
     val fact = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "payload")
     val dim = Seq((1, "dim1"), (2, "dim2")).toDF("k", "name")
