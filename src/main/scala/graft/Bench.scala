@@ -82,9 +82,14 @@ object Bench {
     val steady = timedPass()
     val total = results.values.map(_._1).sum
     val steadyTotal = steady.values.map(_._1).sum
-    val failed = results.collect { case (k, (_, false)) => k }.toSeq
+    // ok is per PASS: a query that succeeds cold but throws warm is a
+    // steady-state regression and must land in `failed`, not masquerade as
+    // ok with its failure duration recorded as the steady time
+    val failed = (results.collect { case (k, (_, false)) => k } ++
+      steady.collect { case (k, (_, false)) => k }).toSeq.distinct.sorted
     val detail = results.map { case (k, (v, ok)) =>
-      s""""$k":{"sec":${fmt(v)},"steady":${fmt(steady.get(k).fold(v)(_._1))},"ok":$ok}"""
+      val (sv, sok) = steady.getOrElse(k, (v, ok))
+      s""""$k":{"sec":${fmt(v)},"steady":${fmt(sv)},"ok":$ok,"steady_ok":$sok}"""
     }.mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)

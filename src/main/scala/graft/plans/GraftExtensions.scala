@@ -18,12 +18,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductExpr(exprs.head, exprs(1))))
     // aggregate builders return the unwrapped AggregateFunction — the
-    // analyzer wraps it in an AggregateExpression during resolution
+    // analyzer wraps it in an AggregateExpression during resolution.
+    // TopKAgg.build validates arity + literal k with AnalysisExceptions.
     e.injectFunction((
       FunctionIdentifier("top_k"),
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        TopKAgg(exprs.head, exprs(1),
-          exprs(2).eval().asInstanceOf[Int])))
+        TopKAgg.build(exprs)))
   }
 }

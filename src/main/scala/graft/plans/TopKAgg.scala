@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{AnalysisException, Column}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -24,6 +24,11 @@ import org.apache.spark.sql.types._
   * ordering keys does the same after a null filter). Buffer is a sorted
   * bounded array: insert is O(k) with k small by construction; serialize
   * is a fixed 16-byte record per held pair.
+  *
+  * Score comparison uses `java.lang.Double.compare` (a TOTAL order: NaN
+  * sorts above +Inf, matching Spark's window `ORDER BY score DESC` which
+  * puts NaN first) — raw `>`/`==` would make NaN rows unevictable once
+  * held and diverge from the window form.
   */
 case class TopKAgg(
     score: Expression,
@@ -31,7 +36,11 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKAgg.Buffer] {
+  extends TypedImperativeAggregate[TopKAgg.Buffer]
+  with org.apache.spark.sql.graftbridge.DoubleLongInputTypes {
+  // inputTypes = (DOUBLE, BIGINT) via the bridge trait: the analyzer
+  // coerces (or rejects with a clear error) mistyped arguments up front —
+  // update() may then cast blindly
 
   require(k > 0, "top_k requires k > 0")
 
@@ -92,9 +101,13 @@ object TopKAgg {
     def scoreAt(i: Int): Double = scores(i)
     def idAt(i: Int): Long = ids(i)
 
-    /** true when (s1, i1) outranks (s2, i2). */
-    private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && i1 < i2)
+    /** true when (s1, i1) outranks (s2, i2). Double.compare gives a total
+      * order over NaN/±0.0 identical to Spark's descending sort order.
+      */
+    private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
 
     def insert(s: Double, i: Long): Unit = {
       if (n == k && !beats(s, i, scores(n - 1), ids(n - 1))) return
@@ -134,6 +147,37 @@ object TopKAgg {
     Bridge.column(
       TopKAgg(Bridge.expression(score), Bridge.expression(id), k).toAggregateExpression())
 
+  /** SQL-path builder shared by GraftExtensions and `register`: validates
+    * arity and that `k` is a foldable integer LITERAL before planning, so a
+    * malformed `top_k(...)` raises a standard AnalysisException
+    * (WRONG_NUM_ARGS / NON_FOLDABLE_ARGUMENT) instead of an obscure
+    * planner NPE/ClassCastException.
+    */
+  def build(exprs: Seq[Expression]): TopKAgg = {
+    if (exprs.length != 3)
+      throw new AnalysisException("WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+        "functionName" -> "`top_k`", "expectedNum" -> "3",
+        "actualNum" -> exprs.length.toString, "docroot" -> "https://spark.apache.org/docs/latest"))
+    val kExpr = exprs(2)
+    val integral = kExpr.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!kExpr.foldable || !integral)
+      throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+        "funcName" -> "`top_k`", "paramName" -> "`k`", "paramType" -> "\"INT\""))
+    val k = kExpr.eval() match {
+      case null => throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+        "funcName" -> "`top_k`", "paramName" -> "`k`", "paramType" -> "\"INT\""))
+      case n: java.lang.Number => n.longValue
+    }
+    if (k < 1 || k > Int.MaxValue)
+      throw new AnalysisException("INVALID_PARAMETER_VALUE.INTEGER", Map(
+        "parameter" -> "`k`", "functionName" -> "`top_k`",
+        "invalidValue" -> s"$k (must be in [1, ${Int.MaxValue}])"))
+    TopKAgg(exprs.head, exprs(1), k.toInt)
+  }
+
   /** Register `top_k(score, id, k)` on an existing session (the
     * GraftExtensions builder, for sessions created without extensions).
     */
@@ -142,6 +186,5 @@ object TopKAgg {
       org.apache.spark.sql.catalyst.FunctionIdentifier("top_k"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TopKAgg].getName, "top_k"),
-      (exprs: Seq[Expression]) =>
-        TopKAgg(exprs.head, exprs(1), exprs(2).eval().asInstanceOf[Int]))
+      (exprs: Seq[Expression]) => build(exprs))
 }

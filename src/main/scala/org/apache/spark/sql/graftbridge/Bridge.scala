@@ -35,3 +35,15 @@ class SerializableHadoopConf(conf: org.apache.hadoop.conf.Configuration)
   private val inner = new org.apache.spark.util.SerializableConfiguration(conf)
   def value: org.apache.hadoop.conf.Configuration = inner.value
 }
+
+/** Input-type contract for (score DOUBLE, id BIGINT) aggregates.
+  * `AbstractDataType` is private[sql], so an expression living outside
+  * org.apache.spark.sql cannot override `inputTypes` directly — this trait
+  * (in the bridge package, like the converters above) pins the signature
+  * and lets graft.plans aggregates inherit analyzer-driven implicit casts.
+  */
+trait DoubleLongInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.DoubleType, org.apache.spark.sql.types.LongType)
+}

@@ -64,6 +64,52 @@ class TopKAggSpec extends SparkSuite {
     assert(plan.contains("partial_top_k"), plan.take(800))
   }
 
+  test("NaN scores sort like the window form (NaN outranks +Inf, evictable)") {
+    val df = Seq(
+      ("g", Double.NaN, 1L), ("g", Double.PositiveInfinity, 2L),
+      ("g", 5.0, 3L), ("g", Double.NaN, 4L), ("g", 7.0, 5L)
+    ).toDF("grp", "score", "id")
+    val agg = df.groupBy($"grp").agg(TopKAgg.topK($"score", $"id", 3).as("top"))
+      .select(posexplode($"top")).select($"col.id")
+      .collect().map(_.getLong(0)).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val win = df.withColumn("rn", row_number().over(
+        Window.partitionBy($"grp").orderBy($"score".desc, $"id")))
+      .filter($"rn" <= 3).orderBy($"rn")
+      .select($"id").collect().map(_.getLong(0)).toSeq
+    assert(agg == win)
+    assert(agg == Seq(1L, 4L, 2L)) // NaN(id 1), NaN(id 4), +Inf
+  }
+
+  test("SQL path: mistyped args coerce via inputTypes; bad k raises AnalysisException") {
+    import org.apache.spark.sql.AnalysisException
+    TopKAgg.register(spark)
+    spark.range(10).selectExpr("id % 2 AS g", "CAST(id AS INT) AS v", "id")
+      .createOrReplaceTempView("tk_cast_probe")
+    // INT score / BIGINT k literal: analyzer coercion, no runtime CCE
+    val rows = spark.sql(
+      "SELECT g, top_k(v, id, CAST(2 AS BIGINT)) AS top FROM tk_cast_probe GROUP BY g")
+      .selectExpr("g", "top[0].id AS best")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((0L, 8L), (1L, 9L)))
+    // wrong arity → WRONG_NUM_ARGS, not IndexOutOfBounds
+    val e1 = intercept[AnalysisException](
+      spark.sql("SELECT top_k(v, id) FROM tk_cast_probe"))
+    assert(e1.getCondition.startsWith("WRONG_NUM_ARGS"), e1.getCondition)
+    // non-foldable k → NON_FOLDABLE_ARGUMENT, not an obscure planner error
+    val e2 = intercept[AnalysisException](
+      spark.sql("SELECT g, top_k(v, id, CAST(g AS INT)) FROM tk_cast_probe GROUP BY g"))
+    assert(e2.getCondition == "NON_FOLDABLE_ARGUMENT", e2.getCondition)
+    // non-integral k literal is rejected too
+    val e3 = intercept[AnalysisException](
+      spark.sql("SELECT top_k(v, id, 2.5) FROM tk_cast_probe"))
+    assert(e3.getCondition == "NON_FOLDABLE_ARGUMENT", e3.getCondition)
+    // k < 1 → INVALID_PARAMETER_VALUE
+    val e4 = intercept[AnalysisException](
+      spark.sql("SELECT top_k(v, id, 0) FROM tk_cast_probe"))
+    assert(e4.getCondition.startsWith("INVALID_PARAMETER_VALUE"), e4.getCondition)
+  }
+
   test("top_k available in SQL via the GraftExtensions builder") {
     // the shared suite session predates extension injection; register the
     // same builder path directly (as PipelineSpec does for dot_product)
