@@ -32,13 +32,22 @@ object SparkEntry {
     // ---- aggregations (SURVEY §2.5) ----
     "a1_count_total" -> ((s, d) => Library.countTotal(s, d)),
     "a2_count_distinct" -> ((s, d) => Library.countDistincts(s, d)),
-    // sketch twin of a2 (rows-only: sketch estimates are engine-specific);
-    // at scale the shuffle carries 2KB registers instead of distinct values
+    // sketch twin of a2 — at scale the shuffle carries 2KB registers
+    // instead of distinct values. Raw estimates are engine-specific, so the
+    // gate shape is exact count + ±5% error-band FLAGS (integer arithmetic,
+    // deterministic for the fixed register layout; observed error ≤2.7% at
+    // sf0.001/0.01/0.1, so the band has ≥2x margin) — the oracle reproduces
+    // the exact side and asserts the bands hold
     "a2b_approx_distinct" -> ((s, d) => Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(graft.plans.HllAgg.hllDistinct(col("l_partkey")).as("hll_parts"),
         approx_count_distinct(col("l_partkey")).as("hllpp_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("hll_parts") - col("exact_parts")) * 20 <= col("exact_parts"))
+          .as("hll_within_5pct"),
+        (abs(col("hllpp_parts") - col("exact_parts")) * 20 <= col("exact_parts"))
+          .as("hllpp_within_5pct"))
       .orderBy("l_returnflag")),
     "a3_stars_histogram" -> ((s, d) => Library.starsHistogram(s, d).orderBy("stars")),
     "a4_two_key_histogram" -> ((s, d) => Library.twoKeyHistogram(s, d).orderBy("flag", "stars")),
@@ -53,6 +62,7 @@ object SparkEntry {
     "a13_json_max_having" -> ((s, d) => Library.jsonMaxHaving(s, d).orderBy("user_id")),
     "a14_group_threshold" -> ((s, d) => Library.groupThreshold(s, d)),
     "a16_percentiles" -> ((s, d) => Library.groupPercentiles(s, d).orderBy("o_orderpriority")),
+    "a16b_approx_percentiles" -> ((s, d) => Library.groupPercentilesApprox(s, d).orderBy("o_orderpriority")),
     "a17_rollup" -> ((s, d) => Library.rollupStats(s, d).orderBy("g_lang", "g_source", "lang", "source")),
     "a18_string_agg" -> ((s, d) => Library.memberList(s, d).orderBy("r_name")),
     "a19_unpivot" -> ((s, d) => Library.unpivotWidths(s, d).orderBy("metric")),
@@ -132,7 +142,22 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d).drop("payload").orderBy("media_id")),
     "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
-    "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d).orderBy("media_id", "frame_ts_ms")))
+    "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d).orderBy("media_id", "frame_ts_ms")),
+    // ---- emit: sharded corpus layout, gate-checked through the ACTUAL
+    // write path — write the partitioned tree, read it back with partition
+    // discovery, re-derive the (split, lang, shard) counts; the oracle
+    // recomputes them from the shared splitBucket/shard hashes, so a layout
+    // regression (wrong partition values, dropped rows, shard drift)
+    // hash-mismatches even though the query's "input" is its own output ----
+    "e1_corpus_layout" -> ((s, d) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_corpus_gate").getAbsolutePath
+      graft.emit.CorpusWriter.write(Tables.documents(s, d), out, nShards = 4)
+      s.read.parquet(out)
+        .groupBy(col("split"), col("lang"), col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang", "shard")
+    }))
 
   /** Shared oracle fragments (DuckDB dialect) — one copy each, so a
     * threshold/band/lexicon change can't silently desynchronize queries
@@ -188,6 +213,12 @@ object SparkEntry {
     "a1_count_total" -> "SELECT count(*) AS n FROM lineitem",
     "a2_count_distinct" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps FROM lineitem",
+    // exact side recomputed; band flags are TRUE assertions — a sketch
+    // drifting past ±5% of exact hash-mismatches here
+    "a2b_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS hll_within_5pct, TRUE AS hllpp_within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "a3_stars_histogram" ->
       s"SELECT coalesce($starsD, 0) AS stars, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY stars",
     "a4_two_key_histogram" ->
@@ -232,6 +263,13 @@ object SparkEntry {
     "a16_percentiles" ->
       """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         | round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // exact side recomputed; the GK-sketch percentiles ship as ±0.01
+    // RANK-band flags the oracle asserts TRUE (see a2b for the pattern)
+    "a16b_approx_percentiles" ->
+      """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+        | round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+        | TRUE AS p50_rank_band, TRUE AS p95_rank_band
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "a17_rollup" ->
       """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
@@ -455,13 +493,15 @@ object SparkEntry {
     },
     // decontamination: the split definition is t9's md5 bucket (one shared
     // rendering, splitBucketSql), the 8-gram CTE follows the t5/shingles
-    // length convention (short doc → one whole-text gram)
+    // length convention (short doc → one whole-text gram); grams are md5'd
+    // to fixed-width digests before the join — LOCK-STEP with the Spark
+    // side's shuffle-narrowing digest keys
     "d10_contamination" ->
       s"""WITH t AS (SELECT doc_id, $splitBucketSql AS bucket,
          |  regexp_split_to_array(trim(text), '\\s+') AS w FROM documents WHERE text IS NOT NULL),
-         |s AS (SELECT doc_id, bucket, list_distinct(
+         |s AS (SELECT doc_id, bucket, list_distinct([md5(x) for x in
          |  CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
-         |       ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] END) AS g8 FROM t),
+         |       ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] END]) AS g8 FROM t),
          |tr AS (SELECT doc_id, len(g8) AS n_shingles, unnest(g8) AS g FROM s WHERE bucket < 250),
          |te AS (SELECT DISTINCT unnest(g8) AS g FROM s WHERE bucket >= 253)
          |SELECT doc_id, count(*) AS n_shared, n_shingles,
@@ -654,5 +694,18 @@ object SparkEntry {
       """SELECT media_id, duration_ms, unnest(generate_series(0, duration_ms, 5000)) AS frame_ts_ms
         |FROM (SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) * 10 AS duration_ms
         |      FROM documents WHERE doc_id % 3 = 2)
-        |ORDER BY media_id, frame_ts_ms""".stripMargin)
+        |ORDER BY media_id, frame_ts_ms""".stripMargin,
+    // corpus layout: recomputed straight from documents with the shared
+    // split bucket + the independent 'shard'-seeded md5 bucket — checks the
+    // tree the Spark side actually WROTE and read back
+    "e1_corpus_layout" -> {
+      val sh = s"(${hexv("substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 2, 1)")})"
+      s"""SELECT split, lang, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs
+         |FROM (SELECT lang,
+         |  CASE WHEN $splitBucketSql < 250 THEN 'train'
+         |       WHEN $splitBucketSql < 253 THEN 'val' ELSE 'test' END AS split,
+         |  $sh % 4 AS shard
+         |  FROM documents)
+         |GROUP BY 1, 2, 3 ORDER BY split, lang, shard""".stripMargin
+    })
 }

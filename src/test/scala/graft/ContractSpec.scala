@@ -10,8 +10,11 @@ class ContractSpec extends AnyFunSuite {
 
   /** Queries deliberately without a DuckDB oracle (engine-specific output);
     * must stay in lock-step with CLAUDE.md / COVERAGE.md's rows-only list.
+    * EMPTY since round 5: sketch queries (a2b, a16b) ship exact values plus
+    * deterministic error-band flags instead of raw estimates, so every gate
+    * query hash-checks.
     */
-  private val rowsOnly = Set("a2b_approx_distinct")
+  private val rowsOnly = Set.empty[String]
 
   test("every gate query has an oracle unless documented rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
