@@ -357,8 +357,17 @@ object Dedup {
     * shuffle join — never all-pairs — when it doesn't.
     */
   def crossSplitContamination(spark: SparkSession, dir: String, k: Int = 8,
+      trainUpTo: Int = 250, valUpTo: Int = 253): DataFrame =
+    crossSplitContaminationOf(Tables.documents(spark, dir), k, trainUpTo, valUpTo)
+
+  /** [[crossSplitContamination]] over an explicit (doc_id, text) frame —
+    * lets tests plant fixture documents with KNOWN cross-split overlap
+    * (the sf tables happen to contain none, so the join-hit path needs a
+    * synthetic corpus to be exercised).
+    */
+  def crossSplitContaminationOf(documents: DataFrame, k: Int = 8,
       trainUpTo: Int = 250, valUpTo: Int = 253): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = documents
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         TextAnalysis.splitBucket(col("doc_id")).as("bucket"),

@@ -57,7 +57,7 @@ object EventsStream {
     spark.table(name)
   }
 
-  private def eventSource(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def eventSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")

@@ -124,4 +124,32 @@ class CurationOpsSpec extends SparkSuite {
     // both splits are nonempty at sf0.001 — the check exercises real data
     assert(docs.exists(_._2 >= 253) && docs.count(_._2 < 250) > 10)
   }
+
+  test("d10 decontamination: planted cross-split overlap hits the join path") {
+    // the sf tables contain no genuine contamination (0 rows both engines),
+    // so this fixture is the only exercise of the join-hit path: n_shared
+    // counting, shared_frac rounding, partial-overlap arithmetic
+    import spark.implicits._
+    // ids whose t9 split bucket is train (<250) / test (>=253), found by
+    // the same md5-byte rule both engines share
+    val trainIds = (1L to 2000L).filter(id => bucket256(id.toString) < 250)
+    val testId = (1L to 2000L).find(id => bucket256(id.toString) >= 253).get
+    val Seq(full, partial, clean) = trainIds.take(3)
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    // 10 words -> 3 8-grams, all shared with the test doc
+    val fullText = shared
+    // first 9 shared words + a distinct 3-word tail: 12 words -> 5 8-grams,
+    // of which exactly 2 (w1..w8, w2..w9) appear in the test doc
+    val partialText = shared.split(" ").take(9).mkString(" ") + " xray yankee zulu"
+    val cleanText = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (full, fullText), (partial, partialText), (clean, cleanText),
+      (testId, shared)
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossSplitContaminationOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (full, 3L, 3L, 1.0),
+      (partial, 2L, 5L, 0.4)))
+  }
 }

@@ -163,4 +163,38 @@ class PlanSpec extends SparkSuite {
       .collect().map(_.toSeq).toSeq
     assert(salted == plain)
   }
+
+  test("salted join under degenerate skew: hot key spreads across salt partitions") {
+    // ONE key owns ~99% of the fact — the LSH-band failure mode the salted
+    // fallback exists for. Without salting every hot row lands in one task;
+    // with it the shuffle keys on (k, __salt) and no task owns more than
+    // ~1/salts of the hot key (bounded task sizes, the documented claim).
+    val salts = 8
+    val hot = (1 to 20000).map(i => (1, s"payload_$i"))
+    val cold = (1 to 200).map(i => (1 + i % 7, s"cold_$i"))
+    val fact = (hot ++ cold).toDF("k", "payload")
+    val dim = (1 to 8).map(i => (i, s"dim_$i")).toDF("k", "name")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a genuine shuffle join — a broadcast would hide the salt keys
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val salted = Library.saltedJoin(fact, dim, "k", salts)
+      assert(salted.count() == (hot.size + cold.size))
+      val plan = executedPlan(salted)
+      assert(plan.contains("__salt"), plan.take(800))
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(800))
+      // the hot key's rows split into `salts` near-equal shuffle groups:
+      // recompute the salt exactly as saltedJoin derives it (crc32 of the
+      // whole row) and check the max group is bounded
+      val perSalt = fact.filter($"k" === 1)
+        .withColumn("__salt",
+          pmod(crc32(concat_ws("|", $"k", $"payload")), lit(salts)).cast("int"))
+        .groupBy($"__salt").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      assert(perSalt.length == salts, s"hot key only reached ${perSalt.length}/$salts salts")
+      val maxGroup = perSalt.map(_._2).max
+      assert(maxGroup <= 2L * hot.size / salts,
+        s"skew not dissolved: max salt group $maxGroup of ${hot.size}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }

@@ -112,6 +112,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("batch w7 sessionize == flatMapGroupsWithState sessionize on finalized sessions") {
+    // the two implementations state the SAME gap semantics (new session iff
+    // inter-event gap > 30 min) through different machinery — one keyed
+    // window pass vs interval-merge state + watermark-final emission. The
+    // streaming form can only ever emit sessions the final watermark
+    // (max event time - 1 h) has passed, so the batch side is filtered to
+    // the same finality horizon before comparing row-for-row.
+    val dir = sf("sf0.001")
+    import graft.streaming.EventsStream.TimedEvent
+    import spark.implicits._
+    val src = EventsStream.eventSource(spark, dir)
+      .select(col("user_id"), col("ts")).as[TimedEvent]
+    val q = EventsStream.sessionizeFlat(src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("flat_sessions_eq")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("flat_sessions_eq")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+
+    val gapMs = 30L * 60 * 1000
+    val maxUs = Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
+    val wmMs = maxUs / 1000 - 3600L * 1000 // the query's final watermark
+    val batch = graft.operators.Library.sessionize(spark, dir)
+      .filter(col("end_us") / 1000 + gapMs <= wmMs)
+      .select(col("user_id"),
+        (col("start_us") / 1000).cast("long").as("start_ms"),
+        (col("end_us") / 1000).cast("long").as("end_ms"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch, {
+      val onlyS = streamed -- batch
+      val onlyB = batch -- streamed
+      s"stream-only: ${onlyS.take(5)}; batch-only: ${onlyB.take(5)}"
+    })
+    assert(streamed.size > 100) // the horizon leaves a substantive overlap
+  }
+
   test("stream-stream interval join == batch join (clicks x prior views within reach)") {
     val dir = sf("sf0.001")
     val streamed = EventsStream.runJoinToCompletion(spark, dir, "events_join_test")
