@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.graftbridge.{Bridge, SerializableHadoopConf}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -75,24 +75,146 @@ class PlistTable(schema: StructType) extends Table with SupportsRead {
 }
 
 class PlistScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep source field order; drop unrequested fields
     required = StructType(fullSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = PlistScan(
-    required,
-    PlistDataSource.paths(options),
-    options.getOrDefault("element", "tracks"),
-    options.getOrDefault("userId", "1").toInt,
-    new SerializableHadoopConf(
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  /** Accepts the standard comparison/null/string/set filters over top-level
+    * columns and evaluates them INSIDE the per-file task, before rows are
+    * converted or returned — `select(Name).where(Rating > 80)` materializes
+    * only matching tracks. Accepted filters are fully consumed (Spark plans
+    * no re-check), so [[PlistFilterEval]] implements exact SQL three-valued
+    * semantics; anything it can't guarantee stays a residual for Spark.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(PlistFilterEval.supports(fullSchema, _))
+    pushed = sup
+    unsup
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    // the reader must materialize filter-referenced columns even when the
+    // projection pruned them; it projects back to `required` post-filter
+    val filterCols = pushed.flatMap(_.references).toSet
+    val readAll = StructType(fullSchema.fields.filter(f =>
+      required.fieldNames.contains(f.name) || filterCols.contains(f.name)))
+    PlistScan(
+      required, readAll, pushed,
+      PlistDataSource.paths(options),
+      options.getOrDefault("element", "tracks"),
+      options.getOrDefault("userId", "1").toInt,
+      new SerializableHadoopConf(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  }
 }
 
-case class PlistScan(required: StructType, files: Seq[String],
+/** Executor-side evaluation of pushed V1 filters over external Rows with
+  * exact SQL three-valued logic: `eval` returns None for UNKNOWN (null
+  * operands), And/Or combine Kleene-style, and a row is kept only when the
+  * conjunction of all pushed filters is definitely TRUE — the same rows a
+  * post-scan Filter would keep.
+  */
+object PlistFilterEval {
+
+  private def comparable(v: Any): Boolean = v match {
+    case null => false
+    case _: String | _: java.lang.Integer | _: java.lang.Long | _: java.lang.Double |
+         _: java.lang.Float | _: java.lang.Short | _: java.lang.Byte |
+         _: java.lang.Boolean | _: java.sql.Timestamp | _: java.sql.Date |
+         _: java.math.BigDecimal => true
+    case _ => false
+  }
+
+  def supports(schema: StructType, f: Filter): Boolean = {
+    def known(attr: String): Boolean = schema.fieldNames.contains(attr)
+    f match {
+      case EqualTo(a, v) => known(a) && comparable(v)
+      case EqualNullSafe(a, v) => known(a) && (v == null || comparable(v))
+      case GreaterThan(a, v) => known(a) && comparable(v)
+      case GreaterThanOrEqual(a, v) => known(a) && comparable(v)
+      case LessThan(a, v) => known(a) && comparable(v)
+      case LessThanOrEqual(a, v) => known(a) && comparable(v)
+      case In(a, vs) => known(a) && vs.forall(v => v == null || comparable(v))
+      case IsNull(a) => known(a)
+      case IsNotNull(a) => known(a)
+      case StringStartsWith(a, _) => known(a)
+      case StringEndsWith(a, _) => known(a)
+      case StringContains(a, _) => known(a)
+      case And(l, r) => supports(schema, l) && supports(schema, r)
+      case Or(l, r) => supports(schema, l) && supports(schema, r)
+      case Not(c) => supports(schema, c)
+      case _ => false
+    }
+  }
+
+  /** Both operands share the column's external type (Spark casts literals),
+    * so same-class Comparable covers every supported type.
+    */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: Comparable[_], y) if x.getClass == y.getClass =>
+      Some(x.asInstanceOf[Comparable[Any]].compareTo(y))
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
+    case _ => None
+  }
+
+  def eval(f: Filter, get: String => Any): Option[Boolean] = f match {
+    case EqualTo(a, v) => cmp(get(a), v).map(_ == 0)
+    case EqualNullSafe(a, v) =>
+      val x = get(a)
+      if (x == null || v == null) Some(x == null && v == null)
+      else cmp(x, v).map(_ == 0)
+    case GreaterThan(a, v) => cmp(get(a), v).map(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v).map(_ >= 0)
+    case LessThan(a, v) => cmp(get(a), v).map(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(get(a), v).map(_ <= 0)
+    case In(a, vs) =>
+      val x = get(a)
+      if (x == null) None
+      else {
+        val hits = vs.flatMap(v => cmp(x, v).map(_ == 0))
+        if (hits.contains(true)) Some(true)
+        // any null in the IN list makes a non-match UNKNOWN, not false
+        else if (vs.contains(null) || hits.length < vs.length) None
+        else Some(false)
+      }
+    case IsNull(a) => Some(get(a) == null)
+    case IsNotNull(a) => Some(get(a) != null)
+    case StringStartsWith(a, p) =>
+      Option(get(a)).map(_.asInstanceOf[String].startsWith(p))
+    case StringEndsWith(a, s) =>
+      Option(get(a)).map(_.asInstanceOf[String].endsWith(s))
+    case StringContains(a, s) =>
+      Option(get(a)).map(_.asInstanceOf[String].contains(s))
+    case And(l, r) => (eval(l, get), eval(r, get)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval(l, get), eval(r, get)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(c) => eval(c, get).map(!_)
+    case _ => None // unreachable for supported filters; keep = unknown
+  }
+
+  /** keep ⇔ every pushed filter is definitely TRUE. */
+  def keeps(filters: Array[Filter], get: String => Any): Boolean =
+    filters.forall(f => eval(f, get).contains(true))
+}
+
+case class PlistScan(required: StructType, readAll: StructType,
+    pushed: Array[Filter], files: Seq[String],
     element: String, userId: Int, conf: SerializableHadoopConf)
     extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -100,19 +222,24 @@ case class PlistScan(required: StructType, files: Seq[String],
   override def planInputPartitions(): Array[InputPartition] =
     files.map(PlistFilePartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    PlistReaderFactory(required, element, userId, conf)
+    PlistReaderFactory(required, readAll, pushed, element, userId, conf)
+  override def description(): String =
+    s"plist element=$element PushedFilters=[${pushed.mkString(", ")}]"
 }
 
 case class PlistFilePartition(path: String) extends InputPartition
 
-case class PlistReaderFactory(required: StructType, element: String,
+case class PlistReaderFactory(required: StructType, readAll: StructType,
+    pushed: Array[Filter], element: String,
     userId: Int, conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PlistPartitionReader(
-      partition.asInstanceOf[PlistFilePartition].path, required, element, userId, conf)
+      partition.asInstanceOf[PlistFilePartition].path, required, readAll,
+      pushed, element, userId, conf)
 }
 
 class PlistPartitionReader(path: String, required: StructType,
+    readAll: StructType, pushed: Array[Filter],
     element: String, userId: Int, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
@@ -121,7 +248,12 @@ class PlistPartitionReader(path: String, required: StructType,
     val in = p.getFileSystem(conf.value).open(p)
     val root = try PlistReader.parse(in: java.io.InputStream) finally in.close()
     val toInternal = Bridge.rowToInternal(required)
-    PlistReader.elementRows(root, element, required, userId).iterator.map(toInternal)
+    val idx = readAll.fieldNames.zipWithIndex.toMap
+    val requiredIdx = required.fieldNames.map(idx)
+    PlistReader.elementRows(root, element, readAll, userId).iterator
+      .filter(r => pushed.isEmpty || PlistFilterEval.keeps(pushed, a => r.get(idx(a))))
+      .map(r => toInternal(org.apache.spark.sql.Row.fromSeq(
+        requiredIdx.toIndexedSeq.map(r.get))))
   }
   private var current: InternalRow = _
 

@@ -47,6 +47,41 @@ class PlistDataSourceSpec extends SparkSuite {
     assert(df.count() == 4)
   }
 
+  test("filter pushdown: predicate consumed by the scan, no post-scan Filter") {
+    val df = spark.read.format("plist").load(fixtureFile)
+      .filter(col("Rating") > 50).select("Name")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("Søng Ñame"))
+    val plan = df.queryExecution.executedPlan
+    // the comparison is fully consumed at the source; only the implicit
+    // IsNotNull could remain — no FilterExec re-checking Rating > 50
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.description().contains("GreaterThan(Rating,50)"),
+      scans.head.scan.description())
+    assert(!plan.toString.contains("GreaterThan(Rating, 50) AND"), plan.toString.take(800))
+    // and the filter column was NOT added to the output schema
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("Name"))
+  }
+
+  test("filter pushdown: three-valued semantics match Spark's post-scan filtering") {
+    // track 102 has NULL Rating/Artist — every predicate shape must keep
+    // exactly the rows a post-scan Filter keeps (null → dropped, NOT of
+    // null → dropped, IsNull → kept)
+    val plain = spark.read.format("plist").load(fixtureFile)
+    def viaSource(c: org.apache.spark.sql.Column): Set[Int] =
+      plain.filter(c).select("Track_ID").collect().map(_.getInt(0)).toSet
+    assert(viaSource(col("Rating") > 50) == Set(101))
+    assert(viaSource(!(col("Rating") > 50)) == Set.empty)
+    assert(viaSource(col("Rating").isNull) == Set(102))
+    assert(viaSource(col("Rating").isNotNull && col("Artist") === "Artist A") == Set(101))
+    assert(viaSource(col("Name").startsWith("No") || col("Rating") >= 100) == Set(101, 102))
+    assert(viaSource(col("Name").contains("Rating")) == Set(102))
+    assert(viaSource(col("Track_ID").isin(101, 102, 999)) == Set(101, 102))
+    assert(viaSource(col("Rating") <=> lit(null)) == Set(102))
+  }
+
   test("equivalence with the driver-side loader") {
     val xml = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(fixtureFile)), "UTF-8")
