@@ -139,6 +139,8 @@ object SparkEntry {
     "t9_split_assign" -> ((s, d) => TextAnalysis.splitAssign(s, d).orderBy("split", "lang")),
     "t10_vocabulary" -> ((s, d) => TextAnalysis.vocabulary(s, d)),
     "t11_rebalance_sample" -> ((s, d) => TextAnalysis.rebalanceSample(s, d).orderBy("lang")),
+    "t12_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d).orderBy("doc_id")),
+    "t13_distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d).orderBy("doc_id", "rn")),
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d).drop("payload").orderBy("media_id")),
     "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
@@ -684,6 +686,36 @@ object SparkEntry {
          |FROM k JOIN c ON k.lang = c.lang CROSS JOIN m
          |GROUP BY 1 ORDER BY lang""".stripMargin
     },
+    // PII scrub: patterns rendered from the ONE shared list
+    // (TextAnalysis.piiPatterns) so Spark and oracle can't drift; DuckDB
+    // regexp_replace needs explicit 'g' for replace-all (Spark's default)
+    "t12_pii_scrub" -> {
+      val ps = graft.operators.TextAnalysis.piiPatterns
+      val red = ps.foldLeft("text") { case (c, (_, pat, tag)) =>
+        s"regexp_replace($c, '$pat', '$tag', 'g')"
+      }
+      val counts = ps.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  $counts,
+         |  sha256($red) AS redacted_sha
+         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+    },
+    // distinctive terms: integer-only ranking (tf DESC, df ASC, term) and a
+    // single exact-integer division for the score — no ln() whose last-ulp
+    // behavior could differ across engines
+    "t13_distinctive_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_corpus FROM documents),
+        |ranked AS (SELECT doc_id, term, tf, df,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rn
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, CAST(rn AS INTEGER) AS rn, term, tf, df,
+        |  round(CAST(tf * n_corpus AS DOUBLE) / df, 4) AS score
+        |FROM ranked CROSS JOIN n WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     // ---- multimodal ----
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,

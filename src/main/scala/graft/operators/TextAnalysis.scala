@@ -275,4 +275,78 @@ object TextAnalysis {
         n(col("rep_ok")).as("n_rep_ok"),
         n(col("lang_ok") && col("quality_ok") && col("rep_ok")).as("n_kept"))
   }
+
+  /** PII patterns shared by the Spark side and (string-identically) the
+    * DuckDB oracle — kept to the regex subset Java and RE2 parse the same
+    * way: plain character classes, bounded repetition, no lookaround.
+    * Order matters and is part of the contract: emails first (so an
+    * address's digits are gone before the digit-run pass), then IPv4,
+    * then standalone long digit runs (ids, phones, cards).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("digits", "[0-9]{9,}", "<NUM>"))
+
+  /** PII SCRUB — the redaction pass a curation pipeline runs before
+    * training: match counts per category plus the sha256 of the fully
+    * redacted text (the gate-comparable witness of the rewritten payload —
+    * the raw redacted string would bloat the compare for no extra signal).
+    * Entirely map-side: one projection, no shuffle, no UDF — counting via
+    * `regexp_extract_all` and rewriting via chained `regexp_replace`, all
+    * codegen'd builtins. The sf documents contain no PII (all-zero counts,
+    * digest = digest of the original) — the hit path is fixture-proven in
+    * CurationOpsSpec, the d10 pattern.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOf(Tables.documents(spark, dir))
+
+  /** [[piiScrub]] over an explicit (doc_id, text) frame for fixture tests. */
+  def piiScrubOf(documents: DataFrame): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as(s"n_$name")
+    }
+    documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id") +: counts :+ sha2(redacted, 256).as("redacted_sha"): _*)
+  }
+
+  /** DISTINCTIVE TERMS — per-document top-k terms by a TF-IDF-style score,
+    * the per-doc keyword surface (topic tagging, index previews) over the
+    * corpus statistics t10 aggregates globally. Ranking is tf DESC, df ASC,
+    * term ASC — a total order on exact INTEGERS, so both engines cut
+    * identical top-k sets; the reported score rounds a single exact-integer
+    * division (tf·N/df, the raw TF-IDF rational without the cross-engine
+    * hazard of `ln`, whose last-ulp differences libm does not pin down).
+    *
+    * Scale shape: two word-count aggregations (per-doc tf, corpus df — the
+    * t10 shape, partial agg before each shuffle), ONE term-keyed equi-join
+    * between them (never a doc×vocab blowup; AQE broadcasts the df side
+    * when it fits), and a per-doc top-k window whose partition is the
+    * document — the sort is bounded by a single document's vocabulary.
+    */
+  def distinctiveTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docTerms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = docTerms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = docTerms.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the corpus size is a one-row aggregate broadcast onto the scored
+    // stream (the t11 pattern) — never a driver-side collect
+    val nDocs = Tables.documents(spark, dir)
+      .agg(countDistinct(col("doc_id")).as("n_corpus"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+        round((col("tf") * col("n_corpus")).cast("double") / col("df"), 4).as("score"))
+  }
 }

@@ -152,4 +152,35 @@ class CurationOpsSpec extends SparkSuite {
       (full, 3L, 3L, 1.0),
       (partial, 2L, 5L, 0.4)))
   }
+
+  test("t12 PII scrub: planted PII is counted, redacted, and ordering-correct") {
+    // the sf documents carry no PII (all-zero counts on the gate), so the
+    // hit path — counting, chained replacement, email-before-digits order —
+    // is exercised here
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or bob@host.org today"),
+      (2L, "server 192.168.0.1 and card 4111111111111111 leaked"),
+      (3L, "clean text with the number 42 and ip-free prose"),
+      (4L, "mail id9876543210@digits.example then 123456789")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrubOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(_._1)
+
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0) == ((1L, 2L, 0L, 0L,
+      sha("contact <EMAIL> or <EMAIL> today"))))
+    assert(got(1) == ((2L, 0L, 1L, 1L,
+      sha("server <IP> and card <NUM> leaked"))))
+    assert(got(2) == ((3L, 0L, 0L, 0L,
+      sha("clean text with the number 42 and ip-free prose"))))
+    // doc 4: counts scan the ORIGINAL text (2 digit runs — one inside the
+    // address), while redaction is ordered: the email pass swallows its
+    // embedded digits first, so only the standalone run becomes <NUM>
+    assert(got(3) == ((4L, 1L, 0L, 2L,
+      sha("mail <EMAIL> then <NUM>"))))
+  }
 }
