@@ -152,8 +152,13 @@ object SparkEntry {
     // regression (wrong partition values, dropped rows, shard drift)
     // hash-mismatches even though the query's "input" is its own output ----
     "e1_corpus_layout" -> ((s, d) => {
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_corpus_gate").getAbsolutePath
+      // path isolated per (process, input dir): concurrent Verify/Bench
+      // runs (or two users sharing /tmp) must not overwrite or read each
+      // other's tree mid-scan
+      val tag = java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
+        .toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_corpus_gate_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
       graft.emit.CorpusWriter.write(Tables.documents(s, d), out, nShards = 4)
       s.read.parquet(out)
         .groupBy(col("split"), col("lang"), col("shard").cast("long").as("shard"))

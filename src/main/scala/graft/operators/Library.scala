@@ -156,23 +156,28 @@ object Library {
     * tier is hash-checked without demanding cross-engine sketch equality.
     */
   def groupPercentilesApprox(spark: SparkSession, dir: String,
-      accuracy: Int = 10000): DataFrame =
+      accuracy: Int = 10000): DataFrame = {
+    // ONE exact-percentile buffer serves all six reference points (the
+    // array form shares a single sorted buffer per group — six scalar
+    // calls would hold six copies of the very state this query exists to
+    // bound), and one sketch serves both approx points
+    val exactPs = array(Seq(0.49, 0.5, 0.51, 0.94, 0.95, 0.96).map(lit): _*)
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
-        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50_exact"),
-        round(percentile(col("o_totalprice"), lit(0.95)), 4).as("p95_exact"),
-        percentile(col("o_totalprice"), lit(0.49)).as("p49"),
-        percentile(col("o_totalprice"), lit(0.51)).as("p51"),
-        percentile(col("o_totalprice"), lit(0.94)).as("p94"),
-        percentile(col("o_totalprice"), lit(0.96)).as("p96"),
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(accuracy)).as("ap50"),
-        percentile_approx(col("o_totalprice"), lit(0.95), lit(accuracy)).as("ap95"))
-      .select(col("o_orderpriority"), col("p50_exact"), col("p95_exact"),
-        (col("ap50") >= col("p49") && col("ap50") <= col("p51"))
+        percentile(col("o_totalprice"), exactPs).as("ex"),
+        percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.95)),
+          lit(accuracy)).as("ap"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("ex"), 2), 4).as("p50_exact"),
+        round(element_at(col("ex"), 5), 4).as("p95_exact"),
+        (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
+          element_at(col("ap"), 1) <= element_at(col("ex"), 3))
           .as("p50_rank_band"),
-        (col("ap95") >= col("p94") && col("ap95") <= col("p96"))
+        (element_at(col("ap"), 2) >= element_at(col("ex"), 4) &&
+          element_at(col("ap"), 2) <= element_at(col("ex"), 6))
           .as("p95_rank_band"))
+  }
 
   /** A17: ROLLUP multi-level aggregation — per (lang, source), per lang,
     * and grand total in ONE pass (Catalyst plans an Expand + single

@@ -154,11 +154,32 @@ object PlistFilterEval {
     }
   }
 
+  /** Spark orders strings by UTF-8 BYTE order (UTF8String.binaryCompare);
+    * Java's String.compareTo orders by UTF-16 code unit, which DISAGREES
+    * for non-BMP text (e.g. U+FFFD vs an emoji's surrogate pair). Pushed
+    * filters are fully consumed — no post-scan re-check — so the source
+    * must reproduce Spark's order exactly.
+    */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Both operands share the column's external type (Spark casts literals),
-    * so same-class Comparable covers every supported type.
+    * so same-class Comparable covers every supported type — except String,
+    * which needs Spark's binary order (see [[utf8Compare]]).
     */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
+    case (x: String, y: String) => Some(utf8Compare(x, y))
     case (x: Comparable[_], y) if x.getClass == y.getClass =>
       Some(x.asInstanceOf[Comparable[Any]].compareTo(y))
     case (x: java.lang.Number, y: java.lang.Number) =>
@@ -248,12 +269,23 @@ class PlistPartitionReader(path: String, required: StructType,
     val in = p.getFileSystem(conf.value).open(p)
     val root = try PlistReader.parse(in: java.io.InputStream) finally in.close()
     val toInternal = Bridge.rowToInternal(required)
+    // positions resolved ONCE per partition — the per-row path does only
+    // array-indexed gets, no string-keyed lookups or fresh wrappers
     val idx = readAll.fieldNames.zipWithIndex.toMap
-    val requiredIdx = required.fieldNames.map(idx)
+    val projIdx: Array[Int] = required.fieldNames.map(idx)
+    val boundFilters: Array[(Filter, Map[String, Int])] =
+      pushed.map(f => (f, f.references.map(a => a -> idx(a)).toMap))
     PlistReader.elementRows(root, element, readAll, userId).iterator
-      .filter(r => pushed.isEmpty || PlistFilterEval.keeps(pushed, a => r.get(idx(a))))
-      .map(r => toInternal(org.apache.spark.sql.Row.fromSeq(
-        requiredIdx.toIndexedSeq.map(r.get))))
+      .filter(r => boundFilters.forall { case (f, at) =>
+        PlistFilterEval.eval(f, a => r.get(at(a))).contains(true)
+      })
+      .map { r =>
+        val vals = new Array[Any](projIdx.length)
+        var i = 0
+        while (i < projIdx.length) { vals(i) = r.get(projIdx(i)); i += 1 }
+        toInternal(org.apache.spark.sql.Row.fromSeq(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)))
+      }
   }
   private var current: InternalRow = _
 

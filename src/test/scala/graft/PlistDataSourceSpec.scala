@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
   * parallelism, pruned-column materialization, element selection.
   */
 class PlistDataSourceSpec extends SparkSuite {
+  import spark.implicits._
 
   private lazy val fixtureFile: String = {
     val xml = new PlistReaderSpec().fixtureXml
@@ -80,6 +81,41 @@ class PlistDataSourceSpec extends SparkSuite {
     assert(viaSource(col("Name").contains("Rating")) == Set(102))
     assert(viaSource(col("Track_ID").isin(101, 102, 999)) == Set(101, 102))
     assert(viaSource(col("Rating") <=> lit(null)) == Set(102))
+  }
+
+  test("filter pushdown: string ranges follow Spark's UTF-8 binary order on non-BMP text") {
+    // U+FFFD (EF BF BD in UTF-8) sorts BELOW U+1F600 (F0 9F 98 80) in
+    // Spark's byte order, but ABOVE it in Java's UTF-16 compareTo — a
+    // comparator using compareTo would return different rows pushed-down
+    // than not (pushed filters are fully consumed, nothing re-checks)
+    val emoji = new String(Character.toChars(0x1F600))
+    val xml =
+      s"""<?xml version="1.0"?><plist version="1.0"><dict>
+         | <key>Tracks</key><dict>
+         |  <key>1</key><dict><key>Track ID</key><integer>1</integer>
+         |   <key>Name</key><string>�song</string></dict>
+         |  <key>2</key><dict><key>Track ID</key><integer>2</integer>
+         |   <key>Name</key><string>${emoji}song</string></dict>
+         | </dict>
+         |</dict></plist>""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_utf8", ".xml")
+    java.nio.file.Files.write(f, xml.getBytes("UTF-8"))
+    val src = spark.read.format("plist").load(f.toString)
+    // Spark's own semantics for each predicate, evaluated WITHOUT pushdown
+    // (plain in-memory DataFrame) — the source must return identical rows
+    val rows = src.select("Track_ID", "Name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    for (pred <- Seq(col("Name") > emoji, col("Name") < emoji,
+        col("Name") >= s"${emoji}song", col("Name") <= "�song")) {
+      val viaPushdown = src.filter(pred)
+        .select("Track_ID").collect().map(_.getInt(0)).toSet
+      val sparkSemantics = rows.toDF("Track_ID", "Name").filter(pred)
+        .select("Track_ID").collect().map(_.getInt(0)).toSet
+      assert(viaPushdown == sparkSemantics,
+        s"pushdown order diverged from Spark semantics for $pred: " +
+          s"pushed=$viaPushdown spark=$sparkSemantics")
+    }
+    assert(rows.size == 2)
   }
 
   test("equivalence with the driver-side loader") {

@@ -135,14 +135,31 @@ class StreamingSpec extends SparkSuite {
         r.getTimestamp(2).getTime, r.getLong(3))).toSet
 
     val gapMs = 30L * 60 * 1000
+    // PRECONDITION for comparing a µs-granular batch to the ms-granular
+    // stream (TimedEvent carries ts.getTime): no consecutive-event gap may
+    // sit within 1 ms of the session boundary, else floor-to-ms and exact-µs
+    // disagree on the split decision and the comparison is ill-posed
+    val boundaryStraddlers = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))))
+      .filter(abs(col("gap_us") - gapMs * 1000L) <= 1000L)
+      .count()
+    assert(boundaryStraddlers == 0,
+      s"$boundaryStraddlers inter-event gaps within 1ms of the session boundary — " +
+        "ms-truncated and µs session splits would diverge on this data")
     val maxUs = Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts")))).collect().head.getLong(0)
     val wmMs = maxUs / 1000 - 3600L * 1000 // the query's final watermark
+    // `div`: INTEGER floor like the stream's getTime truncation — a
+    // fractional `/` would put sub-ms session ends on the wrong side of
+    // the horizon the stream decides with floored integers
     val batch = graft.operators.Library.sessionize(spark, dir)
-      .filter(col("end_us") / 1000 + gapMs <= wmMs)
+      .filter(expr("end_us div 1000") + gapMs <= wmMs)
       .select(col("user_id"),
-        (col("start_us") / 1000).cast("long").as("start_ms"),
-        (col("end_us") / 1000).cast("long").as("end_ms"),
+        expr("start_us div 1000").as("start_ms"),
+        expr("end_us div 1000").as("end_ms"),
         col("n_events"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(streamed == batch, {
