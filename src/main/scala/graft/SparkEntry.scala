@@ -118,6 +118,7 @@ object SparkEntry {
     "d3_minhash_lsh_pairs" -> ((s, d) => Dedup.minhashLshPairs(s, d).orderBy("id_a", "id_b")),
     "d4_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d).orderBy("id_a", "id_b")),
     "d5_simhash" -> ((s, d) => Dedup.simhash(s, d).orderBy("doc_id")),
+    "d11_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d).orderBy("id_a", "id_b")),
     "d6_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDupsBounded(s, d, 0.35).orderBy("id_a", "id_b")),
     "d7_tail_fingerprint" -> ((s, d) => Dedup.tailFingerprint(s, d).orderBy("doc_id")),
     "d8_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d, 0.3).orderBy("id_a", "id_b")),
@@ -201,6 +202,30 @@ object SparkEntry {
     */
   private val hexv = (c: String) =>
     s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+
+  /** 16-bit simhash signature CTE (`sh(doc_id, simhash)`) — the oracle
+    * rendering of Dedup.simhash (d5's display signature).
+    */
+  private val simhashCte: String = {
+    val bits = (1 to 16).map { p =>
+      s"(CASE WHEN list_sum([${hexv(s"substr(md5(x), $p, 1)")} - 7.5 for x in w]) > 0 THEN ${1L << (p - 1)} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)""".stripMargin
+  }
+
+  /** 64-bit simhash CTE (`sh64(doc_id, simhash)`) — the oracle rendering
+    * of Dedup.simhash64: bit p votes ±1 by bit (p mod 4) of hex digit
+    * (p div 4) of each token's md5.
+    */
+  private val simhash64Cte: String = {
+    val bits = (0 until 64).map { p =>
+      val digit = hexv(s"substr(md5(x), ${p / 4 + 1}, 1)")
+      s"(CASE WHEN list_sum([(($digit >> ${p % 4}) & 1) * 2 - 1 for x in w]) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+       |sh64 AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)""".stripMargin
+  }
 
   /** t9's split bucket (first md5 byte of the doc id) — the SQL rendering
     * of TextAnalysis.splitBucket, shared by the t9 and d10 oracles.
@@ -461,13 +486,24 @@ object SparkEntry {
          |    round(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE) / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) AS jaccard
          |  FROM ds a JOIN ds b ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.tokz = b.tokz AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
-    "d5_simhash" -> {
-      val bits = (1 to 16).map { p =>
-        s"(CASE WHEN list_sum([${hexv(s"substr(md5(x), $p, 1)")} - 7.5 for x in w]) > 0 THEN ${1L << (p - 1)} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents)
-         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t ORDER BY doc_id""".stripMargin
-    },
+    "d5_simhash" ->
+      s"""$simhashCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    // SimHash pairs: 64-bit signature, 16-bit band blocking
+    // (pigeonhole-exact at Hamming<=3) + exact xor/bit_count verify.
+    // (16-bit d5 signatures saturate on a single-topic corpus — see
+    // Dedup.simhash64.) Shift-then-mask agrees between arithmetic and
+    // logical >> because the mask keeps only the low 16 bits
+    "d11_simhash_pairs" ->
+      s"""$simhash64Cte,
+         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
+         |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |    a.simhash AS sh_a, b2.simhash AS sh_b
+         |  FROM banded a JOIN banded b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3 ORDER BY id_a, id_b""".stripMargin,
     "d6_embedding_neardup" -> {
       val coeff = hexv("substr(md5('plane:' || (b*2+j) || ':' || i), 1, 1)")
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Exprs._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines, built on
@@ -405,6 +405,58 @@ object Dedup {
       when(s > 0, lit(1L << (p - 1))).otherwise(lit(0L))
     }.reduce(_ + _)
     hashed.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** 64-bit SimHash — the PRODUCTION signature width: for bit p (0..63),
+    * each token votes ±1 by bit (p mod 4) of hex digit (p div 4) of its
+    * md5; a positive sum sets the bit. Integer ±1 votes → exact,
+    * order-independent, oracle-reproducible. The 16-nibble [[simhash]]
+    * stays as d5's compact display signature, but 16 bits SATURATE on a
+    * single-topic corpus (measured: 35% of all sf0.01 pairs within
+    * Hamming 3 — blocking degenerates toward all-pairs); at 64 bits
+    * unrelated docs concentrate near Hamming 32 and radius-3 keeps only
+    * genuine near-dups (12 pairs on the same corpus).
+    */
+  def simhash64(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), transform(tokens(col("text")), t => md5(t)).as("hashes"))
+    val sig = (0 until 64).map { p =>
+      val vote = (h: Column) =>
+        (shiftright(hexVal(substring(h, p / 4 + 1, 1)), p % 4)
+          .bitwiseAND(lit(1)) * 2 - 1).cast("long")
+      val s = aggregate(col("hashes"), lit(0L), (acc, h) => acc + vote(h))
+      when(s > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup PAIRS — the consumer of [[simhash64]]'s signatures:
+    * candidate pairs form only inside (band, chunk) blocks — the 64-bit
+    * signature split into 4 bands of 16 bits — then exact Hamming distance
+    * filters. Pigeonhole-EXACT for the default radius: ≤3 differing bits
+    * can touch at most 3 of the 4 bands, so every qualifying pair agrees
+    * on at least one band (recall 1.0, unlike the probabilistic minhash
+    * bands). Scale shape mirrors d3: banded explode (4 rows/doc), equi-join
+    * on (band, 16-bit chunk — 65536 block values), distinct BEFORE the
+    * Hamming verify — candidates bounded by block occupancy, never
+    * all-pairs.
+    */
+  def simhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val banded = simhash64(spark, dir)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("chunk", expr("(simhash >> (b * 16)) & 65535"))
+    val a = banded.select(col("b"), col("chunk"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val bb = banded.select(col("b"), col("chunk"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(bb, Seq("b", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Embedding near-dup, scale path: block by the sign-random-projection
