@@ -367,18 +367,22 @@ object Dedup {
     */
   def crossSplitContaminationOf(documents: DataFrame, k: Int = 8,
       trainUpTo: Int = 250, valUpTo: Int = 253): DataFrame = {
+    // md5 runs AFTER the explode (codegen'd, once per emitted gram) — not
+    // as a transform() lambda over the array, which is interpreted HOF
+    // eval and rebuilds the whole array per row. size() on the raw
+    // distinct array is the same count (transform preserves length).
     val docs = documents
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         TextAnalysis.splitBucket(col("doc_id")).as("bucket"),
-        transform(
-          array_distinct(graft.plans.ShinglesExpr.wordShingles(col("text"), k)),
-          g => md5(g)).as("g8"))
+        array_distinct(graft.plans.ShinglesExpr.wordShingles(col("text"), k)).as("g8"))
     val train = docs.filter(col("bucket") < trainUpTo)
       .select(col("doc_id"), size(col("g8")).cast("long").as("n_shingles"),
-        explode(col("g8")).as("g"))
+        explode(col("g8")).as("graw"))
+      .select(col("doc_id"), col("n_shingles"), md5(col("graw")).as("g"))
     val test = docs.filter(col("bucket") >= valUpTo)
-      .select(explode(col("g8")).as("g")).distinct()
+      .select(explode(col("g8")).as("graw"))
+      .select(md5(col("graw")).as("g")).distinct()
     train.join(test, Seq("g"))
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_shared"))
@@ -417,7 +421,22 @@ object Dedup {
     * unrelated docs concentrate near Hamming 32 and radius-3 keeps only
     * genuine near-dups (12 pairs on the same corpus).
     */
-  def simhash64(spark: SparkSession, dir: String): DataFrame = {
+  def simhash64(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      // null text -> null token array -> coalesce preserves the builtin
+      // form's 0-signature (its per-bit when(null > 0).otherwise(0) sums)
+      .select(col("doc_id"),
+        coalesce(graft.plans.SimHashExpr.simhash64(tokens(col("text"))), lit(0L))
+          .as("simhash"))
+
+  /** The builtin-only formulation [[simhash64]] is value-identical to —
+    * kept as the cross-check target for DedupSpec (it IS the oracle
+    * arithmetic, rendered in Spark builtins) and as documentation of what
+    * the native expression computes. NOT on any query path: it md5-hexes
+    * every token into an array and then runs 64 interpreted `aggregate`
+    * lambdas over it — measured 15 s of the sf0.1 bench vs ~1 s native.
+    */
+  private[graft] def simhash64Builtin(spark: SparkSession, dir: String): DataFrame = {
     val hashed = Tables.documents(spark, dir)
       .select(col("doc_id"), transform(tokens(col("text")), t => md5(t)).as("hashes"))
     val sig = (0 until 64).map { p =>

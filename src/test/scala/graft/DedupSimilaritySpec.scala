@@ -100,6 +100,36 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(rnd > 3, s"random docs unexpectedly close: $rnd")
   }
 
+  test("simhash64: native expression is value-identical to the builtin formulation") {
+    // the builtin form IS the oracle arithmetic (simhash64Cte) rendered in
+    // Spark builtins — bit-equality here proves the native fast path keeps
+    // the DuckDB oracle honest
+    val native = Dedup.simhash64(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val builtin = Dedup.simhash64Builtin(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(native == builtin)
+  }
+
+  test("simhash64 pairs: band blocking is pigeonhole-exact vs brute force") {
+    val pairs = Dedup.simhashPairs(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      .sortBy(p => (p._1, p._2))
+    // identical docs -> hamming 0
+    assert(pairs.find(p => p._1 == 50 && p._2 == 51).get._3 == 0)
+    // recall 1.0: the banded join must produce EXACTLY the all-pairs set
+    // within the radius (<=3 differing bits can touch at most 3 of the 4
+    // 16-bit bands, so some band always agrees)
+    val sigs = Dedup.simhash64(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val brute = for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)
+    assert(pairs == brute)
+    assert(pairs.nonEmpty)
+  }
+
   test("ANN brute force: planted clone is its twin's top neighbor at cosine 1") {
     val top = Similarity.bruteForceTopK(spark, fixtureDir, nProbes = 6, k = 3)
       .filter(col("probe_id") === 5 && col("rn") === 1).collect().head
