@@ -23,7 +23,8 @@ object ExplainAudit {
       "w4_asof_join", "w5_range_join", "t10_vocabulary", "a17_rollup",
       "w7_sessionize", "w8_ntile_quartiles", "t11_rebalance_sample",
       "d10_contamination", "a16b_approx_percentiles", "t12_pii_scrub",
-      "t13_distinctive_terms", "e1_corpus_layout")
+      "t13_distinctive_terms", "e1_corpus_layout",
+      "d11_simhash_pairs", "d12_boilerplate", "t14_sequence_pack")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -119,6 +119,7 @@ object SparkEntry {
     "d4_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d).orderBy("id_a", "id_b")),
     "d5_simhash" -> ((s, d) => Dedup.simhash(s, d).orderBy("doc_id")),
     "d11_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d).orderBy("id_a", "id_b")),
+    "d12_boilerplate" -> ((s, d) => Dedup.boilerplateChunks(s, d).orderBy("doc_id")),
     "d6_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDupsBounded(s, d, 0.35).orderBy("id_a", "id_b")),
     "d7_tail_fingerprint" -> ((s, d) => Dedup.tailFingerprint(s, d).orderBy("doc_id")),
     "d8_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d, 0.3).orderBy("id_a", "id_b")),
@@ -142,6 +143,7 @@ object SparkEntry {
     "t11_rebalance_sample" -> ((s, d) => TextAnalysis.rebalanceSample(s, d).orderBy("lang")),
     "t12_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d).orderBy("doc_id")),
     "t13_distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d).orderBy("doc_id", "rn")),
+    "t14_sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d).orderBy("split", "lang", "bin")),
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d).drop("payload").orderBy("media_id")),
     "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
@@ -550,6 +552,23 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_shared, n_shingles,
          |  round(CAST(count(*) AS DOUBLE) / n_shingles, 4) AS shared_frac
          |FROM tr JOIN te USING (g) GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin,
+    // boilerplate: chunk membership decided on md5 digests, the rewrite
+    // witnessed by the sha-256 of the cleaned text — both hashes the two
+    // engines spell identically
+    "d12_boilerplate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, [array_to_string(w[(i*4+1):(i*4+4)], ' ')
+        |  for i in generate_series(0, CAST((len(w)+3)//4 AS INT) - 1)] AS chunks FROM t),
+        |df AS (SELECT d, count(DISTINCT doc_id) AS df
+        |  FROM (SELECT doc_id, unnest([md5(ch) for ch in chunks]) AS d FROM c) GROUP BY 1),
+        |b AS (SELECT coalesce(list(d), []) AS bl FROM df WHERE df >= 3)
+        |SELECT doc_id, CAST(len(chunks) AS BIGINT) AS n_chunks,
+        |  CAST(len([ch for ch in chunks if list_contains(bl, md5(ch))]) AS BIGINT) AS n_boiler,
+        |  round(CAST(len([ch for ch in chunks if list_contains(bl, md5(ch))]) AS DOUBLE) / len(chunks), 4) AS boiler_frac,
+        |  -- coalesce: duckdb array_to_string([]) is NULL, spark array_join([]) is ''
+        |  sha256(coalesce(array_to_string([ch for ch in chunks if NOT list_contains(bl, md5(ch))], ' '), '')) AS clean_sha
+        |FROM c CROSS JOIN b ORDER BY doc_id""".stripMargin,
     "d8_embedding_neardup_lsh" -> {
       val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -757,6 +776,22 @@ object SparkEntry {
         |SELECT doc_id, CAST(rn AS INTEGER) AS rn, term, tf, df,
         |  round(CAST(tf * n_corpus AS DOUBLE) / df, 4) AS score
         |FROM ranked CROSS JOIN n WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    // sequence packing: integer-only running sum + integer div — both
+    // window semantics (ROWS ... 1 PRECEDING over doc_id order) and the
+    // bin arithmetic are exact on both engines
+    "t14_sequence_pack" -> {
+      val b = splitBucketSql
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  CASE WHEN $b < 250 THEN 'train' WHEN $b < 253 THEN 'val' ELSE 'test' END AS split,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT split, lang, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY split, lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t)
+         |SELECT split, lang, CAST(cum_before // 1024 AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM w GROUP BY 1, 2, 3 ORDER BY split, lang, bin""".stripMargin
+    },
     // ---- multimodal ----
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,

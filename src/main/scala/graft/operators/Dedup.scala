@@ -390,6 +390,59 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_shingles"), 4).as("shared_frac"))
   }
 
+  /** BOILERPLATE REMOVAL — the intra-corpus repeated-segment scrub a
+    * curation pipeline runs before training (nav bars, license headers,
+    * templated footers): documents are cut into consecutive k-token
+    * chunks; a chunk whose md5 digest appears in >= minDocs DISTINCT
+    * documents is boilerplate; the output reports per-doc chunk counts
+    * and the sha-256 of the text with boilerplate chunks removed (the
+    * gate-comparable witness of the rewrite, the t12 pattern).
+    *
+    * Scale shape: chunking and hashing are map-side; the corpus-frequency
+    * aggregation ships (digest, doc_id) — 32-char keys, never chunk text;
+    * the boilerplate digest set (corpus-frequency tail, tiny by Zipf) is
+    * BROADCAST back onto the position stream; the rewrite is one doc-keyed
+    * left join of (doc -> boilerplate positions, ints) followed by a
+    * map-side indexed filter + hash. No all-pairs stage anywhere — unlike
+    * pairwise near-dup, boilerplate is a frequency property, so the cost
+    * is two word-count-shaped aggregations.
+    */
+  def boilerplateChunks(spark: SparkSession, dir: String,
+      k: Int = 4, minDocs: Int = 3): DataFrame =
+    boilerplateChunksOf(Tables.documents(spark, dir), k, minDocs)
+
+  /** [[boilerplateChunks]] over an explicit (doc_id, text) frame — lets
+    * tests plant documents with KNOWN shared segments.
+    */
+  def boilerplateChunksOf(documents: DataFrame, k: Int = 4, minDocs: Int = 3): DataFrame = {
+    val base = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // chunk i = tokens [i*k+1, i*k+k] re-joined — (n + k - 1) div k
+      // chunks, the last one short; integer arithmetic only
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, CAST((size(toks) + ${k - 1}) div $k AS INT) - 1), " +
+          s"i -> array_join(slice(toks, i * $k + 1, $k), ' '))").as("chunks"))
+    // (doc_id, pos, digest): fixed-width digests in every shuffle
+    val exploded = base
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("pos", "chunk")))
+      .select(col("doc_id"), col("pos"), md5(col("chunk")).as("digest"))
+    val boiler = exploded.groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+    val boilerPos = exploded.join(broadcast(boiler.select(col("digest"))), Seq("digest"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("bpos"))
+    val nBoiler = coalesce(size(col("bpos")), lit(0)).cast("long")
+    base.join(boilerPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        nBoiler.as("n_boiler"),
+        round(nBoiler.cast("double") / size(col("chunks")), 4).as("boiler_frac"),
+        sha2(expr("array_join(filter(chunks, " +
+          "(c, i) -> bpos IS NULL OR NOT array_contains(bpos, i)), ' ')"), 256)
+          .as("clean_sha"))
+  }
+
   /** SimHash: 16-nibble signature. For hex position p (1..16), sum
     * (hexval(md5(token)[p]) - 7.5) over all tokens; positive → bit 1.
     * The signature is a 16-bit int, compared within blocking buckets by

@@ -349,4 +349,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
         round((col("tf") * col("n_corpus")).cast("double") / col("df"), 4).as("score"))
   }
+
+  /** SEQUENCE PACKING — assign documents to fixed token-budget training
+    * bins, the batch-layout step between curation and the trainer: within
+    * each (split, lang) stream, documents are laid out in deterministic
+    * doc_id order and a document starts in bin = (tokens before it) div
+    * budget — greedy contiguous packing, so a document longer than the
+    * remaining budget spills into the next bin(s) and its assignment is
+    * its STARTING bin. All arithmetic is integer (token counts, integer
+    * div), so no float boundary can disagree across engines.
+    *
+    * Scale shape: ONE shuffle keyed on (split, lang) and a running-sum
+    * window inside each partition — O(n) per partition after the sort, no
+    * self-join, no driver state. At 100 TB the stream key gains a date/
+    * shard component so no single (split, lang) partition is unbounded;
+    * the bin arithmetic is unchanged under that refinement. The gate emits
+    * the per-bin rollup (count + token sum), which also keeps the compared
+    * result bounded by bin count, not corpus size.
+    */
+  def sequencePack(spark: SparkSession, dir: String, budget: Int = 1024,
+      trainUpTo: Int = 250, valUpTo: Int = 253): DataFrame = {
+    val b = splitBucket(col("doc_id"))
+    val split = when(b < trainUpTo, "train").when(b < valUpTo, "val").otherwise("test")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), split.as("split"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $budget"))
+      .groupBy(col("split"), col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("bin_tokens"))
+  }
 }

@@ -183,4 +183,56 @@ class CurationOpsSpec extends SparkSuite {
     assert(got(3) == ((4L, 1L, 0L, 2L,
       sha("mail <EMAIL> then <NUM>"))))
   }
+
+  test("d12 boilerplate: planted shared chunk removed, unique docs untouched") {
+    import spark.implicits._
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // chunk boundaries fall every 4 tokens: the shared license header
+    // occupies chunk 0 of docs 1-3 exactly; doc 4 shares nothing; doc 5
+    // repeats a chunk INTERNALLY (df counts distinct docs, so not boiler)
+    val docs = Seq(
+      (1L, "lic a b c u1 u2 u3 u4"),
+      (2L, "lic a b c v1 v2 v3 v4"),
+      (3L, "lic a b c w1 w2 w3 w4"),
+      (4L, "x1 x2 x3 x4 y1 y2"),
+      (5L, "r1 r2 r3 r4 r1 r2 r3 r4")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateChunksOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4))).sortBy(_._1)
+    assert(got(0) == ((1L, 2L, 1L, 0.5, sha("u1 u2 u3 u4"))))
+    assert(got(1) == ((2L, 2L, 1L, 0.5, sha("v1 v2 v3 v4"))))
+    assert(got(2) == ((3L, 2L, 1L, 0.5, sha("w1 w2 w3 w4"))))
+    assert(got(3) == ((4L, 2L, 0L, 0.0, sha("x1 x2 x3 x4 y1 y2"))))
+    assert(got(4) == ((5L, 2L, 0L, 0.0, sha("r1 r2 r3 r4 r1 r2 r3 r4"))))
+  }
+
+  test("t14 sequence pack: driver-side greedy packing reproduces every bin") {
+    val dir = sf("sf0.001")
+    val got = TextAnalysis.sequencePack(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().flatMap(r => Option(r.getString(2)).map(t =>
+        (r.getLong(0), r.getString(1), t.trim.split("\\s+").length.toLong)))
+    def split(id: Long): String = {
+      val b = bucket256(id.toString)
+      if (b < 250) "train" else if (b < 253) "val" else "test"
+    }
+    val expected = docs.map { case (id, lang, n) => ((split(id), lang), (id, n)) }
+      .groupBy(_._1).flatMap { case ((sp, lang), rows) =>
+        var cum = 0L
+        rows.map(_._2).sortBy(_._1).map { case (_, n) =>
+          val bin = cum / 1024; cum += n; (sp, lang, bin, n)
+        }.groupBy(_._3).map { case (bin, members) =>
+          (sp, lang, bin, members.size.toLong, members.map(_._4).sum)
+        }
+      }.toSet
+    assert(got == expected && got.size > 3)
+    // bins genuinely chain: some (split, lang) stream fills more than one bin
+    assert(got.groupBy(r => (r._1, r._2)).exists(_._2.size > 1))
+  }
 }
