@@ -144,6 +144,7 @@ object SparkEntry {
     "t12_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d).orderBy("doc_id")),
     "t13_distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d).orderBy("doc_id", "rn")),
     "t14_sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d).orderBy("split", "lang", "bin")),
+    "t15_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d).orderBy("lang", "token")),
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d).drop("payload").orderBy("media_id")),
     "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
@@ -792,6 +793,18 @@ object SparkEntry {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
          |FROM w GROUP BY 1, 2, 3 ORDER BY split, lang, bin""".stripMargin
     },
+    // heavy hitters: exact heavy rows recomputed; the SpaceSaving
+    // containment/overestimate guarantees ship as flags the oracle asserts
+    // TRUE (the a2b error-band pattern for frequent-items sketches)
+    "t15_heavy_hitters" ->
+      """WITH toks AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |exact AS (SELECT lang, tk, count(*) AS n FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT lang, sum(n) AS total FROM exact GROUP BY 1)
+        |SELECT lang, tk AS token, CAST(n AS BIGINT) AS n,
+        |  TRUE AS claimed, TRUE AS est_ok
+        |FROM exact JOIN tot USING (lang)
+        |WHERE n * 64 > total * 2 ORDER BY lang, token""".stripMargin,
     // ---- multimodal ----
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,

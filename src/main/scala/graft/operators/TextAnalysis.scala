@@ -383,4 +383,35 @@ object TextAnalysis {
       .groupBy(col("split"), col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("bin_tokens"))
   }
+
+  /** HEAVY HITTERS — per-language frequent tokens via the SpaceSaving
+    * sketch ([[graft.plans.SpaceSavingAgg]]), the bounded-state twin of
+    * t10's exact vocabulary count: per group the shuffle carries at most
+    * `capacity` (item, est, err) entries per partition instead of the full
+    * token histogram. Like a2b/a16b, raw sketch internals are not
+    * gate-comparable (the summary SET depends on merge order once eviction
+    * fires), so the gate shape is: the EXACT heavy-hitter rows (tokens
+    * with n·capacity > 2·total — deterministic), each flagged with the
+    * sketch's guarantees (claimed: the token is in the summary; est_ok:
+    * estimate within [n, n + total/capacity]) — TRUE by the SpaceSaving
+    * containment/overestimate bounds under any merge tree, asserted TRUE
+    * by the oracle.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, capacity: Int = 64): DataFrame = {
+    val toks = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("lang"), explode(tokens(col("text"))).as("tk"))
+    val sketches = toks.groupBy(col("lang"))
+      .agg(graft.plans.SpaceSavingAgg.spaceSavingTopK(col("tk"), capacity).as("sk"))
+    val exact = toks.groupBy(col("lang"), col("tk")).agg(count(lit(1)).as("n"))
+    val totals = exact.groupBy(col("lang")).agg(sum(col("n")).cast("long").as("total"))
+    exact.join(broadcast(totals), Seq("lang"))
+      .filter(col("n") * capacity > col("total") * 2)
+      .join(broadcast(sketches), Seq("lang"))
+      .select(col("lang"), col("tk").as("token"), col("n").cast("long").as("n"),
+        expr("exists(sk, x -> x.item = tk)").as("claimed"),
+        coalesce(
+          expr("element_at(filter(sk, x -> x.item = tk), 1).est")
+            .between(col("n"), col("n") + expr(s"total div $capacity")),
+          lit(false)).as("est_ok"))
+  }
 }
