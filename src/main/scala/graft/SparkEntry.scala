@@ -93,6 +93,7 @@ object SparkEntry {
     "w5_range_join" -> ((s, d) => Library.rangeJoinCounts(s, d).orderBy("left_id")),
     "w7_sessionize" -> ((s, d) => Library.sessionize(s, d).orderBy("user_id", "session_idx")),
     "w8_ntile_quartiles" -> ((s, d) => Library.priorityQuartiles(s, d).orderBy("o_orderpriority", "quartile")),
+    "w10_burst_detection" -> ((s, d) => Library.burstDetection(s, d).orderBy("user_id")),
     "w9_topk_agg" -> ((s, d) => Library.topNPerGroupAgg(s, d).orderBy("o_orderpriority", "rn")),
     // ---- set ops (§2.10) ----
     "u1_set_compare" -> ((s, d) => Library.setCompareBothDirections(s, d).orderBy("side", "key")),
@@ -425,6 +426,14 @@ object SparkEntry {
         |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile
         |  FROM orders)
         |GROUP BY 1, 2 ORDER BY o_orderpriority, quartile""".stripMargin,
+    // RANGE (value-based) frame over integer epoch-micros: tie timestamps
+    // are peers in both engines, so the peak is tie-order-independent
+    "w10_burst_detection" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (SELECT user_id, count(*) OVER (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS burst FROM e)
+        |SELECT user_id, CAST(max(burst) AS BIGINT) AS peak_burst, count(*) AS n_events
+        |FROM b GROUP BY 1 ORDER BY user_id""".stripMargin,
     "u1_set_compare" ->
       """WITH cwo AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'), ac AS (SELECT c_custkey AS key FROM customer)
         |SELECT 'no_orders' AS side, key FROM ac WHERE key NOT IN (SELECT key FROM cwo)

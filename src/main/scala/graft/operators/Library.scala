@@ -547,6 +547,29 @@ object Library {
         round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
   }
 
+  /** W10: VALUE-RANGE rolling window — trailing-hour BURST detection per
+    * user (rate spikes for abuse/anomaly triage): at each event, count the
+    * user's events in the preceding `windowUs` (inclusive of now,
+    * exclusive of exactly one window ago), then roll up each user's peak.
+    * The frame is RANGE (value-based) over integer epoch-micros, so
+    * same-timestamp events are frame PEERS in both engines and the result
+    * is deterministic under any tie order — the property a ROWS frame
+    * would not have. Same scale shape as every w-op: ONE user-keyed
+    * shuffle, per-user sort, frame state bounded by one window's event
+    * density.
+    */
+  def burstDetection(spark: SparkSession, dir: String,
+      windowUs: Long = 3600L * 1000 * 1000): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-(windowUs - 1), Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("burst")).cast("long").as("peak_burst"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** W8: NTILE bucketing — the quantile-bucket window surface (deciles /
     * quartiles for reporting and length-balanced sharding). Partitioned by
     * group so the sort is per-key and distributed — never a global ntile

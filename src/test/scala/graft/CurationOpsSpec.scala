@@ -209,6 +209,25 @@ class CurationOpsSpec extends SparkSuite {
     assert(got(4) == ((5L, 2L, 0L, 0.0, sha("r1 r2 r3 r4 r1 r2 r3 r4"))))
   }
 
+  test("w10 burst detection: driver-side trailing-window replay reproduces peaks") {
+    val dir = sf("sf0.001")
+    val windowUs = 3600L * 1000 * 1000
+    val got = Library.burstDetection(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = evs.groupBy(_._1).map { case (uid, rows) =>
+      val ts = rows.map(_._2).sorted
+      // RANGE frame: at each event, peers included — count by VALUE bounds
+      val peak = ts.map(t => ts.count(u => u > t - windowUs && u <= t)).max
+      (uid, peak.toLong, ts.size.toLong)
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+    // the fixture genuinely bursts: some user's peak exceeds 1
+    assert(got.exists(_._2 > 1))
+  }
+
   test("t14 sequence pack: driver-side greedy packing reproduces every bin") {
     val dir = sf("sf0.001")
     val got = TextAnalysis.sequencePack(spark, dir)
