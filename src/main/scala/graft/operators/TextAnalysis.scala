@@ -329,12 +329,22 @@ object TextAnalysis {
     * document — the sort is bounded by a single document's vocabulary.
     */
   def distinctiveTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val docTerms = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = docTerms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = docTerms.distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the (doc, term, tf) table is the corpus's inverted-index projection —
+    // materialized once per (session, dir) so the tf side and the df
+    // rollup share ONE token explode + shuffle (without the persist,
+    // column pruning strips tf's count from the df branch, the subtrees
+    // stop being equal, exchange reuse can't fire, and the corpus is
+    // exploded twice — the same reused-aggregate pattern as the shingle
+    // table, itdbloader.py:269-293)
+    val tf = graft.SessionCache.getOrElseUpdate(spark, ("tf", dir)) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist()
+    }
+    // one row per (doc, term) ⇒ rows per term = document frequency
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // the corpus size is a one-row aggregate broadcast onto the scored
     // stream (the t11 pattern) — never a driver-side collect
     val nDocs = Tables.documents(spark, dir)

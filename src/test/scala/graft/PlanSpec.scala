@@ -153,6 +153,36 @@ class PlanSpec extends SparkSuite {
     assert(d10.contains("HashAggregate"), "per-doc rollup should hash-aggregate")
   }
 
+  test("round-6 ops: d11/d12/t13/t14/t15/w10 keep their scale shapes") {
+    val dir = sf("sf0.001")
+    // d11/d12: banded/digest equi joins only — never pairwise fallback
+    for ((name, df) <- Seq(
+        "d11" -> graft.operators.Dedup.simhashPairs(spark, dir),
+        "d12" -> graft.operators.Dedup.boilerplateChunks(spark, dir))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"$name has a CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
+    }
+    // t13: the tf and df branches must BOTH read the session-cached
+    // inverted-index projection (two InMemoryTableScans) — without the
+    // materialization, column pruning de-duplicates nothing and the corpus
+    // is exploded twice (the regression this guards against)
+    val t13 = executedPlan(graft.operators.TextAnalysis.distinctiveTerms(spark, dir))
+    assert("InMemoryTableScan".r.findAllIn(t13).size >= 2,
+      s"t13 branches bypass the cached tf table:\n${t13.take(4000)}")
+    // t14: the window is PARTITIONED (split, lang) — a global running sum
+    // would funnel the corpus through one task
+    val t14 = executedPlan(graft.operators.TextAnalysis.sequencePack(spark, dir))
+    assert(t14.contains("windowspecdefinition(split"),
+      s"t14 window lost its (split, lang) partitioning:\n${t14.take(1500)}")
+    // t15: sketch aggregation is partial+final (ObjectHashAggregate pairs)
+    val t15 = executedPlan(graft.operators.TextAnalysis.heavyHitters(spark, dir))
+    assert(t15.contains("ObjectHashAggregate"), t15.take(500))
+    // w10: RANGE frame window is partitioned by user
+    val w10 = executedPlan(Library.burstDetection(spark, dir))
+    assert(w10.contains("Window"), w10.take(500))
+  }
+
   test("salted join: result identical to plain join, salt column gone") {
     val fact = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "payload")
     val dim = Seq((1, "dim1"), (2, "dim2")).toDF("k", "name")
