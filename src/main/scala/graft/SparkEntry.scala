@@ -131,6 +131,7 @@ object SparkEntry {
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d).orderBy("probe_id", "rn")),
     "s3_label_centroids" -> ((s, d) => Similarity.labelCentroidsFlat(s, d).orderBy("label", "dim_idx")),
     "s4_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d).orderBy("probe_id", "rn")),
+    "s5_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d).orderBy("probe_id", "rn")),
     // ---- text analysis ----
     "t2_language_id" -> ((s, d) => TextAnalysis.languageId(s, d).orderBy("doc_id")),
     "t3_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d).orderBy("doc_id")),
@@ -603,6 +604,17 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) DESC, vec_id) AS rn
         |  FROM p CROSS JOIN e WHERE probe_id != vec_id)
         |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
+    // hard negatives: s1's exact-cosine ranking with the label-mismatch
+    // predicate replacing self-exclusion
+    "s5_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, label AS probe_label, v AS pv FROM e WHERE vec_id < 5)
+        |SELECT probe_id, probe_label, neighbor_id, neg_label, cos, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT probe_id, probe_label, vec_id AS neighbor_id, label AS neg_label,
+        |    round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) AS cos,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) DESC, vec_id) AS rn
+        |  FROM p CROSS JOIN e WHERE probe_label != label)
+        |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
     "s2_ann_lsh" -> {
       val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

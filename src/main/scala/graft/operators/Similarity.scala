@@ -75,6 +75,33 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** HARD-NEGATIVE MINING — contrastive-training data prep: for each
+    * probe, the top-k most-similar vectors with a DIFFERENT label (the
+    * negatives that most confuse a classifier are the valuable ones).
+    * Identical scale shape to [[bruteForceTopK]]'s exact tier — broadcast
+    * probes, map-side corpus scan, per-probe window top-k — with the
+    * label-mismatch predicate riding the same broadcast join; the
+    * LSH/IVF tiers bound the scan the same way they do for s2/s4 when the
+    * corpus outgrows the exact pass.
+    */
+  def hardNegatives(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val e = preparedEmbeddings(spark, dir)
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("v").as("pv"), col("n").as("pn"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neg_label"), col("v"), col("n"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), col("probe_label") =!= col("neg_label"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("probe_label"), col("neighbor_id"),
+        col("neg_label"), col("cos"), col("rn"))
+  }
+
   /** Deterministic hyperplane coefficient for (plane j, dimension i):
     * hexval(md5("plane:j:i")[0]) - 7.5, precomputed DRIVER-SIDE into literal
     * arrays — values are identical to the in-query md5 formulation (the

@@ -143,6 +143,20 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(top.getAs[Long]("neighbor_id") == 20L) // identical vector -> identical bucket
   }
 
+  test("hard negatives: every row crosses labels, same-label clone excluded") {
+    val rows = Similarity.hardNegatives(spark, fixtureDir, nProbes = 6, k = 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("probe_label") != r.getAs[Int]("neg_label"))
+      assert(r.getAs[Int]("rn") <= 3)
+    }
+    // vec 20 clones vec 5 and shares its label (both 2) — the most similar
+    // vector overall, but NOT a valid negative, so it must not appear for
+    // probe 5
+    assert(!rows.exists(r => r.getAs[Long]("probe_id") == 5L &&
+      r.getAs[Long]("neighbor_id") == 20L))
+  }
+
   test("embedding LSH near-dup: planted clone pair found (bucket-blocked)") {
     val pairs = Dedup.embeddingNearDupsLsh(spark, fixtureDir, threshold = 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
