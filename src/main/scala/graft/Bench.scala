@@ -21,9 +21,11 @@ object Bench {
     "w1_adjacent_dups", "w2_top_n_per_group", "o4_shrink_topk",
     "d1_dedup_exact", "d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs",
     "d6_embedding_neardup", "d8_embedding_neardup_lsh", "d9_neardup_clusters",
-    "d10_contamination", "w7_sessionize",
+    "d10_contamination", "d11_simhash_pairs", "d12_boilerplate",
+    "w7_sessionize",
     "s1_ann_bruteforce", "s2_ann_lsh", "s4_ann_ivf",
-    "t2_language_id", "t5_fingerprints", "m2_media_stats")
+    "t2_language_id", "t5_fingerprints", "t13_distinctive_terms",
+    "t15_heavy_hitters", "m2_media_stats")
 
   // Locale.ROOT: the f-interpolator uses the default locale, and a
   // comma-decimal locale would corrupt the JSON contract line
