@@ -111,6 +111,19 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(native == builtin)
   }
 
+  test("simhash64 expression: null and empty token arrays") {
+    import org.apache.spark.sql.functions.{col, lit, coalesce}
+    val df = Seq((1L, Some(Seq("a", "b"))), (2L, None), (3L, Some(Seq.empty[String])))
+      .toDF("id", "toks")
+      .select(col("id"),
+        coalesce(graft.plans.SimHashExpr.simhash64(col("toks")), lit(0L)).as("sh"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // null array -> coalesced 0 (the builtin form's when(null>0).otherwise(0)
+    // sums); empty array -> all vote sums 0 -> no bit set -> 0
+    assert(got(2L) == 0L && got(3L) == 0L)
+    assert(got(1L) != 0L)
+  }
+
   test("simhash64 pairs: band blocking is pigeonhole-exact vs brute force") {
     val pairs = Dedup.simhashPairs(spark, fixtureDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
