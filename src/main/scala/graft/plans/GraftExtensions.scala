@@ -25,5 +25,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKAgg.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.size != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            s"simhash64(tokens) takes 1 argument, got ${exprs.size}",
+            Map.empty[String, String])
+        SimHash64Expr(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShinglesExpr.build(exprs)))
+  }
+}
+
+object GraftExtensions {
+  /** Late-registration path for sessions that predate extension injection
+    * (test suites, notebooks): the same builders through the live
+    * FunctionRegistry — keeps one definition per function.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64Expr(exprs.head), "built-in")
+    r.createOrReplaceTempFunction("word_shingles",
+      exprs => ShinglesExpr.build(exprs), "built-in")
   }
 }

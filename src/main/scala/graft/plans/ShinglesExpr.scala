@@ -73,4 +73,25 @@ object ShinglesExpr {
   /** Word k-shingles of a text column (native single pass). */
   def wordShingles(text: Column, k: Int): Column =
     Bridge.column(WordShinglesExpr(Bridge.expression(text), k))
+
+  /** SQL builder (`word_shingles(text, k)`): k must be a literal positive
+    * integer — validated with clear AnalysisExceptions at plan time, the
+    * TopKAgg.build pattern.
+    */
+  def build(exprs: Seq[Expression]): WordShinglesExpr = {
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        s"word_shingles(text, k): $msg", Map.empty[String, String])
+    if (exprs.size != 2) fail(s"takes 2 arguments, got ${exprs.size}")
+    if (!exprs(1).foldable) fail("k must be a literal")
+    val k = exprs(1).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => fail(s"k must be an integer literal, got $other")
+    }
+    if (k <= 0) fail(s"k must be positive, got $k")
+    WordShinglesExpr(exprs.head, k)
+  }
 }

@@ -111,6 +111,25 @@ class PipelineSpec extends SparkSuite {
     assert(got == 11.0)
   }
 
+  test("extensions: simhash64 and word_shingles available in SQL") {
+    graft.plans.GraftExtensions.register(spark)
+    val sh = spark.sql("SELECT simhash64(array('a', 'b')) AS s").collect().head.getLong(0)
+    // value-identical to the Column API over the same tokens
+    val viaColumn = spark.range(1)
+      .select(graft.plans.SimHashExpr.simhash64(array(lit("a"), lit("b"))).as("s"))
+      .collect().head.getLong(0)
+    assert(sh == viaColumn && sh != 0L)
+    val grams = spark.sql("SELECT word_shingles('x y z', 2) AS g")
+      .collect().head.getSeq[String](0)
+    assert(grams == Seq("x y", "y z"))
+    // k validation: non-positive k fails at plan time with the builder's
+    // message (Spark wraps builder exceptions in SparkException)
+    val err = intercept[Exception](
+      spark.sql("SELECT word_shingles('x y', 0)").collect())
+    assert(err.getMessage.contains("k must be positive") ||
+      Option(err.getCause).exists(_.getMessage.contains("k must be positive")))
+  }
+
   test("IVF ANN: planted clone found via its cluster") {
     val dir = sf("sf0.001")
     val ivf = graft.operators.Similarity.ivfTopK(spark, dir, nProbes = 3, k = 3)
