@@ -58,4 +58,29 @@ class PropertiesSpec extends SparkSuite {
     val native = graft.plans.VectorExprs.dotProductNative($"a", $"b")
     assert(df.filter(not(builtin === native)).count() == 0)
   }
+
+  test("property: spacesaving overestimate/containment on random skewed streams") {
+    // random streams over a small alphabet with random capacities: every
+    // kept item overestimates by at most n/cap, and every item with true
+    // count > 2n/cap is kept — across partition counts (merge trees)
+    val streams = Gen.listOfN(5, Gen.listOfN(600,
+      Gen.frequency((8, Gen.choose(0, 3)), (2, Gen.choose(4, 40))).map(i => s"k$i"))).sample.get
+    streams.zipWithIndex.foreach { case (items, ix) =>
+      val cap = 4 + ix * 3
+      val n = items.size.toLong
+      val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val sk = items.toDF("tk").repartition(1 + ix * 2)
+        .agg(graft.plans.SpaceSavingAgg.spaceSavingTopK($"tk", cap).as("sk"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sk.size <= cap)
+      sk.foreach { case (k, est) =>
+        val t = truth.getOrElse(k, 0L)
+        assert(est >= t && est <= t + n / cap, s"cap=$cap $k est=$est true=$t")
+      }
+      truth.filter { case (_, t) => t * cap > 2 * n }.keys.foreach { k =>
+        assert(sk.contains(k), s"cap=$cap heavy $k missing")
+      }
+    }
+  }
 }
