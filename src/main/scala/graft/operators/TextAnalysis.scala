@@ -408,20 +408,33 @@ object TextAnalysis {
     * by the oracle.
     */
   def heavyHitters(spark: SparkSession, dir: String, capacity: Int = 64): DataFrame = {
-    val toks = Tables.documents(spark, dir).filter(col("text").isNotNull)
-      .select(col("lang"), explode(tokens(col("text"))).as("tk"))
+    // the token stream feeds BOTH the sketch and the oracle-comparison
+    // exact side (which a production run omits — see scaladoc); the
+    // aggregates diverge immediately, so without materialization exchange
+    // reuse can't fire and the corpus would tokenize+explode twice (the
+    // t13 lesson, same SessionCache remedy)
+    val toks = graft.SessionCache.getOrElseUpdate(spark, ("langToks", dir)) {
+      Tables.documents(spark, dir).filter(col("text").isNotNull)
+        .select(col("lang"), explode(tokens(col("text"))).as("tk"))
+        .persist()
+    }
     val sketches = toks.groupBy(col("lang"))
       .agg(graft.plans.SpaceSavingAgg.spaceSavingTopK(col("tk"), capacity).as("sk"))
     val exact = toks.groupBy(col("lang"), col("tk")).agg(count(lit(1)).as("n"))
     val totals = exact.groupBy(col("lang")).agg(sum(col("n")).cast("long").as("total"))
+    // ANSI-safe guarantee flags: element_at on an EMPTY filter result (a
+    // containment violation — the condition these flags exist to report)
+    // must yield est_ok=false, not an INVALID_ARRAY_INDEX error; the
+    // size() guard keeps the when-branch unevaluated on the miss path
+    val hit = expr("filter(sk, x -> x.item = tk)")
     exact.join(broadcast(totals), Seq("lang"))
       .filter(col("n") * capacity > col("total") * 2)
       .join(broadcast(sketches), Seq("lang"))
       .select(col("lang"), col("tk").as("token"), col("n").cast("long").as("n"),
         expr("exists(sk, x -> x.item = tk)").as("claimed"),
-        coalesce(
-          expr("element_at(filter(sk, x -> x.item = tk), 1).est")
-            .between(col("n"), col("n") + expr(s"total div $capacity")),
-          lit(false)).as("est_ok"))
+        when(size(hit) > 0,
+          element_at(hit, 1).getField("est")
+            .between(col("n"), col("n") + expr(s"total div $capacity")))
+          .otherwise(lit(false)).as("est_ok"))
   }
 }

@@ -28,13 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        if (exprs.size != 1)
-          throw new org.apache.spark.sql.AnalysisException(
-            s"simhash64(tokens) takes 1 argument, got ${exprs.size}",
-            Map.empty[String, String])
-        SimHash64Expr(exprs.head)
-      }))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashExpr.build(exprs)))
     e.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
@@ -51,7 +46,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64Expr(exprs.head), "built-in")
+      exprs => SimHashExpr.build(exprs), "built-in")
     r.createOrReplaceTempFunction("word_shingles",
       exprs => ShinglesExpr.build(exprs), "built-in")
   }

@@ -23,6 +23,19 @@ case class WordShinglesExpr(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
+  /** Analysis-time validation for the SQL surface (plan-time error instead
+    * of a mid-task ClassCastException on a non-string argument).
+    */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles requires a string column, got ${other.simpleString}")
+    }
+
   // precompiled (String.split would recompile per row); split with limit -1
   // keeps leading/trailing empty tokens exactly like Spark's 2-arg split
   @transient private lazy val WS = java.util.regex.Pattern.compile("\\s+")

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Single-pass 64-bit SimHash over a token array.
   *
@@ -33,6 +34,17 @@ case class SimHash64Expr(child: Expression)
   override def nullable: Boolean = true // null token array -> NULL (caller coalesces)
   override def prettyName: String = "simhash64"
 
+  /** Analysis-time validation for the SQL surface: a non-string-array
+    * argument fails with a typed plan-time error, not a mid-task
+    * ClassCastException. (ExpectsInputTypes is off-limits — its
+    * AbstractDataType went private[sql] in Spark 4.)
+    */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.simpleString}")
+  }
+
   // one digest per thread: in local mode the SAME expression instance can
   // evaluate concurrently across tasks
   @transient private lazy val mdLocal =
@@ -46,6 +58,10 @@ case class SimHash64Expr(child: Expression)
     val counts = new Array[Int](64)
     var t = 0
     while (t < n) {
+      // a null TOKEN poisons the builtin formulation's whole fold (acc +
+      // vote(null) = null per bit -> when(null > 0).otherwise(0) -> all
+      // bits 0) — match it exactly rather than NPE
+      if (arr.isNullAt(t)) return 0L
       md.reset()
       md.update(arr.getUTF8String(t).getBytes)
       val d = md.digest()
@@ -78,4 +94,16 @@ object SimHashExpr {
   /** 64-bit SimHash of a string-array column in one pass. */
   def simhash64(toks: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(toks)))
+
+  /** SQL builder (`simhash64(tokens)`): arity validated with a clear
+    * plan-time error — ONE definition serving both the injectFunction and
+    * the late-registration paths.
+    */
+  def build(exprs: Seq[Expression]): SimHash64Expr = {
+    if (exprs.size != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        s"simhash64(tokens) takes 1 argument, got ${exprs.size}",
+        Map.empty[String, String])
+    SimHash64Expr(exprs.head)
+  }
 }

@@ -122,6 +122,13 @@ class DedupSimilaritySpec extends SparkSuite {
     // sums); empty array -> all vote sums 0 -> no bit set -> 0
     assert(got(2L) == 0L && got(3L) == 0L)
     assert(got(1L) != 0L)
+    // null ELEMENT poisons the builtin fold per bit -> signature 0; the
+    // native expression must match, not NPE
+    val withNullTok = spark.range(1)
+      .select(graft.plans.SimHashExpr.simhash64(
+        array(lit("a"), lit(null).cast("string"))).as("sh"))
+      .collect().head.getLong(0)
+    assert(withNullTok == 0L)
   }
 
   test("simhash64 pairs: band blocking is pigeonhole-exact vs brute force") {

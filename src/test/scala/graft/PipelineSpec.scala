@@ -128,6 +128,14 @@ class PipelineSpec extends SparkSuite {
       spark.sql("SELECT word_shingles('x y', 0)").collect())
     assert(err.getMessage.contains("k must be positive") ||
       Option(err.getCause).exists(_.getMessage.contains("k must be positive")))
+    // arity and input-type validation fire at plan time on BOTH
+    // registration paths (shared builders + ExpectsInputTypes)
+    val arity = intercept[Exception](
+      spark.sql("SELECT simhash64(array('a'), array('b'))").collect())
+    assert(arity.getMessage.contains("takes 1 argument") ||
+      Option(arity.getCause).exists(_.getMessage.contains("takes 1 argument")))
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT simhash64('not an array')").collect())
   }
 
   test("IVF ANN: planted clone found via its cluster") {
