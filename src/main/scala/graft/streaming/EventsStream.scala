@@ -239,4 +239,31 @@ object EventsStream {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** The SpaceSaving frequent-items sketch under INCREMENTAL execution:
+    * per event_type, the sketch of active user ids, maintained across
+    * micro-batches through the state store (exercising the aggregation
+    * buffer's serialize/merge/deserialize path, which batch mode never
+    * round-trips). With capacity above the distinct-user count the sketch
+    * is exact, so the result equals the batch-mode sketch row for row —
+    * the equality StreamingSpec asserts. Under eviction the summary SET
+    * depends on merge order (see SpaceSavingAgg), so a production
+    * streaming deployment reports it the t15 way: guarantees, not raw
+    * contents.
+    */
+  def heavyHitterSketch(spark: SparkSession, dir: String,
+      capacity: Int = 256, name: String = "events_hh"): DataFrame = {
+    val q = eventSource(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.plans.SpaceSavingAgg
+        .spaceSavingTopK(col("user_id").cast("string"), capacity).as("sk"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }

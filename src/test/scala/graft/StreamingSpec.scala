@@ -188,4 +188,22 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty) // sf0.001 contains at least one in-reach pair
   }
+
+  test("streaming SpaceSaving sketch == batch sketch (exact regime)") {
+    val dir = sf("sf0.001")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getString(0), e.getLong(1), e.getLong(2)))
+    }.toMap
+    val streamed = toMap(EventsStream.heavyHitterSketch(spark, dir).collect())
+    val batch = toMap(Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.plans.SpaceSavingAgg
+        .spaceSavingTopK(col("user_id").cast("string"), 256).as("sk"))
+      .collect())
+    // capacity > distinct users -> exact sketch -> deterministic rendering
+    // must agree row for row despite the state-store round-trip
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.values.exists(_.nonEmpty))
+  }
 }
