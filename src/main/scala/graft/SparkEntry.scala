@@ -165,12 +165,34 @@ object SparkEntry {
         .toString.take(8)
       val out = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_corpus_gate_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      // per-pid paths accumulate across processes — remove this one when
+      // the JVM exits (after the driver has read the comparison result)
+      corpusGateCleanupOnExit(out)
       graft.emit.CorpusWriter.write(Tables.documents(s, d), out, nShards = 4)
       s.read.parquet(out)
         .groupBy(col("split"), col("lang"), col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("split", "lang", "shard")
     }))
+
+  /** One shutdown hook per e1 output path: deletes this process's corpus
+    * tree from the shared tmpdir (per-pid isolation means no other process
+    * ever reads it, and repeated in-process runs reuse the same path via
+    * overwrite mode).
+    */
+  private val corpusGateCleanup =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def corpusGateCleanupOnExit(dir: String): Unit =
+    if (corpusGateCleanup.putIfAbsent(dir, java.lang.Boolean.TRUE) == null) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rec))
+          f.delete(); ()
+        }
+        rec(new java.io.File(dir))
+      }))
+      ()
+    }
 
   /** Shared oracle fragments (DuckDB dialect) — one copy each, so a
     * threshold/band/lexicon change can't silently desynchronize queries
