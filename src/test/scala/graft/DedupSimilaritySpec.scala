@@ -206,6 +206,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(approx.nonEmpty)
   }
 
+  test("IVF recall is monotone in nprobe, reaching exact at full probe") {
+    val dir = sf("sf0.001")
+    val exact = Similarity.bruteForceTopK(spark, dir, nProbes = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nClusters = Similarity.labelCentroids(spark, dir).count().toInt
+    assert(nClusters >= 2)
+    // widening the probe set can only ADD candidates, so recall against the
+    // exact top-k never decreases — the accuracy/cost dial IVF sells
+    val recalls = (1 to nClusters).map { np =>
+      val got = Similarity.ivfTopK(spark, dir, nProbes = 5, k = 5, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    recalls.sliding(2).foreach { case Seq(a, b) => assert(b >= a, recalls.toString) }
+    // probing every cluster == scanning the whole corpus == exact
+    assert(recalls.last == 1.0, recalls.toString)
+  }
+
   test("multimodal: stub decode preserves ids, metadata query sees byte lengths") {
     val meta = Multimodal.binaryMeta(spark, fixtureDir)
     assert(meta.count() == 52)
