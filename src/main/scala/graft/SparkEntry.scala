@@ -147,6 +147,7 @@ object SparkEntry {
     "t13_distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d).orderBy("doc_id", "rn")),
     "t14_sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d).orderBy("split", "lang", "bin")),
     "t15_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d).orderBy("lang", "token")),
+    "t16_quality_sample" -> ((s, d) => TextAnalysis.qualityWeightedSample(s, d).orderBy("tier")),
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d).drop("payload").orderBy("media_id")),
     "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
@@ -789,6 +790,18 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN bucket * n_lang < min_docs * 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM k JOIN c ON k.lang = c.lang CROSS JOIN m
          |GROUP BY 1 ORDER BY lang""".stripMargin
+    },
+    // quality-weighted sampling: integer tier (stopword coverage, the t3
+    // lexicon) and the t11 integer coin — keep iff bucket * 7 < tier * 256
+    "t16_quality_sample" -> {
+      val b = s"(${hexv("substr(md5('qsamp:' || CAST(doc_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5('qsamp:' || CAST(doc_id AS VARCHAR)), 2, 1)")})"
+      s"""WITH t AS (SELECT CAST(len(list_intersect(
+         |    list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+         |    ['the','a','of','and','to','in','is'])) AS BIGINT) AS tier,
+         |  $b AS bucket FROM documents WHERE text IS NOT NULL)
+         |SELECT tier, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN bucket * 7 < tier * 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM t GROUP BY 1 ORDER BY tier""".stripMargin
     },
     // PII scrub: patterns rendered from the ONE shared list
     // (TextAnalysis.piiPatterns) so Spark and oracle can't drift; DuckDB

@@ -394,6 +394,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("bin_tokens"))
   }
 
+  /** QUALITY-WEIGHTED downsampling — the third sampling mode a curation
+    * pipeline runs (uniform coin = t9's buckets, equalize-to-minority =
+    * t11, and here: keep better documents at higher rates). The quality
+    * tier is the number of the seven t3 stopwords present (0..7 — an
+    * integer fluency proxy; richer function-word coverage ⇒ higher keep
+    * rate tier/7), and the keep decision is the t11 integer coin
+    * (bucket · 7 < tier · 256 — no float threshold can round differently
+    * across engines). 'qsamp' seed keeps the coin independent of the t9
+    * split hash and t11's 'samp' coin. Entirely map-side + a tiny tier
+    * rollup — the corpus never shuffles.
+    */
+  def qualityWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val tier = size(array_intersect(array_distinct(toks),
+      array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)))
+      .cast("long")
+    val bucket = hexVal(substring(seededHash("qsamp", col("doc_id").cast("string")), 1, 1)) * 16 +
+      hexVal(substring(seededHash("qsamp", col("doc_id").cast("string")), 2, 1))
+    Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(tier.as("tier"), bucket.as("bucket"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") * 7 < col("tier") * 256, 1L).otherwise(0L))
+          .cast("long").as("n_kept"))
+  }
+
   /** HEAVY HITTERS — per-language frequent tokens via the SpaceSaving
     * sketch ([[graft.plans.SpaceSavingAgg]]), the bounded-state twin of
     * t10's exact vocabulary count: per group the shuffle carries at most

@@ -209,6 +209,28 @@ class CurationOpsSpec extends SparkSuite {
     assert(got(4) == ((5L, 2L, 0L, 0.0, sha("r1 r2 r3 r4 r1 r2 r3 r4"))))
   }
 
+  test("t16 quality sample: integer tier coin matches driver recompute, rate rises with tier") {
+    val dir = sf("sf0.001")
+    val got = TextAnalysis.qualityWeightedSample(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stopwords = Set("the", "a", "of", "and", "to", "in", "is")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().flatMap(r => Option(r.getString(1)).map(t => (r.getLong(0), t)))
+    val expected = docs.map { case (id, t) =>
+      val tier = t.trim.split("\\s+").toSet.count(stopwords).toLong
+      val kept = bucket256(s"qsamp:$id") * 7 < tier * 256
+      (tier, kept)
+    }.groupBy(_._1).map { case (tier, rows) =>
+      (tier, rows.size.toLong, rows.count(_._2).toLong)
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+    // the coin genuinely discriminates: some tier keeps strictly fewer
+    // docs than it has, and tier 7 (if present) keeps everything
+    assert(got.exists(r => r._3 < r._2))
+    got.find(_._1 == 7L).foreach(r => assert(r._3 == r._2))
+  }
+
   test("w10 burst detection: driver-side trailing-window replay reproduces peaks") {
     val dir = sf("sf0.001")
     val windowUs = 3600L * 1000 * 1000
