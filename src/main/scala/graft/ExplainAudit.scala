@@ -24,7 +24,9 @@ object ExplainAudit {
       "w7_sessionize", "w8_ntile_quartiles", "t11_rebalance_sample",
       "d10_contamination", "a16b_approx_percentiles", "t12_pii_scrub",
       "t13_distinctive_terms", "e1_corpus_layout",
-      "d11_simhash_pairs", "d12_boilerplate", "t14_sequence_pack")
+      "d11_simhash_pairs", "d12_boilerplate", "t14_sequence_pack",
+      "t15_heavy_hitters", "t16_quality_sample", "s5_hard_negatives",
+      "w10_burst_detection")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
