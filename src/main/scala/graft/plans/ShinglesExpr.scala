@@ -99,7 +99,12 @@ object ShinglesExpr {
     if (!exprs(1).foldable) fail("k must be a literal")
     val k = exprs(1).eval() match {
       case i: Int => i
-      case l: Long => l.toInt
+      case l: Long =>
+        // toInt would wrap (word_shingles(text, 8589934593) → 1) and slip
+        // past the k<=0 guard — range-check before narrowing
+        if (l < Int.MinValue || l > Int.MaxValue)
+          fail(s"k out of int range, got $l")
+        l.toInt
       case s: Short => s.toInt
       case b: Byte => b.toInt
       case other => fail(s"k must be an integer literal, got $other")

@@ -1,5 +1,7 @@
 package graft.plans
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -8,6 +10,21 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Mutable SpaceSaving buffer: the count map plus an ordered index by
+  * (count, item) so the eviction victim (the deterministic minimum) is
+  * `order.head` in O(log capacity) instead of an O(capacity) minBy scan
+  * per evicted row — a high-cardinality stream evicts on nearly every row,
+  * so the scan made update O(rows × capacity) per partition.
+  */
+final class SpaceSavingBuf {
+  val counts: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+  val order: mutable.TreeSet[(Long, String)] = mutable.TreeSet.empty
+  def put(item: String, c: Long, e: Long): Unit = {
+    counts.update(item, (c, e))
+    order.add((c, item))
+  }
+}
 
 /** SpaceSaving (Metwally et al.) frequent-items sketch as a
   * TypedImperativeAggregate — the bounded-state answer to "top tokens by
@@ -37,11 +54,9 @@ case class SpaceSavingAgg(
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, (Long, Long)]] {
+  extends TypedImperativeAggregate[SpaceSavingBuf] {
 
   require(capacity > 0, "spacesaving capacity must be positive")
-
-  type Buf = scala.collection.mutable.HashMap[String, (Long, Long)]
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -52,70 +67,77 @@ case class SpaceSavingAgg(
     StructField("est", LongType, nullable = false),
     StructField("err", LongType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): Buf =
-    scala.collection.mutable.HashMap.empty
+  override def createAggregationBuffer(): SpaceSavingBuf = new SpaceSavingBuf
 
   /** Smallest count in a FULL buffer; 0 while below capacity (an absent
     * item then truly has count 0).
     */
-  private def minCount(buf: Buf): Long =
-    if (buf.size < capacity) 0L else buf.valuesIterator.map(_._1).min
+  private def minCount(buf: SpaceSavingBuf): Long =
+    if (buf.counts.size < capacity) 0L else buf.order.head._1
 
-  override def update(buf: Buf, input: InternalRow): Buf = {
+  override def update(buf: SpaceSavingBuf, input: InternalRow): SpaceSavingBuf = {
     val v = child.eval(input)
     if (v != null) {
       val s = v match {
         case u: UTF8String => u.toString
         case other => other.toString
       }
-      buf.get(s) match {
-        case Some((c, e)) => buf.update(s, (c + 1, e))
-        case None if buf.size < capacity => buf.update(s, (1L, 0L))
+      buf.counts.get(s) match {
+        case Some((c, e)) =>
+          buf.order.remove((c, s))
+          buf.put(s, c + 1, e)
+        case None if buf.counts.size < capacity =>
+          buf.put(s, 1L, 0L)
         case None =>
           // classic SpaceSaving step: the new item inherits (and may
           // overestimate by) the evicted minimum; deterministic victim via
-          // (count, item) ordering
-          val (victim, (mc, _)) = buf.minBy { case (k, (c, _)) => (c, k) }
-          buf.remove(victim)
-          buf.update(s, (mc + 1, mc))
+          // (count, item) ordering = the TreeSet head
+          val victim @ (mc, vk) = buf.order.head
+          buf.order.remove(victim)
+          buf.counts.remove(vk)
+          buf.put(s, mc + 1, mc)
       }
     }
     buf
   }
 
-  override def merge(a: Buf, b: Buf): Buf = {
-    if (b.isEmpty) return a
-    if (a.isEmpty) { a ++= b; return a }
+  override def merge(a: SpaceSavingBuf, b: SpaceSavingBuf): SpaceSavingBuf = {
+    if (b.counts.isEmpty) return a
+    if (a.counts.isEmpty) {
+      b.counts.foreach { case (k, (c, e)) => a.put(k, c, e) }
+      return a
+    }
     val minA = minCount(a)
     val minB = minCount(b)
-    val keys = a.keySet ++ b.keySet
+    val keys = a.counts.keySet ++ b.counts.keySet
     val merged = keys.iterator.map { k =>
-      val (ca, ea) = a.getOrElse(k, (minA, minA))
-      val (cb, eb) = b.getOrElse(k, (minB, minB))
+      val (ca, ea) = a.counts.getOrElse(k, (minA, minA))
+      val (cb, eb) = b.counts.getOrElse(k, (minB, minB))
       k -> (ca + cb, ea + eb)
     }.toSeq
     val kept =
       if (merged.size <= capacity) merged
       else merged.sortBy { case (k, (c, _)) => (-c, k) }.take(capacity)
-    a.clear()
-    a ++= kept
+    a.counts.clear()
+    a.order.clear()
+    kept.foreach { case (k, (c, e)) => a.put(k, c, e) }
     a
   }
 
-  override def eval(buf: Buf): Any = {
+  override def eval(buf: SpaceSavingBuf): Any = {
     // deterministic rendering: count desc, then item
-    val rows = buf.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.map {
+    val rows = buf.counts.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.map {
       case (k, (c, e)) =>
         InternalRow(UTF8String.fromString(k), c, e)
     }
     new GenericArrayData(rows.toArray[Any])
   }
 
-  override def serialize(buf: Buf): Array[Byte] = {
+  override def serialize(buf: SpaceSavingBuf): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (k, (c, e)) =>
+    out.writeInt(buf.counts.size)
+    buf.counts.foreach { case (k, (c, e)) =>
       val kb = k.getBytes("UTF-8")
       out.writeInt(kb.length); out.write(kb); out.writeLong(c); out.writeLong(e)
     }
@@ -123,14 +145,14 @@ case class SpaceSavingAgg(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): Buf = {
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuf = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
     while (i < n) {
       val kb = new Array[Byte](in.readInt()); in.readFully(kb)
-      buf.update(new String(kb, "UTF-8"), (in.readLong(), in.readLong()))
+      buf.put(new String(kb, "UTF-8"), in.readLong(), in.readLong())
       i += 1
     }
     buf

@@ -128,6 +128,12 @@ class PipelineSpec extends SparkSuite {
       spark.sql("SELECT word_shingles('x y', 0)").collect())
     assert(err.getMessage.contains("k must be positive") ||
       Option(err.getCause).exists(_.getMessage.contains("k must be positive")))
+    // a Long literal past Int range must fail, not wrap (8589934593 = 2^33+1
+    // would toInt to 1 and silently pass the k<=0 guard)
+    val wide = intercept[Exception](
+      spark.sql("SELECT word_shingles('x y', 8589934593)").collect())
+    assert(wide.getMessage.contains("k out of int range") ||
+      Option(wide.getCause).exists(_.getMessage.contains("k out of int range")))
     // arity and input-type validation fire at plan time on BOTH
     // registration paths (shared builders + ExpectsInputTypes)
     val arity = intercept[Exception](
