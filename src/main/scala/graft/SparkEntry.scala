@@ -126,6 +126,17 @@ object SparkEntry {
     "d8_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d, 0.3).orderBy("id_a", "id_b")),
     "d9_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d).orderBy("doc_id")),
     "d10_contamination" -> ((s, d) => Dedup.crossSplitContamination(s, d).orderBy("doc_id")),
+    // incremental ingest: index the "already ingested" corpus slice (md5
+    // bucket < 200 ≈ 78%), then delta-join the remaining ~22% "shard"
+    // against it — equals the full recompute restricted to shard-touching
+    // pairs, which is exactly what the oracle computes
+    "d13_delta_neardup" -> ((s, d) => {
+      val bucket = TextAnalysis.splitBucket(col("doc_id"))
+      val docs = graft.Tables.documents(s, d)
+      val index = Dedup.buildNearDupIndex(docs.filter(bucket < 200))
+      Dedup.deltaNearDups(docs.filter(bucket >= 200), index)
+        .orderBy("id_a", "id_b")
+    }),
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d).orderBy("probe_id", "rn")),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d).orderBy("probe_id", "rn")),
@@ -514,6 +525,18 @@ object SparkEntry {
       s"""$shinglesCte,
          |$lshPairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    // incremental ingest identity: delta(index over bucket<200, shard
+    // bucket>=200) == full-recompute pairs restricted to shard-touching
+    // pairs (signatures are per-doc functions, so both computations hash
+    // the same band keys and shingle sets)
+    "d13_delta_neardup" ->
+      s"""$shinglesCte,
+         |$lshPairsCtes,
+         |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+         |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b, jaccard
+         |FROM pairs JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+         |WHERE xa.bucket >= 200 OR xb.bucket >= 200
+         |ORDER BY id_a, id_b""".stripMargin,
     "d4_ngram_jaccard_pairs" ->
       s"""$shinglesCte,
          |ds AS (SELECT doc_id, lang, tok0, tokz, list_distinct(sh) AS dsh FROM s)

@@ -60,9 +60,11 @@ object Dedup {
     * signature/verification stage derives from.
     */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        graft.plans.ShinglesExpr.wordShingles(col("text"), 3).as("sh"))
+    shingleTableOf(Tables.documents(spark, dir))
+
+  private def shingleTableOf(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"),
+      graft.plans.ShinglesExpr.wordShingles(col("text"), 3).as("sh"))
 
   /** One persisted shingle table per (session, dir): repeated query runs
     * reuse the same cached blocks instead of leaking a new persisted copy
@@ -120,19 +122,22 @@ object Dedup {
     }
 
   private def computeMinhashLshPairs(spark: SparkSession, dir: String,
-      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
     // the shingle projection feeds BOTH signature generation and Jaccard
     // verification — materialized once per (session, dir)
-    val withSh = persistedShingleTable(spark, dir)
-    val sigs = signaturesFrom(withSh, bands * rowsPerBand)
-    // band key = md5 over the band's concatenated member hashes
-    val banded = sigs.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        val members = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-        struct(lit(b).as("band"), md5(concat_ws("|", members: _*)).as("bkey"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    lshPairsFrom(persistedShingleTable(spark, dir), bands, rowsPerBand, threshold)
+
+  /** [[minhashLshPairs]] over an explicit documents frame (no session
+    * cache) — the full-recompute reference the delta-dedup spec compares
+    * against.
+    */
+  private[graft] def minhashLshPairsOf(documents: DataFrame,
+      bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8): DataFrame =
+    lshPairsFrom(shingleTableOf(documents), bands, rowsPerBand, threshold)
+
+  private def lshPairsFrom(withSh: DataFrame,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val banded = bandedKeys(withSh, bands, rowsPerBand)
     val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bkey"))
@@ -140,6 +145,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
     verifyJaccard(withSh, candidates, threshold)
+  }
+
+  /** (doc_id, band, bkey): each document's LSH band keys — band key = md5
+    * over the band's concatenated member min-hashes. Map-side only; this
+    * IS the row format of the persisted near-dup index.
+    */
+  private def bandedKeys(withSh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = signaturesFrom(withSh, bands * rowsPerBand)
+    sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        val members = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"), md5(concat_ws("|", members: _*)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
   /** Near-dup CLUSTERS: connected components over the verified MinHash-LSH
@@ -319,12 +339,96 @@ object Dedup {
     verifyJaccard(persistedShingleTable(spark, dir), candidates, threshold)
   }
 
+  /** The persisted state of INCREMENTAL near-dup detection — what a 100 TB
+    * pipeline keeps between ingests instead of recomputing the corpus pair
+    * graph per shard (the reference's mtime-memo incrementality,
+    * dupes/dedup.py:115-131, generalized from checksums to signatures):
+    *
+    *   - `banded` (doc_id, band, bkey): every indexed document's LSH band
+    *     keys — at scale a table bucketed by (band, bkey), so a delta join
+    *     shuffles only the (small) incoming shard;
+    *   - `shingles` (doc_id, lang, sh): the shingle sets Jaccard
+    *     verification reads — at scale bucketed by doc_id, touched only
+    *     for the candidate ids.
+    *
+    * Both are append-only: ingesting a shard appends its rows
+    * ([[upsertNearDupIndex]]); nothing existing is rewritten. Band
+    * parameters are carried alongside so a delta query can't run with a
+    * different banding than the index was built with.
+    */
+  final case class NearDupIndex(banded: DataFrame, shingles: DataFrame,
+      bands: Int, rowsPerBand: Int)
+
+  /** Build a [[NearDupIndex]] from scratch over a document corpus —
+    * map-side signature + shingle projections, no shuffle.
+    */
+  def buildNearDupIndex(documents: DataFrame,
+      bands: Int = 3, rowsPerBand: Int = 3): NearDupIndex = {
+    val sh = shingleTableOf(documents)
+    NearDupIndex(bandedKeys(sh, bands, rowsPerBand), sh, bands, rowsPerBand)
+  }
+
+  /** Append a new shard to the index (the upsert half of the ingest step).
+    * Document ids must be new — near-dup identity is id-keyed, so
+    * re-ingesting an id duplicates its signatures; at scale this is the
+    * bucketed-table INSERT INTO for both member tables.
+    */
+  def upsertNearDupIndex(index: NearDupIndex, newDocs: DataFrame): NearDupIndex = {
+    val sh = shingleTableOf(newDocs)
+    NearDupIndex(
+      index.banded.unionByName(bandedKeys(sh, index.bands, index.rowsPerBand)),
+      index.shingles.unionByName(sh),
+      index.bands, index.rowsPerBand)
+  }
+
+  /** INCREMENTAL near-dup detection — the production ingest mode: join a
+    * new shard's band keys against the persisted index instead of
+    * recomputing the corpus pair graph. Returns every verified pair
+    * touching the shard: (id_a < id_b, new_a/new_b = which side is
+    * incoming, jaccard) — exactly the full-recompute pair set restricted
+    * to pairs with >= 1 shard document (signatures are map-side functions
+    * of the document alone, so delta(index, shard) ∪ pairs(indexed docs)
+    * == pairs(indexed ∪ shard); DedupSpec asserts the identity).
+    *
+    * Scale shape: the shard's signature/shingle projections are map-side;
+    * the index side arrives bucketed on the join keys, so the only
+    * n-dependent shuffle ships the SHARD'S band keys (AQE broadcasts them
+    * when the shard is small — the common case); shard-internal pairs add
+    * one shard-sized self-join. Verification touches only candidate ids.
+    */
+  def deltaNearDups(newDocs: DataFrame, index: NearDupIndex,
+      threshold: Double = 0.8): DataFrame = {
+    val deltaSh = shingleTableOf(newDocs)
+    val deltaBanded = bandedKeys(deltaSh, index.bands, index.rowsPerBand)
+    // shard vs indexed: ids are disjoint (upsert contract), so min/max
+    // normalization plus structural new-side flags — no membership join
+    val n = deltaBanded.select(col("band"), col("bkey"), col("doc_id").as("id_n"))
+    val o = index.banded.select(col("band"), col("bkey"), col("doc_id").as("id_o"))
+    val vsIndexed = n.join(o, Seq("band", "bkey"))
+      .select(
+        least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"),
+        (col("id_n") < col("id_o")).as("new_a"),
+        (col("id_n") > col("id_o")).as("new_b"))
+    // shard vs itself: near-dups arriving together in one shard
+    val na = deltaBanded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+    val nb = deltaBanded.select(col("band"), col("bkey"), col("doc_id").as("id_b"))
+    val vsSelf = na.join(nb, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(true).as("new_a"), lit(true).as("new_b"))
+    val candidates = vsIndexed.unionByName(vsSelf).distinct()
+    verifyJaccard(index.shingles.unionByName(deltaSh), candidates,
+      threshold, carry = Seq("new_a", "new_b"))
+  }
+
   /** True 3-shingle Jaccard for candidate (id_a, id_b) pairs; returns pairs
     * with jaccard >= threshold. Shingle sets are joined in per side via two
     * broadcast-able joins against a distinct-shingle projection.
+    * `carry` columns of the candidate frame ride through to the output
+    * (between id_b and jaccard).
     */
-  private def verifyJaccard(withSh: DataFrame,
-      candidates: DataFrame, threshold: Double): DataFrame = {
+  private def verifyJaccard(withSh: DataFrame, candidates: DataFrame,
+      threshold: Double, carry: Seq[String] = Nil): DataFrame = {
     val shingleSets = withSh
       .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
     val withA = candidates.join(shingleSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -334,7 +438,7 @@ object Dedup {
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a") +: col("id_b") +: (carry.map(col) :+ col("jaccard")): _*)
   }
 
   /** Benchmark DECONTAMINATION — the cross-split n-gram overlap check a

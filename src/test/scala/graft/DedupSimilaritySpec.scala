@@ -84,6 +84,43 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(viaPropagation == viaUnionFind)
   }
 
+  test("delta near-dup: delta(index, shard) ∪ pairs(base) == pairs(base ∪ shard)") {
+    val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
+    // 48 (base text) is indexed; the shard carries its near-dup 49 and the
+    // identical pair 50/51 — both delta paths (vs-indexed, shard-internal)
+    val base = docs.filter(col("doc_id") < 49)
+    val shard = docs.filter(col("doc_id") >= 49)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val index = Dedup.buildNearDupIndex(base)
+    val delta = Dedup.deltaNearDups(shard, index)
+    val deltaPairs = pairSet(delta)
+    val basePairs = pairSet(Dedup.minhashLshPairsOf(base))
+    // the incremental identity, non-vacuously (the planted pairs are in it)
+    assert(deltaPairs.union(basePairs) == pairSet(Dedup.minhashLshPairsOf(docs)))
+    assert(deltaPairs.intersect(basePairs).isEmpty)
+    assert(deltaPairs.exists(p => p._1 == 48L && p._2 == 49L))
+    assert(deltaPairs.exists(p => p._1 == 50L && p._2 == 51L))
+    // structural new-side flags: 48/49 crosses index↔shard, 50/51 arrived
+    // together in the shard
+    val flags = delta.collect().map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Boolean]("new_a"), r.getAs[Boolean]("new_b")))).toMap
+    assert(flags((48L, 49L)) == ((false, true)))
+    assert(flags((50L, 51L)) == ((true, true)))
+    // upsert then ingest a second shard: its matches span the ORIGINAL
+    // corpus and the first shard, and equal the full recompute restricted
+    // to the new doc
+    val baseText = (1 to 60).map(i => s"tok${i}").mkString(" ")
+    val d52 = Seq((52L, baseText, "en", "srcE", baseText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val delta2 = pairSet(Dedup.deltaNearDups(d52, Dedup.upsertNearDupIndex(index, shard)))
+    val full2 = pairSet(Dedup.minhashLshPairsOf(docs.unionByName(d52)))
+    assert(delta2 == full2.filter(p => p._1 == 52L || p._2 == 52L))
+    assert(delta2.exists(p => p._1 == 48L && p._2 == 52L && p._3 == 1.0))
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
     val b = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
