@@ -121,6 +121,7 @@ object SparkEntry {
     "d5_simhash" -> ((s, d) => Dedup.simhash(s, d).orderBy("doc_id")),
     "d11_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d).orderBy("id_a", "id_b")),
     "d12_boilerplate" -> ((s, d) => Dedup.boilerplateChunks(s, d).orderBy("doc_id")),
+    "d14_span_scrub" -> ((s, d) => Dedup.spanScrub(s, d).orderBy("doc_id")),
     "d6_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDupsBounded(s, d, 0.35).orderBy("id_a", "id_b")),
     "d7_tail_fingerprint" -> ((s, d) => Dedup.tailFingerprint(s, d).orderBy("doc_id")),
     "d8_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d, 0.3).orderBy("id_a", "id_b")),
@@ -626,6 +627,29 @@ object SparkEntry {
         |  -- coalesce: duckdb array_to_string([]) is NULL, spark array_join([]) is ''
         |  sha256(coalesce(array_to_string([ch for ch in chunks if NOT list_contains(bl, md5(ch))], ' '), '')) AS clean_sha
         |FROM c CROSS JOIN b ORDER BY doc_id""".stripMargin,
+    // span scrub: sliding 8-token windows at EVERY position (the d10 gram
+    // CTE's window set, kept positional); token i (1-based) is scrubbed
+    // when any shared span p covers it (p <= i <= p+7); the rewrite is
+    // witnessed by the sha-256 of the surviving tokens (the d12 pattern)
+    "d14_span_scrub" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |sp AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+        |       ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] END AS spans FROM t),
+        |df AS (SELECT d, count(DISTINCT doc_id) AS df
+        |  FROM (SELECT doc_id, unnest([md5(s) for s in spans]) AS d FROM sp) GROUP BY 1),
+        |b AS (SELECT coalesce(list(d), []) AS bl FROM df WHERE df >= 2),
+        |sp2 AS (SELECT doc_id, w, spans,
+        |  [i for i in range(1, len(spans)+1) if list_contains(bl, md5(spans[i]))] AS spos
+        |  FROM sp CROSS JOIN b)
+        |SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans,
+        |  CAST(len(spos) AS BIGINT) AS n_shared,
+        |  round(CAST(len(spos) AS DOUBLE) / len(spans), 4) AS shared_frac,
+        |  -- coalesce: duckdb array_to_string([]) is NULL, spark array_join([]) is ''
+        |  sha256(coalesce(array_to_string([w[i] for i in range(1, len(w)+1)
+        |    if len([p for p in spos if i >= p AND i <= p + 7]) = 0], ' '), '')) AS clean_sha
+        |FROM sp2 ORDER BY doc_id""".stripMargin,
     "d8_embedding_neardup_lsh" -> {
       val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

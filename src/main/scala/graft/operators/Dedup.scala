@@ -547,6 +547,61 @@ object Dedup {
           .as("clean_sha"))
   }
 
+  /** SPAN-LEVEL (position-independent) substring dedup — the standard
+    * training-data scrub at sub-document granularity: a sliding `w`-token
+    * window digest at EVERY token position (not [[boilerplateChunks]]'s
+    * k-aligned grid, which misses spans crossing chunk boundaries); a span
+    * whose digest appears in >= minDocs DISTINCT documents is shared
+    * content; every token covered by any shared span is scrubbed. Output
+    * per doc: span counts + sha-256 of the scrubbed text (the d12/t12
+    * witness pattern). Same repeated-content concern as the reference's
+    * checksum dedup (dupes/dedup.py:38-43), at span granularity.
+    *
+    * Scale shape: windowing and hashing are map-side (the native
+    * word_shingles expression — one pass, w positions per token); the
+    * document-frequency aggregation ships (digest, doc_id) — 32-char
+    * keys, never span text; shared positions come back through ONE
+    * digest-keyed equi-join (the shared set scales with duplication
+    * volume, so it is NOT force-broadcast — AQE broadcasts when it fits)
+    * and ONE doc-keyed join; the rewrite is a map-side indexed filter.
+    * ~w rows per token cross the df shuffle — the price of
+    * position-independence; partial aggregation collapses them per
+    * partition first.
+    */
+  def spanScrub(spark: SparkSession, dir: String,
+      w: Int = 8, minDocs: Int = 2): DataFrame =
+    spanScrubOf(Tables.documents(spark, dir), w, minDocs)
+
+  /** [[spanScrub]] over an explicit (doc_id, text) frame — lets tests
+    * plant documents with KNOWN cross-document spans at arbitrary
+    * (non-chunk-aligned) positions.
+    */
+  def spanScrubOf(documents: DataFrame, w: Int = 8, minDocs: Int = 2): DataFrame = {
+    val base = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        graft.plans.ShinglesExpr.wordShingles(col("text"), w).as("spans"))
+    // (doc_id, pos, digest): pos is 0-based; a span at pos covers tokens
+    // [pos, pos + w - 1] (a short doc yields one whole-doc span at 0)
+    val exploded = base
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), md5(col("span")).as("digest"))
+    val shared = exploded.groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+    val sharedPos = exploded.join(shared.select(col("digest")), Seq("digest"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("spos"))
+    val nShared = coalesce(size(col("spos")), lit(0)).cast("long")
+    base.join(sharedPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("spans")).cast("long").as("n_spans"),
+        nShared.as("n_shared"),
+        round(nShared.cast("double") / size(col("spans")), 4).as("shared_frac"),
+        sha2(expr(s"array_join(filter(toks, (t, i) -> spos IS NULL OR " +
+          s"NOT exists(spos, p -> i >= p AND i <= p + ${w - 1})), ' ')"), 256)
+          .as("clean_sha"))
+  }
+
   /** SimHash: 16-nibble signature. For hex position p (1..16), sum
     * (hexval(md5(token)[p]) - 7.5) over all tokens; positive → bit 1.
     * The signature is a 16-bit int, compared within blocking buckets by

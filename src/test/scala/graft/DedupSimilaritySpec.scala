@@ -121,6 +121,37 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(delta2.exists(p => p._1 == 48L && p._2 == 52L && p._3 == 1.0))
   }
 
+  test("span scrub: planted cross-doc span at non-aligned positions is scrubbed") {
+    val span = (1 to 8).map(i => s"SHARED$i")
+    // the span sits at token offset 13 in A and 7 in B — neither aligned to
+    // any fixed chunk grid (the case d12's k-aligned chunks miss)
+    val aToks = (1 to 13).map(i => s"a$i") ++ span ++ (1 to 5).map(i => s"az$i")
+    val bToks = (1 to 7).map(i => s"b$i") ++ span ++ (1 to 11).map(i => s"bz$i")
+    val cToks = (1 to 20).map(i => s"c$i")
+    val dToks = (1 to 12).map(i => s"d$i") // 4 and 5 are full duplicates
+    val docs = Seq(
+      (1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")),
+      (3L, cToks.mkString(" ")),
+      (4L, dToks.mkString(" ")), (5L, dToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanScrubOf(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def sha(toks: Seq[String]) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(toks.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // exactly ONE window (the planted span itself) is shared per doc;
+    // windows overlapping it partially differ by the surrounding tokens
+    assert(got(1L).getAs[Long]("n_shared") == 1)
+    assert(got(2L).getAs[Long]("n_shared") == 1)
+    assert(got(3L).getAs[Long]("n_shared") == 0)
+    // the scrub removes the 8 covered tokens, keeps everything else
+    assert(got(1L).getAs[String]("clean_sha") == sha(aToks.take(13) ++ aToks.drop(21)))
+    assert(got(2L).getAs[String]("clean_sha") == sha(bToks.take(7) ++ bToks.drop(15)))
+    assert(got(3L).getAs[String]("clean_sha") == sha(cToks))
+    // full duplicates: every window shared, whole text scrubbed
+    assert(got(4L).getAs[Long]("n_spans") == 5 && got(4L).getAs[Long]("n_shared") == 5)
+    assert(got(4L).getAs[String]("clean_sha") == sha(Seq.empty))
+    assert(got(5L).getAs[String]("clean_sha") == sha(Seq.empty))
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
     val b = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
