@@ -144,6 +144,7 @@ object SparkEntry {
     "s3_label_centroids" -> ((s, d) => Similarity.labelCentroidsFlat(s, d).orderBy("label", "dim_idx")),
     "s4_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d).orderBy("probe_id", "rn")),
     "s5_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d).orderBy("probe_id", "rn")),
+    "s6_ann_kmeans" -> ((s, d) => Similarity.kmeansIvfTopK(s, d).orderBy("probe_id", "rn")),
     // ---- text analysis ----
     "t2_language_id" -> ((s, d) => TextAnalysis.languageId(s, d).orderBy("doc_id")),
     "t3_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d).orderBy("doc_id")),
@@ -265,6 +266,31 @@ object SparkEntry {
     }.mkString(" + ")
     s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
        |sh64 AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)""".stripMargin
+  }
+
+  /** The k-means training trajectory (s6) in SQL: md5-ranked seeds, then
+    * `iters` Lloyd rounds — assignment is an integer argmin over
+    * identically-computed double scores (2·v·c − ‖c‖², ties to the
+    * smallest cluster via list_position's first-occurrence), update is
+    * the s3-proven round(sum/n, 4) + 0.0 mean. Appends assignment CTE
+    * `a${iters+1}` (final membership) and centroid CTE `c$iters`.
+    */
+  private def kmeansCtes(kClusters: Int = 4, iters: Int = 2): String = {
+    def assign(n: Int, cent: String) =
+      s"""a$n AS (SELECT vec_id, CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER) AS cl FROM (
+         |  SELECT e.vec_id, list(2 * list_dot_product(e.v, s.c) - list_dot_product(s.c, s.c) ORDER BY s.cl) AS scores
+         |  FROM e CROSS JOIN $cent s GROUP BY e.vec_id))""".stripMargin
+    def update(n: Int) =
+      s"""c${n}d AS (SELECT cl, i, round(sum(v[i+1]) / count(*), 4) + 0.0 AS val
+         |  FROM e JOIN a$n USING (vec_id), range(0, 64) r(i) GROUP BY cl, i),
+         |c$n AS (SELECT cl, list(val ORDER BY i) AS c FROM c${n}d GROUP BY cl)""".stripMargin
+    val rounds = (1 to iters).map(n =>
+      assign(n, if (n == 1) "seeds" else s"c${n - 1}") + ",\n" + update(n))
+    s"""seeds AS (SELECT cl, [round(x, 4) + 0.0 for x in v] AS c FROM (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl, v FROM e)
+       |  WHERE cl < $kClusters),
+       |${rounds.mkString(",\n")},
+       |${assign(iters + 1, s"c$iters")}""".stripMargin
   }
 
   /** t9's split bucket (first md5 byte of the doc id) — the SQL rendering
@@ -727,6 +753,27 @@ object SparkEntry {
         |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS rn
         |  FROM pc JOIN en c ON pc.label = c.label WHERE probe_id != c.vec_id)
         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+    // trained-quantizer IVF: the s4 search plan over kmeansCtes' learned
+    // centroids (c2) and final membership (a3) instead of given labels
+    "s6_ann_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+         |${kmeansCtes()},
+         |centn AS (SELECT cl, c, sqrt(list_dot_product(c, c)) AS cn FROM c2),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, n AS pn FROM en WHERE vec_id < 5),
+         |pc AS (SELECT probe_id, pv, pn, cl FROM (
+         |  SELECT p.probe_id, p.pv, p.pn, c.cl,
+         |    row_number() OVER (PARTITION BY p.probe_id
+         |      ORDER BY list_dot_product(pv, c.c) / (pn * c.cn) DESC, c.cl) AS crn
+         |  FROM p CROSS JOIN centn c) WHERE crn <= 2),
+         |memb AS (SELECT en.vec_id, en.v, en.n, a3.cl FROM en JOIN a3 USING (vec_id))
+         |SELECT probe_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT probe_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(pv, c.v) / (pn * c.n), 4) AS cos,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS rn
+         |  FROM pc JOIN memb c ON pc.cl = c.cl WHERE probe_id != c.vec_id)
+         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
     "m2_media_stats" ->
       """SELECT kind, count(*) AS n,
         | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

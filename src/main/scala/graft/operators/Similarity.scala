@@ -188,6 +188,126 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** TRAINED k-means coarse quantizer — [[ivfTopK]]'s label-as-cluster
+    * replaced by a LEARNED clustering: deterministic seeds (the kClusters
+    * vectors ranking first by md5(vec_id) — portable, engine-reproducible,
+    * never rand()), then `iters` FIXED Lloyd iterations: assign every
+    * vector to its nearest centroid by Euclidean distance (argmax of
+    * 2·v·c − ‖c‖², ties to the smallest cluster id), recompute means.
+    * The fixed iteration count (no convergence test) plus rounding the
+    * centroids to 4 decimals after every update (the s3-proven
+    * cross-engine round(sum/n, 4) parity path) keeps the whole training
+    * trajectory reproducible in the SQL oracle — assignments are integer
+    * argmins over identically-computed double scores, so they cannot
+    * drift between engines.
+    *
+    * Scale shape per iteration: ONE map-side assignment pass (k dot
+    * products against literal centroid arrays — no join, no shuffle of
+    * the corpus) + one 64-sum-column hash aggregation down to k rows; the
+    * model (k×64 doubles) is collected to the driver and re-embedded as
+    * literals — the standard distributed-k-means structure (model state
+    * on the driver, data never leaves the executors). Returns the model
+    * as (cl, c) pairs; memoized per (session, dir, params) like the s3
+    * centroid table.
+    */
+  private[graft] def kmeansModel(spark: SparkSession, dir: String,
+      kClusters: Int = 4, iters: Int = 2): Array[(Int, Array[Double])] =
+    graft.SessionCache.getOrElseUpdate(spark, ("kmeansModel", dir, kClusters, iters)) {
+      val e = preparedEmbeddings(spark, dir)
+      // seeds: round like every later update so iteration 1 scores match
+      // the oracle's seed CTE exactly
+      val seeds = e
+        .select(col("vec_id"), col("v"))
+        .withColumn("r", md5(col("vec_id").cast("string")))
+        .orderBy(col("r"), col("vec_id"))
+        .limit(kClusters)
+        .select(transform(col("v"), x => round(x, 4) + lit(0.0)).as("c"))
+        .collect()
+        .zipWithIndex
+        .map { case (row, i) => i -> row.getSeq[Double](0).toArray }
+      var model = seeds
+      for (_ <- 0 until iters) model = lloydUpdate(e, model, kClusters)
+      model
+    }.asInstanceOf[Array[(Int, Array[Double])]]
+
+  /** Map-side nearest-centroid assignment against literal centroid
+    * arrays: argmax over k scores 2·v·c_j − ‖c_j‖² (= argmin Euclidean),
+    * first occurrence on ties — `array_position` mirrors DuckDB's
+    * `list_position` exactly.
+    */
+  private def assignExpr(model: Array[(Int, Array[Double])]): Column = {
+    val scores = array(model.map { case (_, c) =>
+      val litC = array(c.toIndexedSeq.map(lit): _*)
+      // ‖c‖² as a driver-side left fold — the same sequential IEEE order
+      // as dotProduct/list_dot_product over identical rounded values
+      val c2 = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      lit(2.0) * dotProduct(col("v"), litC) - lit(c2)
+    }.toIndexedSeq: _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** One Lloyd round: assignment pass + 64-sum-column mean, rounded in
+    * the DATAFRAME (round(sum/n, 4) + 0.0 — the exact s3 arithmetic) so
+    * the collected literals are the values the oracle recomputes. A
+    * cluster losing all members would silently freeze search recall, so
+    * it throws instead (deterministic data ⇒ deterministic failure).
+    */
+  private def lloydUpdate(e: DataFrame, model: Array[(Int, Array[Double])],
+      kClusters: Int): Array[(Int, Array[Double])] = {
+    val dim = model.head._2.length
+    val sumCols = (0 until dim).map(i => sum(element_at(col("v"), i + 1)).as(s"s$i"))
+    val updated = e.withColumn("cl", assignExpr(model))
+      .groupBy(col("cl"))
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+      .select(col("cl"), array((0 until dim).map(i =>
+        round(col(s"s$i") / col("n"), 4) + lit(0.0)): _*).as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    if (updated.length != kClusters)
+      throw new IllegalStateException(
+        s"k-means cluster emptied: ${updated.length} of $kClusters clusters " +
+          "survived the update (reseed or lower kClusters)")
+    updated
+  }
+
+  /** IVF search over the TRAINED quantizer (s6): [[ivfTopK]]'s plan shape
+    * — rank centroids per probe, exact search inside the nprobe best
+    * clusters — with [[kmeansModel]]'s learned centroids instead of the
+    * given labels, and cluster membership derived map-side from the same
+    * model (no membership table, no extra shuffle: the corpus-side
+    * assignment rides the scan, exactly where a 100 TB deployment would
+    * read it from the partition key of a cluster-partitioned layout).
+    */
+  def kmeansIvfTopK(spark: SparkSession, dir: String,
+      kClusters: Int = 4, iters: Int = 2,
+      nProbes: Int = 5, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val model = kmeansModel(spark, dir, kClusters, iters)
+    import spark.implicits._
+    val cents = broadcast(
+      model.toSeq.toDF("cl", "cv").withColumn("cn", l2Norm(col("cv"))))
+    val e = preparedEmbeddings(spark, dir)
+    val probesN = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("cl"))
+    val probeClusters = probesN.crossJoin(cents)
+      .withColumn("ccos", dotProduct(col("pv"), col("cv")) / (col("pn") * col("cn")))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("pn"), col("cl"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
+      .withColumn("cl", assignExpr(model))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probeClusters), Seq("cl"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** Centroid per label — the IVF coarse-quantizer training step (mean
     * vector per cluster), one hash aggregation using element-wise array
     * sums. Demonstrates vector aggregation without ever collecting vectors.

@@ -292,6 +292,31 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recalls.last == 1.0, recalls.toString)
   }
 
+  test("k-means IVF: deterministic model, exact at full probe, recall >= label-IVF") {
+    val dir = sf("sf0.001")
+    // fixed seeds + fixed iterations + rounded centroids ⇒ bit-identical
+    // retraining (the property the SQL oracle depends on)
+    val m1 = Similarity.kmeansModel(spark, dir, kClusters = 4, iters = 2)
+    val m2 = Similarity.kmeansModel(spark, dir, kClusters = 4, iters = 2)
+    assert(m1.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(m1.map(_._2.toSeq).toSeq == m2.map(_._2.toSeq).toSeq)
+    val exact = Similarity.bruteForceTopK(spark, dir, nProbes = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    // probing every learned cluster scans the whole corpus == exact
+    assert(recallOf(Similarity.kmeansIvfTopK(spark, dir, nprobe = 4)) == 1.0)
+    // at the default nprobe the LEARNED quantizer must not lose to the
+    // as-given label clustering (labels are arbitrary; Lloyd rounds adapt
+    // the partition to the actual vector geometry)
+    val kmeansRecall = recallOf(Similarity.kmeansIvfTopK(spark, dir, nprobe = 2))
+    val labelRecall = recallOf(Similarity.ivfTopK(spark, dir, nprobe = 2))
+    assert(kmeansRecall >= labelRecall, s"kmeans=$kmeansRecall label=$labelRecall")
+    assert(kmeansRecall > 0.0)
+  }
+
   test("multimodal: stub decode preserves ids, metadata query sees byte lengths") {
     val meta = Multimodal.binaryMeta(spark, fixtureDir)
     assert(meta.count() == 52)
