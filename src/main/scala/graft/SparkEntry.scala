@@ -161,6 +161,7 @@ object SparkEntry {
     "t14_sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d).orderBy("split", "lang", "bin")),
     "t15_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d).orderBy("lang", "token")),
     "t16_quality_sample" -> ((s, d) => TextAnalysis.qualityWeightedSample(s, d).orderBy("tier")),
+    "t17_mixture_sample" -> ((s, d) => TextAnalysis.mixtureWeightedSample(s, d).orderBy("lang", "source")),
     // ---- multimodal plumbing ----
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d).drop("payload").orderBy("media_id")),
     "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
@@ -896,6 +897,19 @@ object SparkEntry {
          |SELECT tier, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN bucket * 7 < tier * 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM t GROUP BY 1 ORDER BY tier""".stripMargin
+    },
+    // temperature mixture weighting: sqrt(min/n) keep rate decided with
+    // integers only — bucket^2 * n_grp < min_docs * 65536 (see
+    // TextAnalysis.mixtureWeightedSample)
+    "t17_mixture_sample" -> {
+      val b = s"(${hexv("substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)")})"
+      s"""WITH c AS (SELECT lang, source, count(*) AS n_grp FROM documents GROUP BY 1, 2),
+         |m AS (SELECT min(n_grp) AS min_docs FROM c),
+         |k AS (SELECT doc_id, lang, source, $b AS bucket FROM documents)
+         |SELECT k.lang AS lang, k.source AS source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN bucket * bucket * n_grp < min_docs * 65536 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM k JOIN c ON k.lang = c.lang AND k.source = c.source CROSS JOIN m
+         |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
     },
     // PII scrub: patterns rendered from the ONE shared list
     // (TextAnalysis.piiPatterns) so Spark and oracle can't drift; DuckDB

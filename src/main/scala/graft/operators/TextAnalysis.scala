@@ -420,6 +420,41 @@ object TextAnalysis {
           .cast("long").as("n_kept"))
   }
 
+  /** TEMPERATURE-BASED MIXTURE WEIGHTING — the last standard sampling
+    * mode a curation pipeline runs: flatten the (lang, source) mixture
+    * toward balance WITHOUT equalizing it. Keep rate per group
+    * = sqrt(min_docs / n_grp) — i.e. count^α weighting at α = 0.5, the
+    * usual multilingual-training temperature: the smallest group keeps
+    * everything, a 100×-larger group keeps 10× the minority count (its
+    * effective size becomes the geometric mean sqrt(min·n)), sitting
+    * exactly between keep-everything (α=1, t9's uniform coin) and
+    * equalize-to-minority (α=0, t11).
+    *
+    * The square-root rate still decides with INTEGERS ONLY: keep iff
+    * bucket² · n_grp < min_docs · 65536 (bucket² ≤ 65025, so the product
+    * is far inside long range) — P(keep) = #{b < 256 : b²·n < 65536·min}
+    * / 256 ≈ sqrt(min/n) with only the coin's 1/256 quantization, and no
+    * float threshold that could round differently across engines. 'mix'
+    * seed keeps the coin independent of the t9/t11/t16 hashes. Scale
+    * shape = t11's: two tiny aggregations broadcast back onto a map-side
+    * scan; the corpus itself never shuffles.
+    */
+  def mixtureWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_grp"))
+    val minDocs = counts.agg(min(col("n_grp")).as("min_docs"))
+    val bucket = hexVal(substring(seededHash("mix", col("doc_id").cast("string")), 1, 1)) * 16 +
+      hexVal(substring(seededHash("mix", col("doc_id").cast("string")), 2, 1))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+      .join(broadcast(counts), Seq("lang", "source"))
+      .crossJoin(broadcast(minDocs))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") * col("bucket") * col("n_grp") < col("min_docs") * 65536, 1L)
+          .otherwise(0L)).cast("long").as("n_kept"))
+  }
+
   /** HEAVY HITTERS — per-language frequent tokens via the SpaceSaving
     * sketch ([[graft.plans.SpaceSavingAgg]]), the bounded-state twin of
     * t10's exact vocabulary count: per group the shuffle carries at most

@@ -99,6 +99,39 @@ class CurationOpsSpec extends SparkSuite {
     assert(got.exists(r => r._3 < r._2))
   }
 
+  test("t17 mixture sample: sqrt-rate integer coin matches driver recompute") {
+    val dir = sf("sf0.001")
+    val got = TextAnalysis.mixtureWeightedSample(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+    val counts = docs.groupBy(_._2).map { case (g, d) => g -> d.size.toLong }
+    val minDocs = counts.values.min
+    val expected = docs.groupBy(_._2).map { case (g, d) =>
+      val kept = d.count { case (id, _) =>
+        val b = bucket256(s"mix:$id"); b * b * counts(g) < minDocs * 65536
+      }
+      (g._1, g._2, d.size.toLong, kept.toLong)
+    }.toSet
+    assert(got == expected)
+    // the minority group keeps everything: b^2 <= 65025 < 65536
+    val minority = counts.minBy(_._2)._1
+    val m = got.find(r => (r._1, r._2) == minority).get
+    assert(m._3 == m._4)
+    // large groups genuinely downsample (the corpus-dependent claim) ...
+    assert(got.exists(r => r._4 < r._3))
+    // ... and the coin's RATE is exactly the sqrt temperature, shown on
+    // the coin arithmetic itself (corpus-independent): a group 4x/100x
+    // the minority passes 128/256 ≈ sqrt(1/4) and 26/256 ≈ sqrt(1/100)
+    // of the buckets
+    def passing(n: Long, min: Long) = (0 until 256).count(b => b.toLong * b * n < min * 65536)
+    assert(passing(4, 1) == 128)
+    assert(passing(100, 1) == 26)
+    assert(passing(1, 1) == 256)
+  }
+
   test("d10 decontamination: driver-side 8-gram overlap reproduces the report") {
     val dir = sf("sf0.001")
     val got = Dedup.crossSplitContamination(spark, dir)
