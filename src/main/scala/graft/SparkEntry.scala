@@ -776,11 +776,20 @@ object SparkEntry {
          |  FROM pc JOIN memb c ON pc.cl = c.cl WHERE probe_id != c.vec_id)
          |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
     "m2_media_stats" ->
-      """SELECT kind, count(*) AS n,
-        | CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-        | CAST(max(16 + octet_length(encode(text)) % 640) AS INTEGER) AS max_width
-        |FROM (SELECT (['image','audio','video'])[(doc_id % 3) + 1] AS kind, text FROM documents)
-        |GROUP BY 1 ORDER BY kind""".stripMargin,
+      """WITH t AS (SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT kind,
+        |  CASE kind WHEN 'audio' THEN 44 + 2 * len WHEN 'image' THEN 54 + least(len, 64)
+        |       ELSE 88 + least(len, 64) END AS nb,
+        |  CASE kind WHEN 'audio' THEN 0 ELSE 16 + len % 640 END AS w,
+        |  CASE kind WHEN 'audio' THEN 8000 * (1 + media_id % 3) ELSE 0 END AS rate,
+        |  CASE kind WHEN 'audio' THEN len * 1000 // (8000 * (1 + media_id % 3))
+        |       WHEN 'video' THEN (30 + len % 900) * 33333 // 1000 ELSE 0 END AS dur
+        |  FROM t)
+        |SELECT kind, count(*) AS n, CAST(sum(nb) AS BIGINT) AS total_bytes,
+        | CAST(max(w) AS INTEGER) AS max_width, CAST(max(rate) AS INTEGER) AS max_rate,
+        | CAST(sum(dur) AS BIGINT) AS total_ms
+        |FROM d GROUP BY 1 ORDER BY kind""".stripMargin,
     // ---- text analysis ----
     "t2_language_id" -> {
       val lex = Map(
@@ -970,14 +979,26 @@ object SparkEntry {
         |FROM exact JOIN tot USING (lang)
         |WHERE n * 64 > total * 2 ORDER BY lang, token""".stripMargin,
     // ---- multimodal ----
+    // the oracle recomputes what header decode must find, arithmetically
+    // from (media_id, text length) — the same integer functions
+    // MediaCodecs.synthesize wrote into the real WAV/BMP/AVI header bytes
+    // the Spark side round-trips through its parser. n_bytes: WAV = 44 +
+    // 2·len samples; BMP/AVI = header + filler capped at 64. The image
+    // magic covers the BMP fileSize's little-endian low bytes.
     "m1_binary_meta" ->
-      """SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | substr(lower(hex(encode(text))), 1, 8) AS magic
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """WITH t AS (SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        |  octet_length(encode(text)) AS len FROM documents)
+        |SELECT media_id, kind,
+        | CAST(CASE kind WHEN 'audio' THEN 44 + 2 * len WHEN 'image' THEN 54 + least(len, 64)
+        |      ELSE 88 + least(len, 64) END AS BIGINT) AS n_bytes,
+        | CASE kind WHEN 'image' THEN '424d' || printf('%02x', (54 + least(len, 64)) % 256)
+        |      || printf('%02x', (54 + least(len, 64)) // 256 % 256)
+        |      ELSE '52494646' END AS magic
+        |FROM t ORDER BY media_id""".stripMargin,
     "m3_frame_sample" ->
       """SELECT media_id, duration_ms, unnest(generate_series(0, duration_ms, 5000)) AS frame_ts_ms
-        |FROM (SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) * 10 AS duration_ms
+        |FROM (SELECT doc_id AS media_id,
+        |      CAST((30 + octet_length(encode(text)) % 900) * 33333 // 1000 AS BIGINT) AS duration_ms
         |      FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY media_id, frame_ts_ms""".stripMargin,
     // corpus layout: recomputed straight from documents with the shared

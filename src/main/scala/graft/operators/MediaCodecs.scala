@@ -1,0 +1,158 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM synthesis and parsing of REAL public container headers — WAV
+  * (RIFF/WAVE), BMP (BITMAPFILEHEADER + BITMAPINFOHEADER), AVI
+  * (RIFF/'AVI '/hdrl/avih) — replacing the round-1..6 functions-of-bytes
+  * decode stub. Payload BODIES are zero/truncated filler (this container
+  * has no media libraries and the pipeline never looks at samples), but
+  * the headers are byte-exact per the public Microsoft RIFF/WAVE/AVI and
+  * Windows bitmap layouts, and [[parse]] reads them the way any codec
+  * would: little-endian structs at the documented offsets, chunk walks
+  * for the RIFF formats, dispatching on the MAGIC BYTES (not on a kind
+  * column) — so a layout bug in either side breaks the m1/m2/m3 gates.
+  */
+object MediaCodecs {
+
+  /** What the header decode yields: zero-valued fields are not-applicable
+    * for the format (e.g. sampleRate for images).
+    */
+  final case class Parsed(width: Int, height: Int, durationMs: Long, sampleRate: Int)
+
+  private def le(n: Int): ByteBuffer =
+    ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+
+  /** Deterministic synthetic media for the gate tables: every field a
+    * pure integer function of (media_id, text length) so the DuckDB
+    * oracle recomputes the decoded output arithmetically while the Spark
+    * side must round-trip it through real header bytes.
+    */
+  def synthesize(kind: String, mediaId: Long, textLen: Int): Array[Byte] = kind match {
+    case "audio" =>
+      buildWav(sampleRate = 8000 * (1 + (mediaId % 3).toInt), nSamples = textLen)
+    case "image" =>
+      buildBmp(16 + textLen % 640, 16 + textLen % 480, filler = math.min(textLen, 64))
+    case _ =>
+      buildAvi(usPerFrame = 33333, totalFrames = 30 + textLen % 900,
+        16 + textLen % 640, 16 + textLen % 480, filler = math.min(textLen, 64))
+  }
+
+  /** Canonical 44-byte PCM WAV header + zeroed 16-bit mono samples. */
+  def buildWav(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val b = le(44 + dataSize)
+    b.put("RIFF".getBytes("US-ASCII")); b.putInt(36 + dataSize); b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")); b.putInt(16)
+    b.putShort(1); b.putShort(1) // PCM, mono
+    b.putInt(sampleRate); b.putInt(sampleRate * 2) // byte rate
+    b.putShort(2); b.putShort(16) // block align, bits
+    b.put("data".getBytes("US-ASCII")); b.putInt(dataSize)
+    b.array() // samples stay zero
+  }
+
+  /** 54-byte BMP header (24bpp, BI_RGB); pixel data TRUNCATED to `filler`
+    * bytes — documented synthetic shortcut, the header fields are real.
+    */
+  def buildBmp(width: Int, height: Int, filler: Int): Array[Byte] = {
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val fileSize = 54 + filler
+    val b = le(fileSize)
+    b.put('B'.toByte); b.put('M'.toByte); b.putInt(fileSize)
+    b.putShort(0); b.putShort(0); b.putInt(54) // reserved, data offset
+    b.putInt(40); b.putInt(width); b.putInt(height)
+    b.putShort(1); b.putShort(24) // planes, bpp
+    b.putInt(0); b.putInt(rowSize * height) // BI_RGB, biSizeImage
+    b.putInt(2835); b.putInt(2835); b.putInt(0); b.putInt(0) // 72 DPI, palette
+    b.array()
+  }
+
+  /** 88-byte AVI skeleton: RIFF('AVI ') > LIST(hdrl) > avih(MainAVIHeader,
+    * 56 bytes); stream lists and movi data TRUNCATED to `filler` bytes.
+    */
+  def buildAvi(usPerFrame: Int, totalFrames: Int,
+      width: Int, height: Int, filler: Int): Array[Byte] = {
+    val b = le(88 + filler)
+    b.put("RIFF".getBytes("US-ASCII")); b.putInt(80 + filler); b.put("AVI ".getBytes("US-ASCII"))
+    b.put("LIST".getBytes("US-ASCII")); b.putInt(4 + 8 + 56); b.put("hdrl".getBytes("US-ASCII"))
+    b.put("avih".getBytes("US-ASCII")); b.putInt(56)
+    b.putInt(usPerFrame); b.putInt(0); b.putInt(0); b.putInt(0)
+    b.putInt(totalFrames); b.putInt(0); b.putInt(1); b.putInt(0) // 1 stream
+    b.putInt(width); b.putInt(height)
+    b.array() // dwReserved[4] and filler stay zero
+  }
+
+  private def tag(p: Array[Byte], off: Int): String =
+    new String(p, off, 4, "US-ASCII")
+  private def leInt(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+      ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+  private def leShort(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+
+  /** Content-based header decode: dispatches on magic bytes, returns None
+    * for anything unrecognized (the pipeline keeps such rows with
+    * zero-valued metadata rather than failing the batch).
+    */
+  def parse(payload: Array[Byte]): Option[Parsed] =
+    if (payload.length >= 12 && tag(payload, 0) == "RIFF") tag(payload, 8) match {
+      case "WAVE" => parseWave(payload)
+      case "AVI " => parseAvi(payload)
+      case _ => None
+    }
+    else if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M')
+      Some(Parsed(leInt(payload, 18), leInt(payload, 22), 0L, 0))
+    else None
+
+  /** RIFF chunk walk: fmt (channels/rate/block align) + data (sample
+    * count) → duration. Tolerates extra chunks and any chunk order.
+    */
+  private def parseWave(p: Array[Byte]): Option[Parsed] = {
+    var off = 12
+    var sampleRate = 0
+    var blockAlign = 0
+    var dataSize = -1
+    while (off + 8 <= p.length) {
+      val id = tag(p, off)
+      val size = leInt(p, off + 4)
+      if (id == "fmt " && off + 8 + 16 <= p.length) {
+        sampleRate = leInt(p, off + 8 + 4)
+        blockAlign = leShort(p, off + 8 + 12)
+      } else if (id == "data") dataSize = size
+      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    if (sampleRate <= 0 || blockAlign <= 0 || dataSize < 0) None
+    else Some(Parsed(0, 0, (dataSize / blockAlign).toLong * 1000L / sampleRate, sampleRate))
+  }
+
+  /** RIFF walk to LIST(hdrl), then avih: MainAVIHeader fields at their
+    * documented dword offsets (usPerFrame 0, totalFrames 4, width 8,
+    * height 9 — in dwords).
+    */
+  private def parseAvi(p: Array[Byte]): Option[Parsed] = {
+    var off = 12
+    while (off + 12 <= p.length) {
+      val id = tag(p, off)
+      val size = leInt(p, off + 4)
+      if (id == "LIST" && tag(p, off + 8) == "hdrl") {
+        var in = off + 12
+        val end = math.min(off + 8 + size, p.length)
+        while (in + 8 <= end) {
+          val cid = tag(p, in)
+          val csz = leInt(p, in + 4)
+          if (cid == "avih" && in + 8 + 40 <= p.length) {
+            val usPerFrame = leInt(p, in + 8)
+            val totalFrames = leInt(p, in + 8 + 16)
+            val width = leInt(p, in + 8 + 32)
+            val height = leInt(p, in + 8 + 36)
+            return Some(Parsed(width, height,
+              totalFrames.toLong * usPerFrame / 1000L, 0))
+          }
+          in += 8 + csz + (csz & 1)
+        }
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+}

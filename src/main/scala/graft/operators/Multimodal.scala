@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side contract is real and tested — schema, partitioning, batch
   * shape (mapPartitions over the typed Dataset, one iterator per partition,
-  * mirroring an Arrow-batch UDF), metadata struct columns. The actual codec
-  * step is STUBBED with a deterministic fake (this container has no
-  * image/audio libraries): `decodeStub` derives pseudo width/height/duration
-  * from the payload bytes so tests are reproducible. Swapping in a real
-  * decoder changes ONLY the body of `decodePartition`.
+  * mirroring an Arrow-batch UDF), metadata struct columns. Since round 7
+  * the decode itself is REAL for the header layer: payloads carry genuine
+  * WAV/BMP/AVI container headers ([[MediaCodecs]]) and `decodePartition`
+  * parses sample rate / dimensions / duration out of the bytes, dispatching
+  * on magic — only the payload BODIES (samples/pixels/frames) are synthetic
+  * filler, since no sample-level stage exists in the pipeline. Swapping in
+  * a full codec still changes ONLY the body of `decodePartition`.
   *
   * At 100 TB the payloads dominate: every stage below is map-side (no
   * shuffle of binary data), metadata-only rollups aggregate scalars, and the
@@ -23,31 +25,43 @@ object Multimodal {
 
   case class MediaRow(media_id: Long, payload: Array[Byte], kind: String)
   case class DecodedMeta(media_id: Long, kind: String, n_bytes: Int,
-      width: Int, height: Int, duration_ms: Long, magic: String)
+      width: Int, height: Int, duration_ms: Long, sample_rate: Int, magic: String)
 
-  /** Manufacture an opaque-binary media table from documents: payload =
-    * utf-8 bytes, kind assigned round-robin. In a real pipeline this is
-    * `spark.read.format("binaryFile")` (SURVEY S8).
+  /** Manufacture a binary media table from documents: payload = a real
+    * container bytestream (WAV for audio, BMP for image, AVI for video —
+    * header fields deterministic functions of id/length so the oracle can
+    * recompute what decode must find), kind assigned round-robin. In a
+    * real pipeline this is `spark.read.format("binaryFile")` (SURVEY S8).
     */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"))
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val kind = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        MediaRow(id, MediaCodecs.synthesize(kind, id, text.getBytes("UTF-8").length), kind)
+      }
+      .toDF()
+  }
 
-  /** STUB decode — deterministic fake standing in for a real codec.
-    * Signature and batch shape (Iterator[MediaRow] => Iterator[DecodedMeta],
-    * one call per partition) are the real contract.
+  /** Decode: parse the container header out of the payload bytes (magic
+    * dispatch — the kind column is carried through but never trusted).
+    * Unrecognized payloads keep zero-valued metadata instead of failing
+    * the batch. Batch shape (Iterator[MediaRow] => Iterator[DecodedMeta],
+    * one call per partition) is the production codec contract.
     */
   private def decodePartition(rows: Iterator[MediaRow]): Iterator[DecodedMeta] =
     rows.map { r =>
-      val n = r.payload.length
-      // ??? real codec goes here; fake fields are pure functions of bytes
+      val p = MediaCodecs.parse(r.payload)
+        .getOrElse(MediaCodecs.Parsed(0, 0, 0L, 0))
       val firstBytes = r.payload.take(4).map(b => f"${b & 0xff}%02x").mkString
-      DecodedMeta(r.media_id, r.kind, n,
-        width = 16 + (n % 640), height = 16 + (n % 480),
-        duration_ms = n.toLong * 10, magic = firstBytes)
+      DecodedMeta(r.media_id, r.kind, r.payload.length,
+        p.width, p.height, p.durationMs, p.sampleRate, magic = firstBytes)
     }
 
   /** Decode stage: typed mapPartitions over the media Dataset. */
@@ -65,13 +79,19 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes"),
         lower(hex(substring(col("payload"), 1, 4))).as("magic"))
 
-  /** Per-kind media stats over the decoded metadata. */
+  /** Per-kind media stats over the decoded metadata — the gate reads
+    * genuinely-decoded header fields (dimensions, sample rate, duration),
+    * so a header-layout bug in either the synthesizer or the parser
+    * surfaces as an oracle mismatch.
+    */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =
     decoded(spark, dir).toDF()
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes")).cast("long").as("total_bytes"),
-        max(col("width")).as("max_width"))
+        max(col("width")).as("max_width"),
+        max(col("sample_rate")).as("max_rate"),
+        sum(col("duration_ms")).cast("long").as("total_ms"))
 
   /** Frame sampling: videos explode into every-nth-frame rows — generator
     * shape via sequence+explode, no custom Generator needed.

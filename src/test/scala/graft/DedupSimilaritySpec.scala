@@ -317,13 +317,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(kmeansRecall > 0.0)
   }
 
-  test("multimodal: stub decode preserves ids, metadata query sees byte lengths") {
+  test("multimodal: header decode recovers the synthesized container fields") {
     val meta = Multimodal.binaryMeta(spark, fixtureDir)
     assert(meta.count() == 52)
     val decoded = Multimodal.decoded(spark, fixtureDir)
     assert(decoded.count() == 52)
-    val one = decoded.filter(_.media_id == 50L).collect().head
-    assert(one.n_bytes > 0 && one.duration_ms == one.n_bytes * 10L)
+    val byId = decoded.collect().map(d => d.media_id -> d).toMap
+    val texts = spark.read.parquet(s"$fixtureDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").length).toMap
+    // 49 % 3 == 1 → WAV: rate from the id, duration from the sample count
+    val audio = byId(49L)
+    assert(audio.kind == "audio" && audio.magic == "52494646")
+    assert(audio.sample_rate == 16000)
+    assert(audio.duration_ms == texts(49L).toLong * 1000 / 16000)
+    assert(audio.n_bytes == 44 + 2 * texts(49L))
+    // 50 % 3 == 2 → AVI: duration/dimensions from the avih header
+    val video = byId(50L)
+    assert(video.kind == "video")
+    assert(video.duration_ms == (30 + texts(50L) % 900).toLong * 33333 / 1000)
+    assert(video.width == 16 + texts(50L) % 640 && video.height == 16 + texts(50L) % 480)
+    // 48 % 3 == 0 → BMP: dimensions from the info header, no audio fields
+    val image = byId(48L)
+    assert(image.kind == "image" && image.width == 16 + texts(48L) % 640)
+    assert(image.sample_rate == 0 && image.duration_ms == 0L)
     val stats = Multimodal.mediaStats(spark, fixtureDir).collect()
     assert(stats.map(_.getAs[String]("kind")).sorted.toSeq == Seq("audio", "image", "video"))
   }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.MediaCodecs
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-bytes tests for the container codecs: the expected headers are
+  * HAND-ASSEMBLED from the public layout docs, independent of the
+  * builders — so a matched builder/parser bug pair (both wrong the same
+  * way) cannot cancel out.
+  */
+class MediaCodecsSpec extends AnyFunSuite {
+
+  private def ascii(s: String) = s.getBytes("US-ASCII")
+  private def le32(v: Int) = Array[Byte](
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  test("WAV: builder emits the canonical 44-byte PCM header, parser reads it") {
+    // 8 kHz mono 16-bit, 4000 samples = 8000 data bytes, 500 ms
+    val golden = ascii("RIFF") ++ le32(36 + 8000) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      ascii("data") ++ le32(8000) ++ Array.fill[Byte](8000)(0)
+    val built = MediaCodecs.buildWav(sampleRate = 8000, nSamples = 4000)
+    assert(built.toSeq == golden.toSeq)
+    assert(MediaCodecs.parse(golden).contains(MediaCodecs.Parsed(0, 0, 500L, 8000)))
+  }
+
+  test("BMP: builder emits the documented 54-byte header, parser reads dimensions") {
+    // 100x50 24bpp: row size ((2400+31)/32)*4 = 300, image size 15000
+    val golden = ascii("BM") ++ le32(54) ++ le16(0) ++ le16(0) ++ le32(54) ++
+      le32(40) ++ le32(100) ++ le32(50) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(15000) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    val built = MediaCodecs.buildBmp(width = 100, height = 50, filler = 0)
+    assert(built.toSeq == golden.toSeq)
+    assert(MediaCodecs.parse(golden).contains(MediaCodecs.Parsed(100, 50, 0L, 0)))
+  }
+
+  test("AVI: builder emits RIFF>LIST(hdrl)>avih, parser reads frames and size") {
+    // 30 fps (33333 us/frame), 100 frames = 3333 ms, 320x240
+    val golden = ascii("RIFF") ++ le32(80) ++ ascii("AVI ") ++
+      ascii("LIST") ++ le32(68) ++ ascii("hdrl") ++
+      ascii("avih") ++ le32(56) ++
+      le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(100) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(320) ++ le32(240) ++ Array.fill[Byte](16)(0)
+    val built = MediaCodecs.buildAvi(
+      usPerFrame = 33333, totalFrames = 100, width = 320, height = 240, filler = 0)
+    assert(built.toSeq == golden.toSeq)
+    assert(MediaCodecs.parse(golden).contains(MediaCodecs.Parsed(320, 240, 3333L, 0)))
+  }
+
+  test("parser is content-dispatched and rejects unknown payloads") {
+    // kind column lies ⇒ decode still follows the bytes
+    assert(MediaCodecs.parse(MediaCodecs.buildWav(24000, 24000))
+      .contains(MediaCodecs.Parsed(0, 0, 1000L, 24000)))
+    assert(MediaCodecs.parse("not a container at all".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodecs.parse(Array[Byte](0x42, 0x4d, 1, 2)).isEmpty) // truncated BMP
+    // RIFF with an unknown form tag
+    assert(MediaCodecs.parse(ascii("RIFF") ++ le32(4) ++ ascii("XXXX")).isEmpty)
+  }
+
+  test("synthesize: field formulas round-trip through parse for every kind") {
+    for (len <- Seq(0, 1, 63, 64, 65, 640, 2000); id <- 0L to 5L) {
+      val wav = MediaCodecs.parse(MediaCodecs.synthesize("audio", id, len)).get
+      val sr = 8000 * (1 + (id % 3).toInt)
+      assert(wav == MediaCodecs.Parsed(0, 0, len.toLong * 1000 / sr, sr))
+      val bmp = MediaCodecs.parse(MediaCodecs.synthesize("image", id, len)).get
+      assert(bmp == MediaCodecs.Parsed(16 + len % 640, 16 + len % 480, 0L, 0))
+      val avi = MediaCodecs.parse(MediaCodecs.synthesize("video", id, len)).get
+      assert(avi == MediaCodecs.Parsed(16 + len % 640, 16 + len % 480,
+        (30 + len % 900).toLong * 33333 / 1000, 0))
+    }
+  }
+}
