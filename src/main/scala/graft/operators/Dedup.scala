@@ -673,18 +673,51 @@ object Dedup {
     * all-pairs.
     */
   def simhashPairs(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
-    val banded = simhash64(spark, dir)
+      maxHamming: Int = 3, hotBlockRows: Long = 1L << 17): DataFrame =
+    simhashPairsOf(simhash64(spark, dir), maxHamming, hotBlockRows)
+
+  /** [[simhashPairs]] over an explicit (doc_id, simhash) frame, with the
+    * SKEW GUARD exposed: adversarial data can put a constant 16-bit chunk
+    * in some band (every doc sharing one boilerplate-dominated band
+    * value), collapsing that band's blocking to all-pairs IN ONE TASK.
+    * Blocks whose row count exceeds `hotBlockRows` are therefore salted:
+    * the left side keeps one deterministic salt per row, the right side
+    * replicates across all `salts`, so a hot block's m² pair grid splits
+    * into `salts` tasks of m·(m/salts) — the same OUTPUT pairs (the salt
+    * is join-partitioning only, invisible to results and oracle), but no
+    * single task owns the square. Cold blocks take the plain join: the
+    * census costs one tiny (≤ 4·65536 row) aggregation broadcast back.
+    * (AQE's skew split can't do this — it cannot split the BUILD side of
+    * a single hot hash bucket — so the salt is load-bearing, same
+    * rationale as Library.saltedJoin.)
+    */
+  private[graft] def simhashPairsOf(sigs: DataFrame, maxHamming: Int = 3,
+      hotBlockRows: Long = 1L << 17, salts: Int = 16): DataFrame = {
+    val banded = sigs
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("chunk", expr("(simhash >> (b * 16)) & 65535"))
-    val a = banded.select(col("b"), col("chunk"),
-      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val bb = banded.select(col("b"), col("chunk"),
-      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(bb, Seq("b", "chunk"))
+    val sizes = banded.groupBy(col("b"), col("chunk")).agg(count(lit(1)).as("bn"))
+    // blocks are whole: a (b, chunk) block is entirely hot or entirely
+    // cold, so the two paths partition the pair space exactly
+    val tagged = banded.join(broadcast(sizes), Seq("b", "chunk"))
+    val cold = tagged.filter(col("bn") <= hotBlockRows)
+    val hot = tagged.filter(col("bn") > hotBlockRows)
+    val coldCand = cold.select(col("b"), col("chunk"),
+        col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+      .join(cold.select(col("b"), col("chunk"),
+        col("doc_id").as("id_b"), col("simhash").as("sh_b")), Seq("b", "chunk"))
+    val hotCand = hot.select(col("b"), col("chunk"),
+        col("doc_id").as("id_a"), col("simhash").as("sh_a"),
+        pmod(crc32(col("doc_id").cast("string")), lit(salts.toLong)).as("__salt"))
+      .join(hot.select(col("b"), col("chunk"),
+        col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+        .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L)))),
+        Seq("b", "chunk", "__salt"))
+    coldCand.select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .unionByName(hotCand.select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .distinct()
       .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS INT)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

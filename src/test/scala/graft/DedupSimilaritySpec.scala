@@ -317,6 +317,33 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(kmeansRecall > 0.0)
   }
 
+  test("simhash pairs: degenerate hot band is salted, results identical, tasks bounded") {
+    // adversarial corpus: every doc shares ONE signature, so all 4
+    // (band, chunk) blocks contain the whole corpus — band blocking
+    // degenerates to all-pairs and, unsalted, one task owns each square
+    val n = 200
+    val salts = 8
+    val sigs = (0L until n.toLong).map(i => (i, 0x0123456789abcdefL))
+      .toDF("doc_id", "simhash")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pure = pairSet(Dedup.simhashPairsOf(sigs, hotBlockRows = Long.MaxValue))
+    val salted = pairSet(Dedup.simhashPairsOf(sigs, hotBlockRows = 10, salts = salts))
+    // the salt only re-partitions the pair grid — never changes results
+    assert(salted == pure)
+    assert(salted.size == n * (n - 1) / 2)
+    assert(salted.forall(_._3 == 0))
+    // the hot block's left side splits into near-even salt groups
+    // (recomputed exactly as simhashPairsOf derives them): no task owns
+    // more than ~1/salts of the block
+    val perSalt = sigs
+      .select(pmod(crc32(col("doc_id").cast("string")), lit(salts.toLong)).as("s"))
+      .groupBy("s").count().collect().map(r => r.getLong(1))
+    assert(perSalt.length == salts, s"hot block only reached ${perSalt.length}/$salts salts")
+    assert(perSalt.max <= 2L * n / salts,
+      s"skew not dissolved: max salt group ${perSalt.max} of $n")
+  }
+
   test("multimodal: header decode recovers the synthesized container fields") {
     val meta = Multimodal.binaryMeta(spark, fixtureDir)
     assert(meta.count() == 52)
