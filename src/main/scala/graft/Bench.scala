@@ -22,8 +22,9 @@ object Bench {
     "d1_dedup_exact", "d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs",
     "d6_embedding_neardup", "d8_embedding_neardup_lsh", "d9_neardup_clusters",
     "d10_contamination", "d11_simhash_pairs", "d12_boilerplate",
+    "d13_delta_neardup", "d14_span_scrub",
     "w7_sessionize",
-    "s1_ann_bruteforce", "s2_ann_lsh", "s4_ann_ivf",
+    "s1_ann_bruteforce", "s2_ann_lsh", "s4_ann_ivf", "s6_ann_kmeans",
     "t2_language_id", "t5_fingerprints", "t13_distinctive_terms",
     "t15_heavy_hitters", "m2_media_stats")
 
@@ -75,15 +76,24 @@ object Bench {
       name -> (((System.nanoTime() - t0) / 1e9), ok)
     }
     // pass 1 (cold): first computation of every query result, comparable to
-    // previous rounds' `value`. pass 2 (steady): same queries re-executed in
-    // the warm session — plan/codegen caches hot, session-cached input
-    // projections resident — the serving steady state. Reporting both
-    // separates engine cost from one-time cost AND de-noises load spikes
-    // that land inside a single pass.
+    // previous rounds' `value`. passes 2-4 (steady): same queries
+    // re-executed in the warm session — plan/codegen caches hot,
+    // session-cached input projections resident — the serving steady
+    // state. Steady times report the PER-QUERY MEDIAN of the three passes:
+    // driver-side runs land on loaded machines (BENCH_r05's 102 s vs 56 s
+    // local; r06's 2.17 s s4 vs 0.56 s local), and a median shrugs off a
+    // load spike that lands inside any single pass. Both the median and
+    // mean steady totals are printed so a skewed run is visible from the
+    // summary line alone.
     val results = timedPass()
-    val steady = timedPass()
+    val steadyPasses = Seq.fill(3)(timedPass())
+    val steady: Map[String, (Double, Boolean)] = selected.keysIterator.map { k =>
+      val vs = steadyPasses.map(_(k))
+      k -> (vs.map(_._1).sorted.apply(1), vs.forall(_._2))
+    }.toMap
     val total = results.values.map(_._1).sum
     val steadyTotal = steady.values.map(_._1).sum
+    val steadyMean = steadyPasses.map(_.values.map(_._1).sum).sum / steadyPasses.size
     // ok is per PASS: a query that succeeds cold but throws warm is a
     // steady-state regression and must land in `failed`, not masquerade as
     // ok with its failure duration recorded as the steady time
@@ -91,17 +101,20 @@ object Bench {
       steady.collect { case (k, (_, false)) => k }).toSeq.distinct.sorted
     val detail = results.map { case (k, (v, ok)) =>
       val (sv, sok) = steady.getOrElse(k, (v, ok))
-      s""""$k":{"sec":${fmt(v)},"steady":${fmt(sv)},"ok":$ok,"steady_ok":$sok}"""
+      val passes = steadyPasses.map(p => fmt(p(k)._1)).mkString("[", ",", "]")
+      s""""$k":{"sec":${fmt(v)},"steady":${fmt(sv)},"steady_passes":$passes,"ok":$ok,"steady_ok":$sok}"""
     }.mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath,
-      s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"unit":"sec","queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
     val qs = headline.flatMap(k => results.get(k).map { case (v, _) => s"\"$k\":${fmt(v)}" })
       .mkString("{", ",", "}")
     spark.stop()
-    // LAST line, compact: fits entirely inside the driver's tail window
-    println(s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench_full.json","sf":"$sfDir"}""")
+    // LAST line, compact: fits entirely inside the driver's tail window;
+    // "steady" is the median-of-3 total (robust), "steady_mean" the plain
+    // mean of the three steady pass totals
+    println(s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench_full.json","sf":"$sfDir"}""")
   }
 }

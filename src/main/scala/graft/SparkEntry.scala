@@ -128,16 +128,12 @@ object SparkEntry {
     "d9_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d).orderBy("doc_id")),
     "d10_contamination" -> ((s, d) => Dedup.crossSplitContamination(s, d).orderBy("doc_id")),
     // incremental ingest: index the "already ingested" corpus slice (md5
-    // bucket < 200 ≈ 78%), then delta-join the remaining ~22% "shard"
-    // against it — equals the full recompute restricted to shard-touching
-    // pairs, which is exactly what the oracle computes
-    "d13_delta_neardup" -> ((s, d) => {
-      val bucket = TextAnalysis.splitBucket(col("doc_id"))
-      val docs = graft.Tables.documents(s, d)
-      val index = Dedup.buildNearDupIndex(docs.filter(bucket < 200))
-      Dedup.deltaNearDups(docs.filter(bucket >= 200), index)
-        .orderBy("id_a", "id_b")
-    }),
+    // bucket < 200 ≈ 78%, session-cached like a persisted index), then
+    // delta-join the remaining ~22% "shard" against it — equals the full
+    // recompute restricted to shard-touching pairs, which is exactly what
+    // the oracle computes
+    "d13_delta_neardup" -> ((s, d) =>
+      Dedup.deltaNearDupsGate(s, d).orderBy("id_a", "id_b")),
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d).orderBy("probe_id", "rn")),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d).orderBy("probe_id", "rn")),

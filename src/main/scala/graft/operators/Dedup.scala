@@ -92,12 +92,16 @@ object Dedup {
     * expression (value-identical to k× array_min∘transform∘md5 — same bytes
     * hashed, hex==byte-order comparison; see plans.MinHashSigsExpr). The
     * array is materialized in its own projection so the k element_at
-    * extractions read an attribute, not k re-evaluations.
+    * extractions read an attribute, not k re-evaluations. `carry` columns
+    * of the input ride through (the batch surface keeps `lang` for d2;
+    * the streaming delta path threads its watermark timestamp and
+    * pre-computed shingle set instead).
     */
-  private def signaturesFrom(withSh: DataFrame, k: Int): DataFrame = {
-    val packed = withSh.select(col("doc_id"), col("lang"),
-      graft.plans.MinHashExpr.minhashSigs(col("sh"), k).as("sigs"))
-    packed.select(col("doc_id") +: col("lang") +:
+  private def signaturesFrom(withSh: DataFrame, k: Int,
+      carry: Seq[String] = Seq("lang")): DataFrame = {
+    val packed = withSh.select(col("doc_id") +: carry.map(col) :+
+      graft.plans.MinHashExpr.minhashSigs(col("sh"), k).as("sigs"): _*)
+    packed.select(col("doc_id") +: carry.map(col) ++:
       (0 until k).map(i => element_at(col("sigs"), i + 1).as(s"mh$i")): _*)
   }
 
@@ -147,19 +151,22 @@ object Dedup {
     verifyJaccard(withSh, candidates, threshold)
   }
 
-  /** (doc_id, band, bkey): each document's LSH band keys — band key = md5
-    * over the band's concatenated member min-hashes. Map-side only; this
-    * IS the row format of the persisted near-dup index.
+  /** (doc_id, carry..., band, bkey): each document's LSH band keys — band
+    * key = md5 over the band's concatenated member min-hashes. Map-side
+    * only; this IS the row format of the persisted near-dup index, and
+    * (with carry) the streaming delta path's per-document projection.
     */
-  private def bandedKeys(withSh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigs = signaturesFrom(withSh, bands * rowsPerBand)
+  private[graft] def bandedKeys(withSh: DataFrame, bands: Int, rowsPerBand: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val sigs = signaturesFrom(withSh, bands * rowsPerBand, carry)
     sigs.select(
-      col("doc_id"),
+      col("doc_id") +: carry.map(col) :+
       explode(array((0 until bands).map { b =>
         val members = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
         struct(lit(b).as("band"), md5(concat_ws("|", members: _*)).as("bkey"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      }: _*)).as("bk"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
   }
 
   /** Near-dup CLUSTERS: connected components over the verified MinHash-LSH
@@ -379,6 +386,26 @@ object Dedup {
       index.banded.unionByName(bandedKeys(sh, index.bands, index.rowsPerBand)),
       index.shingles.unionByName(sh),
       index.bands, index.rowsPerBand)
+  }
+
+  /** The d13 gate pipeline: index the already-ingested corpus slice (md5
+    * bucket < splitAt), delta-join the rest as the incoming shard. The
+    * index is memoized per (session, dir, splitAt) with both member
+    * tables persisted — the gate-scale stand-in for the PERSISTED index a
+    * production deployment reads instead of rebuilding per shard (the
+    * whole point of the incremental mode).
+    */
+  def deltaNearDupsGate(spark: SparkSession, dir: String,
+      splitAt: Int = 200, threshold: Double = 0.8): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val index = graft.SessionCache.getOrElseUpdate(spark, ("neardupIndex", dir, splitAt)) {
+      val idx = buildNearDupIndex(
+        Tables.documents(spark, dir).filter(bucket < splitAt))
+      NearDupIndex(idx.banded.persist(), idx.shingles.persist(),
+        idx.bands, idx.rowsPerBand)
+    }.asInstanceOf[NearDupIndex]
+    deltaNearDups(Tables.documents(spark, dir).filter(bucket >= splitAt),
+      index, threshold)
   }
 
   /** INCREMENTAL near-dup detection — the production ingest mode: join a
@@ -674,7 +701,14 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3, hotBlockRows: Long = 1L << 17): DataFrame =
-    simhashPairsOf(simhash64(spark, dir), maxHamming, hotBlockRows)
+    // the signature table is consumed THREE times below (block census +
+    // both join sides) — materialize it once per (session, dir), the
+    // shingle-table pattern; at scale this is the persisted signature
+    // column a production deployment keeps next to the corpus
+    simhashPairsOf(
+      graft.SessionCache.getOrElseUpdate(spark, ("simhash64", dir)) {
+        simhash64(spark, dir).persist()
+      }, maxHamming, hotBlockRows)
 
   /** [[simhashPairs]] over an explicit (doc_id, simhash) frame, with the
     * SKEW GUARD exposed: adversarial data can put a constant 16-bit chunk

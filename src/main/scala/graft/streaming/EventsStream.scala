@@ -240,6 +240,79 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Document-stream source: a directory of parquet shards replayed as a
+    * file stream, with a synthetic per-document event time (id-derived —
+    * deterministic across replays) for watermark-bounded dedup state.
+    */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private[graft] def documentSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+
+  /** STREAMING delta near-dup — [[graft.operators.Dedup.deltaNearDups]]
+    * (d13) restated as the continuous-ingest topology: each arriving
+    * document derives its shingles + minhash band keys MAP-SIDE, then
+    * stream-STATIC-joins the persisted band index (stateless — the static
+    * side is the join's build input) and verifies true Jaccard against
+    * the static shingle table. A pair matched by several bands (and any
+    * replayed shard file) collapses through
+    * `dropDuplicatesWithinWatermark` keyed on the id pair —
+    * watermark-bounded state standing in for d13's batch `distinct`.
+    * Pairs among documents arriving together (both sides new) are
+    * invisible to this topology by design — they'd need a stream-stream
+    * self-join — and settle at the next batch index upsert, the same
+    * incremental-then-batch split as the reference's mtime-memo dedup.
+    */
+  def deltaNearDupStream(newDocs: DataFrame,
+      index: graft.operators.Dedup.NearDupIndex,
+      threshold: Double = 0.8): DataFrame = {
+    val withSh = newDocs
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"),
+        graft.plans.ShinglesExpr.wordShingles(col("text"), 3).as("sh"))
+      .withColumn("dsh_n", array_distinct(col("sh")))
+    val banded = graft.operators.Dedup.bandedKeys(
+      withSh, index.bands, index.rowsPerBand, carry = Seq("ts", "dsh_n"))
+    val candidates = banded
+      .join(index.banded.select(col("band"), col("bkey"), col("doc_id").as("id_o")),
+        Seq("band", "bkey"))
+      .select(col("doc_id").as("id_n"), col("id_o"), col("ts"), col("dsh_n"))
+      .dropDuplicatesWithinWatermark("id_n", "id_o")
+    val indexedSets = index.shingles
+      .select(col("doc_id").as("id_o"), array_distinct(col("sh")).as("dsh_o"))
+    candidates.join(indexedSets, Seq("id_o"))
+      .withColumn("inter", size(array_intersect(col("dsh_n"), col("dsh_o"))))
+      .withColumn("uni", size(array_union(col("dsh_n"), col("dsh_o"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"), col("jaccard"))
+  }
+
+  /** Run the streaming delta dedup over a shard directory to completion
+    * (memory sink, AvailableNow).
+    */
+  def runDeltaNearDupToCompletion(spark: SparkSession, shardDir: String,
+      index: graft.operators.Dedup.NearDupIndex,
+      name: String = "delta_neardup"): DataFrame = {
+    val q = deltaNearDupStream(documentSource(spark, shardDir), index).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** The SpaceSaving frequent-items sketch under INCREMENTAL execution:
     * per event_type, the sketch of active user ids, maintained across
     * micro-batches through the state store (exercising the aggregation

@@ -5,6 +5,41 @@ import graft.streaming.EventsStream
 import org.apache.spark.sql.functions._
 
 class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming delta near-dup == batch delta (vs-indexed pairs) on a replayed shard") {
+    // base corpus: noise + doc 10 (the planted match target); shard: doc
+    // 20 near-dups doc 10, docs 21/22 are noise. The shard parquet is
+    // written TWICE into the stream dir — a replay — and the id-pair
+    // dedup state must collapse both the replay and multi-band matches.
+    val baseText = (1 to 60).map(i => s"base$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    val docs = (0L to 9L).map(i => (i, noise(i), "en", "s", 1L)) :+
+      ((10L, baseText, "en", "s", 1L))
+    val base = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val shard = Seq(
+      (20L, baseText.replace("base30", "EDITED"), "en", "s", 1L),
+      (21L, noise(21L), "en", "s", 1L),
+      (22L, noise(22L), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_shard").toString
+    shard.coalesce(1).write.mode("append").parquet(shardDir)
+    shard.coalesce(1).write.mode("append").parquet(shardDir) // the replay
+    val index = graft.operators.Dedup.buildNearDupIndex(base)
+    val streamed = EventsStream
+      .runDeltaNearDupToCompletion(spark, shardDir, index, "delta_neardup_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch reference: deltaNearDups restricted to vs-indexed pairs (the
+    // streaming topology's scope; shard-internal pairs settle at upsert)
+    val batch = graft.operators.Dedup.deltaNearDups(shard, index)
+      .filter(col("new_a") =!= col("new_b"))
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.exists(p => p._1 == 10L && p._2 == 20L)) // the planted pair
+    assert(streamed.size == batch.size) // replay produced no duplicates
+  }
 
   test("streaming hourly agg over replayed events == batch rollup (§2.12)") {
     val dir = sf("sf0.001")
