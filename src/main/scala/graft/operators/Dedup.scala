@@ -388,6 +388,38 @@ object Dedup {
       index.bands, index.rowsPerBand)
   }
 
+  /** Persist the index as BUCKETED session-catalog tables — the 100 TB
+    * layout the scaladoc above promises: `banded` bucketed AND sorted on
+    * the join keys (band, bkey), so a delta ingest's sort-merge join
+    * reads the index straight off disk with NO exchange and NO sort on
+    * the index side (the storage layout IS the shuffle — BucketingSpec's
+    * argument applied to the dedup index); `shingles` bucketed on doc_id
+    * for the verification joins. Band parameters land in a one-row
+    * `<name>_meta` table so a delta query can't silently run with a
+    * different banding than the index was built with. Ingests append
+    * (`upsertNearDupIndex` rows via INSERT INTO); tables live in the
+    * session warehouse.
+    */
+  def saveNearDupIndex(index: NearDupIndex, name: String, buckets: Int = 8): Unit = {
+    index.banded.write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .mode("overwrite").saveAsTable(s"${name}_banded")
+    index.shingles.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable(s"${name}_shingles")
+    val spark = index.banded.sparkSession
+    import spark.implicits._
+    Seq((index.bands, index.rowsPerBand)).toDF("bands", "rows_per_band")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** Load a [[saveNearDupIndex]]-persisted index; band parameters come
+    * from the meta table, never the caller.
+    */
+  def loadNearDupIndex(spark: SparkSession, name: String): NearDupIndex = {
+    val meta = spark.table(s"${name}_meta").head()
+    NearDupIndex(spark.table(s"${name}_banded"), spark.table(s"${name}_shingles"),
+      meta.getAs[Int]("bands"), meta.getAs[Int]("rows_per_band"))
+  }
+
   /** The d13 gate pipeline: index the already-ingested corpus slice (md5
     * bucket < splitAt), delta-join the rest as the incoming shard. The
     * index is memoized per (session, dir, splitAt) with both member

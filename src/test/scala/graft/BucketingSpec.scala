@@ -9,6 +9,54 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSuite {
 
+  test("persisted near-dup index: bucketed tables, delta shuffles only the shard") {
+    import spark.implicits._
+    val baseText = (1 to 60).map(i => s"tok$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    val base = ((0L to 9L).map(i => (i, noise(i), "en", "s", 1L)) :+
+      ((10L, baseText, "en", "s", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val shard = Seq(
+      (20L, baseText.replace("tok30", "EDITED"), "en", "s", 1L),
+      (21L, noise(21L), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Seq("_banded", "_shingles", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ndidx$s"))
+    val index = graft.operators.Dedup.buildNearDupIndex(base)
+    graft.operators.Dedup.saveNearDupIndex(index, "ndidx", buckets = 4)
+    val loaded = graft.operators.Dedup.loadNearDupIndex(spark, "ndidx")
+    try {
+      // band params come from the meta table, and the persisted index
+      // yields the same delta pairs as the in-memory one
+      assert(loaded.bands == index.bands && loaded.rowsPerBand == index.rowsPerBand)
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaLoaded = pairSet(graft.operators.Dedup.deltaNearDups(shard, loaded))
+      assert(viaLoaded == pairSet(graft.operators.Dedup.deltaNearDups(shard, index)))
+      assert(viaLoaded.exists(p => p._1 == 10L && p._2 == 20L))
+      // the load-bearing claim: joining the persisted band index on its
+      // bucket keys shuffles ONLY the probe side — the index side reads
+      // pre-bucketed, pre-sorted files (no Exchange, no Sort under it)
+      val probe = spark.createDataFrame(
+        spark.sparkContext.parallelize(loaded.banded.limit(4).collect().toSeq),
+        loaded.banded.schema)
+        .select(col("band"), col("bkey"), col("doc_id").as("probe_id"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = probe.join(loaded.banded, Seq("band", "bkey"))
+        joined.count()
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan.take(800))
+        assert(plan.contains("SelectedBucketsCount"), "bucket metadata missing from scan")
+        val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+        assert(shuffles == 1, s"expected only the probe-side shuffle, got $shuffles:\n${plan.take(1500)}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally Seq("_banded", "_shingles", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ndidx$s"))
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     // tables land in the default ./spark-warehouse (gitignored); the
     // warehouse dir is a static conf and cannot be moved per-test
