@@ -430,14 +430,15 @@ object Dedup {
   def deltaNearDupsGate(spark: SparkSession, dir: String,
       splitAt: Int = 200, threshold: Double = 0.8): DataFrame = {
     def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    // both sides slice the SESSION-SHARED corpus shingle table (the d3/d4/
+    // d9 cache) instead of re-tokenizing; only the banded keys need their
+    // own persist (the minhash layer on top of the cached shingles)
+    val sh = persistedShingleTable(spark, dir)
     val index = graft.SessionCache.getOrElseUpdate(spark, ("neardupIndex", dir, splitAt)) {
-      val idx = buildNearDupIndex(
-        Tables.documents(spark, dir).filter(bucket < splitAt))
-      NearDupIndex(idx.banded.persist(), idx.shingles.persist(),
-        idx.bands, idx.rowsPerBand)
+      val baseSh = sh.filter(bucket < splitAt)
+      NearDupIndex(bandedKeys(baseSh, 3, 3).persist(), baseSh, 3, 3)
     }.asInstanceOf[NearDupIndex]
-    deltaNearDups(Tables.documents(spark, dir).filter(bucket >= splitAt),
-      index, threshold)
+    deltaNearDupsFromShingles(sh.filter(bucket >= splitAt), index, threshold)
   }
 
   /** INCREMENTAL near-dup detection — the production ingest mode: join a
@@ -456,8 +457,15 @@ object Dedup {
     * one shard-sized self-join. Verification touches only candidate ids.
     */
   def deltaNearDups(newDocs: DataFrame, index: NearDupIndex,
-      threshold: Double = 0.8): DataFrame = {
-    val deltaSh = shingleTableOf(newDocs)
+      threshold: Double = 0.8): DataFrame =
+    deltaNearDupsFromShingles(shingleTableOf(newDocs), index, threshold)
+
+  /** [[deltaNearDups]] from an existing shard shingle projection — the
+    * gate path feeds a filtered slice of the session-cached corpus
+    * shingle table here instead of re-tokenizing the shard.
+    */
+  private def deltaNearDupsFromShingles(deltaSh: DataFrame, index: NearDupIndex,
+      threshold: Double): DataFrame = {
     val deltaBanded = bandedKeys(deltaSh, index.bands, index.rowsPerBand)
     // shard vs indexed: ids are disjoint (upsert contract), so min/max
     // normalization plus structural new-side flags — no membership join
