@@ -136,19 +136,56 @@ object Dedup {
     * against.
     */
   private[graft] def minhashLshPairsOf(documents: DataFrame,
-      bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8): DataFrame =
-    lshPairsFrom(shingleTableOf(documents), bands, rowsPerBand, threshold)
+      bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8,
+      hotBlockRows: Long = 1L << 17): DataFrame =
+    lshPairsFrom(shingleTableOf(documents), bands, rowsPerBand, threshold,
+      hotBlockRows)
 
-  private def lshPairsFrom(withSh: DataFrame,
-      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val banded = bandedKeys(withSh, bands, rowsPerBand)
-    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
-    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+  private def lshPairsFrom(withSh: DataFrame, bands: Int, rowsPerBand: Int,
+      threshold: Double, hotBlockRows: Long = 1L << 17): DataFrame = {
+    // census-gated salt on the band blocks: a mass-duplicated document
+    // (1M copies of one page — a REAL web-corpus shape) puts every copy
+    // in one (band, bkey) bucket, and without the salt a single task owns
+    // that bucket's m² candidate grid (same failure mode and remedy as
+    // the d11 simhash bands)
+    val candidates = blockedPairCandidates(
+      bandedKeys(withSh, bands, rowsPerBand), Seq("band", "bkey"), Nil,
+      hotBlockRows, salts = 16)
     verifyJaccard(withSh, candidates, threshold)
+  }
+
+  /** Candidate pairs from a blocked self-join, with a block-size census
+    * + salted fallback for degenerate blocks: blocks with more than
+    * `hotBlockRows` rows split their pair grid across `salts` tasks (the
+    * left side keeps one deterministic salt per row, the right side
+    * replicates across all salts) — same OUTPUT pairs, no task owning a
+    * hot block's square. `rows` carries doc_id + the block `keys` +
+    * `carry` columns; output: (id_a, id_b, <carry>_a, <carry>_b),
+    * ordered, distinct. Blocks are whole (entirely hot or cold), so the
+    * two paths partition the pair space exactly. AQE's skew split cannot
+    * divide the build side of one hash bucket, so the salt is
+    * load-bearing (Library.saltedJoin's rationale).
+    */
+  private def blockedPairCandidates(rows: DataFrame, keys: Seq[String],
+      carry: Seq[String], hotBlockRows: Long, salts: Int): DataFrame = {
+    val sizes = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
+    val tagged = rows.join(broadcast(sizes), keys)
+    val cold = tagged.filter(col("bn") <= hotBlockRows)
+    val hot = tagged.filter(col("bn") > hotBlockRows)
+    def side(df: DataFrame, sfx: String, extra: Seq[Column] = Nil) =
+      df.select(keys.map(col) ++ Seq(col("doc_id").as(s"id_$sfx")) ++
+        carry.map(c => col(c).as(s"${c}_$sfx")) ++ extra: _*)
+    val out = (Seq("id_a", "id_b") ++
+      carry.flatMap(c => Seq(s"${c}_a", s"${c}_b"))).map(col)
+    val coldCand = side(cold, "a").join(side(cold, "b"), keys)
+    val hotCand = side(hot, "a",
+        Seq(pmod(crc32(col("doc_id").cast("string")), lit(salts.toLong)).as("__salt")))
+      .join(side(hot, "b")
+        .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L)))),
+        keys :+ "__salt")
+    coldCand.select(out: _*).unionByName(hotCand.select(out: _*))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
   }
 
   /** (doc_id, carry..., band, bkey): each document's LSH band keys — band
@@ -771,28 +808,9 @@ object Dedup {
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("chunk", expr("(simhash >> (b * 16)) & 65535"))
-    val sizes = banded.groupBy(col("b"), col("chunk")).agg(count(lit(1)).as("bn"))
-    // blocks are whole: a (b, chunk) block is entirely hot or entirely
-    // cold, so the two paths partition the pair space exactly
-    val tagged = banded.join(broadcast(sizes), Seq("b", "chunk"))
-    val cold = tagged.filter(col("bn") <= hotBlockRows)
-    val hot = tagged.filter(col("bn") > hotBlockRows)
-    val coldCand = cold.select(col("b"), col("chunk"),
-        col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-      .join(cold.select(col("b"), col("chunk"),
-        col("doc_id").as("id_b"), col("simhash").as("sh_b")), Seq("b", "chunk"))
-    val hotCand = hot.select(col("b"), col("chunk"),
-        col("doc_id").as("id_a"), col("simhash").as("sh_a"),
-        pmod(crc32(col("doc_id").cast("string")), lit(salts.toLong)).as("__salt"))
-      .join(hot.select(col("b"), col("chunk"),
-        col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-        .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L)))),
-        Seq("b", "chunk", "__salt"))
-    coldCand.select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .unionByName(hotCand.select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS INT)"))
+    blockedPairCandidates(banded, Seq("b", "chunk"), Seq("simhash"),
+      hotBlockRows, salts)
+      .withColumn("hamming", expr("CAST(bit_count(simhash_a ^ simhash_b) AS INT)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -344,6 +344,21 @@ class DedupSimilaritySpec extends SparkSuite {
       s"skew not dissolved: max salt group ${perSalt.max} of $n")
   }
 
+  test("minhash LSH pairs: mass-duplicate hot block is salted, results identical") {
+    // the web-corpus failure mode: many byte-identical copies of one page
+    // → ONE (band, bkey) bucket holds every copy in all 3 bands
+    val page = (1 to 30).map(i => s"page$i").mkString(" ")
+    val docs = (0L until 40L).map(i => (i, page, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pure = pairSet(Dedup.minhashLshPairsOf(docs, hotBlockRows = Long.MaxValue))
+    val salted = pairSet(Dedup.minhashLshPairsOf(docs, hotBlockRows = 10))
+    assert(salted == pure)
+    assert(salted.size == 40 * 39 / 2)
+    assert(salted.forall(_._3 == 1.0))
+  }
+
   test("multimodal: header decode recovers the synthesized container fields") {
     val meta = Multimodal.binaryMeta(spark, fixtureDir)
     assert(meta.count() == 52)
