@@ -167,19 +167,20 @@ object Dedup {
     * load-bearing (Library.saltedJoin's rationale).
     */
   private def blockedPairCandidates(rows: DataFrame, keys: Seq[String],
-      carry: Seq[String], hotBlockRows: Long, salts: Int): DataFrame = {
+      carry: Seq[String], hotBlockRows: Long, salts: Int,
+      idCol: String = "doc_id"): DataFrame = {
     val sizes = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
     val tagged = rows.join(broadcast(sizes), keys)
     val cold = tagged.filter(col("bn") <= hotBlockRows)
     val hot = tagged.filter(col("bn") > hotBlockRows)
     def side(df: DataFrame, sfx: String, extra: Seq[Column] = Nil) =
-      df.select(keys.map(col) ++ Seq(col("doc_id").as(s"id_$sfx")) ++
+      df.select(keys.map(col) ++ Seq(col(idCol).as(s"id_$sfx")) ++
         carry.map(c => col(c).as(s"${c}_$sfx")) ++ extra: _*)
     val out = (Seq("id_a", "id_b") ++
       carry.flatMap(c => Seq(s"${c}_a", s"${c}_b"))).map(col)
     val coldCand = side(cold, "a").join(side(cold, "b"), keys)
     val hotCand = side(hot, "a",
-        Seq(pmod(crc32(col("doc_id").cast("string")), lit(salts.toLong)).as("__salt")))
+        Seq(pmod(crc32(col(idCol).cast("string")), lit(salts.toLong)).as("__salt")))
       .join(side(hot, "b")
         .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L)))),
         keys :+ "__salt")
@@ -370,16 +371,16 @@ object Dedup {
     * interior tokens always survives; edits at the very first/last token are
     * the documented approximation (MinHash-LSH covers those).
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      hotBlockRows: Long = 1L << 17): DataFrame = {
     val toks = tokens(col("text"))
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         element_at(toks, 1).as("tok0"), element_at(toks, -1).as("tokz"))
-    val a = docs.select(col("lang"), col("tok0"), col("tokz"), col("doc_id").as("id_a"))
-    val b = docs.select(col("lang"), col("tok0"), col("tokz"), col("doc_id").as("id_b"))
-    val candidates = a.join(b, Seq("lang", "tok0", "tokz"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // endpoint blocks degenerate the same way band blocks do when one
+    // page is mass-duplicated — same census + salt guard
+    val candidates = blockedPairCandidates(docs, Seq("lang", "tok0", "tokz"),
+      Nil, hotBlockRows, salts = 16)
     verifyJaccard(persistedShingleTable(spark, dir), candidates, threshold)
   }
 
@@ -847,18 +848,18 @@ object Dedup {
     * query's plan; `embeddingNearDups` below is the documented exact tier.
     */
   def embeddingNearDupsBounded(spark: SparkSession, dir: String,
-      threshold: Double = 0.35, bands: Int = 4, planesPerBand: Int = 2): DataFrame = {
+      threshold: Double = 0.35, bands: Int = 4, planesPerBand: Int = 2,
+      hotBlockRows: Long = 1L << 17): DataFrame = {
     val e = Similarity.preparedEmbeddings(spark, dir)
     // all band buckets in ONE projection over one scan, then (band, bucket)
-    // rows via posexplode — only (label, vec_id, band, bucket) shuffles
+    // rows via posexplode — only (label, vec_id, band, bucket) shuffles;
+    // a degenerate (label, band, bucket) block (mass-duplicated vectors)
+    // gets the census + salt guard like every other blocked self-join
     val bandCols = array((0 until bands).map(b =>
       Similarity.bandBucketExpr(col("v"), b * planesPerBand, planesPerBand)): _*)
     val banded = e.select(col("label"), col("vec_id"), posexplode(bandCols).as(Seq("band", "bucket")))
-    val cand = banded.as("a")
-      .join(banded.as("b"), Seq("label", "band", "bucket"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    val cand = blockedPairCandidates(banded, Seq("label", "band", "bucket"),
+      Nil, hotBlockRows, salts = 16, idCol = "vec_id")
     val va = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
     val vb = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
