@@ -373,10 +373,16 @@ object Dedup {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
       hotBlockRows: Long = 1L << 17): DataFrame = {
-    val toks = tokens(col("text"))
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        element_at(toks, 1).as("tok0"), element_at(toks, -1).as("tokz"))
+    // the endpoint-key projection re-tokenizes every document and is
+    // scanned several times below (census + both join sides) — persist
+    // the 4-narrow-column result once per (session, dir)
+    val docs = graft.SessionCache.getOrElseUpdate(spark, ("ngramKeys", dir)) {
+      val toks = tokens(col("text"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          element_at(toks, 1).as("tok0"), element_at(toks, -1).as("tokz"))
+        .persist()
+    }
     // endpoint blocks degenerate the same way band blocks do when one
     // page is mass-duplicated — same census + salt guard
     val candidates = blockedPairCandidates(docs, Seq("lang", "tok0", "tokz"),
@@ -857,7 +863,13 @@ object Dedup {
     // gets the census + salt guard like every other blocked self-join
     val bandCols = array((0 until bands).map(b =>
       Similarity.bandBucketExpr(col("v"), b * planesPerBand, planesPerBand)): _*)
-    val banded = e.select(col("label"), col("vec_id"), posexplode(bandCols).as(Seq("band", "bucket")))
+    // the banded projection costs bands × planes dot products per vector
+    // and is scanned several times below — persist the narrow result
+    val banded = graft.SessionCache.getOrElseUpdate(
+        spark, ("embBanded", dir, bands, planesPerBand)) {
+      e.select(col("label"), col("vec_id"),
+        posexplode(bandCols).as(Seq("band", "bucket"))).persist()
+    }
     val cand = blockedPairCandidates(banded, Seq("label", "band", "bucket"),
       Nil, hotBlockRows, salts = 16, idCol = "vec_id")
     val va = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))

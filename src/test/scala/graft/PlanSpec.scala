@@ -183,6 +183,31 @@ class PlanSpec extends SparkSuite {
     assert(w10.contains("Window"), w10.take(500))
   }
 
+  test("round-7 ops: d13/d14/s6/t17 keep their scale shapes") {
+    val dir = sf("sf0.001")
+    // d13/d14: digest/band equi joins only — never a pairwise fallback
+    for ((name, df) <- Seq(
+        "d13" -> graft.operators.Dedup.deltaNearDupsGate(spark, dir),
+        "d14" -> graft.operators.Dedup.spanScrub(spark, dir))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"$name has a CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
+    }
+    // s6: the corpus-side cluster assignment is MAP-SIDE (literal centroid
+    // arrays) — the only nested-loop join is the broadcast of the k-row
+    // centroid table for probe ranking, and the corpus never joins a
+    // membership table
+    val s6 = executedPlan(graft.operators.Similarity.kmeansIvfTopK(spark, dir))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(s6).size <= 1, s6.take(1500))
+    assert(!s6.contains("CartesianProduct"), s6.take(1500))
+    // t17: the keep decision rides the scan — the only joins are the
+    // broadcast of the tiny (lang, source) rate table and the one-row min
+    val t17 = executedPlan(graft.operators.TextAnalysis.mixtureWeightedSample(spark, dir))
+    assert(!t17.contains("SortMergeJoin"), t17.take(1500))
+    assert(t17.contains("BroadcastHashJoin") || t17.contains("BroadcastNestedLoopJoin"),
+      t17.take(1500))
+  }
+
   test("salted join: result identical to plain join, salt column gone") {
     val fact = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "payload")
     val dim = Seq((1, "dim1"), (2, "dim2")).toDF("k", "name")
