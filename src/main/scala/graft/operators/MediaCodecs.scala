@@ -105,23 +105,29 @@ object MediaCodecs {
     else None
 
   /** RIFF chunk walk: fmt (channels/rate/block align) + data (sample
-    * count) → duration. Tolerates extra chunks and any chunk order.
+    * count) → duration. Tolerates extra chunks and any chunk order. A
+    * corrupt (negative) chunk size aborts the walk — an executor task
+    * must never loop on malformed bytes.
     */
   private def parseWave(p: Array[Byte]): Option[Parsed] = {
     var off = 12
     var sampleRate = 0
     var blockAlign = 0
     var dataSize = -1
-    while (off + 8 <= p.length) {
+    var bad = false
+    while (!bad && off + 8 <= p.length) {
       val id = tag(p, off)
       val size = leInt(p, off + 4)
-      if (id == "fmt " && off + 8 + 16 <= p.length) {
-        sampleRate = leInt(p, off + 8 + 4)
-        blockAlign = leShort(p, off + 8 + 12)
-      } else if (id == "data") dataSize = size
-      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      if (size < 0) bad = true
+      else {
+        if (id == "fmt " && off + 8 + 16 <= p.length) {
+          sampleRate = leInt(p, off + 8 + 4)
+          blockAlign = leShort(p, off + 8 + 12)
+        } else if (id == "data") dataSize = size
+        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
     }
-    if (sampleRate <= 0 || blockAlign <= 0 || dataSize < 0) None
+    if (bad || sampleRate <= 0 || blockAlign <= 0 || dataSize < 0) None
     else Some(Parsed(0, 0, (dataSize / blockAlign).toLong * 1000L / sampleRate, sampleRate))
   }
 
@@ -134,12 +140,14 @@ object MediaCodecs {
     while (off + 12 <= p.length) {
       val id = tag(p, off)
       val size = leInt(p, off + 4)
+      if (size < 0) return None // corrupt size: never loop on bad bytes
       if (id == "LIST" && tag(p, off + 8) == "hdrl") {
         var in = off + 12
         val end = math.min(off + 8 + size, p.length)
         while (in + 8 <= end) {
           val cid = tag(p, in)
           val csz = leInt(p, in + 4)
+          if (csz < 0) return None
           if (cid == "avih" && in + 8 + 40 <= p.length) {
             val usPerFrame = leInt(p, in + 8)
             val totalFrames = leInt(p, in + 8 + 16)

@@ -59,6 +59,14 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.parse(Array[Byte](0x42, 0x4d, 1, 2)).isEmpty) // truncated BMP
     // RIFF with an unknown form tag
     assert(MediaCodecs.parse(ascii("RIFF") ++ le32(4) ++ ascii("XXXX")).isEmpty)
+    // corrupt NEGATIVE chunk sizes must abort, not loop the walk forever
+    assert(MediaCodecs.parse(ascii("RIFF") ++ le32(100) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(-16) ++ Array.fill[Byte](24)(0)).isEmpty)
+    assert(MediaCodecs.parse(ascii("RIFF") ++ le32(100) ++ ascii("AVI ") ++
+      ascii("LIST") ++ le32(-8) ++ ascii("hdrl") ++ Array.fill[Byte](24)(0)).isEmpty)
+    assert(MediaCodecs.parse(ascii("RIFF") ++ le32(100) ++ ascii("AVI ") ++
+      ascii("LIST") ++ le32(68) ++ ascii("hdrl") ++
+      ascii("avih") ++ le32(-56) ++ Array.fill[Byte](16)(0)).isEmpty)
   }
 
   test("synthesize: field formulas round-trip through parse for every kind") {
