@@ -59,6 +59,35 @@ class PropertiesSpec extends SparkSuite {
     assert(df.filter(not(builtin === native)).count() == 0)
   }
 
+  test("property: hot-block salt is output-invariant on random duplicated corpora") {
+    // random corpora with heavy duplication (every blocked self-join's
+    // adversarial shape): the salted path must return EXACTLY the pure
+    // path's pairs at any threshold, for both the minhash and simhash
+    // families
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nTemplates = 1 + rng.nextInt(3)
+      val templates = (0 until nTemplates).map(t =>
+        (1 to 12 + rng.nextInt(20)).map(i => s"w${t}_$i").mkString(" "))
+      val docs = (0L until (20L + rng.nextInt(20))).map(i =>
+        (i, templates(rng.nextInt(nTemplates)), "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      def pairs(hot: Long) =
+        graft.operators.Dedup.minhashLshPairsOf(docs, hotBlockRows = hot)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pure = pairs(Long.MaxValue)
+      assert(pairs(3L) == pure, s"trial $trial: minhash salted != pure")
+      assert(pure.nonEmpty)
+      val sigs = graft.operators.Dedup.simhash64Builtin(spark,
+        { val d = java.nio.file.Files.createTempDirectory(s"graft_prop$trial").toString
+          docs.coalesce(1).write.parquet(s"$d/documents.parquet"); d })
+      def shPairs(hot: Long) =
+        graft.operators.Dedup.simhashPairsOf(sigs, hotBlockRows = hot)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(shPairs(3L) == shPairs(Long.MaxValue), s"trial $trial: simhash salted != pure")
+    }
+  }
+
   test("property: spacesaving overestimate/containment on random skewed streams") {
     // random streams over a small alphabet with random capacities: every
     // kept item overestimates by at most n/cap, and every item with true
