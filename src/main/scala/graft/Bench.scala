@@ -22,7 +22,7 @@ object Bench {
     "d1_dedup_exact", "d3_minhash_lsh_pairs", "d4_ngram_jaccard_pairs",
     "d6_embedding_neardup", "d8_embedding_neardup_lsh", "d9_neardup_clusters",
     "d10_contamination", "d11_simhash_pairs", "d12_boilerplate",
-    "d13_delta_neardup", "d14_span_scrub",
+    "d13_delta_neardup", "d14_span_scrub", "d15_delta_simhash",
     "w7_sessionize",
     "s1_ann_bruteforce", "s2_ann_lsh", "s4_ann_ivf", "s6_ann_kmeans",
     "t2_language_id", "t5_fingerprints", "t13_distinctive_terms",

@@ -27,8 +27,9 @@ object ExplainAudit {
       "d11_simhash_pairs", "d12_boilerplate", "t14_sequence_pack",
       "t15_heavy_hitters", "t16_quality_sample", "s5_hard_negatives",
       "w10_burst_detection",
-      "d13_delta_neardup", "d14_span_scrub", "s6_ann_kmeans",
-      "t17_mixture_sample", "m1_binary_meta", "m2_media_stats")
+      "d13_delta_neardup", "d14_span_scrub", "d15_delta_simhash",
+      "s6_ann_kmeans", "t17_mixture_sample", "m1_binary_meta",
+      "m2_media_stats")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -122,6 +122,11 @@ object SparkEntry {
     "d11_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d).orderBy("id_a", "id_b")),
     "d12_boilerplate" -> ((s, d) => Dedup.boilerplateChunks(s, d).orderBy("doc_id")),
     "d14_span_scrub" -> ((s, d) => Dedup.spanScrub(s, d).orderBy("doc_id")),
+    // d13's incremental ingest for the SIMHASH family: signature index on
+    // bucket < 200, shard >= 200; oracle = d11's pair set restricted to
+    // shard-touching pairs
+    "d15_delta_simhash" -> ((s, d) =>
+      Dedup.deltaSimhashGate(s, d).orderBy("id_a", "id_b")),
     "d6_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDupsBounded(s, d, 0.35).orderBy("id_a", "id_b")),
     "d7_tail_fingerprint" -> ((s, d) => Dedup.tailFingerprint(s, d).orderBy("doc_id")),
     "d8_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d, 0.3).orderBy("id_a", "id_b")),
@@ -587,6 +592,22 @@ object SparkEntry {
          |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // incremental simhash ingest: d11's banded/cand CTEs restricted to
+    // pairs touching the bucket >= 200 shard, with structural flags
+    "d15_delta_simhash" ->
+      s"""$simhash64Cte,
+         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
+         |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |    a.simhash AS sh_a, b2.simhash AS sh_b
+         |  FROM banded a JOIN banded b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id),
+         |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+         |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b,
+         |  CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+         |FROM cand JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+         |WHERE bit_count(xor(sh_a, sh_b)) <= 3 AND (xa.bucket >= 200 OR xb.bucket >= 200)
+         |ORDER BY id_a, id_b""".stripMargin,
     "d6_embedding_neardup" -> {
       val coeff = hexv("substr(md5('plane:' || (b*2+j) || ':' || i), 1, 1)")
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,

@@ -811,15 +811,79 @@ object Dedup {
     */
   private[graft] def simhashPairsOf(sigs: DataFrame, maxHamming: Int = 3,
       hotBlockRows: Long = 1L << 17, salts: Int = 16): DataFrame = {
-    val banded = sigs
-      .select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("b"))
-      .withColumn("chunk", expr("(simhash >> (b * 16)) & 65535"))
-    blockedPairCandidates(banded, Seq("b", "chunk"), Seq("simhash"),
+    blockedPairCandidates(simhashBanded(sigs), Seq("b", "chunk"), Seq("simhash"),
       hotBlockRows, salts)
       .withColumn("hamming", expr("CAST(bit_count(simhash_a ^ simhash_b) AS INT)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** The banded view of a (doc_id, simhash) signature table: 4 rows per
+    * doc, one per 16-bit band chunk — the join format of both the batch
+    * pair query (d11) and the persisted simhash index (d15).
+    */
+  private def simhashBanded(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("chunk", expr("(simhash >> (b * 16)) & 65535"))
+
+  /** Persisted state of INCREMENTAL simhash near-dup — the [[NearDupIndex]]
+    * pattern for the simhash family, one table instead of two because the
+    * 8-byte signature IS the verification payload (no shingle sets to
+    * keep): (doc_id, simhash, b, chunk), at scale bucketed by (b, chunk).
+    * Append-only, like the minhash index.
+    */
+  final case class SimHashIndex(banded: DataFrame)
+
+  def buildSimHashIndex(sigs: DataFrame): SimHashIndex =
+    SimHashIndex(simhashBanded(sigs))
+
+  def upsertSimHashIndex(index: SimHashIndex, newSigs: DataFrame): SimHashIndex =
+    SimHashIndex(index.banded.unionByName(simhashBanded(newSigs)))
+
+  /** Incremental simhash near-dup: a new shard's signatures (map-side)
+    * band-join the persisted index; exact Hamming verifies in the join
+    * row itself. Same output contract as [[deltaNearDups]]: every pair
+    * touching the shard, (id_a < id_b, structural new-side flags,
+    * hamming), equal to the full recompute restricted to shard-touching
+    * pairs (signatures are per-doc functions — DedupSimilaritySpec
+    * asserts the identity). Shard-internal pairs ride [[simhashPairsOf]]
+    * and inherit its hot-block salt.
+    */
+  def deltaSimhashPairs(newSigs: DataFrame, index: SimHashIndex,
+      maxHamming: Int = 3): DataFrame = {
+    val n = simhashBanded(newSigs).select(col("b"), col("chunk"),
+      col("doc_id").as("id_n"), col("simhash").as("sh_n"))
+    val o = index.banded.select(col("b"), col("chunk"),
+      col("doc_id").as("id_o"), col("simhash").as("sh_o"))
+    val vsIndexed = n.join(o, Seq("b", "chunk"))
+      .select(
+        least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"),
+        (col("id_n") < col("id_o")).as("new_a"),
+        (col("id_n") > col("id_o")).as("new_b"),
+        expr("CAST(bit_count(sh_n ^ sh_o) AS INT)").as("hamming"))
+      .distinct()
+    val vsSelf = simhashPairsOf(newSigs, maxHamming)
+      .select(col("id_a"), col("id_b"),
+        lit(true).as("new_a"), lit(true).as("new_b"), col("hamming"))
+    vsIndexed.filter(col("hamming") <= maxHamming).unionByName(vsSelf)
+  }
+
+  /** The d15 gate: index the bucket < splitAt slice of the session-cached
+    * signature table, delta-join the rest (the d13 gate's shape for the
+    * simhash family).
+    */
+  def deltaSimhashGate(spark: SparkSession, dir: String,
+      splitAt: Int = 200, maxHamming: Int = 3): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sigs = graft.SessionCache.getOrElseUpdate(spark, ("simhash64", dir)) {
+      simhash64(spark, dir).persist()
+    }
+    val index = graft.SessionCache.getOrElseUpdate(spark, ("simhashIndex", dir, splitAt)) {
+      SimHashIndex(simhashBanded(sigs.filter(bucket < splitAt)).persist())
+    }.asInstanceOf[SimHashIndex]
+    deltaSimhashPairs(sigs.filter(bucket >= splitAt), index, maxHamming)
   }
 
   /** Embedding near-dup, scale path: block by the sign-random-projection

@@ -121,6 +121,39 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(delta2.exists(p => p._1 == 48L && p._2 == 52L && p._3 == 1.0))
   }
 
+  test("delta simhash: delta(index, shard) ∪ pairs(base) == pairs(base ∪ shard)") {
+    val sigs = Dedup.simhash64(spark, fixtureDir)
+    val base = sigs.filter(col("doc_id") < 49)
+    val shard = sigs.filter(col("doc_id") >= 49)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // radius 6: the planted 48/49 near-dup lands at hamming 5 on this
+    // fixture, exercising the cross-index path (the in-shard 50/51 exact
+    // pair is hamming 0 at any radius)
+    val delta = Dedup.deltaSimhashPairs(shard, Dedup.buildSimHashIndex(base), maxHamming = 6)
+    val deltaPairs = pairSet(delta)
+    val basePairs = pairSet(Dedup.simhashPairsOf(base, maxHamming = 6))
+    assert(deltaPairs.union(basePairs) == pairSet(Dedup.simhashPairsOf(sigs, maxHamming = 6)))
+    assert(deltaPairs.intersect(basePairs).isEmpty)
+    assert(deltaPairs.exists(p => p._1 == 48L && p._2 == 49L)) // planted near-dup
+    assert(deltaPairs.exists(p => p._1 == 50L && p._2 == 51L && p._3 == 0)) // exact, in-shard
+    val flags = delta.collect().map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Boolean]("new_a"), r.getAs[Boolean]("new_b")))).toMap
+    assert(flags((48L, 49L)) == ((false, true)))
+    assert(flags((50L, 51L)) == ((true, true)))
+    // upsert: a later shard's clone matches docs from base AND shard 1
+    val dup48 = base.filter(col("doc_id") === 48L)
+      .select(lit(52L).as("doc_id"), col("simhash"))
+    val delta2 = pairSet(Dedup.deltaSimhashPairs(dup48,
+      Dedup.upsertSimHashIndex(Dedup.buildSimHashIndex(base), shard), maxHamming = 6))
+    assert(delta2.contains((48L, 52L, 0)))
+    // hamming-5 pair found via a shared band (h>3 is best-effort: the
+    // pigeonhole guarantee covers radius 3 only); h=6 pairs may miss
+    assert(delta2.exists(p => p._1 == 49L && p._2 == 52L))
+  }
+
   test("span scrub: planted cross-doc span at non-aligned positions is scrubbed") {
     val span = (1 to 8).map(i => s"SHARED$i")
     // the span sits at token offset 13 in A and 7 in B — neither aligned to
