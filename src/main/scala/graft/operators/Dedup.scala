@@ -745,7 +745,11 @@ object Dedup {
     * genuine near-dups (12 pairs on the same corpus).
     */
   def simhash64(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    simhash64Of(Tables.documents(spark, dir))
+
+  /** [[simhash64]] over an explicit (doc_id, text) frame. */
+  def simhash64Of(documents: DataFrame): DataFrame =
+    documents
       // null text -> null token array -> coalesce preserves the builtin
       // form's 0-signature (its per-bit when(null > 0).otherwise(0) sums)
       .select(col("doc_id"),

@@ -313,6 +313,55 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** STREAMING simhash delta — [[deltaNearDupStream]]'s topology for the
+    * simhash family (d15), simpler because the 8-byte signature is its
+    * own verification payload: arriving documents derive the 64-bit
+    * signature + band chunks MAP-SIDE (native SimHash64Expr), the band
+    * keys stream-static-join the persisted signature index, exact
+    * Hamming filters inside the join row, and multi-band / replayed
+    * duplicates collapse through `dropDuplicatesWithinWatermark` on the
+    * id pair.
+    */
+  def deltaSimhashStream(newDocs: DataFrame,
+      index: graft.operators.Dedup.SimHashIndex,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = newDocs
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"),
+        coalesce(graft.plans.SimHashExpr.simhash64(
+          graft.functions.Exprs.tokens(col("text"))), lit(0L)).as("simhash"))
+    val banded = sigs
+      .select(col("doc_id"), col("ts"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("chunk", expr("(simhash >> (b * 16)) & 65535"))
+    banded
+      .join(index.banded.select(col("b"), col("chunk"),
+        col("doc_id").as("id_o"), col("simhash").as("sh_o")), Seq("b", "chunk"))
+      .withColumn("hamming", expr("CAST(bit_count(simhash ^ sh_o) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id").as("id_n"), col("id_o"), col("ts"), col("hamming"))
+      .dropDuplicatesWithinWatermark("id_n", "id_o")
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"), col("hamming"))
+  }
+
+  /** Run the streaming simhash delta over a shard directory to
+    * completion (memory sink, AvailableNow).
+    */
+  def runDeltaSimhashToCompletion(spark: SparkSession, shardDir: String,
+      index: graft.operators.Dedup.SimHashIndex, maxHamming: Int = 3,
+      name: String = "delta_simhash"): DataFrame = {
+    val q = deltaSimhashStream(documentSource(spark, shardDir), index, maxHamming)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** The SpaceSaving frequent-items sketch under INCREMENTAL execution:
     * per event_type, the sketch of active user ids, maintained across
     * micro-batches through the state store (exercising the aggregation

@@ -41,6 +41,36 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.size == batch.size) // replay produced no duplicates
   }
 
+  test("streaming simhash delta == batch delta (vs-indexed pairs) on a replayed shard") {
+    val baseText = (1 to 60).map(i => s"base$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    val base = ((0L to 9L).map(i => (i, noise(i), "en", "s", 1L)) :+
+      ((10L, baseText, "en", "s", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // doc 20 is an EXACT copy of indexed doc 10 (hamming 0 — guaranteed
+    // band hit at any radius); 21 is noise
+    val shard = Seq(
+      (20L, baseText, "en", "s", 1L),
+      (21L, noise(21L), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_shshard").toString
+    shard.coalesce(1).write.mode("append").parquet(shardDir)
+    shard.coalesce(1).write.mode("append").parquet(shardDir) // replay
+    val index = graft.operators.Dedup.buildSimHashIndex(
+      graft.operators.Dedup.simhash64Of(base))
+    val streamed = EventsStream
+      .runDeltaSimhashToCompletion(spark, shardDir, index, name = "delta_simhash_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.operators.Dedup
+      .deltaSimhashPairs(graft.operators.Dedup.simhash64Of(shard), index)
+      .filter(col("new_a") =!= col("new_b"))
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.contains((10L, 20L, 0)))
+  }
+
   test("streaming hourly agg over replayed events == batch rollup (§2.12)") {
     val dir = sf("sf0.001")
     val streamed = EventsStream.runToCompletion(spark, dir, "events_hourly_test")
