@@ -169,10 +169,20 @@ object Dedup {
   private def blockedPairCandidates(rows: DataFrame, keys: Seq[String],
       carry: Seq[String], hotBlockRows: Long, salts: Int,
       idCol: String = "doc_id"): DataFrame = {
-    val sizes = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
-    val tagged = rows.join(broadcast(sizes), keys)
-    val cold = tagged.filter(col("bn") <= hotBlockRows)
-    val hot = tagged.filter(col("bn") > hotBlockRows)
+    // The census has one row per DISTINCT block — bounded for simhash
+    // (≤ 4·65536 chunk values) but ~O(corpus) on the minhash band and
+    // ngram endpoint paths, where most documents own unique keys. Only
+    // the HOT slice is broadcast-safe: at most corpus/hotBlockRows
+    // blocks can exceed the threshold, so the filtered census is tiny
+    // BY CONSTRUCTION at any corpus size. Rows the broadcast left join
+    // misses (null bn) are exactly the cold blocks — the un-filtered
+    // census never leaves its aggregation, let alone the driver.
+    val hotSizes = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > hotBlockRows)
+    val tagged = rows.join(broadcast(hotSizes), keys, "left")
+    val cold = tagged.filter(col("bn").isNull)
+    val hot = tagged.filter(col("bn").isNotNull)
     def side(df: DataFrame, sfx: String, extra: Seq[Column] = Nil) =
       df.select(keys.map(col) ++ Seq(col(idCol).as(s"id_$sfx")) ++
         carry.map(c => col(c).as(s"${c}_$sfx")) ++ extra: _*)
@@ -808,7 +818,8 @@ object Dedup {
     * into `salts` tasks of m·(m/salts) — the same OUTPUT pairs (the salt
     * is join-partitioning only, invisible to results and oracle), but no
     * single task owns the square. Cold blocks take the plain join: the
-    * census costs one tiny (≤ 4·65536 row) aggregation broadcast back.
+    * census costs one aggregation, of which only the hot slice (empty in
+    * the benign case) is broadcast back.
     * (AQE's skew split can't do this — it cannot split the BUILD side of
     * a single hot hash bucket — so the salt is load-bearing, same
     * rationale as Library.saltedJoin.)

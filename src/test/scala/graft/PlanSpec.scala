@@ -208,6 +208,46 @@ class PlanSpec extends SparkSuite {
       t17.take(1500))
   }
 
+  test("block census is hot-filtered before any join consumes it") {
+    // The block-size census has one row per DISTINCT block — ~O(corpus) on
+    // the minhash-band and ngram-endpoint paths. Broadcasting it un-filtered
+    // is a 100 TB driver/executor OOM; only the bn > hotBlockRows slice
+    // (tiny by construction) may feed the tagging join. Guard: in every
+    // pair-pipeline plan, any join side containing the census Aggregate
+    // must also contain a Filter on bn.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Filter => LFilter}
+    val dir = sf("sf0.001")
+    def assertCensusFiltered(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      var censusJoins = 0
+      for (j <- joins; side <- Seq(j.left, j.right)) {
+        val hasCensusAgg = side.collectFirst {
+          case a: Aggregate if a.aggregateExpressions.exists(_.name == "bn") => a
+        }.isDefined
+        if (hasCensusAgg) {
+          censusJoins += 1
+          val hasBnFilter = side.collectFirst {
+            case f: LFilter if f.condition.references.exists(_.name == "bn") => f
+          }.isDefined
+          assert(hasBnFilter,
+            s"$name: a join consumes the block census with no bn filter below it " +
+              "- the un-filtered census is O(corpus) on the minhash/ngram paths")
+        }
+      }
+      assert(censusJoins > 0, s"$name: census tagging join not found (guard went vacuous)")
+    }
+    // use the non-session-cached builder with NON-DEFAULT banding so the
+    // logical Join structure is visible (the default-parameter plan is
+    // canonically identical to the session-cached d3 result and would
+    // collapse to a single InMemoryRelation with zero joins)
+    assertCensusFiltered(
+      graft.operators.Dedup.minhashLshPairsOf(
+        Tables.documents(spark, dir), bands = 2, rowsPerBand = 2), "d3")
+    assertCensusFiltered(graft.operators.Dedup.ngramJaccardPairs(spark, dir), "d4")
+    assertCensusFiltered(graft.operators.Dedup.embeddingNearDupsBounded(spark, dir), "d6")
+    assertCensusFiltered(graft.operators.Dedup.simhashPairs(spark, dir), "d11")
+  }
+
   test("salted join: result identical to plain join, salt column gone") {
     val fact = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "payload")
     val dim = Seq((1, "dim1"), (2, "dim2")).toDF("k", "name")
