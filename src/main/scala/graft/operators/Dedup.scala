@@ -199,6 +199,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Two-sided analogue of [[blockedPairCandidates]]' hot-block guard for
+    * the delta (index × shard) band joins: a band key mass-duplicated in
+    * BOTH the index (say 1M copies) and a shard (10k) hands one task the
+    * hot key's cross grid in a plain equi-join. Blocks whose combined
+    * occupancy exceeds `hotBlockRows` split that grid across `salts`
+    * tasks — the index side keeps one deterministic salt per row, the
+    * shard side replicates across all salts — same OUTPUT rows, no task
+    * owning the rectangle. The census is built from both sides' counts
+    * (inner-joined: a block absent from either side joins to nothing)
+    * and only its hot slice is broadcast, per the census rule. Cold
+    * blocks take the plain join, which preserves the index side's
+    * bucketed layout (the broadcast tag join is partitioning-transparent).
+    */
+  private def saltedBlockJoin(index: DataFrame, shard: DataFrame,
+      keys: Seq[String], indexIdCol: String, hotBlockRows: Long,
+      salts: Int): DataFrame = {
+    val iN = index.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn_i"))
+    val sN = shard.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn_s"))
+    val hotBlocks = iN.join(sN, keys)
+      .filter(col("bn_i") + col("bn_s") > hotBlockRows)
+      .select(keys.map(col): _*)
+      .withColumn("__hot", lit(true))
+    val iT = index.join(broadcast(hotBlocks), keys, "left")
+    val sT = shard.join(broadcast(hotBlocks), keys, "left")
+    val cold = iT.filter(col("__hot").isNull).drop("__hot")
+      .join(sT.filter(col("__hot").isNull).drop("__hot"), keys)
+    val hot = iT.filter(col("__hot").isNotNull).drop("__hot")
+      .withColumn("__salt",
+        pmod(crc32(col(indexIdCol).cast("string")), lit(salts.toLong)))
+      .join(sT.filter(col("__hot").isNotNull).drop("__hot")
+        .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L)))),
+        keys :+ "__salt")
+      .drop("__salt")
+    cold.unionByName(hot)
+  }
+
   /** (doc_id, carry..., band, bkey): each document's LSH band keys — band
     * key = md5 over the band's concatenated member min-hashes. Map-side
     * only; this IS the row format of the persisted near-dup index, and
@@ -509,33 +545,42 @@ object Dedup {
     * n-dependent shuffle ships the SHARD'S band keys (AQE broadcasts them
     * when the shard is small — the common case); shard-internal pairs add
     * one shard-sized self-join. Verification touches only candidate ids.
+    * Both joins carry the hot-block census+salt guard ([[saltedBlockJoin]]
+    * for index × shard, [[blockedPairCandidates]] for shard × shard), so
+    * a band key mass-duplicated across index AND shard cannot hand one
+    * task the hot key's cross grid.
     */
   def deltaNearDups(newDocs: DataFrame, index: NearDupIndex,
-      threshold: Double = 0.8): DataFrame =
-    deltaNearDupsFromShingles(shingleTableOf(newDocs), index, threshold)
+      threshold: Double = 0.8, hotBlockRows: Long = 1L << 17): DataFrame =
+    deltaNearDupsFromShingles(shingleTableOf(newDocs), index, threshold,
+      hotBlockRows)
 
   /** [[deltaNearDups]] from an existing shard shingle projection — the
     * gate path feeds a filtered slice of the session-cached corpus
     * shingle table here instead of re-tokenizing the shard.
     */
   private def deltaNearDupsFromShingles(deltaSh: DataFrame, index: NearDupIndex,
-      threshold: Double): DataFrame = {
+      threshold: Double, hotBlockRows: Long = 1L << 17): DataFrame = {
     val deltaBanded = bandedKeys(deltaSh, index.bands, index.rowsPerBand)
     // shard vs indexed: ids are disjoint (upsert contract), so min/max
-    // normalization plus structural new-side flags — no membership join
+    // normalization plus structural new-side flags — no membership join.
+    // The id_n =!= id_o guard makes a VIOLATED contract (re-ingested
+    // doc_id) degrade to correct output instead of emitting id_a == id_b
+    // self-pairs that verify at jaccard 1.0.
     val n = deltaBanded.select(col("band"), col("bkey"), col("doc_id").as("id_n"))
     val o = index.banded.select(col("band"), col("bkey"), col("doc_id").as("id_o"))
-    val vsIndexed = n.join(o, Seq("band", "bkey"))
+    val vsIndexed = saltedBlockJoin(o, n, Seq("band", "bkey"), "id_o",
+        hotBlockRows, salts = 16)
+      .filter(col("id_n") =!= col("id_o"))
       .select(
         least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"),
         (col("id_n") < col("id_o")).as("new_a"),
         (col("id_n") > col("id_o")).as("new_b"))
-    // shard vs itself: near-dups arriving together in one shard
-    val na = deltaBanded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
-    val nb = deltaBanded.select(col("band"), col("bkey"), col("doc_id").as("id_b"))
-    val vsSelf = na.join(nb, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
+    // shard vs itself: near-dups arriving together in one shard — rides
+    // the same census+salt machinery as the batch self-joins
+    val vsSelf = blockedPairCandidates(deltaBanded, Seq("band", "bkey"), Nil,
+        hotBlockRows, salts = 16)
       .select(col("id_a"), col("id_b"), lit(true).as("new_a"), lit(true).as("new_b"))
     val candidates = vsIndexed.unionByName(vsSelf).distinct()
     verifyJaccard(index.shingles.unionByName(deltaSh), candidates,
@@ -866,12 +911,16 @@ object Dedup {
     * and inherit its hot-block salt.
     */
   def deltaSimhashPairs(newSigs: DataFrame, index: SimHashIndex,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, hotBlockRows: Long = 1L << 17): DataFrame = {
     val n = simhashBanded(newSigs).select(col("b"), col("chunk"),
       col("doc_id").as("id_n"), col("simhash").as("sh_n"))
     val o = index.banded.select(col("b"), col("chunk"),
       col("doc_id").as("id_o"), col("simhash").as("sh_o"))
-    val vsIndexed = n.join(o, Seq("b", "chunk"))
+    // two-sided hot-block guard + the upsert-contract degradation filter
+    // (see deltaNearDupsFromShingles)
+    val vsIndexed = saltedBlockJoin(o, n, Seq("b", "chunk"), "id_o",
+        hotBlockRows, salts = 16)
+      .filter(col("id_n") =!= col("id_o"))
       .select(
         least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"),
@@ -879,7 +928,7 @@ object Dedup {
         (col("id_n") > col("id_o")).as("new_b"),
         expr("CAST(bit_count(sh_n ^ sh_o) AS INT)").as("hamming"))
       .distinct()
-    val vsSelf = simhashPairsOf(newSigs, maxHamming)
+    val vsSelf = simhashPairsOf(newSigs, maxHamming, hotBlockRows)
       .select(col("id_a"), col("id_b"),
         lit(true).as("new_a"), lit(true).as("new_b"), col("hamming"))
     vsIndexed.filter(col("hamming") <= maxHamming).unionByName(vsSelf)
