@@ -13,6 +13,9 @@ object EntrySmoke {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucket sort order is only reported behind this flag (safe: Spark
+      // self-checks one-file-per-bucket, which saveNearDupIndex guarantees)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n = SparkEntry.entry(spark).count()

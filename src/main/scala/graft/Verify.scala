@@ -20,6 +20,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long + convert
       // (graft.Tables.events) instead of failing the scan
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucket sort order is only reported behind this flag (safe: Spark
+      // self-checks one-file-per-bucket, which saveNearDupIndex guarantees)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

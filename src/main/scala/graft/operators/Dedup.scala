@@ -215,8 +215,14 @@ object Dedup {
   private def saltedBlockJoin(index: DataFrame, shard: DataFrame,
       keys: Seq[String], indexIdCol: String, hotBlockRows: Long,
       salts: Int): DataFrame = {
-    val iN = index.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn_i"))
     val sN = shard.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn_s"))
+    // only blocks present in the SHARD can produce join output, so the
+    // index census is semi-filtered by the (broadcast, shard-sized) key
+    // set first — census state stays shard-bounded, and over a bucketed
+    // index the aggregation is exchange-free (grouping keys == bucket
+    // keys); the scan itself rides the delta join's bucketed read
+    val iN = index.join(broadcast(sN.select(keys.map(col): _*)), keys, "left_semi")
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn_i"))
     val hotBlocks = iN.join(sN, keys)
       .filter(col("bn_i") + col("bn_s") > hotBlockRows)
       .select(keys.map(col): _*)
@@ -225,9 +231,15 @@ object Dedup {
     val sT = shard.join(broadcast(hotBlocks), keys, "left")
     val cold = iT.filter(col("__hot").isNull).drop("__hot")
       .join(sT.filter(col("__hot").isNull).drop("__hot"), keys)
+    // the EXPLICIT repartition on the salted keys is load-bearing when the
+    // index arrives bucketed on `keys`: without it the planner reuses the
+    // bucketed partitioning (a valid ClusteredDistribution) and the whole
+    // hot block stays in ONE bucket partition — salt defeated. Shuffling
+    // exactly the hot rows across (keys, salt) IS the intended spread.
     val hot = iT.filter(col("__hot").isNotNull).drop("__hot")
       .withColumn("__salt",
         pmod(crc32(col(indexIdCol).cast("string")), lit(salts.toLong)))
+      .repartition((keys :+ "__salt").map(col): _*)
       .join(sT.filter(col("__hot").isNotNull).drop("__hot")
         .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L)))),
         keys :+ "__salt")
@@ -491,9 +503,29 @@ object Dedup {
     * session warehouse.
     */
   def saveNearDupIndex(index: NearDupIndex, name: String, buckets: Int = 8): Unit = {
-    index.banded.write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+    // mode("overwrite") replaces a CATALOG table, but a stale warehouse
+    // DIRECTORY without a catalog entry (prior JVM, fresh metastore)
+    // fails CREATE with LOCATION_ALREADY_EXISTS — clear both
+    val spark0 = index.banded.sparkSession
+    Seq("banded", "shingles", "meta").foreach { member =>
+      val table = s"${name}_$member"
+      spark0.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark0.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark0.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    // repartition on the bucket keys BEFORE the write: repartition and
+    // bucketing share the same murmur3 HashPartitioning, so every bucket
+    // lands in exactly one task = exactly ONE file per bucket — the
+    // condition under which the scan reports its sortBy order and the
+    // delta join needs neither Exchange NOR Sort on the index side
+    // (multi-file buckets forfeit the ordering and re-sort per query)
+    index.banded.repartition(buckets, col("band"), col("bkey"))
+      .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
       .mode("overwrite").saveAsTable(s"${name}_banded")
-    index.shingles.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+    index.shingles.repartition(buckets, col("doc_id"))
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
       .mode("overwrite").saveAsTable(s"${name}_shingles")
     val spark = index.banded.sparkSession
     import spark.implicits._
@@ -512,21 +544,26 @@ object Dedup {
 
   /** The d13 gate pipeline: index the already-ingested corpus slice (md5
     * bucket < splitAt), delta-join the rest as the incoming shard. The
-    * index is memoized per (session, dir, splitAt) with both member
-    * tables persisted — the gate-scale stand-in for the PERSISTED index a
-    * production deployment reads instead of rebuilding per shard (the
-    * whole point of the incremental mode).
+    * index is built once per (session, dir, splitAt), SAVED as the
+    * bucketed+sorted warehouse tables, and the gate joins against the
+    * LOADED tables — the measured path IS the persisted disk path a
+    * production ingest reads (round-7 finding: an in-memory stand-in
+    * here never exercised the layout [[saveNearDupIndex]] advertises).
     */
   def deltaNearDupsGate(spark: SparkSession, dir: String,
       splitAt: Int = 200, threshold: Double = 0.8): DataFrame = {
     def bucket = TextAnalysis.splitBucket(col("doc_id"))
-    // both sides slice the SESSION-SHARED corpus shingle table (the d3/d4/
-    // d9 cache) instead of re-tokenizing; only the banded keys need their
-    // own persist (the minhash layer on top of the cached shingles)
+    // the shard side slices the SESSION-SHARED corpus shingle table (the
+    // d3/d4/d9 cache) instead of re-tokenizing; the index side comes from
+    // disk via save→load
     val sh = persistedShingleTable(spark, dir)
-    val index = graft.SessionCache.getOrElseUpdate(spark, ("neardupIndex", dir, splitAt)) {
+    val index = graft.SessionCache.getOrElseUpdate(spark, ("neardupIndexDisk", dir, splitAt)) {
       val baseSh = sh.filter(bucket < splitAt)
-      NearDupIndex(bandedKeys(baseSh, 3, 3).persist(), baseSh, 3, 3)
+      // table name disambiguated per (dir, splitAt): one session catalog
+      // may serve gates over several test dirs
+      val name = f"neardup_gate_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveNearDupIndex(NearDupIndex(bandedKeys(baseSh, 3, 3), baseSh, 3, 3), name)
+      loadNearDupIndex(spark, name)
     }.asInstanceOf[NearDupIndex]
     deltaNearDupsFromShingles(sh.filter(bucket >= splitAt), index, threshold)
   }

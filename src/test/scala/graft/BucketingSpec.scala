@@ -57,6 +57,72 @@ class BucketingSpec extends SparkSuite {
       spark.sql(s"DROP TABLE IF EXISTS ndidx$s"))
   }
 
+  test("d13 gate: delta join reads the persisted index bucketed, no Exchange/Sort") {
+    // The gate now routes through save→load (the advertised disk path).
+    // The load-bearing property, asserted on the GATE plan itself: every
+    // sort-merge join side that reads the persisted _banded table does so
+    // with no shuffle and no re-sort — the bucketed+sorted layout IS the
+    // exchange. (AQE off so join structure is statically visible;
+    // broadcast off so the joins actually plan as SMJ.)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val dir = sf("sf0.001")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gate = graft.operators.Dedup.deltaNearDupsGate(spark, dir)
+      gate.count()
+      val plan = gate.queryExecution.executedPlan
+      type P = org.apache.spark.sql.execution.SparkPlan
+      def isBandedScan(p: P) = p match {
+        case s: FileSourceScanExec => s.tableIdentifier.exists(_.table.endsWith("_banded"))
+        case _ => false
+      }
+      // root-to-scan path along CHILDREN (stays on the streamed path — a
+      // broadcast build side with its census aggregates is its own branch)
+      def pathToScan(p: P): Option[List[P]] =
+        if (isBandedScan(p)) Some(List(p))
+        else p.children.view.flatMap(pathToScan).headOption.map(p :: _)
+      val smjSides = plan.collect { case j: SortMergeJoinExec => Seq(j.left, j.right) }.flatten
+      val paths = smjSides.flatMap(pathToScan)
+      assert(paths.nonEmpty, "no sort-merge join reads the persisted banded index")
+      // the COLD delta path: index rows flow from the bucketed scan into
+      // the join with no exchange, no sort, no aggregation — the storage
+      // layout is the shuffle
+      val coldPaths = paths.filter(p => !p.exists {
+        case _: BaseAggregateExec => true
+        case e: ShuffleExchangeExec =>
+          // the HOT branch's salted repartition is the one INTENDED
+          // exchange (spreading a hot block), identified by its salt key
+          e.outputPartitioning.toString.contains("__salt")
+        case _ => false
+      })
+      assert(coldPaths.nonEmpty,
+        "cold delta path not found: every banded->join path aggregates or salts")
+      for (path <- coldPaths) {
+        assert(!path.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"cold index path shuffled:\n${path.head.toString.take(800)}")
+        assert(!path.exists(_.isInstanceOf[SortExec]),
+          s"cold index path re-sorted:\n${path.head.toString.take(800)}")
+      }
+      // corpus-sized index rows are never exchanged un-salted anywhere:
+      // any exchange on a banded path below the first aggregation must be
+      // the salted spread
+      for (path <- paths) {
+        val belowAgg = path.reverse.takeWhile(!_.isInstanceOf[BaseAggregateExec]).reverse
+        belowAgg.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+          assert(e.outputPartitioning.toString.contains("__salt"),
+            s"un-salted exchange of raw index rows:\n${e.toString.take(800)}")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     // tables land in the default ./spark-warehouse (gitignored); the
     // warehouse dir is a static conf and cannot be moved per-test

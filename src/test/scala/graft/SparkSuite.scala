@@ -12,6 +12,7 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .getOrCreate()
 
   def sf(name: String): String = s"/root/testdata/$name"
