@@ -131,6 +131,11 @@ object SparkEntry {
     "d7_tail_fingerprint" -> ((s, d) => Dedup.tailFingerprint(s, d).orderBy("doc_id")),
     "d8_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d, 0.3).orderBy("id_a", "id_b")),
     "d9_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d).orderBy("doc_id")),
+    // incremental cluster maintenance: merge the d13 shard's verified
+    // pairs into persisted base labels (bucketed warehouse table) —
+    // equals d9's full-recompute labels restricted to components
+    // containing a shard (bucket >= 200) doc, which the oracle computes
+    "d16_delta_clusters" -> ((s, d) => Dedup.deltaClusters(s, d).orderBy("doc_id")),
     "d10_contamination" -> ((s, d) => Dedup.crossSplitContamination(s, d).orderBy("doc_id")),
     // incremental ingest: index the "already ingested" corpus slice (md5
     // bucket < 200 ≈ 78%, session-cached like a persisted index), then
@@ -637,6 +642,30 @@ object SparkEntry {
          |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS is_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+    // incremental cluster maintenance: d9's recursive-CTE labels over the
+    // FULL pair graph, restricted to components containing a shard
+    // (bucket >= 200) document — exactly what merging the shard's delta
+    // pairs into the persisted base labels must reproduce
+    "d16_delta_clusters" -> {
+      val base = "WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ")
+      s"""$base,
+         |$lshPairsCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+         |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents),
+         |touched AS (SELECT DISTINCT l.cluster FROM lab l
+         |  JOIN bk ON bk.doc_id = l.doc_id WHERE bk.bucket >= 200)
+         |SELECT l.doc_id, l.cluster, (l.doc_id = l.cluster) AS is_rep,
+         |  (b2.bucket >= 200) AS is_new
+         |FROM lab l JOIN touched t ON t.cluster = l.cluster
+         |JOIN bk b2 ON b2.doc_id = l.doc_id
+         |ORDER BY l.doc_id""".stripMargin
     },
     // decontamination: the split definition is t9's md5 bucket (one shared
     // rendering, splitBucketSql), the 8-gram CTE follows the t5/shingles

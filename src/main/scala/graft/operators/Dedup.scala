@@ -502,33 +502,42 @@ object Dedup {
     * (`upsertNearDupIndex` rows via INSERT INTO); tables live in the
     * session warehouse.
     */
+  /** Write `df` as a bucketed+sorted session-catalog table. The
+    * repartition on the bucket keys BEFORE the write is load-bearing:
+    * repartition and bucketing share the same murmur3 HashPartitioning,
+    * so every bucket lands in exactly one task = exactly ONE file per
+    * bucket — the condition under which the scan reports its sortBy
+    * order and a key-joined read needs neither Exchange NOR Sort
+    * (multi-file buckets forfeit the ordering and re-sort per query).
+    * Clears stale state first: mode("overwrite") replaces a CATALOG
+    * table, but a stale warehouse DIRECTORY without a catalog entry
+    * (prior JVM, fresh metastore) fails CREATE with
+    * LOCATION_ALREADY_EXISTS.
+    */
+  private def saveBucketedTable(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit = {
+    dropTableAndLocation(df.sparkSession, table)
+    df.repartition(buckets, keys.map(col): _*)
+      .write.bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite").saveAsTable(table)
+  }
+
+  private def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    ()
+  }
+
   def saveNearDupIndex(index: NearDupIndex, name: String, buckets: Int = 8): Unit = {
-    // mode("overwrite") replaces a CATALOG table, but a stale warehouse
-    // DIRECTORY without a catalog entry (prior JVM, fresh metastore)
-    // fails CREATE with LOCATION_ALREADY_EXISTS — clear both
-    val spark0 = index.banded.sparkSession
-    Seq("banded", "shingles", "meta").foreach { member =>
-      val table = s"${name}_$member"
-      spark0.sql(s"DROP TABLE IF EXISTS $table")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark0.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-      val fs = loc.getFileSystem(spark0.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
-    // repartition on the bucket keys BEFORE the write: repartition and
-    // bucketing share the same murmur3 HashPartitioning, so every bucket
-    // lands in exactly one task = exactly ONE file per bucket — the
-    // condition under which the scan reports its sortBy order and the
-    // delta join needs neither Exchange NOR Sort on the index side
-    // (multi-file buckets forfeit the ordering and re-sort per query)
-    index.banded.repartition(buckets, col("band"), col("bkey"))
-      .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
-      .mode("overwrite").saveAsTable(s"${name}_banded")
-    index.shingles.repartition(buckets, col("doc_id"))
-      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .mode("overwrite").saveAsTable(s"${name}_shingles")
+    saveBucketedTable(index.banded, s"${name}_banded", buckets, Seq("band", "bkey"))
+    saveBucketedTable(index.shingles, s"${name}_shingles", buckets, Seq("doc_id"))
     val spark = index.banded.sparkSession
     import spark.implicits._
+    dropTableAndLocation(spark, s"${name}_meta")
     Seq((index.bands, index.rowsPerBand)).toDF("bands", "rows_per_band")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
@@ -566,6 +575,80 @@ object Dedup {
       loadNearDupIndex(spark, name)
     }.asInstanceOf[NearDupIndex]
     deltaNearDupsFromShingles(sh.filter(bucket >= splitAt), index, threshold)
+  }
+
+  /** INCREMENTAL cluster maintenance — the production ingest's final
+    * step, one stage past [[deltaNearDups]] (the reference's mtime-memo
+    * incrementality, dupes/dedup.py:115-131, applied to d9's clustering):
+    * instead of re-running connected components over the whole corpus
+    * pair graph per shard, merge the shard's verified delta pairs into
+    * PERSISTED base component labels.
+    *
+    *   - prior state: labels over the base pair graph (vertices only —
+    *     singletons are implicit), persisted as a bucketed warehouse
+    *     table keyed by cluster (the members lookup joins on cluster);
+    *   - every full-graph edge incident to a shard doc is a delta pair
+    *     (the d13 identity), so the components containing a shard doc
+    *     are exactly: connected components of (label edges of TOUCHED
+    *     base components ∪ delta pairs), plus isolated shard docs;
+    *   - the merge graph is DELTA-SIZED — label edges of touched
+    *     components + delta pairs, never the corpus. Each base
+    *     component's old label is its min doc id, so min-canonical
+    *     union-find over doc→label edges reconstructs base connectivity
+    *     and the merged labels agree with the full recompute exactly
+    *     (spec-proven).
+    *
+    * Output: (doc_id, cluster, is_rep, is_new) for every document of a
+    * shard-touching component — the changed-labels + new-assignments
+    * slice a production label table ingests back.
+    */
+  def deltaClusters(spark: SparkSession, dir: String, splitAt: Int = 200,
+      threshold: Double = 0.8, smallGraphEdges: Long = 1000000L,
+      maxIters: Int = 20): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    def componentLabels(pairs: DataFrame): DataFrame =
+      if (pairs.count() <= smallGraphEdges) unionFindLabels(spark, pairs)
+      else propagateLabels(spark, pairs, maxIters)
+    // persisted prior state, built once per (session, dir, splitAt) and
+    // read back from the bucketed table — the disk path an ingest reads
+    val baseLabels = graft.SessionCache.getOrElseUpdate(spark, ("baseLabels", dir, splitAt)) {
+      val table = f"neardup_labels_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      val basePairs = lshPairsFrom(
+        persistedShingleTable(spark, dir).filter(bucket < splitAt), 3, 3, threshold)
+        .select(col("id_a"), col("id_b"))
+      val lab = componentLabels(basePairs)
+      saveBucketedTable(lab.select(col("doc_id"), col("cluster")), table,
+        buckets = 8, keys = Seq("cluster"))
+      lab.unpersist()
+      spark.table(table)
+    }
+    // the shard's verified pairs: every full-graph edge touching the shard
+    val dp = deltaNearDupsGate(spark, dir, splitAt, threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val touchedDocs = dp.select(col("id_a").as("doc_id"))
+      .unionByName(dp.select(col("id_b").as("doc_id"))).distinct()
+    // delta-pair endpoints -> their old clusters -> ALL members of those
+    // clusters (both lookups broadcast the shard-bounded side)
+    val touchedClusters = baseLabels
+      .join(broadcast(touchedDocs), Seq("doc_id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val members = baseLabels.join(broadcast(touchedClusters), Seq("cluster"), "left_semi")
+    val labelEdges = members.select(col("doc_id").as("id_a"), col("cluster").as("id_b"))
+    val labels = componentLabels(dp.unionByName(labelEdges))
+    // shard docs with no pair at all stay singleton components
+    val shardSingletons = Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(bucket >= splitAt)
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    val result = labels.select(col("doc_id"), col("cluster"))
+      .unionByName(shardSingletons)
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("is_rep"),
+        (bucket >= splitAt).as("is_new"))
+      .persist()
+    result.count()
+    labels.unpersist()
+    result
   }
 
   /** INCREMENTAL near-dup detection — the production ingest mode: join a

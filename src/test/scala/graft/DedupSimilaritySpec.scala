@@ -193,6 +193,44 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(sSalted.nonEmpty)
   }
 
+  test("delta clusters == full recompute restricted to shard-touching components") {
+    // the incremental-maintenance identity (d16): merging the shard's
+    // delta pairs into persisted base labels must reproduce the full
+    // recompute's labels on every component containing a shard doc
+    val full = Dedup.nearDupClusters(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def bucketOf(id: Long) = spark.range(1)
+      .select(graft.operators.TextAnalysis.splitBucket(lit(id)).cast("long"))
+      .head().getLong(0)
+    // pick a splitAt that actually splits the planted near-dup component
+    // 48..51 (all four in one cluster) so base components genuinely merge
+    // with shard docs — plus the default 200. The max planted bucket puts
+    // that doc in the shard and (unless all four tie) the rest in base.
+    val buckets = (48L to 51L).map(b => b -> bucketOf(b)).toMap
+    val mixedSplit = buckets.values.max.toInt
+    val splits = Seq(200, mixedSplit).distinct
+    for (splitAt <- splits) {
+      val got = Dedup.deltaClusters(spark, fixtureDir, splitAt = splitAt)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+        .toSet
+      val shardDocs = full.keySet.filter(id => bucketOf(id) >= splitAt)
+      val touchedClusters = shardDocs.map(full)
+      val expected = full.collect {
+        case (id, cl) if touchedClusters.contains(cl) =>
+          (id, cl, id == cl, bucketOf(id) >= splitAt)
+      }.toSet
+      assert(got == expected, s"splitAt=$splitAt")
+      assert(got.nonEmpty, s"splitAt=$splitAt produced no labels (vacuous)")
+    }
+    // non-vacuity of the MERGE itself: at mixedSplit at least one planted
+    // doc is base and one shard, so a base component genuinely absorbed
+    // shard members
+    val mixed = Dedup.deltaClusters(spark, fixtureDir, splitAt = mixedSplit)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(mixed.exists(_._2) && mixed.exists(!_._2),
+      "planted component no longer spans base and shard - strengthen fixture")
+  }
+
   test("delta joins: violated upsert contract degrades to no self-pairs") {
     // Re-ingesting an already-indexed doc_id violates the upsert contract;
     // the guard must keep id_a == id_b self-pairs out of the output
