@@ -122,6 +122,9 @@ object SparkEntry {
     "d11_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d).orderBy("id_a", "id_b")),
     "d12_boilerplate" -> ((s, d) => Dedup.boilerplateChunks(s, d).orderBy("doc_id")),
     "d14_span_scrub" -> ((s, d) => Dedup.spanScrub(s, d).orderBy("doc_id")),
+    // winnowed twin: ~(winnow+1)/2x fewer rows into the df shuffle, the
+    // standard weaker guarantee (shared runs >= w + winnow - 1 detected)
+    "d14b_winnowed_scrub" -> ((s, d) => Dedup.spanScrubWinnowed(s, d).orderBy("doc_id")),
     // d13's incremental ingest for the SIMHASH family: signature index on
     // bucket < 200, shard >= 200; oracle = d11's pair set restricted to
     // shard-touching pairs
@@ -723,6 +726,33 @@ object SparkEntry {
         |  sha256(coalesce(array_to_string([w[i] for i in range(1, len(w)+1)
         |    if len([p for p in spos if i >= p AND i <= p + 7]) = 0], ' '), '')) AS clean_sha
         |FROM sp2 ORDER BY doc_id""".stripMargin,
+    // winnowed span scrub: the d14 window CTE plus classic winnowing —
+    // every 4-digest window contributes its leftmost minimum's position
+    // (list_position = first occurrence; DuckDB list slicing clamps at
+    // the end exactly like Spark's slice); df/scrub run on the kept set
+    "d14b_winnowed_scrub" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |sp AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+        |       ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] END AS spans FROM t),
+        |dg AS (SELECT doc_id, w, spans, [md5(s) for s in spans] AS digs FROM sp),
+        |sel AS (SELECT doc_id, w, spans, digs,
+        |  list_sort(list_distinct([j + list_position(digs[j:j+3], list_min(digs[j:j+3])) - 1
+        |    for j in range(1, greatest(len(digs)-3, 1)+1)])) AS fpos FROM dg),
+        |df AS (SELECT d, count(DISTINCT doc_id) AS df FROM (
+        |  SELECT doc_id, unnest([digs[i] for i in fpos]) AS d FROM sel) GROUP BY 1),
+        |b AS (SELECT coalesce(list(d), []) AS bl FROM df WHERE df >= 2),
+        |s2 AS (SELECT doc_id, w, spans, fpos,
+        |  [i for i in fpos if list_contains(bl, digs[i])] AS spos FROM sel CROSS JOIN b)
+        |SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans,
+        |  CAST(len(fpos) AS BIGINT) AS n_fp,
+        |  CAST(len(spos) AS BIGINT) AS n_shared,
+        |  round(CAST(len(spos) AS DOUBLE) / len(spans), 4) AS shared_frac,
+        |  -- coalesce: duckdb array_to_string([]) is NULL, spark array_join([]) is ''
+        |  sha256(coalesce(array_to_string([w[i] for i in range(1, len(w)+1)
+        |    if len([p for p in spos if i >= p AND i <= p + 7]) = 0], ' '), '')) AS clean_sha
+        |FROM s2 ORDER BY doc_id""".stripMargin,
     "d8_embedding_neardup_lsh" -> {
       val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -888,6 +888,69 @@ object Dedup {
           .as("clean_sha"))
   }
 
+  /** WINNOWED span scrub — the bounded-shuffle twin of [[spanScrub]]
+    * (the a2b/a16b pattern: an exact tier plus a cheaper tier with a
+    * slightly different, also-standard guarantee). Winnowing (Schleimer
+    * et al., SIGMOD'03 — the MOSS fingerprint): from the same w-token
+    * window digest stream, every `winnow`-length window selects its
+    * (leftmost) minimum digest's position. Density is ~2/(winnow+1)
+    * instead of 1 per token, so the document-frequency shuffle carries
+    * ~(winnow+1)/2× fewer rows (measured in PERF.md); the guarantee
+    * weakens from "any shared w-token span detected" to the standard
+    * winnowing bound: any shared run of >= w + winnow - 1 tokens
+    * contains a fully-shared digest window, whose argmin position is
+    * selected in BOTH documents. Selection is pure per-document
+    * arithmetic over md5 digests — deterministic, tie-stable (leftmost
+    * occurrence, identical in any doc sharing the window), and replayed
+    * verbatim by the DuckDB oracle.
+    *
+    * Scale shape: identical to [[spanScrub]] except the df aggregation
+    * and position join see only the winnowed subset; everything before
+    * the shuffle is map-side.
+    */
+  def spanScrubWinnowed(spark: SparkSession, dir: String, w: Int = 8,
+      winnow: Int = 4, minDocs: Int = 2): DataFrame =
+    spanScrubWinnowedOf(Tables.documents(spark, dir), w, winnow, minDocs)
+
+  /** [[spanScrubWinnowed]] over an explicit (doc_id, text) frame. */
+  def spanScrubWinnowedOf(documents: DataFrame, w: Int = 8, winnow: Int = 4,
+      minDocs: Int = 2): DataFrame = {
+    val base = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        graft.plans.ShinglesExpr.wordShingles(col("text"), w).as("spans"))
+      .withColumn("digs", transform(col("spans"), s => md5(s)))
+    // 0-based winnowed positions — CLASSIC argmin-per-window selection:
+    // every length-`winnow` digest window contributes its leftmost
+    // minimum's position (array_position = first occurrence, so ties
+    // break identically in any doc sharing the window). slice() clamps
+    // at the array end exactly like the oracle's list slicing.
+    val withSel = base.withColumn("fpos", expr(
+      s"array_sort(array_distinct(transform(" +
+        s"sequence(0, greatest(size(digs) - $winnow, 0)), " +
+        s"j -> j + array_position(slice(digs, j + 1, $winnow), " +
+        s"array_min(slice(digs, j + 1, $winnow))) - 1)))"))
+    val selected = withSel
+      .select(col("doc_id"), col("digs"), explode(col("fpos")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        element_at(col("digs"), (col("pos") + 1).cast("int")).as("digest"))
+    val shared = selected.groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+    val sharedPos = selected.join(shared.select(col("digest")), Seq("digest"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("spos"))
+    val nShared = coalesce(size(col("spos")), lit(0)).cast("long")
+    withSel.join(sharedPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("spans")).cast("long").as("n_spans"),
+        size(col("fpos")).cast("long").as("n_fp"),
+        nShared.as("n_shared"),
+        round(nShared.cast("double") / size(col("spans")), 4).as("shared_frac"),
+        sha2(expr(s"array_join(filter(toks, (t, i) -> spos IS NULL OR " +
+          s"NOT exists(spos, p -> i >= p AND i <= p + ${w - 1})), ' ')"), 256)
+          .as("clean_sha"))
+  }
+
   /** SimHash: 16-nibble signature. For hex position p (1..16), sum
     * (hexval(md5(token)[p]) - 7.5) over all tokens; positive → bit 1.
     * The signature is a 16-bit int, compared within blocking buckets by

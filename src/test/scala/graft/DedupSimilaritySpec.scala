@@ -279,6 +279,64 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got(5L).getAs[String]("clean_sha") == sha(Seq.empty))
   }
 
+  test("winnowed span scrub: matches reference model, MOSS guarantee holds") {
+    // docs 1/2 share a 14-token run (>= w + winnow - 1 = 11, so detection
+    // is GUARANTEED: some 4-digest window lies fully inside the run and
+    // selects the same position in both); doc 3 is noise; docs 4/5 share
+    // only an 8-token span — d14 always finds it, d14b may or may not
+    // (below the winnowing bound), whatever the model says
+    val run = (1 to 14).map(i => s"RUN$i")
+    val span = (1 to 8).map(i => s"SP$i")
+    val aToks = (1 to 10).map(i => s"a$i") ++ run ++ (1 to 5).map(i => s"az$i")
+    val bToks = (1 to 3).map(i => s"b$i") ++ run ++ (1 to 12).map(i => s"bz$i")
+    val cToks = (1 to 20).map(i => s"c$i")
+    val dToks = (1 to 6).map(i => s"d$i") ++ span
+    val eToks = span ++ (1 to 6).map(i => s"e$i")
+    val all = Seq(1L -> aToks, 2L -> bToks, 3L -> cToks, 4L -> dToks, 5L -> eToks)
+    val docs = all.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text")
+
+    // independent reference model (plain Scala, same md5 arithmetic)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sha(toks: Seq[String]) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(toks.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val w = 8; val ws = 4
+    def spansOf(t: Seq[String]) =
+      if (t.length < w) Seq(t.mkString(" ")) else t.sliding(w).map(_.mkString(" ")).toSeq
+    val model = all.map { case (id, t) =>
+      val digs = spansOf(t).map(md5hex)
+      val fpos = (0 to math.max(digs.length - ws, 0)).map { j =>
+        val win = digs.slice(j, j + ws)
+        j + win.indexOf(win.min)
+      }.distinct.sorted
+      (id, t, digs, fpos)
+    }
+    val df = model.flatMap { case (id, _, digs, fpos) => fpos.map(p => (digs(p), id)) }
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).distinct.size }
+    val shared = df.filter(_._2 >= 2).keySet
+    val expected = model.map { case (id, t, digs, fpos) =>
+      val spos = fpos.filter(p => shared(digs(p)))
+      val clean = t.zipWithIndex.collect {
+        case (tok, i) if !spos.exists(p => i >= p && i <= p + w - 1) => tok
+      }
+      (id, digs.length.toLong, fpos.length.toLong, spos.length.toLong,
+        BigDecimal(spos.length.toDouble / digs.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        sha(clean))
+    }.toSet
+    val got = Dedup.spanScrubWinnowedOf(docs).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5))).toSet
+    assert(got == expected)
+    // the guaranteed detection really happened
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(byId(1L) >= 1 && byId(2L) >= 1, "planted 14-token run missed")
+    assert(byId(3L) == 0)
+    // density: winnowing kept well under half the spans for the long docs
+    val fp = got.map(r => r._1 -> (r._3, r._2)).toMap
+    assert(fp(1L)._1 < fp(1L)._2, "winnowing selected every span (no reduction)")
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
     val b = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
