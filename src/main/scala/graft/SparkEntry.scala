@@ -175,6 +175,12 @@ object SparkEntry {
     "m1_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d).drop("payload").orderBy("media_id")),
     "m2_media_stats" -> ((s, d) => Multimodal.mediaStats(s, d).orderBy("kind")),
     "m3_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d).orderBy("media_id", "frame_ts_ms")),
+    // image near-dup: dHash over pixel grids decoded from real BMP bytes,
+    // then the d11 band join (pigeonhole-exact at Hamming <= 3) — the
+    // oracle recomputes signatures arithmetically from the synthesized
+    // pixel function and brute-forces pairs, which radius-3 band blocking
+    // matches exactly
+    "m4_image_neardup" -> ((s, d) => Multimodal.imageNearDups(s, d).orderBy("id_a", "id_b")),
     // ---- emit: sharded corpus layout, gate-checked through the ACTUAL
     // write path — write the partitioned tree, read it back with partition
     // discovery, re-derive the (split, lang, shard) counts; the oracle
@@ -853,7 +859,7 @@ object SparkEntry {
          |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
     "m2_media_stats" ->
       """WITH t AS (SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
-        |  octet_length(encode(text)) AS len FROM documents),
+        |  coalesce(octet_length(encode(text)), 0) AS len FROM documents),
         |d AS (SELECT kind,
         |  CASE kind WHEN 'audio' THEN 44 + 2 * len WHEN 'image' THEN 54 + least(len, 64)
         |       ELSE 88 + least(len, 64) END AS nb,
@@ -1063,7 +1069,7 @@ object SparkEntry {
     // magic covers the BMP fileSize's little-endian low bytes.
     "m1_binary_meta" ->
       """WITH t AS (SELECT doc_id AS media_id, (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
-        |  octet_length(encode(text)) AS len FROM documents)
+        |  coalesce(octet_length(encode(text)), 0) AS len FROM documents)
         |SELECT media_id, kind,
         | CAST(CASE kind WHEN 'audio' THEN 44 + 2 * len WHEN 'image' THEN 54 + least(len, 64)
         |      ELSE 88 + least(len, 64) END AS BIGINT) AS n_bytes,
@@ -1074,9 +1080,33 @@ object SparkEntry {
     "m3_frame_sample" ->
       """SELECT media_id, duration_ms, unnest(generate_series(0, duration_ms, 5000)) AS frame_ts_ms
         |FROM (SELECT doc_id AS media_id,
-        |      CAST((30 + octet_length(encode(text)) % 900) * 33333 // 1000 AS BIGINT) AS duration_ms
+        |      CAST((30 + coalesce(octet_length(encode(text)), 0) % 900) * 33333 // 1000 AS BIGINT) AS duration_ms
         |      FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY media_id, frame_ts_ms""".stripMargin,
+    // image near-dup: the m4 gallery's gray(x, y) is pure integer
+    // arithmetic (Multimodal.grayPixel), so the dHash — bit y*8+x set iff
+    // gray(x+1,y) > gray(x,y) — unrolls to 64 constant-coordinate CASE
+    // terms; pairs brute-force over signatures with Hamming <= 3, which
+    // the Spark side's radius-3 band blocking matches pigeonhole-exactly
+    "m4_image_neardup" -> {
+      def g(x: Int, y: Int): String = {
+        val md5 = s"md5('px:' || (doc_id // 4) || ':' || ${x * 8 + y})"
+        val pert = if (x == 2 && y == 3)
+          " + (CASE WHEN doc_id % 4 = 3 THEN 37 ELSE 0 END)" else ""
+        s"(((${hexv(s"substr($md5, 1, 1)")} * 16 + ${hexv(s"substr($md5, 2, 1)")}) % 200)" +
+          s" + (doc_id % 4) * 5$pert)"
+      }
+      val bits = (0 until 64).map { i =>
+        val x = i % 8; val y = i / 8
+        s"(CASE WHEN ${g(x + 1, y)} > ${g(x, y)} THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH dh AS (SELECT doc_id AS media_id, CAST($bits AS BIGINT) AS dhash FROM documents)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+         |FROM dh a JOIN dh b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     // corpus layout: recomputed straight from documents with the shared
     // split bucket + the independent 'shard'-seeded md5 bucket — checks the
     // tree the Spark side actually WROTE and read back

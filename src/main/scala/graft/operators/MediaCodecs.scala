@@ -82,6 +82,77 @@ object MediaCodecs {
     b.array() // dwReserved[4] and filler stay zero
   }
 
+  /** BMP with REAL pixel rows (24bpp BI_RGB, bottom-up, 4-byte-aligned
+    * rows, zero padding): `gray(x, y)` supplies the value written to all
+    * three channels. Unlike [[buildBmp]]'s truncated filler, this body is
+    * a decodable pixel grid — the m4 perceptual-dedup input.
+    */
+  def buildBmpGray(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val fileSize = 54 + rowSize * height
+    val b = le(fileSize)
+    b.put('B'.toByte); b.put('M'.toByte); b.putInt(fileSize)
+    b.putShort(0); b.putShort(0); b.putInt(54)
+    b.putInt(40); b.putInt(width); b.putInt(height)
+    b.putShort(1); b.putShort(24)
+    b.putInt(0); b.putInt(rowSize * height)
+    b.putInt(2835); b.putInt(2835); b.putInt(0); b.putInt(0)
+    var r = 0
+    while (r < height) {
+      val y = height - 1 - r // positive biHeight => rows stored bottom-up
+      var x = 0
+      while (x < width) {
+        val v = (gray(x, y) & 0xff).toByte
+        b.put(v); b.put(v); b.put(v) // B, G, R
+        x += 1
+      }
+      var pad = rowSize - width * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      r += 1
+    }
+    b.array()
+  }
+
+  /** Decode a 24bpp BMP's pixel grid to gray values (blue channel — the
+    * m4 gallery is achromatic): header fields drive the data offset, row
+    * stride and the bottom-up row order; anything malformed (wrong bpp,
+    * truncated pixel array) returns None rather than failing the batch.
+    */
+  def parseBmpGray(p: Array[Byte]): Option[Array[Array[Int]]] = {
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val dataOff = leInt(p, 10)
+    val width = leInt(p, 18)
+    val height = leInt(p, 22)
+    if (leShort(p, 28) != 24 || width <= 0 || height <= 0 || dataOff < 54) return None
+    val rowSize = ((24 * width + 31) / 32) * 4
+    if (dataOff.toLong + rowSize.toLong * height > p.length) return None
+    Some(Array.tabulate(height, width) { (y, x) =>
+      p(dataOff + (height - 1 - y) * rowSize + x * 3) & 0xff
+    })
+  }
+
+  /** dHash: bit y*8+x set iff gray(x+1, y) > gray(x, y) — the classic
+    * difference hash over a 9×8 grid (brightness-shift invariant: adding
+    * a constant to every pixel changes no comparison). Grids beyond 9×8
+    * contribute only their top-left 9×8 window.
+    */
+  def dHash64(gray: Array[Array[Int]]): Long = {
+    var sig = 0L
+    var y = 0
+    val rows = math.min(gray.length, 8)
+    while (y < rows) {
+      val row = gray(y)
+      val cols = math.min(row.length - 1, 8)
+      var x = 0
+      while (x < cols) {
+        if (row(x + 1) > row(x)) sig |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    sig
+  }
+
   private def tag(p: Array[Byte], off: Int): String =
     new String(p, off, 4, "US-ASCII")
   private def leInt(p: Array[Byte], off: Int): Int =

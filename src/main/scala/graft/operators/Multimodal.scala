@@ -44,7 +44,10 @@ object Multimodal {
           case 1 => "audio"
           case _ => "video"
         }
-        MediaRow(id, MediaCodecs.synthesize(kind, id, text.getBytes("UTF-8").length), kind)
+        // null text = zero-length payload body (the corpus contract allows
+        // null text; a typed .getBytes here would NPE the whole batch)
+        val textLen = Option(text).map(_.getBytes("UTF-8").length).getOrElse(0)
+        MediaRow(id, MediaCodecs.synthesize(kind, id, textLen), kind)
       }
       .toDF()
   }
@@ -101,4 +104,71 @@ object Multimodal {
       .filter(col("kind") === "video")
       .select(col("media_id"), col("duration_ms"),
         explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))).as("frame_ts_ms"))
+
+  // ---- image near-dup (m4): perceptual dedup over decoded pixels ----
+
+  /** The m4 gallery's pixel function — md5-derived (the repo's portable
+    * hashing convention) so the oracle recomputes the decoded grid
+    * without touching bytes AND distinct base images get well-mixed,
+    * collision-free signatures (a linear pixel formula made thousands of
+    * galleries share a handful of dHash patterns): groups of FOUR
+    * consecutive ids share a base image (seed = id/4); members differ by
+    * a constant brightness shift ((id%4)·5 — dHash-INVARIANT, the
+    * property perceptual hashing exists for) and member 3 perturbs one
+    * pixel (+37 at (2,3) — flips at most the two comparisons touching
+    * it, a genuine near-identical-not-identical pair). Values stay in
+    * [0, 251]: no byte wrap, so the shift really is constant.
+    */
+  private[graft] def grayPixel(id: Long)(x: Int, y: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"px:${id / 4}:${x * 8 + y}".getBytes("UTF-8"))
+    val base = (d(0) & 0xff) % 200 // == first two md5 hex digits, mod 200
+    val pert = if (id % 4 == 3 && x == 2 && y == 3) 37 else 0
+    base + (id % 4).toInt * 5 + pert
+  }
+
+  /** A 9×8 grayscale BMP per document — real container bytes with a real
+    * pixel grid (the dHash-native raster; a production pipeline would
+    * decode-and-downscale arbitrary images to exactly this grid, which is
+    * the stubbed step — the bytes, BMP row layout and signature are real).
+    */
+  def imageTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, MediaCodecs.buildBmpGray(9, 8, grayPixel(id)), "image"))
+      .toDF()
+  }
+
+  /** Decode stage for m4: parse the pixel grid OUT OF THE BYTES (data
+    * offset, bottom-up rows, stride — the real BMP walk) and reduce it to
+    * the 64-bit dHash. Same typed-mapPartitions batch contract as
+    * [[decoded]]; undecodable payloads are dropped (None), never fail the
+    * batch.
+    */
+  def imageDHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.flatMap(r =>
+        MediaCodecs.parseBmpGray(r.payload)
+          .map(g => (r.media_id, MediaCodecs.dHash64(g)))))
+      .toDF("media_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs: the d11 band-join shape over the dHash
+    * signatures (4×16-bit bands, pigeonhole-exact at Hamming <= 3, hot
+    * blocks census+salted) — the perceptual-dedup family closing the
+    * multimodal loop. The signature table is session-persisted like the
+    * d11 signature cache (the pair search scans it three times).
+    */
+  def imageNearDups(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = graft.SessionCache.getOrElseUpdate(spark, ("imageDhash", dir)) {
+      imageDHashes(spark, dir)
+        .select(col("media_id").as("doc_id"), col("dhash").as("simhash"))
+        .persist()
+    }
+    Dedup.simhashPairsOf(sigs, maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

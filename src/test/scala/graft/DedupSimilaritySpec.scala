@@ -337,6 +337,29 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(fp(1L)._1 < fp(1L)._2, "winnowing selected every span (no reduction)")
   }
 
+  test("image near-dups: band-joined dHash pairs equal brute force over decoded pixels") {
+    import graft.operators.MediaCodecs
+    val pairs = Multimodal.imageNearDups(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // independent model: dHash straight from the pixel function (the
+    // Spark side must get the same values THROUGH the BMP bytes)
+    val ids = spark.read.parquet(s"$fixtureDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val sigs = ids.map(id => id -> MediaCodecs.dHash64(
+      Array.tabulate(8, 9)((y, x) => Multimodal.grayPixel(id)(x, y)))).toMap
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      h = java.lang.Long.bitCount(sigs(i) ^ sigs(j)) if h <= 3
+    } yield (i, j, h)).toSet
+    assert(pairs == brute)
+    // the planted structure: brightness-shifted members of group 48/4=12
+    // are EXACT dHash dups; the perturbed member 51 is near, not equal
+    assert(pairs.contains((48L, 49L, 0)) && pairs.contains((48L, 50L, 0)))
+    val p51 = pairs.find(p => p._1 == 48L && p._2 == 51L)
+    assert(p51.isDefined, "perturbed group member not matched")
+    assert(p51.get._3 >= 1 && p51.get._3 <= 2, s"perturbation hamming ${p51.get._3}")
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
     val b = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq

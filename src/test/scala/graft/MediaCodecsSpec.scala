@@ -69,6 +69,44 @@ class MediaCodecsSpec extends AnyFunSuite {
       ascii("avih") ++ le32(-56) ++ Array.fill[Byte](16)(0)).isEmpty)
   }
 
+  test("BMP pixel grid: golden bytes for a 2x2 image, parse round-trips") {
+    // 2x2 24bpp: row size ((48+31)/32)*4 = 8 (6 data + 2 pad); rows are
+    // stored BOTTOM-UP, so stored row 0 is image row y=1. Golden bytes
+    // hand-assembled: gray(x,y) = 10*x + y
+    val header = ascii("BM") ++ le32(54 + 16) ++ le16(0) ++ le16(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(16) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    val row1 = Array[Byte](1, 1, 1, 11, 11, 11, 0, 0)  // y=1: (0,1)=1 (1,1)=11
+    val row0 = Array[Byte](0, 0, 0, 10, 10, 10, 0, 0)  // y=0: (0,0)=0 (1,0)=10
+    val golden = header ++ row1 ++ row0
+    val built = MediaCodecs.buildBmpGray(2, 2, (x, y) => 10 * x + y)
+    assert(built.toSeq == golden.toSeq)
+    assert(MediaCodecs.parseBmpGray(golden).get.map(_.toSeq).toSeq ==
+      Seq(Seq(0, 10), Seq(1, 11)))
+    // truncated pixel array rejected, header-only BMP rejected
+    assert(MediaCodecs.parseBmpGray(golden.dropRight(1)).isEmpty)
+    assert(MediaCodecs.parseBmpGray(MediaCodecs.buildBmp(100, 50, 0)).isEmpty)
+  }
+
+  test("dHash: neighbor comparisons, brightness invariance, single-pixel locality") {
+    // 9x8 ramp: gray = x => every horizontal comparison is 'greater' =>
+    // all 64 bits set
+    val ramp = Array.tabulate(8, 9)((_, x) => x * 3)
+    assert(MediaCodecs.dHash64(ramp) == -1L)
+    val flat = Array.tabulate(8, 9)((_, _) => 7)
+    assert(MediaCodecs.dHash64(flat) == 0L)
+    // constant brightness shift never changes a comparison
+    val img = Array.tabulate(8, 9)((y, x) => (x * 37 + y * 11) % 200)
+    val brighter = img.map(_.map(_ + 40))
+    assert(MediaCodecs.dHash64(img) == MediaCodecs.dHash64(brighter))
+    // a single-pixel change flips at most the two comparisons touching it
+    val perturbed = img.map(_.clone)
+    perturbed(3)(2) += 37
+    val d = java.lang.Long.bitCount(
+      MediaCodecs.dHash64(img) ^ MediaCodecs.dHash64(perturbed))
+    assert(d <= 2, s"single pixel flipped $d bits")
+  }
+
   test("synthesize: field formulas round-trip through parse for every kind") {
     for (len <- Seq(0, 1, 63, 64, 65, 640, 2000); id <- 0L to 5L) {
       val wav = MediaCodecs.parse(MediaCodecs.synthesize("audio", id, len)).get
