@@ -148,9 +148,11 @@ object Dedup {
     // in one (band, bkey) bucket, and without the salt a single task owns
     // that bucket's m² candidate grid (same failure mode and remedy as
     // the d11 simhash bands)
+    // banded keys materialize once (the self-join's census + both sides
+    // would otherwise each re-run the k-MinHash pass — see the delta path)
     val candidates = blockedPairCandidates(
-      bandedKeys(withSh, bands, rowsPerBand), Seq("band", "bkey"), Nil,
-      hotBlockRows, salts = 16)
+      bandedKeys(withSh, bands, rowsPerBand).localCheckpoint(),
+      Seq("band", "bkey"), Nil, hotBlockRows, salts = 16)
     verifyJaccard(withSh, candidates, threshold)
   }
 
@@ -681,7 +683,14 @@ object Dedup {
     */
   private def deltaNearDupsFromShingles(deltaSh: DataFrame, index: NearDupIndex,
       threshold: Double, hotBlockRows: Long = 1L << 17): DataFrame = {
+    // materialized ONCE below the join boundary: the census + tag + join
+    // machinery references the shard's banded keys from ~8 plan subtrees,
+    // and without the checkpoint each one re-runs the k-MinHash pass over
+    // the shard's shingles (the PERF.md §1 re-evaluation trap, measured
+    // ~2x on the gate's steady passes). Storing 3 fixed-width rows/doc is
+    // strictly cheaper than re-hashing at any scale.
     val deltaBanded = bandedKeys(deltaSh, index.bands, index.rowsPerBand)
+      .localCheckpoint()
     // shard vs indexed: ids are disjoint (upsert contract), so min/max
     // normalization plus structural new-side flags — no membership join.
     // The id_n =!= id_o guard makes a VIOLATED contract (re-ingested
