@@ -181,6 +181,11 @@ object SparkEntry {
     // pixel function and brute-forces pairs, which radius-3 band blocking
     // matches exactly
     "m4_image_neardup" -> ((s, d) => Multimodal.imageNearDups(s, d).orderBy("id_a", "id_b")),
+    // video near-dup: per-frame dHash over '00db' DIB chunks decoded from
+    // real AVI bytes, shared-keyframe count join (boilerplate frames
+    // df-filtered first, the d12 pattern) — the oracle replays frame
+    // signatures arithmetically and re-joins
+    "m5_video_neardup" -> ((s, d) => Multimodal.videoNearDups(s, d).orderBy("id_a", "id_b")),
     // ---- emit: sharded corpus layout, gate-checked through the ACTUAL
     // write path — write the partitioned tree, read it back with partition
     // discovery, re-derive the (split, lang, shard) counts; the oracle
@@ -1105,6 +1110,35 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
          |FROM dh a JOIN dh b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    // video near-dup: the m5 gallery's frame pixels are
+    // (vid // 2, f)-seeded md5 arithmetic (Multimodal.videoFramePixel),
+    // so each frame's dHash unrolls exactly like m4's with the frame
+    // number as a column; pairs re-join on exact frame-hash equality
+    // after the df > 64 boilerplate-frame filter, count >= 2 shared
+    "m5_video_neardup" -> {
+      def g(x: Int, y: Int): String = {
+        val md5 = s"md5('vf:' || (vid // 2) || ':' || f || ':' || ${x * 8 + y})"
+        val pert = if (x == 2 && y == 3)
+          " + (CASE WHEN vid % 2 = 1 AND f = 3 THEN 37 ELSE 0 END)" else ""
+        s"(((${hexv(s"substr($md5, 1, 1)")} * 16 + ${hexv(s"substr($md5, 2, 1)")}) % 200)" +
+          s" + (vid % 2) * 5$pert)"
+      }
+      val bits = (0 until 64).map { i =>
+        val x = i % 8; val y = i / 8
+        s"(CASE WHEN ${g(x + 1, y)} > ${g(x, y)} THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT doc_id AS media_id, (doc_id - 2) // 3 AS vid
+         |           FROM documents WHERE doc_id % 3 = 2),
+         |fr AS (SELECT media_id, vid, unnest(generate_series(0, 3)) AS f FROM v),
+         |dh AS (SELECT DISTINCT media_id, CAST($bits AS BIGINT) AS dhash FROM fr),
+         |keep AS (SELECT media_id, dhash FROM dh WHERE dhash NOT IN
+         |         (SELECT dhash FROM dh GROUP BY dhash HAVING count(*) > 64))
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM keep a JOIN keep b ON a.dhash = b.dhash AND a.media_id < b.media_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY id_a, id_b""".stripMargin
     },
     // corpus layout: recomputed straight from documents with the shared

@@ -124,11 +124,112 @@ object MediaCodecs {
     val width = leInt(p, 18)
     val height = leInt(p, 22)
     if (leShort(p, 28) != 24 || width <= 0 || height <= 0 || dataOff < 54) return None
+    decodeGrid(p, dataOff, width, height)
+  }
+
+  /** Shared 24bpp DIB pixel-array decode (bottom-up rows, 4-byte stride,
+    * blue channel): the raster walk behind both [[parseBmpGray]] and the
+    * AVI '00db' frame chunks, which carry exactly this layout minus the
+    * BMP file header. None when the array overruns the buffer.
+    */
+  private def decodeGrid(p: Array[Byte], dataOff: Int,
+      width: Int, height: Int): Option[Array[Array[Int]]] = {
     val rowSize = ((24 * width + 31) / 32) * 4
-    if (dataOff.toLong + rowSize.toLong * height > p.length) return None
-    Some(Array.tabulate(height, width) { (y, x) =>
+    if (dataOff < 0 || dataOff.toLong + rowSize.toLong * height > p.length) None
+    else Some(Array.tabulate(height, width) { (y, x) =>
       p(dataOff + (height - 1 - y) * rowSize + x * 3) & 0xff
     })
+  }
+
+  /** AVI with REAL frame data: RIFF('AVI ') > LIST(hdrl) > avih +
+    * LIST(movi) with one '00db' (uncompressed DIB) chunk per frame, each
+    * chunk the 24bpp bottom-up pixel rows of [[buildBmpGray]]'s layout
+    * without the BMP file header — the standard uncompressed-AVI frame
+    * encoding. Unlike [[buildAvi]]'s truncated filler, every frame is a
+    * decodable grid: the m5 video-dedup input.
+    */
+  def buildAviFrames(usPerFrame: Int, width: Int, height: Int,
+      frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val frameBytes = rowSize * height // multiple of 4, so always word-aligned
+    val moviSize = 4 + frames.length * (8 + frameBytes)
+    val riffSize = 4 + (8 + 68) + (8 + moviSize)
+    val b = le(8 + riffSize)
+    b.put("RIFF".getBytes("US-ASCII")); b.putInt(riffSize); b.put("AVI ".getBytes("US-ASCII"))
+    b.put("LIST".getBytes("US-ASCII")); b.putInt(68); b.put("hdrl".getBytes("US-ASCII"))
+    b.put("avih".getBytes("US-ASCII")); b.putInt(56)
+    b.putInt(usPerFrame); b.putInt(0); b.putInt(0); b.putInt(0)
+    b.putInt(frames.length); b.putInt(0); b.putInt(1); b.putInt(0)
+    b.putInt(width); b.putInt(height)
+    b.position(b.position() + 16) // dwReserved[4]
+    b.put("LIST".getBytes("US-ASCII")); b.putInt(moviSize); b.put("movi".getBytes("US-ASCII"))
+    frames.foreach { gray =>
+      b.put("00db".getBytes("US-ASCII")); b.putInt(frameBytes)
+      var r = 0
+      while (r < height) {
+        val y = height - 1 - r
+        var x = 0
+        while (x < width) {
+          val v = (gray(x, y) & 0xff).toByte
+          b.put(v); b.put(v); b.put(v)
+          x += 1
+        }
+        var pad = rowSize - width * 3
+        while (pad > 0) { b.put(0.toByte); pad -= 1 }
+        r += 1
+      }
+    }
+    b.array()
+  }
+
+  /** Decode an AVI's frame grids: avih supplies the dimensions (the walk
+    * [[parseAvi]] does), then every '00db' chunk under LIST(movi) decodes
+    * through the shared DIB raster walk. None for anything malformed —
+    * missing header, corrupt (negative) chunk size, truncated frame — an
+    * executor task must never loop on bad bytes.
+    */
+  def parseAviFrames(p: Array[Byte]): Option[Seq[Array[Array[Int]]]] = {
+    if (p.length < 12 || tag(p, 0) != "RIFF" || tag(p, 8) != "AVI ") return None
+    var width = 0
+    var height = 0
+    val frames = Seq.newBuilder[Array[Array[Int]]]
+    var off = 12
+    while (off + 12 <= p.length) {
+      val id = tag(p, off)
+      val size = leInt(p, off + 4)
+      if (size < 0) return None
+      if (id == "LIST" && tag(p, off + 8) == "hdrl") {
+        var in = off + 12
+        val end = math.min(off + 8 + size, p.length)
+        while (in + 8 <= end) {
+          val csz = leInt(p, in + 4)
+          if (csz < 0) return None
+          if (tag(p, in) == "avih" && in + 8 + 40 <= p.length) {
+            width = leInt(p, in + 8 + 32)
+            height = leInt(p, in + 8 + 36)
+          }
+          in += 8 + csz + (csz & 1)
+        }
+      } else if (id == "LIST" && tag(p, off + 8) == "movi") {
+        if (width <= 0 || height <= 0) return None // header must precede movi
+        var in = off + 12
+        val end = math.min(off + 8 + size, p.length)
+        while (in + 8 <= end) {
+          val csz = leInt(p, in + 4)
+          if (csz < 0) return None
+          if (tag(p, in) == "00db") {
+            decodeGrid(p, in + 8, width, height) match {
+              case Some(g) => frames += g
+              case None => return None // truncated frame
+            }
+          }
+          in += 8 + csz + (csz & 1)
+        }
+      }
+      off += 8 + size + (size & 1)
+    }
+    val out = frames.result()
+    if (out.isEmpty) None else Some(out)
   }
 
   /** dHash: bit y*8+x set iff gray(x+1, y) > gray(x, y) — the classic

@@ -171,4 +171,83 @@ object Multimodal {
     Dedup.simhashPairsOf(sigs, maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  // ---- video near-dup (m5): shared-keyframe dedup over decoded frames ----
+
+  /** The m5 gallery's per-frame pixel function, md5-derived like
+    * [[grayPixel]]: PAIRS of consecutive video indices share a base
+    * 4-frame sequence (seed = vid/2); the second member shifts brightness
+    * by +5 on every frame (dHash-invariant on all of them) and perturbs
+    * one pixel of its LAST frame (+37 at (2,3) — that frame may drift 1-2
+    * dHash bits, a genuine partial-overlap pair). Values stay in [0, 241].
+    */
+  private[graft] def videoFramePixel(vid: Long, f: Int)(x: Int, y: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"vf:${vid / 2}:$f:${x * 8 + y}".getBytes("UTF-8"))
+    val base = (d(0) & 0xff) % 200
+    val pert = if (vid % 2 == 1 && f == 3 && x == 2 && y == 3) 37 else 0
+    base + (vid % 2).toInt * 5 + pert
+  }
+
+  /** A 4-frame 9×8 AVI per VIDEO document (doc_id ≡ 2 mod 3, the m1/m3
+    * convention): real RIFF structure with '00db' DIB frames — the
+    * decode-and-downscale of production footage is the stubbed step, the
+    * container walk, frame bytes and signatures are real.
+    */
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 2).as[Long]
+      .map { id =>
+        val vid = (id - 2) / 3
+        MediaRow(id, MediaCodecs.buildAviFrames(33333, 9, 8,
+          (0 until 4).map(f => videoFramePixel(vid, f) _)), "video")
+      }
+      .toDF()
+  }
+
+  /** Decode stage for m5: walk the AVI out of the bytes, dHash every
+    * frame. One output row per (video, frame index); undecodable payloads
+    * are dropped, never fail the batch.
+    */
+  def videoFrameHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.flatMap(r =>
+        MediaCodecs.parseAviFrames(r.payload).toSeq.flatMap(_.zipWithIndex.map {
+          case (g, f) => (r.media_id, f, MediaCodecs.dHash64(g))
+        })))
+      .toDF("media_id", "frame_idx", "dhash")
+  }
+
+  /** Video near-duplicate pairs by SHARED KEYFRAMES: two videos match
+    * when >= `minShared` of their distinct frame dHashes coincide
+    * exactly — the standard keyframe-fingerprint video dedup. Scale
+    * shape: one equi-join keyed on the 64-bit frame hash, so pair work is
+    * confined to genuinely-shared frames; ubiquitous frames (df >
+    * `maxDf` videos — intro cards, test patterns, black frames) are
+    * dropped FIRST via the d12 boilerplate pattern (full frequency agg,
+    * Zipf-tail hot set broadcast into an anti-join), which both bounds
+    * every join block by maxDf and keeps title-card matches from welding
+    * unrelated videos into one clique. Output: (id_a, id_b, n_shared).
+    */
+  def videoNearDups(spark: SparkSession, dir: String,
+      maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+    val fh = graft.SessionCache.getOrElseUpdate(spark, ("videoFrameHash", dir)) {
+      videoFrameHashes(spark, dir)
+        .select(col("media_id"), col("dhash")).distinct()
+        .persist()
+    }
+    val hot = fh.groupBy(col("dhash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("dhash"))
+    val keep = fh.join(broadcast(hot), Seq("dhash"), "left_anti")
+    keep.select(col("dhash"), col("media_id").as("id_a"))
+      .join(keep.select(col("dhash"), col("media_id").as("id_b")), Seq("dhash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared")) // sides are distinct per video
+      .filter(col("n_shared") >= minShared)
+  }
 }

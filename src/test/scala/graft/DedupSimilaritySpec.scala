@@ -360,6 +360,36 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(p51.get._3 >= 1 && p51.get._3 <= 2, s"perturbation hamming ${p51.get._3}")
   }
 
+  test("video near-dups: shared-keyframe pairs equal brute force over decoded frames") {
+    import graft.operators.MediaCodecs
+    val got = Multimodal.videoNearDups(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent model straight from the pixel function (the Spark side
+    // must reach the same hashes THROUGH the AVI container walk)
+    val vids = spark.read.parquet(s"$fixtureDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 3 == 2).sorted.toSeq
+    val hashes: Map[Long, Set[Long]] = vids.map { id =>
+      val vid = (id - 2) / 3
+      id -> (0 until 4).map(f => MediaCodecs.dHash64(
+        Array.tabulate(8, 9)((y, x) => Multimodal.videoFramePixel(vid, f)(x, y)))).toSet
+    }.toMap
+    val df = hashes.values.flatten.groupBy(identity).map { case (h, o) => h -> o.size }
+    val kept = hashes.map { case (id, hs) => id -> hs.filter(df(_) <= 64) }
+    val brute = (for {
+      a <- vids; b <- vids if a < b
+      n = (kept(a) intersect kept(b)).size.toLong if n >= 2
+    } yield (a, b, n)).toSet
+    assert(got == brute)
+    // planted structure: vids 0 (doc 2) and 1 (doc 5) share a base
+    // sequence — frames 0-2 are brightness-shift-identical, frame 3 is
+    // perturbed (may or may not drift bits), so 3 or 4 shared keyframes
+    val p = got.find(t => t._1 == 2L && t._2 == 5L)
+    assert(p.isDefined, "paired gallery videos not matched")
+    assert(p.get._3 >= 3L && p.get._3 <= 4L, s"shared frames ${p.get._3}")
+    // unrelated seeds never pair (md5-mixed frames, no accidental overlap)
+    assert(got.forall { case (a, b, _) => (a - 2) / 3 / 2 == (b - 2) / 3 / 2 })
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
     val b = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq

@@ -88,6 +88,39 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.parseBmpGray(MediaCodecs.buildBmp(100, 50, 0)).isEmpty)
   }
 
+  test("AVI frames: golden bytes for a 2-frame 2x2 video, parse round-trips") {
+    // frame chunk = BMP pixel rows without the file header: row size 8,
+    // frame bytes 16; movi = 4 + 2*(8+16) = 52; riff = 4 + 76 + 60 = 140
+    val avih = le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(2) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(2) ++ le32(2) ++ Array.fill[Byte](16)(0)
+    def frame(g: (Int, Int) => Int) = {
+      def px(x: Int, y: Int) = { val v = g(x, y).toByte; Array[Byte](v, v, v) }
+      // bottom-up: stored row 0 is image y=1
+      px(0, 1) ++ px(1, 1) ++ Array[Byte](0, 0) ++
+        px(0, 0) ++ px(1, 0) ++ Array[Byte](0, 0)
+    }
+    val f0 = (x: Int, y: Int) => 10 * x + y
+    val f1 = (x: Int, y: Int) => 100 - 10 * x - y
+    val golden = ascii("RIFF") ++ le32(140) ++ ascii("AVI ") ++
+      ascii("LIST") ++ le32(68) ++ ascii("hdrl") ++ ascii("avih") ++ le32(56) ++ avih ++
+      ascii("LIST") ++ le32(52) ++ ascii("movi") ++
+      ascii("00db") ++ le32(16) ++ frame(f0) ++
+      ascii("00db") ++ le32(16) ++ frame(f1)
+    val built = MediaCodecs.buildAviFrames(33333, 2, 2, Seq(f0, f1))
+    assert(built.toSeq == golden.toSeq)
+    val frames = MediaCodecs.parseAviFrames(golden).get
+    assert(frames.map(_.map(_.toSeq).toSeq) == Seq(
+      Seq(Seq(0, 10), Seq(1, 11)), Seq(Seq(100, 90), Seq(99, 89))))
+    // the header decode still reads the frame-carrying container
+    val meta = MediaCodecs.parse(golden).get
+    assert(meta.width == 2 && meta.height == 2 && meta.durationMs == 66L)
+    // truncated last frame rejected; frame-less legacy skeleton rejected
+    assert(MediaCodecs.parseAviFrames(golden.dropRight(1)).isEmpty)
+    assert(MediaCodecs.parseAviFrames(
+      MediaCodecs.buildAvi(33333, 30, 16, 16, 64)).isEmpty)
+  }
+
   test("dHash: neighbor comparisons, brightness invariance, single-pixel locality") {
     // 9x8 ramp: gray = x => every horizontal comparison is 'greater' =>
     // all 64 bits set
