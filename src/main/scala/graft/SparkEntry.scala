@@ -186,6 +186,11 @@ object SparkEntry {
     // df-filtered first, the d12 pattern) — the oracle replays frame
     // signatures arithmetically and re-joins
     "m5_video_neardup" -> ((s, d) => Multimodal.videoNearDups(s, d).orderBy("id_a", "id_b")),
+    // audio near-dup: gain-invariant energy-delta fingerprint over PCM
+    // samples decoded from real WAV bytes, then the d11 band join — the
+    // oracle recomputes window amplitudes arithmetically (gain drops out
+    // of the energy comparisons) and brute-forces pairs
+    "m6_audio_neardup" -> ((s, d) => Multimodal.audioNearDups(s, d).orderBy("id_a", "id_b")),
     // ---- emit: sharded corpus layout, gate-checked through the ACTUAL
     // write path — write the partitioned tree, read it back with partition
     // discovery, re-derive the (split, lang, shard) counts; the oracle
@@ -1139,6 +1144,31 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_shared
          |FROM keep a JOIN keep b ON a.dhash = b.dhash AND a.media_id < b.media_id
          |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    // audio near-dup: window energies are 16 × the md5-derived step
+    // amplitude (Multimodal.audioWindowAmp) and the per-member GAIN
+    // multiplies both sides of every energy comparison, so the oracle's
+    // fingerprint needs only the 65 amplitudes (+ the member-1 window-63
+    // spike); pairs brute-force at Hamming <= 3, matched pigeonhole-
+    // exactly by the Spark side's 4x16-bit band join
+    "m6_audio_neardup" -> {
+      def a(w: Int): String = {
+        val md5 = s"md5('aw:' || (aid // 2) || ':' || $w)"
+        val pert = if (w == 63)
+          " + (CASE WHEN aid % 2 = 1 THEN 37 ELSE 0 END)" else ""
+        s"(((${hexv(s"substr($md5, 1, 1)")} * 16 + ${hexv(s"substr($md5, 2, 1)")}) % 200)$pert)"
+      }
+      val bits = (0 until 64).map { w =>
+        s"(CASE WHEN ${a(w + 1)} > ${a(w)} THEN CAST(${1L << w} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH au AS (SELECT doc_id AS media_id, (doc_id - 1) // 3 AS aid
+         |            FROM documents WHERE doc_id % 3 = 1),
+         |dh AS (SELECT media_id, CAST($bits AS BIGINT) AS fp FROM au)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         |FROM dh a JOIN dh b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     },
     // corpus layout: recomputed straight from documents with the shared

@@ -51,6 +51,78 @@ object MediaCodecs {
     b.array() // samples stay zero
   }
 
+  /** WAV with REAL 16-bit mono PCM samples (little-endian, the canonical
+    * 44-byte header of [[buildWav]]): the m6 audio-fingerprint input.
+    */
+  def buildWavSamples(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val b = le(44 + dataSize)
+    b.put("RIFF".getBytes("US-ASCII")); b.putInt(36 + dataSize); b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")); b.putInt(16)
+    b.putShort(1); b.putShort(1)
+    b.putInt(sampleRate); b.putInt(sampleRate * 2)
+    b.putShort(2); b.putShort(16)
+    b.put("data".getBytes("US-ASCII")); b.putInt(dataSize)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** Decode a 16-bit mono PCM WAV to (sampleRate, samples): the RIFF walk
+    * [[parseWave]] does, plus reading the data chunk's little-endian
+    * samples. None for other encodings or a truncated data chunk.
+    */
+  def parseWavSamples(p: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (p.length < 12 || tag(p, 0) != "RIFF" || tag(p, 8) != "WAVE") return None
+    var off = 12
+    var sampleRate = 0
+    var ok = false // fmt seen: PCM, mono, 16-bit
+    var dataOff = -1
+    var dataSize = -1
+    while (off + 8 <= p.length) {
+      val id = tag(p, off)
+      val size = leInt(p, off + 4)
+      if (size < 0) return None
+      if (id == "fmt " && off + 8 + 16 <= p.length) {
+        ok = leShort(p, off + 8) == 1 && leShort(p, off + 8 + 2) == 1 &&
+          leShort(p, off + 8 + 14) == 16
+        sampleRate = leInt(p, off + 8 + 4)
+      } else if (id == "data") { dataOff = off + 8; dataSize = size }
+      off += 8 + size + (size & 1)
+    }
+    if (!ok || sampleRate <= 0 || dataOff < 0 ||
+      dataOff.toLong + dataSize > p.length) return None
+    Some((sampleRate, Array.tabulate(dataSize / 2)(i =>
+      leShort(p, dataOff + i * 2).toShort)))
+  }
+
+  /** Energy-delta fingerprint — the audio analogue of [[dHash64]]: cut
+    * the stream into fixed `window`-sample frames, bit w set iff the
+    * (w+1)-th frame's energy (sum of |sample|) exceeds the w-th's. Sign
+    * of the energy DELTA is invariant under any positive gain, the
+    * property a loudness-normalizing pipeline needs. Streams beyond 65
+    * windows contribute only their first 65; missing windows leave bits 0.
+    */
+  def energyFingerprint64(samples: Array[Short], window: Int): Long = {
+    val nw = math.min(samples.length / window, 65)
+    val e = new Array[Long](nw)
+    var w = 0
+    while (w < nw) {
+      var j = w * window
+      val end = j + window
+      var s = 0L
+      while (j < end) { s += math.abs(samples(j).toInt); j += 1 }
+      e(w) = s
+      w += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i + 1 < nw) {
+      if (e(i + 1) > e(i)) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
   /** 54-byte BMP header (24bpp, BI_RGB); pixel data TRUNCATED to `filler`
     * bytes — documented synthetic shortcut, the header fields are real.
     */

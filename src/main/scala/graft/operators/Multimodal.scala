@@ -231,6 +231,71 @@ object Multimodal {
     * every join block by maxDf and keeps title-card matches from welding
     * unrelated videos into one clique. Output: (id_a, id_b, n_shared).
     */
+  // ---- audio near-dup (m6): gain-invariant fingerprint over decoded PCM ----
+
+  /** The m6 gallery's per-window amplitude, md5-derived like its image and
+    * video siblings: PAIRS of consecutive audio indices share a base
+    * 65-window step wave (seed = aid/2); the second member doubles the
+    * gain (energy-DELTA-sign invariant — the property the fingerprint
+    * exists for) and spikes its window 63 (+37 — flips at most the two
+    * energy comparisons touching it). Constant samples per window are the
+    * synthesis simplification (production audio varies in-window; the
+    * window SUM the pipeline computes is real either way).
+    */
+  private[graft] def audioWindowAmp(aid: Long, w: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"aw:${aid / 2}:$w".getBytes("UTF-8"))
+    val base = (d(0) & 0xff) % 200
+    val pert = if (aid % 2 == 1 && w == 63) 37 else 0
+    base + pert
+  }
+
+  /** A 65-window × 16-sample WAV per AUDIO document (doc_id ≡ 1 mod 3,
+    * the m1 convention) — real RIFF/PCM bytes; sample j carries the
+    * gain-scaled window amplitude.
+    */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).filter(col("doc_id") % 3 === 1).as[Long]
+      .map { id =>
+        val aid = (id - 1) / 3
+        val gain = 1 + (aid % 2).toInt
+        val samples = Array.tabulate(65 * 16)(j =>
+          (audioWindowAmp(aid, j / 16) * gain).toShort)
+        MediaRow(id, MediaCodecs.buildWavSamples(8000, samples), "audio")
+      }
+      .toDF()
+  }
+
+  /** Decode stage for m6: PCM samples out of the WAV bytes, reduced to
+    * the 64-bit energy-delta fingerprint. Undecodable payloads dropped.
+    */
+  def audioFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, dir).as[MediaRow]
+      .mapPartitions(_.flatMap(r =>
+        MediaCodecs.parseWavSamples(r.payload)
+          .map { case (_, s) => (r.media_id, MediaCodecs.energyFingerprint64(s, 16)) }))
+      .toDF("media_id", "fp")
+  }
+
+  /** Audio near-duplicate pairs: the d11 band-join shape over the energy
+    * fingerprints (4×16-bit bands, pigeonhole-exact at Hamming <= 3,
+    * census+salt guarded) — same machinery as [[imageNearDups]], third
+    * modality of the perceptual-dedup family.
+    */
+  def audioNearDups(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = graft.SessionCache.getOrElseUpdate(spark, ("audioFp", dir)) {
+      audioFingerprints(spark, dir)
+        .select(col("media_id").as("doc_id"), col("fp").as("simhash"))
+        .persist()
+    }
+    Dedup.simhashPairsOf(sigs, maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   def videoNearDups(spark: SparkSession, dir: String,
       maxDf: Int = 64, minShared: Int = 2): DataFrame = {
     val fh = graft.SessionCache.getOrElseUpdate(spark, ("videoFrameHash", dir)) {

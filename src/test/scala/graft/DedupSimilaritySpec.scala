@@ -390,6 +390,34 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got.forall { case (a, b, _) => (a - 2) / 3 / 2 == (b - 2) / 3 / 2 })
   }
 
+  test("audio near-dups: band-joined fingerprints equal brute force over decoded samples") {
+    import graft.operators.MediaCodecs
+    val got = Multimodal.audioNearDups(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // independent model from the amplitude function (the Spark side must
+    // reach the same fingerprints THROUGH the WAV bytes and energy sums;
+    // gain drops out of the comparisons)
+    val ids = spark.read.parquet(s"$fixtureDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 3 == 1).sorted.toSeq
+    val fps = ids.map { id =>
+      val aid = (id - 1) / 3
+      val amps = (0 until 65).map(Multimodal.audioWindowAmp(aid, _))
+      id -> (0 until 64).map(w => if (amps(w + 1) > amps(w)) 1L << w else 0L).sum
+    }.toMap
+    val brute = (for {
+      i <- ids; j <- ids if i < j
+      h = java.lang.Long.bitCount(fps(i) ^ fps(j)) if h <= 3
+    } yield (i, j, h)).toSet
+    assert(got == brute)
+    // planted structure: aids 0 (doc 1) and 1 (doc 4) share a base wave —
+    // the gain doubling alone is fingerprint-exact, the window-63 spike
+    // may drift the two touching bits
+    val p = got.find(t => t._1 == 1L && t._2 == 4L)
+    assert(p.isDefined, "paired gallery audio not matched")
+    assert(p.get._3 <= 2, s"spike hamming ${p.get._3}")
+    assert(got.forall { case (a, b, _) => (a - 1) / 3 / 2 == (b - 1) / 3 / 2 })
+  }
+
   test("minhash signatures are deterministic across runs") {
     val a = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq
     val b = Dedup.minhashSignatures(spark, fixtureDir).orderBy("doc_id").collect().toSeq

@@ -121,6 +121,42 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.buildAvi(33333, 30, 16, 16, 64)).isEmpty)
   }
 
+  test("WAV samples: golden bytes round-trip, fingerprint gain invariance") {
+    val samples = Array[Short](0, -1, 32767, -32768, 257)
+    val built = MediaCodecs.buildWavSamples(8000, samples)
+    // golden: canonical header + little-endian sample words
+    val golden = ascii("RIFF") ++ le32(36 + 10) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+      le16(2) ++ le16(16) ++ ascii("data") ++ le32(10) ++
+      Array[Byte](0, 0, -1, -1, -1, 127, 0, -128, 1, 1)
+    assert(built.toSeq == golden.toSeq)
+    val (rate, back) = MediaCodecs.parseWavSamples(built).get
+    assert(rate == 8000 && back.toSeq == samples.toSeq)
+    // the header decode still reads it; truncated data rejected; the
+    // legacy zero-sample builder parses (all-zero samples are valid PCM)
+    assert(MediaCodecs.parse(built).get.sampleRate == 8000)
+    assert(MediaCodecs.parseWavSamples(built.dropRight(1)).isEmpty)
+    assert(MediaCodecs.parseWavSamples(MediaCodecs.buildWav(8000, 3)).get
+      ._2.toSeq == Seq[Short](0, 0, 0))
+
+    // fingerprint: rising window energies => all 64 bits; flat => 0
+    def steps(amps: Seq[Int]) = amps.flatMap(a => Seq.fill(16)(a.toShort)).toArray
+    assert(MediaCodecs.energyFingerprint64(steps(0 to 64), 16) == -1L)
+    assert(MediaCodecs.energyFingerprint64(steps(Seq.fill(65)(7)), 16) == 0L)
+    // positive gain never changes an energy comparison
+    val amps = (0 until 65).map(w => (w * 37 + 11) % 200)
+    val fp1 = MediaCodecs.energyFingerprint64(steps(amps), 16)
+    val fp2 = MediaCodecs.energyFingerprint64(steps(amps.map(_ * 3)), 16)
+    assert(fp1 == fp2)
+    // a single-window spike flips at most the two comparisons touching it
+    val spiked = amps.updated(30, amps(30) + 37)
+    val d = java.lang.Long.bitCount(fp1 ^ MediaCodecs.energyFingerprint64(steps(spiked), 16))
+    assert(d <= 2, s"single window flipped $d bits")
+    // negative samples contribute |sample| (the -1 run beats the 0 run)
+    assert((MediaCodecs.energyFingerprint64(
+      steps(Seq(0, -1) ++ Seq.fill(63)(0)), 16) & 1L) == 1L)
+  }
+
   test("dHash: neighbor comparisons, brightness invariance, single-pixel locality") {
     // 9x8 ramp: gray = x => every horizontal comparison is 'greater' =>
     // all 64 bits set
