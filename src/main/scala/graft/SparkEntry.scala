@@ -73,6 +73,10 @@ object SparkEntry {
     "j3_left_join_agg" -> ((s, d) => Library.leftJoinAgg(s, d).orderBy("segment")),
     "j4_anti_join" -> ((s, d) => Library.antiJoin(s, d).orderBy("c_custkey")),
     "j5_hierarchy_expand" -> ((s, d) => Library.hierarchyExpand(s, d).orderBy("parent", "child")),
+    // folder-tree FULL recursion (the reference stops at one level):
+    // BFS fixpoint over the synthetic 4-ary folder tree; (anc, dsc) is
+    // unique in a tree so the order is total
+    "j5b_folder_closure" -> ((s, d) => Library.folderClosure(s, d).orderBy("anc", "dsc")),
     "j8_similar_name_join" -> ((s, d) => Library.similarNameJoin(s, d).orderBy("key_a", "key_b")),
     // ---- filters (§2.3) ----
     "f3_like" -> ((s, d) => Library.likeFilter(s, d).orderBy("p_partkey")),
@@ -429,6 +433,17 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') ORDER BY c_custkey",
     "j5_hierarchy_expand" ->
       "SELECT r_name AS parent, n_name AS child FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY parent, child",
+    // the recursive CTE is DuckDB's native spelling of the same fixpoint
+    // the Spark side iterates level-by-level
+    "j5b_folder_closure" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey // 4 AS parent, p_partkey AS child FROM part WHERE p_partkey >= 1),
+        |c AS (
+        |  SELECT parent AS anc, child AS dsc, CAST(1 AS BIGINT) AS depth FROM e
+        |  UNION ALL
+        |  SELECT c.anc, e.child, CAST(c.depth + 1 AS BIGINT) AS depth
+        |  FROM c JOIN e ON e.parent = c.dsc)
+        |SELECT anc, dsc, depth FROM c ORDER BY anc, dsc""".stripMargin,
     "j8_similar_name_join" ->
       """WITH wk AS (SELECT p_partkey, p_name, regexp_replace(p_name, ' \d$', '') AS ckey FROM part WHERE p_partkey < 500)
         |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_name AS name_a, b.p_name AS name_b

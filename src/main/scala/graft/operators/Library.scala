@@ -326,6 +326,50 @@ object Library {
       .select(col("r_name").as("parent"), col("n_name").as("child"))
   }
 
+  /** J5b — folder-tree recursion as an iterative fixpoint, BEYOND the
+    * reference's one-level expansion (playlistlinks.py:153-162 expands a
+    * folder only to its direct children): the FULL ancestor→descendant
+    * closure with depth, computed level-by-level until the frontier
+    * empties. Folder tree synthesized deterministically from part —
+    * folder k's parent is k div 4 (a 4-ary tree rooted at 0), so both
+    * engines derive identical edges arithmetically.
+    *
+    * Scale shape: BFS frontier iteration, the d9 loop machinery — each
+    * round ONE equi-join of the current frontier (rows at depth d)
+    * against the edge table keyed on parent, `localCheckpoint` truncates
+    * lineage so round N's plan doesn't replay rounds 1..N-1. Work per
+    * round is linear in the frontier; rounds are bounded by tree DEPTH
+    * (logarithmic for any branching factor > 1 — ~8 rounds at 100 TB),
+    * unlike transitive-closure doubling whose intermediates go quadratic.
+    * The edge table is repartitioned by parent once and persisted, so
+    * every round's join reuses the same layout and only the (shrinking)
+    * frontier shuffles.
+    */
+  def folderClosure(spark: SparkSession, dir: String, maxIter: Int = 40): DataFrame = {
+    val edges = Tables.part(spark, dir)
+      .filter(col("p_partkey") >= 1)
+      .select(expr("p_partkey div 4").as("parent"), col("p_partkey").as("child"))
+      .repartition(col("parent"))
+      .persist()
+    var frontier = edges
+      .select(col("parent").as("anc"), col("child").as("dsc"), lit(1L).as("depth"))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var it = 0
+    var growing = true
+    while (growing && it < maxIter) {
+      val next = frontier.join(edges, frontier("dsc") === edges("parent"))
+        .select(frontier("anc"), edges("child").as("dsc"),
+          (frontier("depth") + 1L).as("depth"))
+        .localCheckpoint()
+      if (next.isEmpty) growing = false
+      else { levels += next; frontier = next }
+      it += 1
+    }
+    edges.unpersist()
+    levels.reduce(_ unionByName _)
+  }
+
   /** J8 + X14 (dedup.py:146-171): similar-name candidate generation via
     * explode of deterministic variants, then self-join. The generator is a
     * codegen'd transform/explode (no custom Generator, SURVEY §2.9).

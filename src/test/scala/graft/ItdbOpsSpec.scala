@@ -195,4 +195,27 @@ class ItdbOpsSpec extends SparkSuite {
     assert(got(10L) == ((Some(t(200L)), None)))
     assert(got(12L) == ((None, None)))
   }
+
+  test("folder closure: BFS fixpoint equals the walked-up ancestor chains") {
+    val dir = sf("sf0.001")
+    val got = graft.operators.Library.folderClosure(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent model: every node's ancestor chain by repeated k/4,
+    // depth counting up — the closure of a tree is exactly these chains
+    val keys = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey").collect().map(_.getLong(0)).filter(_ >= 1)
+    val expected = keys.flatMap { k =>
+      val chain = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var a = k / 4
+      var d = 1L
+      chain += ((a, k, d))
+      while (a > 0) { a /= 4; d += 1; chain += ((a, k, d)) }
+      chain
+    }.toSet
+    assert(got == expected)
+    // spot structure: deepest node at sf0.001 (max key 199) has the full
+    // chain 199 -> 49 -> 12 -> 3 -> 0
+    assert(got.filter(_._2 == 199L) ==
+      Set((49L, 199L, 1L), (12L, 199L, 2L), (3L, 199L, 3L), (0L, 199L, 4L)))
+  }
 }
