@@ -135,6 +135,12 @@ object SparkEntry {
     "d15_delta_simhash" -> ((s, d) =>
       Dedup.deltaSimhashGate(s, d).orderBy("id_a", "id_b")),
     "d6_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDupsBounded(s, d, 0.35).orderBy("id_a", "id_b")),
+    // incremental embedding ingest — the d13/d15 pattern for the third
+    // dedup family: banded LSH index over bucket < 200 vectors, shard
+    // band-joins it map-side, exact cosine verifies after the candidate
+    // distinct; oracle = d6's pair set restricted to shard-touching pairs
+    "d17_delta_embedding" -> ((s, d) =>
+      Dedup.deltaEmbeddingGate(s, d).orderBy("id_a", "id_b")),
     "d7_tail_fingerprint" -> ((s, d) => Dedup.tailFingerprint(s, d).orderBy("doc_id")),
     "d8_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d, 0.3).orderBy("id_a", "id_b")),
     "d9_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d).orderBy("doc_id")),
@@ -661,6 +667,30 @@ object SparkEntry {
          |  SELECT id_a, id_b, round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) AS cos
          |  FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b)
          |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
+    },
+    // incremental embedding ingest: d6's banded-LSH pair set with split
+    // flags over the vec_id md5 bucket, restricted to shard-touching
+    // pairs — exactly what the delta join against the banded index plus
+    // the shard-internal leg must reproduce
+    "d17_delta_embedding" -> {
+      val coeff = hexv("substr(md5('plane:' || (b*2+j) || ':' || i), 1, 1)")
+      val vecBucket = s"(${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)")})"
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+         |bkd AS (SELECT vec_id, label, b,
+         |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+         |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) AS bucket
+         |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM bkd a JOIN bkd b2 ON a.label = b2.label AND a.b = b2.b AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         |sb AS (SELECT vec_id, $vecBucket AS sbucket FROM embeddings)
+         |SELECT id_a, id_b, xa.sbucket >= 200 AS new_a, xb.sbucket >= 200 AS new_b, cos
+         |FROM (
+         |  SELECT id_a, id_b, round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) AS cos
+         |  FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b) p
+         |JOIN sb xa ON xa.vec_id = id_a JOIN sb xb ON xb.vec_id = id_b
+         |WHERE cos >= 0.35 AND (xa.sbucket >= 200 OR xb.sbucket >= 200)
+         |ORDER BY id_a, id_b""".stripMargin
     },
     "d7_tail_fingerprint" ->
       "SELECT doc_id, sha256(right(text, 100)) AS tail_digest FROM documents ORDER BY doc_id",

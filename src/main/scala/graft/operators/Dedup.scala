@@ -1177,27 +1177,129 @@ object Dedup {
       threshold: Double = 0.35, bands: Int = 4, planesPerBand: Int = 2,
       hotBlockRows: Long = 1L << 17): DataFrame = {
     val e = Similarity.preparedEmbeddings(spark, dir)
-    // all band buckets in ONE projection over one scan, then (band, bucket)
-    // rows via posexplode — only (label, vec_id, band, bucket) shuffles;
-    // a degenerate (label, band, bucket) block (mass-duplicated vectors)
-    // gets the census + salt guard like every other blocked self-join
-    val bandCols = array((0 until bands).map(b =>
-      Similarity.bandBucketExpr(col("v"), b * planesPerBand, planesPerBand)): _*)
     // the banded projection costs bands × planes dot products per vector
     // and is scanned several times below — persist the narrow result
     val banded = graft.SessionCache.getOrElseUpdate(
         spark, ("embBanded", dir, bands, planesPerBand)) {
-      e.select(col("label"), col("vec_id"),
-        posexplode(bandCols).as(Seq("band", "bucket"))).persist()
+      embBandedOf(e, bands, planesPerBand).persist()
     }
     val cand = blockedPairCandidates(banded, Seq("label", "band", "bucket"),
       Nil, hotBlockRows, salts = 16, idCol = "vec_id")
-    val va = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
-    val vb = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    verifyCosine(e, cand, threshold)
+  }
+
+  /** DataFrame-shaped bounded tier (the delta path's shard-internal leg):
+    * same plan as [[embeddingNearDupsBounded]] minus the session cache.
+    */
+  private[graft] def embeddingNearDupsBoundedOf(e: DataFrame,
+      threshold: Double = 0.35, bands: Int = 4, planesPerBand: Int = 2,
+      hotBlockRows: Long = 1L << 17): DataFrame = {
+    val cand = blockedPairCandidates(embBandedOf(e, bands, planesPerBand),
+      Seq("label", "band", "bucket"), Nil, hotBlockRows, salts = 16,
+      idCol = "vec_id")
+    verifyCosine(e, cand, threshold)
+  }
+
+  /** (label, vec_id, carry..., band, bucket) — every vector's per-band LSH
+    * bucket in ONE projection over one scan, then rows via posexplode:
+    * only the narrow banded rows shuffle, never the vectors (unless the
+    * caller carries them — the streaming twin must, a stream can't re-join
+    * itself). Map-side (hyperplanes are literals); this IS the row format
+    * of the embedding delta index.
+    */
+  private[graft] def embBandedOf(e: DataFrame, bands: Int, planesPerBand: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val bandCols = array((0 until bands).map(b =>
+      Similarity.bandBucketExpr(col("v"), b * planesPerBand, planesPerBand)): _*)
+    e.select(Seq(col("label"), col("vec_id")) ++ carry.map(col) :+
+      posexplode(bandCols).as(Seq("band", "bucket")): _*)
+  }
+
+  /** Exact-cosine verification over candidate id pairs: vectors re-join
+    * AFTER the candidate distinct, so wide rows never multiply through the
+    * banded explode. Carries any extra candidate columns (the delta path's
+    * structural flags) through to the output.
+    */
+  private def verifyCosine(vectors: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val va = vectors.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val vb = vectors.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    val carry = cand.columns.filterNot(Set("id_a", "id_b")).toSeq
     cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos", round(dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .select(("id_a" +: "id_b" +: carry :+ "cos").map(col): _*)
+  }
+
+  /** Persisted state of the incremental embedding near-dup (the d13/d15
+    * ingest pattern for the third dedup family): the banded LSH rows are
+    * the join index; the prepared vectors are the verification payload
+    * (cosine needs them — unlike simhash, the signature alone can't
+    * verify). Both append-only under upsert, same contract as
+    * [[NearDupIndex]]: doc re-ingestion requires delete-then-insert.
+    */
+  final case class EmbIndex(banded: DataFrame, vectors: DataFrame)
+
+  def buildEmbIndex(e: DataFrame, bands: Int = 4, planesPerBand: Int = 2): EmbIndex =
+    EmbIndex(embBandedOf(e, bands, planesPerBand), e.select("label", "vec_id", "v", "n"))
+
+  def upsertEmbIndex(index: EmbIndex, newVecs: DataFrame,
+      bands: Int = 4, planesPerBand: Int = 2): EmbIndex =
+    EmbIndex(index.banded.unionByName(embBandedOf(newVecs, bands, planesPerBand)),
+      index.vectors.unionByName(newVecs.select("label", "vec_id", "v", "n")))
+
+  /** Incremental embedding near-dup: a new shard's banded LSH rows
+    * (map-side — the hyperplanes are literals) join the persisted index on
+    * (label, band, bucket) under the two-sided hot-block guard, candidates
+    * distinct BEFORE vectors re-join for the exact-cosine verify.
+    * Shard-internal pairs ride [[embeddingNearDupsBoundedOf]]. Output
+    * contract matches [[deltaNearDups]]/[[deltaSimhashPairs]]: every pair
+    * touching the shard, (id_a < id_b, structural new-side flags, cos),
+    * equal to the full recompute restricted to shard-touching pairs
+    * (band buckets are per-vector functions, so both computations hash
+    * identical keys — DedupSimilaritySpec asserts the identity).
+    */
+  def deltaEmbeddingPairs(newVecs: DataFrame, index: EmbIndex,
+      threshold: Double = 0.35, bands: Int = 4, planesPerBand: Int = 2,
+      hotBlockRows: Long = 1L << 17): DataFrame = {
+    val keys = Seq("label", "band", "bucket")
+    val n = embBandedOf(newVecs, bands, planesPerBand)
+      .select(col("label"), col("band"), col("bucket"), col("vec_id").as("id_n"))
+    val o = index.banded
+      .select(col("label"), col("band"), col("bucket"), col("vec_id").as("id_o"))
+    // the upsert-contract degradation filter (id_n != id_o), as in the
+    // text-family deltas: a violated contract yields correct output, not
+    // self-pairs
+    val cand = saltedBlockJoin(o, n, keys, "id_o", hotBlockRows, salts = 16)
+      .filter(col("id_n") =!= col("id_o"))
+      .select(
+        least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"),
+        (col("id_n") < col("id_o")).as("new_a"),
+        (col("id_n") > col("id_o")).as("new_b"))
+      .distinct()
+    val vecs = index.vectors.select("vec_id", "v", "n")
+      .unionByName(newVecs.select("vec_id", "v", "n"))
+    val vsSelf = embeddingNearDupsBoundedOf(newVecs, threshold, bands,
+        planesPerBand, hotBlockRows)
+      .select(col("id_a"), col("id_b"),
+        lit(true).as("new_a"), lit(true).as("new_b"), col("cos"))
+    verifyCosine(vecs, cand, threshold).unionByName(vsSelf)
+  }
+
+  /** The d17 gate: index the bucket < splitAt slice of the prepared
+    * vectors, delta-join the rest — the d13/d15 gate shape for the
+    * embedding family.
+    */
+  def deltaEmbeddingGate(spark: SparkSession, dir: String,
+      splitAt: Int = 200, threshold: Double = 0.35): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("vec_id"))
+    val e = Similarity.preparedEmbeddings(spark, dir)
+    val index = graft.SessionCache.getOrElseUpdate(spark, ("embIndex", dir, splitAt)) {
+      EmbIndex(embBandedOf(e.filter(bucket < splitAt), 4, 2).persist(),
+        e.filter(bucket < splitAt))
+    }.asInstanceOf[EmbIndex]
+    deltaEmbeddingPairs(e.filter(bucket >= splitAt), index, threshold)
   }
 
   /** Near-duplicate pairs by embedding cosine similarity: block by label

@@ -362,6 +362,73 @@ object EventsStream {
     spark.table(name)
   }
 
+  private val embeddingSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private[graft] def embeddingSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(embeddingSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(col("vec_id") * 1000000L))
+
+  /** STREAMING embedding delta — [[deltaNearDupStream]]'s topology for the
+    * embedding family (d17): arriving vectors prepare (v, n) and their
+    * banded LSH buckets MAP-SIDE (the hyperplanes are literals), the band
+    * keys stream-static-join the persisted banded index, replay and
+    * multi-band duplicates collapse through `dropDuplicatesWithinWatermark`
+    * on the id pair, and the exact-cosine verify joins the static vector
+    * payload AFTER that dedup — so wide vectors enter exactly one
+    * stream row per surviving candidate. The stream side carries its own
+    * (v, n) through the banded explode (bands× amplification of one
+    * narrow row — the price of a stream not being able to re-join itself;
+    * batch d17 re-joins after distinct instead). Shard-internal pairs
+    * settle at the next batch index upsert, as in the d13/d15 twins.
+    */
+  def deltaEmbeddingStream(newVecs: DataFrame,
+      index: graft.operators.Dedup.EmbIndex,
+      threshold: Double = 0.35): DataFrame = {
+    import graft.functions.Exprs.{doubleVector, dotProduct, l2Norm}
+    val prepared = newVecs
+      .withWatermark("ts", "1 hour")
+      .select(col("label"), col("vec_id"), col("ts"),
+        doubleVector(col("embedding")).as("v"))
+      .withColumn("n", l2Norm(col("v")))
+    val banded = graft.operators.Dedup.embBandedOf(prepared, 4, 2,
+      carry = Seq("ts", "v", "n"))
+    banded
+      .join(index.banded.select(col("label"), col("band"), col("bucket"),
+        col("vec_id").as("id_o")), Seq("label", "band", "bucket"))
+      .select(col("vec_id").as("id_n"), col("id_o"), col("ts"),
+        col("v").as("v_n"), col("n").as("n_n"))
+      .dropDuplicatesWithinWatermark("id_n", "id_o")
+      .join(index.vectors.select(col("vec_id").as("id_o"),
+        col("v").as("v_o"), col("n").as("n_o")), Seq("id_o"))
+      .withColumn("cos",
+        round(dotProduct(col("v_n"), col("v_o")) / (col("n_n") * col("n_o")), 4))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"), col("cos"))
+  }
+
+  /** Run the streaming embedding delta over a shard directory to
+    * completion (memory sink, AvailableNow).
+    */
+  def runDeltaEmbeddingToCompletion(spark: SparkSession, shardDir: String,
+      index: graft.operators.Dedup.EmbIndex, threshold: Double = 0.35,
+      name: String = "delta_embedding"): DataFrame = {
+    val q = deltaEmbeddingStream(embeddingSource(spark, shardDir), index, threshold)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** The SpaceSaving frequent-items sketch under INCREMENTAL execution:
     * per event_type, the sketch of active user ids, maintained across
     * micro-batches through the state store (exercising the aggregation

@@ -529,6 +529,47 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(bounded.contains((5L, 20L)))
   }
 
+  test("delta embedding: delta(index, shard) ∪ pairs(base) == pairs(base ∪ shard)") {
+    import graft.functions.Exprs.{doubleVector, l2Norm}
+    val e = spark.read.parquet(s"$fixtureDir/embeddings.parquet")
+      .select(col("label"), col("vec_id"), doubleVector(col("embedding")).as("v"))
+      .withColumn("n", l2Norm(col("v")))
+    val base = e.filter(col("vec_id") < 10)
+    val shard = e.filter(col("vec_id") >= 10)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val delta = Dedup.deltaEmbeddingPairs(shard, Dedup.buildEmbIndex(base),
+      threshold = 0.999)
+    val deltaPairs = pairSet(delta)
+    val basePairs = pairSet(Dedup.embeddingNearDupsBoundedOf(base, threshold = 0.999))
+    // the incremental identity (band buckets are per-vector functions)
+    assert(deltaPairs.union(basePairs) ==
+      pairSet(Dedup.embeddingNearDupsBoundedOf(e, threshold = 0.999)))
+    assert(deltaPairs.intersect(basePairs).isEmpty)
+    // planted clone (vec 20 == vec 5) crosses index↔shard
+    assert(deltaPairs.exists(p => p._1 == 5L && p._2 == 20L && p._3 == 1.0))
+    val flags = delta.collect().map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Boolean]("new_a"), r.getAs[Boolean]("new_b")))).toMap
+    assert(flags((5L, 20L)) == ((false, true)))
+    // hotBlockRows = 0 forces EVERY block down the salted path on both
+    // the vs-indexed (two-sided guard) and shard-internal legs — output
+    // must be identical to the default cold-path run
+    val salted = pairSet(Dedup.deltaEmbeddingPairs(shard,
+      Dedup.buildEmbIndex(base), threshold = 0.999, hotBlockRows = 0L))
+    assert(salted == deltaPairs)
+    // upsert then a second shard cloning vec 3: matches land in the
+    // upserted index (base AND shard 1 visible), flags cross-shaped
+    val d30 = base.filter(col("vec_id") === 3L)
+      .select(col("label"), lit(30L).as("vec_id"), col("v"), col("n"))
+    val delta2 = Dedup.deltaEmbeddingPairs(d30,
+      Dedup.upsertEmbIndex(Dedup.buildEmbIndex(base), shard), threshold = 0.999)
+    assert(pairSet(delta2).exists(p => p._1 == 3L && p._2 == 30L && p._3 == 1.0))
+    // every delta2 pair touches the new doc only
+    assert(pairSet(delta2).forall(p => p._1 == 30L || p._2 == 30L))
+  }
+
   test("ANN LSH recall vs brute force is nontrivial on real data") {
     val dir = sf("sf0.001")
     val exact = Similarity.bruteForceTopK(spark, dir, nProbes = 5, k = 5)

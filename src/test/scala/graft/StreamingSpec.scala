@@ -71,6 +71,36 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.contains((10L, 20L, 0)))
   }
 
+  test("streaming embedding delta == batch delta (vs-indexed pairs) on a replayed shard") {
+    import graft.functions.Exprs.{doubleVector, l2Norm}
+    def vec(seed: Int) = (0 until 64).map(d => math.sin(seed * 64 + d).toFloat).toArray
+    def prepare(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("label"), col("vec_id"), doubleVector(col("embedding")).as("v"))
+        .withColumn("n", l2Norm(col("v")))
+    // base: 10 distinct vectors; shard: vec 20 clones vec 5 (same label —
+    // the blocking key), vec 21 is noise; shard parquet written TWICE (a
+    // replay the id-pair dedup state must collapse)
+    val base = (0L to 9L).map(i => (i, vec(i.toInt), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val shard = Seq((20L, vec(5), (5 % 3)), (21L, vec(21), 0))
+      .toDF("vec_id", "embedding", "label")
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_evshard").toString
+    shard.coalesce(1).write.mode("append").parquet(shardDir)
+    shard.coalesce(1).write.mode("append").parquet(shardDir) // the replay
+    val index = graft.operators.Dedup.buildEmbIndex(prepare(base))
+    val streamed = EventsStream
+      .runDeltaEmbeddingToCompletion(spark, shardDir, index,
+        threshold = 0.999, name = "delta_embedding_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Dedup
+      .deltaEmbeddingPairs(prepare(shard), index, threshold = 0.999)
+      .filter(col("new_a") =!= col("new_b"))
+      .select("id_a", "id_b", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.exists(p => p._1 == 5L && p._2 == 20L && p._3 == 1.0))
+  }
+
   test("streaming hourly agg over replayed events == batch rollup (§2.12)") {
     val dir = sf("sf0.001")
     val streamed = EventsStream.runToCompletion(spark, dir, "events_hourly_test")
