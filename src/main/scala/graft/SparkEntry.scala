@@ -164,6 +164,10 @@ object SparkEntry {
     "s4_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d).orderBy("probe_id", "rn")),
     "s5_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d).orderBy("probe_id", "rn")),
     "s6_ann_kmeans" -> ((s, d) => Similarity.kmeansIvfTopK(s, d).orderBy("probe_id", "rn")),
+    // int8 scalar quantization + exact re-rank: candidates scored by the
+    // INTEGER quantized dot (portable exactly), top-rerank cut, then the
+    // s1 exact-cosine ranking over survivors only
+    "s7_ann_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d).orderBy("probe_id", "rn")),
     // ---- text analysis ----
     "t2_language_id" -> ((s, d) => TextAnalysis.languageId(s, d).orderBy("doc_id")),
     "t3_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d).orderBy("doc_id")),
@@ -838,6 +842,29 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) DESC, vec_id) AS rn
         |  FROM p CROSS JOIN e WHERE probe_id != vec_id)
         |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
+    // quantized ANN: int8 plane from the corpus-max scale, INTEGER dot
+    // candidate scores (no float can reorder them), exact re-rank of the
+    // per-probe top-20 — replayed verbatim in SQL
+    "s7_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+        |m AS (SELECT max(list_max([abs(x) for x in v])) AS m FROM e),
+        |q AS (SELECT vec_id, [CAST(floor(x * 127 / m + 0.5) AS BIGINT) for x in v] AS qv FROM e CROSS JOIN m),
+        |p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < 5),
+        |cand AS (SELECT probe_id, neighbor_id FROM (
+        |  SELECT probe_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY list_sum([pq[i+1] * c.qv[i+1] for i in range(0, 64)]) DESC, c.vec_id) AS qrn
+        |  FROM p CROSS JOIN q c WHERE probe_id != c.vec_id)
+        |  WHERE qrn <= 20),
+        |pf AS (SELECT vec_id AS probe_id, v AS pv, n AS pn FROM e WHERE vec_id < 5)
+        |SELECT probe_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT cand.probe_id, neighbor_id,
+        |    round(list_dot_product(pv, c.v) / (pn * c.n), 4) AS cos,
+        |    row_number() OVER (PARTITION BY cand.probe_id
+        |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, neighbor_id) AS rn
+        |  FROM cand JOIN e c ON c.vec_id = neighbor_id JOIN pf ON pf.probe_id = cand.probe_id)
+        |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
     // hard negatives: s1's exact-cosine ranking with the label-mismatch
     // predicate replacing self-exclusion
     "s5_hard_negatives" ->

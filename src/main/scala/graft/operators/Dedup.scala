@@ -1194,7 +1194,12 @@ object Dedup {
   private[graft] def embeddingNearDupsBoundedOf(e: DataFrame,
       threshold: Double = 0.35, bands: Int = 4, planesPerBand: Int = 2,
       hotBlockRows: Long = 1L << 17): DataFrame = {
-    val cand = blockedPairCandidates(embBandedOf(e, bands, planesPerBand),
+    // banded rows materialize once: the census + tag + salted-join
+    // machinery references them from several subtrees, and each would
+    // re-run the bands×planes dot products per vector (the PERF.md §1
+    // re-evaluation trap — same fix as the minhash bandedKeys boundary)
+    val cand = blockedPairCandidates(
+      embBandedOf(e, bands, planesPerBand).localCheckpoint(),
       Seq("label", "band", "bucket"), Nil, hotBlockRows, salts = 16,
       idCol = "vec_id")
     verifyCosine(e, cand, threshold)
@@ -1263,7 +1268,14 @@ object Dedup {
       threshold: Double = 0.35, bands: Int = 4, planesPerBand: Int = 2,
       hotBlockRows: Long = 1L << 17): DataFrame = {
     val keys = Seq("label", "band", "bucket")
-    val n = embBandedOf(newVecs, bands, planesPerBand)
+    // the shard's banded rows materialize ONCE below the join boundary and
+    // feed BOTH legs — saltedBlockJoin's two-sided census + tag + join and
+    // the shard-internal blockedPairCandidates together reference them
+    // from ~9 subtrees, each otherwise recomputing the bands×planes dot
+    // products (the PERF.md §1 trap; 4 narrow rows/vector is strictly
+    // cheaper than re-projecting at any scale)
+    val shardBanded = embBandedOf(newVecs, bands, planesPerBand).localCheckpoint()
+    val n = shardBanded
       .select(col("label"), col("band"), col("bucket"), col("vec_id").as("id_n"))
     val o = index.banded
       .select(col("label"), col("band"), col("bucket"), col("vec_id").as("id_o"))
@@ -1280,8 +1292,9 @@ object Dedup {
       .distinct()
     val vecs = index.vectors.select("vec_id", "v", "n")
       .unionByName(newVecs.select("vec_id", "v", "n"))
-    val vsSelf = embeddingNearDupsBoundedOf(newVecs, threshold, bands,
-        planesPerBand, hotBlockRows)
+    val selfCand = blockedPairCandidates(shardBanded, keys, Nil,
+      hotBlockRows, salts = 16, idCol = "vec_id")
+    val vsSelf = verifyCosine(newVecs, selfCand, threshold)
       .select(col("id_a"), col("id_b"),
         lit(true).as("new_a"), lit(true).as("new_b"), col("cos"))
     verifyCosine(vecs, cand, threshold).unionByName(vsSelf)

@@ -102,6 +102,57 @@ object Similarity {
         col("neg_label"), col("cos"), col("rn"))
   }
 
+  /** S7 — scalar-quantized ANN, the memory/IO scale tier: symmetric int8
+    * quantization q_i = floor(v_i·127/M + 0.5) with M = the corpus max
+    * |component| (one tiny broadcast aggregate), candidates scored by the
+    * INTEGER quantized dot product — exactly portable, no float rounding
+    * can reorder candidates between engines — then the top `rerank`
+    * candidates per probe re-ranked by exact cosine. The candidate scan
+    * touches ONLY the narrow (vec_id, qv) plane (at 100 TB that plane is
+    * 8× smaller than the double vectors and is the only thing the
+    * brute-force stage reads); full-precision vectors re-join AFTER the
+    * per-probe top-`rerank` cut, so at most probes×rerank wide rows ever
+    * materialize. With rerank ≥ corpus the result equals the exact
+    * brute-force tier (spec-proven) — the classic quantized-scan /
+    * exact-rerank recall dial in between.
+    */
+  def quantizedTopK(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5, rerank: Int = 20): DataFrame = {
+    val e = preparedEmbeddings(spark, dir)
+    // int8 plane, materialized once per (session, dir): the "stored
+    // quantized index" a production deployment would keep columnar
+    val qplane = graft.SessionCache.getOrElseUpdate(spark, ("embQuant", dir)) {
+      val mdf = e.agg(max(array_max(transform(col("v"), x => abs(x)))).as("m"))
+      e.crossJoin(broadcast(mdf))
+        .select(col("vec_id"),
+          transform(col("v"), x => floor(x * 127 / col("m") + 0.5).cast("long")).as("qv"))
+        .persist()
+    }
+    val qprobes = qplane.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pq"))
+    val qdot = aggregate(
+      zip_with(col("pq"), col("qv"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    val cand = qplane.select(col("vec_id").as("neighbor_id"), col("qv"))
+      .join(broadcast(qprobes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("qdot", qdot)
+      .withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= rerank)
+      .select(col("probe_id"), col("neighbor_id"))
+    // exact re-rank over the surviving candidates only
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    val neighbors = e.select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(neighbors, Seq("neighbor_id")).join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** Deterministic hyperplane coefficient for (plane j, dimension i):
     * hexval(md5("plane:j:i")[0]) - 7.5, precomputed DRIVER-SIDE into literal
     * arrays — values are identical to the in-query md5 formulation (the

@@ -581,6 +581,26 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(approx.nonEmpty)
   }
 
+  test("quantized ANN: exact at full rerank, high recall at the default cut") {
+    val dir = sf("sf0.001")
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // rerank >= corpus: the int8 candidate stage passes everything through
+    // and the exact re-rank IS the brute-force tier — full identity,
+    // including cos values and rank order
+    val exact = rowSet(Similarity.bruteForceTopK(spark, dir, nProbes = 5, k = 5))
+    val full = rowSet(Similarity.quantizedTopK(spark, dir, nProbes = 5, k = 5, rerank = 1 << 20))
+    assert(full == exact)
+    // default cut: top-20 int8 candidates then re-rank — quantization can
+    // only drop (never reorder) exact-tier neighbors, and on this data the
+    // int8 dot preserves most of the top-5
+    val quant = Similarity.quantizedTopK(spark, dir, nProbes = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactIds = exact.map(t => (t._1, t._2))
+    val recall = (quant intersect exactIds).size.toDouble / exactIds.size
+    assert(recall >= 0.6, s"quantized recall too low: $recall")
+  }
+
   test("IVF recall is monotone in nprobe, reaching exact at full probe") {
     val dir = sf("sf0.001")
     val exact = Similarity.bruteForceTopK(spark, dir, nProbes = 5, k = 5)
