@@ -76,7 +76,7 @@ object SparkEntry {
     // folder-tree FULL recursion (the reference stops at one level):
     // BFS fixpoint over the synthetic 4-ary folder tree; (anc, dsc) is
     // unique in a tree so the order is total
-    "j5b_folder_closure" -> ((s, d) => Library.folderClosure(s, d).orderBy("anc", "dsc")),
+    "j5b_folder_closure" -> ((s, d) => Library.folderClosureDoubling(s, d).orderBy("anc", "dsc")),
     "j8_similar_name_join" -> ((s, d) => Library.similarNameJoin(s, d).orderBy("key_a", "key_b")),
     // ---- filters (§2.3) ----
     "f3_like" -> ((s, d) => Library.likeFilter(s, d).orderBy("p_partkey")),

@@ -1093,6 +1093,17 @@ object Dedup {
   def upsertSimHashIndex(index: SimHashIndex, newSigs: DataFrame): SimHashIndex =
     SimHashIndex(index.banded.unionByName(simhashBanded(newSigs)))
 
+  /** Persist / reload the simhash index as a REAL bucketed+sorted
+    * warehouse table on its join keys — [[saveNearDupIndex]]'s layout for
+    * the d15 family. One table: the signature is its own verification
+    * payload.
+    */
+  def saveSimHashIndex(index: SimHashIndex, name: String, buckets: Int = 8): Unit =
+    saveBucketedTable(index.banded, s"${name}_banded", buckets, Seq("b", "chunk"))
+
+  def loadSimHashIndex(spark: SparkSession, name: String): SimHashIndex =
+    SimHashIndex(spark.table(s"${name}_banded"))
+
   /** Incremental simhash near-dup: a new shard's signatures (map-side)
     * band-join the persisted index; exact Hamming verifies in the join
     * row itself. Same output contract as [[deltaNearDups]]: every pair
@@ -1128,7 +1139,9 @@ object Dedup {
 
   /** The d15 gate: index the bucket < splitAt slice of the session-cached
     * signature table, delta-join the rest (the d13 gate's shape for the
-    * simhash family).
+    * simhash family). The index is SAVED as the bucketed warehouse table
+    * and the gate joins the LOADED one — the measured path is the
+    * persisted disk path, as for d13 (round-7 finding).
     */
   def deltaSimhashGate(spark: SparkSession, dir: String,
       splitAt: Int = 200, maxHamming: Int = 3): DataFrame = {
@@ -1136,8 +1149,10 @@ object Dedup {
     val sigs = graft.SessionCache.getOrElseUpdate(spark, ("simhash64", dir)) {
       simhash64(spark, dir).persist()
     }
-    val index = graft.SessionCache.getOrElseUpdate(spark, ("simhashIndex", dir, splitAt)) {
-      SimHashIndex(simhashBanded(sigs.filter(bucket < splitAt)).persist())
+    val index = graft.SessionCache.getOrElseUpdate(spark, ("simhashIndexDisk", dir, splitAt)) {
+      val name = f"simhash_gate_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveSimHashIndex(SimHashIndex(simhashBanded(sigs.filter(bucket < splitAt))), name)
+      loadSimHashIndex(spark, name)
     }.asInstanceOf[SimHashIndex]
     deltaSimhashPairs(sigs.filter(bucket >= splitAt), index, maxHamming)
   }
@@ -1253,6 +1268,19 @@ object Dedup {
     EmbIndex(index.banded.unionByName(embBandedOf(newVecs, bands, planesPerBand)),
       index.vectors.unionByName(newVecs.select("label", "vec_id", "v", "n")))
 
+  /** Persist / reload the embedding index as bucketed+sorted warehouse
+    * tables — banded rows on the block keys (the delta join reads them
+    * bucketed), vectors on vec_id (the verify join's key).
+    */
+  def saveEmbIndex(index: EmbIndex, name: String, buckets: Int = 8): Unit = {
+    saveBucketedTable(index.banded, s"${name}_banded", buckets,
+      Seq("label", "band", "bucket"))
+    saveBucketedTable(index.vectors, s"${name}_vectors", buckets, Seq("vec_id"))
+  }
+
+  def loadEmbIndex(spark: SparkSession, name: String): EmbIndex =
+    EmbIndex(spark.table(s"${name}_banded"), spark.table(s"${name}_vectors"))
+
   /** Incremental embedding near-dup: a new shard's banded LSH rows
     * (map-side — the hyperplanes are literals) join the persisted index on
     * (label, band, bucket) under the two-sided hot-block guard, candidates
@@ -1302,15 +1330,17 @@ object Dedup {
 
   /** The d17 gate: index the bucket < splitAt slice of the prepared
     * vectors, delta-join the rest — the d13/d15 gate shape for the
-    * embedding family.
+    * embedding family, routed through the SAVED bucketed tables so the
+    * measured path is the persisted disk path (round-7 finding).
     */
   def deltaEmbeddingGate(spark: SparkSession, dir: String,
       splitAt: Int = 200, threshold: Double = 0.35): DataFrame = {
     def bucket = TextAnalysis.splitBucket(col("vec_id"))
     val e = Similarity.preparedEmbeddings(spark, dir)
-    val index = graft.SessionCache.getOrElseUpdate(spark, ("embIndex", dir, splitAt)) {
-      EmbIndex(embBandedOf(e.filter(bucket < splitAt), 4, 2).persist(),
-        e.filter(bucket < splitAt))
+    val index = graft.SessionCache.getOrElseUpdate(spark, ("embIndexDisk", dir, splitAt)) {
+      val name = f"emb_gate_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveEmbIndex(buildEmbIndex(e.filter(bucket < splitAt)), name)
+      loadEmbIndex(spark, name)
     }.asInstanceOf[EmbIndex]
     deltaEmbeddingPairs(e.filter(bucket >= splitAt), index, threshold)
   }

@@ -57,24 +57,22 @@ class BucketingSpec extends SparkSuite {
       spark.sql(s"DROP TABLE IF EXISTS ndidx$s"))
   }
 
-  test("d13 gate: delta join reads the persisted index bucketed, no Exchange/Sort") {
-    // The gate now routes through save→load (the advertised disk path).
-    // The load-bearing property, asserted on the GATE plan itself: every
-    // sort-merge join side that reads the persisted _banded table does so
-    // with no shuffle and no re-sort — the bucketed+sorted layout IS the
-    // exchange. (AQE off so join structure is statically visible;
-    // broadcast off so the joins actually plan as SMJ.)
+  // The load-bearing persisted-gate property, asserted on the GATE plan
+  // itself: every sort-merge join side that reads the persisted _banded
+  // table does so with no shuffle and no re-sort — the bucketed+sorted
+  // layout IS the exchange. (AQE off so join structure is statically
+  // visible; broadcast off so the joins actually plan as SMJ.)
+  private def assertIndexGatePlan(gate: => org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    val dir = sf("sf0.001")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val gate = graft.operators.Dedup.deltaNearDupsGate(spark, dir)
-      gate.count()
-      val plan = gate.queryExecution.executedPlan
+      val df = gate
+      df.count()
+      val plan = df.queryExecution.executedPlan
       type P = org.apache.spark.sql.execution.SparkPlan
       def isBandedScan(p: P) = p match {
         case s: FileSourceScanExec => s.tableIdentifier.exists(_.table.endsWith("_banded"))
@@ -121,6 +119,18 @@ class BucketingSpec extends SparkSuite {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
+  }
+
+  test("d13 gate: delta join reads the persisted index bucketed, no Exchange/Sort") {
+    assertIndexGatePlan(graft.operators.Dedup.deltaNearDupsGate(spark, sf("sf0.001")))
+  }
+
+  test("d15 gate: simhash delta reads the persisted index bucketed, no Exchange/Sort") {
+    assertIndexGatePlan(graft.operators.Dedup.deltaSimhashGate(spark, sf("sf0.001")))
+  }
+
+  test("d17 gate: embedding delta reads the persisted index bucketed, no Exchange/Sort") {
+    assertIndexGatePlan(graft.operators.Dedup.deltaEmbeddingGate(spark, sf("sf0.001")))
   }
 
   test("bucketed fact-fact join plans without a shuffle exchange") {

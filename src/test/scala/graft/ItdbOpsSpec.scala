@@ -217,5 +217,9 @@ class ItdbOpsSpec extends SparkSuite {
     // chain 199 -> 49 -> 12 -> 3 -> 0
     assert(got.filter(_._2 == 199L) ==
       Set((49L, 199L, 1L), (12L, 199L, 2L), (3L, 199L, 3L), (0L, 199L, 4L)))
+    // pointer-doubling variant: identical closure in O(log depth) rounds
+    val doubled = graft.operators.Library.folderClosureDoubling(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(doubled == got)
   }
 }
