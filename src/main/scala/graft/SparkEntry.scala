@@ -181,6 +181,9 @@ object SparkEntry {
     "t11_rebalance_sample" -> ((s, d) => TextAnalysis.rebalanceSample(s, d).orderBy("lang")),
     "t12_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d).orderBy("doc_id")),
     "t13_distinctive_terms" -> ((s, d) => TextAnalysis.distinctiveTerms(s, d).orderBy("doc_id", "rn")),
+    // unigram-LM surprisal quality score — integer-exact floor-log2 via
+    // bin() length, shares t13's inverted-index projection
+    "t18_unigram_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(s, d).orderBy("doc_id")),
     "t14_sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d).orderBy("split", "lang", "bin")),
     "t15_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d).orderBy("lang", "token")),
     "t16_quality_sample" -> ((s, d) => TextAnalysis.qualityWeightedSample(s, d).orderBy("tier")),
@@ -1114,6 +1117,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(rn AS INTEGER) AS rn, term, tf, df,
         |  round(CAST(tf * n_corpus AS DOUBLE) / df, 4) AS score
         |FROM ranked CROSS JOIN n WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    // unigram surprisal: floor(log2(total/tf_w)) as the bit length of the
+    // integer quotient (length(bin(..)) - 1) — no transcendental log
+    // anywhere, outputs pure BIGINTs
+    "t18_unigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |w AS (SELECT term, CAST(sum(tf) AS BIGINT) AS wtf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(wtf) AS BIGINT) AS total FROM w)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+        |  CAST(sum(tf * (length(bin(total // wtf)) - 1)) AS BIGINT) AS surprisal_sum
+        |FROM tf JOIN w USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // sequence packing: integer-only running sum + integer div — both
     // window semantics (ROWS ... 1 PRECEDING over doc_id order) and the
     // bin arithmetic are exact on both engines

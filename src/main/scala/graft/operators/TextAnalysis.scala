@@ -328,21 +328,25 @@ object TextAnalysis {
     * when it fits), and a per-doc top-k window whose partition is the
     * document — the sort is bounded by a single document's vocabulary.
     */
-  def distinctiveTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    // the (doc, term, tf) table is the corpus's inverted-index projection —
-    // materialized once per (session, dir) so the tf side and the df
-    // rollup share ONE token explode + shuffle (without the persist,
-    // column pruning strips tf's count from the df branch, the subtrees
-    // stop being equal, exchange reuse can't fire, and the corpus is
-    // exploded twice — the same reused-aggregate pattern as the shingle
-    // table, itdbloader.py:269-293)
-    val tf = graft.SessionCache.getOrElseUpdate(spark, ("tf", dir)) {
+  /** The corpus's (doc_id, term, tf) inverted-index projection —
+    * materialized once per (session, dir) so every consumer (t13's tf and
+    * df branches, t18's vocab rollup) shares ONE token explode + shuffle
+    * (without the persist, column pruning makes the subtrees unequal,
+    * exchange reuse can't fire, and the corpus is exploded per consumer —
+    * the same reused-aggregate pattern as the shingle table,
+    * itdbloader.py:269-293).
+    */
+  private def tfTable(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("tf", dir)) {
       Tables.documents(spark, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
         .persist()
     }
+
+  def distinctiveTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = tfTable(spark, dir)
     // one row per (doc, term) ⇒ rows per term = document frequency
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // the corpus size is a one-row aggregate broadcast onto the scored
@@ -358,6 +362,33 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
         round((col("tf") * col("n_corpus")).cast("double") / col("df"), 4).as("score"))
+  }
+
+  /** T18 — UNIGRAM-LM SURPRISAL, the statistical quality filter of a
+    * CCNet/Gopher-style pipeline: documents dominated by rare tokens
+    * (garbage, boilerplate soup, wrong-language fragments) score high,
+    * common prose scores low. Token surprisal is floor(log2(total_tf /
+    * tf_w)) — the bit length of the inverse unigram probability —
+    * computed EXACTLY over integers as length(bin(total div tf_w)) - 1,
+    * so no transcendental log (whose last ULP differs across libms) ever
+    * enters the gate path; the per-document outputs are pure BIGINTs.
+    *
+    * Scale shape: reuses the shared inverted-index projection (one token
+    * explode for t13 AND t18), one term-keyed join against the vocab
+    * rollup (partial-aggregated word-count shape; AQE broadcasts the
+    * vocab side when it fits), a one-row broadcast for the corpus total,
+    * and a doc-keyed rollup — no corpus self-join anywhere.
+    */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val tf = tfTable(spark, dir)
+    val wtf = tf.groupBy(col("term")).agg(sum(col("tf")).as("wtf"))
+    val total = wtf.agg(sum(col("wtf")).as("total"))
+    tf.join(wtf, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("surp", expr("CAST(length(bin(total div wtf)) - 1 AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tok"),
+        sum(col("tf") * col("surp")).cast("long").as("surprisal_sum"))
   }
 
   /** SEQUENCE PACKING — assign documents to fixed token-budget training

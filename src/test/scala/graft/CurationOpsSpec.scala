@@ -283,6 +283,30 @@ class CurationOpsSpec extends SparkSuite {
     assert(got.exists(_._2 > 1))
   }
 
+  test("t18 unigram surprisal: driver-side integer floor-log2 reproduces every doc") {
+    val dir = sf("sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap(r => Option(r.getString(1)).map(t => r.getLong(0) -> t))
+    def toks(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (id, t) =>
+      toks(t).groupBy(identity).map { case (w, g) => (id, w) -> g.size.toLong }
+    }.toMap
+    val wtf: Map[String, Long] =
+      tf.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val total = wtf.values.sum
+    def floorLog2(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val expected = tf.groupBy(_._1._1).map { case (id, m) =>
+      id -> ((m.values.sum,
+        m.map { case ((_, w), c) => c * floorLog2(total / wtf(w)) }.sum))
+    }
+    val got = TextAnalysis.unigramSurprisal(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // non-degenerate: some document actually carries rare-token surprisal
+    assert(got.values.exists(_._2 > 0))
+  }
+
   test("t14 sequence pack: driver-side greedy packing reproduces every bin") {
     val dir = sf("sf0.001")
     val got = TextAnalysis.sequencePack(spark, dir)
