@@ -390,6 +390,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got.forall { case (a, b, _) => (a - 2) / 3 / 2 == (b - 2) / 3 / 2 })
   }
 
+  test("perceptual fingerprints ride the simhash delta machinery (incremental media dedup)") {
+    // the m-family signatures are (doc_id, simhash)-shaped, so a media
+    // corpus gets incremental ingest for free: index the base gallery's
+    // dHashes, delta-join a shard — equal to the full recompute restricted
+    // to shard-touching pairs, the d15 identity over image fingerprints
+    val sigs = Multimodal.imageDHashes(spark, fixtureDir)
+      .select(col("media_id").as("doc_id"), col("dhash").as("simhash"))
+    // split MID-group (ids 24-27 share a base image): 24/25 are indexed,
+    // 26/27 arrive in the shard, so the planted near-dups cross the index
+    val base = sigs.filter(col("doc_id") < 26)
+    val shard = sigs.filter(col("doc_id") >= 26)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val delta = pairSet(Dedup.deltaSimhashPairs(shard, Dedup.buildSimHashIndex(base)))
+    val basePairs = pairSet(Dedup.simhashPairsOf(base))
+    assert(delta.union(basePairs) == pairSet(Dedup.simhashPairsOf(sigs)))
+    assert(delta.intersect(basePairs).isEmpty)
+    // brightness-shift members have IDENTICAL dHash: the crossing pair is
+    // exact; every delta pair touches the shard
+    assert(delta.contains((24L, 26L, 0)))
+    assert(delta.forall(p => p._1 >= 26 || p._2 >= 26))
+  }
+
   test("audio near-dups: band-joined fingerprints equal brute force over decoded samples") {
     import graft.operators.MediaCodecs
     val got = Multimodal.audioNearDups(spark, fixtureDir)

@@ -208,6 +208,39 @@ class PlanSpec extends SparkSuite {
       t17.take(1500))
   }
 
+  test("round-8 ops: m4/m5/m6/d17/s7/t18 keep their scale shapes") {
+    val dir = sf("sf0.001")
+    // perceptual near-dups + delta embedding: band/digest equi joins only,
+    // never a pairwise fallback over the corpus
+    for ((name, df) <- Seq(
+        "m4" -> graft.operators.Multimodal.imageNearDups(spark, dir),
+        "m5" -> graft.operators.Multimodal.videoNearDups(spark, dir),
+        "m6" -> graft.operators.Multimodal.audioNearDups(spark, dir),
+        "d17" -> graft.operators.Dedup.deltaEmbeddingGate(spark, dir))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"), s"$name has a CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
+    }
+    // s7: the only nested-loop joins are broadcasts of tiny frames (the
+    // probe set against the int8 plane, the one-row max inside the cached
+    // plane's build); the exact re-rank joins are hash joins on ids, and
+    // the candidate scan reads the narrow cached (vec_id, qv) plane
+    val s7df = graft.operators.Similarity.quantizedTopK(spark, dir)
+    val s7 = executedPlan(s7df)
+    assert(!s7.contains("CartesianProduct"), s7.take(1500))
+    assert(s7.contains("BroadcastHashJoin [neighbor_id") ||
+      s7.contains("BroadcastHashJoin [probe_id"),
+      s"re-rank joins are not id-keyed hash joins:\n${s7.take(1500)}")
+    assert(s7.contains("qv#"), "quantized plane projection missing from the plan")
+    // t18 shares t13's cached inverted-index projection — after t13 has
+    // run, t18's token explode is gone and it reads the InMemoryTableScan
+    graft.operators.TextAnalysis.distinctiveTerms(spark, dir).count()
+    val t18 = executedPlan(graft.operators.TextAnalysis.unigramSurprisal(spark, dir))
+    assert(t18.contains("InMemoryTableScan"),
+      s"t18 bypasses the cached tf table:\n${t18.take(2000)}")
+    assert(!t18.contains("CartesianProduct"), t18.take(500))
+  }
+
   test("block census is hot-filtered before any join consumes it") {
     // The block-size census has one row per DISTINCT block — ~O(corpus) on
     // the minhash-band and ngram-endpoint paths. Broadcasting it un-filtered
