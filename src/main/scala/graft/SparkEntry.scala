@@ -157,6 +157,13 @@ object SparkEntry {
     // the oracle computes
     "d13_delta_neardup" -> ((s, d) =>
       Dedup.deltaNearDupsGate(s, d).orderBy("id_a", "id_b")),
+    // the full index lifecycle on disk: save base (bucket < 150), APPEND
+    // the 150-199 slice via bucket-spec-matched INSERT INTO, COMPACT back
+    // to one file per bucket (generation swap), delta-join the bucket >=
+    // 200 shard against the loaded result — pair set == d13's (appending
+    // only adds indexed docs), so the oracle is shared
+    "d18_index_append" -> ((s, d) =>
+      Dedup.deltaNearDupsGateAppended(s, d).orderBy("id_a", "id_b")),
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d).orderBy("probe_id", "rn")),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d).orderBy("probe_id", "rn")),
@@ -335,6 +342,21 @@ object SparkEntry {
        |${rounds.mkString(",\n")},
        |${assign(iters + 1, s"c$iters")}""".stripMargin
   }
+
+  /** The incremental-ingest oracle shared by d13 and d18: full-recompute
+    * LSH pairs restricted to pairs touching the bucket >= 200 shard, with
+    * structural new-side flags. d18's index differs only in HOW its
+    * bucket < 200 half reached disk (save + append + compact vs one
+    * save), which cannot change the pair set.
+    */
+  private lazy val deltaNearDupSql =
+    s"""$shinglesCte,
+       |$lshPairsCtes,
+       |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+       |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b, jaccard
+       |FROM pairs JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+       |WHERE xa.bucket >= 200 OR xb.bucket >= 200
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** t9's split bucket (first md5 byte of the doc id) — the SQL rendering
     * of TextAnalysis.splitBucket, shared by the t9 and d10 oracles.
@@ -610,14 +632,12 @@ object SparkEntry {
     // bucket>=200) == full-recompute pairs restricted to shard-touching
     // pairs (signatures are per-doc functions, so both computations hash
     // the same band keys and shingle sets)
-    "d13_delta_neardup" ->
-      s"""$shinglesCte,
-         |$lshPairsCtes,
-         |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
-         |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b, jaccard
-         |FROM pairs JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
-         |WHERE xa.bucket >= 200 OR xb.bucket >= 200
-         |ORDER BY id_a, id_b""".stripMargin,
+    "d13_delta_neardup" -> deltaNearDupSql,
+    // the appended+compacted index holds exactly the bucket<200 docs the
+    // d13 index holds (base save + one appended slice), so the delta
+    // pair set — and the oracle — are identical; the Spark path differs
+    // (INSERT INTO + generation-swap compaction on the bucketed tables)
+    "d18_index_append" -> deltaNearDupSql,
     "d4_ngram_jaccard_pairs" ->
       s"""$shinglesCte,
          |ds AS (SELECT doc_id, lang, tok0, tokz, list_distinct(sh) AS dsh FROM s)

@@ -534,13 +534,66 @@ object Dedup {
     ()
   }
 
+  /** Append rows into an existing bucketed table — the INSERT INTO half
+    * of the ingest contract the index scaladocs promise. `mode("append")`
+    * with a MATCHING bucket spec (Spark validates it) writes the new rows
+    * bucketed by the same murmur3 partitioning, so key-joined reads stay
+    * Exchange-free after any number of appends. What each append DOES
+    * cost: one more file per bucket, and a multi-file bucket no longer
+    * reports its sortBy order — delta joins re-sort (SortExec, no
+    * shuffle) until [[compactBucketedTable]] restores the one-file
+    * invariant. The LSM shape: appends are cheap and sorted-ness degrades
+    * until a compaction rewrites the generation.
+    */
+  private def appendBucketedTable(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit =
+    df.repartition(buckets, keys.map(col): _*)
+      .write.bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("append").saveAsTable(table)
+
+  /** Rewrite a bucketed table to exactly ONE file per bucket, restoring
+    * the reported sort order appends forfeit ([[saveBucketedTable]]'s
+    * condition). The rewrite is a GENERATION SWAP — write `<table>__compact`
+    * fully, then drop + rename — never a read-modify-write of the live
+    * location (a compaction that read the table it is overwriting would
+    * race its own scan; the swap is the same sentinel pattern as
+    * Freshness.publish). At 100 TB the rename is a metastore pointer move,
+    * not a data copy.
+    */
+  private def compactBucketedTable(spark: SparkSession, table: String,
+      buckets: Int, keys: Seq[String]): Unit = {
+    val tmp = s"${table}__compact"
+    dropTableAndLocation(spark, tmp)
+    // read the RAW parquet files, not the catalog table: a bucketed scan
+    // already reports HashPartitioning on the keys, so the planner elides
+    // the repartition as redundant — and the write's tasks then no longer
+    // align one-to-one with bucket ids, silently producing the multi-file
+    // buckets this compaction exists to remove. A plain file scan has no
+    // partitioning to satisfy, so the repartition genuinely aligns rows
+    // to their bucket before the write.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    spark.read.schema(spark.table(table).schema).parquet(loc.toString)
+      .repartition(buckets, keys.map(col): _*)
+      .write.bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(tmp)
+    dropTableAndLocation(spark, table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.catalog.refreshTable(table)
+  }
+
   def saveNearDupIndex(index: NearDupIndex, name: String, buckets: Int = 8): Unit = {
     saveBucketedTable(index.banded, s"${name}_banded", buckets, Seq("band", "bkey"))
     saveBucketedTable(index.shingles, s"${name}_shingles", buckets, Seq("doc_id"))
     val spark = index.banded.sparkSession
     import spark.implicits._
     dropTableAndLocation(spark, s"${name}_meta")
-    Seq((index.bands, index.rowsPerBand)).toDF("bands", "rows_per_band")
+    // bucket count rides the meta table so appends/compactions can't
+    // silently write a different layout than the index was created with
+    Seq((index.bands, index.rowsPerBand, buckets))
+      .toDF("bands", "rows_per_band", "buckets")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
@@ -551,6 +604,39 @@ object Dedup {
     val meta = spark.table(s"${name}_meta").head()
     NearDupIndex(spark.table(s"${name}_banded"), spark.table(s"${name}_shingles"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("rows_per_band"))
+  }
+
+  /** Append a shard's rows into a SAVED index — [[upsertNearDupIndex]]'s
+    * disk half, the production ingest step after a shard's delta pairs
+    * are reported: band keys and shingles land in the bucketed tables via
+    * bucket-spec-matched INSERT INTO (no rewrite of existing data; same
+    * id-disjointness contract). Band parameters and bucket count come
+    * from the meta table, so an append can never use a different banding
+    * or layout than the index holds.
+    */
+  def appendNearDupIndex(spark: SparkSession, name: String,
+      newDocs: DataFrame): Unit =
+    appendNearDupIndexFromShingles(spark, name, shingleTableOf(newDocs))
+
+  private def appendNearDupIndexFromShingles(spark: SparkSession, name: String,
+      newSh: DataFrame): Unit = {
+    val meta = spark.table(s"${name}_meta").head()
+    val buckets = meta.getAs[Int]("buckets")
+    appendBucketedTable(
+      bandedKeys(newSh, meta.getAs[Int]("bands"), meta.getAs[Int]("rows_per_band")),
+      s"${name}_banded", buckets, Seq("band", "bkey"))
+    appendBucketedTable(newSh, s"${name}_shingles", buckets, Seq("doc_id"))
+  }
+
+  /** Compact a SAVED index back to one file per bucket (appends add a
+    * file per bucket per shard and forfeit the reported sort order — see
+    * [[appendBucketedTable]]); after compaction delta joins read the
+    * index with no Exchange AND no Sort again.
+    */
+  def compactNearDupIndex(spark: SparkSession, name: String): Unit = {
+    val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
+    compactBucketedTable(spark, s"${name}_banded", buckets, Seq("band", "bkey"))
+    compactBucketedTable(spark, s"${name}_shingles", buckets, Seq("doc_id"))
   }
 
   /** The d13 gate pipeline: index the already-ingested corpus slice (md5
@@ -577,6 +663,34 @@ object Dedup {
       loadNearDupIndex(spark, name)
     }.asInstanceOf[NearDupIndex]
     deltaNearDupsFromShingles(sh.filter(bucket >= splitAt), index, threshold)
+  }
+
+  /** The d18 gate — the FULL index lifecycle on disk: save a base index
+    * (bucket < split1), APPEND the next ingested slice (split1 ≤ bucket <
+    * split2) into the bucketed tables, COMPACT back to one file per
+    * bucket, then delta-join the remaining shard (bucket ≥ split2)
+    * against the loaded result. Because an append only adds indexed
+    * documents, the emitted pairs are exactly [[deltaNearDupsGate]]'s at
+    * splitAt = split2 — same oracle — while the measured path exercises
+    * [[appendNearDupIndex]] + [[compactNearDupIndex]] end-to-end
+    * (BucketingSpec asserts the compacted gate plan still reads the index
+    * with no Exchange and no Sort).
+    */
+  def deltaNearDupsGateAppended(spark: SparkSession, dir: String,
+      split1: Int = 150, split2: Int = 200, threshold: Double = 0.8): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sh = persistedShingleTable(spark, dir)
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("neardupIndexAppended", dir, split1, split2)) {
+      val baseSh = sh.filter(bucket < split1)
+      val name = f"neardup_app_${split1}_${split2}_${dir.hashCode & 0xffffffffL}%x"
+      saveNearDupIndex(NearDupIndex(bandedKeys(baseSh, 3, 3), baseSh, 3, 3), name)
+      appendNearDupIndexFromShingles(spark, name,
+        sh.filter(bucket >= split1 && bucket < split2))
+      compactNearDupIndex(spark, name)
+      loadNearDupIndex(spark, name)
+    }.asInstanceOf[NearDupIndex]
+    deltaNearDupsFromShingles(sh.filter(bucket >= split2), index, threshold)
   }
 
   /** INCREMENTAL cluster maintenance — the production ingest's final
@@ -624,9 +738,17 @@ object Dedup {
       lab.unpersist()
       spark.table(table)
     }
-    // the shard's verified pairs: every full-graph edge touching the shard
-    val dp = deltaNearDupsGate(spark, dir, splitAt, threshold)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+    // the shard's verified pairs: every full-graph edge touching the
+    // shard. The checkpointed pair set is the shared intermediate of the
+    // pair-report stage (d13) and this merge — a production ingest
+    // computes it once per shard and feeds both, so it memoizes per
+    // (session, dir, split, threshold) exactly like the d3/d9 lshPairs
+    // table one pipeline earlier
+    val dp = graft.SessionCache.getOrElseUpdate(spark,
+        ("deltaPairs", dir, splitAt, threshold)) {
+      deltaNearDupsGate(spark, dir, splitAt, threshold)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+    }.asInstanceOf[DataFrame]
     val touchedDocs = dp.select(col("id_a").as("doc_id"))
       .unionByName(dp.select(col("id_b").as("doc_id"))).distinct()
     // delta-pair endpoints -> their old clusters -> ALL members of those
@@ -1098,11 +1220,35 @@ object Dedup {
     * the d15 family. One table: the signature is its own verification
     * payload.
     */
-  def saveSimHashIndex(index: SimHashIndex, name: String, buckets: Int = 8): Unit =
+  def saveSimHashIndex(index: SimHashIndex, name: String, buckets: Int = 8): Unit = {
     saveBucketedTable(index.banded, s"${name}_banded", buckets, Seq("b", "chunk"))
+    val spark = index.banded.sparkSession
+    import spark.implicits._
+    dropTableAndLocation(spark, s"${name}_meta")
+    Seq(Tuple1(buckets)).toDF("buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
 
   def loadSimHashIndex(spark: SparkSession, name: String): SimHashIndex =
     SimHashIndex(spark.table(s"${name}_banded"))
+
+  /** [[upsertSimHashIndex]]'s disk half: append a shard's banded
+    * signature rows into the saved table (bucket-spec-matched INSERT
+    * INTO; layout from the meta table — see [[appendNearDupIndex]]).
+    */
+  def appendSimHashIndex(spark: SparkSession, name: String,
+      newSigs: DataFrame): Unit = {
+    val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
+    appendBucketedTable(simhashBanded(newSigs), s"${name}_banded", buckets,
+      Seq("b", "chunk"))
+  }
+
+  /** Restore the one-file-per-bucket invariant after appends (see
+    * [[compactNearDupIndex]]). */
+  def compactSimHashIndex(spark: SparkSession, name: String): Unit = {
+    val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
+    compactBucketedTable(spark, s"${name}_banded", buckets, Seq("b", "chunk"))
+  }
 
   /** Incremental simhash near-dup: a new shard's signatures (map-side)
     * band-join the persisted index; exact Hamming verifies in the join
@@ -1155,6 +1301,30 @@ object Dedup {
       loadSimHashIndex(spark, name)
     }.asInstanceOf[SimHashIndex]
     deltaSimhashPairs(sigs.filter(bucket >= splitAt), index, maxHamming)
+  }
+
+  /** [[deltaNearDupsGateAppended]]'s lifecycle for the simhash family:
+    * save (bucket < split1) → append the split1..split2-1 slice →
+    * compact → delta-join the bucket ≥ split2 shard. Equals
+    * [[deltaSimhashGate]] at splitAt = split2 (spec-proven — appending
+    * only changes HOW the indexed half reached disk).
+    */
+  def deltaSimhashGateAppended(spark: SparkSession, dir: String,
+      split1: Int = 150, split2: Int = 200, maxHamming: Int = 3): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sigs = graft.SessionCache.getOrElseUpdate(spark, ("simhash64", dir)) {
+      simhash64(spark, dir).persist()
+    }
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("simhashIndexAppended", dir, split1, split2)) {
+      val name = f"simhash_app_${split1}_${split2}_${dir.hashCode & 0xffffffffL}%x"
+      saveSimHashIndex(buildSimHashIndex(sigs.filter(bucket < split1)), name)
+      appendSimHashIndex(spark, name,
+        sigs.filter(bucket >= split1 && bucket < split2))
+      compactSimHashIndex(spark, name)
+      loadSimHashIndex(spark, name)
+    }.asInstanceOf[SimHashIndex]
+    deltaSimhashPairs(sigs.filter(bucket >= split2), index, maxHamming)
   }
 
   /** Embedding near-dup, scale path: block by the sign-random-projection
@@ -1272,14 +1442,45 @@ object Dedup {
     * tables — banded rows on the block keys (the delta join reads them
     * bucketed), vectors on vec_id (the verify join's key).
     */
-  def saveEmbIndex(index: EmbIndex, name: String, buckets: Int = 8): Unit = {
+  def saveEmbIndex(index: EmbIndex, name: String, buckets: Int = 8,
+      bands: Int = 4, planesPerBand: Int = 2): Unit = {
     saveBucketedTable(index.banded, s"${name}_banded", buckets,
       Seq("label", "band", "bucket"))
     saveBucketedTable(index.vectors, s"${name}_vectors", buckets, Seq("vec_id"))
+    val spark = index.banded.sparkSession
+    import spark.implicits._
+    dropTableAndLocation(spark, s"${name}_meta")
+    Seq((bands, planesPerBand, buckets))
+      .toDF("bands", "planes_per_band", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
   def loadEmbIndex(spark: SparkSession, name: String): EmbIndex =
     EmbIndex(spark.table(s"${name}_banded"), spark.table(s"${name}_vectors"))
+
+  /** [[upsertEmbIndex]]'s disk half: a shard's banded LSH rows and
+    * vectors append into the saved bucketed tables; banding and layout
+    * come from the meta table (see [[appendNearDupIndex]]).
+    */
+  def appendEmbIndex(spark: SparkSession, name: String,
+      newVecs: DataFrame): Unit = {
+    val meta = spark.table(s"${name}_meta").head()
+    val buckets = meta.getAs[Int]("buckets")
+    appendBucketedTable(
+      embBandedOf(newVecs, meta.getAs[Int]("bands"), meta.getAs[Int]("planes_per_band")),
+      s"${name}_banded", buckets, Seq("label", "band", "bucket"))
+    appendBucketedTable(newVecs.select("label", "vec_id", "v", "n"),
+      s"${name}_vectors", buckets, Seq("vec_id"))
+  }
+
+  /** Restore the one-file-per-bucket invariant after appends (see
+    * [[compactNearDupIndex]]). */
+  def compactEmbIndex(spark: SparkSession, name: String): Unit = {
+    val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
+    compactBucketedTable(spark, s"${name}_banded", buckets,
+      Seq("label", "band", "bucket"))
+    compactBucketedTable(spark, s"${name}_vectors", buckets, Seq("vec_id"))
+  }
 
   /** Incremental embedding near-dup: a new shard's banded LSH rows
     * (map-side — the hyperplanes are literals) join the persisted index on
@@ -1343,6 +1544,26 @@ object Dedup {
       loadEmbIndex(spark, name)
     }.asInstanceOf[EmbIndex]
     deltaEmbeddingPairs(e.filter(bucket >= splitAt), index, threshold)
+  }
+
+  /** [[deltaNearDupsGateAppended]]'s lifecycle for the embedding family:
+    * save (bucket < split1) → append the split1..split2-1 slice (banded
+    * rows AND vectors) → compact → delta-join the bucket ≥ split2 shard.
+    * Equals [[deltaEmbeddingGate]] at splitAt = split2 (spec-proven).
+    */
+  def deltaEmbeddingGateAppended(spark: SparkSession, dir: String,
+      split1: Int = 150, split2: Int = 200, threshold: Double = 0.35): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("vec_id"))
+    val e = Similarity.preparedEmbeddings(spark, dir)
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("embIndexAppended", dir, split1, split2)) {
+      val name = f"emb_app_${split1}_${split2}_${dir.hashCode & 0xffffffffL}%x"
+      saveEmbIndex(buildEmbIndex(e.filter(bucket < split1)), name)
+      appendEmbIndex(spark, name, e.filter(bucket >= split1 && bucket < split2))
+      compactEmbIndex(spark, name)
+      loadEmbIndex(spark, name)
+    }.asInstanceOf[EmbIndex]
+    deltaEmbeddingPairs(e.filter(bucket >= split2), index, threshold)
   }
 
   /** Near-duplicate pairs by embedding cosine similarity: block by label

@@ -121,6 +121,99 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("index append + compaction: disk upsert == in-memory upsert, compaction restores the sort") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val baseText = (1 to 60).map(i => s"tok$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    def docs(rows: Seq[(Long, String)]) =
+      rows.map { case (i, t) => (i, t, "en", "s", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = docs((0L to 9L).map(i => (i, noise(i))) :+ ((10L, baseText)))
+    val shard1 = docs(Seq((20L, baseText.replace("tok30", "EDITED")), (21L, noise(21L))))
+    val shard2 = docs(Seq((30L, baseText.replace("tok40", "EDITEDB")), (31L, noise(31L))))
+    Seq("_banded", "_shingles", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ndapp$s"))
+    val index = Dedup.buildNearDupIndex(base)
+    Dedup.saveNearDupIndex(index, "ndapp", buckets = 4)
+    Dedup.appendNearDupIndex(spark, "ndapp", shard1)
+    val inMem = Dedup.upsertNearDupIndex(index, shard1)
+    try {
+      val loaded = Dedup.loadNearDupIndex(spark, "ndapp")
+      // the appended tables hold exactly the in-memory upsert's rows
+      def bandedSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "band", "bkey").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      def shingleSet(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), md5(array_join(col("sh"), "|")).as("d")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(bandedSet(loaded.banded) == bandedSet(inMem.banded))
+      assert(shingleSet(loaded.shingles) == shingleSet(inMem.shingles))
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaDisk = pairSet(Dedup.deltaNearDups(shard2, loaded))
+      assert(viaDisk == pairSet(Dedup.deltaNearDups(shard2, inMem)))
+      // the appended doc is VISIBLE to the delta: 30 pairs with indexed 10
+      // (base save) and 20 (appended) but never 10-20 (both indexed)
+      assert(viaDisk.exists(p => p._1 == 10L && p._2 == 30L))
+      assert(viaDisk.exists(p => p._1 == 20L && p._2 == 30L))
+      assert(!viaDisk.exists(p => p._1 == 10L && p._2 == 20L))
+      // plan shape across the lifecycle: appends keep the read
+      // Exchange-free (bucketing survives) but forfeit the reported sort
+      // (multi-file buckets) — the index side re-sorts; compaction
+      // restores the one-file invariant and the sort disappears
+      val probe = spark.createDataFrame(
+        spark.sparkContext.parallelize(loaded.banded.limit(4).collect().toSeq),
+        loaded.banded.schema)
+        .select(col("band"), col("bkey"), col("doc_id").as("probe_id"))
+      def probePlan() = {
+        val joined = probe.join(spark.table("ndapp_banded"), Seq("band", "bkey"))
+        joined.count()
+        joined.queryExecution.executedPlan.toString
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val before = probePlan()
+        assert("(?<!Broadcast)Exchange".r.findAllIn(before).length == 1,
+          s"append broke the bucketed read:\n${before.take(1200)}")
+        assert("Sort \\[".r.findAllIn(before).length == 2,
+          s"expected both sides to sort before compaction:\n${before.take(1200)}")
+        Dedup.compactNearDupIndex(spark, "ndapp")
+        val after = probePlan()
+        assert("(?<!Broadcast)Exchange".r.findAllIn(after).length == 1,
+          s"compaction broke the bucketed read:\n${after.take(1200)}")
+        assert("Sort \\[".r.findAllIn(after).length == 1,
+          s"compaction did not restore the index-side sort report:\n${after.take(1200)}")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      // and the data is unchanged by the rewrite
+      assert(pairSet(Dedup.deltaNearDups(shard2,
+        Dedup.loadNearDupIndex(spark, "ndapp"))) == viaDisk)
+    } finally Seq("_banded", "_shingles", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ndapp$s"))
+  }
+
+  test("appended gates: save→append→compact→delta equals the one-shot gates (all three families)") {
+    val dir = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(graft.operators.Dedup.deltaNearDupsGateAppended(spark, dir)) ==
+      rows(graft.operators.Dedup.deltaNearDupsGate(spark, dir)))
+    assert(rows(graft.operators.Dedup.deltaSimhashGateAppended(spark, dir)) ==
+      rows(graft.operators.Dedup.deltaSimhashGate(spark, dir)))
+    assert(rows(graft.operators.Dedup.deltaEmbeddingGateAppended(spark, dir)) ==
+      rows(graft.operators.Dedup.deltaEmbeddingGate(spark, dir)))
+  }
+
+  test("d18 gate: appended+compacted index reads bucketed, no Exchange/Sort") {
+    assertIndexGatePlan(graft.operators.Dedup.deltaNearDupsGateAppended(spark, sf("sf0.001")))
+  }
+
   test("d13 gate: delta join reads the persisted index bucketed, no Exchange/Sort") {
     assertIndexGatePlan(graft.operators.Dedup.deltaNearDupsGate(spark, sf("sf0.001")))
   }
