@@ -525,7 +525,7 @@ object Dedup {
       .mode("overwrite").saveAsTable(table)
   }
 
-  private def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+  private[graft] def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)

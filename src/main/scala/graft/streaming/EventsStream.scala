@@ -297,6 +297,72 @@ object EventsStream {
         greatest(col("id_n"), col("id_o")).as("id_b"), col("jaccard"))
   }
 
+  /** CONTINUOUS INGEST — the full production loop under `foreachBatch`,
+    * closing the gap the stream-static twins document (intra-batch pairs
+    * "settle at the next batch index upsert" — here that upsert IS the
+    * stream): per micro-batch,
+    *
+    *   1. drop documents whose ids are already indexed — one doc_id
+    *      anti-join against the index's bucketed shingle table, so
+    *      at-least-once delivery of a shard degrades to exactly-once
+    *      output (id-keyed idempotence, the upsert contract enforced
+    *      rather than assumed);
+    *   2. report the batch's verified delta pairs against the index AS OF
+    *      the batch start — the full two-leg BATCH delta
+    *      ([[graft.operators.Dedup.deltaNearDups]]), so intra-batch pairs
+    *      are visible, unlike the stream-static topology;
+    *   3. append the batch into the persisted bucketed index tables
+    *      ([[graft.operators.Dedup.appendNearDupIndex]]).
+    *
+    * Batches run sequentially (Structured Streaming's contract), so a
+    * pair (a, b) with a arriving in batch i and b in batch j > i is
+    * emitted exactly once — by batch j's vs-index leg; same-batch pairs
+    * by the self-join leg. The union of emissions over ANY delivery
+    * order/replay therefore equals the one-shot batch delta of all new
+    * documents against the starting index (StreamingSpec asserts both
+    * the identity and zero duplicate emissions). Periodic
+    * [[graft.operators.Dedup.compactNearDupIndex]] keeps the append-only
+    * index's buckets single-file (sorted reads); the pairs land in an
+    * append-only `<name>_pairs` table.
+    */
+  def runIngestNearDup(spark: SparkSession, shardDir: String,
+      indexName: String, threshold: Double = 0.8,
+      name: String = "ingest_neardup", maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.dropTableAndLocation(spark, s"${name}_pairs")
+    val src = spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the previous batch APPENDED to these tables — drop any cached
+        // relation/file listing so this batch reads the grown index (the
+        // session catalog caches resolved data-source relations; without
+        // the refresh every batch can see the index as of stream start)
+        spark.catalog.refreshTable(s"${indexName}_shingles")
+        spark.catalog.refreshTable(s"${indexName}_banded")
+        // localCheckpoint freezes the filtered batch BEFORE the index
+        // tables mutate under it: the anti-join reads _shingles, and
+        // appending to a table that appears in the write's own lineage
+        // is both racy and rejected by the writer
+        val fresh = batch
+          .join(spark.table(s"${indexName}_shingles").select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        if (!fresh.isEmpty) {
+          Dedup.deltaNearDups(fresh, Dedup.loadNearDupIndex(spark, indexName),
+              threshold)
+            .write.mode("append").saveAsTable(s"${name}_pairs")
+          Dedup.appendNearDupIndex(spark, indexName, fresh)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(s"${name}_pairs")
+  }
+
   /** Run the streaming delta dedup over a shard directory to completion
     * (memory sink, AvailableNow).
     */

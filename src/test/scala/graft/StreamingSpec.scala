@@ -41,6 +41,64 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.size == batch.size) // replay produced no duplicates
   }
 
+  test("continuous ingest: per-batch delta + index append == one-shot delta, replay-idempotent, index converges") {
+    val baseText = (1 to 60).map(i => s"base$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    def docs(rows: Seq[(Long, String)]) =
+      rows.map { case (i, t) => (i, t, "en", "s", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = docs((0L to 9L).map(i => (i, noise(i))) :+ ((10L, baseText)))
+    // shard A arrives first, shard B second (near-dups 10 AND 20 — the
+    // cross-batch pair exists only because A's append preceded B), then
+    // A's CONTENT is re-delivered as a third file (at-least-once)
+    // doc 30 carries doc 20's exact text: the (20, 30) pair is then
+    // jaccard 1.0 with identical signatures — a GUARANTEED band hit —
+    // and (10, 30) has exactly (10, 20)'s known-banded relationship
+    val shardA = docs(Seq((20L, baseText.replace("base30", "EDITED")), (21L, noise(21L))))
+    val shardB = docs(Seq((30L, baseText.replace("base30", "EDITED")), (31L, noise(31L))))
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    shardA.coalesce(1).write.mode("append").parquet(shardDir)
+    shardB.coalesce(1).write.mode("append").parquet(shardDir)
+    shardA.coalesce(1).write.mode("append").parquet(shardDir) // replayed content
+    Seq("_banded", "_shingles", "_meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ndingest$s"))
+    graft.operators.Dedup.saveNearDupIndex(
+      graft.operators.Dedup.buildNearDupIndex(base), "ndingest", buckets = 4)
+    try {
+      val emitted = EventsStream
+        .runIngestNearDup(spark, shardDir, "ndingest", name = "ingest_test")
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // zero duplicate emissions despite the replayed file
+      assert(emitted.length == emitted.toSet.size)
+      // identity: union of per-batch emissions == the one-shot batch
+      // delta of all new docs against the STARTING index (flags dropped —
+      // the ingest sees 20 as already-indexed by the time 30 arrives)
+      val oneShot = graft.operators.Dedup
+        .deltaNearDups(shardA.unionByName(shardB),
+          graft.operators.Dedup.buildNearDupIndex(base))
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(emitted.toSet == oneShot)
+      assert(emitted.toSet.exists(p => p._1 == 10L && p._2 == 20L))
+      assert(emitted.toSet.exists(p => p._1 == 10L && p._2 == 30L))
+      // the cross-batch pair: 30 found 20 through the index, not a self-join
+      assert(emitted.toSet.exists(p => p._1 == 20L && p._2 == 30L))
+      // the index converged to the full corpus (same rows as a fresh build)
+      def bandedSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "band", "bkey").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(bandedSet(graft.operators.Dedup.loadNearDupIndex(spark, "ndingest").banded) ==
+        bandedSet(graft.operators.Dedup.buildNearDupIndex(
+          base.unionByName(shardA).unionByName(shardB)).banded))
+    } finally {
+      Seq("_banded", "_shingles", "_meta").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS ndingest$s"))
+      spark.sql("DROP TABLE IF EXISTS ingest_test_pairs")
+    }
+  }
+
   test("streaming simhash delta == batch delta (vs-indexed pairs) on a replayed shard") {
     val baseText = (1 to 60).map(i => s"base$i").mkString(" ")
     def noise(id: Long) = (1 to 40).map(j =>
