@@ -149,6 +149,10 @@ object SparkEntry {
     // equals d9's full-recompute labels restricted to components
     // containing a shard (bucket >= 200) doc, which the oracle computes
     "d16_delta_clusters" -> ((s, d) => Dedup.deltaClusters(s, d).orderBy("doc_id")),
+    // cluster-canonical survivor selection: one kept member per d9
+    // cluster, longest-text-wins with doc_id tiebreak — `keep` (curation)
+    // vs `is_rep` (graph root) are distinct by design
+    "d19_cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d).orderBy("doc_id")),
     "d10_contamination" -> ((s, d) => Dedup.crossSplitContamination(s, d).orderBy("doc_id")),
     // incremental ingest: index the "already ingested" corpus slice (md5
     // bucket < 200 ≈ 78%, session-cached like a persisted index), then
@@ -756,6 +760,27 @@ object SparkEntry {
          |  (b2.bucket >= 200) AS is_new
          |FROM lab l JOIN touched t ON t.cluster = l.cluster
          |JOIN bk b2 ON b2.doc_id = l.doc_id
+         |ORDER BY l.doc_id""".stripMargin
+    },
+    // cluster-canonical survivor: d9's labels + the longest-text-wins rank
+    // (length of the coalesced text, doc_id tiebreak) — a total order both
+    // engines replay identically; n_members/keep ride the same window
+    "d19_cluster_canonical" -> {
+      val base = "WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ")
+      s"""$base,
+         |$lshPairsCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, length(coalesce(text, '')) AS qlen FROM documents)
+         |SELECT l.doc_id, l.cluster,
+         |  count(*) OVER (PARTITION BY l.cluster) AS n_members,
+         |  (row_number() OVER (PARTITION BY l.cluster ORDER BY q.qlen DESC, l.doc_id) = 1) AS keep
+         |FROM lab l JOIN q USING (doc_id)
          |ORDER BY l.doc_id""".stripMargin
     },
     // decontamination: the split definition is t9's md5 bucket (one shared

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Exprs._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines, built on
@@ -422,6 +423,36 @@ object Dedup {
     // `cached` (not the `labels` projection) is what persist() was called
     // on — return it so the caller's unpersist frees the real entry
     cached
+  }
+
+  /** D19 — cluster-canonical survivor selection, the curation step AFTER
+    * clustering: each near-dup cluster (d9's labels) keeps exactly one
+    * member for the training set. The rank key is the standard
+    * keep-the-most-complete-copy heuristic (longest text wins), tie-broken
+    * on doc_id so the selection is a total order both engines replay
+    * identically. `keep` (the curated survivor) is deliberately distinct
+    * from d9's `is_rep` (the structural min-label root): the root is a
+    * graph artifact, the survivor is a quality decision.
+    *
+    * Scale shape: the labels come from the shared d3/d9 pair pipeline
+    * (cached per session), the rank key is computed map-side BEFORE any
+    * shuffle (the text itself never moves — only (doc_id, cluster, qlen)),
+    * and both window functions share ONE cluster-keyed shuffle whose
+    * per-partition state is bounded by cluster size (near-dup density),
+    * never corpus size.
+    */
+  def clusterCanonical(spark: SparkSession, dir: String,
+      bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val labels = nearDupClusters(spark, dir, bands, rowsPerBand, threshold)
+      .select(col("doc_id"), col("cluster"))
+    val qual = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(coalesce(col("text"), lit(""))).as("qlen"))
+    val wc = Window.partitionBy(col("cluster"))
+    val wr = wc.orderBy(col("qlen").desc, col("doc_id"))
+    labels.join(qual, Seq("doc_id"))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .withColumn("keep", row_number().over(wr) === 1)
+      .select(col("doc_id"), col("cluster"), col("n_members"), col("keep"))
   }
 
   /** n-gram Jaccard near-dup with cheap blocking (same lang + same first and

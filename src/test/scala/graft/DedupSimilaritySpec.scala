@@ -84,6 +84,23 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(viaPropagation == viaUnionFind)
   }
 
+  test("cluster canonical: longest member survives, singletons keep themselves") {
+    val got = Dedup.clusterCanonical(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // the planted 48-51 component: four members, survivor = 50 ("dup dup "
+    // + base is the longest text; the tie against identical 51 breaks on
+    // doc_id) — NOT the min-label root 48
+    Seq(48L, 49L, 50L, 51L).foreach { id =>
+      assert(got(id)._1 == 48L)
+      assert(got(id)._2 == 4L)
+      assert(got(id)._3 == (id == 50L))
+    }
+    // noise docs are singleton clusters keeping themselves
+    assert(got(0L) == ((0L, 1L, true)))
+    // exactly one survivor per cluster, everywhere
+    got.values.groupBy(_._1).values.foreach(ms => assert(ms.count(_._3) == 1))
+  }
+
   test("delta near-dup: delta(index, shard) ∪ pairs(base) == pairs(base ∪ shard)") {
     val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
     // 48 (base text) is indexed; the shard carries its near-dup 49 and the
