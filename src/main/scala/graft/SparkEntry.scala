@@ -179,6 +179,10 @@ object SparkEntry {
     // INTEGER quantized dot (portable exactly), top-rerank cut, then the
     // s1 exact-cosine ranking over survivors only
     "s7_ann_quantized" -> ((s, d) => Similarity.quantizedTopK(s, d).orderBy("probe_id", "rn")),
+    // MMR diversified top-k: greedy rel − max-sim selection over s7's
+    // quantized candidates, all scores INTEGER dots so the greedy
+    // trajectory is exactly portable; oracle replays it in a recursive CTE
+    "s8_mmr_diversify" -> ((s, d) => Similarity.mmrTopK(s, d).orderBy("probe_id", "mmr_rank")),
     // ---- text analysis ----
     "t2_language_id" -> ((s, d) => TextAnalysis.languageId(s, d).orderBy("doc_id")),
     "t3_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d).orderBy("doc_id")),
@@ -913,6 +917,40 @@ object SparkEntry {
         |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, neighbor_id) AS rn
         |  FROM cand JOIN e c ON c.vec_id = neighbor_id JOIN pf ON pf.probe_id = cand.probe_id)
         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+    // MMR diversification: the greedy trajectory replayed in a recursive
+    // CTE — each step appends the candidate maximizing rel − max-sim-to-
+    // selected (ties to the smaller id via the (score, -nid) struct max);
+    // every score is an integer dot, so the argmax is exact in both engines
+    "s8_mmr_diversify" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT max(list_max([abs(x) for x in v])) AS m FROM e),
+        |q AS (SELECT vec_id, [CAST(floor(x * 127 / m + 0.5) AS BIGINT) for x in v] AS qv FROM e CROSS JOIN m),
+        |p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT probe_id, c.vec_id AS nid,
+        |    list_sum([pq[i+1] * c.qv[i+1] for i in range(0, 64)]) AS rel, c.qv AS qv,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY list_sum([pq[i+1] * c.qv[i+1] for i in range(0, 64)]) DESC, c.vec_id) AS qrn
+        |  FROM p CROSS JOIN q c WHERE probe_id != c.vec_id),
+        |cl AS (SELECT probe_id, list(struct_pack(nid := nid, rel := rel, qv := qv) ORDER BY nid) AS cs
+        |  FROM cand WHERE qrn <= 20 GROUP BY probe_id),
+        |mmr(probe_id, step, sel) AS (
+        |  SELECT probe_id, 0, CAST([] AS BIGINT[]) FROM cl
+        |  UNION ALL
+        |  SELECT m2.probe_id, m2.step + 1,
+        |    list_append(m2.sel, -(list_max(
+        |      [struct_pack(s := c.rel - CASE WHEN len(m2.sel) = 0 THEN 0
+        |          ELSE list_max([list_dot_product(c.qv, s2.qv)
+        |                for s2 in [x for x in cl.cs if list_contains(m2.sel, x.nid)]]) END,
+        |        n := -c.nid)
+        |       for c in cl.cs if NOT list_contains(m2.sel, c.nid)]).n))
+        |  FROM mmr m2 JOIN cl ON cl.probe_id = m2.probe_id WHERE m2.step < 5)
+        |SELECT f.probe_id, f.sel[i.i] AS neighbor_id, CAST(i.i AS INTEGER) AS mmr_rank,
+        |  CAST(c.rel AS BIGINT) AS rel
+        |FROM (SELECT probe_id, sel FROM mmr WHERE step = 5) f
+        |CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS i) i
+        |JOIN cand c ON c.probe_id = f.probe_id AND c.nid = f.sel[i.i]
+        |ORDER BY f.probe_id, mmr_rank""".stripMargin,
     // hard negatives: s1's exact-cosine ranking with the label-mismatch
     // predicate replacing self-exclusion
     "s5_hard_negatives" ->

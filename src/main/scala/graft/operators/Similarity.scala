@@ -116,18 +116,24 @@ object Similarity {
     * brute-force tier (spec-proven) — the classic quantized-scan /
     * exact-rerank recall dial in between.
     */
-  def quantizedTopK(spark: SparkSession, dir: String,
-      nProbes: Int = 5, k: Int = 5, rerank: Int = 20): DataFrame = {
-    val e = preparedEmbeddings(spark, dir)
-    // int8 plane, materialized once per (session, dir): the "stored
-    // quantized index" a production deployment would keep columnar
-    val qplane = graft.SessionCache.getOrElseUpdate(spark, ("embQuant", dir)) {
+  /** The int8 plane, materialized once per (session, dir): the "stored
+    * quantized index" a production deployment would keep columnar. Shared
+    * by S7 (quantized scan + exact re-rank) and S8 (MMR diversification).
+    */
+  private[operators] def quantizedPlane(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("embQuant", dir)) {
+      val e = preparedEmbeddings(spark, dir)
       val mdf = e.agg(max(array_max(transform(col("v"), x => abs(x)))).as("m"))
       e.crossJoin(broadcast(mdf))
         .select(col("vec_id"),
           transform(col("v"), x => floor(x * 127 / col("m") + 0.5).cast("long")).as("qv"))
         .persist()
     }
+
+  def quantizedTopK(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5, rerank: Int = 20): DataFrame = {
+    val e = preparedEmbeddings(spark, dir)
+    val qplane = quantizedPlane(spark, dir)
     val qprobes = qplane.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("qv").as("pq"))
     val qdot = aggregate(
@@ -151,6 +157,76 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** S8 — MMR (Maximal Marginal Relevance) diversified top-k: the retrieval
+    * mode a training-data pipeline uses when the top-k must COVER the
+    * neighborhood, not repeat it (diverse few-shot example selection,
+    * dedup-aware retrieval). Greedy selection over S7's quantized candidate
+    * stage: pick argmax `rel(c) − max_{s∈S} sim(c, s)` (the λ = 0.5 MMR
+    * objective scaled by 2 — same argmax), where rel and sim are INTEGER
+    * quantized dot products, so no float rounding can reorder a pick
+    * between engines; ties break on neighbor_id.
+    *
+    * Scale shape: the candidate stage is S7's narrow (vec_id, qv) plane
+    * scan with its per-probe top-`cand` window cut; the greedy loop is
+    * inherently sequential WITHIN a probe but embarrassingly parallel
+    * ACROSS probes, so it runs as one `flatMapGroups` whose per-group
+    * state is the candidate set itself — bounded by `cand` (≤ 20 rows of
+    * 64 longs), never corpus size. The corpus is never collected and never
+    * shuffles: only probes×cand candidate rows cross the one exchange.
+    */
+  def mmrTopK(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5, cand: Int = 20): DataFrame = {
+    import spark.implicits._
+    val qplane = quantizedPlane(spark, dir)
+    val qprobes = qplane.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pq"))
+    val qdot = aggregate(
+      zip_with(col("pq"), col("qv"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val candidates = qplane.select(col("vec_id").as("neighbor_id"), col("qv"))
+      .join(broadcast(qprobes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("rel", qdot)
+      .withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= cand)
+      .select(col("probe_id"), col("neighbor_id"), col("rel"), col("qv"))
+      .as[(Long, Long, Long, Seq[Long])]
+    candidates.groupByKey(_._1).flatMapGroups { (pid, it) =>
+      // candidate order is fixed before the greedy loop so the fold is
+      // iteration-order-independent of shuffle arrival
+      val cs = it.map { case (_, nid, rel, qv) => (nid, rel, qv.toArray) }
+        .toArray.sortBy(_._1)
+      def dot(a: Array[Long], b: Array[Long]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      val taken = scala.collection.mutable.HashSet.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Long)]
+      var rank = 1
+      while (rank <= k && taken.size < cs.length) {
+        var bestNid = -1L; var bestRel = 0L
+        var bestQv: Array[Long] = null; var bestScore = Long.MinValue
+        cs.foreach { case (nid, rel, qv) =>
+          if (!taken.contains(nid)) {
+            val maxsim = if (selected.isEmpty) 0L else selected.map(dot(qv, _)).max
+            val score = rel - maxsim
+            // strict > with ascending-nid iteration = ties keep min nid
+            if (score > bestScore) {
+              bestScore = score; bestNid = nid; bestRel = rel; bestQv = qv
+            }
+          }
+        }
+        taken += bestNid
+        selected += bestQv
+        out += ((pid, bestNid, rank, bestRel))
+        rank += 1
+      }
+      out.iterator
+    }.toDF("probe_id", "neighbor_id", "mmr_rank", "rel")
   }
 
   /** Deterministic hyperplane coefficient for (plane j, dimension i):

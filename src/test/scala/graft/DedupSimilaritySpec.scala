@@ -101,6 +101,41 @@ class DedupSimilaritySpec extends SparkSuite {
     got.values.groupBy(_._1).values.foreach(ms => assert(ms.count(_._3) == 1))
   }
 
+  test("MMR: rank 1 = most relevant, then the near-clone defers to the diverse pick") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr").toString
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    // probe 0 sits on the diagonal; candidate 1 is the most relevant,
+    // 2 is a near-clone of 1 (second by pure relevance), 3 is orthogonal
+    // to 1 with lower relevance — MMR must pick (1, 3), not (1, 2)
+    Seq(
+      (0L, vec(0 -> 1f, 1 -> 1f), 0),
+      (1L, vec(0 -> 1f, 1 -> 0.02f), 0),
+      (2L, vec(0 -> 0.99f), 0),
+      (3L, vec(1 -> 0.9f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.mmrTopK(spark, dir, nProbes = 1, k = 2, cand = 3)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 1), (3L, 2)))
+  }
+
+  test("MMR on the fixture: picks are distinct members of the quantized top-20") {
+    val mmr = Similarity.mmrTopK(spark, fixtureDir).collect()
+    val byProbe = mmr.groupBy(_.getLong(0))
+    assert(byProbe.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byProbe.foreach { case (pid, rows) =>
+      // five distinct picks, ranks exactly 1..5
+      assert(rows.map(_.getLong(1)).distinct.length == 5)
+      assert(rows.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      // rank 1 is the relevance argmax: its rel is the row maximum
+      val r1 = rows.find(_.getInt(2) == 1).get
+      assert(rows.forall(r => r.getLong(3) <= r1.getLong(3)))
+    }
+  }
+
   test("delta near-dup: delta(index, shard) ∪ pairs(base) == pairs(base ∪ shard)") {
     val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
     // 48 (base text) is indexed; the shard carries its near-dup 49 and the
