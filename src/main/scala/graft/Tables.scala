@@ -24,19 +24,34 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    * cannot represent natively; with spark.sql.legacy.parquet.nanosAsLong the
-    * column arrives as nanos-since-epoch LongType and is converted here to a
-    * proper timestamp (micros — the generator's values are micro-aligned).
+  /** events.parquet has shipped under three `ts` encodings over time:
+    * TIMESTAMP(NANOS) (arrives as nanos-since-epoch LongType under
+    * spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ), and plain
+    * TIMESTAMP. A production events source reads whatever the footer
+    * declares — the reference's loader likewise introspects the live
+    * schema before loading (itdbloader.py:249-258) — so ingestion
+    * branches on the ARRIVED type instead of assuming one encoding.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = read(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(read(spark, dir, "events"))
+
+  /** Normalize an events `ts` column to TimestampType regardless of which
+    * parquet encoding it arrived as. All engine sessions pin
+    * spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast is
+    * value-preserving (same wall-clock instant, micros intact).
+    */
+  private[graft] def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema(c).dataType match {
       // integer division: `/` on longs promotes to double, and nano epochs
       // (~1.7e18) exceed double's 2^53 exact range — `div` keeps it exact
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+      case LongType => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(
+        org.apache.spark.sql.types.TimestampType))
+      case _ => df // already TIMESTAMP — pass through
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

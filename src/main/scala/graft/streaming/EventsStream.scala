@@ -18,25 +18,9 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet is TIMESTAMP(NANOS): under nanosAsLong the column reads
-    * as LongType and is converted after the scan (same as Tables.events).
-    */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Hourly windowed counts/sums per event_type with a 1-hour watermark. */
   def hourlyAgg(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
-      // file streams need a directory source; glob-filter to the one table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventSource(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -57,12 +41,22 @@ object EventsStream {
     spark.table(name)
   }
 
-  private[graft] def eventSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
+  /** The events file stream. File streams require a schema up front, but
+    * hardcoding one bakes in a single `ts` encoding — the file has shipped
+    * as nanos-Long, micros-NTZ and plain TIMESTAMP (see Tables.events).
+    * Instead the schema comes from one batch-read of the same path (a
+    * single footer resolution at stream definition), and the arrived type
+    * goes through the same three-way normalization as the batch accessor,
+    * so stream and batch agree on every encoding.
+    */
+  private[graft] def eventSource(spark: SparkSession, dir: String): DataFrame = {
+    val arrivedSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.Tables.normalizeTs(spark.readStream
+      .schema(arrivedSchema)
+      // file streams need a directory source; glob-filter to the one table
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
+  }
 
   /** Session windows per user (30-minute inactivity gap) — the builtin
     * `session_window` aggregation under a watermark; the Spark-first way to
