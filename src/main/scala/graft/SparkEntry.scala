@@ -153,6 +153,12 @@ object SparkEntry {
     // cluster, longest-text-wins with doc_id tiebreak — `keep` (curation)
     // vs `is_rep` (graph root) are distinct by design
     "d19_cluster_canonical" -> ((s, d) => Dedup.clusterCanonical(s, d).orderBy("doc_id")),
+    // INCREMENTAL canonical: keep flags recomputed only over d16's delta
+    // label slice, untouched clusters served from the persisted base
+    // canonical table — output equals d19's full recompute exactly, so
+    // the oracle is shared (the d18 pattern)
+    "d19b_delta_canonical" -> ((s, d) =>
+      Dedup.deltaClusterCanonical(s, d).orderBy("doc_id")),
     "d10_contamination" -> ((s, d) => Dedup.crossSplitContamination(s, d).orderBy("doc_id")),
     // incremental ingest: index the "already ingested" corpus slice (md5
     // bucket < 200 ≈ 78%, session-cached like a persisted index), then
@@ -357,6 +363,29 @@ object SparkEntry {
     * bucket < 200 half reached disk (save + append + compact vs one
     * save), which cannot change the pair set.
     */
+  /** D9's labels + the longest-text-wins survivor window — a total order
+    * both engines replay identically; shared by d19 (full recompute) and
+    * d19b (incremental path, identical output by construction).
+    */
+  private lazy val clusterCanonicalSql = {
+    val base = "WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ")
+    s"""$base,
+       |$lshPairsCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |lab AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+       |q AS (SELECT doc_id, length(coalesce(text, '')) AS qlen FROM documents)
+       |SELECT l.doc_id, l.cluster,
+       |  count(*) OVER (PARTITION BY l.cluster) AS n_members,
+       |  (row_number() OVER (PARTITION BY l.cluster ORDER BY q.qlen DESC, l.doc_id) = 1) AS keep
+       |FROM lab l JOIN q USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   private lazy val deltaNearDupSql =
     s"""$shinglesCte,
        |$lshPairsCtes,
@@ -769,24 +798,12 @@ object SparkEntry {
     // cluster-canonical survivor: d9's labels + the longest-text-wins rank
     // (length of the coalesced text, doc_id tiebreak) — a total order both
     // engines replay identically; n_members/keep ride the same window
-    "d19_cluster_canonical" -> {
-      val base = "WITH RECURSIVE " + shinglesCte.stripPrefix("WITH ")
-      s"""$base,
-         |$lshPairsCtes,
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-         |lab AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
-         |q AS (SELECT doc_id, length(coalesce(text, '')) AS qlen FROM documents)
-         |SELECT l.doc_id, l.cluster,
-         |  count(*) OVER (PARTITION BY l.cluster) AS n_members,
-         |  (row_number() OVER (PARTITION BY l.cluster ORDER BY q.qlen DESC, l.doc_id) = 1) AS keep
-         |FROM lab l JOIN q USING (doc_id)
-         |ORDER BY l.doc_id""".stripMargin
-    },
+    "d19_cluster_canonical" -> clusterCanonicalSql,
+    // the incremental path (persisted base canonical + delta-slice window
+    // + untouched union) reproduces the full recompute exactly — merging
+    // never removes members, untouched clusters keep members/labels/ranks
+    // — so d19's oracle gates it unchanged
+    "d19b_delta_canonical" -> clusterCanonicalSql,
     // decontamination: the split definition is t9's md5 bucket (one shared
     // rendering, splitBucketSql), the 8-gram CTE follows the t5/shingles
     // length convention (short doc → one whole-text gram); grams are md5'd

@@ -442,17 +442,84 @@ object Dedup {
     * never corpus size.
     */
   def clusterCanonical(spark: SparkSession, dir: String,
-      bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val labels = nearDupClusters(spark, dir, bands, rowsPerBand, threshold)
-      .select(col("doc_id"), col("cluster"))
-    val qual = Tables.documents(spark, dir)
-      .select(col("doc_id"), length(coalesce(col("text"), lit(""))).as("qlen"))
+      bands: Int = 3, rowsPerBand: Int = 3, threshold: Double = 0.8): DataFrame =
+    canonicalFromLabels(
+      nearDupClusters(spark, dir, bands, rowsPerBand, threshold)
+        .select(col("doc_id"), col("cluster")),
+      Tables.documents(spark, dir))
+
+  /** The survivor-selection window over a (doc_id, cluster) label frame —
+    * shared by the full-recompute (d19) and incremental (d19b) paths so
+    * the two can never rank differently. The rank key is computed map-side
+    * (only (doc_id, cluster, qlen) shuffles, never the text) and both
+    * windows share ONE cluster-keyed shuffle.
+    */
+  private def canonicalFromLabels(labels: DataFrame, docs: DataFrame): DataFrame = {
+    val qual = docs.select(col("doc_id"), length(coalesce(col("text"), lit(""))).as("qlen"))
     val wc = Window.partitionBy(col("cluster"))
     val wr = wc.orderBy(col("qlen").desc, col("doc_id"))
     labels.join(qual, Seq("doc_id"))
       .withColumn("n_members", count(lit(1)).over(wc))
       .withColumn("keep", row_number().over(wr) === 1)
       .select(col("doc_id"), col("cluster"), col("n_members"), col("keep"))
+  }
+
+  /** D19B — INCREMENTAL cluster-canonical: survivor selection under
+    * ingest, consuming d16's delta labels instead of d9's full recompute
+    * (the reference's mtime-memo incrementality — dupes/dedup.py:115-131 —
+    * carried one stage further down the curation pipeline). Only clusters
+    * touched by the shard's delta pairs can change their canonical:
+    * merging never removes members, and an untouched cluster keeps its
+    * members, lengths and label unchanged. So:
+    *
+    *   - prior state: the base corpus's canonical decisions (keep flags
+    *     over the base clustering), persisted as a bucketed warehouse
+    *     table — built once, like d16's base label table;
+    *   - per shard: recompute keep flags ONLY over the d16 output slice
+    *     (all members of shard-touching components + shard singletons) —
+    *     the window work is delta-sized;
+    *   - untouched remainder: served straight from the persisted table
+    *     via one doc_id anti-join against the delta slice's ids
+    *     (delta-sized, broadcast).
+    *
+    * The union equals the full-recompute [[clusterCanonical]] exactly —
+    * d16's merged labels are spec-proven equal to the full recompute on
+    * touched components, and untouched components keep identical
+    * members/labels/ranks — so the oracle is SHARED with d19 (the d18
+    * pattern: same output, different measured path).
+    */
+  def deltaClusterCanonical(spark: SparkSession, dir: String, splitAt: Int = 200,
+      threshold: Double = 0.8): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val docs = Tables.documents(spark, dir)
+    val baseCanonical = graft.SessionCache.getOrElseUpdate(spark,
+        ("baseCanonical", dir, splitAt)) {
+      val table = f"canonical_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      // base labels cover only docs with >= 1 base pair; singletons
+      // re-enter with cluster = doc_id, exactly as in nearDupClusters
+      val baseFull = docs.filter(bucket < splitAt).select(col("doc_id"))
+        .join(baseLabelTable(spark, dir, splitAt, threshold), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      saveBucketedTable(canonicalFromLabels(baseFull, docs), table,
+        buckets = 8, keys = Seq("cluster"))
+      spark.table(table)
+    }.asInstanceOf[DataFrame]
+    // d16's merged labels — the delta input state, memoized per
+    // (session, dir, split, threshold) like the delta pair table one
+    // stage earlier (a production ingest computes the merge once per
+    // shard and feeds both the label table upsert and this step)
+    val delta = graft.SessionCache.getOrElseUpdate(spark,
+        ("deltaClustersResult", dir, splitAt, threshold)) {
+      deltaClusters(spark, dir, splitAt, threshold)
+    }.asInstanceOf[DataFrame]
+    val touchedSlice = canonicalFromLabels(
+      delta.select(col("doc_id"), col("cluster")), docs)
+    // every doc whose membership or keep flag could change is IN the
+    // delta slice (members of touched components + shard docs), so one
+    // id anti-join carves the untouched remainder out of the prior state
+    val untouched = baseCanonical.join(
+      broadcast(delta.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+    untouched.unionByName(touchedSlice)
   }
 
   /** n-gram Jaccard near-dup with cheap blocking (same lang + same first and
@@ -749,6 +816,29 @@ object Dedup {
     * shard-touching component — the changed-labels + new-assignments
     * slice a production label table ingests back.
     */
+  /** The persisted base component labels (d16's prior state), built once
+    * per (session, dir, splitAt) and read back from the bucketed
+    * warehouse table — the disk path an ingest reads. Shared by the
+    * incremental clustering (d16) and incremental canonical (d19b) gates.
+    */
+  private def baseLabelTable(spark: SparkSession, dir: String, splitAt: Int,
+      threshold: Double, smallGraphEdges: Long = 1000000L,
+      maxIters: Int = 20): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("baseLabels", dir, splitAt)) {
+      def bucket = TextAnalysis.splitBucket(col("doc_id"))
+      val table = f"neardup_labels_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      val basePairs = lshPairsFrom(
+        persistedShingleTable(spark, dir).filter(bucket < splitAt), 3, 3, threshold)
+        .select(col("id_a"), col("id_b"))
+      val lab = if (basePairs.count() <= smallGraphEdges)
+        unionFindLabels(spark, basePairs)
+      else propagateLabels(spark, basePairs, maxIters)
+      saveBucketedTable(lab.select(col("doc_id"), col("cluster")), table,
+        buckets = 8, keys = Seq("cluster"))
+      lab.unpersist()
+      spark.table(table)
+    }.asInstanceOf[DataFrame]
+
   def deltaClusters(spark: SparkSession, dir: String, splitAt: Int = 200,
       threshold: Double = 0.8, smallGraphEdges: Long = 1000000L,
       maxIters: Int = 20): DataFrame = {
@@ -758,17 +848,8 @@ object Dedup {
       else propagateLabels(spark, pairs, maxIters)
     // persisted prior state, built once per (session, dir, splitAt) and
     // read back from the bucketed table — the disk path an ingest reads
-    val baseLabels = graft.SessionCache.getOrElseUpdate(spark, ("baseLabels", dir, splitAt)) {
-      val table = f"neardup_labels_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
-      val basePairs = lshPairsFrom(
-        persistedShingleTable(spark, dir).filter(bucket < splitAt), 3, 3, threshold)
-        .select(col("id_a"), col("id_b"))
-      val lab = componentLabels(basePairs)
-      saveBucketedTable(lab.select(col("doc_id"), col("cluster")), table,
-        buckets = 8, keys = Seq("cluster"))
-      lab.unpersist()
-      spark.table(table)
-    }
+    val baseLabels = baseLabelTable(spark, dir, splitAt, threshold,
+      smallGraphEdges, maxIters)
     // the shard's verified pairs: every full-graph edge touching the
     // shard. The checkpointed pair set is the shared intermediate of the
     // pair-report stage (d13) and this merge — a production ingest

@@ -283,6 +283,30 @@ class DedupSimilaritySpec extends SparkSuite {
       "planted component no longer spans base and shard - strengthen fixture")
   }
 
+  test("incremental canonical (d19b) == full-recompute canonical (d19)") {
+    // survivor selection consuming d16's delta labels + the persisted base
+    // canonical table must reproduce the full recompute EXACTLY — same
+    // clusters, same n_members, same keep flags — at a split that leaves
+    // the planted component entirely in base AND one that genuinely
+    // splits it across base and shard
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Boolean)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val full = canon(Dedup.clusterCanonical(spark, fixtureDir))
+    def bucketOf(id: Long) = spark.range(1)
+      .select(graft.operators.TextAnalysis.splitBucket(lit(id)).cast("long"))
+      .head().getLong(0)
+    val mixedSplit = (48L to 51L).map(bucketOf).max.toInt
+    for (splitAt <- Seq(200, mixedSplit).distinct) {
+      val inc = canon(Dedup.deltaClusterCanonical(spark, fixtureDir, splitAt = splitAt))
+      assert(inc == full, s"splitAt=$splitAt")
+      // the path must be genuinely incremental: the delta slice is a
+      // proper subset of the corpus (some rows were served, not computed)
+      val deltaRows = Dedup.deltaClusters(spark, fixtureDir, splitAt = splitAt).count()
+      assert(deltaRows > 0 && deltaRows < full.size, s"splitAt=$splitAt delta not proper")
+    }
+  }
+
   test("delta joins: violated upsert contract degrades to no self-pairs") {
     // Re-ingesting an already-indexed doc_id violates the upsert contract;
     // the guard must keep id_a == id_b self-pairs out of the output
