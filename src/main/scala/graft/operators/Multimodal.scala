@@ -73,6 +73,30 @@ object Multimodal {
     mediaTable(spark, dir).as[MediaRow].mapPartitions(decodePartition)
   }
 
+  /** PRODUCTION media ingest (SURVEY S8): decode REAL on-disk files — a
+    * `binaryFile` directory walk feeding the same magic-dispatch codec
+    * stage as [[decoded]]. File names follow `<media_id>_<kind>.bin` (a
+    * real walk derives the kind from extension or sniffing; decode
+    * dispatches on magic bytes either way and never trusts it). The
+    * codec path is byte-identical to the in-memory table's, so over a
+    * directory holding the synthesized payloads the two are row-for-row
+    * equal — the spec proves exactly that. At scale `binaryFile` splits
+    * per file across executors and the decode stays map-side.
+    */
+  def decodedFromFiles(spark: SparkSession, mediaDir: String): Dataset[DecodedMeta] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(mediaDir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        decodePartition(rows.map { case (path, bytes) =>
+          val stem = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".bin")
+          val parts = stem.split("_", 2)
+          MediaRow(parts(0).toLong, bytes, if (parts.length > 1) parts(1) else "unknown")
+        })
+      }
+  }
+
   /** Metadata-only query: binary length + magic-prefix + per-kind rollup,
     * all expressible as columnar builtins (the payload itself is opaque).
     */

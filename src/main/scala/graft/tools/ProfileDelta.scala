@@ -50,6 +50,18 @@ object ProfileDelta {
     for (i <- 1 to 2)
       time(s"d16 deltaClusters $i")(
         graft.operators.Dedup.deltaClusters(spark, dir).count())
+
+    // d14 vs d14b shuffle volume: rows entering the document-frequency
+    // aggregation (the only corpus-sized shuffle of the span-scrub path).
+    // d14 ships one row per w-token window (sum of n_spans); d14b ships
+    // only the winnowed argmin positions (sum of n_fp) — expected ratio
+    // ~(winnow+1)/2.
+    val wn = graft.operators.Dedup.spanScrubWinnowed(spark, dir)
+      .agg(sum(col("n_spans")).as("d14_rows"), sum(col("n_fp")).as("d14b_rows"))
+      .first()
+    println(f"[profile] d14 df-shuffle rows   ${wn.getLong(0)}%d")
+    println(f"[profile] d14b df-shuffle rows  ${wn.getLong(1)}%d " +
+      f"(ratio ${wn.getLong(0).toDouble / wn.getLong(1)}%.2f x)")
     spark.stop()
   }
 }

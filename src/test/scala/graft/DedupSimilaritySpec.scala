@@ -813,4 +813,30 @@ class DedupSimilaritySpec extends SparkSuite {
     val stats = Multimodal.mediaStats(spark, fixtureDir).collect()
     assert(stats.map(_.getAs[String]("kind")).sorted.toSeq == Seq("audio", "image", "video"))
   }
+
+  test("real-file media ingest: binaryFile walk through decode equals in-memory path") {
+    // the production ingest shape end-to-end: the synthesized payloads
+    // written to ACTUAL files on disk, read back via binaryFile, decoded
+    // through the same magic-dispatch codec stage — output must be
+    // row-for-row identical to the in-memory media table's decode
+    val mediaDir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    Multimodal.mediaTable(spark, fixtureDir).collect().foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val kind = r.getAs[String]("kind")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(mediaDir, f"${id}%06d_$kind.bin"),
+        r.getAs[Array[Byte]]("payload"))
+    }
+    def key(d: Multimodal.DecodedMeta) =
+      (d.media_id, d.kind, d.n_bytes, d.width, d.height, d.duration_ms,
+        d.sample_rate, d.magic)
+    val fromFiles = Multimodal.decodedFromFiles(spark, mediaDir).collect().map(key).toSet
+    val inMemory = Multimodal.decoded(spark, fixtureDir).collect().map(key).toSet
+    assert(fromFiles == inMemory)
+    assert(fromFiles.size == 52)
+    // the walk genuinely decoded (real header fields, not zero-metadata
+    // fallbacks) for every kind
+    assert(Multimodal.decodedFromFiles(spark, mediaDir).collect()
+      .count(d => d.kind == "audio" && d.sample_rate > 0) > 0)
+  }
 }

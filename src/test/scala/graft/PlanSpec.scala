@@ -241,6 +241,18 @@ class PlanSpec extends SparkSuite {
     assert(!t18.contains("CartesianProduct"), t18.take(500))
   }
 
+  test("round-9 ops: d19b keeps its scale shape") {
+    val dir = sf("sf0.001")
+    val plan = executedPlan(graft.operators.Dedup.deltaClusterCanonical(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // the untouched remainder is carved out of the persisted base
+    // canonical by a BROADCAST anti-join on the delta slice's ids — the
+    // corpus-sized canonical table must never shuffle for it
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"d19b untouched-remainder carve is not a broadcast anti-join:\n${plan.take(1500)}")
+  }
+
   test("block census is hot-filtered before any join consumes it") {
     // The block-size census has one row per DISTINCT block — ~O(corpus) on
     // the minhash-band and ngram-endpoint paths. Broadcasting it un-filtered
