@@ -532,6 +532,116 @@ object Dedup {
     untouched.unionByName(touchedSlice)
   }
 
+  // ---- continuous curation: label state under streaming ingest ----
+
+  /** FULL label state over an explicit documents frame: one row per doc
+    * — (doc_id, cluster, qlen), singletons explicit with cluster =
+    * doc_id, qlen carried so downstream canonical selection never has to
+    * re-read document text. Used to initialize the streaming curation
+    * loop's persisted state and as the spec's full-recompute reference.
+    */
+  def labelStateOf(documents: DataFrame, threshold: Double = 0.8,
+      smallGraphEdges: Long = 1000000L, maxIters: Int = 20): DataFrame = {
+    val spark = documents.sparkSession
+    val pairs = lshPairsFrom(shingleTableOf(documents), 3, 3, threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val lab =
+      if (pairs.count() <= smallGraphEdges) unionFindLabels(spark, pairs)
+      else propagateLabels(spark, pairs, maxIters)
+    val qlen = documents.select(col("doc_id"),
+      length(coalesce(col("text"), lit(""))).as("qlen"))
+    qlen.join(lab.select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"), col("qlen"))
+  }
+
+  /** One ingest batch's label merge over an explicit FULL label state —
+    * the d16 merge as a pure state transition: given the current labels,
+    * the batch's verified delta pairs and the batch's (doc_id, qlen)
+    * rows, return the CHANGED slice — rows that are new or re-labeled —
+    * which is exactly what a production ingest writes to a row-level
+    * store (latest-wins upsert). COMPUTE is delta-sized: only members of
+    * clusters touched by a delta pair enter the merge graph; the full
+    * state is only read by two broadcast-bounded joins and one anti-join.
+    * Batch ids must be disjoint from the state's (the upsert contract
+    * the streaming loop enforces by anti-joining the index).
+    *
+    * Cluster labels stay min-member-ids inductively: a merged
+    * component's vertices are member docs ∪ old labels ∪ delta
+    * endpoints, and old labels are themselves min member ids.
+    */
+  def mergeLabelState(spark: SparkSession, labels: DataFrame,
+      deltaPairs: DataFrame, newDocs: DataFrame,
+      smallGraphEdges: Long = 1000000L, maxIters: Int = 20): DataFrame = {
+    val dp = deltaPairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val touchedDocs = dp.select(col("id_a").as("doc_id"))
+      .unionByName(dp.select(col("id_b").as("doc_id"))).distinct()
+    val touchedClusters = labels
+      .join(broadcast(touchedDocs), Seq("doc_id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val members = labels.join(broadcast(touchedClusters), Seq("cluster"), "left_semi")
+    val labelEdges = members.select(col("doc_id").as("id_a"), col("cluster").as("id_b"))
+    val mergedPairs = dp.unionByName(labelEdges)
+    val merged =
+      if (mergedPairs.count() <= smallGraphEdges) unionFindLabels(spark, mergedPairs)
+      else propagateLabels(spark, mergedPairs, maxIters)
+    val singles = newDocs.select(col("doc_id"))
+      .join(merged.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    val mergedAll = merged.select(col("doc_id"), col("cluster")).unionByName(singles)
+    // ids are disjoint across the two qlen sources by the upsert contract
+    val qlenSrc = labels.select(col("doc_id"), col("qlen"))
+      .unionByName(newDocs.select(col("doc_id"), col("qlen")))
+    // keep only genuinely new/re-labeled rows: unchanged members of a
+    // touched cluster stay put in the store, so the write is bounded by
+    // real label churn, not touched-cluster size
+    mergedAll.join(qlenSrc, Seq("doc_id"))
+      .join(labels.select(col("doc_id"), col("cluster")),
+        Seq("doc_id", "cluster"), "left_anti")
+      .select(col("doc_id"), col("cluster"), col("qlen"))
+  }
+
+  /** The d19b canonical window over a qlen-carrying label state — no
+    * document re-read: (doc_id, cluster, n_members, keep).
+    */
+  def canonicalOfLabelState(labels: DataFrame): DataFrame = {
+    val wc = Window.partitionBy(col("cluster"))
+    val wr = wc.orderBy(col("qlen").desc, col("doc_id"))
+    labels
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .withColumn("keep", row_number().over(wr) === 1)
+      .select(col("doc_id"), col("cluster"), col("n_members"), col("keep"))
+  }
+
+  /** Persist a label state as a bucketed table (cluster-keyed, like the
+    * d16 base table — the members lookup joins on cluster).
+    */
+  def saveLabelState(spark: SparkSession, table: String, labels: DataFrame,
+      buckets: Int = 4): Unit =
+    saveBucketedTable(labels, table, buckets, Seq("cluster"))
+
+  /** Apply a batch's changed slice to the persisted label state as a
+    * GENERATION SWAP (write `__gen`, drop, rename — the compaction
+    * pattern; at scale a metastore pointer move, or skipped entirely
+    * when the store ingests the changed slice row-level). The new
+    * generation is written BEFORE the old table drops, so the plan can
+    * read the old state it replaces.
+    */
+  def applyLabelUpdates(spark: SparkSession, table: String,
+      changed: DataFrame, buckets: Int = 4): Unit = {
+    val tmp = s"${table}__gen"
+    dropTableAndLocation(spark, tmp)
+    spark.table(table)
+      .join(changed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(changed)
+      .repartition(buckets, col("cluster"))
+      .write.bucketBy(buckets, "cluster").sortBy("cluster")
+      .saveAsTable(tmp)
+    dropTableAndLocation(spark, table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.catalog.refreshTable(table)
+  }
+
   /** n-gram Jaccard near-dup with cheap blocking (same lang + same first and
     * last token): pairs only form within a block, then true Jaccard filters.
     * The two-endpoint key keeps block sizes (and thus the candidate pair

@@ -357,6 +357,73 @@ object EventsStream {
     spark.table(s"${name}_pairs")
   }
 
+  /** CONTINUOUS CURATION — [[runIngestNearDup]]'s loop extended through
+    * the curation tail (d16 + d19b under true ingest): per micro-batch,
+    *
+    *   1. drop already-indexed ids (idempotence under at-least-once
+    *      delivery — same anti-join as runIngestNearDup);
+    *   2. compute the batch's verified delta pairs against the index AS
+    *      OF batch start ([[graft.operators.Dedup.deltaNearDups]] — both
+    *      legs, so intra-batch pairs merge too);
+    *   3. merge them into the persisted label state
+    *      ([[graft.operators.Dedup.mergeLabelState]] — compute bounded
+    *      by touched clusters, never the corpus);
+    *   4. append the CHANGED label slice (+ batch id) to
+    *      `<name>_label_updates` — the delta-sized write a production
+    *      row-level store ingests — and swap the materialized full label
+    *      table ([[graft.operators.Dedup.applyLabelUpdates]]);
+    *   5. append the batch into the near-dup index.
+    *
+    * Because batches run sequentially and every cross-batch pair is
+    * found through the index by the later batch, the final label table
+    * equals the one-shot batch clustering of (base ∪ all shards) —
+    * StreamingSpec asserts that identity, the canonical (d19b window)
+    * identity on top of it, and that latest-wins replay of the updates
+    * log alone reconstructs the same state. Caller initializes
+    * `<name>_labels` via [[graft.operators.Dedup.saveLabelState]] over
+    * the base state and the index via saveNearDupIndex — the same
+    * prior-state contract as the batch gates.
+    */
+  def runIngestCuration(spark: SparkSession, shardDir: String,
+      indexName: String, threshold: Double = 0.8,
+      name: String = "ingest_curation", maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.dropTableAndLocation(spark, s"${name}_label_updates")
+    val src = spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        spark.catalog.refreshTable(s"${indexName}_shingles")
+        spark.catalog.refreshTable(s"${indexName}_banded")
+        spark.catalog.refreshTable(s"${name}_labels")
+        val fresh = batch
+          .join(spark.table(s"${indexName}_shingles").select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        if (!fresh.isEmpty) {
+          // freeze the prior state: the generation swap below drops the
+          // table this batch's merge reads
+          val labels = spark.table(s"${name}_labels").localCheckpoint()
+          val delta = Dedup.deltaNearDups(fresh,
+            Dedup.loadNearDupIndex(spark, indexName), threshold)
+          val newDocs = fresh.select(col("doc_id"),
+            length(coalesce(col("text"), lit(""))).as("qlen"))
+          val changed = Dedup.mergeLabelState(spark, labels, delta, newDocs)
+            .localCheckpoint()
+          changed.withColumn("batch_id", lit(batchId))
+            .write.mode("append").saveAsTable(s"${name}_label_updates")
+          Dedup.applyLabelUpdates(spark, s"${name}_labels", changed)
+          Dedup.appendNearDupIndex(spark, indexName, fresh)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(s"${name}_labels")
+  }
+
   /** Run the streaming delta dedup over a shard directory to completion
     * (memory sink, AvailableNow).
     */

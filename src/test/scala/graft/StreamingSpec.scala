@@ -99,6 +99,71 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("continuous curation: streamed label state == one-shot clustering; updates log replays to same state") {
+    import graft.operators.Dedup
+    val baseText = (1 to 60).map(i => s"base$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    def docs(rows: Seq[(Long, String)]) =
+      rows.map { case (i, t) => (i, t, "en", "s", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = docs((0L to 9L).map(i => (i, noise(i))) :+ ((10L, baseText)))
+    // shard A merges with indexed doc 10 (cross-batch via the index);
+    // shard B's doc 30 merges with A's doc 20 — a merge of a cluster
+    // CREATED BY THE STREAM itself, not just the base; then A's content
+    // replays (at-least-once → must be a no-op)
+    val shardA = docs(Seq((20L, baseText.replace("base30", "EDITED")), (21L, noise(21L))))
+    val shardB = docs(Seq((30L, baseText.replace("base30", "EDITED")), (31L, noise(31L))))
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    shardA.coalesce(1).write.mode("append").parquet(shardDir)
+    shardB.coalesce(1).write.mode("append").parquet(shardDir)
+    shardA.coalesce(1).write.mode("append").parquet(shardDir) // replay
+    Seq("ndcur_banded", "ndcur_shingles", "ndcur_meta", "cur_labels",
+      "cur_labels__gen", "cur_label_updates").foreach(t =>
+      Dedup.dropTableAndLocation(spark, t))
+    Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(base), "ndcur", buckets = 4)
+    Dedup.saveLabelState(spark, "cur_labels", Dedup.labelStateOf(base))
+    try {
+      def stateSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "cluster", "qlen").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val streamed = stateSet(EventsStream.runIngestCuration(
+        spark, shardDir, "ndcur", name = "cur"))
+      val oneShot = stateSet(Dedup.labelStateOf(
+        base.unionByName(shardA).unionByName(shardB)))
+      assert(streamed == oneShot)
+      // the planted chain actually merged: 10, 20, 30 share one cluster
+      val byId = streamed.map(s => s._1 -> s._2).toMap
+      assert(byId(20L) == byId(10L) && byId(30L) == byId(10L))
+      // canonical (d19b window) identity rides the label identity
+      val canonStream = Dedup.canonicalOfLabelState(spark.table("cur_labels"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+      val canonFull = Dedup.canonicalOfLabelState(Dedup.labelStateOf(
+        base.unionByName(shardA).unionByName(shardB)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+      assert(canonStream == canonFull)
+      // the append-only updates log alone reconstructs the state:
+      // base state + latest-wins replay of changed slices
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("batch_id").desc)
+      val latest = spark.table("cur_label_updates")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "batch_id")
+      val replayed = stateSet(Dedup.labelStateOf(base)
+        .join(latest.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(latest))
+      assert(replayed == streamed)
+      // the log is delta-sized: only new/re-labeled rows, never a full
+      // table rewrite (base has 11 docs; A and B add 2 each; only doc 10
+      // of the base may re-label — so <= 6 update rows)
+      assert(spark.table("cur_label_updates").count() <= 6)
+    } finally {
+      Seq("ndcur_banded", "ndcur_shingles", "ndcur_meta", "cur_labels",
+        "cur_labels__gen", "cur_label_updates").foreach(t =>
+        Dedup.dropTableAndLocation(spark, t))
+    }
+  }
+
   test("streaming simhash delta == batch delta (vs-indexed pairs) on a replayed shard") {
     val baseText = (1 to 60).map(i => s"base$i").mkString(" ")
     def noise(id: Long) = (1 to 40).map(j =>
