@@ -129,6 +129,12 @@ object SparkEntry {
     // winnowed twin: ~(winnow+1)/2x fewer rows into the df shuffle, the
     // standard weaker guarantee (shared runs >= w + winnow - 1 detected)
     "d14b_winnowed_scrub" -> ((s, d) => Dedup.spanScrubWinnowed(s, d).orderBy("doc_id")),
+    // containment dedup: small-doc-inside-big-doc pairs that every
+    // Jaccard-threshold tier misses; candidates from shared winnowed
+    // fingerprints (df-capped), verify = exact overlap coefficient on
+    // the full distinct span sets
+    "d20_containment" -> ((s, d) =>
+      Dedup.containmentPairs(s, d).orderBy("id_a", "id_b")),
     // d13's incremental ingest for the SIMHASH family: signature index on
     // bucket < 200, shard >= 200; oracle = d11's pair set restricted to
     // shard-touching pairs
@@ -887,6 +893,36 @@ object SparkEntry {
         |  sha256(coalesce(array_to_string([w[i] for i in range(1, len(w)+1)
         |    if len([p for p in spos if i >= p AND i <= p + 7]) = 0], ' '), '')) AS clean_sha
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    // containment: d14b's winnow CTE feeding a digest equi-join (df
+    // capped to [2, 64]) + exact overlap coefficient on the distinct
+    // span sets — fpos is 1-based here vs Spark's 0-based, so digs[i]
+    // and element_at(digs, i+1) pick identical digests
+    "d20_containment" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |sp AS (SELECT doc_id, w,
+        |  CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+        |       ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] END AS spans FROM t),
+        |dg AS (SELECT doc_id, [md5(s) for s in spans] AS digs FROM sp),
+        |sel AS (SELECT doc_id, digs,
+        |  list_sort(list_distinct([j + list_position(digs[j:j+3], list_min(digs[j:j+3])) - 1
+        |    for j in range(1, greatest(len(digs)-3, 1)+1)])) AS fpos FROM dg),
+        |f AS (SELECT doc_id, list_distinct([digs[i] for i in fpos]) AS fps,
+        |  list_distinct(digs) AS dall FROM sel),
+        |ex AS (SELECT doc_id, unnest(fps) AS d FROM f),
+        |df AS (SELECT d FROM (SELECT d, count(DISTINCT doc_id) AS n FROM ex GROUP BY 1)
+        |  WHERE n >= 2 AND n <= 64),
+        |kept AS (SELECT ex.doc_id, ex.d FROM ex JOIN df USING (d)),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
+        |  FROM kept a JOIN kept b ON a.d = b.d AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp,
+        |  round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
+        |    least(len(fa.dall), len(fb.dall)), 4) AS containment
+        |FROM cand JOIN f fa ON fa.doc_id = id_a JOIN f fb ON fb.doc_id = id_b
+        |WHERE round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
+        |    least(len(fa.dall), len(fb.dall)), 4) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "d8_embedding_neardup_lsh" -> {
       val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -1305,23 +1305,29 @@ object Dedup {
       winnow: Int = 4, minDocs: Int = 2): DataFrame =
     spanScrubWinnowedOf(Tables.documents(spark, dir), w, winnow, minDocs)
 
-  /** [[spanScrubWinnowed]] over an explicit (doc_id, text) frame. */
-  def spanScrubWinnowedOf(documents: DataFrame, w: Int = 8, winnow: Int = 4,
-      minDocs: Int = 2): DataFrame = {
-    val base = documents.filter(col("text").isNotNull)
+  /** Shared winnowed-fingerprint selection (d14b + d20): per document,
+    * the w-token span digests plus the 0-based winnowed positions —
+    * CLASSIC argmin-per-window selection: every length-`winnow` digest
+    * window contributes its leftmost minimum's position (array_position
+    * = first occurrence, so ties break identically in any doc sharing
+    * the window). slice() clamps at the array end exactly like the
+    * oracle's list slicing.
+    */
+  private def winnowedSelection(documents: DataFrame, w: Int, winnow: Int): DataFrame =
+    documents.filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("toks"),
         graft.plans.ShinglesExpr.wordShingles(col("text"), w).as("spans"))
       .withColumn("digs", transform(col("spans"), s => md5(s)))
-    // 0-based winnowed positions — CLASSIC argmin-per-window selection:
-    // every length-`winnow` digest window contributes its leftmost
-    // minimum's position (array_position = first occurrence, so ties
-    // break identically in any doc sharing the window). slice() clamps
-    // at the array end exactly like the oracle's list slicing.
-    val withSel = base.withColumn("fpos", expr(
-      s"array_sort(array_distinct(transform(" +
-        s"sequence(0, greatest(size(digs) - $winnow, 0)), " +
-        s"j -> j + array_position(slice(digs, j + 1, $winnow), " +
-        s"array_min(slice(digs, j + 1, $winnow))) - 1)))"))
+      .withColumn("fpos", expr(
+        s"array_sort(array_distinct(transform(" +
+          s"sequence(0, greatest(size(digs) - $winnow, 0)), " +
+          s"j -> j + array_position(slice(digs, j + 1, $winnow), " +
+          s"array_min(slice(digs, j + 1, $winnow))) - 1)))"))
+
+  /** [[spanScrubWinnowed]] over an explicit (doc_id, text) frame. */
+  def spanScrubWinnowedOf(documents: DataFrame, w: Int = 8, winnow: Int = 4,
+      minDocs: Int = 2): DataFrame = {
+    val withSel = winnowedSelection(documents, w, winnow)
     val selected = withSel
       .select(col("doc_id"), col("digs"), explode(col("fpos")).as("pos"))
       .select(col("doc_id"), col("pos"),
@@ -1342,6 +1348,72 @@ object Dedup {
         sha2(expr(s"array_join(filter(toks, (t, i) -> spos IS NULL OR " +
           s"NOT exists(spos, p -> i >= p AND i <= p + ${w - 1})), ' ')"), 256)
           .as("clean_sha"))
+  }
+
+  /** D20 — CONTAINMENT dedup: documents (near-)fully contained in a
+    * larger document — the case every Jaccard-THRESHOLD tier (d3/d4) is
+    * structurally blind to: a 100-token doc embedded verbatim in a
+    * 10k-token doc has Jaccard ~0.01 but containment 1.0, and minhash
+    * signatures of the superset differ wholesale (the motivating case of
+    * substring-level training-data dedup, Lee et al., ACL'22 — see
+    * PAPERS.md). Pipeline:
+    *
+    *   - candidates from the d14b WINNOWED fingerprints: a contained
+    *     run of L tokens shares >= ~(L-w-winnow+2)/winnow selected
+    *     digests with its container (the winnowing guarantee applied
+    *     along the run), so docs sharing >= minShared selections pair
+    *     up via ONE digest-keyed equi-join — the m5 shared-keyframe
+    *     shape, with ubiquitous digests (df > dfCap — boilerplate)
+    *     dropped first so every join block is bounded;
+    *   - EXACT verification on the full distinct span-digest sets:
+    *     containment = |A ∩ B| / min(|A|, |B|) — the asymmetric overlap
+    *     coefficient, 1.0 when the smaller doc's every w-window appears
+    *     in the larger.
+    *
+    * Scale shape: the candidate explode ships only winnowed digests
+    * (~2/(winnow+1) per token), blocks are df-capped, and the wide
+    * span-set arrays join only for verified candidates. Containments
+    * whose shared run is shorter than ~w + minShared·winnow tokens are
+    * the documented miss (below the winnowing guarantee), as is a doc
+    * contained only in boilerplate shared by > dfCap documents.
+    */
+  def containmentPairs(spark: SparkSession, dir: String, w: Int = 8,
+      winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
+      threshold: Double = 0.9): DataFrame =
+    containmentPairsOf(Tables.documents(spark, dir), w, winnow, minShared,
+      dfCap, threshold)
+
+  /** [[containmentPairs]] over an explicit (doc_id, text) frame. */
+  def containmentPairsOf(documents: DataFrame, w: Int = 8, winnow: Int = 4,
+      minShared: Int = 2, dfCap: Int = 64, threshold: Double = 0.9): DataFrame = {
+    // materialized once: the fingerprint/span-set projection feeds the
+    // explode AND both verify joins (the PERF.md §1 re-evaluation trap)
+    val sel = winnowedSelection(documents, w, winnow)
+      .select(col("doc_id"),
+        array_distinct(expr(
+          "transform(fpos, i -> element_at(digs, cast(i + 1 as int)))")).as("fps"),
+        array_distinct(col("digs")).as("dall"))
+      .localCheckpoint()
+    val ex = sel.select(col("doc_id"), explode(col("fps")).as("d"))
+    val docFreq = ex.groupBy(col("d"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+    val kept = ex.join(docFreq.select(col("d")), Seq("d"))
+    val cand = kept.select(col("d"), col("doc_id").as("id_a"))
+      .join(kept.select(col("d"), col("doc_id").as("id_b")), Seq("d"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+    cand
+      .join(sel.select(col("doc_id").as("id_a"), col("dall").as("da")), Seq("id_a"))
+      .join(sel.select(col("doc_id").as("id_b"), col("dall").as("db")), Seq("id_b"))
+      .withColumn("containment", round(
+        size(array_intersect(col("da"), col("db"))).cast("double") /
+          least(size(col("da")), size(col("db"))), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        col("shared_fp").cast("long").as("shared_fp"), col("containment"))
   }
 
   /** SimHash: 16-nibble signature. For hex position p (1..16), sum

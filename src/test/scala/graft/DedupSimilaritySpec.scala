@@ -307,6 +307,36 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("containment dedup catches the embedded doc that Jaccard-threshold misses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_containment").toString
+    // big doc: 400 structureless tokens; small doc: tokens 100..160 of
+    // the big one verbatim (61 tokens — well past the winnowing
+    // guarantee w + minShared*winnow); decoys: unrelated noise
+    def tok(i: Int) = s"c${scala.util.hashing.MurmurHash3.productHash((7, i)) & 0xffffff}"
+    val bigToks = (1 to 400).map(tok)
+    val small = bigToks.slice(100, 161).mkString(" ")
+    val big = bigToks.mkString(" ")
+    def noise(id: Long) = (1 to 50).map(j =>
+      s"z${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffffff}").mkString(" ")
+    (Seq((1L, big), (2L, small)) ++ (10L to 15L).map(i => (i, noise(i))))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    val got = Dedup.containmentPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    // the planted containment is found at overlap ~1.0 (every w-window
+    // of the small doc appears in the big doc)
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(got.head._3 >= 0.99)
+    // ...and the Jaccard-threshold tier is structurally blind to it:
+    // |A∩B| / |A∪B| ≈ 54/393 — far below any near-dup threshold
+    val jacc = Dedup.minhashLshPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jacc.contains((1L, 2L)))
+  }
+
   test("delta joins: violated upsert contract degrades to no self-pairs") {
     // Re-ingesting an already-indexed doc_id violates the upsert contract;
     // the guard must keep id_a == id_b self-pairs out of the output
