@@ -1355,8 +1355,8 @@ object Dedup {
     * structurally blind to: a 100-token doc embedded verbatim in a
     * 10k-token doc has Jaccard ~0.01 but containment 1.0, and minhash
     * signatures of the superset differ wholesale (the motivating case of
-    * substring-level training-data dedup, Lee et al., ACL'22 — see
-    * PAPERS.md). Pipeline:
+    * substring-level training-data dedup — Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022). Pipeline:
     *
     *   - candidates from the d14b WINNOWED fingerprints: a contained
     *     run of L tokens shares >= ~(L-w-winnow+2)/winnow selected
