@@ -85,6 +85,11 @@ object Dedup {
   def warmInputProjections(spark: SparkSession, dir: String): Unit = {
     persistedShingleTable(spark, dir).count()
     Similarity.preparedEmbeddings(spark, dir).count()
+    // d20's fingerprint/span-set projection — a pure per-doc corpus
+    // function, same class as the shingle table
+    graft.SessionCache.getOrElseUpdate(spark, ("containmentSel", dir, 8, 4)) {
+      containmentSelection(Tables.documents(spark, dir), 8, 4).persist()
+    }.count()
     ()
   }
 
@@ -1379,21 +1384,38 @@ object Dedup {
     */
   def containmentPairs(spark: SparkSession, dir: String, w: Int = 8,
       winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
-      threshold: Double = 0.9): DataFrame =
-    containmentPairsOf(Tables.documents(spark, dir), w, winnow, minShared,
-      dfCap, threshold)
+      threshold: Double = 0.9): DataFrame = {
+    // the fingerprint/span-set projection is a pure per-doc function of
+    // the corpus — session-persist it like the shingle table so steady
+    // passes read the cache instead of re-winnowing (and re-writing a
+    // corpus-sized localCheckpoint) per call
+    val sel = graft.SessionCache.getOrElseUpdate(spark,
+        ("containmentSel", dir, w, winnow)) {
+      containmentSelection(Tables.documents(spark, dir), w, winnow).persist()
+    }
+    containmentFromSelection(sel, minShared, dfCap, threshold)
+  }
 
   /** [[containmentPairs]] over an explicit (doc_id, text) frame. */
   def containmentPairsOf(documents: DataFrame, w: Int = 8, winnow: Int = 4,
-      minShared: Int = 2, dfCap: Int = 64, threshold: Double = 0.9): DataFrame = {
-    // materialized once: the fingerprint/span-set projection feeds the
-    // explode AND both verify joins (the PERF.md §1 re-evaluation trap)
-    val sel = winnowedSelection(documents, w, winnow)
+      minShared: Int = 2, dfCap: Int = 64, threshold: Double = 0.9): DataFrame =
+    containmentFromSelection(
+      containmentSelection(documents, w, winnow).localCheckpoint(),
+      minShared, dfCap, threshold)
+
+  /** Per-doc winnowed fingerprint set + full distinct span set. */
+  private def containmentSelection(documents: DataFrame, w: Int,
+      winnow: Int): DataFrame =
+    winnowedSelection(documents, w, winnow)
       .select(col("doc_id"),
         array_distinct(expr(
           "transform(fpos, i -> element_at(digs, cast(i + 1 as int)))")).as("fps"),
         array_distinct(col("digs")).as("dall"))
-      .localCheckpoint()
+
+  // `sel` must be MATERIALIZED (persisted or checkpointed): it feeds the
+  // explode AND both verify joins (the PERF.md §1 re-evaluation trap)
+  private def containmentFromSelection(sel: DataFrame, minShared: Int,
+      dfCap: Int, threshold: Double): DataFrame = {
     val ex = sel.select(col("doc_id"), explode(col("fps")).as("d"))
     val docFreq = ex.groupBy(col("d"))
       .agg(countDistinct(col("doc_id")).as("df"))
