@@ -253,6 +253,25 @@ class PlanSpec extends SparkSuite {
       s"d19b untouched-remainder carve is not a broadcast anti-join:\n${plan.take(1500)}")
   }
 
+  test("round-9 ops: d20 containment keeps its scale shape") {
+    val dir = sf("sf0.001")
+    val d20 = graft.operators.Dedup.containmentPairs(spark, dir)
+    val plan = executedPlan(d20)
+    // pairs form ONLY through the digest equi-join — never a pairwise
+    // fallback over the corpus
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // the df cap is IN the plan (a Filter on the frequency agg): without
+    // it one boilerplate digest hands a task its df² candidate grid
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter}
+    val opt = d20.queryExecution.optimizedPlan
+    val hasCappedDf = opt.collectFirst {
+      case f: LFilter if f.condition.references.exists(_.name == "df") &&
+        f.collectFirst { case a: Aggregate => a }.isDefined => f
+    }.isDefined
+    assert(hasCappedDf, "d20's digest-frequency cap is missing from the plan")
+  }
+
   test("block census is hot-filtered before any join consumes it") {
     // The block-size census has one row per DISTINCT block — ~O(corpus) on
     // the minhash-band and ngram-endpoint paths. Broadcasting it un-filtered
