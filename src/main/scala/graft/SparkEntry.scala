@@ -135,6 +135,12 @@ object SparkEntry {
     // the full distinct span sets
     "d20_containment" -> ((s, d) =>
       Dedup.containmentPairs(s, d).orderBy("id_a", "id_b")),
+    // incremental containment — the d13 ingest pattern for the fourth
+    // dedup family; the df cap sums persisted index counts with the
+    // shard's so it equals the corpus-wide cap (oracle = d20 restricted
+    // to shard-touching pairs)
+    "d20b_delta_containment" -> ((s, d) =>
+      Dedup.deltaContainmentGate(s, d).orderBy("id_a", "id_b")),
     // d13's incremental ingest for the SIMHASH family: signature index on
     // bucket < 200, shard >= 200; oracle = d11's pair set restricted to
     // shard-touching pairs
@@ -391,6 +397,31 @@ object SparkEntry {
        |FROM lab l JOIN q USING (doc_id)
        |ORDER BY l.doc_id""".stripMargin
   }
+
+  /** d20's pipeline as shared CTEs (winnow selection → fingerprint sets
+    * → df-capped digest join → candidate pairs) — the final SELECT is
+    * query-specific (d20 emits all pairs, d20b restricts to
+    * shard-touching pairs).
+    */
+  private lazy val containmentCtes =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |sp AS (SELECT doc_id, w,
+      |  CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+      |       ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] END AS spans FROM t),
+      |dg AS (SELECT doc_id, [md5(s) for s in spans] AS digs FROM sp),
+      |sel AS (SELECT doc_id, digs,
+      |  list_sort(list_distinct([j + list_position(digs[j:j+3], list_min(digs[j:j+3])) - 1
+      |    for j in range(1, greatest(len(digs)-3, 1)+1)])) AS fpos FROM dg),
+      |f AS (SELECT doc_id, list_distinct([digs[i] for i in fpos]) AS fps,
+      |  list_distinct(digs) AS dall FROM sel),
+      |ex AS (SELECT doc_id, unnest(fps) AS d FROM f),
+      |df AS (SELECT d FROM (SELECT d, count(DISTINCT doc_id) AS n FROM ex GROUP BY 1)
+      |  WHERE n >= 2 AND n <= 64),
+      |kept AS (SELECT ex.doc_id, ex.d FROM ex JOIN df USING (d)),
+      |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
+      |  FROM kept a JOIN kept b ON a.d = b.d AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
   private lazy val deltaNearDupSql =
     s"""$shinglesCte,
@@ -898,29 +929,29 @@ object SparkEntry {
     // span sets — fpos is 1-based here vs Spark's 0-based, so digs[i]
     // and element_at(digs, i+1) pick identical digests
     "d20_containment" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-        |  FROM documents WHERE text IS NOT NULL),
-        |sp AS (SELECT doc_id, w,
-        |  CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
-        |       ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] END AS spans FROM t),
-        |dg AS (SELECT doc_id, [md5(s) for s in spans] AS digs FROM sp),
-        |sel AS (SELECT doc_id, digs,
-        |  list_sort(list_distinct([j + list_position(digs[j:j+3], list_min(digs[j:j+3])) - 1
-        |    for j in range(1, greatest(len(digs)-3, 1)+1)])) AS fpos FROM dg),
-        |f AS (SELECT doc_id, list_distinct([digs[i] for i in fpos]) AS fps,
-        |  list_distinct(digs) AS dall FROM sel),
-        |ex AS (SELECT doc_id, unnest(fps) AS d FROM f),
-        |df AS (SELECT d FROM (SELECT d, count(DISTINCT doc_id) AS n FROM ex GROUP BY 1)
-        |  WHERE n >= 2 AND n <= 64),
-        |kept AS (SELECT ex.doc_id, ex.d FROM ex JOIN df USING (d)),
-        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
-        |  FROM kept a JOIN kept b ON a.d = b.d AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      s"""$containmentCtes
         |SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp,
         |  round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
         |    least(len(fa.dall), len(fb.dall)), 4) AS containment
         |FROM cand JOIN f fa ON fa.doc_id = id_a JOIN f fb ON fb.doc_id = id_b
         |WHERE round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
+        |    least(len(fa.dall), len(fb.dall)), 4) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    // incremental containment identity: delta(index over bucket<200,
+    // shard bucket>=200) with the df cap summed over index+shard ==
+    // full-recompute pairs restricted to shard-touching pairs (the
+    // fingerprints and span sets are per-doc functions, and the summed
+    // cap equals the corpus cap) — the d13 oracle pattern
+    "d20b_delta_containment" ->
+      s"""$containmentCtes,
+        |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+        |SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp,
+        |  round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
+        |    least(len(fa.dall), len(fb.dall)), 4) AS containment
+        |FROM cand JOIN f fa ON fa.doc_id = id_a JOIN f fb ON fb.doc_id = id_b
+        |JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+        |WHERE (xa.bucket >= 200 OR xb.bucket >= 200)
+        |  AND round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
         |    least(len(fa.dall), len(fb.dall)), 4) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     "d8_embedding_neardup_lsh" -> {

@@ -112,6 +112,15 @@ object Dedup {
     emb.banded.count(); emb.vectors.count()
     baseLabelTable(spark, dir, 200, 0.8).count()
     baseCanonicalTable(spark, dir, 200, 0.8).count()
+    val ci = graft.SessionCache.getOrElseUpdate(spark, ("containIndexDisk", dir, 200)) {
+      val name = f"contain_gate_200_${dir.hashCode & 0xffffffffL}%x"
+      saveContainIndex(containIndexFromSelection(
+        graft.SessionCache.getOrElseUpdate(spark, ("containmentSel", dir, 8, 4)) {
+          containmentSelection(Tables.documents(spark, dir), 8, 4).persist()
+        }.filter(TextAnalysis.splitBucket(col("doc_id")) < 200)), name)
+      loadContainIndex(spark, name)
+    }
+    ci.fp.count(); ci.dfTab.count(); ci.sets.count()
     ()
   }
 
@@ -1436,6 +1445,129 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"),
         col("shared_fp").cast("long").as("shared_fp"), col("containment"))
+  }
+
+  /** The containment family's serving index: per-doc winnowed
+    * fingerprint rows (`fp`: one (d, doc_id) row per selected digest —
+    * the join index), the per-digest document-frequency table (`dfTab`:
+    * (d, n) — needed because the df CAP must be evaluated over
+    * index ∪ shard, see [[deltaContainment]]), and the full distinct
+    * span sets (`sets`: (doc_id, dall) — the verification payload).
+    */
+  final case class ContainIndex(fp: DataFrame, dfTab: DataFrame, sets: DataFrame)
+
+  /** Build an in-memory containment index over a documents frame. */
+  def buildContainIndex(documents: DataFrame, w: Int = 8,
+      winnow: Int = 4): ContainIndex =
+    containIndexFromSelection(
+      containmentSelection(documents, w, winnow).localCheckpoint())
+
+  private def containIndexFromSelection(sel: DataFrame): ContainIndex = {
+    val fp = sel.select(col("doc_id"), explode(col("fps")).as("d"))
+    ContainIndex(fp,
+      fp.groupBy(col("d")).agg(count(lit(1)).as("n")),
+      sel.select(col("doc_id"), col("dall")))
+  }
+
+  /** Persist a containment index as bucketed warehouse tables: `fp` and
+    * `dfTab` on the digest (the delta join keys), `sets` on doc_id (the
+    * verification join key) — the d13/d15/d17 layout for the fourth
+    * family.
+    */
+  def saveContainIndex(index: ContainIndex, name: String, buckets: Int = 8): Unit = {
+    saveBucketedTable(index.fp, s"${name}_fp", buckets, Seq("d"))
+    saveBucketedTable(index.dfTab, s"${name}_df", buckets, Seq("d"))
+    saveBucketedTable(index.sets, s"${name}_sets", buckets, Seq("doc_id"))
+  }
+
+  def loadContainIndex(spark: SparkSession, name: String): ContainIndex =
+    ContainIndex(spark.table(s"${name}_fp"), spark.table(s"${name}_df"),
+      spark.table(s"${name}_sets"))
+
+  /** D20B — INCREMENTAL containment: a new shard's embedded-doc pairs
+    * against the persisted fingerprint index — the d13 ingest pattern
+    * for the fourth dedup family. One subtlety the other families don't
+    * have: d20's df CAP (drop digests in > dfCap docs) is a property of
+    * the WHOLE corpus, so evaluating it on the index alone would break
+    * the full-recompute identity the oracle checks — a digest under the
+    * cap among indexed docs but over it once the shard lands must be
+    * dropped. The index therefore persists the per-digest counts and the
+    * delta SUMS them with the shard's (full-outer join on the digest,
+    * index side bucketed) before filtering; candidate legs (shard ×
+    * index, shard × shard) and the overlap-coefficient verify then
+    * mirror the batch path. Emits exactly the full-recompute d20 pairs
+    * touching >= 1 shard doc (spec-proven; the oracle restricts the
+    * batch SQL the same way).
+    */
+  def deltaContainment(newDocs: DataFrame, index: ContainIndex, w: Int = 8,
+      winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
+      threshold: Double = 0.9): DataFrame =
+    deltaContainmentFromSelection(
+      containmentSelection(newDocs, w, winnow).localCheckpoint(),
+      index, minShared, dfCap, threshold)
+
+  private def deltaContainmentFromSelection(shardSel: DataFrame,
+      index: ContainIndex, minShared: Int, dfCap: Int,
+      threshold: Double): DataFrame = {
+    val sFp = shardSel.select(col("doc_id"), explode(col("fps")).as("d"))
+    val sDf = sFp.groupBy(col("d")).agg(count(lit(1)).as("ns"))
+    // the TOTAL document frequency decides the cap — index + shard
+    val keptD = index.dfTab.join(sDf, Seq("d"), "full_outer")
+      .select(col("d"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("ns"), lit(0L))).as("nt"))
+      .filter(col("nt") >= 2 && col("nt") <= dfCap)
+      .select(col("d"))
+    val sKept = sFp.join(keptD, Seq("d"))
+    val iKept = index.fp.join(keptD, Seq("d"))
+    // ids are disjoint by the upsert contract; the =!= guard degrades a
+    // violated contract to no self-pairs (the d13 convention)
+    val vsIdx = sKept.select(col("d"), col("doc_id").as("id_n"))
+      .join(iKept.select(col("d"), col("doc_id").as("id_o")), Seq("d"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+    val vsSelf = sKept.select(col("d"), col("doc_id").as("id_a"))
+      .join(sKept.select(col("d"), col("doc_id").as("id_b")), Seq("d"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val cand = vsIdx.unionByName(vsSelf)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+    val allSets = index.sets.select(col("doc_id"), col("dall"))
+      .unionByName(shardSel.select(col("doc_id"), col("dall")))
+    cand
+      .join(allSets.select(col("doc_id").as("id_a"), col("dall").as("da")), Seq("id_a"))
+      .join(allSets.select(col("doc_id").as("id_b"), col("dall").as("db")), Seq("id_b"))
+      .withColumn("containment", round(
+        size(array_intersect(col("da"), col("db"))).cast("double") /
+          least(size(col("da")), size(col("db"))), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        col("shared_fp").cast("long").as("shared_fp"), col("containment"))
+  }
+
+  /** The d20b gate: index the bucket < splitAt corpus slice through the
+    * real save→load disk path (slicing the session-cached selection,
+    * like d13 slices the shingle table), delta-join the bucket >= splitAt
+    * shard against it.
+    */
+  def deltaContainmentGate(spark: SparkSession, dir: String, splitAt: Int = 200,
+      w: Int = 8, winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
+      threshold: Double = 0.9): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sel = graft.SessionCache.getOrElseUpdate(spark,
+        ("containmentSel", dir, w, winnow)) {
+      containmentSelection(Tables.documents(spark, dir), w, winnow).persist()
+    }
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("containIndexDisk", dir, splitAt)) {
+      val name = f"contain_gate_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveContainIndex(containIndexFromSelection(sel.filter(bucket < splitAt)), name)
+      loadContainIndex(spark, name)
+    }
+    deltaContainmentFromSelection(sel.filter(bucket >= splitAt), index,
+      minShared, dfCap, threshold)
   }
 
   /** SimHash: 16-nibble signature. For hex position p (1..16), sum

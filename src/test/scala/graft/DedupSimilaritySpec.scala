@@ -307,12 +307,13 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
-  test("containment dedup catches the embedded doc that Jaccard-threshold misses") {
+  /** Containment fixture: doc 1 = 400 structureless tokens; doc 2 =
+    * tokens 100..160 of doc 1 verbatim (61 tokens — well past the
+    * winnowing guarantee w + minShared·winnow); 10..15 = unrelated noise.
+    */
+  lazy val containDir: String = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_containment").toString
-    // big doc: 400 structureless tokens; small doc: tokens 100..160 of
-    // the big one verbatim (61 tokens — well past the winnowing
-    // guarantee w + minShared*winnow); decoys: unrelated noise
     def tok(i: Int) = s"c${scala.util.hashing.MurmurHash3.productHash((7, i)) & 0xffffff}"
     val bigToks = (1 to 400).map(tok)
     val small = bigToks.slice(100, 161).mkString(" ")
@@ -323,7 +324,11 @@ class DedupSimilaritySpec extends SparkSuite {
       .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
 
+  test("containment dedup catches the embedded doc that Jaccard-threshold misses") {
+    val dir = containDir
     val got = Dedup.containmentPairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
     // the planted containment is found at overlap ~1.0 (every w-window
@@ -335,6 +340,29 @@ class DedupSimilaritySpec extends SparkSuite {
     val jacc = Dedup.minhashLshPairs(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!jacc.contains((1L, 2L)))
+  }
+
+  test("delta containment == full recompute restricted to shard-touching pairs") {
+    // the d13 identity for the fourth family: index the container + the
+    // noise, the embedded doc arrives as the shard — the delta against
+    // the persisted-shape index must emit exactly the full recompute's
+    // pairs touching the shard (here: the planted (1, 2))
+    val docs = spark.read.parquet(s"$containDir/documents.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = pairs(Dedup.containmentPairsOf(docs))
+    val shardIds = Set(2L)
+    val expected = full.filter(p => shardIds(p._1) || shardIds(p._2))
+    val index = Dedup.buildContainIndex(docs.filter(!col("doc_id").isin(shardIds.toSeq: _*)))
+    val delta = pairs(Dedup.deltaContainment(
+      docs.filter(col("doc_id").isin(shardIds.toSeq: _*)), index))
+    assert(delta == expected)
+    assert(delta.nonEmpty, "identity vacuous - no shard-touching pair")
+    // shard-internal leg: BOTH near-dup docs arrive in one shard — the
+    // pair must come from the self-join leg, with the same verify
+    val index2 = Dedup.buildContainIndex(docs.filter(col("doc_id") >= 10L))
+    val delta2 = pairs(Dedup.deltaContainment(docs.filter(col("doc_id") < 10L), index2))
+    assert(delta2 == full.filter(p => p._1 < 10L || p._2 < 10L))
   }
 
   test("delta joins: violated upsert contract degrades to no self-pairs") {
