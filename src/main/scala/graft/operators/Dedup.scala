@@ -644,6 +644,12 @@ object Dedup {
   def applyLabelUpdates(spark: SparkSession, table: String,
       changed: DataFrame, buckets: Int = 4): Unit = {
     val tmp = s"${table}__gen"
+    // crash recovery: a catalog-registered __gen is a COMMITTED generation
+    // (saveAsTable writes data before the catalog entry), so a prior call
+    // that died inside its drop/rename window is completed here instead of
+    // discarded — without this, a crash between `drop(table)` and the
+    // RENAME leaves only __gen and every later reader of `table` fails
+    recoverGenerationSwap(spark, table, tmp)
     dropTableAndLocation(spark, tmp)
     spark.table(table)
       .join(changed.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -793,9 +799,26 @@ object Dedup {
     * Freshness.publish). At 100 TB the rename is a metastore pointer move,
     * not a data copy.
     */
-  private def compactBucketedTable(spark: SparkSession, table: String,
+  /** Complete a generation swap a prior process died inside. `tmp` only
+    * reaches the catalog AFTER its data is fully written (saveAsTable
+    * registers last), so a registered `tmp` always holds the complete new
+    * generation: finishing the swap — drop the old table if it survived,
+    * rename — is always the right recovery, whichever side of the window
+    * the crash hit. An UNregistered stray `tmp` directory (crash mid-write)
+    * is not touched here; callers clear it with [[dropTableAndLocation]].
+    */
+  private def recoverGenerationSwap(spark: SparkSession, table: String,
+      tmp: String): Unit =
+    if (spark.catalog.tableExists(tmp)) {
+      if (spark.catalog.tableExists(table)) dropTableAndLocation(spark, table)
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      spark.catalog.refreshTable(table)
+    }
+
+  private[graft] def compactBucketedTable(spark: SparkSession, table: String,
       buckets: Int, keys: Seq[String]): Unit = {
     val tmp = s"${table}__compact"
+    recoverGenerationSwap(spark, table, tmp)
     dropTableAndLocation(spark, tmp)
     // read the RAW parquet files, not the catalog table: a bucketed scan
     // already reports HashPartitioning on the keys, so the planner elides
@@ -968,10 +991,13 @@ object Dedup {
     */
   private def baseCanonicalTable(spark: SparkSession, dir: String, splitAt: Int,
       threshold: Double): DataFrame =
-    graft.SessionCache.getOrElseUpdate(spark, ("baseCanonical", dir, splitAt)) {
+    // threshold is part of the key AND the table name: the base pairs,
+    // labels and keep flags all depend on it, so a non-default-threshold
+    // call must never be served a 0.8-based canonical
+    graft.SessionCache.getOrElseUpdate(spark, ("baseCanonical", dir, splitAt, threshold)) {
       def bucket = TextAnalysis.splitBucket(col("doc_id"))
       val docs = Tables.documents(spark, dir)
-      val table = f"canonical_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      val table = f"canonical_${splitAt}_t${math.round(threshold * 100)}_${dir.hashCode & 0xffffffffL}%x"
       val baseFull = docs.filter(bucket < splitAt).select(col("doc_id"))
         .join(baseLabelTable(spark, dir, splitAt, threshold), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
@@ -988,9 +1014,9 @@ object Dedup {
   private def baseLabelTable(spark: SparkSession, dir: String, splitAt: Int,
       threshold: Double, smallGraphEdges: Long = 1000000L,
       maxIters: Int = 20): DataFrame =
-    graft.SessionCache.getOrElseUpdate(spark, ("baseLabels", dir, splitAt)) {
+    graft.SessionCache.getOrElseUpdate(spark, ("baseLabels", dir, splitAt, threshold)) {
       def bucket = TextAnalysis.splitBucket(col("doc_id"))
-      val table = f"neardup_labels_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      val table = f"neardup_labels_${splitAt}_t${math.round(threshold * 100)}_${dir.hashCode & 0xffffffffL}%x"
       val basePairs = lshPairsFrom(
         persistedShingleTable(spark, dir).filter(bucket < splitAt), 3, 3, threshold)
         .select(col("id_a"), col("id_b"))

@@ -89,10 +89,15 @@ object Multimodal {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
-        decodePartition(rows.map { case (path, bytes) =>
+        // a stray file whose stem isn't `<digits>_<kind>` is skipped, not
+        // thrown on — one unexpected name must never fail the whole ingest
+        // job in an executor (decode itself already has the same contract:
+        // unparseable payloads keep zero metadata)
+        decodePartition(rows.flatMap { case (path, bytes) =>
           val stem = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".bin")
           val parts = stem.split("_", 2)
-          MediaRow(parts(0).toLong, bytes, if (parts.length > 1) parts(1) else "unknown")
+          parts(0).toLongOption.map(id =>
+            MediaRow(id, bytes, if (parts.length > 1) parts(1) else "unknown"))
         })
       }
   }

@@ -412,8 +412,20 @@ object EventsStream {
             length(coalesce(col("text"), lit(""))).as("qlen"))
           val changed = Dedup.mergeLabelState(spark, labels, delta, newDocs)
             .localCheckpoint()
-          changed.withColumn("batch_id", lit(batchId))
-            .write.mode("append").saveAsTable(s"${name}_label_updates")
+          // the log is appended BEFORE the table swap / index append (a
+          // crash after the swap but before a log write would lose the
+          // slice forever — replay would skip the batch via the shingles
+          // anti-join). The cost is at-least-once LOG semantics: a crash
+          // after this append refires the batch under the SAME batch_id,
+          // so skip the re-append when that id is already logged — the
+          // recomputed slice converges to the same rows and the log stays
+          // delta-sized instead of accumulating duplicates.
+          val logTable = s"${name}_label_updates"
+          val alreadyLogged = spark.catalog.tableExists(logTable) &&
+            !spark.table(logTable).filter(col("batch_id") === batchId).isEmpty
+          if (!alreadyLogged)
+            changed.withColumn("batch_id", lit(batchId))
+              .write.mode("append").saveAsTable(logTable)
           Dedup.applyLabelUpdates(spark, s"${name}_labels", changed)
           Dedup.appendNearDupIndex(spark, indexName, fresh)
         }

@@ -885,6 +885,13 @@ class DedupSimilaritySpec extends SparkSuite {
         java.nio.file.Paths.get(mediaDir, f"${id}%06d_$kind.bin"),
         r.getAs[Array[Byte]]("payload"))
     }
+    // stray files with un-parseable stems must be SKIPPED, not fail the
+    // ingest job (the count assertions below prove only the 52 real
+    // payloads survive the walk)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mediaDir, "notes_misc.bin"), "stray".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mediaDir, "README.bin"), "stray".getBytes)
     def key(d: Multimodal.DecodedMeta) =
       (d.media_id, d.kind, d.n_bytes, d.width, d.height, d.duration_ms,
         d.sample_rate, d.magic)
@@ -896,5 +903,30 @@ class DedupSimilaritySpec extends SparkSuite {
     // fallbacks) for every kind
     assert(Multimodal.decodedFromFiles(spark, mediaDir).collect()
       .count(d => d.kind == "audio" && d.sample_rate > 0) > 0)
+  }
+
+  test("applyLabelUpdates completes a generation swap a crash left dangling") {
+    import spark.implicits._
+    Seq("rec_labels", "rec_labels__gen").foreach(Dedup.dropTableAndLocation(spark, _))
+    try {
+      Dedup.saveLabelState(spark,
+        "rec_labels", Seq((1L, 1L, 10), (2L, 1L, 8)).toDF("doc_id", "cluster", "qlen"))
+      // simulate a crash INSIDE the swap window: the new generation fully
+      // written and catalog-registered, the live table already dropped,
+      // the process dead before the RENAME
+      spark.table("rec_labels")
+        .unionByName(Seq((3L, 1L, 5)).toDF("doc_id", "cluster", "qlen"))
+        .repartition(4, col("cluster"))
+        .write.bucketBy(4, "cluster").sortBy("cluster").saveAsTable("rec_labels__gen")
+      Dedup.dropTableAndLocation(spark, "rec_labels")
+      // the next call must first COMPLETE the dangling swap (recovering
+      // doc 3), then apply its own update on top
+      Dedup.applyLabelUpdates(spark, "rec_labels",
+        Seq((4L, 4L, 2)).toDF("doc_id", "cluster", "qlen"))
+      val got = spark.table("rec_labels").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == Set((1L, 1L, 10), (2L, 1L, 8), (3L, 1L, 5), (4L, 4L, 2)))
+    } finally
+      Seq("rec_labels", "rec_labels__gen").foreach(Dedup.dropTableAndLocation(spark, _))
   }
 }
