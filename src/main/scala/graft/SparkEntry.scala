@@ -201,6 +201,25 @@ object SparkEntry {
     // quantized candidates, all scores INTEGER dots so the greedy
     // trajectory is exactly portable; oracle replays it in a recursive CTE
     "s8_mmr_diversify" -> ((s, d) => Similarity.mmrTopK(s, d).orderBy("probe_id", "mmr_rank")),
+    // persisted ANN serving index: the same three tiers answered from the
+    // LOADED bucketed vector store (real save→load disk path — frozen
+    // quantization scale, trained centroids, stored membership/bands).
+    // Deterministic training over the same corpus ⇒ results identical to
+    // the recompute twins, so the oracles are shared
+    "s2b_ann_lsh_indexed" -> ((s, d) =>
+      Similarity.lshTopKFromIndex(s, d).orderBy("probe_id", "rn")),
+    "s6b_ann_kmeans_indexed" -> ((s, d) =>
+      Similarity.kmeansIvfTopKFromIndex(s, d).orderBy("probe_id", "rn")),
+    "s7b_ann_quantized_indexed" -> ((s, d) =>
+      Similarity.quantizedTopKFromIndex(s, d).orderBy("probe_id", "rn")),
+    // incremental ANN ingest: base-slice index (model trained on base
+    // ONLY), shard appended map-side under the frozen model, compacted;
+    // the search proves appended vectors are immediately visible (new_n)
+    // — the oracle replays the base-frozen quantization scale in SQL
+    "s9_ann_delta_search" -> ((s, d) =>
+      Similarity.annDeltaSearch(s, d).orderBy("probe_id", "rn")),
+    // the measured re-train trigger over the same incremental index
+    "s10_ann_drift" -> ((s, d) => Similarity.annDeltaDrift(s, d)),
     // ---- text analysis ----
     "t2_language_id" -> ((s, d) => TextAnalysis.languageId(s, d).orderBy("doc_id")),
     "t3_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d).orderBy("doc_id")),
@@ -446,7 +465,7 @@ object SparkEntry {
       l -> ws.mkString("['", "','", "']")
     }
 
-  def oracleSql: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "a1_count_total" -> "SELECT count(*) AS n FROM lineitem",
     "a2_count_distinct" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps FROM lineitem",
@@ -1438,4 +1457,63 @@ object SparkEntry {
          |  FROM documents)
          |GROUP BY 1, 2, 3 ORDER BY split, lang, shard""".stripMargin
     })
+
+  /** The s9 oracle: s7's quantized-scan / exact-re-rank pipeline with the
+    * quantization scale m FROZEN over the base (md5 bucket < 200) slice —
+    * exactly the state the incrementally-built index holds — plus the
+    * `new_n` appended-neighbor flag.
+    */
+  private def annDeltaSearchSql: String = {
+    val vecBucket = s"(${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)")})"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+       |sb AS (SELECT vec_id, $vecBucket AS sbucket FROM embeddings),
+       |m AS (SELECT max(list_max([abs(x) for x in v])) AS m
+       |      FROM e JOIN sb USING (vec_id) WHERE sbucket < 200),
+       |q AS (SELECT vec_id, [CAST(floor(x * 127 / m + 0.5) AS BIGINT) for x in v] AS qv FROM e CROSS JOIN m),
+       |p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < 5),
+       |cand AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT probe_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY list_sum([pq[i+1] * c.qv[i+1] for i in range(0, 64)]) DESC, c.vec_id) AS qrn
+       |  FROM p CROSS JOIN q c WHERE probe_id != c.vec_id)
+       |  WHERE qrn <= 20),
+       |pf AS (SELECT vec_id AS probe_id, v AS pv, n AS pn FROM e WHERE vec_id < 5)
+       |SELECT probe_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn,
+       |  nb.sbucket >= 200 AS new_n FROM (
+       |  SELECT cand.probe_id, neighbor_id,
+       |    round(list_dot_product(pv, c.v) / (pn * c.n), 4) AS cos,
+       |    row_number() OVER (PARTITION BY cand.probe_id
+       |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, neighbor_id) AS rn
+       |  FROM cand JOIN e c ON c.vec_id = neighbor_id JOIN pf ON pf.probe_id = cand.probe_id)
+       |JOIN sb nb ON nb.vec_id = neighbor_id
+       |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+  }
+
+  /** The s10 oracle: the drift counters replayed — n_overscale counts
+    * vectors whose max |component| exceeds the base-frozen scale.
+    */
+  private def annDriftSql: String = {
+    val vecBucket = s"(${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)")})"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sb AS (SELECT vec_id, $vecBucket AS sbucket FROM embeddings),
+       |m AS (SELECT max(list_max([abs(x) for x in v])) AS m
+       |      FROM e JOIN sb USING (vec_id) WHERE sbucket < 200)
+       |SELECT CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(sum(CASE WHEN sbucket >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |  CAST(sum(CASE WHEN list_max([abs(x) for x in v]) > m THEN 1 ELSE 0 END) AS BIGINT) AS n_overscale,
+       |  sum(CASE WHEN list_max([abs(x) for x in v]) > m THEN 1 ELSE 0 END) > 0 AS retrain
+       |FROM e JOIN sb USING (vec_id) CROSS JOIN m""".stripMargin
+  }
+
+  /** The indexed serving twins (s2b/s6b/s7b) answer exactly like their
+    * recompute twins — same deterministic training over the same corpus,
+    * frozen rather than re-derived — so they share oracles verbatim.
+    */
+  def oracleSql: Map[String, String] = oracleBase ++ Map(
+    "s2b_ann_lsh_indexed" -> oracleBase("s2_ann_lsh"),
+    "s6b_ann_kmeans_indexed" -> oracleBase("s6_ann_kmeans"),
+    "s7b_ann_quantized_indexed" -> oracleBase("s7_ann_quantized"),
+    "s9_ann_delta_search" -> annDeltaSearchSql,
+    "s10_ann_drift" -> annDriftSql)
 }

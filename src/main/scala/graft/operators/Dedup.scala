@@ -754,7 +754,7 @@ object Dedup {
     * (prior JVM, fresh metastore) fails CREATE with
     * LOCATION_ALREADY_EXISTS.
     */
-  private def saveBucketedTable(df: DataFrame, table: String, buckets: Int,
+  private[graft] def saveBucketedTable(df: DataFrame, table: String, buckets: Int,
       keys: Seq[String]): Unit = {
     dropTableAndLocation(df.sparkSession, table)
     df.repartition(buckets, keys.map(col): _*)
@@ -783,7 +783,7 @@ object Dedup {
     * invariant. The LSM shape: appends are cheap and sorted-ness degrades
     * until a compaction rewrites the generation.
     */
-  private def appendBucketedTable(df: DataFrame, table: String, buckets: Int,
+  private[graft] def appendBucketedTable(df: DataFrame, table: String, buckets: Int,
       keys: Seq[String]): Unit =
     df.repartition(buckets, keys.map(col): _*)
       .write.bucketBy(buckets, keys.head, keys.tail: _*)

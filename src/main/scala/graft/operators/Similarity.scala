@@ -340,22 +340,31 @@ object Similarity {
   private[graft] def kmeansModel(spark: SparkSession, dir: String,
       kClusters: Int = 4, iters: Int = 2): Array[(Int, Array[Double])] =
     graft.SessionCache.getOrElseUpdate(spark, ("kmeansModel", dir, kClusters, iters)) {
-      val e = preparedEmbeddings(spark, dir)
-      // seeds: round like every later update so iteration 1 scores match
-      // the oracle's seed CTE exactly
-      val seeds = e
-        .select(col("vec_id"), col("v"))
-        .withColumn("r", md5(col("vec_id").cast("string")))
-        .orderBy(col("r"), col("vec_id"))
-        .limit(kClusters)
-        .select(transform(col("v"), x => round(x, 4) + lit(0.0)).as("c"))
-        .collect()
-        .zipWithIndex
-        .map { case (row, i) => i -> row.getSeq[Double](0).toArray }
-      var model = seeds
-      for (_ <- 0 until iters) model = lloydUpdate(e, model, kClusters)
-      model
+      kmeansModelOf(preparedEmbeddings(spark, dir), kClusters, iters)
     }.asInstanceOf[Array[(Int, Array[Double])]]
+
+  /** Train the k-means model over an arbitrary prepared-vector frame
+    * (vec_id, v) — the un-memoized body of [[kmeansModel]], reused by the
+    * persisted ANN index build, whose training corpus is a SLICE of the
+    * table (the already-ingested base), not the whole of it.
+    */
+  private[graft] def kmeansModelOf(e: DataFrame,
+      kClusters: Int = 4, iters: Int = 2): Array[(Int, Array[Double])] = {
+    // seeds: round like every later update so iteration 1 scores match
+    // the oracle's seed CTE exactly
+    val seeds = e
+      .select(col("vec_id"), col("v"))
+      .withColumn("r", md5(col("vec_id").cast("string")))
+      .orderBy(col("r"), col("vec_id"))
+      .limit(kClusters)
+      .select(transform(col("v"), x => round(x, 4) + lit(0.0)).as("c"))
+      .collect()
+      .zipWithIndex
+      .map { case (row, i) => i -> row.getSeq[Double](0).toArray }
+    var model = seeds
+    for (_ <- 0 until iters) model = lloydUpdate(e, model, kClusters)
+    model
+  }
 
   /** Map-side nearest-centroid assignment against literal centroid
     * arrays: argmax over k scores 2·v·c_j − ‖c_j‖² (= argmin Euclidean),
@@ -473,4 +482,290 @@ object Similarity {
     labelCentroids(spark, dir)
       .select(col("label"), col("n"),
         posexplode(col("centroid")).as(Seq("dim_idx", "value")))
+
+  // ---- persisted ANN serving index (s2b/s6b/s7b/s9/s10) ----
+
+  /** The PERSISTED state of ANN serving — what a 100 TB vector deployment
+    * keeps on disk instead of re-deriving its quantizer, plane and bands
+    * from the corpus per session (the reference's materialized-aggregate
+    * argument, itdbloader.py:260-293: serving must not pay the build).
+    * One bucketed `<name>_vectors` table holds, per vector, everything
+    * every serving tier reads:
+    *
+    *   - `v`, `n`: the full-precision vector + norm (exact re-rank);
+    *   - `qv`: the int8-quantized plane under the FROZEN corpus scale `m`
+    *     (s7's narrow scan — at scale stored columnar, 8× smaller than v);
+    *   - `cl`: the TRAINED k-means coarse cluster (s6's membership — at
+    *     scale the partition key of a cluster-partitioned layout);
+    *   - `bucket`: the SRP hyperplane bucket (s2's blocking key).
+    *
+    * Bucketed+sorted on `vec_id`, so the exact-re-rank join reads the
+    * index with no Exchange and no Sort (BucketingSpec's argument applied
+    * to the vector store). The tiny trained model (k×64 centroids) and the
+    * frozen quantization scale ride `<name>_centroids` / `<name>_meta` —
+    * an append can never quantize, assign or band differently than the
+    * index was built with.
+    */
+  final case class AnnIndex(vectors: DataFrame,
+      centroids: Array[(Int, Array[Double])], scaleM: Double,
+      kClusters: Int, nPlanes: Int)
+
+  /** One serving row per vector: every derived plane under the SAME frozen
+    * model — shared by the base build and the append path.
+    */
+  private def annServingRows(source: DataFrame, m: Double,
+      model: Array[(Int, Array[Double])], nPlanes: Int): DataFrame =
+    source.select(col("vec_id"), col("v"), col("n"),
+      transform(col("v"), x => floor(x * 127 / lit(m) + 0.5).cast("long")).as("qv"),
+      assignExpr(model).as("cl"),
+      bucketExpr(col("v"), nPlanes).as("bucket"))
+
+  /** Build + persist the serving index over a prepared (vec_id, v, n)
+    * frame: one pass trains the coarse quantizer ([[kmeansModelOf]] — the
+    * only corpus-dependent state), freezes the quantization scale
+    * m = max |component|, then writes the serving rows bucketed by vec_id.
+    */
+  def saveAnnIndex(spark: SparkSession, name: String, source: DataFrame,
+      buckets: Int = 8, kClusters: Int = 4, iters: Int = 2,
+      nPlanes: Int = 8): Unit = {
+    import spark.implicits._
+    val m = source.agg(max(array_max(transform(col("v"), x => abs(x))))).head().getDouble(0)
+    val model = kmeansModelOf(source, kClusters, iters)
+    Dedup.saveBucketedTable(annServingRows(source, m, model, nPlanes),
+      s"${name}_vectors", buckets, Seq("vec_id"))
+    Dedup.dropTableAndLocation(spark, s"${name}_centroids")
+    model.toSeq.toDF("cl", "c")
+      .write.mode("overwrite").saveAsTable(s"${name}_centroids")
+    Dedup.dropTableAndLocation(spark, s"${name}_meta")
+    Seq((m, kClusters, iters, nPlanes, buckets))
+      .toDF("m", "k_clusters", "iters", "n_planes", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** Load a persisted serving index; the frozen scale and model come from
+    * the meta/centroid tables, never the caller.
+    */
+  def loadAnnIndex(spark: SparkSession, name: String): AnnIndex = {
+    val meta = spark.table(s"${name}_meta").head()
+    val cents = spark.table(s"${name}_centroids").collect()
+      .map(r => r.getAs[Int]("cl") -> r.getAs[scala.collection.Seq[Double]]("c").toArray)
+      .sortBy(_._1)
+    AnnIndex(spark.table(s"${name}_vectors"), cents, meta.getAs[Double]("m"),
+      meta.getAs[Int]("k_clusters"), meta.getAs[Int]("n_planes"))
+  }
+
+  /** INCREMENTAL ANN ingest — the d17 shape for the serving index: new
+    * embeddings are quantized, cluster-assigned and banded MAP-SIDE
+    * against the FROZEN model (scale + centroids + planes from the meta
+    * tables), then appended into the bucketed vectors table via a
+    * bucket-spec-matched INSERT INTO. New vectors are immediately
+    * searchable by every tier; nothing existing is rewritten. Vector ids
+    * must be new (same id-disjointness contract as the dedup indexes).
+    *
+    * The frozen model is what makes the append consistent — and what
+    * ages: a shard whose components exceed the frozen scale quantizes
+    * past ±127 (monotonicity, hence candidate RANKING, still holds —
+    * integer dots just grow), and centroids drift from the true means.
+    * [[annIndexDrift]] is the measured re-train trigger; re-training is
+    * the compaction analogue: rebuild via [[saveAnnIndex]] under a new
+    * name and swap, exactly the generation pattern the dedup indexes use.
+    */
+  def appendAnnIndex(spark: SparkSession, name: String,
+      newVecs: DataFrame): Unit = {
+    val loaded = loadAnnIndex(spark, name)
+    val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
+    Dedup.appendBucketedTable(
+      annServingRows(newVecs, loaded.scaleM, loaded.centroids, loaded.nPlanes),
+      s"${name}_vectors", buckets, Seq("vec_id"))
+  }
+
+  /** Rewrite the vectors table to one file per bucket, restoring the
+    * reported sort appends forfeit — the LSM compaction step.
+    */
+  def compactAnnIndex(spark: SparkSession, name: String): Unit = {
+    val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
+    Dedup.compactBucketedTable(spark, s"${name}_vectors", buckets, Seq("vec_id"))
+  }
+
+  /** The re-train trigger, measured: how far the corpus has outgrown the
+    * index's frozen quantization scale. `n_overscale` counts vectors with
+    * a component beyond the frozen m (their qv saturates past ±127);
+    * `retrain` trips as soon as one exists. At 100 TB this is the
+    * monitoring query a serving deployment alerts on — the analogue of
+    * the dedup indexes' compaction-due signal.
+    */
+  def annIndexDrift(index: AnnIndex): DataFrame =
+    index.vectors
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(array_max(transform(col("v"), x => abs(x))) > index.scaleM, 1L)
+          .otherwise(0L)).as("n_overscale"))
+      .select(col("n_total"), col("n_overscale"),
+        (col("n_overscale") > 0).as("retrain"))
+
+  /** S7's quantized-scan / exact-re-rank plan over the LOADED index: the
+    * candidate stage reads only the narrow (vec_id, qv) projection of the
+    * vectors table (column pruning keeps the wide v off the scan); the
+    * re-rank join keys on vec_id, where the bucketed layout feeds the join
+    * with no Exchange and no Sort (BucketingSpec proves it on this plan).
+    */
+  def quantizedTopKIndexed(index: AnnIndex, nProbes: Int = 5, k: Int = 5,
+      rerank: Int = 20): DataFrame = {
+    val qplane = index.vectors.select(col("vec_id"), col("qv"))
+    val qprobes = qplane.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pq"))
+    val qdot = aggregate(
+      zip_with(col("pq"), col("qv"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    val cand = qplane.select(col("vec_id").as("neighbor_id"), col("qv"))
+      .join(broadcast(qprobes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("qdot", qdot)
+      .withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= rerank)
+      .select(col("probe_id"), col("neighbor_id"))
+    val probes = index.vectors.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    val neighbors = index.vectors
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(neighbors, Seq("neighbor_id")).join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** S6's trained-IVF search over the LOADED index: centroids come from
+    * the persisted model and membership from the stored `cl` column —
+    * nothing is re-derived from the corpus (the whole point of serving
+    * from the index; at scale `cl` is the partition key and only
+    * nprobe/k of the data is touched per probe).
+    */
+  def kmeansIvfTopKIndexed(index: AnnIndex, nProbes: Int = 5, k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    val spark = index.vectors.sparkSession
+    import spark.implicits._
+    val cents = broadcast(
+      index.centroids.toSeq.toDF("cl", "cv").withColumn("cn", l2Norm(col("cv"))))
+    val probesN = index.vectors.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("cl"))
+    val probeClusters = probesN.crossJoin(cents)
+      .withColumn("ccos", dotProduct(col("pv"), col("cv")) / (col("pn") * col("cn")))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("pn"), col("cl"))
+    val corpus = index.vectors
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("n"), col("cl"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probeClusters), Seq("cl"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** S2's LSH search over the LOADED index: blocking on the stored SRP
+    * `bucket` column — the banding is frozen index state, not a per-query
+    * derivation.
+    */
+  def lshTopKIndexed(index: AnnIndex, nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val withBucket = index.vectors
+    val probes = withBucket.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"), col("bucket"))
+    val corpus = withBucket
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("n"), col("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** The s2b/s6b/s7b gates' serving index over the FULL corpus, built
+    * once per (session, dir) through the real save→load disk path (the
+    * d13 pattern: the measured path IS the persisted layout a serving
+    * deployment reads). The frozen model equals the session-trained one
+    * — same corpus, same deterministic training — so the indexed tiers
+    * answer exactly like their recompute twins (the oracles are shared).
+    */
+  private[graft] def annGateIndex(spark: SparkSession, dir: String): AnnIndex =
+    graft.SessionCache.getOrElseUpdate(spark, ("annIndexDisk", dir)) {
+      val name = f"ann_serving_${dir.hashCode & 0xffffffffL}%x"
+      saveAnnIndex(spark, name,
+        preparedEmbeddings(spark, dir).select("vec_id", "v", "n"))
+      loadAnnIndex(spark, name)
+    }.asInstanceOf[AnnIndex]
+
+  def quantizedTopKFromIndex(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5, rerank: Int = 20): DataFrame =
+    quantizedTopKIndexed(annGateIndex(spark, dir), nProbes, k, rerank)
+
+  def kmeansIvfTopKFromIndex(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5, nprobe: Int = 2): DataFrame =
+    kmeansIvfTopKIndexed(annGateIndex(spark, dir), nProbes, k, nprobe)
+
+  def lshTopKFromIndex(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5): DataFrame =
+    lshTopKIndexed(annGateIndex(spark, dir), nProbes, k)
+
+  /** The s9/s10 gates' INCREMENTAL index: base = the md5-bucket < splitAt
+    * slice (built + saved with the model trained on the base ONLY — the
+    * state a deployment would actually hold), then the remaining shard
+    * APPENDED under the frozen model and the table compacted — the full
+    * ingest lifecycle on disk, the d18 shape for vectors.
+    */
+  private[graft] def annDeltaGateIndex(spark: SparkSession, dir: String,
+      splitAt: Int = 200): AnnIndex =
+    graft.SessionCache.getOrElseUpdate(spark, ("annIndexDelta", dir, splitAt)) {
+      val bucket = TextAnalysis.splitBucket(col("vec_id"))
+      val e = preparedEmbeddings(spark, dir).select("vec_id", "v", "n")
+      val name = f"ann_delta_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveAnnIndex(spark, name, e.filter(bucket < splitAt))
+      appendAnnIndex(spark, name, e.filter(bucket >= splitAt))
+      compactAnnIndex(spark, name)
+      loadAnnIndex(spark, name)
+    }.asInstanceOf[AnnIndex]
+
+  /** S9 — search the incrementally-built index: s7's quantized-scan /
+    * exact-re-rank over base ∪ appended shard, with `new_n` flagging
+    * neighbors that were APPENDED after the base build — the gate's
+    * existence proof that appended vectors are immediately searchable.
+    * Quantization uses the base-frozen scale on both slices, which the
+    * oracle replays (m over the base slice only).
+    */
+  def annDeltaSearch(spark: SparkSession, dir: String, splitAt: Int = 200,
+      nProbes: Int = 5, k: Int = 5, rerank: Int = 20): DataFrame =
+    quantizedTopKIndexed(annDeltaGateIndex(spark, dir, splitAt), nProbes, k, rerank)
+      .withColumn("new_n", TextAnalysis.splitBucket(col("neighbor_id")) >= splitAt)
+
+  /** S10 — the drift monitor over the incrementally-built index, plus the
+    * shard-size split: the re-train trigger as a measured, oracle-checked
+    * quantity.
+    */
+  def annDeltaDrift(spark: SparkSession, dir: String, splitAt: Int = 200): DataFrame = {
+    val index = annDeltaGateIndex(spark, dir, splitAt)
+    val bucket = TextAnalysis.splitBucket(col("vec_id"))
+    annIndexDrift(index)
+      .crossJoin(broadcast(index.vectors
+        .agg(sum(when(bucket >= splitAt, 1L).otherwise(0L)).as("n_new"))))
+      .select(col("n_total"), col("n_new"), col("n_overscale"), col("retrain"))
+  }
+
+  /** Build + load the serving indexes ahead of a timing loop — one-time
+    * ingest-side state a serving deployment loads at startup (the same
+    * class as Dedup.warmServingIndexes).
+    */
+  def warmServingIndexes(spark: SparkSession, dir: String): Unit = {
+    annGateIndex(spark, dir)
+    annDeltaGateIndex(spark, dir)
+    ()
+  }
 }

@@ -551,6 +551,57 @@ object EventsStream {
         greatest(col("id_n"), col("id_o")).as("id_b"), col("cos"))
   }
 
+  /** CONTINUOUS ANN INGEST — [[runIngestNearDup]]'s loop for the vector
+    * serving index ([[graft.operators.Similarity.AnnIndex]]): per
+    * micro-batch,
+    *
+    *   1. drop already-indexed vec_ids (idempotence under at-least-once
+    *      delivery — anti-join against the bucketed vectors table, the
+    *      same contract as the document loop's shingle anti-join);
+    *   2. quantize, cluster-assign and band the survivors MAP-SIDE under
+    *      the index's FROZEN model and append them via the
+    *      bucket-spec-matched INSERT INTO
+    *      ([[graft.operators.Similarity.appendAnnIndex]]).
+    *
+    * New vectors are searchable by every tier from the next query against
+    * the loaded index. Because the append is a pure per-row function of
+    * the frozen model, the final vectors table equals ONE
+    * [[graft.operators.Similarity.appendAnnIndex]] of all new vectors
+    * over the base build, under any batching or replay — StreamingSpec
+    * asserts that identity. Periodic
+    * [[graft.operators.Similarity.compactAnnIndex]] restores the
+    * one-file-per-bucket sorted reads; [[graft.operators.Similarity
+    * .annIndexDrift]] is the re-train (generation-rebuild) trigger.
+    */
+  def runIngestAnnIndex(spark: SparkSession, shardDir: String,
+      indexName: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.functions.Exprs.{doubleVector, l2Norm}
+    import graft.operators.Similarity
+    val src = spark.readStream
+      .schema(embeddingSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the previous batch appended — read the grown table, not a
+        // cached relation
+        spark.catalog.refreshTable(s"${indexName}_vectors")
+        val prepared = batch
+          .select(col("vec_id"), doubleVector(col("embedding")).as("v"))
+          .withColumn("n", l2Norm(col("v")))
+        val fresh = prepared
+          .join(spark.table(s"${indexName}_vectors").select("vec_id"),
+            Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        if (!fresh.isEmpty)
+          Similarity.appendAnnIndex(spark, indexName, fresh)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(s"${indexName}_vectors")
+  }
+
   /** Run the streaming embedding delta over a shard directory to
     * completion (memory sink, AvailableNow).
     */

@@ -226,6 +226,48 @@ class BucketingSpec extends SparkSuite {
     assertIndexGatePlan(graft.operators.Dedup.deltaEmbeddingGate(spark, sf("sf0.001")))
   }
 
+  test("s7b gate: exact re-rank reads the persisted vector store bucketed, no Exchange/Sort") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Similarity.quantizedTopKFromIndex(spark, sf("sf0.001"))
+      df.count()
+      val plan = df.queryExecution.executedPlan
+      type P = org.apache.spark.sql.execution.SparkPlan
+      def isVecScan(p: P) = p match {
+        case s: FileSourceScanExec => s.tableIdentifier.exists(_.table.endsWith("_vectors"))
+        case _ => false
+      }
+      def pathToScan(p: P): Option[List[P]] =
+        if (isVecScan(p)) Some(List(p))
+        else p.children.view.flatMap(pathToScan).headOption.map(p :: _)
+      val sides = plan.collect { case j: SortMergeJoinExec => Seq(j.left, j.right) }.flatten
+      val paths = sides.flatMap(pathToScan)
+      // the neighbor side of the re-rank join: a pure projection of the
+      // vector store (no window, no aggregation above the scan) — must
+      // read the bucketed+sorted files as-is. The candidate side's
+      // window pipeline legitimately exchanges; it is excluded here.
+      val pure = paths.filter(p => !p.exists(x =>
+        x.isInstanceOf[WindowExec] || x.isInstanceOf[BaseAggregateExec]))
+      assert(pure.nonEmpty,
+        "no sort-merge join side reads the vector store directly")
+      for (path <- pure) {
+        assert(!path.exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"vector-store side shuffled:\n${path.head.toString.take(800)}")
+        assert(!path.exists(_.isInstanceOf[SortExec]),
+          s"vector-store side re-sorted:\n${path.head.toString.take(800)}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     // tables land in the default ./spark-warehouse (gitignored); the
     // warehouse dir is a static conf and cannot be moved per-test

@@ -905,6 +905,63 @@ class DedupSimilaritySpec extends SparkSuite {
       .count(d => d.kind == "audio" && d.sample_rate > 0) > 0)
   }
 
+  test("persisted ANN serving index: indexed tiers equal their recompute twins") {
+    import graft.operators.Similarity
+    val dir = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(Similarity.lshTopKFromIndex(spark, dir)) ==
+      rows(Similarity.lshTopK(spark, dir)))
+    assert(rows(Similarity.kmeansIvfTopKFromIndex(spark, dir)) ==
+      rows(Similarity.kmeansIvfTopK(spark, dir)))
+    assert(rows(Similarity.quantizedTopKFromIndex(spark, dir)) ==
+      rows(Similarity.quantizedTopK(spark, dir)))
+  }
+
+  test("ANN index append: new vectors searchable under the frozen model; drift trips on overscale") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.functions.Exprs.l2Norm
+    def vec(seed: Int): Array[Double] =
+      Array.tabulate(64)(i => (((seed * 31 + i * 7) % 13) - 6) / 6.0)
+    def frame(rows: Seq[(Long, Array[Double])]) =
+      rows.toDF("vec_id", "v").withColumn("n", l2Norm(col("v")))
+    val base = (0 to 5).map(i => (i.toLong, vec(i)))
+    // appended AFTER the build: 100 = a near-copy of probe 0 (nearest by
+    // construction), 101 = an overscale vector (components beyond the
+    // frozen base max |component| = 1)
+    val shard = Seq(
+      (100L, vec(0).map(x => x * 0.99 + 0.001)),
+      (101L, vec(1).map(_ * 3.0)))
+    Seq("_vectors", "_centroids", "_meta").foreach(s =>
+      Dedup.dropTableAndLocation(spark, s"annapp$s"))
+    try {
+      Similarity.saveAnnIndex(spark, "annapp", frame(base),
+        buckets = 4, kClusters = 2)
+      Similarity.appendAnnIndex(spark, "annapp", frame(shard))
+      Similarity.compactAnnIndex(spark, "annapp")
+      val idx = Similarity.loadAnnIndex(spark, "annapp")
+      // quantized tier: the appended near-copy is probe 0's rank-1 hit
+      val q = Similarity.quantizedTopKIndexed(idx, nProbes = 1, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      assert(q.exists(t => t._1 == 0L && t._2 == 100L && t._3 == 1),
+        s"quantized tier missed the appended vector: ${q.toSeq}")
+      // IVF tier: 100 inherited a cluster from the FROZEN model and is found
+      val kv = Similarity.kmeansIvfTopKIndexed(idx, nProbes = 1, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(kv.contains((0L, 100L)), s"IVF tier missed it: ${kv.toSeq}")
+      // LSH tier: the near-copy shares probe 0's stored SRP bucket
+      val l = Similarity.lshTopKIndexed(idx, nProbes = 1, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(l.contains((0L, 100L)), s"LSH tier missed it: ${l.toSeq}")
+      // drift: exactly the overscale vector trips the re-train trigger
+      val d = Similarity.annIndexDrift(idx).head()
+      assert(d.getAs[Long]("n_total") == 8L)
+      assert(d.getAs[Long]("n_overscale") == 1L)
+      assert(d.getAs[Boolean]("retrain"))
+    } finally Seq("_vectors", "_centroids", "_meta").foreach(s =>
+      Dedup.dropTableAndLocation(spark, s"annapp$s"))
+  }
+
   test("applyLabelUpdates completes a generation swap a crash left dangling") {
     import spark.implicits._
     Seq("rec_labels", "rec_labels__gen").foreach(Dedup.dropTableAndLocation(spark, _))

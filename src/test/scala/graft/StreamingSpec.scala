@@ -224,6 +224,54 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exists(p => p._1 == 5L && p._2 == 20L && p._3 == 1.0))
   }
 
+  test("streaming ANN ingest: per-batch appends under the frozen model == one-shot append, replay-idempotent") {
+    import graft.operators.{Dedup, Similarity}
+    import graft.functions.Exprs.{doubleVector, l2Norm}
+    def vec(seed: Int) = (0 until 64).map(d => math.sin(seed * 64 + d).toFloat).toArray
+    def prepare(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), doubleVector(col("embedding")).as("v"))
+        .withColumn("n", l2Norm(col("v")))
+    val base = (0L to 9L).map(i => (i, vec(i.toInt), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    // shard A: vec 20 clones vec 5 + one noise vector; shard B arrives
+    // later; then A REPLAYS (at-least-once → the vec_id anti-join must
+    // collapse it)
+    val shardA = Seq((20L, vec(5), 2), (21L, vec(21), 0))
+      .toDF("vec_id", "embedding", "label")
+    val shardB = Seq((30L, vec(7), 1)).toDF("vec_id", "embedding", "label")
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_annstr").toString
+    shardA.coalesce(1).write.mode("append").parquet(shardDir)
+    shardB.coalesce(1).write.mode("append").parquet(shardDir)
+    shardA.coalesce(1).write.mode("append").parquet(shardDir) // the replay
+    val tables = for (n <- Seq("annstr", "annstr1"); s <- Seq("_vectors", "_centroids", "_meta"))
+      yield n + s
+    tables.foreach(Dedup.dropTableAndLocation(spark, _))
+    try {
+      Similarity.saveAnnIndex(spark, "annstr", prepare(base),
+        buckets = 4, kClusters = 2)
+      EventsStream.runIngestAnnIndex(spark, shardDir, "annstr")
+      // one-shot twin: same base build + a SINGLE append of A ∪ B — the
+      // frozen model makes the append a pure per-row function, so any
+      // batching must land on identical serving rows
+      Similarity.saveAnnIndex(spark, "annstr1", prepare(base),
+        buckets = 4, kClusters = 2)
+      Similarity.appendAnnIndex(spark, "annstr1",
+        prepare(shardA.unionByName(shardB)))
+      def rowSet(t: String) = spark.table(t)
+        .select(col("vec_id"), col("qv"), col("cl"), col("bucket")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2), r.getLong(3))).toSet
+      assert(rowSet("annstr_vectors") == rowSet("annstr1_vectors"))
+      // the replayed shard collapsed: 10 base + 3 appended, no duplicates
+      assert(spark.table("annstr_vectors").count() == 13)
+      // and the streamed-in clone is immediately searchable: probe 5's
+      // rank-1 quantized hit is vec 20
+      val idx = Similarity.loadAnnIndex(spark, "annstr")
+      val hits = Similarity.quantizedTopKIndexed(idx, nProbes = 6, k = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((5L, 20L)), s"clone not searchable: $hits")
+    } finally tables.foreach(Dedup.dropTableAndLocation(spark, _))
+  }
+
   test("streaming hourly agg over replayed events == batch rollup (§2.12)") {
     val dir = sf("sf0.001")
     val streamed = EventsStream.runToCompletion(spark, dir, "events_hourly_test")
