@@ -334,6 +334,99 @@ object MediaCodecs {
   private def leShort(p: Array[Byte], off: Int): Int =
     (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
 
+  private def beInt(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+      ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length >= 24 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+  private def isJpeg(p: Array[Byte]): Boolean =
+    p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+      (p(2) & 0xff) == 0xff
+
+  /** PNG dimensions straight from the IHDR chunk (always first, big-endian
+    * width/height at 16/20) — a pure byte walk, no decoder.
+    */
+  private def parsePng(p: Array[Byte]): Option[Parsed] =
+    if (new String(p, 12, 4, "US-ASCII") == "IHDR")
+      Some(Parsed(beInt(p, 16), beInt(p, 20), 0L, 0))
+    else None
+
+  /** JPEG dimensions from the first SOFn frame header (the marker-segment
+    * walk every JPEG parser does): segments are FF <marker> <be16 length>;
+    * SOF0–SOF15 (minus the DHT/JPG/DAC pseudo-markers C4/C8/CC) carry
+    * height/width big-endian at +5/+7. Corrupt lengths abort — an executor
+    * task must never loop on bad bytes.
+    */
+  private def parseJpeg(p: Array[Byte]): Option[Parsed] = {
+    var off = 2
+    while (off + 4 <= p.length && (p(off) & 0xff) == 0xff) {
+      val marker = p(off + 1) & 0xff
+      if (marker >= 0xd0 && marker <= 0xd9) off += 2 // standalone RSTn/SOI/EOI
+      else {
+        val len = ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+        if (len < 2) return None
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          if (off + 9 > p.length) return None
+          val h = ((p(off + 5) & 0xff) << 8) | (p(off + 6) & 0xff)
+          val w = ((p(off + 7) & 0xff) << 8) | (p(off + 8) & 0xff)
+          return Some(Parsed(w, h, 0L, 0))
+        }
+        off += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Decode a COMPRESSED image (PNG/JPEG) through the JDK's own ImageIO —
+    * no non-public dependency — into the same gray grid the BMP raster
+    * walk yields: integer BT.601 luma (299r+587g+114b)/1000 per pixel
+    * (exactly g for achromatic pixels), then, when the image is larger
+    * than the dHash-native targetW×targetH raster, a deterministic
+    * block-mean downscale with integer truncation — explicit arithmetic,
+    * not AWT rescaling, so the grid is bit-stable across platforms.
+    * Smaller-than-target images return None (nothing to hash against).
+    */
+  def parseCompressedGray(p: Array[Byte], targetW: Int = 9,
+      targetH: Int = 8): Option[Array[Array[Int]]] =
+    if (!isPng(p) && !isJpeg(p)) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val luma = Array.tabulate(h, w) { (y, x) =>
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        }
+        if (w == targetW && h == targetH) Some(luma)
+        else if (w < targetW || h < targetH) None
+        else Some(Array.tabulate(targetH, targetW) { (ty, tx) =>
+          val x0 = tx * w / targetW; val x1 = (tx + 1) * w / targetW
+          val y0 = ty * h / targetH; val y1 = (ty + 1) * h / targetH
+          var s = 0; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += luma(y)(x); n += 1; x += 1 }
+            y += 1
+          }
+          s / n
+        })
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Unified image decode for the perceptual pipeline: the BMP raster walk
+    * for uncompressed payloads, the ImageIO branch for PNG/JPEG — every
+    * arm lands on the same gray grid feeding [[dHash64]].
+    */
+  def parseImageGray(p: Array[Byte]): Option[Array[Array[Int]]] =
+    if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') parseBmpGray(p)
+    else parseCompressedGray(p)
+
   /** Content-based header decode: dispatches on magic bytes, returns None
     * for anything unrecognized (the pipeline keeps such rows with
     * zero-valued metadata rather than failing the batch).
@@ -346,6 +439,8 @@ object MediaCodecs {
     }
     else if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M')
       Some(Parsed(leInt(payload, 18), leInt(payload, 22), 0L, 0))
+    else if (isPng(payload)) parsePng(payload)
+    else if (isJpeg(payload)) parseJpeg(payload)
     else None
 
   /** RIFF chunk walk: fmt (channels/rate/block align) + data (sample

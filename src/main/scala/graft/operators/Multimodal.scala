@@ -179,7 +179,10 @@ object Multimodal {
     import spark.implicits._
     imageTable(spark, dir).as[MediaRow]
       .mapPartitions(_.flatMap(r =>
-        MediaCodecs.parseBmpGray(r.payload)
+        // unified dispatch: BMP raster walk or the JDK ImageIO PNG/JPEG
+        // branch — a compressed payload flows into the same dHash stage
+        // (the m4 gallery itself stays on the byte-exact BMP tier)
+        MediaCodecs.parseImageGray(r.payload)
           .map(g => (r.media_id, MediaCodecs.dHash64(g)))))
       .toDF("media_id", "dhash")
   }

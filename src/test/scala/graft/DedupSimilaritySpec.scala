@@ -905,6 +905,27 @@ class DedupSimilaritySpec extends SparkSuite {
       .count(d => d.kind == "audio" && d.sample_rate > 0) > 0)
   }
 
+  test("real-file ingest decodes a compressed PNG through the same walk into m4 metadata") {
+    val mediaDir = java.nio.file.Files.createTempDirectory("graft_png_walk").toString
+    val id = 4096L
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val g = Multimodal.grayPixel(id)(x, y)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mediaDir, s"${id}_image.bin"), baos.toByteArray)
+    // the binaryFile walk's magic dispatch lands on the PNG arm: real
+    // IHDR dimensions, not the zero-metadata fallback
+    val d = Multimodal.decodedFromFiles(spark, mediaDir).collect()
+    assert(d.length == 1)
+    assert(d(0).media_id == id && d(0).width == 9 && d(0).height == 8)
+    assert(d(0).magic == "89504e47")
+  }
+
   test("persisted ANN serving index: indexed tiers equal their recompute twins") {
     import graft.operators.Similarity
     val dir = sf("sf0.001")

@@ -188,4 +188,49 @@ class MediaCodecsSpec extends AnyFunSuite {
         (30 + len % 900).toLong * 33333 / 1000, 0))
     }
   }
+
+  private def pngBytes(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = gray(x, y)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("PNG/JPEG branch: golden PNG decodes to known pixels, matches its BMP gallery sibling") {
+    val id = 4096L
+    val grid = (x: Int, y: Int) => graft.operators.Multimodal.grayPixel(id)(x, y)
+    val png = pngBytes(9, 8, grid)
+    // metadata arm: IHDR dimensions via the magic dispatch
+    assert(MediaCodecs.parse(png).contains(MediaCodecs.Parsed(9, 8, 0L, 0)))
+    // pixel arm: PNG is lossless and the test image achromatic, so luma
+    // reproduces the arithmetic grid EXACTLY
+    val g = MediaCodecs.parseImageGray(png).get
+    val expected = (0 until 8).map(y => (0 until 9).map(x => grid(x, y)))
+    assert(g.map(_.toSeq).toSeq == expected.map(_.toSeq))
+    // and the decoded PNG joins the m4 perceptual family: its dHash equals
+    // its brightness-shifted BMP gallery sibling's (id+1 is the +5 member)
+    val sibling = MediaCodecs.parseBmpGray(MediaCodecs.buildBmpGray(
+      9, 8, graft.operators.Multimodal.grayPixel(id + 1))).get
+    assert(MediaCodecs.dHash64(g) == MediaCodecs.dHash64(sibling))
+    // oversized PNG: 2x2 blocks of the same grid block-mean down to the
+    // identical raster through the deterministic downscale
+    val big = pngBytes(18, 16, (x, y) => grid(x / 2, y / 2))
+    assert(MediaCodecs.parse(big).contains(MediaCodecs.Parsed(18, 16, 0L, 0)))
+    val gBig = MediaCodecs.parseImageGray(big).get
+    assert(gBig.map(_.toSeq).toSeq == expected.map(_.toSeq))
+    // undersized images have nothing to hash against
+    assert(MediaCodecs.parseImageGray(pngBytes(4, 4, grid)).isEmpty)
+    // JPEG: lossy, so only the metadata arm is asserted (SOF walk)
+    val jimg = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jbaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jbaos)
+    assert(MediaCodecs.parse(jbaos.toByteArray)
+      .contains(MediaCodecs.Parsed(9, 8, 0L, 0)))
+  }
 }
