@@ -1537,14 +1537,20 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sFp = shardSel.select(col("doc_id"), explode(col("fps")).as("d"))
     val sDf = sFp.groupBy(col("d")).agg(count(lit(1)).as("ns"))
-    // the TOTAL document frequency decides the cap — index + shard
-    val keptD = index.dfTab.join(sDf, Seq("d"), "full_outer")
-      .select(col("d"),
-        (coalesce(col("n"), lit(0L)) + coalesce(col("ns"), lit(0L))).as("nt"))
+    // the TOTAL document frequency decides the cap — index + shard. Both
+    // candidate legs join through the SHARD's fingerprints, so a digest
+    // absent from the shard can never form a delta pair: the cap check
+    // only needs the shard's digests, a delta-sized LEFT join against the
+    // persisted counts (index side bucketed, no exchange) instead of a
+    // corpus-wide full-outer — and the resulting keptD is shard-bounded,
+    // so the index fingerprint leg prunes by BROADCAST instead of
+    // shipping nearly every under-cap index digest through the join.
+    val keptD = sDf.join(index.dfTab, Seq("d"), "left")
+      .select(col("d"), (coalesce(col("n"), lit(0L)) + col("ns")).as("nt"))
       .filter(col("nt") >= 2 && col("nt") <= dfCap)
       .select(col("d"))
     val sKept = sFp.join(keptD, Seq("d"))
-    val iKept = index.fp.join(keptD, Seq("d"))
+    val iKept = index.fp.join(broadcast(keptD), Seq("d"))
     // ids are disjoint by the upsert contract; the =!= guard degrades a
     // violated contract to no self-pairs (the d13 convention)
     val vsIdx = sKept.select(col("d"), col("doc_id").as("id_n"))
