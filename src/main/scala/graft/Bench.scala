@@ -25,7 +25,7 @@ object Bench {
     "d13_delta_neardup", "d14_span_scrub", "d15_delta_simhash",
     "w7_sessionize",
     "s1_ann_bruteforce", "s2_ann_lsh", "s4_ann_ivf", "s6_ann_kmeans",
-    "s7b_ann_quantized_indexed", "s9_ann_delta_search",
+    "s7b_ann_quantized_indexed", "s9_ann_delta_search", "s11b_ann_pq_indexed",
     "t2_language_id", "t5_fingerprints", "t13_distinctive_terms",
     "t15_heavy_hitters", "m2_media_stats")
 

@@ -220,6 +220,17 @@ object SparkEntry {
       Similarity.annDeltaSearch(s, d).orderBy("probe_id", "rn")),
     // the measured re-train trigger over the same incremental index
     "s10_ann_drift" -> ((s, d) => Similarity.annDeltaDrift(s, d)),
+    // product quantization (Jégou et al.): integer per-subspace codebooks
+    // trained by deterministic Lloyd rounds on the int8 plane, candidates
+    // scored by integer ADC table lookups over the 8-codes compressed
+    // plane, exact-cosine re-rank on survivors; every training and
+    // scoring step is integer (or s3-pattern rounded), so the oracle
+    // replays the full trajectory
+    "s11_ann_pq" -> ((s, d) => Similarity.pqTopK(s, d).orderBy("probe_id", "rn")),
+    // the same ADC search answered from the persisted serving index:
+    // codes and codebooks are FROZEN index state, nothing re-trained
+    "s11b_ann_pq_indexed" -> ((s, d) =>
+      Similarity.pqTopKFromIndex(s, d).orderBy("probe_id", "rn")),
     // ---- text analysis ----
     "t2_language_id" -> ((s, d) => TextAnalysis.languageId(s, d).orderBy("doc_id")),
     "t3_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d).orderBy("doc_id")),
@@ -386,6 +397,45 @@ object SparkEntry {
        |  WHERE cl < $kClusters),
        |${rounds.mkString(",\n")},
        |${assign(iters + 1, s"c$iters")}""".stripMargin
+  }
+
+  /** The PQ training trajectory (s11) in SQL — table-driven over
+    * `range(0, mSub)` subspaces (one CTE set regardless of M, unlike the
+    * macro-expanded k-means): integer subvector seeds from the md5-ranked
+    * first `ks` vectors, `iters` Lloyd rounds of integer-squared-distance
+    * assignment (ties to the smallest code via list_position) +
+    * floor(sum/n + 0.5) integer means with the empty-cell carry (full
+    * (m, code) grid LEFT JOIN, coalesce to the previous codebook), then
+    * the final per-vector codes list. Expects a CTE `q(vec_id, qv)` (the
+    * int8 plane); appends `pb$iters` (the final codebook) and `pcodes`.
+    */
+  private def pqCtes(mSub: Int = Similarity.PqM, dSub: Int = Similarity.PqD,
+      ks: Int = Similarity.PqK, iters: Int = 2): String = {
+    def assign(n: Int, book: String) =
+      s"""pa$n AS (SELECT vec_id, m, CAST(list_position(ds, list_min(ds)) - 1 AS INTEGER) AS code FROM (
+         |  SELECT s.vec_id, s.m,
+         |    list(list_sum([(s.sv[i+1]-b.c[i+1])*(s.sv[i+1]-b.c[i+1]) for i in range(0, $dSub)]) ORDER BY b.code) AS ds
+         |  FROM subv s JOIN $book b ON s.m = b.m GROUP BY s.vec_id, s.m))""".stripMargin
+    def update(n: Int, prev: String) =
+      s"""pu$n AS (SELECT a.m, a.code, d.i,
+         |    CAST(floor(sum(s.sv[d.i+1]) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS val
+         |  FROM subv s JOIN pa$n a ON s.vec_id = a.vec_id AND s.m = a.m, range(0, $dSub) d(i)
+         |  GROUP BY a.m, a.code, d.i),
+         |pb$n AS (SELECT g.m, g.code, coalesce(u.c, p.c) AS c
+         |  FROM (SELECT r.m, s.code FROM range(0, $mSub) r(m), range(0, $ks) s(code)) g
+         |  JOIN $prev p ON p.m = g.m AND p.code = g.code
+         |  LEFT JOIN (SELECT m, code, list(val ORDER BY i) AS c FROM pu$n GROUP BY m, code) u
+         |    ON u.m = g.m AND u.code = g.code)""".stripMargin
+    val rounds = (1 to iters).map { n =>
+      val prev = if (n == 1) "pb0" else s"pb${n - 1}"
+      assign(n, prev) + ",\n" + update(n, prev)
+    }
+    s"""psr AS (SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rk FROM q),
+       |subv AS (SELECT q.vec_id, r.m, q.qv[r.m*$dSub+1 : r.m*$dSub+$dSub] AS sv FROM q, range(0, $mSub) r(m)),
+       |pb0 AS (SELECT s.m, psr.rk AS code, s.sv AS c FROM subv s JOIN psr ON s.vec_id = psr.vec_id WHERE psr.rk < $ks),
+       |${rounds.mkString(",\n")},
+       |${assign(iters + 1, s"pb$iters")},
+       |pcodes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM pa${iters + 1} GROUP BY vec_id)""".stripMargin
   }
 
   /** The incremental-ingest oracle shared by d13 and d18: full-recompute
@@ -1020,6 +1070,35 @@ object SparkEntry {
         |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, neighbor_id) AS rn
         |  FROM cand JOIN e c ON c.vec_id = neighbor_id JOIN pf ON pf.probe_id = cand.probe_id)
         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+    // product quantization: the full integer training trajectory (seeds,
+    // two Lloyd rounds, empty-cell carry) + ADC scoring replayed
+    // relationally — codes explode per subspace and join the final
+    // codebook, partial dots sum to the exact integer ADC score
+    "s11_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+         |mm AS (SELECT max(list_max([abs(x) for x in v])) AS m FROM e),
+         |q AS (SELECT vec_id, [CAST(floor(x * 127 / m + 0.5) AS BIGINT) for x in v] AS qv FROM e CROSS JOIN mm),
+         |${pqCtes()},
+         |p AS (SELECT vec_id AS probe_id, qv AS pqv FROM q WHERE vec_id < 5),
+         |cx AS (SELECT c.vec_id, r.m, c.codes[r.m+1] AS code FROM pcodes c, range(0, ${Similarity.PqM}) r(m)),
+         |contrib AS (SELECT p.probe_id, cx.vec_id AS neighbor_id,
+         |    list_sum([p.pqv[cx.m*${Similarity.PqD}+i+1] * b.c[i+1] for i in range(0, ${Similarity.PqD})]) AS part
+         |  FROM p CROSS JOIN cx JOIN pb2 b ON b.m = cx.m AND b.code = cx.code
+         |  WHERE p.probe_id != cx.vec_id),
+         |adc AS (SELECT probe_id, neighbor_id, CAST(sum(part) AS BIGINT) AS adc FROM contrib GROUP BY 1, 2),
+         |cand AS (SELECT probe_id, neighbor_id, adc FROM (
+         |    SELECT probe_id, neighbor_id, adc,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY adc DESC, neighbor_id) AS qrn FROM adc)
+         |  WHERE qrn <= 20),
+         |pf AS (SELECT vec_id AS probe_id, v AS pv, n AS pn FROM e WHERE vec_id < 5)
+         |SELECT probe_id, neighbor_id, adc, cos, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT cand.probe_id, neighbor_id, cand.adc,
+         |    round(list_dot_product(pv, c.v) / (pn * c.n), 4) AS cos,
+         |    row_number() OVER (PARTITION BY cand.probe_id
+         |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, neighbor_id) AS rn
+         |  FROM cand JOIN e c ON c.vec_id = neighbor_id JOIN pf ON pf.probe_id = cand.probe_id)
+         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
     // MMR diversification: the greedy trajectory replayed in a recursive
     // CTE — each step appends the candidate maximizing rel − max-sim-to-
     // selected (ties to the smaller id via the (score, -nid) struct max);
@@ -1514,6 +1593,7 @@ object SparkEntry {
     "s2b_ann_lsh_indexed" -> oracleBase("s2_ann_lsh"),
     "s6b_ann_kmeans_indexed" -> oracleBase("s6_ann_kmeans"),
     "s7b_ann_quantized_indexed" -> oracleBase("s7_ann_quantized"),
+    "s11b_ann_pq_indexed" -> oracleBase("s11_ann_pq"),
     "s9_ann_delta_search" -> annDeltaSearchSql,
     "s10_ann_drift" -> annDriftSql)
 }

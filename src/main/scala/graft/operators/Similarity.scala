@@ -229,6 +229,205 @@ object Similarity {
     }.toDF("probe_id", "neighbor_id", "mmr_rank", "rel")
   }
 
+  // ===== S11: product quantization (Jégou/Douze/Schmid, TPAMI 2011) =====
+
+  /** PQ geometry: 64 dims split into `PqM` subspaces of `PqD` dims, `PqK`
+    * codes per subspace. One vector compresses to `PqM` 4-bit codes (8
+    * bytes packed) — the candidate scan reads 16 small ints per vector vs
+    * 64 int8s for s7's plane (4× narrower; 32× narrower than the
+    * doubles). At 100 TB that codes column is the ONLY thing the
+    * first-stage scan touches. 16×4 with 16 codes is the standard
+    * fine-grained split (FAISS's PQ16x4): more subspaces beat more
+    * codes-per-subspace for reconstruction at equal bits.
+    */
+  private[graft] val PqM = 16
+  private[graft] val PqD = 4
+  private[graft] val PqK = 16
+  private val PqIters = 2
+
+  /** Per-subspace integer squared distance Σ(sv_i − c_i)² against a
+    * LITERAL centroid — pure integer arithmetic, so assignment argmins
+    * are exactly reproducible in any engine (the same portability
+    * argument as s7's integer quantized dots).
+    */
+  private def pqDistExpr(sv: Column, c: Array[Long]): Column =
+    c.indices.map { i =>
+      val d = element_at(sv, i + 1) - lit(c(i))
+      d * d
+    }.reduce(_ + _)
+
+  /** Nearest-code argmin for one subspace; first occurrence on ties —
+    * `array_position` mirrors DuckDB's `list_position` (the s6-proven
+    * tie rule).
+    */
+  private def pqCodeExpr(sub: Column, cents: Array[Array[Long]]): Column = {
+    val dists = array(cents.toIndexedSeq.map(c => pqDistExpr(sub, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** All `PqM` codes of a quantized vector column, map-side against
+    * literal codebooks — encoding never joins or shuffles the corpus.
+    */
+  private[operators] def pqCodesExpr(qv: Column,
+      book: Array[Array[Array[Long]]]): Column =
+    array(book.zipWithIndex.map { case (cents, m) =>
+      pqCodeExpr(slice(qv, m * PqD + 1, PqD), cents)
+    }.toIndexedSeq: _*)
+
+  /** One PQ Lloyd round over every subspace AT ONCE: codes are assigned
+    * map-side from the literal codebooks, the corpus explodes into
+    * (m, sv) subvector rows, and ONE (m, code) aggregation computes all
+    * PqM×PqK integer means — `floor(sum/n + 0.5)` (half-up, negatives
+    * included), the same correctly-rounded IEEE division both engines
+    * share (the s3/s6 `round(sum/n, 4)` parity argument). A code that
+    * loses all members keeps its previous centroid (the standard empty-
+    * cell rule; deterministic, and the oracle's grid LEFT JOIN replays
+    * it).
+    */
+  private def pqLloydUpdate(q: DataFrame,
+      book: Array[Array[Array[Long]]]): Array[Array[Array[Long]]] = {
+    val subs = array((0 until PqM).map(m => slice(col("qv"), m * PqD + 1, PqD)): _*)
+    val rows = q
+      .select(col("qv"), pqCodesExpr(col("qv"), book).as("codes"))
+      .select(col("codes"), posexplode(subs).as(Seq("m", "sv")))
+      .select(col("m"), element_at(col("codes"), col("m") + 1).as("code"), col("sv"))
+    val sums = (0 until PqD).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+    val updated = rows.groupBy(col("m"), col("code"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("m"), col("code"), array((0 until PqD).map(i =>
+        floor(col(s"s$i") / col("n") + 0.5).cast("long")): _*).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toArray)
+      .toMap
+    Array.tabulate(PqM, PqK)((m, c) => updated.getOrElse((m, c), book(m)(c)))
+  }
+
+  /** Train the PQ codebooks over a quantized (vec_id, qv) frame: seeds =
+    * the subvectors of the first PqK vectors by (md5(vec_id), vec_id) —
+    * the same portable seed ranking as the coarse k-means — then PqIters
+    * fixed Lloyd rounds. Integer seeds, integer distances, integer means:
+    * the whole training trajectory replays exactly in the SQL oracle.
+    * Scale shape per round: one map-side encode pass + one
+    * (PqM × PqK)-group aggregation; the model (PqM×PqK×PqD small ints)
+    * lives on the driver as literals — distributed k-means, subspace-
+    * factored.
+    */
+  private[graft] def pqBookOf(q: DataFrame): Array[Array[Array[Long]]] = {
+    val seedRows = q.select(col("vec_id"), col("qv"))
+      .withColumn("r", md5(col("vec_id").cast("string")))
+      .orderBy(col("r"), col("vec_id"))
+      .limit(PqK)
+      .select(col("qv"))
+      .collect()
+      .map(_.getSeq[Long](0))
+    require(seedRows.nonEmpty, "PQ codebook training needs a non-empty corpus")
+    // corpora smaller than PqK pad seeds cyclically: duplicated centroids
+    // lose every tie to their first occurrence and carry unchanged —
+    // deterministic, and only reachable on tiny unit fixtures (the oracle
+    // corpora all exceed PqK)
+    val seeds = Array.tabulate(PqK)(c => seedRows(c % seedRows.length))
+    var book: Array[Array[Array[Long]]] = Array.tabulate(PqM)(m =>
+      seeds.map(qv => qv.slice(m * PqD, m * PqD + PqD).toArray))
+    for (_ <- 0 until PqIters) book = pqLloydUpdate(q, book)
+    book
+  }
+
+  /** The session PQ codebooks for a corpus dir (trained on the s7 int8
+    * plane under the same frozen scale), memoized like [[kmeansModel]].
+    */
+  private[graft] def pqBook(spark: SparkSession, dir: String): Array[Array[Array[Long]]] =
+    graft.SessionCache.getOrElseUpdate(spark, ("pqBook", dir)) {
+      pqBookOf(quantizedPlane(spark, dir))
+    }.asInstanceOf[Array[Array[Array[Long]]]]
+
+  /** The PQ codes plane (vec_id, codes) — the compressed "stored index"
+    * column a deployment scans first; session-persisted beside the int8
+    * plane it derives from.
+    */
+  private[operators] def pqCodesPlane(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("pqCodes", dir)) {
+      quantizedPlane(spark, dir)
+        .select(col("vec_id"), pqCodesExpr(col("qv"), pqBook(spark, dir)).as("codes"))
+        .persist()
+    }
+
+  /** The probe's ADC lookup tables T[m][c] = qprobe_sub_m · book[m][c]
+    * (asymmetric distance computation: the probe stays at int8 precision,
+    * only the corpus side is code-compressed). Integer dots against
+    * literal codebooks — T is exact in both engines.
+    */
+  private def pqAdcTablesExpr(pq: Column,
+      book: Array[Array[Array[Long]]]): Column =
+    array(book.zipWithIndex.map { case (cents, m) =>
+      array(cents.toIndexedSeq.map { c =>
+        c.indices.map(i => element_at(pq, m * PqD + i + 1) * lit(c(i))).reduce(_ + _)
+      }: _*)
+    }.toIndexedSeq: _*)
+
+  /** ADC score = Σ_m T[m][code_m] — the probe's dot product with the
+    * neighbor's codebook reconstruction, by PqM table lookups per
+    * candidate (never PqD×PqM multiplies: the point of ADC).
+    */
+  private def pqAdcScore(tt: Column, codes: Column): Column =
+    aggregate(
+      zip_with(tt, codes, (t, cd) => element_at(t, (cd + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** S11 — product-quantized ANN: candidates scored by integer ADC over
+    * the 8-codes-per-vector compressed plane, top `rerank` per probe
+    * re-ranked by exact cosine (s7's tail). The first-stage scan touches
+    * only (vec_id, codes); the ADC tables ride a ≤nProbes-row broadcast.
+    * With rerank ≥ corpus this equals the exact brute-force tier
+    * (spec-proven); in between it is the classic memory-bound recall
+    * dial one tier below s7 (8 bytes/vector vs 64).
+    */
+  def pqTopK(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5, rerank: Int = 20): DataFrame = {
+    val e = preparedEmbeddings(spark, dir)
+    val book = pqBook(spark, dir)
+    val codes = pqCodesPlane(spark, dir)
+    val qprobes = quantizedPlane(spark, dir).filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"),
+        pqAdcTablesExpr(col("qv"), book).as("tt"))
+    pqRerankTail(
+      pqCandidates(codes, qprobes, rerank),
+      e.select(col("vec_id"), col("v"), col("n")), nProbes, k)
+  }
+
+  /** ADC candidate stage: codes plane × broadcast probe tables → integer
+    * score → per-probe top-`rerank` cut. Shared by s11 and s11b.
+    */
+  private def pqCandidates(codes: DataFrame, qprobes: DataFrame,
+      rerank: Int): DataFrame = {
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(qprobes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("adc", pqAdcScore(col("tt"), col("codes")))
+      .withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= rerank)
+      .select(col("probe_id"), col("neighbor_id"), col("adc"))
+  }
+
+  /** Exact-cosine re-rank of ADC survivors, carrying the ADC score into
+    * the output so the oracle checks the lookup-table arithmetic itself,
+    * not just the surviving id set.
+    */
+  private def pqRerankTail(cand: DataFrame, vectors: DataFrame,
+      nProbes: Int, k: Int): DataFrame = {
+    val probes = vectors.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    val neighbors = vectors
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(neighbors, Seq("neighbor_id")).join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("adc"), col("cos"), col("rn"))
+  }
+
   /** Deterministic hyperplane coefficient for (plane j, dimension i):
     * hexval(md5("plane:j:i")[0]) - 7.5, precomputed DRIVER-SIDE into literal
     * arrays — values are identical to the in-query md5 formulation (the
@@ -497,7 +696,9 @@ object Similarity {
     *     (s7's narrow scan — at scale stored columnar, 8× smaller than v);
     *   - `cl`: the TRAINED k-means coarse cluster (s6's membership — at
     *     scale the partition key of a cluster-partitioned layout);
-    *   - `bucket`: the SRP hyperplane bucket (s2's blocking key).
+    *   - `bucket`: the SRP hyperplane bucket (s2's blocking key);
+    *   - `codes`: the PQ codes under the FROZEN per-subspace codebooks
+    *     (s11's compressed plane — 8 small ints, the narrowest scan).
     *
     * Bucketed+sorted on `vec_id`, so the exact-re-rank join reads the
     * index with no Exchange and no Sort (BucketingSpec's argument applied
@@ -508,17 +709,19 @@ object Similarity {
     */
   final case class AnnIndex(vectors: DataFrame,
       centroids: Array[(Int, Array[Double])], scaleM: Double,
-      kClusters: Int, nPlanes: Int)
+      kClusters: Int, nPlanes: Int, pqBook: Array[Array[Array[Long]]])
 
   /** One serving row per vector: every derived plane under the SAME frozen
     * model — shared by the base build and the append path.
     */
   private def annServingRows(source: DataFrame, m: Double,
-      model: Array[(Int, Array[Double])], nPlanes: Int): DataFrame =
+      model: Array[(Int, Array[Double])], nPlanes: Int,
+      book: Array[Array[Array[Long]]]): DataFrame =
     source.select(col("vec_id"), col("v"), col("n"),
       transform(col("v"), x => floor(x * 127 / lit(m) + 0.5).cast("long")).as("qv"),
       assignExpr(model).as("cl"),
       bucketExpr(col("v"), nPlanes).as("bucket"))
+      .withColumn("codes", pqCodesExpr(col("qv"), book))
 
   /** Build + persist the serving index over a prepared (vec_id, v, n)
     * frame: one pass trains the coarse quantizer ([[kmeansModelOf]] — the
@@ -531,11 +734,18 @@ object Similarity {
     import spark.implicits._
     val m = source.agg(max(array_max(transform(col("v"), x => abs(x))))).head().getDouble(0)
     val model = kmeansModelOf(source, kClusters, iters)
-    Dedup.saveBucketedTable(annServingRows(source, m, model, nPlanes),
+    val book = pqBookOf(source.select(col("vec_id"),
+      transform(col("v"), x => floor(x * 127 / lit(m) + 0.5).cast("long")).as("qv")))
+    Dedup.saveBucketedTable(annServingRows(source, m, model, nPlanes, book),
       s"${name}_vectors", buckets, Seq("vec_id"))
     Dedup.dropTableAndLocation(spark, s"${name}_centroids")
     model.toSeq.toDF("cl", "c")
       .write.mode("overwrite").saveAsTable(s"${name}_centroids")
+    Dedup.dropTableAndLocation(spark, s"${name}_pqbook")
+    book.zipWithIndex.flatMap { case (cents, sm) =>
+      cents.zipWithIndex.map { case (c, code) => (sm, code, c.toSeq) }
+    }.toSeq.toDF("m", "code", "c")
+      .write.mode("overwrite").saveAsTable(s"${name}_pqbook")
     Dedup.dropTableAndLocation(spark, s"${name}_meta")
     Seq((m, kClusters, iters, nPlanes, buckets))
       .toDF("m", "k_clusters", "iters", "n_planes", "buckets")
@@ -550,8 +760,13 @@ object Similarity {
     val cents = spark.table(s"${name}_centroids").collect()
       .map(r => r.getAs[Int]("cl") -> r.getAs[scala.collection.Seq[Double]]("c").toArray)
       .sortBy(_._1)
+    val bookRows = spark.table(s"${name}_pqbook").collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("code")) ->
+        r.getAs[scala.collection.Seq[Long]]("c").toArray)
+      .toMap
+    val book = Array.tabulate(PqM, PqK)((sm, c) => bookRows((sm, c)))
     AnnIndex(spark.table(s"${name}_vectors"), cents, meta.getAs[Double]("m"),
-      meta.getAs[Int]("k_clusters"), meta.getAs[Int]("n_planes"))
+      meta.getAs[Int]("k_clusters"), meta.getAs[Int]("n_planes"), book)
   }
 
   /** INCREMENTAL ANN ingest — the d17 shape for the serving index: new
@@ -575,7 +790,8 @@ object Similarity {
     val loaded = loadAnnIndex(spark, name)
     val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
     Dedup.appendBucketedTable(
-      annServingRows(newVecs, loaded.scaleM, loaded.centroids, loaded.nPlanes),
+      annServingRows(newVecs, loaded.scaleM, loaded.centroids, loaded.nPlanes,
+        loaded.pqBook),
       s"${name}_vectors", buckets, Seq("vec_id"))
   }
 
@@ -669,6 +885,22 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** S11's ADC / exact-re-rank plan over the LOADED index: the candidate
+    * stage reads only the (vec_id, codes) projection — the narrowest
+    * stored plane (8 small ints/vector) — scored by table lookups against
+    * the PERSISTED codebooks; the probe's ADC tables derive from the
+    * stored qv of the probe rows. Nothing is re-trained from the corpus.
+    */
+  def pqTopKIndexed(index: AnnIndex, nProbes: Int = 5, k: Int = 5,
+      rerank: Int = 20): DataFrame = {
+    val qprobes = index.vectors.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"),
+        pqAdcTablesExpr(col("qv"), index.pqBook).as("tt"))
+    pqRerankTail(
+      pqCandidates(index.vectors.select(col("vec_id"), col("codes")), qprobes, rerank),
+      index.vectors.select(col("vec_id"), col("v"), col("n")), nProbes, k)
+  }
+
   /** S2's LSH search over the LOADED index: blocking on the stored SRP
     * `bucket` column — the banding is frozen index state, not a per-query
     * derivation.
@@ -715,6 +947,10 @@ object Similarity {
   def lshTopKFromIndex(spark: SparkSession, dir: String,
       nProbes: Int = 5, k: Int = 5): DataFrame =
     lshTopKIndexed(annGateIndex(spark, dir), nProbes, k)
+
+  def pqTopKFromIndex(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5, rerank: Int = 20): DataFrame =
+    pqTopKIndexed(annGateIndex(spark, dir), nProbes, k, rerank)
 
   /** The s9/s10 gates' INCREMENTAL index: base = the md5-bucket < splitAt
     * slice (built + saved with the model trained on the base ONLY — the

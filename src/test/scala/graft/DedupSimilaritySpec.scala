@@ -936,6 +936,57 @@ class DedupSimilaritySpec extends SparkSuite {
       rows(Similarity.kmeansIvfTopK(spark, dir)))
     assert(rows(Similarity.quantizedTopKFromIndex(spark, dir)) ==
       rows(Similarity.quantizedTopK(spark, dir)))
+    assert(rows(Similarity.pqTopKFromIndex(spark, dir)) ==
+      rows(Similarity.pqTopK(spark, dir)))
+  }
+
+  test("PQ ANN: exact at full rerank; default-cut recall measured vs s7") {
+    import graft.operators.Similarity
+    val dir = sf("sf0.001")
+    // rerank >= corpus: every vector survives the ADC stage, so the exact
+    // re-rank IS the brute-force tier — full identity on the brute-force
+    // columns (pq additionally carries its adc score)
+    def bfCols(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "cos", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val exact = bfCols(Similarity.bruteForceTopK(spark, dir, nProbes = 5, k = 5))
+    assert(bfCols(Similarity.pqTopK(spark, dir, nProbes = 5, k = 5, rerank = 1 << 20)) == exact)
+    // default cut: 8 codes/vector is one compression tier below s7's 64
+    // int8s, so PQ recall may trail s7's at the same candidate budget —
+    // both are measured here and quoted in PERF.md; the floor guards
+    // against a silently-broken codebook (random candidates would sit
+    // near 5/25 on this corpus)
+    val exactIds = exact.map(t => (t._1, t._2))
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val ids = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (ids intersect exactIds).size.toDouble / exactIds.size
+    }
+    val pqRecall = recallOf(Similarity.pqTopK(spark, dir, nProbes = 5, k = 5))
+    val s7Recall = recallOf(Similarity.quantizedTopK(spark, dir, nProbes = 5, k = 5))
+    info(f"recall@5, rerank=20: pq=$pqRecall%.2f s7=$s7Recall%.2f")
+    assert(pqRecall >= 0.5, s"PQ recall too low: $pqRecall (s7: $s7Recall)")
+  }
+
+  test("PQ codebook: empty-cell carry is deterministic on duplicate seeds") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // 10 vectors, ids 0-9; the md5 seed ranking picks 8 of them, and the
+    // duplicates (all even ids share ONE qv) force duplicated centroids
+    // whose cells empty immediately (ties always resolve to the first
+    // occurrence) and must carry unchanged through both Lloyd rounds
+    val rows = (0L to 9L).map { i =>
+      val qv = if (i % 2 == 0) Array.tabulate(64)(d => ((d % 7) - 3).toLong)
+      else Array.tabulate(64)(d => ((i + d) % 11 - 5))
+      (i, qv.toSeq)
+    }
+    val q = rows.toDF("vec_id", "qv")
+    // 10 rows < PqK=16 also exercises the cyclic seed padding
+    val book1 = Similarity.pqBookOf(q)
+    val book2 = Similarity.pqBookOf(q)
+    assert(book1.length == Similarity.PqM &&
+      book1.forall(_.length == Similarity.PqK) &&
+      book1.forall(_.forall(_.length == Similarity.PqD)))
+    assert(book1.map(_.map(_.toSeq).toSeq).toSeq == book2.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
   test("ANN index append: new vectors searchable under the frozen model; drift trips on overscale") {
@@ -953,7 +1004,7 @@ class DedupSimilaritySpec extends SparkSuite {
     val shard = Seq(
       (100L, vec(0).map(x => x * 0.99 + 0.001)),
       (101L, vec(1).map(_ * 3.0)))
-    Seq("_vectors", "_centroids", "_meta").foreach(s =>
+    Seq("_vectors", "_centroids", "_meta", "_pqbook").foreach(s =>
       Dedup.dropTableAndLocation(spark, s"annapp$s"))
     try {
       Similarity.saveAnnIndex(spark, "annapp", frame(base),
@@ -979,7 +1030,7 @@ class DedupSimilaritySpec extends SparkSuite {
       assert(d.getAs[Long]("n_total") == 8L)
       assert(d.getAs[Long]("n_overscale") == 1L)
       assert(d.getAs[Boolean]("retrain"))
-    } finally Seq("_vectors", "_centroids", "_meta").foreach(s =>
+    } finally Seq("_vectors", "_centroids", "_meta", "_pqbook").foreach(s =>
       Dedup.dropTableAndLocation(spark, s"annapp$s"))
   }
 

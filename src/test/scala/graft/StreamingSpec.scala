@@ -243,7 +243,7 @@ class StreamingSpec extends SparkSuite {
     shardA.coalesce(1).write.mode("append").parquet(shardDir)
     shardB.coalesce(1).write.mode("append").parquet(shardDir)
     shardA.coalesce(1).write.mode("append").parquet(shardDir) // the replay
-    val tables = for (n <- Seq("annstr", "annstr1"); s <- Seq("_vectors", "_centroids", "_meta"))
+    val tables = for (n <- Seq("annstr", "annstr1"); s <- Seq("_vectors", "_centroids", "_meta", "_pqbook"))
       yield n + s
     tables.foreach(Dedup.dropTableAndLocation(spark, _))
     try {
