@@ -23,7 +23,7 @@ object Bench {
     "d6_embedding_neardup", "d8_embedding_neardup_lsh", "d9_neardup_clusters",
     "d10_contamination", "d11_simhash_pairs", "d12_boilerplate",
     "d13_delta_neardup", "d14_span_scrub", "d15_delta_simhash",
-    "w7_sessionize",
+    "d21_semdedup", "w7_sessionize", "w7b_sessionize_chunked",
     "s1_ann_bruteforce", "s2_ann_lsh", "s4_ann_ivf", "s6_ann_kmeans",
     "s7b_ann_quantized_indexed", "s9_ann_delta_search", "s11b_ann_pq_indexed",
     "t2_language_id", "t5_fingerprints", "t13_distinctive_terms",

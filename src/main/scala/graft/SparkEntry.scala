@@ -96,6 +96,12 @@ object SparkEntry {
     "w4_asof_join" -> ((s, d) => Library.clickAsofView(s, d).orderBy("click_id")),
     "w5_range_join" -> ((s, d) => Library.rangeJoinCounts(s, d).orderBy("left_id")),
     "w7_sessionize" -> ((s, d) => Library.sessionize(s, d).orderBy("user_id", "session_idx")),
+    // the skew-hardened twin: time-chunked two-phase sessionize, output
+    // provably identical to w7 (the oracle is shared) — phase 1 bounds
+    // per-task work by (user, time-chunk), phase 2 stitches only session
+    // summaries, so one pathological user is no longer one straggler task
+    "w7b_sessionize_chunked" -> ((s, d) =>
+      Library.chunkedSessionize(s, d).orderBy("user_id", "session_idx")),
     "w8_ntile_quartiles" -> ((s, d) => Library.priorityQuartiles(s, d).orderBy("o_orderpriority", "quartile")),
     "w10_burst_detection" -> ((s, d) => Library.burstDetection(s, d).orderBy("user_id")),
     "w9_topk_agg" -> ((s, d) => Library.topNPerGroupAgg(s, d).orderBy("o_orderpriority", "rn")),
@@ -156,6 +162,20 @@ object SparkEntry {
     "d7_tail_fingerprint" -> ((s, d) => Dedup.tailFingerprint(s, d).orderBy("doc_id")),
     "d8_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupsLsh(s, d, 0.3).orderBy("id_a", "id_b")),
     "d9_neardup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d).orderBy("doc_id")),
+    // SemDeDup (Abbas et al. 2023): semantic dedup over embeddings — the
+    // trained k-means quantizer blocks candidates, within-cluster cosine
+    // pairs form groups, and the member LEAST similar to its cluster
+    // centroid is kept (the paper's diversity rule); every ordering
+    // quantity is s3/s6-rounded so the oracle replays the trajectory
+    // τ = 0.45 on the synthetic corpus for the same reason d6 gates at
+    // 0.35: the generated embeddings are near-random (max pairwise cosine
+    // ~0.51), so production-realistic thresholds find nothing to group
+    "d21_semdedup" -> ((s, d) => Dedup.semDedup(s, d, threshold = 0.45).orderBy("vec_id")),
+    // incremental SemDeDup over the serving index: untouched coarse
+    // clusters served from the persisted base curation table, touched
+    // ones re-curated over their base ∪ shard members under the
+    // base-frozen model; new_n proves appended vectors are curated
+    "d21b_delta_semdedup" -> ((s, d) => Dedup.deltaSemDedup(s, d).orderBy("vec_id")),
     // incremental cluster maintenance: merge the d13 shard's verified
     // pairs into persisted base labels (bucketed warehouse table) —
     // equals d9's full-recompute labels restricted to components
@@ -381,22 +401,23 @@ object SparkEntry {
     * the s3-proven round(sum/n, 4) + 0.0 mean. Appends assignment CTE
     * `a${iters+1}` (final membership) and centroid CTE `c$iters`.
     */
-  private def kmeansCtes(kClusters: Int = 4, iters: Int = 2): String = {
-    def assign(n: Int, cent: String) =
+  private def kmeansCtes(kClusters: Int = 4, iters: Int = 2,
+      trainSrc: String = "e", applySrc: String = "e"): String = {
+    def assign(n: Int, cent: String, src: String) =
       s"""a$n AS (SELECT vec_id, CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER) AS cl FROM (
          |  SELECT e.vec_id, list(2 * list_dot_product(e.v, s.c) - list_dot_product(s.c, s.c) ORDER BY s.cl) AS scores
-         |  FROM e CROSS JOIN $cent s GROUP BY e.vec_id))""".stripMargin
+         |  FROM $src e CROSS JOIN $cent s GROUP BY e.vec_id))""".stripMargin
     def update(n: Int) =
       s"""c${n}d AS (SELECT cl, i, round(sum(v[i+1]) / count(*), 4) + 0.0 AS val
-         |  FROM e JOIN a$n USING (vec_id), range(0, 64) r(i) GROUP BY cl, i),
+         |  FROM $trainSrc e JOIN a$n USING (vec_id), range(0, 64) r(i) GROUP BY cl, i),
          |c$n AS (SELECT cl, list(val ORDER BY i) AS c FROM c${n}d GROUP BY cl)""".stripMargin
     val rounds = (1 to iters).map(n =>
-      assign(n, if (n == 1) "seeds" else s"c${n - 1}") + ",\n" + update(n))
+      assign(n, if (n == 1) "seeds" else s"c${n - 1}", trainSrc) + ",\n" + update(n))
     s"""seeds AS (SELECT cl, [round(x, 4) + 0.0 for x in v] AS c FROM (
-       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl, v FROM e)
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl, v FROM $trainSrc)
        |  WHERE cl < $kClusters),
        |${rounds.mkString(",\n")},
-       |${assign(iters + 1, s"c$iters")}""".stripMargin
+       |${assign(iters + 1, s"c$iters", applySrc)}""".stripMargin
   }
 
   /** The PQ training trajectory (s11) in SQL — table-driven over
@@ -1186,6 +1207,58 @@ object SparkEntry {
         |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS rn
         |  FROM pc JOIN en c ON pc.label = c.label WHERE probe_id != c.vec_id)
         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+    // SemDeDup: kmeansCtes' membership blocks the pair join, a recursive
+    // reach CTE labels components with their min member, and the keep rule
+    // replays the rounded centroid-cosine total order
+    "d21_semdedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+         |${kmeansCtes()},
+         |memb AS (SELECT en.vec_id, en.v, en.n, a3.cl FROM en JOIN a3 USING (vec_id)),
+         |centn AS (SELECT cl, c, sqrt(list_dot_product(c, c)) AS cn FROM c2),
+         |pr AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM memb x JOIN memb y
+         |  ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |  WHERE round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.45),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+         |reach(id, r) AS (SELECT vec_id, vec_id FROM memb
+         |  UNION SELECT ed.dst, reach.r FROM reach JOIN edges ed ON ed.src = reach.id),
+         |grp AS (SELECT id AS vec_id, min(r) AS grp FROM reach GROUP BY id),
+         |cc AS (SELECT m.vec_id, m.cl, g.grp,
+         |  round(list_dot_product(m.v, ct.c) / (m.n * ct.cn), 4) AS ccos
+         |  FROM memb m JOIN centn ct ON ct.cl = m.cl JOIN grp g ON g.vec_id = m.vec_id)
+         |SELECT vec_id, CAST(cl AS INTEGER) AS cl, grp,
+         |  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n_members, ccos,
+         |  (row_number() OVER (PARTITION BY grp ORDER BY ccos, vec_id) = 1) AS keep
+         |FROM cc ORDER BY vec_id""".stripMargin,
+    // incremental SemDeDup: d21's pipeline with k-means TRAINED on the
+    // base md5-bucket slice only (the frozen serving model) but APPLIED
+    // corpus-wide, plus the shard flag — output equals the full
+    // recompute under that model, which is exactly what this SQL is
+    "d21b_delta_semdedup" -> {
+      val vecBucket = s"(${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)")})"
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+         |vb AS (SELECT vec_id, $vecBucket AS vbucket FROM embeddings),
+         |et AS (SELECT e.vec_id, e.v FROM e JOIN vb USING (vec_id) WHERE vbucket < 200),
+         |${kmeansCtes(trainSrc = "et", applySrc = "e")},
+         |memb AS (SELECT en.vec_id, en.v, en.n, a3.cl FROM en JOIN a3 USING (vec_id)),
+         |centn AS (SELECT cl, c, sqrt(list_dot_product(c, c)) AS cn FROM c2),
+         |pr AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM memb x JOIN memb y
+         |  ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |  WHERE round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.45),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+         |reach(id, r) AS (SELECT vec_id, vec_id FROM memb
+         |  UNION SELECT ed.dst, reach.r FROM reach JOIN edges ed ON ed.src = reach.id),
+         |grp AS (SELECT id AS vec_id, min(r) AS grp FROM reach GROUP BY id),
+         |cc AS (SELECT m.vec_id, m.cl, g.grp,
+         |  round(list_dot_product(m.v, ct.c) / (m.n * ct.cn), 4) AS ccos
+         |  FROM memb m JOIN centn ct ON ct.cl = m.cl JOIN grp g ON g.vec_id = m.vec_id)
+         |SELECT cc.vec_id, CAST(cl AS INTEGER) AS cl, grp,
+         |  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n_members, ccos,
+         |  (row_number() OVER (PARTITION BY grp ORDER BY ccos, cc.vec_id) = 1) AS keep,
+         |  (vb.vbucket >= 200) AS new_n
+         |FROM cc JOIN vb ON vb.vec_id = cc.vec_id ORDER BY cc.vec_id""".stripMargin
+    },
     // trained-quantizer IVF: the s4 search plan over kmeansCtes' learned
     // centroids (c2) and final membership (a3) instead of given labels
     "s6_ann_kmeans" ->
@@ -1594,6 +1667,7 @@ object SparkEntry {
     "s6b_ann_kmeans_indexed" -> oracleBase("s6_ann_kmeans"),
     "s7b_ann_quantized_indexed" -> oracleBase("s7_ann_quantized"),
     "s11b_ann_pq_indexed" -> oracleBase("s11_ann_pq"),
+    "w7b_sessionize_chunked" -> oracleBase("w7_sessionize"),
     "s9_ann_delta_search" -> annDeltaSearchSql,
     "s10_ann_drift" -> annDriftSql)
 }

@@ -121,6 +121,10 @@ object Dedup {
       loadContainIndex(spark, name)
     }
     ci.fp.count(); ci.dfTab.count(); ci.sets.count()
+    // d21b's persisted base curation state (depends on the ANN delta
+    // index, which Similarity.warmServingIndexes also builds — the memo
+    // makes ordering irrelevant)
+    baseSemTable(spark, dir, 200, 0.45).count()
     ()
   }
 
@@ -2124,5 +2128,139 @@ object Dedup {
       .withColumn("cos", round(dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** D21 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication, the tier every lexical family (MinHash, SimHash,
+    * n-gram, containment) is blind to — paraphrases and re-renderings
+    * share no tokens but land on near-identical embeddings. The paper's
+    * algorithm, restated Spark-first:
+    *
+    *   1. block by the TRAINED k-means coarse quantizer (the s6 model,
+    *      shared via the session memo — SemDeDup's own clustering step;
+    *      assignment rides the scan map-side against literal centroids);
+    *   2. all-pairs cosine WITHIN a cluster, threshold τ — candidate work
+    *      is bounded by cluster size, never corpus² (for a degenerate
+    *      giant cluster the d8 LSH-bucket sub-blocking is the documented
+    *      fallback, same as the lexical families' hot-block census);
+    *   3. connected components over the kept pairs (the bounded
+    *      union-find finish — semantic-dup groups are tiny cliques);
+    *   4. KEEP the member LEAST similar to its cluster centroid (the
+    *      paper's diversity rule: prune redundancy from the cluster core,
+    *      keep the outskirts), ties to the smallest vec_id. Centroid
+    *      cosine rounds to 4 decimals (the s3/s6 parity path) so the
+    *      total order replays exactly in the oracle.
+    *
+    * Output is per-vector curation state (vec_id, cl, grp, n_members,
+    * ccos, keep) — the embedding-side analogue of d19's canonical table.
+    */
+  def semDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.999): DataFrame = {
+    val model = Similarity.kmeansModel(spark, dir)
+    semDedupOf(
+      Similarity.preparedEmbeddings(spark, dir)
+        .select(col("vec_id"), col("v"), col("n"))
+        .withColumn("cl", Similarity.assignExpr(model)),
+      model, threshold)
+  }
+
+  /** [[semDedup]]'s core over an arbitrary (vec_id, v, n, cl) frame and a
+    * FROZEN model — the assignment is the caller's (recomputed for d21,
+    * read from the serving index for d21b), the centroids only feed the
+    * keep-order cosine. Reused by the incremental path, whose training
+    * corpus is the already-ingested base slice.
+    */
+  private[graft] def semDedupOf(vectors: DataFrame,
+      model: Array[(Int, Array[Double])], threshold: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    // centroid cosine, map-side against the literal model (norms folded
+    // driver-side in the same sequential IEEE order as dotProduct)
+    val ccosAll = array(model.map { case (_, c) =>
+      val litC = array(c.toIndexedSeq.map(lit): _*)
+      val cn = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
+      round(dotProduct(col("v"), litC) / (col("n") * lit(cn)), 4)
+    }.toIndexedSeq: _*)
+    val withCcos = vectors.withColumn("ccos", element_at(ccosAll, col("cl") + 1))
+      .persist()
+    val a = withCcos.select(col("cl"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val b = withCcos.select(col("cl"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
+    val pairs = a.join(b, Seq("cl"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4)
+        >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = unionFindLabels(spark, pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster").as("grp"))
+    val wGrp = Window.partitionBy(col("grp"))
+    val wKeep = Window.partitionBy(col("grp")).orderBy(col("ccos"), col("vec_id"))
+    withCcos
+      .join(labels, Seq("vec_id"), "left_outer")
+      .withColumn("grp", coalesce(col("grp"), col("vec_id")))
+      .withColumn("n_members", count(lit(1)).over(wGrp))
+      .withColumn("keep", row_number().over(wKeep) === 1)
+      .select(col("vec_id"), col("cl"), col("grp"), col("n_members"),
+        col("ccos"), col("keep"))
+  }
+
+  /** D21B's persisted prior state: the base slice's semantic-curation
+    * table (the d19b baseCanonical pattern for the fifth family), built
+    * through the real save→load disk path and bucketed by `cl` — the key
+    * both the untouched-cluster anti-join and the members lookup use.
+    * Threshold is part of the memo key AND the table name (the round-9
+    * advice rule).
+    */
+  private def baseSemTable(spark: SparkSession, dir: String, splitAt: Int,
+      threshold: Double): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("baseSem", dir, splitAt, threshold)) {
+      val index = Similarity.annDeltaGateIndex(spark, dir, splitAt)
+      val bucket = TextAnalysis.splitBucket(col("vec_id"))
+      val table = f"semdedup_${splitAt}_t${math.round(threshold * 1000)}_${dir.hashCode & 0xffffffffL}%x"
+      saveBucketedTable(
+        semDedupOf(index.vectors.filter(bucket < splitAt)
+          .select(col("vec_id"), col("v"), col("n"), col("cl")),
+          index.centroids, threshold),
+        table, buckets = 8, keys = Seq("cl"))
+      spark.table(table)
+    }.asInstanceOf[DataFrame]
+
+  /** D21B — INCREMENTAL SemDeDup: the d13/d16/d19b ingest pattern for the
+    * fifth family. The serving index already holds everything the delta
+    * needs — base + appended vectors with their FROZEN-model cluster ids
+    * (appends assign map-side, s9's contract) — and SemDeDup groups are
+    * confined within a coarse cluster by construction, so a shard can
+    * only change the clusters it lands in:
+    *
+    *   - untouched clusters: served straight from the PERSISTED base
+    *     curation table (anti-join against the shard's ≤k distinct
+    *     cluster ids, broadcast);
+    *   - touched clusters: re-curated over base ∪ shard members of those
+    *     clusters only — at production k (thousands of coarse clusters)
+    *     this is delta-sized; at the gate's k=4 every cluster is usually
+    *     touched, which the spec acknowledges (the BOUND is the point).
+    *
+    * Output = full [[semDedupOf]] recompute under the base-frozen model
+    * exactly (spec-proven at two split points), plus `new_n` flagging
+    * appended vectors — the existence proof that new vectors are
+    * immediately curated. The oracle replays base-slice-restricted
+    * k-means training applied corpus-wide.
+    */
+  def deltaSemDedup(spark: SparkSession, dir: String, splitAt: Int = 200,
+      threshold: Double = 0.45): DataFrame = {
+    val index = Similarity.annDeltaGateIndex(spark, dir, splitAt)
+    val bucket = TextAnalysis.splitBucket(col("vec_id"))
+    val vecs = index.vectors.select(col("vec_id"), col("v"), col("n"), col("cl"))
+    val touched = vecs.filter(bucket >= splitAt).select(col("cl")).distinct()
+    val untouched = baseSemTable(spark, dir, splitAt, threshold)
+      .join(broadcast(touched), Seq("cl"), "left_anti")
+    val recomputed = semDedupOf(
+      vecs.join(broadcast(touched), Seq("cl"), "left_semi"),
+      index.centroids, threshold)
+    untouched.unionByName(recomputed)
+      .withColumn("new_n", bucket >= splitAt)
+      // the cl-keyed joins move the join key first; restore d21's order
+      .select(col("vec_id"), col("cl"), col("grp"), col("n_members"),
+        col("ccos"), col("keep"), col("new_n"))
   }
 }

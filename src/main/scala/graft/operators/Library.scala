@@ -628,6 +628,72 @@ object Library {
         round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
   }
 
+  /** W7's SKEW-HARDENED twin: identical output to [[sessionize]] through a
+    * time-chunked two-phase plan. The w-family's scale exposure is the one
+    * shape joins can salt but windows cannot: every event of a user flows
+    * through ONE task because order matters, so a single pathological user
+    * (a bot emitting millions of events) is a straggler no AQE setting
+    * fixes. The chunked plan bounds per-task work by TIME, not by user:
+    *
+    *   - phase 1 partitions by (user, floor(us/chunkUs)) — a hot user
+    *     spreads over all its chunks — and runs the exact w7 lag/running-
+    *     sum composition WITHIN each chunk, rolling up per-chunk local
+    *     sessions (start, end, n, decimal value sum, unrounded);
+    *   - phase 2 shuffles only the LOCAL-SESSION summaries per user —
+    *     bounded by chunks + true sessions, never raw events (a dense bot
+    *     collapses to ~1 row per chunk) — and re-runs the same gap logic
+    *     over (prev end, next start) to stitch sessions across chunk
+    *     boundaries, including sessions spanning many (or empty) chunks.
+    *
+    * Exactness: a session boundary exists between consecutive events iff
+    * their gap exceeds gapUs. Phase 1 finds every boundary except those
+    * between chunk-adjacent events; for two consecutive local sessions the
+    * stitch gap (next.start − prev.end) IS the inter-event gap phase 1
+    * could not see (inside one chunk it is a gap phase 1 already split
+    * on, hence > gapUs and never merged), so phase 2's identical
+    * lag/running-sum recovers exactly w7's boundaries and numbering.
+    * Value sums stay decimal (associative-exact) until the final round,
+    * so even the doubles match bit-for-bit — spec-proven identical on a
+    * planted skew gallery and real data, at chunk sizes above AND below
+    * the gap. Same composition as t14's date-sharded stream key, applied
+    * to the batch window family.
+    */
+  def chunkedSessionize(spark: SparkSession, dir: String,
+      gapUs: Long = 30L * 60 * 1000 * 1000,
+      chunkUs: Long = 2L * 3600 * 1000 * 1000): DataFrame = {
+    val byChunk = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("us"), col("event_id"))
+    val runningChunk = byChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val locals = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("chunk", floor(col("us") / chunkUs))
+      .withColumn("prev_us", lag(col("us"), 1).over(byChunk))
+      .withColumn("new_local",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("local_idx", sum(col("new_local")).over(runningChunk))
+      .groupBy(col("user_id"), col("chunk"), col("local_idx"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("dec_value"))
+    // local sessions of one user never share a start (same us ⇒ same
+    // chunk ⇒ same local session), so start_us alone is a total order
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    val runningUser = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    locals
+      .withColumn("prev_end", lag(col("end_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_end").isNull || col("start_us") - col("prev_end") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(runningUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("start_us")).as("start_us"), max(col("end_us")).as("end_us"),
+        (max(col("end_us")) - min(col("start_us"))).as("duration_us"),
+        sum(col("n_events")).as("n_events"),
+        round(sum(col("dec_value")).cast("double"), 4).as("sum_value"))
+  }
+
   /** W10: VALUE-RANGE rolling window — trailing-hour BURST detection per
     * user (rate spikes for abuse/anomaly triage): at each event, count the
     * user's events in the preceding `windowUs` (inclusive of now,

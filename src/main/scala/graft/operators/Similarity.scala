@@ -120,7 +120,7 @@ object Similarity {
     * quantized index" a production deployment would keep columnar. Shared
     * by S7 (quantized scan + exact re-rank) and S8 (MMR diversification).
     */
-  private[operators] def quantizedPlane(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def quantizedPlane(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("embQuant", dir)) {
       val e = preparedEmbeddings(spark, dir)
       val mdf = e.agg(max(array_max(transform(col("v"), x => abs(x)))).as("m"))
@@ -268,11 +268,30 @@ object Similarity {
   /** All `PqM` codes of a quantized vector column, map-side against
     * literal codebooks — encoding never joins or shuffles the corpus.
     */
-  private[operators] def pqCodesExpr(qv: Column,
+  private[graft] def pqCodesExpr(qv: Column,
       book: Array[Array[Array[Long]]]): Column =
     array(book.zipWithIndex.map { case (cents, m) =>
       pqCodeExpr(slice(qv, m * PqD + 1, PqD), cents)
     }.toIndexedSeq: _*)
+
+  /** The 16 4-bit codes PACKED into one BIGINT (nibble m = code of
+    * subspace m) — the stored form of the compressed plane: a single
+    * fixed-width column instead of a 16-element array, so the first-stage
+    * scan reads exactly 8 bytes per vector. Each subspace's argmin
+    * appears ONCE, shifted into its nibble — packing a materialized codes
+    * ARRAY would inline 16 copies of the whole argmin tree when the
+    * projection collapses (the PERF.md §1 blowup class; it OOM'd the
+    * analyzer). Value-preserving vs [[pqCodesExpr]] (spec-proven nibble
+    * round-trip), so the oracle keeps replaying the unpacked arithmetic.
+    */
+  private[graft] def pqPackedCodesExpr(qv: Column,
+      book: Array[Array[Array[Long]]]): Column = {
+    require(PqK <= 16 && PqM * 4 <= 64,
+      s"packed PQ needs 4-bit codes in one long (PqM=$PqM, PqK=$PqK)")
+    book.zipWithIndex.map { case (cents, m) =>
+      shiftleft(pqCodeExpr(slice(qv, m * PqD + 1, PqD), cents).cast("long"), 4 * m)
+    }.reduce(_ + _)
+  }
 
   /** One PQ Lloyd round over every subspace AT ONCE: codes are assigned
     * map-side from the literal codebooks, the corpus explodes into
@@ -340,14 +359,15 @@ object Similarity {
       pqBookOf(quantizedPlane(spark, dir))
     }.asInstanceOf[Array[Array[Array[Long]]]]
 
-  /** The PQ codes plane (vec_id, codes) — the compressed "stored index"
-    * column a deployment scans first; session-persisted beside the int8
-    * plane it derives from.
+  /** The PQ codes plane (vec_id, pcode) — the compressed "stored index"
+    * column a deployment scans first: ONE packed BIGINT per vector;
+    * session-persisted beside the int8 plane it derives from.
     */
   private[operators] def pqCodesPlane(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("pqCodes", dir)) {
       quantizedPlane(spark, dir)
-        .select(col("vec_id"), pqCodesExpr(col("qv"), pqBook(spark, dir)).as("codes"))
+        .select(col("vec_id"),
+          pqPackedCodesExpr(col("qv"), pqBook(spark, dir)).as("pcode"))
         .persist()
     }
 
@@ -366,12 +386,15 @@ object Similarity {
 
   /** ADC score = Σ_m T[m][code_m] — the probe's dot product with the
     * neighbor's codebook reconstruction, by PqM table lookups per
-    * candidate (never PqD×PqM multiplies: the point of ADC).
+    * candidate (never PqD×PqM multiplies: the point of ADC). `pcode` is
+    * the packed-nibble form; extraction is two bit ops per subspace in
+    * one codegen'd expression.
     */
-  private def pqAdcScore(tt: Column, codes: Column): Column =
-    aggregate(
-      zip_with(tt, codes, (t, cd) => element_at(t, (cd + 1).cast("int"))),
-      lit(0L), (acc, x) => acc + x)
+  private def pqAdcScore(tt: Column, pcode: Column): Column =
+    (0 until PqM).map { m =>
+      val code = shiftright(pcode, 4 * m).bitwiseAND(lit(15L))
+      element_at(element_at(tt, m + 1), (code + 1).cast("int"))
+    }.reduce(_ + _)
 
   /** S11 — product-quantized ANN: candidates scored by integer ADC over
     * the 8-codes-per-vector compressed plane, top `rerank` per probe
@@ -401,9 +424,9 @@ object Similarity {
       rerank: Int): DataFrame = {
     val wq = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
-    codes.select(col("vec_id").as("neighbor_id"), col("codes"))
+    codes.select(col("vec_id").as("neighbor_id"), col("pcode"))
       .join(broadcast(qprobes), col("probe_id") =!= col("neighbor_id"))
-      .withColumn("adc", pqAdcScore(col("tt"), col("codes")))
+      .withColumn("adc", pqAdcScore(col("tt"), col("pcode")))
       .withColumn("qrn", row_number().over(wq))
       .filter(col("qrn") <= rerank)
       .select(col("probe_id"), col("neighbor_id"), col("adc"))
@@ -570,7 +593,7 @@ object Similarity {
     * first occurrence on ties — `array_position` mirrors DuckDB's
     * `list_position` exactly.
     */
-  private def assignExpr(model: Array[(Int, Array[Double])]): Column = {
+  private[operators] def assignExpr(model: Array[(Int, Array[Double])]): Column = {
     val scores = array(model.map { case (_, c) =>
       val litC = array(c.toIndexedSeq.map(lit): _*)
       // ‖c‖² as a driver-side left fold — the same sequential IEEE order
@@ -697,8 +720,9 @@ object Similarity {
     *   - `cl`: the TRAINED k-means coarse cluster (s6's membership — at
     *     scale the partition key of a cluster-partitioned layout);
     *   - `bucket`: the SRP hyperplane bucket (s2's blocking key);
-    *   - `codes`: the PQ codes under the FROZEN per-subspace codebooks
-    *     (s11's compressed plane — 8 small ints, the narrowest scan).
+    *   - `pcode`: the PQ codes under the FROZEN per-subspace codebooks,
+    *     16 4-bit codes packed in one BIGINT (s11's compressed plane —
+    *     8 bytes/vector, the narrowest scan).
     *
     * Bucketed+sorted on `vec_id`, so the exact-re-rank join reads the
     * index with no Exchange and no Sort (BucketingSpec's argument applied
@@ -721,7 +745,7 @@ object Similarity {
       transform(col("v"), x => floor(x * 127 / lit(m) + 0.5).cast("long")).as("qv"),
       assignExpr(model).as("cl"),
       bucketExpr(col("v"), nPlanes).as("bucket"))
-      .withColumn("codes", pqCodesExpr(col("qv"), book))
+      .withColumn("pcode", pqPackedCodesExpr(col("qv"), book))
 
   /** Build + persist the serving index over a prepared (vec_id, v, n)
     * frame: one pass trains the coarse quantizer ([[kmeansModelOf]] — the
@@ -897,7 +921,7 @@ object Similarity {
       .select(col("vec_id").as("probe_id"),
         pqAdcTablesExpr(col("qv"), index.pqBook).as("tt"))
     pqRerankTail(
-      pqCandidates(index.vectors.select(col("vec_id"), col("codes")), qprobes, rerank),
+      pqCandidates(index.vectors.select(col("vec_id"), col("pcode")), qprobes, rerank),
       index.vectors.select(col("vec_id"), col("v"), col("n")), nProbes, k)
   }
 

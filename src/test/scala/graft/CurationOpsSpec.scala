@@ -52,6 +52,59 @@ class CurationOpsSpec extends SparkSuite {
     assert(got == expected && got.size > 100)
   }
 
+  test("w7b chunked sessionize == w7 on a planted skew gallery and real data") {
+    import spark.implicits._
+    val gap = 30L * 60 * 1000 * 1000    // 30 min
+    val hour = 3600L * 1000 * 1000
+    val base = 1704067200000000L        // 2024-01-01T00:00:00Z micros
+    // the gallery plants every stitch shape: user 1 = the BOT (an event
+    // every 10 min for 48h — ONE session spanning 24 two-hour chunks);
+    // user 2 = a gap of EXACTLY gapUs straddling a chunk boundary (must
+    // merge: the rule is strictly >) and a gap just OVER gapUs inside a
+    // chunk (must split); user 3 = a session bridging an EMPTY chunk
+    // (chunkUs < gapUs run); user 4 = a single event
+    val bot = (0 until 288).map(i => (1000L + i, base + i * 10L * 60 * 1000000, 1L, 0.25 * (i % 7)))
+    val u2 = Seq(
+      (2001L, base + 2 * hour - 1000000L, 2L, 1.5), // 1s before the chunk edge
+      (2002L, base + 2 * hour - 1000000L + gap, 2L, 2.5), // exactly gap later, next chunk
+      (2003L, base + 3 * hour, 2L, 3.5),
+      (2004L, base + 3 * hour + gap + 1L, 2L, 4.5)) // 1 µs over the gap: split
+    val u3 = Seq(
+      (3001L, base + 55L * 60 * 1000000, 3L, 0.5),
+      (3002L, base + 80L * 60 * 1000000, 3L, 0.7)) // 25 min later: one session
+    val u4 = Seq((4001L, base + 7 * hour, 4L, 9.0))
+    val root = java.nio.file.Files.createTempDirectory("w7b_gallery").toString
+    val tmpOut = s"$root/out"
+    (bot ++ u2 ++ u3 ++ u4).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .withColumn("event_type", lit("click"))
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(tmpOut)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$root/events.parquet"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val w7 = rows(Library.sessionize(spark, root))
+    // identity must hold with chunks ABOVE the gap (default 2h), BELOW it
+    // (10 min — sessions routinely bridge empty chunks), and comically
+    // small (1 min — every event its own local session)
+    for (chunk <- Seq(2 * hour, 10L * 60 * 1000000, 60L * 1000000))
+      assert(rows(Library.chunkedSessionize(spark, root, chunkUs = chunk)) == w7,
+        s"chunked != w7 at chunkUs=$chunk")
+    // structure sanity: the bot is one 48h session over 24+ chunks; user
+    // 2 merged across the boundary (3 sessions total), user 3 bridged the
+    // empty chunk (1), user 4 singleton (1)
+    val byUser = w7.groupBy(_.head.asInstanceOf[Long])
+    assert(byUser(1L).size == 1 && byUser(2L).size == 3 &&
+      byUser(3L).size == 1 && byUser(4L).size == 1)
+    // and on real data at both small SFs
+    for (sfd <- Seq("sf0.001", "sf0.01"))
+      assert(rows(Library.chunkedSessionize(spark, sf(sfd))) ==
+        rows(Library.sessionize(spark, sf(sfd))), s"chunked != w7 at $sfd")
+  }
+
   test("w8 ntile quartiles: driver-side bucketing reproduces counts and bounds") {
     val dir = sf("sf0.001")
     val got = Library.priorityQuartiles(spark, dir)

@@ -967,6 +967,70 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pqRecall >= 0.5, s"PQ recall too low: $pqRecall (s7: $s7Recall)")
   }
 
+  test("d21 SemDeDup: planted clone pair groups, diversity keep rule, singletons kept") {
+    val out = Dedup.semDedup(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out.size == 21)
+    // vec 20 clones vec 5: same trained cluster, cosine 1.0 -> one group
+    // labeled by the min member, and the ccos TIE breaks to vec 5
+    val (cl5, grp5, n5, ccos5, keep5) = out(5L)
+    val (cl20, grp20, n20, ccos20, keep20) = out(20L)
+    assert(cl5 == cl20 && grp5 == 5L && grp20 == 5L && n5 == 2L && n20 == 2L)
+    assert(ccos5 == ccos20 && keep5 && !keep20)
+    // everything else is a singleton group that keeps itself
+    out.collect { case (id, (_, grp, n, _, keep)) if id != 5L && id != 20L =>
+      assert(grp == id && n == 1L && keep, s"vec $id: grp=$grp n=$n keep=$keep")
+    }
+  }
+
+  test("d21b delta SemDeDup == full recompute under the base-frozen model") {
+    import graft.operators.Similarity
+    val dir = sf("sf0.01")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    for (splitAt <- Seq(200, 100)) {
+      val index = Similarity.annDeltaGateIndex(spark, dir, splitAt)
+      val full = Dedup.semDedupOf(
+        index.vectors.select(col("vec_id"), col("v"), col("n"), col("cl")),
+        index.centroids, threshold = 0.45)
+        .withColumn("new_n",
+          graft.operators.TextAnalysis.splitBucket(col("vec_id")) >= splitAt)
+      assert(rows(Dedup.deltaSemDedup(spark, dir, splitAt)) == rows(full),
+        s"delta != full recompute at splitAt=$splitAt")
+    }
+    // existence proofs on the default split: a group actually straddles
+    // the base/shard boundary (the planted-merge case on real data), and
+    // appended vectors carry new_n
+    val d = Dedup.deltaSemDedup(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getBoolean(6)))
+    assert(d.exists(_._3), "no appended vectors in the delta output")
+    val straddling = d.filter(_._2 > 1).groupBy(_._1)
+      .filter { case (_, ms) => ms.exists(_._3) && ms.exists(!_._3) }
+    assert(straddling.nonEmpty, "no group straddles the base/shard split")
+  }
+
+  test("PQ packed plane: pcode nibbles round-trip the code array exactly") {
+    import graft.operators.Similarity
+    val dir = sf("sf0.001")
+    val book = Similarity.pqBook(spark, dir)
+    // nibble check runs driver-side: referencing the two columns 16×
+    // each in a THIRD expression would inline both argmin trees 16× when
+    // the projection collapses (the PERF.md §1 blowup this spec's own
+    // subject exists to avoid)
+    val rows = Similarity.quantizedPlane(spark, dir)
+      .select(Similarity.pqCodesExpr(col("qv"), book).as("codes"),
+        Similarity.pqPackedCodesExpr(col("qv"), book).as("pcode"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      val p = r.getLong(1)
+      (0 until Similarity.PqM).foreach(m =>
+        assert(codes(m).toLong == ((p >> (4 * m)) & 15L),
+          s"nibble $m: codes=${codes(m)} pcode=$p"))
+    }
+  }
+
   test("PQ codebook: empty-cell carry is deterministic on duplicate seeds") {
     import graft.operators.Similarity
     import spark.implicits._

@@ -131,6 +131,16 @@ class PlanSpec extends SparkSuite {
     // rangepartitioning — the aggregation must NOT add a third
     assert("Exchange hashpartitioning".r.findAllIn(w7).size == 1,
       s"sessionize should shuffle user data exactly once:\n${w7.take(1200)}")
+    // chunked twin: exactly TWO keyed data exchanges — (user, chunk) for
+    // the local pass, user for the summary stitch; more means a window or
+    // aggregation fell off its partitioning, fewer means the phases
+    // collapsed back into the one-task-per-user shape the twin exists to
+    // avoid
+    val w7b = executedPlan(
+      Library.chunkedSessionize(spark, dir).orderBy("user_id", "session_idx"))
+    assert("Exchange hashpartitioning".r.findAllIn(w7b).size == 2,
+      s"chunked sessionize should shuffle exactly twice:\n${w7b.take(1200)}")
+    assert(!w7b.contains("SinglePartition"), "chunked sessionize lost its partitioning")
     // ntile: window must be partitioned — a global ntile plans as
     // Exchange SinglePartition, the one-task funnel this guard forbids
     val w8 = executedPlan(Library.priorityQuartiles(spark, dir))
