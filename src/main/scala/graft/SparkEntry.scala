@@ -253,6 +253,9 @@ object SparkEntry {
       Similarity.pqTopKFromIndex(s, d).orderBy("probe_id", "rn")),
     // ---- text analysis ----
     "t2_language_id" -> ((s, d) => TextAnalysis.languageId(s, d).orderBy("doc_id")),
+    // GPT-style contiguous token packing: per-doc pack index / offset /
+    // boundary-straddle flag from a per-lang running token count
+    "t19_token_packing" -> ((s, d) => TextAnalysis.tokenPacking(s, d).orderBy("doc_id")),
     "t3_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d).orderBy("doc_id")),
     "t4_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d).orderBy("doc_id")),
     "t5_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).orderBy("doc_id")),
@@ -1321,6 +1324,18 @@ object SparkEntry {
         | round(CAST(len(list_intersect(list_distinct(w), ['the','a','of','and','to','in','is'])) AS DOUBLE) / len(w), 4) AS stopword_ratio,
         | (len(w) >= 10 AND len(w) <= 100000 AND CAST(length(text) AS DOUBLE) / len(w) >= 2.0) AS keep
         |FROM t ORDER BY doc_id""".stripMargin,
+    // contiguous packing: per-lang running token count (ROWS ... 1
+    // PRECEDING, doc_id order), pack = offset div budget — both engines
+    // share exact integer division on the non-negative offsets
+    "t19_token_packing" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |o AS (SELECT doc_id, lang, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM t)
+        |SELECT doc_id, lang, n_tokens, off // 256 AS pack_idx, off % 256 AS pack_offset,
+        |  (off % 256 + n_tokens > 256) AS spans_packs
+        |FROM o ORDER BY doc_id""".stripMargin,
     "t4_token_counts" ->
       """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens

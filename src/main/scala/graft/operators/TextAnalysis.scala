@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Exprs._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines over `documents`:
@@ -528,5 +529,37 @@ object TextAnalysis {
           element_at(hit, 1).getField("est")
             .between(col("n"), col("n") + expr(s"total div $capacity")))
           .otherwise(lit(false)).as("est_ok"))
+  }
+
+  /** T19 — contiguous token PACKING: the layout step between curation and
+    * training. GPT-style pretraining concatenates the token stream per
+    * corpus shard and cuts fixed-`budget` windows; what a pipeline must
+    * emit per document is WHERE it lands — pack index, offset inside the
+    * pack, and whether it straddles a pack boundary (the rows a
+    * boundary-respecting loader would mask or shift). The layout is a
+    * pure function of the running token count in a deterministic order:
+    *
+    *   offset  = Σ tokens of preceding docs (per stream, doc_id order)
+    *   pack    = offset div budget, pack_offset = offset mod budget
+    *
+    * The stream key is `lang` (each language trains from its own
+    * contiguous stream); ONE (lang)-keyed shuffle serves the window, and
+    * at 100 TB the stream key gains the date/shard component exactly as
+    * t14's scaladoc describes — a per-key running sum never needs a
+    * global order. Token counts reuse `tokens()` (the t4 lock-step
+    * contract with the oracle's regexp_split).
+    */
+  def tokenPacking(spark: SparkSession, dir: String,
+      budget: Long = 256): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("off") / budget).cast("long").as("pack_idx"),
+        pmod(col("off"), lit(budget)).as("pack_offset"),
+        (pmod(col("off"), lit(budget)) + col("n_tokens") > budget).as("spans_packs"))
   }
 }

@@ -129,6 +129,32 @@ class CurationOpsSpec extends SparkSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("t19 token packing: driver-side replay reproduces the layout") {
+    val dir = sf("sf0.001")
+    val got = TextAnalysis.tokenPacking(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      var off = 0L
+      rows.sortBy(_._1).toSeq.map { case (id, _, text) =>
+        val n = text.trim.split("\\s+").length.toLong
+        val o = off
+        off += n
+        (id, lang, n, o / 256, o % 256, o % 256 + n > 256)
+      }
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+    // the layout is non-degenerate: some doc straddles a pack boundary,
+    // and every lang's first doc starts at offset 0 of pack 0
+    assert(got.exists(_._6))
+    docs.groupBy(_._2).foreach { case (lang, rows) =>
+      val first = rows.map(_._1).min
+      assert(got.exists(t => t._1 == first && t._4 == 0L && t._5 == 0L))
+    }
+  }
+
   test("t11 rebalance sample: integer coin matches driver recompute, minority kept whole") {
     val dir = sf("sf0.001")
     val got = TextAnalysis.rebalanceSample(spark, dir)

@@ -148,6 +148,30 @@ class PlanSpec extends SparkSuite {
     assert(!w8.contains("SinglePartition"), "ntile window lost its partitioning")
   }
 
+  test("s11/d21: PQ candidate scan stays narrow; semdedup pair join stays equi") {
+    val dir = sf("sf0.001")
+    // the ADC stage must read ONLY (vec_id, pcode) — a ReadSchema pulling
+    // the wide v/qv columns into the candidate scan defeats the packed
+    // plane's 8-bytes-per-vector point. The probe side is an intentional
+    // ≤5-row BroadcastNestedLoopJoin (the self-exclusion inequality — the
+    // s1/s7 shape), so the guard checks the broadcast and the scan width,
+    // not the join flavor.
+    val s11 = executedPlan(
+      graft.operators.Similarity.pqTopKFromIndex(spark, dir).orderBy("probe_id", "rn"))
+    assert(s11.contains("BroadcastExchange"), s11.take(500))
+    assert(!s11.contains("CartesianProduct"), s11.take(500))
+    val scanLines = s11.split('\n').filter(_.contains("ReadSchema"))
+    assert(scanLines.exists(l => l.contains("pcode") && !l.contains("qv") &&
+      !l.contains("v:array")),
+      s"no narrow (vec_id, pcode) candidate scan:\n${scanLines.mkString("\n")}")
+    // semdedup: the within-cluster pair join must be an equi join on cl
+    // (cluster-bounded candidates), never a cross product
+    val d21 = executedPlan(
+      graft.operators.Dedup.semDedup(spark, dir, threshold = 0.45).orderBy("vec_id"))
+    assert(!d21.contains("CartesianProduct") && !d21.contains("BroadcastNestedLoopJoin"),
+      d21.take(500))
+  }
+
   test("t11/d10: sampling and decontamination keep broadcast/equi shapes") {
     val dir = sf("sf0.001")
     // rebalance: the per-lang rate table and global min broadcast onto the
