@@ -307,9 +307,11 @@ object Similarity {
       book: Array[Array[Array[Long]]]): Array[Array[Array[Long]]] = {
     val subs = array((0 until PqM).map(m => slice(col("qv"), m * PqD + 1, PqD)): _*)
     val rows = q
-      .select(col("qv"), pqCodesExpr(col("qv"), book).as("codes"))
-      .select(col("codes"), posexplode(subs).as(Seq("m", "sv")))
-      .select(col("m"), element_at(col("codes"), col("m") + 1).as("code"), col("sv"))
+      .select(col("qv"), graft.plans.PqExprs.pqEncode(col("qv"), book).as("pcode"))
+      .select(col("pcode"), posexplode(subs).as(Seq("m", "sv")))
+      .select(col("m"),
+        expr("cast(shiftright(pcode, cast(m * 4 as int)) & 15 as int)").as("code"),
+        col("sv"))
     val sums = (0 until PqD).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
     val updated = rows.groupBy(col("m"), col("code"))
       .agg(count(lit(1)).as("n"), sums: _*)
@@ -367,34 +369,20 @@ object Similarity {
     graft.SessionCache.getOrElseUpdate(spark, ("pqCodes", dir)) {
       quantizedPlane(spark, dir)
         .select(col("vec_id"),
-          pqPackedCodesExpr(col("qv"), pqBook(spark, dir)).as("pcode"))
+          graft.plans.PqExprs.pqEncode(col("qv"), pqBook(spark, dir)).as("pcode"))
         .persist()
     }
 
-  /** The probe's ADC lookup tables T[m][c] = qprobe_sub_m · book[m][c]
-    * (asymmetric distance computation: the probe stays at int8 precision,
-    * only the corpus side is code-compressed). Integer dots against
-    * literal codebooks — T is exact in both engines.
-    */
-  private def pqAdcTablesExpr(pq: Column,
-      book: Array[Array[Array[Long]]]): Column =
-    array(book.zipWithIndex.map { case (cents, m) =>
-      array(cents.toIndexedSeq.map { c =>
-        c.indices.map(i => element_at(pq, m * PqD + i + 1) * lit(c(i))).reduce(_ + _)
-      }: _*)
-    }.toIndexedSeq: _*)
+  // The probe's ADC lookup tables T[m][c] = qprobe_sub_m · book[m][c]
+  // (asymmetric distance computation: the probe stays at int8 precision,
+  // only the corpus side is code-compressed) are built by the native
+  // plans.PqExprs.adcTables — integer dots against the frozen codebooks,
+  // exact in both engines; spec-replayed driver-side.
 
-  /** ADC score = Σ_m T[m][code_m] — the probe's dot product with the
-    * neighbor's codebook reconstruction, by PqM table lookups per
-    * candidate (never PqD×PqM multiplies: the point of ADC). `pcode` is
-    * the packed-nibble form; extraction is two bit ops per subspace in
-    * one codegen'd expression.
-    */
-  private def pqAdcScore(tt: Column, pcode: Column): Column =
-    (0 until PqM).map { m =>
-      val code = shiftright(pcode, 4 * m).bitwiseAND(lit(15L))
-      element_at(element_at(tt, m + 1), (code + 1).cast("int"))
-    }.reduce(_ + _)
+  // ADC scoring = Σ_m T[m][code_m] (PqM table lookups per candidate,
+  // never PqD×PqM multiplies: the point of ADC) — implemented as the
+  // native loop expression plans.PqExprs.adcScore; the builtin-composition
+  // twin lives in the identity spec's driver-side replay.
 
   /** S11 — product-quantized ANN: candidates scored by integer ADC over
     * the 8-codes-per-vector compressed plane, top `rerank` per probe
@@ -411,7 +399,7 @@ object Similarity {
     val codes = pqCodesPlane(spark, dir)
     val qprobes = quantizedPlane(spark, dir).filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"),
-        pqAdcTablesExpr(col("qv"), book).as("tt"))
+        graft.plans.PqExprs.adcTables(col("qv"), book).as("tt"))
     pqRerankTail(
       pqCandidates(codes, qprobes, rerank),
       e.select(col("vec_id"), col("v"), col("n")), nProbes, k)
@@ -426,7 +414,7 @@ object Similarity {
       .orderBy(col("adc").desc, col("neighbor_id"))
     codes.select(col("vec_id").as("neighbor_id"), col("pcode"))
       .join(broadcast(qprobes), col("probe_id") =!= col("neighbor_id"))
-      .withColumn("adc", pqAdcScore(col("tt"), col("pcode")))
+      .withColumn("adc", graft.plans.PqExprs.adcScore(col("tt"), col("pcode")))
       .withColumn("qrn", row_number().over(wq))
       .filter(col("qrn") <= rerank)
       .select(col("probe_id"), col("neighbor_id"), col("adc"))
@@ -745,7 +733,7 @@ object Similarity {
       transform(col("v"), x => floor(x * 127 / lit(m) + 0.5).cast("long")).as("qv"),
       assignExpr(model).as("cl"),
       bucketExpr(col("v"), nPlanes).as("bucket"))
-      .withColumn("pcode", pqPackedCodesExpr(col("qv"), book))
+      .withColumn("pcode", graft.plans.PqExprs.pqEncode(col("qv"), book))
 
   /** Build + persist the serving index over a prepared (vec_id, v, n)
     * frame: one pass trains the coarse quantizer ([[kmeansModelOf]] — the
@@ -919,7 +907,7 @@ object Similarity {
       rerank: Int = 20): DataFrame = {
     val qprobes = index.vectors.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"),
-        pqAdcTablesExpr(col("qv"), index.pqBook).as("tt"))
+        graft.plans.PqExprs.adcTables(col("qv"), index.pqBook).as("tt"))
     pqRerankTail(
       pqCandidates(index.vectors.select(col("vec_id"), col("pcode")), qprobes, rerank),
       index.vectors.select(col("vec_id"), col("v"), col("n")), nProbes, k)

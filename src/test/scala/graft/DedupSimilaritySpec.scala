@@ -1016,18 +1016,57 @@ class DedupSimilaritySpec extends SparkSuite {
     // nibble check runs driver-side: referencing the two columns 16×
     // each in a THIRD expression would inline both argmin trees 16× when
     // the projection collapses (the PERF.md §1 blowup this spec's own
-    // subject exists to avoid)
+    // subject exists to avoid). The NATIVE encode (plans.PqExprs — the
+    // production path) must agree with the builtin argmin composition on
+    // every vector: the §2.9a value-identity contract.
     val rows = Similarity.quantizedPlane(spark, dir)
       .select(Similarity.pqCodesExpr(col("qv"), book).as("codes"),
-        Similarity.pqPackedCodesExpr(col("qv"), book).as("pcode"))
+        Similarity.pqPackedCodesExpr(col("qv"), book).as("pcode"),
+        graft.plans.PqExprs.pqEncode(col("qv"), book).as("npcode"))
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val codes = r.getSeq[Int](0)
       val p = r.getLong(1)
+      assert(r.getLong(2) == p, s"native pcode ${r.getLong(2)} != builtin $p")
       (0 until Similarity.PqM).foreach(m =>
         assert(codes(m).toLong == ((p >> (4 * m)) & 15L),
           s"nibble $m: codes=${codes(m)} pcode=$p"))
+    }
+  }
+
+  test("PQ native ADC score == driver-side table-lookup replay") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // hand-built tables and packed codes, scored by the native expression
+    // and replayed with an independent driver loop
+    val tt = (0 until Similarity.PqM).map(m =>
+      (0 until Similarity.PqK).map(c => (m * 31 + c * 7 - 40).toLong))
+    val pcodes = Seq(0L, 0x1111111111111111L, 0xfedcba9876543210L, 0x0f0f0f0f0f0f0f0fL)
+    val df = pcodes.map(p => (tt, p)).toDF("tt", "pcode")
+      .withColumn("adc", graft.plans.PqExprs.adcScore(col("tt"), col("pcode")))
+    val got = df.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    pcodes.foreach { p =>
+      val expected = (0 until Similarity.PqM)
+        .map(m => tt(m)(((p >> (4 * m)) & 15L).toInt)).sum
+      assert(got(p) == expected, s"pcode $p: ${got(p)} != $expected")
+    }
+    // and the native table BUILDER against a driver dot-product replay
+    val dir = sf("sf0.001")
+    val book = Similarity.pqBook(spark, dir)
+    val tabs = Similarity.quantizedPlane(spark, dir).filter(col("vec_id") < 2)
+      .select(col("vec_id"), col("qv"),
+        graft.plans.PqExprs.adcTables(col("qv"), book).as("tt"))
+      .collect()
+    assert(tabs.length == 2)
+    tabs.foreach { r =>
+      val qv = r.getSeq[Long](1)
+      val t = r.getSeq[scala.collection.Seq[Long]](2)
+      for (m <- 0 until Similarity.PqM; c <- 0 until Similarity.PqK) {
+        val expected = (0 until Similarity.PqD)
+          .map(i => qv(m * Similarity.PqD + i) * book(m)(c)(i)).sum
+        assert(t(m)(c) == expected, s"T[$m][$c]")
+      }
     }
   }
 
