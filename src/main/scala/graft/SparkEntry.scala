@@ -64,6 +64,7 @@ object SparkEntry {
     "a16_percentiles" -> ((s, d) => Library.groupPercentiles(s, d).orderBy("o_orderpriority")),
     "a16b_approx_percentiles" -> ((s, d) => Library.groupPercentilesApprox(s, d).orderBy("o_orderpriority")),
     "a17_rollup" -> ((s, d) => Library.rollupStats(s, d).orderBy("g_lang", "g_source", "lang", "source")),
+    "a20_cube" -> ((s, d) => Library.cubeStats(s, d).orderBy("g_lang", "g_source", "lang", "source")),
     "a18_string_agg" -> ((s, d) => Library.memberList(s, d).orderBy("r_name")),
     "a19_unpivot" -> ((s, d) => Library.unpivotWidths(s, d).orderBy("metric")),
     "w6_running_sum" -> ((s, d) => Library.runningSum(s, d).orderBy("event_id")),
@@ -77,6 +78,7 @@ object SparkEntry {
     // BFS fixpoint over the synthetic 4-ary folder tree; (anc, dsc) is
     // unique in a tree so the order is total
     "j5b_folder_closure" -> ((s, d) => Library.folderClosureDoubling(s, d).orderBy("anc", "dsc")),
+    "g1_pagerank" -> ((s, d) => Library.pagerank(s, d).orderBy("node")),
     "j8_similar_name_join" -> ((s, d) => Library.similarNameJoin(s, d).orderBy("key_a", "key_b")),
     // ---- filters (§2.3) ----
     "f3_like" -> ((s, d) => Library.likeFilter(s, d).orderBy("p_partkey")),
@@ -104,6 +106,8 @@ object SparkEntry {
       Library.chunkedSessionize(s, d).orderBy("user_id", "session_idx")),
     "w8_ntile_quartiles" -> ((s, d) => Library.priorityQuartiles(s, d).orderBy("o_orderpriority", "quartile")),
     "w10_burst_detection" -> ((s, d) => Library.burstDetection(s, d).orderBy("user_id")),
+    "w11_retention" -> ((s, d) => Library.retentionCohorts(s, d).orderBy("cohort_day", "day_offset")),
+    "w12_funnel" -> ((s, d) => Library.funnelSteps(s, d).orderBy("step_idx")),
     "w9_topk_agg" -> ((s, d) => Library.topNPerGroupAgg(s, d).orderBy("o_orderpriority", "rn")),
     // ---- set ops (§2.10) ----
     "u1_set_compare" -> ((s, d) => Library.setCompareBothDirections(s, d).orderBy("side", "key")),
@@ -192,6 +196,7 @@ object SparkEntry {
     "d19b_delta_canonical" -> ((s, d) =>
       Dedup.deltaClusterCanonical(s, d).orderBy("doc_id")),
     "d10_contamination" -> ((s, d) => Dedup.crossSplitContamination(s, d).orderBy("doc_id")),
+    "d10b_contamination_bloom" -> ((s, d) => Dedup.crossSplitContaminationBloom(s, d).orderBy("doc_id")),
     // incremental ingest: index the "already ingested" corpus slice (md5
     // bucket < 200 ≈ 78%, session-cached like a persisted index), then
     // delta-join the remaining ~22% "shard" against it — equals the full
@@ -212,6 +217,7 @@ object SparkEntry {
     "s3_label_centroids" -> ((s, d) => Similarity.labelCentroidsFlat(s, d).orderBy("label", "dim_idx")),
     "s4_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d).orderBy("probe_id", "rn")),
     "s5_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d).orderBy("probe_id", "rn")),
+    "s12_ann_filtered" -> ((s, d) => Similarity.filteredTopK(s, d).orderBy("probe_id", "rn")),
     "s6_ann_kmeans" -> ((s, d) => Similarity.kmeansIvfTopK(s, d).orderBy("probe_id", "rn")),
     // int8 scalar quantization + exact re-rank: candidates scored by the
     // INTEGER quantized dot (portable exactly), top-rerank cut, then the
@@ -256,6 +262,7 @@ object SparkEntry {
     // GPT-style contiguous token packing: per-doc pack index / offset /
     // boundary-straddle flag from a per-lang running token count
     "t19_token_packing" -> ((s, d) => TextAnalysis.tokenPacking(s, d).orderBy("doc_id")),
+    "t20_source_cap" -> ((s, d) => TextAnalysis.perSourceCap(s, d).orderBy("doc_id")),
     "t3_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d).orderBy("doc_id")),
     "t4_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d).orderBy("doc_id")),
     "t5_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).orderBy("doc_id")),
@@ -607,6 +614,12 @@ object SparkEntry {
         | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP(lang, source)
         |ORDER BY g_lang, g_source, lang, source""".stripMargin,
+    "a20_cube" ->
+      """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+        | CAST(grouping(lang) AS BIGINT) AS g_lang, CAST(grouping(source) AS BIGINT) AS g_source,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
     "a18_string_agg" ->
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS members, count(*) AS n_members
         |FROM nation JOIN region ON n_regionkey = r_regionkey
@@ -646,6 +659,25 @@ object SparkEntry {
         |  SELECT c.anc, e.child, CAST(c.depth + 1 AS BIGINT) AS depth
         |  FROM c JOIN e ON e.parent = c.dsc)
         |SELECT anc, dsc, depth FROM c ORDER BY anc, dsc""".stripMargin,
+    // PageRank, replayed round-by-round: fixed-point 10^12 scale, damped
+    // contribution (pr*85) // (outdeg*100) — positive integer division is
+    // truncation in both engines, inflow sums exact (cast back from
+    // DuckDB's HUGEINT), so every round is bit-identical to the Spark loop
+    "g1_pagerank" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (SELECT n.node, CAST(150000000000 + coalesce(f.inflow, 0) AS BIGINT) AS pr
+           |  FROM n LEFT JOIN (SELECT child AS node,
+           |    CAST(sum((r.pr * 85) // (d.outdeg * 100)) AS BIGINT) AS inflow
+           |    FROM r${i - 1} r JOIN e ON r.node = e.parent JOIN d ON e.parent = d.parent
+           |    GROUP BY 1) f ON n.node = f.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT p_partkey // 4 AS parent, p_partkey AS child FROM part WHERE p_partkey >= 1),
+         |d AS (SELECT parent, count(*) AS outdeg FROM e GROUP BY 1),
+         |n AS (SELECT DISTINCT node FROM (SELECT parent AS node FROM e UNION ALL SELECT child FROM e)),
+         |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM n),
+         |$rounds
+         |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+    },
     "j8_similar_name_join" ->
       """WITH wk AS (SELECT p_partkey, p_name, regexp_replace(p_name, ' \d$', '') AS ckey FROM part WHERE p_partkey < 500)
         |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_name AS name_a, b.p_name AS name_b
@@ -739,6 +771,38 @@ object SparkEntry {
         |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS burst FROM e)
         |SELECT user_id, CAST(max(burst) AS BIGINT) AS peak_burst, count(*) AS n_events
         |FROM b GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // cohort retention: integer epoch-day arithmetic (`//` = Spark's div)
+    // keeps day bucketing engine-neutral; CAST(ts AS TIMESTAMP) pins the
+    // micros granularity as in w4/w7
+    "w11_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |o AS (SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud),
+        |a AS (SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_active
+        |  FROM o GROUP BY 1, 2),
+        |b AS (SELECT cohort_day, day_offset, n_active,
+        |  max(CASE WHEN day_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_day) AS cohort_size FROM a)
+        |SELECT cohort_day, day_offset, n_active, cohort_size,
+        |  round(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention_frac
+        |FROM b ORDER BY cohort_day, day_offset""".stripMargin,
+    // ordered funnel: each step's time is the user's earliest qualifying
+    // event (>= previous step, <= first step + 7 days) — min() folds only,
+    // so both engines agree without any event ordering
+    "w12_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s0 AS (SELECT user_id, min(us) AS t0 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(s0.t0) AS t0, min(us) AS t1
+        |  FROM e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE event_type = 'click' AND us >= s0.t0 AND us <= s0.t0 + 604800000000 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE event_type = 'purchase' AND us >= s1.t1 AND us <= s1.t0 + 604800000000 GROUP BY 1),
+        |c AS (SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step, count(*) AS n_users FROM s0
+        | UNION ALL SELECT 1, 'click', count(*) FROM s1
+        | UNION ALL SELECT 2, 'purchase', count(*) FROM s2)
+        |SELECT step_idx, step, n_users,
+        |  round(CAST(n_users AS DOUBLE) / (SELECT n_users FROM c WHERE step_idx = 0), 4) AS frac_of_first
+        |FROM c ORDER BY step_idx""".stripMargin,
     "u1_set_compare" ->
       """WITH cwo AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'), ac AS (SELECT c_custkey AS key FROM customer)
         |SELECT 'no_orders' AS side, key FROM ac WHERE key NOT IN (SELECT key FROM cwo)
@@ -950,6 +1014,14 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_shared, n_shingles,
          |  round(CAST(count(*) AS DOUBLE) / n_shingles, 4) AS shared_frac
          |FROM tr JOIN te USING (g) GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin,
+    // per-source frequency cap: rank by the portable md5 shuffle key
+    "t20_source_cap" ->
+      """SELECT doc_id, source, src_rank, src_rank <= 20 AS kept FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS src_rank
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // boilerplate: chunk membership decided on md5 digests, the rewrite
     // witnessed by the sha-256 of the cleaned text — both hashes the two
     // engines spell identically
@@ -1071,6 +1143,17 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) DESC, vec_id) AS rn
         |  FROM p CROSS JOIN e WHERE probe_id != vec_id)
         |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
+    // attribute-filtered ANN: exactly brute force over the label slice
+    // (pre-filter semantics — the WHERE restricts candidates, not results)
+    "s12_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5)
+        |SELECT probe_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT probe_id, vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) AS cos,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) DESC, vec_id) AS rn
+        |  FROM p CROSS JOIN e WHERE probe_id != vec_id AND label = 2)
+        |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
     // quantized ANN: int8 plane from the corpus-max scale, INTEGER dot
     // candidate scores (no float can reorder them), exact re-rank of the
     // per-probe top-20 — replayed verbatim in SQL
@@ -1678,6 +1761,10 @@ object SparkEntry {
     * frozen rather than re-derived — so they share oracles verbatim.
     */
   def oracleSql: Map[String, String] = oracleBase ++ Map(
+    // the Bloom pre-filter is a semi-join REDUCTION, not a semantics
+    // change: no false negatives + exact verify join ⇒ output identical
+    // to the exact tier, so d10's oracle gates it verbatim
+    "d10b_contamination_bloom" -> oracleBase("d10_contamination"),
     "s2b_ann_lsh_indexed" -> oracleBase("s2_ann_lsh"),
     "s6b_ann_kmeans_indexed" -> oracleBase("s6_ann_kmeans"),
     "s7b_ann_quantized_indexed" -> oracleBase("s7_ann_quantized"),

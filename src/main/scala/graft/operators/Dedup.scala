@@ -1217,6 +1217,80 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_shingles"), 4).as("shared_frac"))
   }
 
+  /** D10b — the contamination screen's SCALE path: a BLOOM-FILTER semi-join
+    * reduction. [[crossSplitContaminationOf]] ships every train-side gram
+    * into the shuffle join even though almost none match (contamination is
+    * rare by construction — that is the point of the screen). Here the
+    * eval split's gram set is folded into ONE bounded Bloom filter
+    * (Spark's native `BloomFilterAggregate` — partial buffers merge
+    * map-side, so building it is a word-count-shaped pass over the SMALL
+    * split), the ~`numBits/8`-byte sketch broadcasts to every executor as
+    * a literal, and the train-side gram stream is pre-filtered MAP-SIDE by
+    * `BloomFilterMightContain` before the exact join. This is exactly the
+    * shape of Spark's own runtime-filter injection, applied deliberately:
+    * at 100 TB the shuffle ships only bloom-positive grams (false-positive
+    * rate × corpus + true hits) instead of the whole corpus.
+    *
+    * OUTPUT-IDENTICAL to the exact tier, provably: a Bloom filter has no
+    * false negatives, so every truly-shared gram survives the pre-filter,
+    * and the exact join then discards the false positives — the oracle is
+    * therefore d10's own SQL, hash-compared. The bloom keys are
+    * `xxhash64(gram)` on BOTH sides — engine-local hashing is safe here
+    * because it never reaches the output (the join itself stays on the
+    * portable md5 digests; CLAUDE.md's md5-only rule is about
+    * oracle-visible values).
+    *
+    * `numBits` sizes the sketch (default 2^23 bits = 1 MiB): at an eval
+    * split of n distinct grams the false-positive rate is the classic
+    * (1 - e^{-kn/m})^k — size m ≈ 10·n bits for ~1% — and a too-small
+    * sketch degrades THROUGHPUT (more FPs shuffled), never correctness.
+    */
+  def crossSplitContaminationBloom(spark: SparkSession, dir: String, k: Int = 8,
+      trainUpTo: Int = 250, valUpTo: Int = 253, numBits: Long = 1L << 23): DataFrame =
+    crossSplitContaminationBloomOf(Tables.documents(spark, dir), k,
+      trainUpTo, valUpTo, numBits)
+
+  /** [[crossSplitContaminationBloom]] over an explicit (doc_id, text) frame
+    * — the planted-fixture surface (same contract as
+    * [[crossSplitContaminationOf]], with which it must agree row-for-row).
+    */
+  def crossSplitContaminationBloomOf(documents: DataFrame, k: Int = 8,
+      trainUpTo: Int = 250, valUpTo: Int = 253,
+      numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.splitBucket(col("doc_id")).as("bucket"),
+        array_distinct(graft.plans.ShinglesExpr.wordShingles(col("text"), k)).as("g8"))
+    val testRaw = docs.filter(col("bucket") >= valUpTo)
+      .select(explode(col("g8")).as("graw"))
+    // no distinct before the bloom build: inserts are idempotent and the
+    // partial buffers merge map-side, so the dedup shuffle is skipped
+    val bloomAgg = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("graw"))),
+      Literal(math.max(1L, numBits / 8)), Literal(numBits)).toAggregateExpression())
+    // eval returns NULL for an empty split (no grams → nothing can match)
+    val bloomBytes = testRaw.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    val train = docs.filter(col("bucket") < trainUpTo)
+      .select(col("doc_id"), size(col("g8")).cast("long").as("n_shingles"),
+        explode(col("g8")).as("graw"))
+    val trainHits =
+      if (bloomBytes == null) train.filter(lit(false))
+      else train.filter(Bridge.column(BloomFilterMightContain(
+        Literal(bloomBytes), Bridge.expression(xxhash64(col("graw"))))))
+    val test = testRaw.select(md5(col("graw")).as("g")).distinct()
+    trainHits
+      .select(col("doc_id"), col("n_shingles"), md5(col("graw")).as("g"))
+      .join(test, Seq("g"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 4).as("shared_frac"))
+  }
+
   /** BOILERPLATE REMOVAL — the intra-corpus repeated-segment scrub a
     * curation pipeline runs before training (nav bars, license headers,
     * templated footers): documents are cut into consecutive k-token

@@ -370,6 +370,60 @@ object Library {
     levels.reduce(_ unionByName _)
   }
 
+  /** G1: PAGERANK over the hierarchy edge set — the iterative
+    * fixed-point computation family beyond reachability ([[folderClosure]]
+    * is the BFS fixpoint; this is the value-propagation one). The curation
+    * relevance is authority scoring: web-corpus pipelines rank hosts by
+    * link centrality (PageRank/harmonic à la Common Crawl) as a document
+    * quality prior, exactly this shape over the host graph.
+    *
+    * INTEGER-EXACT by construction so a SQL oracle replays it bit-for-bit:
+    * ranks carry a 10^12 fixed-point scale, the damped contribution is
+    * `(pr * 85) div (outdeg * 100)` (integer div, positive operands —
+    * truncation == floor in both engines), and inflow sums are exact
+    * longs. No float ever appears, so no fold-order or libm drift can
+    * split the engines (the t18 integer-surprisal discipline applied to an
+    * iterative kernel). On the tree's unit in-degree the rank is bounded
+    * by the scale itself, so 64-bit arithmetic cannot overflow at any
+    * corpus size. Dangling leaves simply retain their teleport share
+    * (classic non-redistributing PageRank), deterministic and replayed by
+    * the oracle.
+    *
+    * Scale shape: the edge table is parent-partitioned and persisted once
+    * ([[folderClosure]]'s layout — at 100 TB a bucketed table); each of
+    * the FIXED `iters` rounds is one equi-join (ranks ⋈ edges on the
+    * partitioning key) plus one child-keyed aggregation — never a
+    * cartesian, never driver-side state; `localCheckpoint` truncates the
+    * per-round lineage exactly as the closure operators do.
+    */
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val scaleL = 1000000000000L
+    val edges = Tables.part(spark, dir)
+      .filter(col("p_partkey") >= 1)
+      .select(expr("p_partkey div 4").as("parent"), col("p_partkey").as("child"))
+      .repartition(col("parent"))
+      .persist()
+    val eo = edges.join(
+      edges.groupBy(col("parent")).agg(count(lit(1)).as("outdeg")), Seq("parent"))
+      .persist()
+    val nodes = edges.select(col("parent").as("node"))
+      .unionByName(edges.select(col("child").as("node")))
+      .distinct().persist()
+    var pr = nodes.select(col("node"), lit(scaleL).as("pr"))
+    (1 to iters).foreach { _ =>
+      val inflow = pr.join(eo, pr("node") === eo("parent"))
+        .select(col("child").as("node"),
+          expr("(pr * 85L) div (outdeg * 100L)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).cast("long").as("inflow"))
+      pr = nodes.join(inflow, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(15L * scaleL / 100) + coalesce(col("inflow"), lit(0L))).as("pr"))
+        .localCheckpoint()
+    }
+    edges.unpersist(); eo.unpersist(); nodes.unpersist()
+    pr
+  }
+
   /** Pointer-doubling variant of [[folderClosure]]: round k extends only
     * the depth == 2^(k-1) slice of the accumulated closure by ALL known
     * pairs (depths ≤ 2^(k-1)), producing depths 2^(k-1)+1 .. 2^k. The
@@ -846,6 +900,114 @@ object Library {
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** A20: CUBE aggregation — every grouping-set combination of (lang,
+    * source) in ONE pass (Expand + one shuffle, the a17 ROLLUP's superset:
+    * rollup emits the prefix hierarchy, cube also emits the per-source
+    * marginals a mixture report needs). Same grouping()-flag
+    * disambiguation and label coalescing as a17; group cardinality is
+    * langs × sources (tiny), so the final aggregate is never the
+    * bottleneck at any corpus size.
+    */
+  def cubeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_source"))
+      .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("g_lang"), col("g_source"), col("n_docs"), col("total_chars"))
+
+  /** W11: COHORT RETENTION — the product-analytics staple over the event
+    * stream: users are cohorted by first-active day, and each (cohort,
+    * day-offset) cell counts how many of the cohort came back that day.
+    *
+    * Scale shape: ONE wide shuffle total — the per-user active-day SET
+    * builds with map-side partial merges (`collect_set` dedupes each
+    * partition's (user, day) stream before anything ships), so the
+    * user-keyed exchange carries day-sets, not events. Cohort day is
+    * `array_min` of the set (map-side, no window, no self-join), offsets
+    * explode map-side, and everything after is report-sized: the
+    * (cohort, offset) aggregation and the cohort-size window move at
+    * most days × days rows. Per-user state is bounded by distinct active
+    * DAYS (≤ a few thousand for any account age) — a bot emitting
+    * millions of events still contributes one set entry per day, so the
+    * hot-user exposure the w-family documents does not arise here. Day
+    * arithmetic is integer epoch-day (`us div 86_400_000_000`):
+    * engine-neutral, no timezone/calendar dependence.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    // integer `div`, never `/` (long / long promotes to double — the
+    // Tables.normalizeTs precision rule applies to epoch arithmetic too)
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), expr(s"us div ${dayUs}L").as("day"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("day")).as("days"))
+    val offsets = perUser
+      .select(array_min(col("days")).as("cohort_day"), explode(col("days")).as("day"))
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+    offsets
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_active")))
+          .over(Window.partitionBy(col("cohort_day"))))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 4)
+          .as("retention_frac"))
+  }
+
+  /** W12: ORDERED FUNNEL — how many users complete step1 → step2 → … in
+    * order, each within `windowUs` of their FIRST step (conversion
+    * analysis over the event stream). Step i's timestamp is the user's
+    * earliest step-i event at-or-after their step-(i-1) time — the
+    * standard "first qualifying event" funnel semantics, replayed
+    * verbatim by the oracle.
+    *
+    * Scale shape: one user-keyed aggregation per step, but each step's
+    * input is pre-filtered to ONE event type (predicate pushed to the
+    * scan) and each join's right side is the per-user step frame (≤1 row
+    * per user, hash-joined on user_id). No windows, no ordering — min()
+    * is the only fold, so no per-user event ordering is ever
+    * materialized. Step count is a query constant, so the plan depth is
+    * fixed, not data-dependent.
+    */
+  def funnelSteps(spark: SparkSession, dir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      windowUs: Long = 7L * 86400 * 1000 * 1000): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val first = e.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t0"))
+      .select(col("user_id"), col("t0"), col("t0").as("t_prev"))
+    val reached = steps.zipWithIndex.tail.scanLeft(first) {
+      case (prev, (step, _)) =>
+        e.filter(col("event_type") === step)
+          .join(prev, Seq("user_id"))
+          .filter(col("us") >= col("t_prev") && col("us") <= col("t0") + windowUs)
+          .groupBy(col("user_id"))
+          .agg(min(col("t0")).as("t0"), min(col("us")).as("t_prev"))
+          .select(col("user_id"), col("t0"), col("t_prev"))
+    }
+    val counts = reached.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step_idx"), lit(step).as("step"), col("n_users"))
+    }
+    val all = counts.reduce(_.unionByName(_))
+    // conversion fraction vs the step-1 population; the one-row first-step
+    // count rides a broadcast join (report-sized at any scale)
+    val base = counts.head.select(col("n_users").as("n_first"))
+    all.crossJoin(broadcast(base))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_first"), 4)
+          .as("frac_of_first"))
   }
 
   // ---- Ad-hoc SQL pass-through ---------------------------------------

@@ -102,6 +102,41 @@ object Similarity {
         col("neg_label"), col("cos"), col("rn"))
   }
 
+  /** S12 — ATTRIBUTE-FILTERED ANN: top-k restricted to corpus vectors
+    * matching a metadata predicate (here `label = labelEq`) — the vector-
+    * DB "filtered search" surface (find similar items *within a slice*).
+    * PRE-filter semantics: the predicate restricts the candidate set
+    * before ranking, so the result is exactly brute-force-over-the-slice
+    * (the oracle replays it with a WHERE) — never the post-filter
+    * approximation that silently returns < k rows when a probe's
+    * unfiltered neighborhood misses the slice.
+    *
+    * Scale shape: the label predicate sits directly below the ranking
+    * join — against the raw table it reaches the parquet scan
+    * (PushedFilters); against the session-cached prepared plane it prunes
+    * cached batches via the in-memory scan's partition stats. Probes
+    * broadcast as in s1 and the slice scan is map-side. When the slice
+    * itself outgrows the exact pass, the same filter composes with the
+    * s4/s6 IVF tiers: cluster ids and labels are independent columns of
+    * the serving index, so candidates = (cluster ∩ slice) with both
+    * predicates in one scan.
+    */
+  def filteredTopK(spark: SparkSession, dir: String, labelEq: Int = 2,
+      nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val e = preparedEmbeddings(spark, dir)
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    val corpus = e.filter(col("label") === labelEq)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** S7 — scalar-quantized ANN, the memory/IO scale tier: symmetric int8
     * quantization q_i = floor(v_i·127/M + 0.5) with M = the corpus max
     * |component| (one tiny broadcast aggregate), candidates scored by the

@@ -562,4 +562,33 @@ object TextAnalysis {
         pmod(col("off"), lit(budget)).as("pack_offset"),
         (pmod(col("off"), lit(budget)) + col("n_tokens") > budget).as("spans_packs"))
   }
+
+  /** T20 — PER-SOURCE CAP: the host-level frequency cap every web-scale
+    * curation recipe applies (RefinedWeb/C4 keep at most N documents per
+    * host so mega-hosts don't dominate the training mixture). Documents
+    * rank within their source by the portable md5 shuffle key (SURVEY
+    * §7.4 — deterministic, engine-reproducible, uncorrelated with doc_id
+    * order, so the cap is an unbiased per-source sample); rank ≤ cap is
+    * kept.
+    *
+    * Scale shape: ONE source-keyed shuffle for the ranking window. A
+    * pathological mega-host makes that window a straggler; the fix is
+    * NOT salting (rank needs the group's total order) but cap-pushdown:
+    * because only ranks ≤ cap survive, a map-side bounded top-k per
+    * (source, partition) — the w9 TopKAgg shape — can pre-prune each
+    * partition to its cap best keys before the shuffle, making shuffled
+    * rows O(sources · cap · partitions). Here the full per-doc decision
+    * is the OUTPUT (every doc gets its keep flag), so the window form is
+    * the honest plan.
+    */
+  def perSourceCap(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("skey"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("skey"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        (col("src_rank") <= cap).as("kept"))
+  }
 }

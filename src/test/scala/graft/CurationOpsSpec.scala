@@ -412,4 +412,110 @@ class CurationOpsSpec extends SparkSuite {
     // bins genuinely chain: some (split, lang) stream fills more than one bin
     assert(got.groupBy(r => (r._1, r._2)).exists(_._2.size > 1))
   }
+
+  test("d10b bloom decontamination == exact tier: planted hits, heavy-FP sketch, empty eval split") {
+    import spark.implicits._
+    // the d10 planted-overlap fixture — the bloom tier must agree with the
+    // exact tier row-for-row wherever the exact tier has hits
+    val trainIds = (1L to 2000L).filter(id => bucket256(id.toString) < 250)
+    val testId = (1L to 2000L).find(id => bucket256(id.toString) >= 253).get
+    val Seq(full, partial, clean) = trainIds.take(3)
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val partialText = shared.split(" ").take(9).mkString(" ") + " xray yankee zulu"
+    val cleanText = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (full, shared), (partial, partialText), (clean, cleanText),
+      (testId, shared)
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = rows(Dedup.crossSplitContaminationOf(docs))
+    assert(exact.size == 2)
+    assert(rows(Dedup.crossSplitContaminationBloomOf(docs)) == exact)
+    // a deliberately starved 64-bit sketch makes almost every train gram a
+    // false positive — the exact verify join must still discard them all
+    // (the sketch sizes THROUGHPUT, never the answer)
+    assert(rows(Dedup.crossSplitContaminationBloomOf(docs, numBits = 64L)) == exact)
+    // no eval-split docs → BloomFilterAggregate yields a NULL sketch →
+    // empty result with the schema intact (nothing can be contaminated)
+    val trainOnly = Seq((full, shared), (clean, cleanText)).toDF("doc_id", "text")
+    val emptySplit = Dedup.crossSplitContaminationBloomOf(trainOnly)
+    assert(emptySplit.columns.toSeq ==
+      Seq("doc_id", "n_shared", "n_shingles", "shared_frac"))
+    assert(emptySplit.count() == 0)
+    // real data: both tiers agree (zero genuine contamination at sf0.001)
+    assert(Dedup.crossSplitContaminationBloom(spark, sf("sf0.001")).count() ==
+      Dedup.crossSplitContamination(spark, sf("sf0.001")).count())
+  }
+
+  test("w11 retention: driver-side replay reproduces every cohort cell") {
+    val dir = sf("sf0.001")
+    val got = Library.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000000L)))
+      .toSet
+    val cells = userDays.groupBy(_._1).toSeq.flatMap { case (_, ds) =>
+      val cohort = ds.map(_._2).min
+      ds.map(d => (cohort, d._2 - cohort))
+    }
+    val nActive = cells.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val expected = nActive.map { case ((c, off), n) =>
+      val size = nActive((c, 0L))
+      (c, off, n, size, round4(n.toDouble / size))
+    }.toSet
+    assert(got == expected && got.size > 10)
+    // the data genuinely spans multiple day offsets
+    assert(got.exists(_._2 > 0))
+  }
+
+  test("w12 funnel: driver-side replay reproduces the step counts") {
+    val dir = sf("sf0.001")
+    val win = 7L * 86400 * 1000 * 1000
+    val got = Library.funnelSteps(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val byUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val t0 = byUser.flatMap { case (u, rs) =>
+      rs.filter(_._2 == "view").map(_._3).minOption.map(u -> _)
+    }
+    val t1 = t0.flatMap { case (u, t) =>
+      byUser(u).filter(r => r._2 == "click" && r._3 >= t && r._3 <= t + win)
+        .map(_._3).minOption.map(m => u -> ((t, m)))
+    }
+    val t2 = t1.flatMap { case (u, tm) =>
+      byUser(u).filter(r => r._2 == "purchase" && r._3 >= tm._2 && r._3 <= tm._1 + win)
+        .map(_._3).minOption.map(_ => u)
+    }
+    val (n0, n1, n2) = (t0.size.toLong, t1.size.toLong, t2.size.toLong)
+    val expected = Set(
+      (0L, "view", n0, round4(1.0)),
+      (1L, "click", n1, round4(n1.toDouble / n0)),
+      (2L, "purchase", n2, round4(n2.toDouble / n0)))
+    assert(got == expected)
+    // the funnel is genuinely ordered and non-degenerate (at sf0.001
+    // every clicker happens to purchase; strict narrowing holds at sf0.01)
+    assert(n0 >= n1 && n1 >= n2 && n2 > 0)
+  }
+
+  test("t20 per-source cap: driver-side replay reproduces ranks and keep flags") {
+    val dir = sf("sf0.001")
+    val got = TextAnalysis.perSourceCap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSet
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.map(_._1).sortBy(id => (md5hex(id.toString), id)).zipWithIndex.map {
+        case (id, i) => (id, src, (i + 1).toLong, i + 1 <= 20)
+      }
+    }.toSet
+    assert(got == expected && got.size == 500)
+    // the cap genuinely bites: some source has more than 40 documents
+    assert(got.exists(!_._4))
+  }
 }

@@ -669,6 +669,32 @@ class DedupSimilaritySpec extends SparkSuite {
       r.getAs[Long]("neighbor_id") == 20L))
   }
 
+  test("filtered ANN: pre-filter semantics — slice-restricted, k from the slice") {
+    // slice = label 2 (contains the planted clone pair 5↔20): the clone is
+    // still probe 5's top neighbor inside its own slice
+    val inSlice = Similarity.filteredTopK(spark, fixtureDir, labelEq = 2,
+      nProbes = 6, k = 3).collect()
+    assert(inSlice.nonEmpty)
+    val top5 = inSlice.filter(r => r.getAs[Long]("probe_id") == 5L &&
+      r.getAs[Int]("rn") == 1).head
+    assert(top5.getAs[Long]("neighbor_id") == 20L)
+    assert(top5.getAs[Double]("cos") == 1.0)
+    // every returned neighbor really is in the slice
+    val labels = Tables.embeddings(spark, fixtureDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    inSlice.foreach(r => assert(labels(r.getAs[Long]("neighbor_id")) == 2))
+    // slice = label 0: the globally most-similar vector (the clone, label
+    // 2) must NOT appear — pre-filter restricts candidates, not results —
+    // and probe 5 still gets its full k from inside the slice
+    val offSlice = Similarity.filteredTopK(spark, fixtureDir, labelEq = 0,
+      nProbes = 6, k = 3).collect()
+    offSlice.foreach { r =>
+      assert(labels(r.getAs[Long]("neighbor_id")) == 0)
+      assert(r.getAs[Long]("neighbor_id") != 20L)
+    }
+    assert(offSlice.count(_.getAs[Long]("probe_id") == 5L) == 3)
+  }
+
   test("embedding LSH near-dup: planted clone pair found (bucket-blocked)") {
     val pairs = Dedup.embeddingNearDupsLsh(spark, fixtureDir, threshold = 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -222,4 +222,31 @@ class ItdbOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(doubled == got)
   }
+
+  test("g1 pagerank: driver-side integer replay reproduces every rank") {
+    val dir = sf("sf0.001")
+    val got = graft.operators.Library.pagerank(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent integer model over the same div-4 tree edges
+    val keys = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey").collect().map(_.getLong(0)).filter(_ >= 1)
+    val edges = keys.map(k => (k / 4, k))
+    val outdeg = edges.groupBy(_._1).map { case (p, es) => (p, es.size.toLong) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSet
+    val scaleL = 1000000000000L
+    var pr: Map[Long, Long] = nodes.map(_ -> scaleL).toMap
+    (1 to 3).foreach { _ =>
+      val inflow = edges.groupBy(_._2).map { case (c, es) =>
+        c -> es.map { case (p, _) => pr(p) * 85L / (outdeg(p) * 100L) }.sum
+      }
+      pr = nodes.map(n => n -> (15L * scaleL / 100 + inflow.getOrElse(n, 0L))).toMap
+    }
+    assert(got == pr && got.size == nodes.size)
+    // structure: the root (node 0, in-degree 0) keeps exactly its teleport
+    // share; ranks are positive and bounded by the fixed-point scale
+    assert(got(0L) == 15L * scaleL / 100)
+    assert(got.values.forall(v => v > 0 && v <= scaleL))
+    // the propagation genuinely differentiates nodes (not all equal)
+    assert(got.values.toSet.size > 3)
+  }
 }

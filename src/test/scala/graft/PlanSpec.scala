@@ -390,4 +390,38 @@ class PlanSpec extends SparkSuite {
         s"skew not dissolved: max salt group $maxGroup of ${hot.size}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("round-10 ops: d10b/w11/w12/t20 keep their scale shapes") {
+    val dir = sf("sf0.001")
+    // d10b: the Bloom pre-filter must sit IN the plan on the train-side
+    // gram stream (map-side semi-join reduction) and the verify join must
+    // stay an equi join — without might_contain the whole corpus ships
+    // into the shuffle and the operator degenerates to d10
+    val d10b = executedPlan(
+      graft.operators.Dedup.crossSplitContaminationBloom(spark, dir))
+    assert(d10b.contains("might_contain"),
+      s"bloom pre-filter fell out of the d10b plan:\n${d10b.take(1200)}")
+    assert(!d10b.contains("CartesianProduct") &&
+      !d10b.contains("BroadcastNestedLoopJoin"))
+    // w11: a pure aggregation pipeline — no joins at all (cohort size
+    // rides a window, not a self-join), and no single-partition funnel
+    val w11 = executedPlan(
+      Library.retentionCohorts(spark, dir).orderBy("cohort_day", "day_offset"))
+    assert(!w11.contains("Join"), s"retention grew a join:\n${w11.take(1200)}")
+    // exchanges: user_id (day sets), (cohort, offset) agg, cohort window —
+    // a fourth means the map-side set dedup or the window partitioning broke
+    assert("Exchange hashpartitioning".r.findAllIn(w11).size <= 3,
+      s"retention shuffles too often:\n${w11.take(1200)}")
+    // w12: user-keyed equi joins only; the one-row conversion base may ride
+    // a broadcast nested loop, but a CartesianProduct means a step join
+    // lost its user_id key
+    val w12 = executedPlan(Library.funnelSteps(spark, dir).orderBy("step_idx"))
+    assert(!w12.contains("CartesianProduct"), s"funnel went cartesian:\n${w12.take(1200)}")
+    // t20: ONE source-keyed data exchange serves the ranking window
+    val t20 = executedPlan(
+      graft.operators.TextAnalysis.perSourceCap(spark, dir).orderBy("doc_id"))
+    assert("Exchange hashpartitioning".r.findAllIn(t20).size == 1,
+      s"per-source cap should shuffle exactly once:\n${t20.take(1200)}")
+    assert(!t20.contains("SinglePartition"), "per-source cap lost its partitioning")
+  }
 }
