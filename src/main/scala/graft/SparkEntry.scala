@@ -218,6 +218,7 @@ object SparkEntry {
     "s4_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d).orderBy("probe_id", "rn")),
     "s5_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d).orderBy("probe_id", "rn")),
     "s12_ann_filtered" -> ((s, d) => Similarity.filteredTopK(s, d).orderBy("probe_id", "rn")),
+    "s12b_ann_filtered_indexed" -> ((s, d) => Similarity.filteredTopKFromIndex(s, d).orderBy("probe_id", "rn")),
     "s6_ann_kmeans" -> ((s, d) => Similarity.kmeansIvfTopK(s, d).orderBy("probe_id", "rn")),
     // int8 scalar quantization + exact re-rank: candidates scored by the
     // INTEGER quantized dot (portable exactly), top-rerank cut, then the
@@ -1766,6 +1767,7 @@ object SparkEntry {
     // to the exact tier, so d10's oracle gates it verbatim
     "d10b_contamination_bloom" -> oracleBase("d10_contamination"),
     "s2b_ann_lsh_indexed" -> oracleBase("s2_ann_lsh"),
+    "s12b_ann_filtered_indexed" -> oracleBase("s12_ann_filtered"),
     "s6b_ann_kmeans_indexed" -> oracleBase("s6_ann_kmeans"),
     "s7b_ann_quantized_indexed" -> oracleBase("s7_ann_quantized"),
     "s11b_ann_pq_indexed" -> oracleBase("s11_ann_pq"),

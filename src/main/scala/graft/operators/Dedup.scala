@@ -1257,34 +1257,70 @@ object Dedup {
   def crossSplitContaminationBloomOf(documents: DataFrame, k: Int = 8,
       trainUpTo: Int = 250, valUpTo: Int = 253,
       numBits: Long = 1L << 23): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftbridge.Bridge
     val docs = documents
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        TextAnalysis.splitBucket(col("doc_id")).as("bucket"),
-        array_distinct(graft.plans.ShinglesExpr.wordShingles(col("text"), k)).as("g8"))
-    val testRaw = docs.filter(col("bucket") >= valUpTo)
-      .select(explode(col("g8")).as("graw"))
+        TextAnalysis.splitBucket(col("doc_id")).as("bucket"), col("text"))
+    val st = evalGramState(docs.filter(col("bucket") >= valUpTo), k, numBits)
+    screenContamination(docs.filter(col("bucket") < trainUpTo),
+      st.bloom, st.grams, k)
+  }
+
+  /** The FROZEN eval-split screening state: the Bloom sketch (None when
+    * the split has no grams) plus the distinct md5 gram-digest frame the
+    * exact verify joins. Built once, reused by the batch gate
+    * ([[crossSplitContaminationBloomOf]]) and the ingest-time screen
+    * ([[graft.streaming.EventsStream.runIngestCuration]]'s quarantine
+    * stage) — in production the digest frame is a persisted table and
+    * the sketch ships in the job configuration.
+    */
+  /** Carrier for the frozen screening state ([[evalGramState]]). */
+  case class EvalGramState(bloom: Option[Array[Byte]], grams: DataFrame)
+
+  def evalGramState(evalDocs: DataFrame, k: Int = 8,
+      numBits: Long = 1L << 23): EvalGramState = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val testRaw = evalDocs
+      .filter(col("text").isNotNull)
+      .select(explode(array_distinct(
+        graft.plans.ShinglesExpr.wordShingles(col("text"), k))).as("graw"))
     // no distinct before the bloom build: inserts are idempotent and the
     // partial buffers merge map-side, so the dedup shuffle is skipped
     val bloomAgg = Bridge.column(new BloomFilterAggregate(
       Bridge.expression(xxhash64(col("graw"))),
       Literal(math.max(1L, numBits / 8)), Literal(numBits)).toAggregateExpression())
     // eval returns NULL for an empty split (no grams → nothing can match)
-    val bloomBytes = testRaw.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
-    val train = docs.filter(col("bucket") < trainUpTo)
+    val bloomBytes = Option(testRaw.agg(bloomAgg.as("bf")).head()
+      .getAs[Array[Byte]]("bf"))
+    EvalGramState(bloomBytes, testRaw.select(md5(col("graw")).as("g")).distinct())
+  }
+
+  /** Screen a document frame against the frozen eval state: per-doc
+    * shared-gram counts for every CONTAMINATED document (empty for clean
+    * frames). The bloom pre-filters the gram stream map-side; the exact
+    * digest join discards false positives, so the result is exactly the
+    * bloom-free join's. Output schema is d10's.
+    */
+  def screenContamination(docs: DataFrame, bloomBytes: Option[Array[Byte]],
+      evalGrams: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val train = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_distinct(graft.plans.ShinglesExpr.wordShingles(col("text"), k)).as("g8"))
       .select(col("doc_id"), size(col("g8")).cast("long").as("n_shingles"),
         explode(col("g8")).as("graw"))
-    val trainHits =
-      if (bloomBytes == null) train.filter(lit(false))
-      else train.filter(Bridge.column(BloomFilterMightContain(
-        Literal(bloomBytes), Bridge.expression(xxhash64(col("graw"))))))
-    val test = testRaw.select(md5(col("graw")).as("g")).distinct()
+    val trainHits = bloomBytes match {
+      case None => train.filter(lit(false))
+      case Some(bytes) => train.filter(Bridge.column(BloomFilterMightContain(
+        Literal(bytes), Bridge.expression(xxhash64(col("graw"))))))
+    }
     trainHits
       .select(col("doc_id"), col("n_shingles"), md5(col("graw")).as("g"))
-      .join(test, Seq("g"))
+      .join(evalGrams, Seq("g"))
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_shared"))
       .select(col("doc_id"), col("n_shared"), col("n_shingles"),

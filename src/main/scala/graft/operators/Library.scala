@@ -389,28 +389,36 @@ object Library {
     * (classic non-redistributing PageRank), deterministic and replayed by
     * the oracle.
     *
-    * Scale shape: the edge table is parent-partitioned and persisted once
-    * ([[folderClosure]]'s layout — at 100 TB a bucketed table); each of
-    * the FIXED `iters` rounds is one equi-join (ranks ⋈ edges on the
-    * partitioning key) plus one child-keyed aggregation — never a
-    * cartesian, never driver-side state; `localCheckpoint` truncates the
-    * per-round lineage exactly as the closure operators do.
+    * Scale shape: the (edge ⋈ outdeg) frame and the node universe are
+    * session-persisted once per dir ([[folderClosure]]'s layout — at
+    * 100 TB a bucketed table); each of the FIXED `iters` rounds is one
+    * equi-join (ranks ⋈ edges on the partitioning key) plus one
+    * child-keyed aggregation — never a cartesian, never driver-side
+    * state. A SHORT fixed iteration stays one declarative plan (one
+    * action, Catalyst pipelines the rounds); past `checkpointEvery`
+    * rounds the loop truncates lineage with `localCheckpoint` exactly as
+    * the closure operators do, so deep iteration counts cannot blow up
+    * the plan.
     */
-  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3,
+      checkpointEvery: Int = 4): DataFrame = {
     val scaleL = 1000000000000L
-    val edges = Tables.part(spark, dir)
-      .filter(col("p_partkey") >= 1)
-      .select(expr("p_partkey div 4").as("parent"), col("p_partkey").as("child"))
-      .repartition(col("parent"))
-      .persist()
-    val eo = edges.join(
-      edges.groupBy(col("parent")).agg(count(lit(1)).as("outdeg")), Seq("parent"))
-      .persist()
-    val nodes = edges.select(col("parent").as("node"))
-      .unionByName(edges.select(col("child").as("node")))
-      .distinct().persist()
+    val (eo, nodes) = graft.SessionCache.getOrElseUpdate(
+        spark, ("pagerankEdges", dir)) {
+      val edges = Tables.part(spark, dir)
+        .filter(col("p_partkey") >= 1)
+        .select(expr("p_partkey div 4").as("parent"), col("p_partkey").as("child"))
+        .repartition(col("parent"))
+      val eoF = edges.join(
+        edges.groupBy(col("parent")).agg(count(lit(1)).as("outdeg")), Seq("parent"))
+        .persist()
+      val nodesF = edges.select(col("parent").as("node"))
+        .unionByName(edges.select(col("child").as("node")))
+        .distinct().persist()
+      (eoF, nodesF)
+    }
     var pr = nodes.select(col("node"), lit(scaleL).as("pr"))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val inflow = pr.join(eo, pr("node") === eo("parent"))
         .select(col("child").as("node"),
           expr("(pr * 85L) div (outdeg * 100L)").as("c"))
@@ -418,9 +426,8 @@ object Library {
       pr = nodes.join(inflow, Seq("node"), "left_outer")
         .select(col("node"),
           (lit(15L * scaleL / 100) + coalesce(col("inflow"), lit(0L))).as("pr"))
-        .localCheckpoint()
+      if (i % checkpointEvery == 0 && i < iters) pr = pr.localCheckpoint()
     }
-    edges.unpersist(); eo.unpersist(); nodes.unpersist()
     pr
   }
 

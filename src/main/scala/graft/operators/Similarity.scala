@@ -763,12 +763,19 @@ object Similarity {
     */
   private def annServingRows(source: DataFrame, m: Double,
       model: Array[(Int, Array[Double])], nPlanes: Int,
-      book: Array[Array[Array[Long]]]): DataFrame =
-    source.select(col("vec_id"), col("v"), col("n"),
+      book: Array[Array[Array[Long]]]): DataFrame = {
+    // metadata rides the index as a first-class column so filtered
+    // search (s12b) can push its predicate into the bucketed scan;
+    // label-free sources (fixtures, plain vector frames) get a -1 filler
+    // to keep the append schema stable
+    val label = if (source.columns.contains("label")) col("label").cast("int")
+      else lit(-1)
+    source.select(col("vec_id"), label.as("label"), col("v"), col("n"),
       transform(col("v"), x => floor(x * 127 / lit(m) + 0.5).cast("long")).as("qv"),
       assignExpr(model).as("cl"),
       bucketExpr(col("v"), nPlanes).as("bucket"))
       .withColumn("pcode", graft.plans.PqExprs.pqEncode(col("qv"), book))
+  }
 
   /** Build + persist the serving index over a prepared (vec_id, v, n)
     * frame: one pass trains the coarse quantizer ([[kmeansModelOf]] — the
@@ -979,13 +986,40 @@ object Similarity {
     graft.SessionCache.getOrElseUpdate(spark, ("annIndexDisk", dir)) {
       val name = f"ann_serving_${dir.hashCode & 0xffffffffL}%x"
       saveAnnIndex(spark, name,
-        preparedEmbeddings(spark, dir).select("vec_id", "v", "n"))
+        preparedEmbeddings(spark, dir).select("vec_id", "label", "v", "n"))
       loadAnnIndex(spark, name)
     }.asInstanceOf[AnnIndex]
 
   def quantizedTopKFromIndex(spark: SparkSession, dir: String,
       nProbes: Int = 5, k: Int = 5, rerank: Int = 20): DataFrame =
     quantizedTopKIndexed(annGateIndex(spark, dir), nProbes, k, rerank)
+
+  /** S12b — [[filteredTopK]] answered from the LOADED serving index: the
+    * metadata predicate sits directly on the bucketed vectors scan, so it
+    * lands in the parquet reader's PushedFilters (plan-guarded) — the
+    * composition the serving index exists for: candidates = slice ∩
+    * whatever tier bounds the scan, in ONE scan. Exact over the slice
+    * (the index stores the full-precision vectors), so it shares s12's
+    * oracle verbatim.
+    */
+  def filteredTopKIndexed(index: AnnIndex, labelEq: Int = 2,
+      nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val probes = index.vectors.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    val corpus = index.vectors.filter(col("label") === labelEq)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  def filteredTopKFromIndex(spark: SparkSession, dir: String, labelEq: Int = 2,
+      nProbes: Int = 5, k: Int = 5): DataFrame =
+    filteredTopKIndexed(annGateIndex(spark, dir), labelEq, nProbes, k)
 
   def kmeansIvfTopKFromIndex(spark: SparkSession, dir: String,
       nProbes: Int = 5, k: Int = 5, nprobe: Int = 2): DataFrame =
@@ -1009,7 +1043,7 @@ object Similarity {
       splitAt: Int = 200): AnnIndex =
     graft.SessionCache.getOrElseUpdate(spark, ("annIndexDelta", dir, splitAt)) {
       val bucket = TextAnalysis.splitBucket(col("vec_id"))
-      val e = preparedEmbeddings(spark, dir).select("vec_id", "v", "n")
+      val e = preparedEmbeddings(spark, dir).select("vec_id", "label", "v", "n")
       val name = f"ann_delta_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
       saveAnnIndex(spark, name, e.filter(bucket < splitAt))
       appendAnnIndex(spark, name, e.filter(bucket >= splitAt))

@@ -361,7 +361,18 @@ object EventsStream {
     * the curation tail (d16 + d19b under true ingest): per micro-batch,
     *
     *   1. drop already-indexed ids (idempotence under at-least-once
-    *      delivery — same anti-join as runIngestNearDup);
+    *      delivery — anti-join keyed on BOTH the shingles index and the
+    *      quarantine log, since screened-out docs never reach the index);
+    *   1b. (with `screen`) DECONTAMINATE AT INGEST — the d10b Bloom
+    *      screen as a curation stage: arriving docs' k-grams are bloom-
+    *      pre-filtered map-side against the frozen eval sketch, suspects
+    *      verified exactly against the eval gram digests
+    *      ([[graft.operators.Dedup.screenContamination]]), and
+    *      contaminated docs land in the append-only `<name>_quarantine`
+    *      table (with their shared-gram stats + batch id) instead of the
+    *      pair search, the label state, or the index — the production
+    *      placement of decontamination: before anything else sees the
+    *      document;
     *   2. compute the batch's verified delta pairs against the index AS
     *      OF batch start ([[graft.operators.Dedup.deltaNearDups]] — both
     *      legs, so intra-batch pairs merge too);
@@ -386,9 +397,11 @@ object EventsStream {
     */
   def runIngestCuration(spark: SparkSession, shardDir: String,
       indexName: String, threshold: Double = 0.8,
-      name: String = "ingest_curation", maxFilesPerTrigger: Int = 1): DataFrame = {
+      name: String = "ingest_curation", maxFilesPerTrigger: Int = 1,
+      screen: Option[graft.operators.Dedup.EvalGramState] = None): DataFrame = {
     import graft.operators.Dedup
     Dedup.dropTableAndLocation(spark, s"${name}_label_updates")
+    Dedup.dropTableAndLocation(spark, s"${name}_quarantine")
     val src = spark.readStream
       .schema(documentSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -398,10 +411,35 @@ object EventsStream {
         spark.catalog.refreshTable(s"${indexName}_shingles")
         spark.catalog.refreshTable(s"${indexName}_banded")
         spark.catalog.refreshTable(s"${name}_labels")
-        val fresh = batch
-          .join(spark.table(s"${indexName}_shingles").select("doc_id"),
-            Seq("doc_id"), "left_anti")
+        // idempotence is keyed on BOTH persisted stores: the shingles
+        // index (clean docs) and the quarantine log (screened-out docs
+        // never reach the index, so without this leg a replayed shard
+        // would re-screen and re-log them)
+        val quarantineTable = s"${name}_quarantine"
+        val alreadyIn = if (spark.catalog.tableExists(quarantineTable))
+          spark.table(s"${indexName}_shingles").select("doc_id")
+            .unionByName(spark.table(quarantineTable).select("doc_id"))
+        else spark.table(s"${indexName}_shingles").select("doc_id")
+        val arrived = batch
+          .join(alreadyIn, Seq("doc_id"), "left_anti")
           .localCheckpoint()
+        // DECONTAMINATION AT INGEST (the d10b screen as a curation
+        // stage): gram-hash the arriving docs map-side against the
+        // frozen eval bloom, verify suspects exactly, quarantine
+        // contaminated docs — they never enter the pair search, the
+        // label state, or the index
+        val fresh = screen match {
+          case None => arrived
+          case Some(st) =>
+            val contaminated = Dedup.screenContamination(arrived,
+              st.bloom, st.grams).localCheckpoint()
+            if (!contaminated.isEmpty) {
+              contaminated.withColumn("batch_id", lit(batchId))
+                .write.mode("append").saveAsTable(quarantineTable)
+              arrived.join(contaminated.select("doc_id"),
+                Seq("doc_id"), "left_anti").localCheckpoint()
+            } else arrived
+        }
         if (!fresh.isEmpty) {
           // freeze the prior state: the generation swap below drops the
           // table this batch's merge reads

@@ -695,6 +695,17 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(offSlice.count(_.getAs[Long]("probe_id") == 5L) == 3)
   }
 
+  test("filtered ANN from the serving index == recompute twin") {
+    val dir = sf("sf0.001")
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // the index stores full-precision vectors + the label column, so the
+    // slice-restricted search answers exactly like the recompute twin
+    val twin = rowSet(Similarity.filteredTopK(spark, dir))
+    assert(rowSet(Similarity.filteredTopKFromIndex(spark, dir)) == twin)
+    assert(twin.nonEmpty)
+  }
+
   test("embedding LSH near-dup: planted clone pair found (bucket-blocked)") {
     val pairs = Dedup.embeddingNearDupsLsh(spark, fixtureDir, threshold = 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

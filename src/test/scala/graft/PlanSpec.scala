@@ -417,6 +417,18 @@ class PlanSpec extends SparkSuite {
     // lost its user_id key
     val w12 = executedPlan(Library.funnelSteps(spark, dir).orderBy("step_idx"))
     assert(!w12.contains("CartesianProduct"), s"funnel went cartesian:\n${w12.take(1200)}")
+    // s12b: the metadata predicate lands in the bucketed vectors scan's
+    // PushedFilters — the whole point of carrying label in the index
+    val s12b = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) {
+        graft.operators.Similarity.filteredTopKFromIndex(spark, dir)
+          .explain("formatted")
+      }
+      out.toString
+    }
+    assert(s12b.contains("EqualTo(label,2)"),
+      s"label predicate not pushed into the index scan:\n${s12b.take(1500)}")
     // t20: ONE source-keyed data exchange serves the ranking window
     val t20 = executedPlan(
       graft.operators.TextAnalysis.perSourceCap(spark, dir).orderBy("doc_id"))

@@ -164,6 +164,69 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("curation screen: contaminated docs quarantined at ingest, exactly once; clean state == one-shot over clean docs") {
+    import graft.operators.Dedup
+    val baseText = (1 to 60).map(i => s"base$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    def docs(rows: Seq[(Long, String)]) =
+      rows.map { case (i, t) => (i, t, "en", "s", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = docs((0L to 9L).map(i => (i, noise(i))) :+ ((10L, baseText)))
+    // the protected benchmark slice: 10 words -> 3 distinct 8-grams
+    val evalText = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val st = Dedup.evalGramState(docs(Seq((900L, evalText))))
+    // shard A: doc 20 near-dups indexed doc 10 (clean, must still merge);
+    // doc 22 embeds the benchmark verbatim (contaminated — must never
+    // reach pairs, labels, or the index). Shard B extends the stream-made
+    // cluster; shard A then REPLAYS (at-least-once → quarantine must not
+    // grow a duplicate row)
+    val contam = evalText + " " + noise(22L)
+    val shardA = docs(Seq((20L, baseText.replace("base30", "EDITED")), (22L, contam)))
+    val shardB = docs(Seq((30L, baseText.replace("base30", "EDITED")), (31L, noise(31L))))
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_screen").toString
+    shardA.coalesce(1).write.mode("append").parquet(shardDir)
+    shardB.coalesce(1).write.mode("append").parquet(shardDir)
+    shardA.coalesce(1).write.mode("append").parquet(shardDir) // replay
+    Seq("ndscr_banded", "ndscr_shingles", "ndscr_meta", "scr_labels",
+      "scr_labels__gen", "scr_label_updates", "scr_quarantine").foreach(t =>
+      Dedup.dropTableAndLocation(spark, t))
+    Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(base), "ndscr", buckets = 4)
+    Dedup.saveLabelState(spark, "scr_labels", Dedup.labelStateOf(base))
+    try {
+      def stateSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "cluster", "qlen").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val streamed = stateSet(EventsStream.runIngestCuration(
+        spark, shardDir, "ndscr", name = "scr", screen = Some(st)))
+      // quarantine: exactly ONE row for doc 22 despite the replayed
+      // shard, carrying the same stats the batch screen computes
+      val q = spark.table("scr_quarantine")
+        .select("doc_id", "n_shared", "n_shingles", "shared_frac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(q.length == 1 && q.head._1 == 22L)
+      val batchScreen = Dedup.screenContamination(shardA, st.bloom, st.grams)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(q.toSet == batchScreen.toSet)
+      assert(q.head._2 == 3L) // all 3 benchmark grams found in the doc
+      // the clean pipeline is unaffected: label state == one-shot
+      // clustering of base ∪ the CLEAN shard docs only
+      val clean = shardA.filter(col("doc_id") =!= 22L).unionByName(shardB)
+      assert(streamed == stateSet(Dedup.labelStateOf(base.unionByName(clean))))
+      // the merge chain still happened (10, 20, 30 one cluster)
+      val byId = streamed.map(s => s._1 -> s._2).toMap
+      assert(byId(20L) == byId(10L) && byId(30L) == byId(10L))
+      // the contaminated doc never entered the persisted index
+      assert(Dedup.loadNearDupIndex(spark, "ndscr").shingles
+        .filter(col("doc_id") === 22L).isEmpty)
+      assert(!streamed.exists(_._1 == 22L))
+    } finally {
+      Seq("ndscr_banded", "ndscr_shingles", "ndscr_meta", "scr_labels",
+        "scr_labels__gen", "scr_label_updates", "scr_quarantine").foreach(t =>
+        Dedup.dropTableAndLocation(spark, t))
+    }
+  }
+
   test("streaming simhash delta == batch delta (vs-indexed pairs) on a replayed shard") {
     val baseText = (1 to 60).map(i => s"base$i").mkString(" ")
     def noise(id: Long) = (1 to 40).map(j =>
