@@ -49,6 +49,7 @@ object SparkEntry {
         (abs(col("hllpp_parts") - col("exact_parts")) * 20 <= col("exact_parts"))
           .as("hllpp_within_5pct"))
       .orderBy("l_returnflag")),
+    "a2c_sketch_rollup" -> ((s, d) => Library.sketchRollup(s, d).orderBy("event_type")),
     "a3_stars_histogram" -> ((s, d) => Library.starsHistogram(s, d).orderBy("stars")),
     "a4_two_key_histogram" -> ((s, d) => Library.twoKeyHistogram(s, d).orderBy("flag", "stars")),
     "a5_param_histogram" -> ((s, d) => Library.paramHistogram(s, d).orderBy("grp", "stars")),
@@ -557,6 +558,12 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         | TRUE AS hll_within_5pct, TRUE AS hllpp_within_5pct
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // sketch-state rollup: the merged-sketch estimate ships as the a2b
+    // band flag; the exact side is plain SQL
+    "a2c_sketch_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | TRUE AS hll_within_5pct
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "a3_stars_histogram" ->
       s"SELECT coalesce($starsD, 0) AS stars, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY stars",
     "a4_two_key_histogram" ->

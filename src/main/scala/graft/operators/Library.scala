@@ -1017,6 +1017,48 @@ object Library {
           .as("frac_of_first"))
   }
 
+  /** A2c: SKETCH-STATE TABLE + re-aggregation — the warehouse pattern for
+    * incremental distinct counts (Snowflake/BigQuery "sketch column"):
+    * per (event_type, epoch-day) HLL sketches persist as a bounded
+    * binary column (2^p bytes per cell, [[graft.plans.HllSketchAgg]]);
+    * any later rollup window MERGES stored cells
+    * ([[graft.plans.HllMergeAgg]] — bytewise register max) instead of
+    * rescanning the event stream. The merge is associative, commutative
+    * and IDEMPOTENT, so daily cells, shard cells, or replayed cells all
+    * converge to the register-identical sketch of the whole stream
+    * (HllSpec proves register equality), and appending a new day is one
+    * sketch row — the incremental-analytics shape: state grows with
+    * (groups × days), never with events.
+    *
+    * The gate output follows the a2b sketch discipline: the EXACT
+    * distinct count plus a deterministic ±5% band flag the oracle
+    * asserts TRUE — engine-local register contents never surface.
+    */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val name = graft.SessionCache.getOrElseUpdate(spark, ("userSketches", dir)) {
+      val t = f"user_sketches_${dir.hashCode & 0xffffffffL}%x"
+      Dedup.dropTableAndLocation(spark, t)
+      Tables.events(spark, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"), col("user_id"))
+        .select(col("event_type"), expr(s"us div ${dayUs}L").as("day"), col("user_id"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(graft.plans.HllAgg.hllSketch(col("user_id")).as("sk"))
+        .write.saveAsTable(t)
+      t
+    }
+    val merged = spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(graft.plans.HllAgg.hllMerge(col("sk")).as("hll_users"))
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("hll_users") - col("exact_users")) * 20 <= col("exact_users"))
+          .as("hll_within_5pct"))
+  }
+
   // ---- Ad-hoc SQL pass-through ---------------------------------------
 
   /** F11/§2.11 (sql_to_playlist:58-71; playlistlinks.py:177-184 --where):

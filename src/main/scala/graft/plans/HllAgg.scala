@@ -79,22 +79,7 @@ case class HllAgg(
     a
   }
 
-  override def eval(buf: Array[Byte]): Any = {
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    var sum = 0.0
-    var zeros = 0
-    var i = 0
-    while (i < m) {
-      sum += math.pow(2.0, -buf(i))
-      if (buf(i) == 0) zeros += 1
-      i += 1
-    }
-    val raw = alpha * m * m / sum
-    val est =
-      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
-      else raw
-    math.round(est)
-  }
+  override def eval(buf: Array[Byte]): Any = HllAgg.estimate(buf)
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
@@ -112,4 +97,134 @@ object HllAgg {
   /** Column API: approximate COUNT(DISTINCT c) via the sketch. */
   def hllDistinct(c: Column, precision: Int = 11): Column =
     Bridge.column(HllAgg(Bridge.expression(c), precision).toAggregateExpression())
+
+  /** Column API: the SKETCH itself (binary registers) as the aggregate
+    * value — the persisted sketch-state surface ([[HllSketchAgg]]).
+    */
+  def hllSketch(c: Column, precision: Int = 11): Column =
+    Bridge.column(HllSketchAgg(Bridge.expression(c), precision).toAggregateExpression())
+
+  /** Column API: merge stored sketches back into an estimate
+    * ([[HllMergeAgg]]).
+    */
+  def hllMerge(c: Column): Column =
+    Bridge.column(HllMergeAgg(Bridge.expression(c)).toAggregateExpression())
+
+  /** Standard HLL estimate over a register array (shared by the one-pass
+    * aggregate and the stored-sketch merge).
+    */
+  def estimate(buf: Array[Byte]): Long = {
+    val m = buf.length
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += math.pow(2.0, -buf(i))
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m * m / sum
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
+      else raw
+    math.round(est)
+  }
+}
+
+/** [[HllAgg]]'s update/merge with the SKETCH as the result (BinaryType):
+  * the aggregate that builds a persisted sketch-state table. Register
+  * arrays are the serialized form — fixed 2^p bytes per group — so a
+  * stored cell is directly mergeable later by [[HllMergeAgg]]. The
+  * warehouse "sketch column" pattern: aggregate once per shard/day, then
+  * answer any rollup window by merging stored cells instead of
+  * rescanning the fact stream.
+  */
+case class HllSketchAgg(
+    child: Expression,
+    precision: Int = 11,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val inner = HllAgg(child, precision)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "hll_sketch"
+
+  override def createAggregationBuffer(): Array[Byte] = inner.createAggregationBuffer()
+  override def update(buf: Array[Byte], input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] =
+    inner.update(buf, input)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+  // defensive copy: the buffer is mutable and eval must not alias it
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** Re-aggregation over STORED sketches: bytewise-max-merge the binary
+  * register arrays and emit the estimate. Merge is associative,
+  * commutative and idempotent, so any partitioning of the fact stream
+  * into stored cells — daily, per shard, replayed twice — merges to the
+  * register-identical sketch of the whole stream (spec-proven).
+  */
+case class HllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_merge"
+
+  // sized lazily from the first sketch seen (precision travels with the
+  // stored cell, not the query)
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+  private def maxInto(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a.isEmpty) b.clone()
+    else {
+      require(a.length == b.length,
+        s"sketch precision mismatch: ${a.length} vs ${b.length} registers")
+      var i = 0
+      while (i < a.length) {
+        if (b(i) > a(i)) a(i) = b(i)
+        i += 1
+      }
+      a
+    }
+
+  override def update(buf: Array[Byte], input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v == null) buf else maxInto(buf, v.asInstanceOf[Array[Byte]])
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (b.isEmpty) a else maxInto(a, b)
+
+  override def eval(buf: Array[Byte]): Any =
+    if (buf.isEmpty) 0L else HllAgg.estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllMergeAgg =
+    copy(child = newChildren.head)
 }

@@ -37,4 +37,42 @@ class HllSpec extends SparkSuite {
       .agg(HllAgg.hllDistinct($"v")).collect().head.getLong(0)
     assert(got == 7L)
   }
+
+  test("stored sketches merge register-identically to the one-shot sketch") {
+    import spark.implicits._
+    val rows = (1 to 5000).map(i => (i % 37, s"user${i % 911}")).toDF("day", "u")
+    // one-shot sketch over the whole stream
+    val whole = rows.agg(HllAgg.hllSketch($"u")).collect().head.getAs[Array[Byte]](0)
+    // daily cells (the persisted state), then merged back — must be the
+    // SAME registers, not just a close estimate (max is associative,
+    // commutative, idempotent)
+    val daily = rows.groupBy($"day").agg(HllAgg.hllSketch($"u").as("sk"))
+    val mergedEst = daily.agg(HllAgg.hllMerge($"sk")).collect().head.getLong(0)
+    assert(mergedEst == HllAgg.estimate(whole))
+    // idempotence: merging the daily cells TWICE (replay) changes nothing
+    val replayed = daily.unionByName(daily)
+      .agg(HllAgg.hllMerge($"sk")).collect().head.getLong(0)
+    assert(replayed == mergedEst)
+    // the estimate is genuinely close on this cardinality (911 users)
+    assert(math.abs(mergedEst - 911.0) / 911.0 < 0.05, s"est=$mergedEst")
+    // precision mismatch is an error, not a silent wrong answer
+    val p10 = rows.agg(HllAgg.hllSketch($"u", precision = 10)).collect().head.getAs[Array[Byte]](0)
+    val two = Seq(whole, p10).toDF("sk")
+    intercept[Exception] { two.agg(HllAgg.hllMerge($"sk")).collect() }
+    // empty input merges to 0
+    val empty = Seq.empty[Array[Byte]].toDF("sk")
+      .agg(HllAgg.hllMerge($"sk")).collect().head.getLong(0)
+    assert(empty == 0L)
+  }
+
+  test("a2c sketch rollup: state table round-trips through disk; flags true") {
+    val dir = sf("sf0.001")
+    val got = graft.operators.Library.sketchRollup(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)) == exact)
+    assert(got.forall(_._3), s"some band flag false: $got")
+  }
 }
