@@ -668,6 +668,49 @@ object EventsStream {
     * streaming deployment reports it the t15 way: guarantees, not raw
     * contents.
     */
+  /** STREAMING sketch-state maintenance — a2c's ingest twin: per
+    * micro-batch, fold the batch's events into per (event_type, epoch-day)
+    * HLL cells and APPEND them to the persisted sketch-state table. No
+    * dedup, no idempotence bookkeeping, no read-modify-write: the
+    * register merge ([[graft.plans.HllMergeAgg]]) is associative,
+    * commutative and IDEMPOTENT, so duplicate cells from replayed shards,
+    * split batches, or overlapping days all converge at READ time — the
+    * rollup merges whatever cells exist. This is the sketch analogue of
+    * an append-only updates log where replay safety comes from the
+    * algebra instead of from anti-joins (contrast runIngestCuration's
+    * two-store idempotence key). Compaction (optional) re-aggregates the
+    * cell table itself with hll_sketch-of-merge; the spec proves streamed
+    * cells — including a replayed shard — merge register-identically to
+    * the one-shot batch sketch.
+    */
+  def runIngestSketches(spark: SparkSession, shardDir: String,
+      table: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    // schema from the ARRIVED footer, never hardcoded — the events `ts`
+    // encoding lesson (Tables.normalizeTs) applies to shard streams too
+    val arrivedSchema = spark.read.parquet(shardDir).schema
+    val src = spark.readStream
+      .schema(arrivedSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = graft.Tables.normalizeTs(src).writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .select(col("event_type"), unix_micros(col("ts")).as("us"), col("user_id"))
+          .select(col("event_type"), expr(s"us div ${dayUs}L").as("day"), col("user_id"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(graft.plans.HllAgg.hllSketch(col("user_id")).as("sk"))
+          .write.mode("append").saveAsTable(table)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the serving rollup: merge whatever cells exist per group
+    spark.table(table)
+      .groupBy(col("event_type"), col("day"))
+      .agg(graft.plans.HllAgg.hllMerge(col("sk")).as("est_users"))
+  }
+
   def heavyHitterSketch(spark: SparkSession, dir: String,
       capacity: Int = 256, name: String = "events_hh"): DataFrame = {
     val q = eventSource(spark, dir)

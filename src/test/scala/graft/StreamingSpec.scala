@@ -227,6 +227,46 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming sketch cells: replayed shard converges to the one-shot sketch (merge idempotence)") {
+    import spark.implicits._
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z micros
+    val dayUs = 86400L * 1000 * 1000
+    def evs(ids: Range, ty: String, dayOff: Int) = ids.map(i =>
+      (i.toLong + dayOff * 10000L, base + dayOff * dayUs + i * 1000L,
+        i.toLong % 101, ty, 1.0, "{}"))
+    // shard B overlaps shard A's users on the SAME (type, day) cell, and
+    // shard A replays wholesale — both must converge by register max
+    val shardA = evs(0 until 300, "click", 0) ++ evs(0 until 200, "view", 1)
+    val shardB = evs(100 until 400, "click", 0)
+    def frame(rows: Seq[(Long, Long, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("ts")))
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_skcells").toString
+    frame(shardA).coalesce(1).write.mode("append").parquet(shardDir)
+    frame(shardB).coalesce(1).write.mode("append").parquet(shardDir)
+    frame(shardA).coalesce(1).write.mode("append").parquet(shardDir) // replay
+    graft.operators.Dedup.dropTableAndLocation(spark, "skcells_test")
+    try {
+      val rolled = EventsStream.runIngestSketches(spark, shardDir, "skcells_test")
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      // one-shot batch twin over A ∪ B (the replay must NOT count)
+      val oneShot = frame(shardA).unionByName(frame(shardB))
+        .select(col("event_type"), unix_micros(col("ts")).as("us"), col("user_id"))
+        .select(col("event_type"), expr(s"us div ${dayUs}L").as("day"), col("user_id"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(graft.plans.HllAgg.hllSketch(col("user_id")).as("sk"))
+        .collect()
+        .map(r => ((r.getString(0), r.getLong(1)),
+          graft.plans.HllAgg.estimate(r.getAs[Array[Byte]]("sk")))).toMap
+      assert(rolled == oneShot && rolled.size == 2)
+      // the cell table holds MORE cells than groups (replay + per-batch
+      // appends) — convergence came from the merge algebra, not dedup
+      assert(spark.table("skcells_test").count() > rolled.size)
+      // estimates are sane: 101 distinct users per cell at this size
+      rolled.values.foreach(v => assert(math.abs(v - 101.0) / 101.0 < 0.1, s"est=$v"))
+    } finally graft.operators.Dedup.dropTableAndLocation(spark, "skcells_test")
+  }
+
   test("streaming simhash delta == batch delta (vs-indexed pairs) on a replayed shard") {
     val baseText = (1 to 60).map(i => s"base$i").mkString(" ")
     def noise(id: Long) = (1 to 40).map(j =>
