@@ -108,6 +108,7 @@ object SparkEntry {
     "w8_ntile_quartiles" -> ((s, d) => Library.priorityQuartiles(s, d).orderBy("o_orderpriority", "quartile")),
     "w10_burst_detection" -> ((s, d) => Library.burstDetection(s, d).orderBy("user_id")),
     "w11_retention" -> ((s, d) => Library.retentionCohorts(s, d).orderBy("cohort_day", "day_offset")),
+    "w13_rolling_distinct" -> ((s, d) => Library.rollingDistinctUsers(s, d).orderBy("day")),
     "w12_funnel" -> ((s, d) => Library.funnelSteps(s, d).orderBy("step_idx")),
     "w9_topk_agg" -> ((s, d) => Library.topNPerGroupAgg(s, d).orderBy("o_orderpriority", "rn")),
     // ---- set ops (§2.10) ----
@@ -779,6 +780,14 @@ object SparkEntry {
         |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS burst FROM e)
         |SELECT user_id, CAST(max(burst) AS BIGINT) AS peak_burst, count(*) AS n_events
         |FROM b GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // rolling 7-day distinct users: the exact side is the declarative
+    // window self-join; the sketch estimate ships as the band flag
+    "w13_rolling_distinct" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS eday, user_id FROM events),
+        |d AS (SELECT DISTINCT eday AS day FROM e)
+        |SELECT d.day, count(DISTINCT e.user_id) AS exact_users, TRUE AS hll_within_5pct
+        |FROM d JOIN e ON e.eday BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     // cohort retention: integer epoch-day arithmetic (`//` = Spark's div)
     // keeps day bucketing engine-neutral; CAST(ts AS TIMESTAMP) pins the
     // micros granularity as in w4/w7

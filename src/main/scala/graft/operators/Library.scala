@@ -1034,9 +1034,14 @@ object Library {
     * distinct count plus a deterministic ±5% band flag the oracle
     * asserts TRUE — engine-local register contents never surface.
     */
-  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+  /** The persisted per (event_type, epoch-day) user-sketch cells, built
+    * once per (session, dir) through the real disk path — the shared
+    * state behind [[sketchRollup]] (a2c) and [[rollingDistinctUsers]]
+    * (w13).
+    */
+  private def userSketchTable(spark: SparkSession, dir: String): String = {
     val dayUs = 86400L * 1000 * 1000
-    val name = graft.SessionCache.getOrElseUpdate(spark, ("userSketches", dir)) {
+    graft.SessionCache.getOrElseUpdate(spark, ("userSketches", dir)) {
       val t = f"user_sketches_${dir.hashCode & 0xffffffffL}%x"
       Dedup.dropTableAndLocation(spark, t)
       Tables.events(spark, dir)
@@ -1047,6 +1052,10 @@ object Library {
         .write.saveAsTable(t)
       t
     }
+  }
+
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val name = userSketchTable(spark, dir)
     val merged = spark.table(name)
       .groupBy(col("event_type"))
       .agg(graft.plans.HllAgg.hllMerge(col("sk")).as("hll_users"))
@@ -1056,6 +1065,47 @@ object Library {
     merged.join(exact, Seq("event_type"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("hll_users") - col("exact_users")) * 20 <= col("exact_users"))
+          .as("hll_within_5pct"))
+  }
+
+  /** W13: ROLLING WINDOWED DISTINCT (7-day active users per day) served
+    * from the SKETCH-STATE table — the composition the warehouse sketch
+    * column exists for: exact rolling COUNT(DISTINCT) needs every
+    * (window, user) pair re-examined per window (a self-join that grows
+    * with window × events), while the sketch plane answers every window
+    * by merging ≤ `windowDays` stored cells per day. Each cell
+    * contributes to the `windowDays` windows that contain it (one small
+    * explode over day offsets — the w5 bin trick applied to windows), so
+    * the whole computation moves cells (2^p bytes each), never events.
+    *
+    * Gate discipline: exact rolling distinct (computed independently)
+    * plus the ±5% sketch band flag asserted TRUE — same as a2b/a2c.
+    */
+  def rollingDistinctUsers(spark: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val cells = spark.table(userSketchTable(spark, dir))
+    val days = cells.select(col("day")).distinct()
+    // cell at day c serves windows ending at c .. c+windowDays-1; keep
+    // only windows anchored on a day that exists in the data
+    val est = cells
+      .select(explode(sequence(col("day"),
+        col("day") + (windowDays - 1))).as("day"), col("sk"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(graft.plans.HllAgg.hllMerge(col("sk")).as("est_users"))
+    val events = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"), col("user_id"))
+      .select(expr(s"us div ${dayUs}L").as("eday"), col("user_id"))
+    val exact = events
+      .select(explode(sequence(col("eday"),
+        col("eday") + (windowDays - 1))).as("day"), col("user_id"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, Seq("day"))
+      .select(col("day"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users")) * 20 <= col("exact_users"))
           .as("hll_within_5pct"))
   }
 

@@ -65,6 +65,25 @@ class HllSpec extends SparkSuite {
     assert(empty == 0L)
   }
 
+  test("w13 rolling distinct: windowed sketch merge matches driver replay; flags true") {
+    val dir = sf("sf0.001")
+    val got = graft.operators.Library.rollingDistinctUsers(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val evs = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"), col("user_id"))
+      .collect().map(r => (Math.floorDiv(r.getLong(0), 86400000000L), r.getLong(1)))
+    val days = evs.map(_._1).toSet
+    val expected = days.map { d =>
+      (d, evs.filter(e => e._1 >= d - 6 && e._1 <= d).map(_._2).distinct.length.toLong)
+    }
+    assert(got.map(t => (t._1, t._2)) == expected)
+    assert(got.forall(_._3), s"some band flag false")
+    // the window genuinely rolls: some day's 7-day count exceeds its
+    // single-day count
+    val single = evs.groupBy(_._1).map { case (d, es) => d -> es.map(_._2).distinct.size }
+    assert(got.exists(t => t._2 > single(t._1)))
+  }
+
   test("a2c sketch rollup: state table round-trips through disk; flags true") {
     val dir = sf("sf0.001")
     val got = graft.operators.Library.sketchRollup(spark, dir)
