@@ -80,6 +80,7 @@ object SparkEntry {
     // unique in a tree so the order is total
     "j5b_folder_closure" -> ((s, d) => Library.folderClosureDoubling(s, d).orderBy("anc", "dsc")),
     "g1_pagerank" -> ((s, d) => Library.pagerank(s, d).orderBy("node")),
+    "g1b_delta_pagerank" -> ((s, d) => Library.deltaPagerank(s, d).orderBy("node")),
     "j8_similar_name_join" -> ((s, d) => Library.similarNameJoin(s, d).orderBy("key_a", "key_b")),
     // ---- filters (§2.3) ----
     "f3_like" -> ((s, d) => Library.likeFilter(s, d).orderBy("p_partkey")),
@@ -535,6 +536,18 @@ object SparkEntry {
        |WHERE xa.bucket >= 200 OR xb.bucket >= 200
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** One damped-propagation round as a CTE — shared by the g1 and g1b
+    * oracles (cold and warm trajectories differ only in their edge/deg/
+    * node sources and the initial vector).
+    */
+  private def prRoundSql(out: String, prev: String, e: String, d: String,
+      n: String): String =
+    s"""$out AS (SELECT $n.node, CAST(150000000000 + coalesce(f.inflow, 0) AS BIGINT) AS pr
+       |  FROM $n LEFT JOIN (SELECT child AS node,
+       |    CAST(sum((r.pr * 85) // (dd.outdeg * 100)) AS BIGINT) AS inflow
+       |    FROM $prev r JOIN $e ON r.node = $e.parent JOIN $d dd ON $e.parent = dd.parent
+       |    GROUP BY 1) f ON $n.node = f.node)""".stripMargin
+
   /** t9's split bucket (first md5 byte of the doc id) — the SQL rendering
     * of TextAnalysis.splitBucket, shared by the t9 and d10 oracles.
     */
@@ -673,19 +686,36 @@ object SparkEntry {
     // truncation in both engines, inflow sums exact (cast back from
     // DuckDB's HUGEINT), so every round is bit-identical to the Spark loop
     "g1_pagerank" -> {
-      val rounds = (1 to 3).map { i =>
-        s"""r$i AS (SELECT n.node, CAST(150000000000 + coalesce(f.inflow, 0) AS BIGINT) AS pr
-           |  FROM n LEFT JOIN (SELECT child AS node,
-           |    CAST(sum((r.pr * 85) // (d.outdeg * 100)) AS BIGINT) AS inflow
-           |    FROM r${i - 1} r JOIN e ON r.node = e.parent JOIN d ON e.parent = d.parent
-           |    GROUP BY 1) f ON n.node = f.node)""".stripMargin
-      }.mkString(",\n")
+      val rounds = (1 to 3).map(i => prRoundSql(s"r$i", s"r${i - 1}", "e", "d", "n"))
+        .mkString(",\n")
       s"""WITH e AS (SELECT p_partkey // 4 AS parent, p_partkey AS child FROM part WHERE p_partkey >= 1),
          |d AS (SELECT parent, count(*) AS outdeg FROM e GROUP BY 1),
          |n AS (SELECT DISTINCT node FROM (SELECT parent AS node FROM e UNION ALL SELECT child FROM e)),
          |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM n),
          |$rounds
          |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+    },
+    // incremental pagerank: the full trajectory — 3 cold rounds over the
+    // base edge slice, a warm-start join, 3 rounds over the grown graph —
+    // replays round-by-round; bucket(child) is the t9 md5 split
+    "g1b_delta_pagerank" -> {
+      val bucketChild = splitBucketSql.replace("doc_id", "child")
+      val baseRounds = (1 to 3).map(i => prRoundSql(s"b$i", s"b${i - 1}", "be", "bd", "bn"))
+        .mkString(",\n")
+      val warmRounds = (1 to 3).map(i => prRoundSql(s"w$i", s"w${i - 1}", "e", "d", "n"))
+        .mkString(",\n")
+      s"""WITH e AS (SELECT p_partkey // 4 AS parent, p_partkey AS child FROM part WHERE p_partkey >= 1),
+         |be AS (SELECT * FROM e WHERE $bucketChild < 200),
+         |bd AS (SELECT parent, count(*) AS outdeg FROM be GROUP BY 1),
+         |bn AS (SELECT DISTINCT node FROM (SELECT parent AS node FROM be UNION ALL SELECT child FROM be)),
+         |b0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM bn),
+         |$baseRounds,
+         |d AS (SELECT parent, count(*) AS outdeg FROM e GROUP BY 1),
+         |n AS (SELECT DISTINCT node FROM (SELECT parent AS node FROM e UNION ALL SELECT child FROM e)),
+         |w0 AS (SELECT n.node, CAST(coalesce(b3.pr, 1000000000000) AS BIGINT) AS pr
+         |  FROM n LEFT JOIN b3 ON n.node = b3.node),
+         |$warmRounds
+         |SELECT node, pr FROM w3 ORDER BY node""".stripMargin
     },
     "j8_similar_name_join" ->
       """WITH wk AS (SELECT p_partkey, p_name, regexp_replace(p_name, ' \d$', '') AS ckey FROM part WHERE p_partkey < 500)

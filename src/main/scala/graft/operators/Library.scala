@@ -400,24 +400,38 @@ object Library {
     * the closure operators do, so deep iteration counts cannot blow up
     * the plan.
     */
-  def pagerank(spark: SparkSession, dir: String, iters: Int = 3,
-      checkpointEvery: Int = 4): DataFrame = {
-    val scaleL = 1000000000000L
-    val (eo, nodes) = graft.SessionCache.getOrElseUpdate(
-        spark, ("pagerankEdges", dir)) {
-      val edges = Tables.part(spark, dir)
-        .filter(col("p_partkey") >= 1)
-        .select(expr("p_partkey div 4").as("parent"), col("p_partkey").as("child"))
-        .repartition(col("parent"))
-      val eoF = edges.join(
-        edges.groupBy(col("parent")).agg(count(lit(1)).as("outdeg")), Seq("parent"))
-        .persist()
-      val nodesF = edges.select(col("parent").as("node"))
-        .unionByName(edges.select(col("child").as("node")))
-        .distinct().persist()
-      (eoF, nodesF)
-    }
-    var pr = nodes.select(col("node"), lit(scaleL).as("pr"))
+  private val PrScale = 1000000000000L
+
+  /** The hierarchy edge set (parent = key div 4) over an optional key
+    * predicate — shared by the cold and incremental PageRank tiers.
+    */
+  private def pagerankEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") >= 1)
+      .select(expr("p_partkey div 4").as("parent"), col("p_partkey").as("child"))
+
+  /** (edge ⋈ outdeg, node universe) for an edge frame, both persisted —
+    * callers unpersist or session-cache as their lifetime requires.
+    */
+  private def pagerankGraph(edges: DataFrame): (DataFrame, DataFrame) = {
+    val part = edges.repartition(col("parent"))
+    val eo = part.join(
+      part.groupBy(col("parent")).agg(count(lit(1)).as("outdeg")), Seq("parent"))
+      .persist()
+    val nodes = part.select(col("parent").as("node"))
+      .unionByName(part.select(col("child").as("node")))
+      .distinct().persist()
+    (eo, nodes)
+  }
+
+  /** The damped-propagation loop shared by [[pagerank]] (cold init) and
+    * [[deltaPagerank]] (warm start): `iters` rounds of one equi-join +
+    * one child-keyed aggregation, all integer arithmetic (see
+    * [[pagerank]]'s scaladoc for the exactness argument).
+    */
+  private def pagerankRounds(nodes: DataFrame, eo: DataFrame,
+      init: DataFrame, iters: Int, checkpointEvery: Int = 4): DataFrame = {
+    var pr = init
     (1 to iters).foreach { i =>
       val inflow = pr.join(eo, pr("node") === eo("parent"))
         .select(col("child").as("node"),
@@ -425,10 +439,63 @@ object Library {
         .groupBy(col("node")).agg(sum(col("c")).cast("long").as("inflow"))
       pr = nodes.join(inflow, Seq("node"), "left_outer")
         .select(col("node"),
-          (lit(15L * scaleL / 100) + coalesce(col("inflow"), lit(0L))).as("pr"))
+          (lit(15L * PrScale / 100) + coalesce(col("inflow"), lit(0L))).as("pr"))
       if (i % checkpointEvery == 0 && i < iters) pr = pr.localCheckpoint()
     }
     pr
+  }
+
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3,
+      checkpointEvery: Int = 4): DataFrame = {
+    val (eo, nodes) = graft.SessionCache.getOrElseUpdate(
+        spark, ("pagerankEdges", dir)) {
+      pagerankGraph(pagerankEdges(spark, dir))
+    }
+    pagerankRounds(nodes, eo,
+      nodes.select(col("node"), lit(PrScale).as("pr")), iters, checkpointEvery)
+  }
+
+  /** G1b: INCREMENTAL PageRank — the graph family's ingest twin (every
+    * dedup/ANN/sketch family carries one; value propagation now does
+    * too). The serving state is the persisted BASE rank vector: ranks
+    * over the base edge slice (md5-bucket(child) < `newFrom`, the t9
+    * split convention) after `itersBase` rounds, written through the
+    * real disk path once per (session, dir). When a shard of new edges
+    * arrives, the ranks WARM-START from that vector — known nodes load
+    * their converged base rank, unseen nodes the cold init — and run
+    * only `itersDelta` rounds over the grown graph, the standard
+    * incremental-PageRank restart (the previous solution is a better
+    * starting point than uniform, so fewer rounds re-converge; here the
+    * round counts are FIXED so the whole trajectory — base rounds, then
+    * warm rounds — is integer-exact and the oracle replays all six).
+    *
+    * Scale: the delta pays itersDelta joins over the grown graph instead
+    * of a from-scratch iteration to convergence; the base vector loads
+    * as a bucketable table and the warm-start join is node-keyed.
+    */
+  def deltaPagerank(spark: SparkSession, dir: String, newFrom: Int = 200,
+      itersBase: Int = 3, itersDelta: Int = 3): DataFrame = {
+    val rankTable = graft.SessionCache.getOrElseUpdate(
+        spark, ("pagerankBase", dir, newFrom)) {
+      val t = f"pagerank_base_${newFrom}_${dir.hashCode & 0xffffffffL}%x"
+      Dedup.dropTableAndLocation(spark, t)
+      val (eoB, nodesB) = pagerankGraph(pagerankEdges(spark, dir)
+        .filter(TextAnalysis.splitBucket(col("child")) < newFrom))
+      pagerankRounds(nodesB, eoB,
+        nodesB.select(col("node"), lit(PrScale).as("pr")), itersBase)
+        .write.saveAsTable(t)
+      eoB.unpersist(); nodesB.unpersist()
+      t
+    }
+    val (eo, nodes) = graft.SessionCache.getOrElseUpdate(
+        spark, ("pagerankEdges", dir)) {
+      pagerankGraph(pagerankEdges(spark, dir))
+    }
+    val warm = nodes.join(
+        spark.table(rankTable).withColumnRenamed("pr", "base_pr"),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("base_pr"), lit(PrScale)).as("pr"))
+    pagerankRounds(nodes, eo, warm, itersDelta)
   }
 
   /** Pointer-doubling variant of [[folderClosure]]: round k extends only

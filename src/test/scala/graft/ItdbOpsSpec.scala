@@ -223,6 +223,50 @@ class ItdbOpsSpec extends SparkSuite {
     assert(doubled == got)
   }
 
+  test("g1b delta pagerank: warm-start replay reproduces every rank; base ranks genuinely move") {
+    val dir = sf("sf0.001")
+    val got = graft.operators.Library.deltaPagerank(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket256(key: Long): Int = {
+      val h = md5hex(key.toString)
+      def hv(c: Char): Int = if (c >= 'a') c - 87 else c - '0'
+      hv(h.charAt(0)) * 16 + hv(h.charAt(1))
+    }
+    val scaleL = 1000000000000L
+    val keys = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey").collect().map(_.getLong(0)).filter(_ >= 1)
+    def ranks(edges: Seq[(Long, Long)], init: Long => Long, iters: Int): Map[Long, Long] = {
+      val outdeg = edges.groupBy(_._1).map { case (p, es) => (p, es.size.toLong) }
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSet
+      var pr: Map[Long, Long] = nodes.map(n => n -> init(n)).toMap
+      (1 to iters).foreach { _ =>
+        val inflow = edges.groupBy(_._2).map { case (c, es) =>
+          c -> es.map { case (p, _) => pr(p) * 85L / (outdeg(p) * 100L) }.sum
+        }
+        pr = nodes.map(n => n -> (15L * scaleL / 100 + inflow.getOrElse(n, 0L))).toMap
+      }
+      pr
+    }
+    val allEdges = keys.toSeq.map(k => (k / 4, k))
+    val baseEdges = allEdges.filter { case (_, c) => bucket256(c) < 200 }
+    val base = ranks(baseEdges, _ => scaleL, 3)
+    val expected = ranks(allEdges, n => base.getOrElse(n, scaleL), 3)
+    assert(got == expected && got.nonEmpty)
+    // the delta genuinely differs from the base state: the graph grew, so
+    // some base node's rank moved, and new nodes appeared
+    assert(base.keySet.subsetOf(got.keySet) && got.size > base.size)
+    assert(base.exists { case (n, p) => got(n) != p })
+    // ...and from a cold full run at the same round count? NOT necessarily
+    // different in value everywhere, but the warm start must carry base
+    // mass: some node's warm rank exceeds its cold-3-round rank
+    val cold = ranks(allEdges, _ => scaleL, 3)
+    assert(got.exists { case (n, p) => p != cold(n) })
+  }
+
   test("g1 pagerank: driver-side integer replay reproduces every rank") {
     val dir = sf("sf0.001")
     val got = graft.operators.Library.pagerank(spark, dir)
