@@ -1246,9 +1246,27 @@ object Dedup {
     * sketch degrades THROUGHPUT (more FPs shuffled), never correctness.
     */
   def crossSplitContaminationBloom(spark: SparkSession, dir: String, k: Int = 8,
-      trainUpTo: Int = 250, valUpTo: Int = 253, numBits: Long = 1L << 23): DataFrame =
-    crossSplitContaminationBloomOf(Tables.documents(spark, dir), k,
-      trainUpTo, valUpTo, numBits)
+      trainUpTo: Int = 250, valUpTo: Int = 253, numBits: Long = 1L << 23): DataFrame = {
+    // the eval sketch + digest frame are FROZEN serving state (the split
+    // is a corpus property) — build once per (session, dir, params) like
+    // every other serving index instead of re-folding the eval split per
+    // execution
+    val st = graft.SessionCache.getOrElseUpdate(
+        spark, ("evalGramState", dir, k, valUpTo, numBits)) {
+      val docs = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.splitBucket(col("doc_id")).as("bucket"), col("text"))
+      val built = evalGramState(docs.filter(col("bucket") >= valUpTo), k, numBits)
+      built.copy(grams = built.grams.persist())
+    }
+    val train = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextAnalysis.splitBucket(col("doc_id")).as("bucket"), col("text"))
+      .filter(col("bucket") < trainUpTo)
+    screenContamination(train, st.bloom, st.grams, k)
+  }
 
   /** [[crossSplitContaminationBloom]] over an explicit (doc_id, text) frame
     * — the planted-fixture surface (same contract as
