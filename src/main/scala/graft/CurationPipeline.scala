@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end CURATION lifecycle facade — the LLM-pipeline analogue of
+  * [[ItdbPipeline]] (SURVEY §3's load→stats→export, re-aimed at the
+  * training-data flow this library exists for): raw documents →
+  * decontaminated → exact-deduplicated → near-dup-canonicalized →
+  * quality-filtered → source-capped → written as the split=…/lang=…
+  * training corpus, with a per-stage funnel report (the t8 discipline
+  * applied to the whole pipeline).
+  *
+  * Every stage IS a gate-checked operator (d10b screen, d1 digest
+  * grouping, d9/d19 cluster canonical, t3 quality rule, t20 cap, e1
+  * writer) — the pipeline adds only their composition, so its
+  * correctness reduces to theirs plus the stage arithmetic the spec
+  * checks (each stage's drop count + survivor count telescopes to the
+  * kept total).
+  *
+  * Scale shape: stages communicate by doc_id frames (never text where a
+  * flag suffices); the near-dup stage runs on the already screened +
+  * exact-deduped survivors (the cheapest ordering — each stage shrinks
+  * the next one's input); the final write is the e1 partitioned layout.
+  */
+object CurationPipeline {
+
+  final case class Report(
+      nDocs: Long,
+      nQuarantined: Long,
+      nExactDupDropped: Long,
+      nNearDupDropped: Long,
+      nQualityDropped: Long,
+      nCapDropped: Long,
+      nKept: Long)
+
+  /** Run the full flow; returns (kept corpus frame as written, report).
+    * `trainUpTo`/`valFrom` are the t9 split thresholds: only TRAIN-split
+    * documents are decontaminated against the eval slice (val/test docs
+    * ARE the protected material and pass through on their own split).
+    */
+  def run(spark: SparkSession, dir: String, outPath: String,
+      cap: Int = 20, trainUpTo: Int = 250, valFrom: Int = 253,
+      threshold: Double = 0.8): (DataFrame, Report) = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("bucket", TextAnalysis.splitBucket(col("doc_id")))
+    val nDocs = docs.count()
+
+    // 1. DECONTAMINATION (the d10b screen): train-split docs sharing
+    // 8-grams with the eval slice are quarantined
+    val st = Dedup.evalGramState(docs.filter(col("bucket") >= valFrom))
+    val quarantined = Dedup.screenContamination(
+      docs.filter(col("bucket") < trainUpTo), st.bloom, st.grams)
+      .select(col("doc_id")).localCheckpoint()
+    val nQuarantined = quarantined.count()
+    val screened = docs.join(quarantined, Seq("doc_id"), "left_anti")
+
+    // 2. EXACT DEDUP (d1): keep the min doc_id of each byte-identical
+    // group — the digest aggregation ships (digest, id), never text
+    val exactKeep = screened
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exactDeduped = screened.join(exactKeep, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val nAfterExact = exactDeduped.count()
+
+    // 3. NEAR-DUP CANONICAL (d9 clusters + d19 keep rule) over the
+    // survivors: one representative per near-dup cluster survives
+    val canon = Dedup.canonicalOfLabelState(
+      Dedup.labelStateOf(exactDeduped, threshold))
+    val nearKept = exactDeduped.join(
+      canon.filter(col("keep")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val nAfterNear = nearKept.count()
+
+    // 4. QUALITY GATE (t3's keep rule) — per-doc and stage-independent,
+    // so the flag computed over the full table joins exactly
+    val quality = TextAnalysis.qualityScore(spark, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    val qualityKept = nearKept.join(quality, Seq("doc_id"), "left_semi")
+    val nAfterQuality = qualityKept.count()
+
+    // 5. PER-SOURCE CAP (t20's rule over the SURVIVORS — the cap is a
+    // property of what remains, not of the raw corpus)
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val kept = qualityKept
+      .withColumn("src_rank", row_number().over(wSrc))
+      .filter(col("src_rank") <= cap)
+      .drop("src_rank", "bucket")
+      .localCheckpoint()
+    val nKept = kept.count()
+
+    // 6. WRITE the e1 layout
+    graft.emit.CorpusWriter.write(kept, outPath)
+
+    (kept, Report(
+      nDocs = nDocs,
+      nQuarantined = nQuarantined,
+      nExactDupDropped = nDocs - nQuarantined - nAfterExact,
+      nNearDupDropped = nAfterExact - nAfterNear,
+      nQualityDropped = nAfterNear - nAfterQuality,
+      nCapDropped = nAfterQuality - nKept,
+      nKept = nKept))
+  }
+}

@@ -144,6 +144,77 @@ class PipelineSpec extends SparkSuite {
       spark.sql("SELECT simhash64('not an array')").collect())
   }
 
+  test("curation pipeline: stage funnel telescopes, invariants hold, corpus reads back pruned") {
+    val dir = sf("sf0.001")
+    val out = Files.createTempDirectory("graft_curation_out").toString
+    val (kept, r) = CurationPipeline.run(spark, dir, out)
+
+    // the funnel telescopes exactly: every document is accounted for by
+    // exactly one stage's drop count or the kept total
+    assert(r.nDocs - r.nQuarantined - r.nExactDupDropped - r.nNearDupDropped -
+      r.nQualityDropped - r.nCapDropped == r.nKept)
+    assert(kept.count() == r.nKept && r.nKept > 0)
+
+    // stage 1 == the d10 gate's own screen (same defaults)
+    assert(r.nQuarantined ==
+      graft.operators.Dedup.crossSplitContamination(spark, dir).count())
+
+    // independent invariants over the kept set (not a replay of the
+    // pipeline — each is a property the composition must deliver):
+    val keptRows = kept.collect()
+    // no two kept docs are byte-identical
+    val texts = keptRows.map(_.getAs[String]("text"))
+    assert(texts.distinct.length == texts.length)
+    // every kept doc passes the t3 quality keep rule
+    val qualityKeep = graft.operators.TextAnalysis.qualityScore(spark, dir)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    keptRows.foreach(row => assert(qualityKeep(row.getAs[Long]("doc_id"))))
+    // no source exceeds the cap
+    keptRows.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      assert(rows.length <= 20)
+    }
+    // no two kept docs are near-duplicates: EXACT pairwise 3-shingle
+    // jaccard < threshold for every kept pair (driver-computed,
+    // independent of the LSH/cluster machinery — a >= 0.8 pair the
+    // pipeline kept would mean the canonical stage failed)
+    val shingleSets = keptRows.map { row =>
+      val toks = row.getAs[String]("text").trim.split("\\s+")
+      row.getAs[Long]("doc_id") ->
+        (if (toks.length < 3) Set(toks.mkString(" "))
+         else toks.sliding(3).map(_.mkString(" ")).toSet)
+    }
+    for (i <- shingleSets.indices; j <- (i + 1) until shingleSets.length) {
+      val (a, b) = (shingleSets(i)._2, shingleSets(j)._2)
+      val jac = (a intersect b).size.toDouble / (a union b).size
+      assert(jac < 0.8,
+        s"kept docs ${shingleSets(i)._1} and ${shingleSets(j)._1} are near-dups (j=$jac)")
+    }
+
+    // the written corpus reads back: same rows, split derived from the
+    // shared t9 bucket, and the split predicate prunes partitions
+    val back = spark.read.parquet(out)
+    assert(back.count() == r.nKept)
+    val bucketOf = keptRows.map { row =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(row.getAs[Long]("doc_id").toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      def hv(c: Char): Int = if (c >= 'a') c - 87 else c - '0'
+      row.getAs[Long]("doc_id") -> (hv(h.charAt(0)) * 16 + hv(h.charAt(1)))
+    }.toMap
+    back.select("doc_id", "split").collect().foreach { row =>
+      val b = bucketOf(row.getLong(0))
+      val expect = if (b < 250) "train" else if (b < 253) "val" else "test"
+      assert(row.getString(1) == expect)
+    }
+    val plan = {
+      val st = back.filter(col("split") === "train")
+      st.count()
+      st.queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("split") && !plan.contains("PushedFilters: [IsNotNull(split)"),
+      "split predicate should resolve via partition pruning, not a data filter")
+  }
+
   test("IVF ANN: planted clone found via its cluster") {
     val dir = sf("sf0.001")
     val ivf = graft.operators.Similarity.ivfTopK(spark, dir, nProbes = 3, k = 3)
