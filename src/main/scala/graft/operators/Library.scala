@@ -475,9 +475,12 @@ object Library {
     */
   def deltaPagerank(spark: SparkSession, dir: String, newFrom: Int = 200,
       itersBase: Int = 3, itersDelta: Int = 3): DataFrame = {
+    // itersBase shapes the persisted vector, so it is part of BOTH the
+    // cache key and the table name (the threshold-key lesson from the
+    // round-9 advice: a param that changes saved state must key it)
     val rankTable = graft.SessionCache.getOrElseUpdate(
-        spark, ("pagerankBase", dir, newFrom)) {
-      val t = f"pagerank_base_${newFrom}_${dir.hashCode & 0xffffffffL}%x"
+        spark, ("pagerankBase", dir, newFrom, itersBase)) {
+      val t = f"pagerank_base_${newFrom}_${itersBase}_${dir.hashCode & 0xffffffffL}%x"
       Dedup.dropTableAndLocation(spark, t)
       val (eoB, nodesB) = pagerankGraph(pagerankEdges(spark, dir)
         .filter(TextAnalysis.splitBucket(col("child")) < newFrom))
