@@ -1258,7 +1258,11 @@ object Dedup {
         .select(col("doc_id"),
           TextAnalysis.splitBucket(col("doc_id")).as("bucket"), col("text"))
       val built = evalGramState(docs.filter(col("bucket") >= valUpTo), k, numBits)
-      built.copy(grams = built.grams.persist())
+      // the gate answers from the LOADED disk state (the d13 pattern:
+      // the measured path is the persisted layout a deployment reads)
+      val name = f"evalgrams_${k}_${valUpTo}_${dir.hashCode & 0xffffffffL}%x"
+      saveEvalGramState(spark, name, built)
+      loadEvalGramState(spark, name)
     }
     val train = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
@@ -1314,6 +1318,27 @@ object Dedup {
       .getAs[Array[Byte]]("bf"))
     EvalGramState(bloomBytes, testRaw.select(md5(col("graw")).as("g")).distinct())
   }
+
+  /** Persist the screening state: the gram digests as a table, the
+    * sketch (or its absence) in a one-row meta table — the d13/d18
+    * lifecycle applied to the decontamination state, so a serving
+    * deployment loads the frozen screen instead of re-folding the eval
+    * split per session.
+    */
+  def saveEvalGramState(spark: SparkSession, name: String,
+      st: EvalGramState): Unit = {
+    import spark.implicits._
+    dropTableAndLocation(spark, s"${name}_grams")
+    st.grams.write.saveAsTable(s"${name}_grams")
+    dropTableAndLocation(spark, s"${name}_meta")
+    Seq(Tuple1(st.bloom.orNull)).toDF("bloom")
+      .write.saveAsTable(s"${name}_meta")
+  }
+
+  def loadEvalGramState(spark: SparkSession, name: String): EvalGramState =
+    EvalGramState(
+      Option(spark.table(s"${name}_meta").head().getAs[Array[Byte]]("bloom")),
+      spark.table(s"${name}_grams"))
 
   /** Screen a document frame against the frozen eval state: per-doc
     * shared-gram counts for every CONTAMINATED document (empty for clean

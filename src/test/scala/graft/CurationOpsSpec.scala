@@ -448,6 +448,33 @@ class CurationOpsSpec extends SparkSuite {
       Dedup.crossSplitContamination(spark, sf("sf0.001")).count())
   }
 
+  test("eval gram state round-trips through disk; loaded screen == direct screen") {
+    import spark.implicits._
+    val evalText = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val evalDocs = Seq((900L, evalText)).toDF("doc_id", "text")
+    val train = Seq((1L, evalText + " extra tail words here"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = Dedup.evalGramState(evalDocs)
+    try {
+      Dedup.saveEvalGramState(spark, "evst_test", direct)
+      val loaded = Dedup.loadEvalGramState(spark, "evst_test")
+      assert(java.util.Arrays.equals(loaded.bloom.get, direct.bloom.get))
+      val want = rows(Dedup.screenContamination(train, direct.bloom, direct.grams))
+      assert(want.nonEmpty)
+      assert(rows(Dedup.screenContamination(train, loaded.bloom, loaded.grams)) == want)
+      // the NULL-sketch (empty eval split) state also survives the disk
+      val emptySt = Dedup.evalGramState(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      Dedup.saveEvalGramState(spark, "evst_test2", emptySt)
+      val emptyLoaded = Dedup.loadEvalGramState(spark, "evst_test2")
+      assert(emptyLoaded.bloom.isEmpty)
+      assert(Dedup.screenContamination(train, emptyLoaded.bloom, emptyLoaded.grams)
+        .count() == 0)
+    } finally Seq("evst_test_grams", "evst_test_meta", "evst_test2_grams",
+      "evst_test2_meta").foreach(Dedup.dropTableAndLocation(spark, _))
+  }
+
   test("w11 retention: driver-side replay reproduces every cohort cell") {
     val dir = sf("sf0.001")
     val got = Library.retentionCohorts(spark, dir).collect()
