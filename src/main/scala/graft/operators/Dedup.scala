@@ -811,7 +811,7 @@ object Dedup {
     * the crash hit. An UNregistered stray `tmp` directory (crash mid-write)
     * is not touched here; callers clear it with [[dropTableAndLocation]].
     */
-  private def recoverGenerationSwap(spark: SparkSession, table: String,
+  private[graft] def recoverGenerationSwap(spark: SparkSession, table: String,
       tmp: String): Unit =
     if (spark.catalog.tableExists(tmp)) {
       if (spark.catalog.tableExists(table)) dropTableAndLocation(spark, table)

@@ -640,6 +640,81 @@ object EventsStream {
     spark.table(s"${indexName}_vectors")
   }
 
+  /** STREAMING SemDeDup — the fifth family's curation under true ingest
+    * (d21b's loop form): per micro-batch,
+    *
+    *   1. drop already-indexed vec_ids (idempotence — the serving index
+    *      is the id store, same contract as [[runIngestAnnIndex]]);
+    *   2. append the fresh vectors into the persisted ANN index — the
+    *      FROZEN model assigns their coarse clusters map-side;
+    *   3. read the batch's touched cluster ids back from the INDEX (the
+    *      stored assignment is the source of truth, never re-derived);
+    *   4. re-curate exactly those clusters over their full post-append
+    *      membership ([[graft.operators.Dedup.semDedupOf]] under the
+    *      frozen centroids) and generation-swap the changed slice into
+    *      the persisted curation table (crash-safe via the recovered
+    *      `__gen` pattern).
+    *
+    * SemDeDup groups are cluster-confined, so the final table equals the
+    * one-shot [[graft.operators.Dedup.semDedupOf]] over base ∪ all
+    * shards under the base-frozen model — whatever the batching or
+    * replay order (StreamingSpec asserts the identity). Caller
+    * initializes the index (saveAnnIndex over the base) and the curation
+    * table (semDedupOf over the base, saved bucketed by cl).
+    */
+  def runIngestSemDedup(spark: SparkSession, shardDir: String,
+      indexName: String, curTable: String, threshold: Double = 0.45,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.functions.Exprs.{doubleVector, l2Norm}
+    import graft.operators.{Dedup, Similarity}
+    val src = spark.readStream
+      .schema(embeddingSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        spark.catalog.refreshTable(s"${indexName}_vectors")
+        val prepared = batch
+          .select(col("vec_id"), doubleVector(col("embedding")).as("v"))
+          .withColumn("n", l2Norm(col("v")))
+        val fresh = prepared
+          .join(spark.table(s"${indexName}_vectors").select("vec_id"),
+            Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        if (!fresh.isEmpty) {
+          Similarity.appendAnnIndex(spark, indexName, fresh)
+          spark.catalog.refreshTable(s"${indexName}_vectors")
+          val index = Similarity.loadAnnIndex(spark, indexName)
+          val touched = index.vectors
+            .join(fresh.select(col("vec_id")), Seq("vec_id"), "left_semi")
+            .select(col("cl")).distinct().localCheckpoint()
+          val recurated = Dedup.semDedupOf(
+            index.vectors.select(col("vec_id"), col("v"), col("n"), col("cl"))
+              .join(broadcast(touched), Seq("cl"), "left_semi"),
+            index.centroids, threshold)
+            .localCheckpoint()
+          // generation swap of the changed cluster slice (crash-safe:
+          // a committed __gen from a dead prior call is completed first)
+          val tmp = s"${curTable}__gen"
+          Dedup.recoverGenerationSwap(spark, curTable, tmp)
+          Dedup.dropTableAndLocation(spark, tmp)
+          spark.table(curTable)
+            .join(broadcast(touched), Seq("cl"), "left_anti")
+            .unionByName(recurated.select(spark.table(curTable).columns.map(col).toIndexedSeq: _*))
+            .repartition(8, col("cl"))
+            .write.bucketBy(8, "cl").sortBy("cl")
+            .saveAsTable(tmp)
+          Dedup.dropTableAndLocation(spark, curTable)
+          spark.sql(s"ALTER TABLE $tmp RENAME TO $curTable")
+          spark.catalog.refreshTable(curTable)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(curTable)
+  }
+
   /** Run the streaming embedding delta over a shard directory to
     * completion (memory sink, AvailableNow).
     */

@@ -327,6 +327,64 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exists(p => p._1 == 5L && p._2 == 20L && p._3 == 1.0))
   }
 
+  test("streaming SemDeDup: per-batch re-curation == one-shot curation under the frozen base model") {
+    import graft.operators.{Dedup, Similarity}
+    import graft.functions.Exprs.{doubleVector, l2Norm}
+    def vec(seed: Int) = (0 until 64).map(d => math.sin(seed * 64 + d).toFloat).toArray
+    def prepare(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), doubleVector(col("embedding")).as("v"))
+        .withColumn("n", l2Norm(col("v")))
+    val base = (0L to 9L).map(i => (i, vec(i.toInt), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    // shard A: 20 clones base vec 5 (a cross-batch group through the
+    // index); shard B: 30 clones it AGAIN (extends the stream-made
+    // group); then A replays (must be a no-op)
+    val shardA = Seq((20L, vec(5), 2), (21L, vec(21), 0))
+      .toDF("vec_id", "embedding", "label")
+    val shardB = Seq((30L, vec(5), 2)).toDF("vec_id", "embedding", "label")
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_semstr").toString
+    shardA.coalesce(1).write.mode("append").parquet(shardDir)
+    shardB.coalesce(1).write.mode("append").parquet(shardDir)
+    shardA.coalesce(1).write.mode("append").parquet(shardDir) // replay
+    val tables = (for (n <- Seq("semstr", "semstr1");
+        s <- Seq("_vectors", "_centroids", "_meta", "_pqbook")) yield n + s) ++
+      Seq("semcur_test", "semcur_test__gen")
+    tables.foreach(Dedup.dropTableAndLocation(spark, _))
+    try {
+      def curSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "cl", "grp", "n_members", "ccos", "keep").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4), r.getBoolean(5))).toSet
+      Similarity.saveAnnIndex(spark, "semstr", prepare(base),
+        buckets = 4, kClusters = 2)
+      val idx0 = Similarity.loadAnnIndex(spark, "semstr")
+      Dedup.saveBucketedTable(
+        Dedup.semDedupOf(
+          idx0.vectors.select(col("vec_id"), col("v"), col("n"), col("cl")),
+          idx0.centroids, 0.999),
+        "semcur_test", 8, Seq("cl"))
+      val fin = curSet(EventsStream.runIngestSemDedup(
+        spark, shardDir, "semstr", "semcur_test", threshold = 0.999))
+      // one-shot twin: same base build + ONE append of A ∪ B under the
+      // same frozen model, then one curation pass over everything
+      Similarity.saveAnnIndex(spark, "semstr1", prepare(base),
+        buckets = 4, kClusters = 2)
+      Similarity.appendAnnIndex(spark, "semstr1",
+        prepare(shardA.unionByName(shardB)))
+      val idx1 = Similarity.loadAnnIndex(spark, "semstr1")
+      val oneShot = curSet(Dedup.semDedupOf(
+        idx1.vectors.select(col("vec_id"), col("v"), col("n"), col("cl")),
+        idx1.centroids, 0.999))
+      assert(fin == oneShot)
+      // the cross-batch semantic group exists and keeps exactly one member
+      val byId = fin.map(t => t._1 -> (t._3, t._6)).toMap
+      assert(byId(20L)._1 == byId(5L)._1 && byId(30L)._1 == byId(5L)._1)
+      assert(Seq(5L, 20L, 30L).count(id => byId(id)._2) == 1)
+      // singletons keep themselves
+      assert(byId(21L)._2)
+    } finally tables.foreach(Dedup.dropTableAndLocation(spark, _))
+  }
+
   test("streaming ANN ingest: per-batch appends under the frozen model == one-shot append, replay-idempotent") {
     import graft.operators.{Dedup, Similarity}
     import graft.functions.Exprs.{doubleVector, l2Norm}
