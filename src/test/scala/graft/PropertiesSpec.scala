@@ -112,4 +112,101 @@ class PropertiesSpec extends SparkSuite {
       }
     }
   }
+
+  test("property: bloom decontamination == exact tier on random corpora at every sketch size") {
+    // random corpora with planted cross-split gram overlap: the bloom
+    // pre-filter must never change the answer — not at a comfortable
+    // sketch size, not at a starved one (all-FP regime), not with an
+    // empty eval split
+    val rng = new scala.util.Random(11)
+    // split membership is the md5 bucket of the id (train < 250, eval
+    // >= 253 — ~1% of ids), so ids are PICKED per split rather than
+    // sampled: a random 30-doc id range usually has an empty eval split
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket256(id: Long): Int = {
+      val h = md5hex(id.toString)
+      def hv(c: Char): Int = if (c >= 'a') c - 87 else c - '0'
+      hv(h.charAt(0)) * 16 + hv(h.charAt(1))
+    }
+    val trainIds = (1L to 5000L).filter(id => bucket256(id) < 250)
+    val evalIds = (1L to 5000L).filter(id => bucket256(id) >= 253)
+    for (trial <- 1 to 3) {
+      val vocab = (0 until 6 + rng.nextInt(6)).map(v => s"v${trial}_$v")
+      def text() = (0 until 8 + rng.nextInt(18))
+        .map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+      // a shared phrase plants genuine cross-split 8-gram overlap (random
+      // token sequences essentially never repeat an exact 8-run); some
+      // train docs embed it whole, one only partially
+      val phrase = (0 until 10 + rng.nextInt(6)).map(_ =>
+        vocab(rng.nextInt(vocab.length))).mkString(" ")
+      val tIds = trainIds.drop(trial * 40).take(30 + rng.nextInt(20))
+      val eIds = evalIds.drop(trial * 4).take(3 + rng.nextInt(3))
+      val docs = (
+        tIds.drop(3).map(i => (i, text())) ++
+        Seq((tIds(0), phrase),
+          (tIds(1), phrase + " " + text()),
+          (tIds(2), phrase.split(" ").take(9).mkString(" ") + " " + text())) ++
+        Seq((eIds.head, phrase)) ++ eIds.tail.map(i => (i, text()))
+      ).toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val exact = rows(graft.operators.Dedup.crossSplitContaminationOf(docs))
+      for (bits <- Seq(64L, 1L << 12, 1L << 23))
+        assert(rows(graft.operators.Dedup.crossSplitContaminationBloomOf(
+          docs, numBits = bits)) == exact, s"trial $trial bits=$bits")
+      // small shared vocab ⇒ overlap is near-certain; require the hit
+      // path genuinely exercised in at least one configuration
+      assert(exact.nonEmpty, s"trial $trial planted no overlap")
+    }
+  }
+
+  test("property: chunked sessionize == sessionize on random event streams at random chunk sizes") {
+    val rng = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val base = 1704067200000000L
+      val rows = (0 until 200 + rng.nextInt(200)).map { i =>
+        val user = 1L + rng.nextInt(5)
+        // mixed cadences: some gaps inside the session gap, some far over
+        val ts = base + rng.nextInt(96) * 1800L * 1000000 + rng.nextInt(1000000)
+        (1000L + i, ts, user, 0.25 * (i % 7))
+      }
+      val root = java.nio.file.Files.createTempDirectory(s"graft_sess$trial").toString
+      rows.toDF("event_id", "ts", "user_id", "value")
+        .withColumn("ts", timestamp_micros(col("ts")))
+        .withColumn("event_type", lit("click"))
+        .withColumn("props", lit("{}"))
+        .coalesce(1).write.parquet(s"$root/events.parquet.dir")
+      // events.parquet must be a file path for Tables.read
+      val part = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$root/events.parquet.dir")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$root/events.parquet"))
+      def sess(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+      val w7 = sess(graft.operators.Library.sessionize(spark, root))
+      val chunk = Seq(600L, 3600L, 7200L)(rng.nextInt(3)) * 1000000
+      assert(sess(graft.operators.Library.chunkedSessionize(spark, root,
+        chunkUs = chunk)) == w7, s"trial $trial chunkUs=$chunk")
+      assert(w7.nonEmpty)
+    }
+  }
+
+  test("property: HLL cell merge == one-shot sketch under random partitionings") {
+    val rng = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 500 + rng.nextInt(2000)
+      val users = (0 until n).map(_ => s"u${rng.nextInt(700)}")
+      val parts = 2 + rng.nextInt(9)
+      val rows = users.map(u => (rng.nextInt(parts), u)).toDF("p", "u")
+      val whole = rows.agg(graft.plans.HllAgg.hllSketch($"u"))
+        .collect().head.getAs[Array[Byte]](0)
+      val merged = rows.groupBy($"p").agg(graft.plans.HllAgg.hllSketch($"u").as("sk"))
+        .agg(graft.plans.HllAgg.hllMerge($"sk"))
+        .collect().head.getLong(0)
+      assert(merged == graft.plans.HllAgg.estimate(whole),
+        s"trial $trial parts=$parts")
+    }
+  }
 }
