@@ -82,6 +82,7 @@ object SparkEntry {
     "g1_pagerank" -> ((s, d) => Library.pagerank(s, d).orderBy("node")),
     "g1b_delta_pagerank" -> ((s, d) => Library.deltaPagerank(s, d).orderBy("node")),
     "j8_similar_name_join" -> ((s, d) => Library.similarNameJoin(s, d).orderBy("key_a", "key_b")),
+    "j8b_hamming_join" -> ((s, d) => Library.hammingJoin(s, d).orderBy("key_a", "key_b")),
     // ---- filters (§2.3) ----
     "f3_like" -> ((s, d) => Library.likeFilter(s, d).orderBy("p_partkey")),
     "f4_regexp" -> ((s, d) => Library.regexFilter(s, d).orderBy("p_partkey")),
@@ -721,6 +722,20 @@ object SparkEntry {
       """WITH wk AS (SELECT p_partkey, p_name, regexp_replace(p_name, ' \d$', '') AS ckey FROM part WHERE p_partkey < 500)
         |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_name AS name_a, b.p_name AS name_b
         |FROM wk a JOIN wk b ON a.ckey = b.ckey AND a.p_partkey < b.p_partkey ORDER BY key_a, key_b""".stripMargin,
+    // the declarative quadratic form with the exact hamming predicate;
+    // the Spark side must reproduce it through pigeonhole segment blocks.
+    // the CASE guard keeps mismatches() off unequal-length pairs (DuckDB
+    // errors on them) regardless of predicate evaluation order
+    "j8b_hamming_join" ->
+      """WITH wk AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 500)
+        |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(mismatches(a.p_name, b.p_name) AS BIGINT) AS hamming
+        |FROM wk a JOIN wk b ON a.p_partkey < b.p_partkey
+        |  AND length(a.p_name) = length(b.p_name)
+        |WHERE CASE WHEN length(a.p_name) = length(b.p_name)
+        |  THEN mismatches(a.p_name, b.p_name) ELSE 999 END <= 2
+        |ORDER BY key_a, key_b""".stripMargin,
     "f3_like" ->
       "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%OM%' ORDER BY p_partkey",
     "f4_regexp" ->

@@ -559,6 +559,60 @@ object Library {
       .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"))
   }
 
+  /** J8b: HAMMING SIMILARITY JOIN with PIGEONHOLE-EXACT blocking — the
+    * string-similarity join (PassJoin-family idea, Li et al.) that j8's
+    * normalized-key join cannot express: pair equal-length names
+    * differing in at most `maxDist` character positions, wherever those
+    * positions fall. The blocking is exact by pigeonhole: split each
+    * string into `maxDist + 1` contiguous segments (boundaries a pure
+    * function of LENGTH, so equal-length strings align) — `maxDist`
+    * mismatches can touch at most `maxDist` segments, so every
+    * qualifying pair agrees exactly on at least one (len, segment index,
+    * segment value) key. Candidates form ONLY inside those blocks (an
+    * equi join — never a quadratic name scan), then the exact Hamming
+    * distance verifies; recall is 1.0 by construction, not a tuning
+    * outcome. Very short strings (length ≤ maxDist) make some segments
+    * empty — their block key degrades to (len, idx, ""), still bounded
+    * by the per-length name count.
+    *
+    * The oracle states the join DECLARATIVELY (quadratic with DuckDB's
+    * `mismatches`); the Spark side must reproduce it through the
+    * segment blocks — the same declarative-vs-rewrite gate discipline
+    * as the w5 range join.
+    */
+  def hammingJoin(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_partkey") < 500)
+      .select(col("p_partkey").as("key"), col("p_name").as("name"),
+        length(col("p_name")).as("len"))
+    val nSegs = maxDist + 1
+    // segment i spans [i*len/nSegs, (i+1)*len/nSegs) — integer div on the
+    // length keeps boundaries engine-free and alignment exact per length
+    val segs = p.select(col("key"), col("name"), col("len"),
+      explode(array((0 until nSegs).map { i =>
+        struct(lit(i).as("seg_idx"),
+          expr(s"substring(name, CAST(len * $i div $nSegs AS INT) + 1, " +
+            s"CAST(len * ${i + 1} div $nSegs AS INT) - CAST(len * $i div $nSegs AS INT))")
+            .as("seg"))
+      }: _*)).as("s"))
+      .select(col("key"), col("name"), col("len"),
+        col("s.seg_idx").as("seg_idx"), col("s.seg").as("seg"))
+    val a = segs.select(col("len"), col("seg_idx"), col("seg"),
+      col("key").as("key_a"), col("name").as("name_a"))
+    val b = segs.select(col("len"), col("seg_idx"), col("seg"),
+      col("key").as("key_b"), col("name").as("name_b"))
+    val ham = size(filter(
+      zip_with(split(col("name_a"), ""), split(col("name_b"), ""),
+        (x, y) => x =!= y),
+      m => m))
+    a.join(b, Seq("len", "seg_idx", "seg"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"))
+      .distinct()
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   // ---- Filters --------------------------------------------------------
 
   /** F3 (playlistlinks.py:139-144): LIKE pattern filter. */

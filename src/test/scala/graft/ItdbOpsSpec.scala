@@ -223,6 +223,32 @@ class ItdbOpsSpec extends SparkSuite {
     assert(doubled == got)
   }
 
+  test("j8b hamming join: segment blocking is pigeonhole-exact vs brute force") {
+    val dir = sf("sf0.001")
+    val got = graft.operators.Library.hammingJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    val names = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._1 < 500)
+    val expected = (for {
+      (ka, na) <- names; (kb, nb) <- names
+      if ka < kb && na.length == nb.length
+      h = na.zip(nb).count { case (x, y) => x != y }
+      if h <= 2
+    } yield (ka, kb, na, nb, h.toLong)).toSet
+    assert(got == expected && got.nonEmpty)
+    // genuinely-differing pairs exist (not just identical names), and
+    // some differing pair's mismatch positions are NOT a trailing-digit
+    // edit — the shape j8's normalized-key join cannot see
+    assert(got.exists(_._5 > 0L))
+    assert(got.exists { case (_, _, na, nb, h) =>
+      h > 0L && na.zip(nb).zipWithIndex.exists {
+        case ((x, y), i) => x != y && i < na.length - 2
+      }
+    })
+  }
+
   test("g1b delta pagerank: warm-start replay reproduces every rank; base ranks genuinely move") {
     val dir = sf("sf0.001")
     val got = graft.operators.Library.deltaPagerank(spark, dir)
