@@ -83,6 +83,7 @@ object SparkEntry {
     "g1b_delta_pagerank" -> ((s, d) => Library.deltaPagerank(s, d).orderBy("node")),
     "j8_similar_name_join" -> ((s, d) => Library.similarNameJoin(s, d).orderBy("key_a", "key_b")),
     "j8b_hamming_join" -> ((s, d) => Library.hammingJoin(s, d).orderBy("key_a", "key_b")),
+    "j8c_edit_distance_join" -> ((s, d) => Library.editDistanceJoin(s, d).orderBy("key_a", "key_b")),
     // ---- filters (§2.3) ----
     "f3_like" -> ((s, d) => Library.likeFilter(s, d).orderBy("p_partkey")),
     "f4_regexp" -> ((s, d) => Library.regexFilter(s, d).orderBy("p_partkey")),
@@ -735,6 +736,18 @@ object SparkEntry {
         |  AND length(a.p_name) = length(b.p_name)
         |WHERE CASE WHEN length(a.p_name) = length(b.p_name)
         |  THEN mismatches(a.p_name, b.p_name) ELSE 999 END <= 2
+        |ORDER BY key_a, key_b""".stripMargin,
+    // the indel-aware declarative form: quadratic levenshtein with the
+    // length-band prefilter; the Spark side reproduces it via PassJoin
+    // segment blocks
+    "j8c_edit_distance_join" ->
+      """WITH wk AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 500)
+        |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+        |FROM wk a JOIN wk b ON a.p_partkey < b.p_partkey
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
     "f3_like" ->
       "SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%OM%' ORDER BY p_partkey",

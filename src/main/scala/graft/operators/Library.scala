@@ -613,6 +613,78 @@ object Library {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** J8c: EDIT-DISTANCE similarity join — [[hammingJoin]] with the
+    * equal-length restriction lifted (PassJoin, Li/Deng/Feng 2011):
+    * pair names within Levenshtein distance `maxDist`, insertions and
+    * deletions included. Blocking is again pigeonhole-EXACT:
+    *
+    *   - the r-role of each string splits into maxDist+1 contiguous
+    *     segments (boundaries a pure function of its length);
+    *   - the s-role generates, for each segment index i and each
+    *     candidate r-length L within ±maxDist of its own, the substrings
+    *     of the segment-i length whose start lies within ±maxDist of the
+    *     segment-i start — in an optimal alignment with ≤ maxDist edits,
+    *     some segment is error-free and its image in s is an exact copy
+    *     shifted by at most the net indel balance (≤ maxDist), so every
+    *     qualifying pair meets in at least one (L, i, substring) block;
+    *   - candidates dedup, then the exact Levenshtein verifies (Spark
+    *     and DuckDB implement the same unit-cost DP, so the distance
+    *     itself ships in the output).
+    *
+    * The generation factor is a CONSTANT ((maxDist+1)·(2·maxDist+1)²
+    * = 75 at maxDist 2) per row — never a quadratic scan; block sizes
+    * are bounded by per-(L, i, substring) collision counts exactly as in
+    * j8b. The oracle states the join declaratively (quadratic
+    * `levenshtein`), the Spark side must reproduce it through the
+    * blocks.
+    */
+  def editDistanceJoin(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
+    val nSegs = maxDist + 1
+    val p = Tables.part(spark, dir)
+      .filter(col("p_partkey") < 500)
+      .select(col("p_partkey").as("key"), col("p_name").as("name"),
+        length(col("p_name")).as("len"))
+    val segSide = p.select(col("key").as("key_r"), col("name").as("name_r"),
+      col("len").as("ll"),
+      explode(array((0 until nSegs).map { i =>
+        struct(lit(i).as("i"),
+          expr(s"substring(name, CAST(len * $i div $nSegs AS INT) + 1, " +
+            s"CAST(len * ${i + 1} div $nSegs AS INT) - CAST(len * $i div $nSegs AS INT))")
+            .as("seg"))
+      }: _*)).as("s"))
+      .select(col("key_r"), col("name_r"), col("ll"),
+        col("s.i").as("i"), col("s.seg").as("seg"))
+    // s-role: one struct per (segment index, r-length delta, start shift),
+    // nulled out when the window falls outside the string
+    val candStructs = for {
+      i <- 0 until nSegs; dL <- -maxDist to maxDist; dq <- -maxDist to maxDist
+    } yield {
+      // target r-length L, its segment-i bounds, the shifted start
+      val L = s"(len + ${dL})"
+      val p0 = s"($L * $i div $nSegs)"
+      val slen = s"($L * ${i + 1} div $nSegs - $p0)"
+      val q = s"($p0 + ${dq})"
+      expr(s"""IF($L >= 1 AND $slen >= 1 AND $q >= 0 AND $q + $slen <= len,
+        named_struct('i', $i, 'll', CAST($L AS INT),
+          'sub', substring(name, CAST($q AS INT) + 1, CAST($slen AS INT))),
+        NULL)""")
+    }
+    val candSide = p.select(col("key").as("key_s"), col("name").as("name_s"),
+        explode(array_distinct(filter(array(candStructs: _*), x => x.isNotNull))).as("c"))
+      .select(col("key_s"), col("name_s"),
+        col("c.i").as("i"), col("c.ll").as("ll"), col("c.sub").as("seg"))
+    val dist = levenshtein(col("name_a"), col("name_b"))
+    segSide.join(candSide, Seq("ll", "i", "seg"))
+      .filter(col("key_r") =!= col("key_s"))
+      .select(least(col("key_r"), col("key_s")).as("key_a"),
+        greatest(col("key_r"), col("key_s")).as("key_b"),
+        when(col("key_r") < col("key_s"), col("name_r")).otherwise(col("name_s")).as("name_a"),
+        when(col("key_r") < col("key_s"), col("name_s")).otherwise(col("name_r")).as("name_b"))
+      .distinct()
+      .withColumn("distance", dist.cast("long"))
+      .filter(col("distance") <= maxDist)
+  }
+
   // ---- Filters --------------------------------------------------------
 
   /** F3 (playlistlinks.py:139-144): LIKE pattern filter. */

@@ -249,6 +249,34 @@ class ItdbOpsSpec extends SparkSuite {
     })
   }
 
+  test("j8c edit-distance join: PassJoin blocking is exact vs brute force, indels included") {
+    val dir = sf("sf0.001")
+    val got = graft.operators.Library.editDistanceJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._1 < 500)
+    val expected = (for {
+      (ka, na) <- names; (kb, nb) <- names
+      if ka < kb && math.abs(na.length - nb.length) <= 2
+      d = lev(na, nb)
+      if d <= 2
+    } yield (ka, kb, na, nb, d.toLong)).toSet
+    assert(got == expected && got.nonEmpty)
+    // the indel shape j8b's equal-length restriction cannot see: some
+    // pair with DIFFERENT lengths
+    assert(got.exists { case (_, _, na, nb, _) => na.length != nb.length })
+  }
+
   test("g1b delta pagerank: warm-start replay reproduces every rank; base ranks genuinely move") {
     val dir = sf("sf0.001")
     val got = graft.operators.Library.deltaPagerank(spark, dir)
