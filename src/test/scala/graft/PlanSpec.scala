@@ -429,6 +429,16 @@ class PlanSpec extends SparkSuite {
     }
     assert(s12b.contains("EqualTo(label,2)"),
       s"label predicate not pushed into the index scan:\n${s12b.take(1500)}")
+    // j8b/j8c: the similarity joins must pair through their segment
+    // equi-blocks — a cartesian/nested-loop here means the blocking
+    // rewrite fell out and the quadratic name scan came back
+    for ((nm, df) <- Seq(
+        "j8b" -> Library.hammingJoin(spark, dir),
+        "j8c" -> Library.editDistanceJoin(spark, dir))) {
+      val pl = executedPlan(df.orderBy("key_a", "key_b"))
+      assert(!pl.contains("CartesianProduct") &&
+        !pl.contains("BroadcastNestedLoopJoin"), s"$nm went quadratic")
+    }
     // t20: ONE source-keyed data exchange serves the ranking window
     val t20 = executedPlan(
       graft.operators.TextAnalysis.perSourceCap(spark, dir).orderBy("doc_id"))
