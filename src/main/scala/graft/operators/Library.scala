@@ -580,11 +580,16 @@ object Library {
     * segment blocks — the same declarative-vs-rewrite gate discipline
     * as the w5 range join.
     */
-  def hammingJoin(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
-    val p = Tables.part(spark, dir)
+  def hammingJoin(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame =
+    hammingJoinOf(Tables.part(spark, dir)
       .filter(col("p_partkey") < 500)
-      .select(col("p_partkey").as("key"), col("p_name").as("name"),
-        length(col("p_name")).as("len"))
+      .select(col("p_partkey").as("key"), col("p_name").as("name")), maxDist)
+
+  /** [[hammingJoin]] over an explicit (key, name) frame — the planted-
+    * fixture / property-test surface.
+    */
+  def hammingJoinOf(names: DataFrame, maxDist: Int = 2): DataFrame = {
+    val p = names.withColumn("len", length(col("name")))
     val nSegs = maxDist + 1
     // segment i spans [i*len/nSegs, (i+1)*len/nSegs) — integer div on the
     // length keeps boundaries engine-free and alignment exact per length
@@ -638,12 +643,17 @@ object Library {
     * `levenshtein`), the Spark side must reproduce it through the
     * blocks.
     */
-  def editDistanceJoin(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame = {
-    val nSegs = maxDist + 1
-    val p = Tables.part(spark, dir)
+  def editDistanceJoin(spark: SparkSession, dir: String, maxDist: Int = 2): DataFrame =
+    editDistanceJoinOf(Tables.part(spark, dir)
       .filter(col("p_partkey") < 500)
-      .select(col("p_partkey").as("key"), col("p_name").as("name"),
-        length(col("p_name")).as("len"))
+      .select(col("p_partkey").as("key"), col("p_name").as("name")), maxDist)
+
+  /** [[editDistanceJoin]] over an explicit (key, name) frame — the
+    * planted-fixture / property-test surface.
+    */
+  def editDistanceJoinOf(names: DataFrame, maxDist: Int = 2): DataFrame = {
+    val nSegs = maxDist + 1
+    val p = names.withColumn("len", length(col("name")))
     val segSide = p.select(col("key").as("key_r"), col("name").as("name_r"),
       col("len").as("ll"),
       explode(array((0 until nSegs).map { i =>

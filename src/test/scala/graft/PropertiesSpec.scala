@@ -193,6 +193,64 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: similarity-join blocking is exact on random strings with planted edits") {
+    // random base strings over a tiny alphabet plus EXPLICIT edited
+    // variants (substitutions at random positions for the hamming tier;
+    // substitutions, insertions and deletions for the edit tier) — the
+    // planted pairs stress segment boundaries and shift windows, and the
+    // brute-force replay is the ground truth the blocks must reproduce
+    val rng = new scala.util.Random(19)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (trial <- 1 to 3) {
+      val alpha = "abcd"
+      def str(n: Int) = (0 until n).map(_ => alpha(rng.nextInt(4))).mkString
+      val bases = (0 until 12).map(_ => str(5 + rng.nextInt(12)))
+      def edit(s: String): String = {
+        val sb = new StringBuilder(s)
+        (0 until 1 + rng.nextInt(2)).foreach { _ =>
+          rng.nextInt(3) match {
+            case 0 if sb.nonEmpty => sb.setCharAt(rng.nextInt(sb.length), alpha(rng.nextInt(4)))
+            case 1 => sb.insert(rng.nextInt(sb.length + 1), alpha(rng.nextInt(4)))
+            case _ if sb.length > 1 => sb.deleteCharAt(rng.nextInt(sb.length))
+            case _ => ()
+          }
+        }
+        sb.toString
+      }
+      val all = (bases ++ bases.map(edit) ++ (0 until 8).map(_ => str(5 + rng.nextInt(12))))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = all.toDF("key", "name")
+      // hamming tier
+      val gotH = graft.operators.Library.hammingJoinOf(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      val expH = (for {
+        (ka, na) <- all; (kb, nb) <- all
+        if ka < kb && na.length == nb.length
+        h = na.zip(nb).count { case (x, y) => x != y }
+        if h <= 2
+      } yield (ka, kb, h.toLong)).toSet
+      assert(gotH == expH, s"trial $trial hamming")
+      // edit tier
+      val gotE = graft.operators.Library.editDistanceJoinOf(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      val expE = (for {
+        (ka, na) <- all; (kb, nb) <- all
+        if ka < kb && math.abs(na.length - nb.length) <= 2
+        d = lev(na, nb)
+        if d <= 2
+      } yield (ka, kb, d.toLong)).toSet
+      assert(gotE == expE, s"trial $trial edit")
+      assert(expE.nonEmpty && expE.exists(_._3 > 0), s"trial $trial planted nothing")
+    }
+  }
+
   test("property: HLL cell merge == one-shot sketch under random partitionings") {
     val rng = new scala.util.Random(17)
     for (trial <- 1 to 3) {
