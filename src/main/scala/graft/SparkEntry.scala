@@ -64,6 +64,7 @@ object SparkEntry {
     "a14_group_threshold" -> ((s, d) => Library.groupThreshold(s, d)),
     "a16_percentiles" -> ((s, d) => Library.groupPercentiles(s, d).orderBy("o_orderpriority")),
     "a16b_approx_percentiles" -> ((s, d) => Library.groupPercentilesApprox(s, d).orderBy("o_orderpriority")),
+    "a16c_percentile_sketch_rollup" -> ((s, d) => Library.percentileSketchRollup(s, d).orderBy("event_type")),
     "a17_rollup" -> ((s, d) => Library.rollupStats(s, d).orderBy("g_lang", "g_source", "lang", "source")),
     "a20_cube" -> ((s, d) => Library.cubeStats(s, d).orderBy("g_lang", "g_source", "lang", "source")),
     "a18_string_agg" -> ((s, d) => Library.memberList(s, d).orderBy("r_name")),
@@ -632,6 +633,20 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
         | TRUE AS p50_rank_band, TRUE AS p95_rank_band
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // merged-digest quantiles over the persisted cell table, shipped as
+    // the a16b rank-band flags; value quantiles at micro precision
+    "a16c_percentile_sketch_rollup" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        | round(quantile_cont(value, 0.95), 4) AS p95_exact,
+        | TRUE AS p50_rank_band, TRUE AS p95_rank_band
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // merged-digest quantiles over the persisted cell table, shipped as
+    // the a16b rank-band flags
+    "a16c_percentile_sketch_rollup" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        | round(quantile_cont(value, 0.95), 4) AS p95_exact,
+        | TRUE AS p50_rank_band, TRUE AS p95_rank_band
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "a17_rollup" ->
       """SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
         | CAST(grouping(lang) AS BIGINT) AS g_lang, CAST(grouping(source) AS BIGINT) AS g_source,

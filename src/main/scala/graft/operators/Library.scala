@@ -179,6 +179,58 @@ object Library {
           .as("p95_rank_band"))
   }
 
+  /** A16c: PERCENTILE SKETCH-STATE TABLE + windowed re-aggregation — the
+    * quantile twin of the a2c HLL cells: per (event_type, epoch-day) GK
+    * digests of the event values persist as a bounded binary column
+    * ([[graft.plans.PercentileSketchAgg]] — the same summary
+    * `percentile_approx` builds, with the SKETCH as the stored value);
+    * any later rollup merges stored digests
+    * ([[graft.plans.PercentileMergeAgg]]) instead of rescanning the
+    * measure column. Unlike the HLL register max, GK merge is NOT
+    * idempotent (re-merging the same cell double-counts its rows), so
+    * replay safety is the CELL TABLE's key contract — one cell per
+    * (group, day), the a2c layout — not the algebra; the rank GUARANTEE
+    * survives any merge order, which is what the gate checks.
+    *
+    * Gate discipline = a16b: exact quantiles recomputed independently as
+    * the verification reference, the merged-digest estimates shipped as
+    * rank-band flags (estimate between the exact quantiles at p ± 0.01)
+    * the oracle asserts TRUE.
+    */
+  def percentileSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    val name = graft.SessionCache.getOrElseUpdate(spark, ("valueSketches", dir)) {
+      val t = f"value_sketches_${dir.hashCode & 0xffffffffL}%x"
+      Dedup.dropTableAndLocation(spark, t)
+      Tables.events(spark, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("value").cast("double").as("value"))
+        .select(col("event_type"), expr(s"us div ${dayUs}L").as("day"), col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(graft.plans.PercentileSketchAgg.percentileSketch(col("value")).as("sk"))
+        .write.saveAsTable(t)
+      t
+    }
+    val merged = spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(graft.plans.PercentileSketchAgg
+        .percentileMerge(col("sk"), Seq(0.5, 0.95)).as("ap"))
+    val exactPs = array(Seq(0.49, 0.5, 0.51, 0.94, 0.95, 0.96).map(lit): _*)
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), exactPs).as("ex"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        round(element_at(col("ex"), 2), 4).as("p50_exact"),
+        round(element_at(col("ex"), 5), 4).as("p95_exact"),
+        (element_at(col("ap"), 1) >= element_at(col("ex"), 1) &&
+          element_at(col("ap"), 1) <= element_at(col("ex"), 3))
+          .as("p50_rank_band"),
+        (element_at(col("ap"), 2) >= element_at(col("ex"), 4) &&
+          element_at(col("ap"), 2) <= element_at(col("ex"), 6))
+          .as("p95_rank_band"))
+  }
+
   /** A17: ROLLUP multi-level aggregation — per (lang, source), per lang,
     * and grand total in ONE pass (Catalyst plans an Expand + single
     * shuffle, vs three scans for three GROUP BYs). `grouping()` flags

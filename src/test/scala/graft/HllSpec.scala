@@ -84,6 +84,47 @@ class HllSpec extends SparkSuite {
     assert(got.exists(t => t._2 > single(t._1)))
   }
 
+  test("a16c percentile cells: exact columns replay, band flags hold, merge order is free") {
+    val dir = sf("sf0.001")
+    val got = graft.operators.Library.percentileSketchRollup(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3), r.getBoolean(4))).toSet
+    // exact columns: driver replay of Spark's (n-1)·q linear interpolation
+    def q(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      val rank = (s.length - 1) * p
+      val lo = rank.toInt
+      val frac = rank - lo
+      val v = if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo)
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byType = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    val expected = byType.map { case (t, vs) =>
+      (t, q(vs.map(_._2).toSeq, 0.5), q(vs.map(_._2).toSeq, 0.95), true, true)
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+    // the digest classes themselves: split-half digests merged in EITHER
+    // order estimate within the exact p±0.01 rank band (the guarantee is
+    // merge-order-free even though the bytes are not)
+    import org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile.PercentileDigest
+    val vals = (1 to 5000).map(_ => scala.util.Random.nextDouble() * 100)
+    def digestOf(xs: Seq[Double]) = {
+      val d = new PercentileDigest(1.0 / 10000)
+      xs.foreach(d.add); d
+    }
+    val (h1, h2) = vals.splitAt(2200)
+    val ab = digestOf(h1); ab.merge(digestOf(h2))
+    val ba = digestOf(h2); ba.merge(digestOf(h1))
+    for (d <- Seq(ab, ba); p <- Seq(0.5, 0.95)) {
+      val est = d.getPercentiles(Array(p)).head.asInstanceOf[Double]
+      val lo = vals.sorted.apply(((vals.length - 1) * (p - 0.01)).toInt)
+      val hi = vals.sorted.apply(math.ceil((vals.length - 1) * (p + 0.01)).toInt)
+      assert(est >= lo && est <= hi, s"p=$p est=$est outside [$lo,$hi]")
+    }
+  }
+
   test("a2c sketch rollup: state table round-trips through disk; flags true") {
     val dir = sf("sf0.001")
     val got = graft.operators.Library.sketchRollup(spark, dir)
