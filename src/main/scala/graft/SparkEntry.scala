@@ -54,6 +54,7 @@ object SparkEntry {
     "a4_two_key_histogram" -> ((s, d) => Library.twoKeyHistogram(s, d).orderBy("flag", "stars")),
     "a5_param_histogram" -> ((s, d) => Library.paramHistogram(s, d).orderBy("grp", "stars")),
     "a6_playlist_stats" -> ((s, d) => Library.playlistStats(s, d).orderBy("priority", "stars")),
+    "i6_incremental_agg" -> ((s, d) => Library.incrementalPlaylistStats(s, d).orderBy("priority", "stars")),
     "a7_reagg_stats" -> ((s, d) => Library.reaggStats(s, d).orderBy("stars")),
     "a8_group_ordered" -> ((s, d) => Library.groupOrdered(s, d)),
     "a9_pivot_stars" -> ((s, d) => Library.pivotStars(s, d).orderBy("grp")),
@@ -1855,6 +1856,9 @@ object SparkEntry {
     // change: no false negatives + exact verify join ⇒ output identical
     // to the exact tier, so d10's oracle gates it verbatim
     "d10b_contamination_bloom" -> oracleBase("d10_contamination"),
+    // count additivity makes the base-merge-delta maintenance exactly the
+    // full recompute, so a6's oracle gates it verbatim
+    "i6_incremental_agg" -> oracleBase("a6_playlist_stats"),
     "s2b_ann_lsh_indexed" -> oracleBase("s2_ann_lsh"),
     "s12b_ann_filtered_indexed" -> oracleBase("s12_ann_filtered"),
     "s6b_ann_kmeans_indexed" -> oracleBase("s6_ann_kmeans"),

@@ -64,13 +64,58 @@ object Library {
     * is the only shuffle; at 100 TB AQE sizes the final aggregation and the
     * join stays shuffle-on-orderkey (or bucketed/co-partitioned storage).
     */
-  def playlistStats(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_discount"))
-    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+  def playlistStats(spark: SparkSession, dir: String): DataFrame =
+    playlistStatsOf(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_discount")),
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")))
+
+  private def playlistStatsOf(li: DataFrame, o: DataFrame): DataFrame =
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderpriority").as("priority"),
         starsFromDiscount(col("l_discount")).as("stars"))
       .agg(count(lit(1)).as("n"))
+
+  /** I6: INCREMENTALLY-MAINTAINED AGGREGATE — the §2.12 freshness family
+    * finally gate-checked end to end: the materialized stats table
+    * (playlist_stats, THE reference's precomputed aggregate,
+    * itdbloader.py:260-293) is kept current under ingest by MERGING a
+    * delta aggregation into the persisted base instead of rescanning the
+    * fact table. Counts are additive, so
+    *
+    *   stats(base ∪ delta) = stats(base) ⊎ stats(delta)
+    *
+    * exactly — a full-outer merge on the group key with coalesced
+    * zero-fill, provably identical to the full recompute (the shared a6
+    * oracle IS the full recompute). The base aggregate persists through
+    * the real disk path once per (session, dir, splitAt) — the d13
+    * serving-state pattern — and the per-ingest cost is the DELTA's
+    * aggregation plus a group-count-sized merge, never the history scan.
+    * The delta split is the t9 md5 bucket of l_orderkey (all lines of an
+    * order arrive together, matching ingest reality).
+    */
+  def incrementalPlaylistStats(spark: SparkSession, dir: String,
+      splitAt: Int = 200): DataFrame = {
+    val bucket = TextAnalysis.splitBucket(col("l_orderkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    val baseTable = graft.SessionCache.getOrElseUpdate(
+        spark, ("statsBase", dir, splitAt)) {
+      val t = f"stats_base_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      Dedup.dropTableAndLocation(spark, t)
+      playlistStatsOf(Tables.lineitem(spark, dir)
+        .filter(bucket < splitAt)
+        .select(col("l_orderkey"), col("l_discount")), o)
+        .write.saveAsTable(t)
+      t
+    }
+    val delta = playlistStatsOf(Tables.lineitem(spark, dir)
+      .filter(bucket >= splitAt)
+      .select(col("l_orderkey"), col("l_discount")), o)
+    spark.table(baseTable)
+      .select(col("priority"), col("stars"), col("n").as("n_base"))
+      .join(delta.select(col("priority"), col("stars"), col("n").as("n_delta")),
+        Seq("priority", "stars"), "full_outer")
+      .select(col("priority"), col("stars"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L))).as("n"))
   }
 
   /** A7 (itdb2html.py:478-493): re-aggregation of the materialized aggregate —

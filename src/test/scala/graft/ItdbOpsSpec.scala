@@ -223,6 +223,25 @@ class ItdbOpsSpec extends SparkSuite {
     assert(doubled == got)
   }
 
+  test("i6 incremental aggregate: base-merge-delta == full recompute; cells straddle the split") {
+    val dir = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = rows(graft.operators.Library.playlistStats(spark, dir))
+    assert(rows(graft.operators.Library.incrementalPlaylistStats(spark, dir)) == full)
+    // the maintenance is genuinely incremental: the persisted base table
+    // exists on disk, covers a strict subset of the rows, and REAL cells
+    // straddle the split (both sides contribute to one (priority, stars))
+    val baseTables = spark.catalog.listTables()
+      .filter(col("name").startsWith("stats_base_")).collect()
+    assert(baseTables.nonEmpty)
+    val base = rows(spark.table(baseTables.head.name))
+    assert(base.map(_._3).sum < full.map(_._3).sum)
+    assert(base.exists { case (p, st, n) =>
+      full.exists { case (p2, s2, n2) => p2 == p && s2 == st && n2 > n }
+    })
+  }
+
   test("j8b hamming join: segment blocking is pigeonhole-exact vs brute force") {
     val dir = sf("sf0.001")
     val got = graft.operators.Library.hammingJoin(spark, dir)
