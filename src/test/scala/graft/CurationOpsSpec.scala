@@ -530,6 +530,50 @@ class CurationOpsSpec extends SparkSuite {
     assert(n0 >= n1 && n1 >= n2 && n2 > 0)
   }
 
+  test("w11/w12 boundary gallery: day edges and window edges resolve exactly") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000 * 1000
+    val week = 7 * dayUs
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z — day-aligned
+    // user 1: same-day pair 1 µs apart across the day boundary — pins the
+    // integer-div day bucketing; no 'view' events so it stays out of the
+    // funnel. user 2: click at EXACTLY t0 + window (the <= edge — must
+    // count) and purchase at exactly t1 (the >= edge — must count).
+    // user 3: click 1 µs past the window — must NOT count.
+    val rows = Seq(
+      (1L, base, 1L, "error", 1.0, "{}"),
+      (2L, base + dayUs - 1, 1L, "error", 1.0, "{}"),
+      (3L, base + dayUs, 1L, "error", 1.0, "{}"),
+      (10L, base, 2L, "view", 1.0, "{}"),
+      (11L, base + week, 2L, "click", 1.0, "{}"),
+      (12L, base + week, 2L, "purchase", 1.0, "{}"),
+      (20L, base, 3L, "view", 1.0, "{}"),
+      (21L, base + week + 1, 3L, "click", 1.0, "{}"))
+    val root = java.nio.file.Files.createTempDirectory("w11_gallery").toString
+    val tmpOut = s"$root/out"
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .coalesce(1).write.parquet(tmpOut)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$root/events.parquet"))
+    val d0 = base / dayUs
+    val ret = Library.retentionCohorts(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(ret == Set(
+      (d0, 0L, 3L, 3L, 1.0),       // all three users active on day 0
+      (d0, 1L, 1L, 3L, round4(1.0 / 3)), // only user 1 crossed the day edge
+      (d0, 7L, 2L, 3L, round4(2.0 / 3))))  // users 2 and 3 a week later
+    val fun = Library.funnelSteps(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(fun == Set(
+      (0L, "view", 2L, 1.0),
+      (1L, "click", 1L, 0.5),      // user 2's exactly-at-window click only
+      (2L, "purchase", 1L, 0.5)))  // user 2's exactly-at-t1 purchase
+  }
+
   test("t20 per-source cap: driver-side replay reproduces ranks and keep flags") {
     val dir = sf("sf0.001")
     val got = TextAnalysis.perSourceCap(spark, dir).collect()
