@@ -32,7 +32,13 @@ object ExplainAudit {
       "w10_burst_detection",
       "d13_delta_neardup", "d14_span_scrub", "d15_delta_simhash",
       "s6_ann_kmeans", "t17_mixture_sample", "m1_binary_meta",
-      "m2_media_stats")
+      "m2_media_stats",
+      "d10b_contamination_bloom", "d20_containment", "d21_semdedup",
+      "s7b_ann_quantized_indexed", "s11b_ann_pq_indexed", "s12b_ann_filtered_indexed",
+      "g1_pagerank", "g1b_delta_pagerank", "w11_retention", "w12_funnel",
+      "w13_rolling_distinct", "a2c_sketch_rollup", "a16c_percentile_sketch_rollup",
+      "j8b_hamming_join", "j8c_edit_distance_join", "t20_source_cap",
+      "i6_incremental_agg")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
