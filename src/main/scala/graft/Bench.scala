@@ -27,7 +27,9 @@ object Bench {
     "s1_ann_bruteforce", "s2_ann_lsh", "s4_ann_ivf", "s6_ann_kmeans",
     "s7b_ann_quantized_indexed", "s9_ann_delta_search", "s11b_ann_pq_indexed",
     "t2_language_id", "t5_fingerprints", "t13_distinctive_terms",
-    "t15_heavy_hitters", "m2_media_stats")
+    "t15_heavy_hitters", "m2_media_stats",
+    "d10b_contamination_bloom", "g1_pagerank", "w11_retention",
+    "a2c_sketch_rollup", "j8c_edit_distance_join", "i6_incremental_agg")
 
   // Locale.ROOT: the f-interpolator uses the default locale, and a
   // comma-decimal locale would corrupt the JSON contract line
