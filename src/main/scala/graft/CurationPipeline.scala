@@ -38,8 +38,10 @@ object CurationPipeline {
 
   /** Run the full flow; returns (kept corpus frame as written, report).
     * `trainUpTo`/`valFrom` are the t9 split thresholds: only TRAIN-split
-    * documents are decontaminated against the eval slice (val/test docs
-    * ARE the protected material and pass through on their own split).
+    * documents (bucket < trainUpTo) are decontaminated; the gram state
+    * protects the ENTIRE held-out slice — val (buckets [trainUpTo,
+    * valFrom)) and test (>= valFrom) alike — and held-out docs pass
+    * through on their own split.
     */
   def run(spark: SparkSession, dir: String, outPath: String,
       cap: Int = 20, trainUpTo: Int = 250, valFrom: Int = 253,
@@ -50,8 +52,11 @@ object CurationPipeline {
     val nDocs = docs.count()
 
     // 1. DECONTAMINATION (the d10b screen): train-split docs sharing
-    // 8-grams with the eval slice are quarantined
-    val st = Dedup.evalGramState(docs.filter(col("bucket") >= valFrom))
+    // 8-grams with the HELD-OUT slice are quarantined. The protected
+    // material is everything past the train threshold — val (buckets in
+    // [trainUpTo, valFrom)) AND test (>= valFrom) — so the gram state is
+    // built from bucket >= trainUpTo, not just the test split.
+    val st = Dedup.evalGramState(docs.filter(col("bucket") >= trainUpTo))
     val quarantined = Dedup.screenContamination(
       docs.filter(col("bucket") < trainUpTo), st.bloom, st.grams)
       .select(col("doc_id")).localCheckpoint()

@@ -635,13 +635,6 @@ object SparkEntry {
         | TRUE AS p50_rank_band, TRUE AS p95_rank_band
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // merged-digest quantiles over the persisted cell table, shipped as
-    // the a16b rank-band flags; value quantiles at micro precision
-    "a16c_percentile_sketch_rollup" ->
-      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact,
-        | round(quantile_cont(value, 0.95), 4) AS p95_exact,
-        | TRUE AS p50_rank_band, TRUE AS p95_rank_band
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
-    // merged-digest quantiles over the persisted cell table, shipped as
     // the a16b rank-band flags
     "a16c_percentile_sketch_rollup" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50_exact,
@@ -1507,7 +1500,8 @@ object SparkEntry {
         |o AS (SELECT doc_id, lang, n_tokens,
         |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM t)
-        |SELECT doc_id, lang, n_tokens, off // 256 AS pack_idx, off % 256 AS pack_offset,
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(off // 256 AS BIGINT) AS pack_idx, CAST(off % 256 AS BIGINT) AS pack_offset,
         |  (off % 256 + n_tokens > 256) AS spans_packs
         |FROM o ORDER BY doc_id""".stripMargin,
     "t4_token_counts" ->

@@ -771,7 +771,13 @@ object Library {
       val p0 = s"($L * $i div $nSegs)"
       val slen = s"($L * ${i + 1} div $nSegs - $p0)"
       val q = s"($p0 + ${dq})"
-      expr(s"""IF($L >= 1 AND $slen >= 1 AND $q >= 0 AND $q + $slen <= len,
+      // slen == 0 (hence L == 0) candidates MUST stay in: a string of
+      // length <= maxDist has empty segments, and a qualifying pair may
+      // meet ONLY on one of them (e.g. ("ab","xy") at maxDist 2 — both
+      // 1-char segments carry an edit; the error-free segment is the
+      // empty seg0). Empty segments exist only for L <= maxDist, so the
+      // ("", i, L) blocks join a stratum bounded by len <= 2*maxDist.
+      expr(s"""IF($L >= 0 AND $slen >= 0 AND $q >= 0 AND $q + $slen <= len,
         named_struct('i', $i, 'll', CAST($L AS INT),
           'sub', substring(name, CAST($q AS INT) + 1, CAST($slen AS INT))),
         NULL)""")

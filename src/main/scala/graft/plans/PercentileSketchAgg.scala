@@ -92,8 +92,17 @@ case class PercentileMergeAgg(
 
   override def update(buf: PercentileDigest, input: InternalRow): PercentileDigest = {
     val v = child.eval(input)
-    if (v != null)
-      buf.merge(ApproximatePercentile.serializer.deserialize(v.asInstanceOf[Array[Byte]]))
+    if (v != null) {
+      val cell = ApproximatePercentile.serializer.deserialize(v.asInstanceOf[Array[Byte]])
+      // the serialized cell carries its relativeError — fail fast on a
+      // cell built at a different accuracy (the HllMergeAgg register-
+      // length check's twin): silently merging it would weaken the rank
+      // bound the band flags assert
+      val got = cell.quantileSummaries.relativeError
+      require(math.abs(got - 1.0 / accuracy) < 1e-12,
+        s"percentile cell built at relativeError $got, merge expects ${1.0 / accuracy}")
+      buf.merge(cell)
+    }
     buf
   }
 

@@ -31,4 +31,31 @@ class ContractSpec extends AnyFunSuite {
     assert((rowsOnly & SparkEntry.oracleSql.keySet).isEmpty,
       "a rows-only query gained an oracle — drop it from the exemption list")
   }
+
+  test("HUGEINT guard: sum-derived intdiv/mod never reaches a SELECT alias un-CAST") {
+    // DuckDB's sum(BIGINT) returns HUGEINT; `//` and `%` keep it HUGEINT
+    // and it lands in pandas as float64, which the driver's hash rejects
+    // against Spark's int64 (round-10 t19: `off // 256 AS pack_idx`).
+    // Static rule over every oracle that uses sum(): an intdiv/mod result
+    // aliased DIRECTLY to an output name (`x // n AS alias`) is the bug
+    // shape and must instead be wrapped `CAST(x // n AS BIGINT) AS alias`.
+    // The two are distinguishable textually: output aliases are
+    // lowercase, CAST targets (AS BIGINT / AS INT) are uppercase.
+    val bugShape = "(//|%)\\s*\\w+\\s+AS\\s+[a-z_]+".r
+    // intdiv over a BASE parquet column (BIGINT in, BIGINT out — no sum
+    // anywhere upstream of the operand) is provably not the HUGEINT
+    // shape; pinned here by exact text so any edit re-trips the guard
+    val safeBaseColumn = Set(
+      "p_partkey // 4 AS parent")
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      if (!sql.contains("sum(")) Nil
+      else sql.linesIterator.zipWithIndex.collect {
+        case (line, i) if bugShape.findFirstIn(line).isDefined &&
+            !safeBaseColumn.exists(line.contains) =>
+          s"$name line ${i + 1}: ${line.trim}"
+      }.toList
+    }
+    assert(offenders.isEmpty,
+      s"un-CAST sum-derived intdiv/mod aliased in oracle SELECT:\n${offenders.mkString("\n")}")
+  }
 }

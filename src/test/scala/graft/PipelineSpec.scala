@@ -155,9 +155,11 @@ class PipelineSpec extends SparkSuite {
       r.nQualityDropped - r.nCapDropped == r.nKept)
     assert(kept.count() == r.nKept && r.nKept > 0)
 
-    // stage 1 == the d10 gate's own screen (same defaults)
+    // stage 1 == the d10 screen protecting the WHOLE held-out slice
+    // (val + test, bucket >= 250 — the pipeline's scope, wider than the
+    // d10 gate's test-only valUpTo=253 default)
     assert(r.nQuarantined ==
-      graft.operators.Dedup.crossSplitContamination(spark, dir).count())
+      graft.operators.Dedup.crossSplitContamination(spark, dir, valUpTo = 250).count())
 
     // independent invariants over the kept set (not a replay of the
     // pipeline — each is a property the composition must deliver):

@@ -251,6 +251,39 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: edit-distance blocking stays exact on strings of length <= maxDist") {
+    // the round-10 latent miss: with maxDist 2, ("ab","xy") is distance 2
+    // but both 1-char segments carry an edit — the pair meets ONLY on the
+    // empty seg0, so the slen==0 candidate blocks must exist. Deliberate
+    // short-string soup including "" and every length up to 5.
+    val rng = new scala.util.Random(23)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val alpha = "xyz"
+    val fixed = Seq("", "a", "b", "ab", "xy", "ax", "ba", "abc", "xyz")
+    val rand = (0 until 20).map(_ =>
+      (0 until rng.nextInt(6)).map(_ => alpha(rng.nextInt(3))).mkString)
+    val all = (fixed ++ rand).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = all.toDF("key", "name")
+    val got = graft.operators.Library.editDistanceJoinOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val exp = (for {
+      (ka, na) <- all; (kb, nb) <- all
+      if ka < kb
+      d = lev(na, nb)
+      if d <= 2
+    } yield (ka, kb, d.toLong)).toSet
+    assert(got == exp,
+      s"missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    assert(exp.exists(_._3 == 2) && exp.exists(_._3 == 0))
+  }
+
   test("property: HLL cell merge == one-shot sketch under random partitionings") {
     val rng = new scala.util.Random(17)
     for (trial <- 1 to 3) {
