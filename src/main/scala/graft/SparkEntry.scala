@@ -218,6 +218,12 @@ object SparkEntry {
     // only adds indexed docs), so the oracle is shared
     "d18_index_append" -> ((s, d) =>
       Dedup.deltaNearDupsGateAppended(s, d).orderBy("id_a", "id_b")),
+    // the RETRACTION lifecycle: base index saved, doc_id%14==3 removed +
+    // compacted (physical delete), doc_id%14==10 removed uncompacted
+    // (tombstone-served), shard delta-joined against the loaded result —
+    // pair set == full recompute over corpus minus the removed docs
+    "d22_index_remove" -> ((s, d) =>
+      Dedup.deltaNearDupsGateRemoved(s, d).orderBy("id_a", "id_b")),
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d).orderBy("probe_id", "rn")),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d).orderBy("probe_id", "rn")),
@@ -254,6 +260,11 @@ object SparkEntry {
       Similarity.annDeltaSearch(s, d).orderBy("probe_id", "rn")),
     // the measured re-train trigger over the same incremental index
     "s10_ann_drift" -> ((s, d) => Similarity.annDeltaDrift(s, d)),
+    // retraction: vec_id%10==2 removed + compacted (physical delete),
+    // vec_id%10==7 tombstone-served; exact top-k over the loaded index ==
+    // brute force over corpus minus removed (probes < 5 never removed)
+    "s13_ann_remove" -> ((s, d) =>
+      Similarity.annRemoveSearch(s, d).orderBy("probe_id", "rn")),
     // product quantization (Jégou et al.): integer per-subspace codebooks
     // trained by deterministic Lloyd rounds on the int8 plane, candidates
     // scored by integer ADC table lookups over the 8-codes compressed
@@ -953,6 +964,21 @@ object SparkEntry {
     // pair set — and the oracle — are identical; the Spark path differs
     // (INSERT INTO + generation-swap compaction on the bucketed tables)
     "d18_index_append" -> deltaNearDupSql,
+    // retraction: the d13 delta SQL with indexed-side members of the
+    // removed class (doc_id ≡ 3 mod 7, the union of the compacted ≡3 and
+    // tombstoned ≡10 mod-14 slices) excluded — the oracle IS the full
+    // recompute over corpus ∖ removed (removing a doc removes exactly its
+    // incident pairs; band keys of other docs are per-doc functions)
+    "d22_index_remove" ->
+      s"""$shinglesCte,
+         |$lshPairsCtes,
+         |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+         |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b, jaccard
+         |FROM pairs JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+         |WHERE (xa.bucket >= 200 OR xb.bucket >= 200)
+         |  AND NOT (xa.bucket < 200 AND id_a % 7 = 3)
+         |  AND NOT (xb.bucket < 200 AND id_b % 7 = 3)
+         |ORDER BY id_a, id_b""".stripMargin,
     "d4_ngram_jaccard_pairs" ->
       s"""$shinglesCte,
          |ds AS (SELECT doc_id, lang, tok0, tokz, list_distinct(sh) AS dsh FROM s)
@@ -1220,6 +1246,19 @@ object SparkEntry {
     // ---- similarity ----
     "s1_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5)
+        |SELECT probe_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT probe_id, vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) AS cos,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) DESC, vec_id) AS rn
+        |  FROM p CROSS JOIN e WHERE probe_id != vec_id)
+        |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
+    // retraction: exact top-k over the corpus minus the removed class
+    // (vec_id ≡ 2 mod 5, vec_id >= 5 — the union of the compacted ≡2 and
+    // tombstoned ≡7 mod-10 slices); probes (< 5) are never removed
+    "s13_ann_remove" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE NOT (vec_id >= 5 AND vec_id % 5 = 2)),
         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5)
         |SELECT probe_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT probe_id, vec_id AS neighbor_id,

@@ -776,6 +776,47 @@ object Dedup {
     ()
   }
 
+  // ---- tombstones: the takedown half of the persisted-index contract ----
+
+  /** The takedown list of a persisted index: `<table>` holds one id per
+    * removed row. Absent (never removed, or cleared by a compaction) ⇒
+    * None, so indexes that never see a removal keep their exact current
+    * plans — the anti-join below only enters a pipeline once a takedown
+    * actually happened.
+    */
+  private[graft] def tombstoneTable(spark: SparkSession, table: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(table)) Some(spark.table(table)) else None
+
+  /** Record ids as removed. Append-mode into the tombstone table (created
+    * on first use) — a takedown list is small by nature, so readers apply
+    * it as a BROADCAST anti-join, which preserves the bucketed child's
+    * partitioning and ordering (Exchange-free index reads stay
+    * Exchange-free under tombstones).
+    */
+  private[graft] def appendTombstones(spark: SparkSession, table: String,
+      ids: DataFrame, key: String): Unit =
+    ids.select(col(key)).distinct().write.mode("append").saveAsTable(table)
+
+  /** Delete-then-append idempotence: re-ingesting an id lifts its
+    * tombstone (append wins — the row now in the index is the re-added
+    * one). localCheckpoint first: the rewrite must not read the table it
+    * overwrites.
+    */
+  private[graft] def clearTombstones(spark: SparkSession, table: String,
+      readded: DataFrame, key: String): Unit =
+    tombstoneTable(spark, table).foreach { ts =>
+      ts.join(broadcast(readded.select(col(key)).distinct()), Seq(key), "left_anti")
+        .localCheckpoint()
+        .write.mode("overwrite").saveAsTable(table)
+    }
+
+  /** Broadcast-anti-join `df` against a tombstone frame (None ⇒ df
+    * unchanged).
+    */
+  private[graft] def minusTombstones(df: DataFrame, minus: Option[DataFrame],
+      key: String): DataFrame =
+    minus.fold(df)(t => df.join(broadcast(t.select(col(key))), Seq(key), "left_anti"))
+
   /** Append rows into an existing bucketed table — the INSERT INTO half
     * of the ingest contract the index scaladocs promise. `mode("append")`
     * with a MATCHING bucket spec (Spark validates it) writes the new rows
@@ -819,8 +860,14 @@ object Dedup {
       spark.catalog.refreshTable(table)
     }
 
+  /** `minus`: tombstoned ids to PHYSICALLY drop during the rewrite — the
+    * compaction is the one moment a takedown becomes a real delete (the
+    * generation being written simply never contains the rows), after
+    * which the caller clears the tombstone table.
+    */
   private[graft] def compactBucketedTable(spark: SparkSession, table: String,
-      buckets: Int, keys: Seq[String]): Unit = {
+      buckets: Int, keys: Seq[String],
+      minus: Option[(DataFrame, String)] = None): Unit = {
     val tmp = s"${table}__compact"
     recoverGenerationSwap(spark, table, tmp)
     dropTableAndLocation(spark, tmp)
@@ -833,7 +880,8 @@ object Dedup {
     // to their bucket before the write.
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    spark.read.schema(spark.table(table).schema).parquet(loc.toString)
+    val raw = spark.read.schema(spark.table(table).schema).parquet(loc.toString)
+    minus.fold(raw) { case (t, k) => minusTombstones(raw, Some(t), k) }
       .repartition(buckets, keys.map(col): _*)
       .write.bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
@@ -857,13 +905,41 @@ object Dedup {
   }
 
   /** Load a [[saveNearDupIndex]]-persisted index; band parameters come
-    * from the meta table, never the caller.
+    * from the meta table, never the caller. Tombstoned documents (a
+    * [[removeFromNearDupIndex]] takedown not yet compacted away) are
+    * filtered out of BOTH member tables by a broadcast anti-join — which
+    * preserves the bucketed scans' partitioning and ordering, so the
+    * Exchange-free delta-join property survives a pending takedown.
     */
   def loadNearDupIndex(spark: SparkSession, name: String): NearDupIndex = {
     val meta = spark.table(s"${name}_meta").head()
-    NearDupIndex(spark.table(s"${name}_banded"), spark.table(s"${name}_shingles"),
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+    NearDupIndex(
+      minusTombstones(spark.table(s"${name}_banded"), ts, "doc_id"),
+      minusTombstones(spark.table(s"${name}_shingles"), ts, "doc_id"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("rows_per_band"))
   }
+
+  /** RETRACTION — the reference's dedup flow exists to DELETE files
+    * (dupes/dedup.py:133-171 emits the `rm` commands); at pipeline scale
+    * the analogue is a takedown list that must stop appearing in every
+    * pair/cluster/canonical result. Removal is a TOMBSTONE: the ids land
+    * in `<name>_tombstones`, [[loadNearDupIndex]] serves the index minus
+    * the tombstoned documents immediately, and the next
+    * [[compactNearDupIndex]] turns the tombstones into a physical delete
+    * (the rewritten generation never contains the rows) and clears the
+    * list. Re-appending a removed id ([[appendNearDupIndex]]) lifts its
+    * tombstone — delete-then-append means the re-added rows win.
+    *
+    * Sketch state is OUT OF SCOPE by design: HLL registers and GK/
+    * SpaceSaving summaries are additive-only (a register max cannot be
+    * un-raised), so the a2c/a16c cell tables document REBUILD-ONLY
+    * deletion — drop the affected (group, day) cells and re-aggregate
+    * them from the retained rows; never tombstone inside a sketch.
+    */
+  def removeFromNearDupIndex(spark: SparkSession, name: String,
+      docIds: DataFrame): Unit =
+    appendTombstones(spark, s"${name}_tombstones", docIds, "doc_id")
 
   /** Append a shard's rows into a SAVED index — [[upsertNearDupIndex]]'s
     * disk half, the production ingest step after a shard's delta pairs
@@ -885,6 +961,8 @@ object Dedup {
       bandedKeys(newSh, meta.getAs[Int]("bands"), meta.getAs[Int]("rows_per_band")),
       s"${name}_banded", buckets, Seq("band", "bkey"))
     appendBucketedTable(newSh, s"${name}_shingles", buckets, Seq("doc_id"))
+    // a re-added id lifts its tombstone (delete-then-append idempotence)
+    clearTombstones(spark, s"${name}_tombstones", newSh.select(col("doc_id")), "doc_id")
   }
 
   /** Compact a SAVED index back to one file per bucket (appends add a
@@ -894,8 +972,16 @@ object Dedup {
     */
   def compactNearDupIndex(spark: SparkSession, name: String): Unit = {
     val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
-    compactBucketedTable(spark, s"${name}_banded", buckets, Seq("band", "bkey"))
-    compactBucketedTable(spark, s"${name}_shingles", buckets, Seq("doc_id"))
+    // pending takedowns become PHYSICAL deletes in the rewritten
+    // generation; localCheckpoint first so neither table rewrite re-reads
+    // catalog state mid-swap
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+      .map(_.select(col("doc_id")).localCheckpoint())
+    compactBucketedTable(spark, s"${name}_banded", buckets, Seq("band", "bkey"),
+      ts.map((_, "doc_id")))
+    compactBucketedTable(spark, s"${name}_shingles", buckets, Seq("doc_id"),
+      ts.map((_, "doc_id")))
+    if (ts.isDefined) dropTableAndLocation(spark, s"${name}_tombstones")
   }
 
   /** The d13 gate pipeline: index the already-ingested corpus slice (md5
@@ -961,6 +1047,38 @@ object Dedup {
       loadNearDupIndex(spark, name)
     }.asInstanceOf[NearDupIndex]
     deltaNearDupsFromShingles(sh.filter(bucket >= split2), index, threshold)
+  }
+
+  /** The d22 gate — the RETRACTION lifecycle on disk, both halves in one
+    * trajectory: save the base index (bucket < splitAt), take down the
+    * doc_id ≡ 3 (mod 14) slice and COMPACT (physical delete — the
+    * rewritten generation never holds those rows, tombstones cleared),
+    * then take down the doc_id ≡ 10 (mod 14) slice WITHOUT compacting
+    * (served through the load-time broadcast anti-join), and delta-join
+    * the bucket ≥ splitAt shard against the loaded result. Together the
+    * two slices are exactly doc_id ≡ 3 (mod 7), so the oracle is the d13
+    * delta SQL with indexed-side members of that class excluded — a full
+    * recompute over corpus ∖ removed, which is precisely the takedown
+    * contract (a removed document appears in NO pair, via either serving
+    * path).
+    */
+  def deltaNearDupsGateRemoved(spark: SparkSession, dir: String,
+      splitAt: Int = 200, threshold: Double = 0.8): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sh = persistedShingleTable(spark, dir)
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("neardupIndexRemoved", dir, splitAt)) {
+      val baseSh = sh.filter(bucket < splitAt)
+      val name = f"neardup_rm_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveNearDupIndex(NearDupIndex(bandedKeys(baseSh, 3, 3), baseSh, 3, 3), name)
+      val ids = Tables.documents(spark, dir).filter(bucket < splitAt)
+        .select(col("doc_id"))
+      removeFromNearDupIndex(spark, name, ids.filter(col("doc_id") % 14 === 3))
+      compactNearDupIndex(spark, name)
+      removeFromNearDupIndex(spark, name, ids.filter(col("doc_id") % 14 === 10))
+      loadNearDupIndex(spark, name)
+    }.asInstanceOf[NearDupIndex]
+    deltaNearDupsFromShingles(sh.filter(bucket >= splitAt), index, threshold)
   }
 
   /** INCREMENTAL cluster maintenance — the production ingest's final

@@ -819,9 +819,29 @@ object Similarity {
         r.getAs[scala.collection.Seq[Long]]("c").toArray)
       .toMap
     val book = Array.tabulate(PqM, PqK)((sm, c) => bookRows((sm, c)))
-    AnnIndex(spark.table(s"${name}_vectors"), cents, meta.getAs[Double]("m"),
+    // tombstoned vectors (a removeFromAnnIndex takedown not yet compacted
+    // away) are filtered by a broadcast anti-join — partitioning/ordering
+    // of the bucketed scan survive, so Exchange-free re-rank joins hold
+    val live = Dedup.minusTombstones(spark.table(s"${name}_vectors"),
+      Dedup.tombstoneTable(spark, s"${name}_tombstones"), "vec_id")
+    AnnIndex(live, cents, meta.getAs[Double]("m"),
       meta.getAs[Int]("k_clusters"), meta.getAs[Int]("n_planes"), book)
   }
+
+  /** RETRACTION for the vector store — the ANN twin of
+    * [[Dedup.removeFromNearDupIndex]]: tombstone now (every search tier
+    * reads `index.vectors`, which [[loadAnnIndex]] serves minus the
+    * takedown list), physical delete at the next [[compactAnnIndex]]
+    * (the rewritten generation never contains the rows), resurrection on
+    * re-append ([[appendAnnIndex]] lifts tombstones of re-added ids).
+    * The trained model (centroids, scale, PQ books) is corpus-derived
+    * summary state and deliberately NOT retracted per-vector — like the
+    * HLL cells it is rebuild-only, and [[annIndexDrift]] is the measured
+    * trigger for that rebuild.
+    */
+  def removeFromAnnIndex(spark: SparkSession, name: String,
+      vecIds: DataFrame): Unit =
+    Dedup.appendTombstones(spark, s"${name}_tombstones", vecIds, "vec_id")
 
   /** INCREMENTAL ANN ingest — the d17 shape for the serving index: new
     * embeddings are quantized, cluster-assigned and banded MAP-SIDE
@@ -847,14 +867,23 @@ object Similarity {
       annServingRows(newVecs, loaded.scaleM, loaded.centroids, loaded.nPlanes,
         loaded.pqBook),
       s"${name}_vectors", buckets, Seq("vec_id"))
+    // a re-added id lifts its tombstone (delete-then-append idempotence)
+    Dedup.clearTombstones(spark, s"${name}_tombstones",
+      newVecs.select(col("vec_id")), "vec_id")
   }
 
   /** Rewrite the vectors table to one file per bucket, restoring the
-    * reported sort appends forfeit — the LSM compaction step.
+    * reported sort appends forfeit — the LSM compaction step. Pending
+    * takedowns become physical deletes here and the tombstone list is
+    * cleared.
     */
   def compactAnnIndex(spark: SparkSession, name: String): Unit = {
     val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
-    Dedup.compactBucketedTable(spark, s"${name}_vectors", buckets, Seq("vec_id"))
+    val ts = Dedup.tombstoneTable(spark, s"${name}_tombstones")
+      .map(_.select(col("vec_id")).localCheckpoint())
+    Dedup.compactBucketedTable(spark, s"${name}_vectors", buckets, Seq("vec_id"),
+      ts.map((_, "vec_id")))
+    if (ts.isDefined) Dedup.dropTableAndLocation(spark, s"${name}_tombstones")
   }
 
   /** The re-train trigger, measured: how far the corpus has outgrown the
@@ -1076,11 +1105,61 @@ object Similarity {
       .select(col("n_total"), col("n_new"), col("n_overscale"), col("retrain"))
   }
 
+  /** The s13 gate's index — the RETRACTION lifecycle on disk, both
+    * serving paths in one trajectory (the d22 shape for vectors): save
+    * the full corpus, take down vec_id ≡ 2 (mod 10) and COMPACT
+    * (physical delete, tombstones cleared), then take down vec_id ≡ 7
+    * (mod 10) WITHOUT compacting (served via the load-time anti-join).
+    * Probes (vec_id < nProbes) are never removed, so the searches keep
+    * their full probe set. Union of the two slices = vec_id ≡ 2 (mod 5),
+    * vec_id ≥ 5 — what the oracle excludes.
+    */
+  private[graft] def annRemoveGateIndex(spark: SparkSession, dir: String,
+      nProbes: Int = 5): AnnIndex =
+    graft.SessionCache.getOrElseUpdate(spark, ("annIndexRemoved", dir)) {
+      val e = preparedEmbeddings(spark, dir).select("vec_id", "label", "v", "n")
+      val name = f"ann_rm_${dir.hashCode & 0xffffffffL}%x"
+      saveAnnIndex(spark, name, e)
+      val ids = e.filter(col("vec_id") >= nProbes).select(col("vec_id"))
+      removeFromAnnIndex(spark, name, ids.filter(col("vec_id") % 10 === 2))
+      compactAnnIndex(spark, name)
+      removeFromAnnIndex(spark, name, ids.filter(col("vec_id") % 10 === 7))
+      loadAnnIndex(spark, name)
+    }.asInstanceOf[AnnIndex]
+
+  /** Exact top-k cosine over the LOADED vector store (s1's plan answered
+    * from the index instead of the raw table): broadcast probes, map-side
+    * corpus scan, per-probe window top-k. Under a takedown this is the
+    * existence proof that removed vectors are unsearchable through the
+    * full-precision tier — and since every ANN tier reads the same
+    * `index.vectors` frame, through all of them.
+    */
+  def bruteForceTopKIndexed(index: AnnIndex, nProbes: Int = 5, k: Int = 10): DataFrame = {
+    val probes = index.vectors.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    val corpus = index.vectors.select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** S13 — search after retraction: exact top-k over the takedown-filtered
+    * index; oracle = brute force over corpus ∖ removed.
+    */
+  def annRemoveSearch(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopKIndexed(annRemoveGateIndex(spark, dir))
+
   /** Build + load the serving indexes ahead of a timing loop — one-time
     * ingest-side state a serving deployment loads at startup (the same
     * class as Dedup.warmServingIndexes).
     */
   def warmServingIndexes(spark: SparkSession, dir: String): Unit = {
+    // the s13 retraction index is deliberately NOT warmed — like d18/d22,
+    // its save → remove → compact → remove trajectory IS the measured work
     annGateIndex(spark, dir)
     annDeltaGateIndex(spark, dir)
     ()

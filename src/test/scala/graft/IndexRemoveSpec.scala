@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The RETRACTION lifecycle (round-11): tombstone-served removal, physical
+  * delete at compaction, delete-then-append idempotence — for both the
+  * near-dup shingle/band index and the ANN vector store. The contract:
+  * a removed id appears in NO pair/search result through either serving
+  * path, and re-appending it fully restores it.
+  */
+class IndexRemoveSpec extends SparkSuite {
+
+  private def pairSet(df: DataFrame) =
+    df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("near-dup index: remove tombstones now, deletes at compact, append resurrects") {
+    import spark.implicits._
+    val baseText = (1 to 60).map(i => s"tok$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    // docs 10 and 11 are both near-dups of the shard doc 20
+    val base = ((0L to 9L).map(i => (i, noise(i), "en", "s", 1L)) ++ Seq(
+      (10L, baseText, "en", "s", 1L),
+      (11L, baseText.replace("tok45", "ALT"), "en", "s", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val shard = Seq((20L, baseText.replace("tok30", "EDITED"), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Seq("_banded", "_shingles", "_meta", "_tombstones").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS rmidx$s"))
+    val ops = graft.operators.Dedup
+    ops.saveNearDupIndex(ops.buildNearDupIndex(base), "rmidx", buckets = 4)
+    try {
+      // baseline: both planted near-dups pair with the shard doc
+      val before = pairSet(ops.deltaNearDups(shard, ops.loadNearDupIndex(spark, "rmidx")))
+      assert(before.contains((10L, 20L)) && before.contains((11L, 20L)))
+
+      // 1. TOMBSTONE serving: removing 10 hides it immediately (no rewrite)
+      ops.removeFromNearDupIndex(spark, "rmidx", Seq(10L).toDF("doc_id"))
+      val afterRm = pairSet(ops.deltaNearDups(shard, ops.loadNearDupIndex(spark, "rmidx")))
+      assert(!afterRm.exists(p => p._1 == 10L || p._2 == 10L), s"10 still paired: $afterRm")
+      assert(afterRm.contains((11L, 20L)), "unrelated doc must survive the takedown")
+
+      // 2. COMPACT = physical delete: the raw table no longer holds doc 10,
+      // the tombstone list is gone, and serving is unchanged
+      ops.compactNearDupIndex(spark, "rmidx")
+      assert(!spark.catalog.tableExists("rmidx_tombstones"))
+      assert(spark.table("rmidx_shingles").filter(col("doc_id") === 10L).isEmpty)
+      assert(spark.table("rmidx_banded").filter(col("doc_id") === 10L).isEmpty)
+      val afterCompact = pairSet(ops.deltaNearDups(shard, ops.loadNearDupIndex(spark, "rmidx")))
+      assert(afterCompact == afterRm)
+
+      // 3. delete-then-append idempotence: tombstone 11, then re-append it
+      // — the append lifts the tombstone and 11 is fully restored
+      ops.removeFromNearDupIndex(spark, "rmidx", Seq(11L).toDF("doc_id"))
+      assert(!pairSet(ops.deltaNearDups(shard, ops.loadNearDupIndex(spark, "rmidx")))
+        .contains((11L, 20L)))
+      ops.appendNearDupIndex(spark, "rmidx", base.filter(col("doc_id") === 11L))
+      assert(spark.table("rmidx_tombstones").isEmpty,
+        "re-appending the only tombstoned id must clear the list")
+      val restored = pairSet(ops.deltaNearDups(shard, ops.loadNearDupIndex(spark, "rmidx")))
+      assert(restored.contains((11L, 20L)), s"11 not restored: $restored")
+    } finally {
+      Seq("_banded", "_shingles", "_meta", "_tombstones").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS rmidx$s"))
+    }
+  }
+
+  test("ANN index: removed vectors unsearchable, compact deletes, append resurrects") {
+    import spark.implicits._
+    val ops = graft.operators.Similarity
+    // 12 deterministic 64-dim vectors; ids 0-1 are probes
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(64)(i => math.sin(id * 64 + i) + (if (i == (id % 64).toInt) 2.0 else 0.0))
+    val e = (0L to 11L).map(id => (id, -1, vec(id),
+        math.sqrt(vec(id).map(x => x * x).sum)))
+      .toDF("vec_id", "label", "v", "n")
+    Seq("_vectors", "_centroids", "_pqbook", "_meta", "_tombstones").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS rmann$s"))
+    ops.saveAnnIndex(spark, "rmann", e, buckets = 2)
+    def neighbors(): Set[Long] =
+      ops.bruteForceTopKIndexed(ops.loadAnnIndex(spark, "rmann"), nProbes = 2, k = 20)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    try {
+      assert(neighbors().contains(7L))
+
+      // tombstone-served removal
+      ops.removeFromAnnIndex(spark, "rmann", Seq(7L).toDF("vec_id"))
+      assert(!neighbors().contains(7L), "tombstoned vector still searchable")
+      assert(neighbors().contains(8L))
+
+      // compact = physical delete + cleared tombstones
+      ops.compactAnnIndex(spark, "rmann")
+      assert(!spark.catalog.tableExists("rmann_tombstones"))
+      assert(spark.table("rmann_vectors").filter(col("vec_id") === 7L).isEmpty)
+      assert(!neighbors().contains(7L))
+
+      // delete-then-append: the re-added vector wins
+      ops.removeFromAnnIndex(spark, "rmann", Seq(8L).toDF("vec_id"))
+      assert(!neighbors().contains(8L))
+      ops.appendAnnIndex(spark, "rmann", e.filter(col("vec_id") === 8L))
+      assert(spark.table("rmann_tombstones").isEmpty)
+      assert(neighbors().contains(8L), "re-appended vector not searchable")
+    } finally {
+      Seq("_vectors", "_centroids", "_pqbook", "_meta", "_tombstones").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS rmann$s"))
+    }
+  }
+}
