@@ -71,6 +71,11 @@ object SparkEntry {
     "a18_string_agg" -> ((s, d) => Library.memberList(s, d).orderBy("r_name")),
     "a19_unpivot" -> ((s, d) => Library.unpivotWidths(s, d).orderBy("metric")),
     "w6_running_sum" -> ((s, d) => Library.runningSum(s, d).orderBy("event_id")),
+    // w6's chunk-and-stitch twin: per-(user, time-chunk) decimal prefix
+    // sums + a chunk-offset stitch — bit-identical output (decimal folds
+    // are associative), so the oracle is shared
+    "w6b_running_sum_chunked" -> ((s, d) =>
+      Library.chunkedRunningSum(s, d).orderBy("event_id")),
     // ---- joins (§2.4) ----
     "j1_bridge_join_agg" -> ((s, d) => Library.bridgeJoinAgg(s, d).orderBy("p_brand")),
     "j2_join_literal_filter" -> ((s, d) => Library.joinLiteralFilter(s, d).orderBy("l_orderkey", "l_linenumber")),
@@ -112,6 +117,11 @@ object SparkEntry {
       Library.chunkedSessionize(s, d).orderBy("user_id", "session_idx")),
     "w8_ntile_quartiles" -> ((s, d) => Library.priorityQuartiles(s, d).orderBy("o_orderpriority", "quartile")),
     "w10_burst_detection" -> ((s, d) => Library.burstDetection(s, d).orderBy("user_id")),
+    // w10's chunk twin: per-(user, time-chunk) trailing RANGE frames with
+    // a boundary-event (ghost) exchange — identical integer counts, so
+    // the oracle is shared
+    "w10b_burst_chunked" -> ((s, d) =>
+      Library.chunkedBurstDetection(s, d).orderBy("user_id")),
     "w11_retention" -> ((s, d) => Library.retentionCohorts(s, d).orderBy("cohort_day", "day_offset")),
     "w13_rolling_distinct" -> ((s, d) => Library.rollingDistinctUsers(s, d).orderBy("day")),
     "w12_funnel" -> ((s, d) => Library.funnelSteps(s, d).orderBy("step_idx")),
@@ -677,10 +687,12 @@ object SparkEntry {
     // running sum: both engines accumulate in (micros, event_id) order —
     // epoch_us truncates a nanos-preserving reader to Spark's granularity,
     // so the double fold is order-identical even on micro-tied rows
+    // decimal-routed accumulator (associative-exact — the property the
+    // w6b chunk twin relies on); both engines fold the same decimals
     "w6_running_sum" ->
       """SELECT event_id, user_id,
-        | round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |   ROWS UNBOUNDED PRECEDING), 4) AS running_value
+        | round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS running_value
         |FROM events ORDER BY event_id""".stripMargin,
     "j1_bridge_join_agg" ->
       "SELECT p_brand, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY p_brand",
@@ -1898,6 +1910,8 @@ object SparkEntry {
     "s7b_ann_quantized_indexed" -> oracleBase("s7_ann_quantized"),
     "s11b_ann_pq_indexed" -> oracleBase("s11_ann_pq"),
     "w7b_sessionize_chunked" -> oracleBase("w7_sessionize"),
+    "w6b_running_sum_chunked" -> oracleBase("w6_running_sum"),
+    "w10b_burst_chunked" -> oracleBase("w10_burst_detection"),
     "s9_ann_delta_search" -> annDeltaSearchSql,
     "s10_ann_drift" -> annDriftSql)
 }

@@ -794,8 +794,13 @@ object Dedup {
     * Exchange-free under tombstones).
     */
   private[graft] def appendTombstones(spark: SparkSession, table: String,
-      ids: DataFrame, key: String): Unit =
+      ids: DataFrame, key: String): Unit = {
+    // a stale warehouse DIRECTORY without a catalog entry (prior JVM,
+    // fresh metastore) fails CREATE with LOCATION_ALREADY_EXISTS — the
+    // saveBucketedTable gotcha applied to the tombstone list
+    if (!spark.catalog.tableExists(table)) dropTableAndLocation(spark, table)
     ids.select(col(key)).distinct().write.mode("append").saveAsTable(table)
+  }
 
   /** Delete-then-append idempotence: re-ingesting an id lifts its
     * tombstone (append wins — the row now in the index is the re-added

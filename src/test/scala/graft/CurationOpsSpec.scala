@@ -105,6 +105,71 @@ class CurationOpsSpec extends SparkSuite {
         rows(Library.sessionize(spark, sf(sfd))), s"chunked != w7 at $sfd")
   }
 
+  test("w6b/w10b chunked twins == w6/w10 on a planted skew gallery and real data") {
+    import spark.implicits._
+    val hour = 3600L * 1000 * 1000
+    val base = 1704067200000000L        // 2024-01-01T00:00:00Z micros
+    // gallery: user 1 = the BOT (every 70s for 48h — chunk-spanning dense
+    // stream; its 1h trailing windows straddle every chunk edge); user 2
+    // plants exact-boundary arithmetic: events at chunk_edge - (W-1),
+    // chunk_edge - 1, chunk_edge, chunk_edge + W - 1 (the last one's
+    // frame must include the edge event and nothing earlier); user 3 =
+    // sparse events far apart (every frame is a singleton); user 4 = one
+    // event. Values exercise the decimal stitch (negative + 6-decimal).
+    val bot = (0 until 2468).map(i =>
+      (1000L + i, base + i * 70L * 1000000, 1L, (if (i % 3 == 0) -1 else 1) * 0.123456 * (i % 11)))
+    val edge = 6 * hour                 // the w10b default chunk boundary
+    val u2 = Seq(
+      (2001L, base + edge - (hour - 1), 2L, 1.5),
+      (2002L, base + edge - 1, 2L, -2.25),
+      (2003L, base + edge, 2L, 3.125),
+      (2004L, base + edge + hour - 1, 2L, 0.000001))
+    val u3 = Seq((3001L, base + hour, 3L, 7.5), (3002L, base + 30 * hour, 3L, -0.5))
+    val u4 = Seq((4001L, base + 7 * hour, 4L, 9.0))
+    val root = java.nio.file.Files.createTempDirectory("w6b_gallery").toString
+    val tmpOut = s"$root/out"
+    (bot ++ u2 ++ u3 ++ u4).toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .withColumn("event_type", lit("click"))
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(tmpOut)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$root/events.parquet"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    // w6b at chunks above, at, and comically below the default — the
+    // decimal stitch must be exact at every granularity
+    val w6 = rows(Library.runningSum(spark, root))
+    for (chunk <- Seq(2 * hour, 30L * 60 * 1000000, 60L * 1000000))
+      assert(rows(Library.chunkedRunningSum(spark, root, chunkUs = chunk)) == w6,
+        s"chunked running sum != w6 at chunkUs=$chunk")
+    // w10b at the default 6h chunk and at the minimum legal chunk (== the
+    // window itself, where the ghost region is the WHOLE previous chunk)
+    val w10 = rows(Library.burstDetection(spark, root))
+    for (chunk <- Seq(6 * hour, hour))
+      assert(rows(Library.chunkedBurstDetection(spark, root, chunkUs = chunk)) == w10,
+        s"chunked burst != w10 at chunkUs=$chunk")
+    // structure sanity: the bot's peak is the full 1h window density
+    // (3600s / 70s + 1 = 52 events); user 2's peak counts the three
+    // events within [edge - (W-1), edge] plus nothing earlier
+    val w10Map = w10.map(s => s.head.asInstanceOf[Long] -> s(1).asInstanceOf[Long]).toMap
+    assert(w10Map(1L) == 52L, s"bot peak ${w10Map(1L)}")
+    assert(w10Map(2L) == 3L, s"u2 peak ${w10Map(2L)}")
+    assert(w10Map(3L) == 1L && w10Map(4L) == 1L)
+    // below the window, the chunk invariant must refuse loudly
+    intercept[IllegalArgumentException](
+      Library.chunkedBurstDetection(spark, root, chunkUs = 30L * 60 * 1000000))
+    // and on real data at both small SFs
+    for (sfd <- Seq("sf0.001", "sf0.01")) {
+      assert(rows(Library.chunkedRunningSum(spark, sf(sfd))) ==
+        rows(Library.runningSum(spark, sf(sfd))), s"w6b != w6 at $sfd")
+      assert(rows(Library.chunkedBurstDetection(spark, sf(sfd))) ==
+        rows(Library.burstDetection(spark, sf(sfd))), s"w10b != w10 at $sfd")
+    }
+  }
+
   test("w8 ntile quartiles: driver-side bucketing reproduces counts and bounds") {
     val dir = sf("sf0.001")
     val got = Library.priorityQuartiles(spark, dir)

@@ -446,4 +446,35 @@ class PlanSpec extends SparkSuite {
       s"per-source cap should shuffle exactly once:\n${t20.take(1200)}")
     assert(!t20.contains("SinglePartition"), "per-source cap lost its partitioning")
   }
+
+  test("round-11 ops: w6b/w10b chunk windows, d22/s13 retraction keep their scale shapes") {
+    val dir = sf("sf0.001")
+    // w6b: BOTH windows ride chunked partitionings — the per-event prefix
+    // on (user_id, chunk) (the skew fix: a hot user spreads over chunks)
+    // and the offset stitch on user_id over CHUNK TOTALS only; the stitch
+    // join must stay an equi join
+    val w6b = executedPlan(Library.chunkedRunningSum(spark, dir).orderBy("event_id"))
+    assert(w6b.contains("windowspecdefinition(user_id#") &&
+      w6b.contains(", chunk#"),
+      s"w6b lost its (user, chunk) window partitioning:\n${w6b.take(1500)}")
+    assert(!w6b.contains("CartesianProduct") &&
+      !w6b.contains("BroadcastNestedLoopJoin"), "w6b stitch went non-equi")
+    // w10b: the RANGE frame is per (user, chunk) — never a plain user
+    // window (that would be w10's single-task-per-user shape again)
+    val w10b = executedPlan(Library.chunkedBurstDetection(spark, dir).orderBy("user_id"))
+    assert(w10b.contains(", chunk#"),
+      s"w10b lost its (user, chunk) frame partitioning:\n${w10b.take(1500)}")
+    // d22/s13: the retraction anti-joins must be BROADCAST (a takedown
+    // list shuffled like a fact table would break the Exchange-free
+    // index-read property the tombstone design preserves)
+    val d22 = executedPlan(
+      graft.operators.Dedup.deltaNearDupsGateRemoved(spark, dir).orderBy("id_a", "id_b"))
+    assert(d22.contains("BroadcastHashJoin") && d22.contains("LeftAnti"),
+      s"d22 tombstone filter is not a broadcast anti-join:\n${d22.take(1500)}")
+    val s13 = executedPlan(
+      graft.operators.Similarity.annRemoveSearch(spark, dir).orderBy("probe_id", "rn"))
+    assert(s13.contains("LeftAnti"),
+      s"s13 tombstone filter missing:\n${s13.take(1500)}")
+    assert(!s13.contains("CartesianProduct"), "s13 went cartesian")
+  }
 }
