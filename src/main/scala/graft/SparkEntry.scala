@@ -192,6 +192,11 @@ object SparkEntry {
     // 0.35: the generated embeddings are near-random (max pairwise cosine
     // ~0.51), so production-realistic thresholds find nothing to group
     "d21_semdedup" -> ((s, d) => Dedup.semDedup(s, d, threshold = 0.45).orderBy("vec_id")),
+    // the BOUNDED candidate tier: same pipeline with the in-cluster pair
+    // stage band-blocked (SRP 8x2) through the shared census+salt
+    // machinery; oracle replays the banding (the d8 contract)
+    "d21c_semdedup_banded" -> ((s, d) =>
+      Dedup.semDedupBanded(s, d, threshold = 0.45).orderBy("vec_id")),
     // incremental SemDeDup over the serving index: untouched coarse
     // clusters served from the persisted base curation table, touched
     // ones re-curated over their base ∪ shard members under the
@@ -1451,6 +1456,39 @@ object SparkEntry {
          |  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n_members, ccos,
          |  (row_number() OVER (PARTITION BY grp ORDER BY ccos, vec_id) = 1) AS keep
          |FROM cc ORDER BY vec_id""".stripMargin,
+    // banded SemDeDup: d21's pipeline with the in-cluster pair stage
+    // restricted to SRP-band-blocked candidates (8 bands x 2 planes,
+    // plane coefficients the d8 md5 formula, plane index = 2*band + bit)
+    // — the oracle REPLAYS the banding (the d8 contract), so the gate
+    // proves the implementation matches its banded spec exactly
+    "d21c_semdedup_banded" -> {
+      val bandCoeff = hexv("substr(md5('plane:' || (2 * b + j) || ':' || i), 1, 1)")
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+         |${kmeansCtes()},
+         |memb AS (SELECT en.vec_id, en.v, en.n, a3.cl FROM en JOIN a3 USING (vec_id)),
+         |centn AS (SELECT cl, c, sqrt(list_dot_product(c, c)) AS cn FROM c2),
+         |bks AS (SELECT vec_id,
+         |  [list_sum([CASE WHEN list_sum([v[i+1] * ($bandCoeff - 7.5) for i in range(0, 64)]) > 0
+         |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) for b in range(0, 8)] AS bk FROM e),
+         |pr AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM memb x
+         |  JOIN memb y ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |  JOIN bks bx ON bx.vec_id = x.vec_id
+         |  JOIN bks yb ON yb.vec_id = y.vec_id
+         |  WHERE len([b for b in range(1, 9) if bx.bk[b] = yb.bk[b]]) > 0
+         |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.45),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+         |reach(id, r) AS (SELECT vec_id, vec_id FROM memb
+         |  UNION SELECT ed.dst, reach.r FROM reach JOIN edges ed ON ed.src = reach.id),
+         |grp AS (SELECT id AS vec_id, min(r) AS grp FROM reach GROUP BY id),
+         |cc AS (SELECT m.vec_id, m.cl, g.grp,
+         |  round(list_dot_product(m.v, ct.c) / (m.n * ct.cn), 4) AS ccos
+         |  FROM memb m JOIN centn ct ON ct.cl = m.cl JOIN grp g ON g.vec_id = m.vec_id)
+         |SELECT vec_id, CAST(cl AS INTEGER) AS cl, grp,
+         |  CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n_members, ccos,
+         |  (row_number() OVER (PARTITION BY grp ORDER BY ccos, vec_id) = 1) AS keep
+         |FROM cc ORDER BY vec_id""".stripMargin
+    },
     // incremental SemDeDup: d21's pipeline with k-means TRAINED on the
     // base md5-bucket slice only (the frozen serving model) but APPLIED
     // corpus-wide, plus the shard flag — output equals the full

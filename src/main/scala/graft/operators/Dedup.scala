@@ -2416,9 +2416,10 @@ object Dedup {
     *      shared via the session memo — SemDeDup's own clustering step;
     *      assignment rides the scan map-side against literal centroids);
     *   2. all-pairs cosine WITHIN a cluster, threshold τ — candidate work
-    *      is bounded by cluster size, never corpus² (for a degenerate
-    *      giant cluster the d8 LSH-bucket sub-blocking is the documented
-    *      fallback, same as the lexical families' hot-block census);
+    *      is bounded by cluster size, never corpus² (paper-faithful at
+    *      k ∝ n; for fixed k or a degenerate giant cluster,
+    *      [[semDedupBanded]] is the BOUNDED tier — the d8 SRP-band
+    *      sub-blocking applied within clusters, its own gate d21c);
     *   3. connected components over the kept pairs (the bounded
     *      union-find finish — semantic-dup groups are tiny cliques);
     *   4. KEEP the member LEAST similar to its cluster centroid (the
@@ -2448,16 +2449,7 @@ object Dedup {
     */
   private[graft] def semDedupOf(vectors: DataFrame,
       model: Array[(Int, Array[Double])], threshold: Double): DataFrame = {
-    val spark = vectors.sparkSession
-    // centroid cosine, map-side against the literal model (norms folded
-    // driver-side in the same sequential IEEE order as dotProduct)
-    val ccosAll = array(model.map { case (_, c) =>
-      val litC = array(c.toIndexedSeq.map(lit): _*)
-      val cn = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
-      round(dotProduct(col("v"), litC) / (col("n") * lit(cn)), 4)
-    }.toIndexedSeq: _*)
-    val withCcos = vectors.withColumn("ccos", element_at(ccosAll, col("cl") + 1))
-      .persist()
+    val withCcos = withCentroidCos(vectors, model).persist()
     val a = withCcos.select(col("cl"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("n").as("n_a"))
     val b = withCcos.select(col("cl"), col("vec_id").as("id_b"),
@@ -2467,7 +2459,28 @@ object Dedup {
       .filter(round(dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4)
         >= threshold)
       .select(col("id_a"), col("id_b"))
-    val labels = unionFindLabels(spark, pairs)
+    semCurationFromPairs(withCcos, pairs)
+  }
+
+  /** Centroid cosine, map-side against the literal model (norms folded
+    * driver-side in the same sequential IEEE order as dotProduct).
+    */
+  private def withCentroidCos(vectors: DataFrame,
+      model: Array[(Int, Array[Double])]): DataFrame = {
+    val ccosAll = array(model.map { case (_, c) =>
+      val litC = array(c.toIndexedSeq.map(lit): _*)
+      val cn = math.sqrt(c.foldLeft(0.0)((acc, x) => acc + x * x))
+      round(dotProduct(col("v"), litC) / (col("n") * lit(cn)), 4)
+    }.toIndexedSeq: _*)
+    vectors.withColumn("ccos", element_at(ccosAll, col("cl") + 1))
+  }
+
+  /** The SemDeDup tail shared by the all-pairs and banded candidate
+    * tiers: union-find over the verified pair graph, then the paper's
+    * keep-the-least-central rule per group.
+    */
+  private def semCurationFromPairs(withCcos: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = unionFindLabels(withCcos.sparkSession, pairs)
       .select(col("doc_id").as("vec_id"), col("cluster").as("grp"))
     val wGrp = Window.partitionBy(col("grp"))
     val wKeep = Window.partitionBy(col("grp")).orderBy(col("ccos"), col("vec_id"))
@@ -2478,6 +2491,47 @@ object Dedup {
       .withColumn("keep", row_number().over(wKeep) === 1)
       .select(col("vec_id"), col("cl"), col("grp"), col("n_members"),
         col("ccos"), col("keep"))
+  }
+
+  /** D21C — SemDeDup with BOUNDED in-cluster candidates (the round-10
+    * verdict's missing #4): [[semDedupOf]]'s pair stage is all-pairs
+    * within a coarse cluster — paper-faithful, and bounded only by
+    * cluster size (n²/k at fixed k). This tier applies the d8 SRP-band
+    * blocking WITHIN each cluster: candidates must share (cl, band,
+    * band-bucket) for at least one of `bands` OR-amplified
+    * sign-random-projection bands, so every candidate block is bounded by
+    * per-(cl, band, bucket) collision counts — census + salting via the
+    * shared [[blockedPairCandidates]] machinery, exactly like the other
+    * four dedup families — and a hot cluster splits 2^planesPerBand ways
+    * per band. The exact cosine verify and the union-find + keep tail are
+    * unchanged.
+    *
+    * The trade is RECALL at the margin (SRP banding is probabilistic, not
+    * pigeonhole-exact: a pair at cos τ matches some band with prob
+    * 1-(1-(1-θ/π)^r)^b — ~0.99 at the gate's τ=0.45 with 8×2, higher for
+    * more-similar pairs), which the oracle REPLAYS deterministically
+    * (the d8 contract): the gate proves the implementation matches its
+    * banded spec, while d21 remains the exact all-pairs reference tier.
+    */
+  def semDedupBanded(spark: SparkSession, dir: String,
+      threshold: Double = 0.45, bands: Int = 8, planesPerBand: Int = 2,
+      hotBlockRows: Long = 1L << 17): DataFrame = {
+    val model = Similarity.kmeansModel(spark, dir)
+    val withCcos = withCentroidCos(
+      Similarity.preparedEmbeddings(spark, dir)
+        .select(col("vec_id"), col("v"), col("n"))
+        .withColumn("cl", Similarity.assignExpr(model)),
+      model).persist()
+    // the cl takes the banded projection's "label" slot — same row
+    // format, same (key, band, bucket) block join as the d8/d17 family
+    val banded = embBandedOf(
+      withCcos.select(col("cl").as("label"), col("vec_id"), col("v")),
+      bands, planesPerBand).localCheckpoint()
+    val cand = blockedPairCandidates(banded, Seq("label", "band", "bucket"),
+      Nil, hotBlockRows, salts = 16, idCol = "vec_id")
+    val pairs = verifyCosine(withCcos, cand, threshold)
+      .select(col("id_a"), col("id_b"))
+    semCurationFromPairs(withCcos, pairs)
   }
 
   /** D21B's persisted prior state: the base slice's semantic-curation

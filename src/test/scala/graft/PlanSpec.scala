@@ -476,5 +476,15 @@ class PlanSpec extends SparkSuite {
     assert(s13.contains("LeftAnti"),
       s"s13 tombstone filter missing:\n${s13.take(1500)}")
     assert(!s13.contains("CartesianProduct"), "s13 went cartesian")
+    // d21c: the pair join is BAND-BLOCKED — keyed on (label/cl, band,
+    // bucket), never all-pairs-per-cluster (no join keyed on cl alone,
+    // no cartesian anywhere)
+    val d21c = executedPlan(
+      graft.operators.Dedup.semDedupBanded(spark, dir, threshold = 0.45)
+        .orderBy("vec_id"))
+    assert(d21c.contains("band#") && d21c.contains("bucket#"),
+      s"d21c pair join lost its band-bucket keys:\n${d21c.take(1500)}")
+    assert(!d21c.contains("CartesianProduct") &&
+      !d21c.contains("BroadcastNestedLoopJoin"), "d21c went quadratic")
   }
 }
