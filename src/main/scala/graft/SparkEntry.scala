@@ -325,6 +325,10 @@ object SparkEntry {
     // pixel function and brute-forces pairs, which radius-3 band blocking
     // matches exactly
     "m4_image_neardup" -> ((s, d) => Multimodal.imageNearDups(s, d).orderBy("id_a", "id_b")),
+    // the same gallery as REAL PNG bytes through the ImageIO decode
+    // branch — pixel-identical grids, so m4's oracle gates it verbatim
+    "m4b_image_neardup_png" -> ((s, d) =>
+      Multimodal.imageNearDupsPng(s, d).orderBy("id_a", "id_b")),
     // video near-dup: per-frame dHash over '00db' DIB chunks decoded from
     // real AVI bytes, shared-keyframe count join (boilerplate frames
     // df-filtered first, the d12 pattern) — the oracle replays frame
@@ -1950,6 +1954,7 @@ object SparkEntry {
     "w7b_sessionize_chunked" -> oracleBase("w7_sessionize"),
     "w6b_running_sum_chunked" -> oracleBase("w6_running_sum"),
     "w10b_burst_chunked" -> oracleBase("w10_burst_detection"),
+    "m4b_image_neardup_png" -> oracleBase("m4_image_neardup"),
     "s9_ann_delta_search" -> annDeltaSearchSql,
     "s10_ann_drift" -> annDriftSql)
 }

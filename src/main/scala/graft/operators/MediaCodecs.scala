@@ -185,6 +185,68 @@ object MediaCodecs {
     b.array()
   }
 
+  /** A REAL compressed-container PNG with an arithmetic-predictable body
+    * (the m4b tier's input): 8-bit TRUECOLOR (color type 2 — achromatic
+    * r=g=b pixels, so ImageIO's getRGB is the identity; an 8-bit GRAY
+    * image would route through a gray→sRGB colorspace conversion and
+    * corrupt the grid), IDAT a zlib stream of STORED deflate blocks
+    * (RFC 1951 BTYPE=00 — byte-exact, no compressor version in the
+    * loop) with the real adler32 trailer, per-chunk CRC32s, filter 0 per
+    * scanline. Any standards-conforming PNG decoder reads these bytes;
+    * the synthesis itself stays pure arithmetic like [[buildBmpGray]].
+    */
+  def buildPngGray(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue.toInt))
+    }
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    chunk("IHDR", be32(width) ++ be32(height) ++
+      Array[Byte](8, 2 /* truecolor */, 0, 0, 0))
+    // raw scanlines: filter byte 0 + width achromatic RGB triples
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + width * 3)
+      raw(base) = 0
+      var x = 0
+      while (x < width) {
+        val v = (gray(x, y) & 0xff).toByte
+        raw(base + 1 + x * 3) = v; raw(base + 2 + x * 3) = v; raw(base + 3 + x * 3) = v
+        x += 1
+      }
+      y += 1
+    }
+    // zlib: 0x78 0x01 header, stored deflate blocks (<= 65535 each),
+    // adler32 over the raw stream
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(0x78); z.write(0x01)
+    var off = 0
+    while (off < raw.length) {
+      val n = math.min(65535, raw.length - off)
+      val last = off + n >= raw.length
+      z.write(if (last) 1 else 0)
+      z.write(n & 0xff); z.write((n >> 8) & 0xff)
+      z.write(~n & 0xff); z.write((~n >> 8) & 0xff)
+      z.write(raw, off, n)
+      off += n
+    }
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    z.write(be32(adler.getValue.toInt))
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Decode a 24bpp BMP's pixel grid to gray values (blue channel — the
     * m4 gallery is achromatic): header fields drive the data offset, row
     * stride and the bottom-up row order; anything malformed (wrong bpp,

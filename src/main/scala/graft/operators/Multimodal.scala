@@ -204,6 +204,46 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** The m4 gallery re-rendered as REAL PNG bytes (m4b): the same
+    * [[grayPixel]] grid per document, but the payload is a compressed
+    * container — PNG signature, IHDR, zlib IDAT, CRCs
+    * ([[MediaCodecs.buildPngGray]]) — so the decode flows through the
+    * ImageIO branch of [[MediaCodecs.parseImageGray]] instead of the BMP
+    * raster walk.
+    */
+  def pngImageTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, MediaCodecs.buildPngGray(9, 8, grayPixel(id)), "image"))
+      .toDF()
+  }
+
+  /** M4B — the m4 perceptual pipeline gated THROUGH THE COMPRESSED PATH:
+    * identical pixel grids delivered as real PNG bytes, decoded by the
+    * JDK ImageIO branch (truecolor achromatic pixels keep getRGB exact),
+    * then the same dHash + band join. Pixel-identical input ⇒ output
+    * pairs equal [[imageNearDups]]'s exactly, so m4's oracle (which
+    * replays the md5 pixel grid, never the bytes) gates this tier
+    * verbatim — a decoder or synthesis bug anywhere in the PNG walk
+    * surfaces as an oracle mismatch.
+    */
+  def imageNearDupsPng(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val sigs = graft.SessionCache.getOrElseUpdate(spark, ("imageDhashPng", dir)) {
+      pngImageTable(spark, dir).as[MediaRow]
+        .mapPartitions(_.flatMap(r =>
+          MediaCodecs.parseImageGray(r.payload)
+            .map(g => (r.media_id, MediaCodecs.dHash64(g)))))
+        .toDF("media_id", "dhash")
+        .select(col("media_id").as("doc_id"), col("dhash").as("simhash"))
+        .persist()
+    }
+    Dedup.simhashPairsOf(sigs, maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   // ---- video near-dup (m5): shared-keyframe dedup over decoded frames ----
 
   /** The m5 gallery's per-frame pixel function, md5-derived like

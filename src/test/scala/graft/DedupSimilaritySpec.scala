@@ -961,6 +961,21 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(d.length == 1)
     assert(d(0).media_id == id && d(0).width == 9 && d(0).height == 8)
     assert(d(0).magic == "89504e47")
+    // the hand-assembled stored-deflate PNG walks the same path
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mediaDir, s"${id + 1}_image.bin"),
+      graft.operators.MediaCodecs.buildPngGray(9, 8, Multimodal.grayPixel(id + 1)))
+    val d2 = Multimodal.decodedFromFiles(spark, mediaDir).collect()
+      .find(_.media_id == id + 1).get
+    assert(d2.width == 9 && d2.height == 8 && d2.magic == "89504e47")
+  }
+
+  test("m4b: PNG-decoded perceptual pairs equal the BMP tier's exactly") {
+    val dir = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val viaPng = rows(Multimodal.imageNearDupsPng(spark, dir))
+    assert(viaPng == rows(Multimodal.imageNearDups(spark, dir)))
+    assert(viaPng.nonEmpty)
   }
 
   test("persisted ANN serving index: indexed tiers equal their recompute twins") {

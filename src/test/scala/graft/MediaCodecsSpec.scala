@@ -201,6 +201,27 @@ class MediaCodecsSpec extends AnyFunSuite {
     baos.toByteArray
   }
 
+  test("buildPngGray: hand-built stored-deflate PNG round-trips bytes -> ImageIO -> exact grid") {
+    val id = 777L
+    val grid = (x: Int, y: Int) => graft.operators.Multimodal.grayPixel(id)(x, y)
+    val png = MediaCodecs.buildPngGray(9, 8, grid)
+    // a REAL decoder (ImageIO, via the unified dispatch) must read our
+    // hand-assembled container byte-for-byte: signature, IHDR, stored
+    // deflate blocks, adler32, CRCs
+    assert(MediaCodecs.parse(png).contains(MediaCodecs.Parsed(9, 8, 0L, 0)))
+    val g = MediaCodecs.parseImageGray(png).get
+    val expected = (0 until 8).map(y => (0 until 9).map(x => grid(x, y)))
+    assert(g.map(_.toSeq).toSeq == expected.map(_.toSeq))
+    // the grid equals the BMP rendering's — the m4b == m4 identity's core
+    assert(MediaCodecs.parseBmpGray(MediaCodecs.buildBmpGray(9, 8, grid))
+      .get.map(_.toSeq).toSeq == g.map(_.toSeq).toSeq)
+    // a multi-block zlib stream (raw > 65535 bytes: 160x160x3) also decodes
+    val bigPng = MediaCodecs.buildPngGray(160, 160, (x, y) => (x * 7 + y * 3) % 200)
+    assert(MediaCodecs.parse(bigPng).contains(MediaCodecs.Parsed(160, 160, 0L, 0)))
+    val gBig = MediaCodecs.parseCompressedGray(bigPng, 160, 160).get
+    assert(gBig(17)(23) == (23 * 7 + 17 * 3) % 200)
+  }
+
   test("PNG/JPEG branch: golden PNG decodes to known pixels, matches its BMP gallery sibling") {
     val id = 4096L
     val grid = (x: Int, y: Int) => graft.operators.Multimodal.grayPixel(id)(x, y)
