@@ -54,6 +54,10 @@ object SparkEntry {
     "a4_two_key_histogram" -> ((s, d) => Library.twoKeyHistogram(s, d).orderBy("flag", "stars")),
     "a5_param_histogram" -> ((s, d) => Library.paramHistogram(s, d).orderBy("grp", "stars")),
     "a6_playlist_stats" -> ((s, d) => Library.playlistStats(s, d).orderBy("priority", "stars")),
+    // the flagship on a partition-by-tenant layout: the tenant predicate
+    // prunes at planning time (PartitionFilters — PlanSpec), the
+    // reference's every-query-filters-User_ID shape made scan-cheap
+    "a6b_tenant_stats" -> ((s, d) => Library.tenantStats(s, d).orderBy("priority", "stars")),
     "i6_incremental_agg" -> ((s, d) => Library.incrementalPlaylistStats(s, d).orderBy("priority", "stars")),
     "a7_reagg_stats" -> ((s, d) => Library.reaggStats(s, d).orderBy("stars")),
     "a8_group_ordered" -> ((s, d) => Library.groupOrdered(s, d)),
@@ -620,6 +624,10 @@ object SparkEntry {
       "SELECT p_brand AS grp, CAST(p_size % 6 AS BIGINT) AS stars, count(*) AS n FROM part GROUP BY 1,2 ORDER BY grp, stars",
     "a6_playlist_stats" ->
       s"SELECT o_orderpriority AS priority, coalesce($starsD,0) AS stars, count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1,2 ORDER BY priority, stars",
+    // a6 restricted to one tenant of the partition-by-tenant layout
+    // (tenant = l_orderkey mod 8; the mod stays in WHERE, never SELECTed)
+    "a6b_tenant_stats" ->
+      s"SELECT o_orderpriority AS priority, coalesce($starsD,0) AS stars, count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_orderkey % 8 = 3 GROUP BY 1,2 ORDER BY priority, stars",
     "a7_reagg_stats" ->
       s"SELECT stars, CAST(sum(n) AS BIGINT) AS total FROM (SELECT o_orderpriority AS priority, coalesce($starsD,0) AS stars, count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1,2) GROUP BY stars ORDER BY stars",
     "a8_group_ordered" ->

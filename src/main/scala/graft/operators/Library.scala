@@ -75,6 +75,35 @@ object Library {
         starsFromDiscount(col("l_discount")).as("stars"))
       .agg(count(lit(1)).as("n"))
 
+  /** A6B — the a6 flagship on a MULTI-TENANT layout: every reference
+    * query filters one User_ID (SURVEY F1 — itdb is per-user throughout),
+    * and at 100 TB the layout that makes such filters cheap is
+    * PARTITION-BY-TENANT: each tenant's rows live under their own
+    * partition directory, so a tenant predicate prunes at PLANNING time
+    * and the scan never opens another tenant's files (isolation by
+    * listing, not by filtering — the per-tenant cost is the tenant's own
+    * data, independent of corpus size). The gate builds the partitioned
+    * fact table once per session (ingest-side state, the d13 convention),
+    * then runs a6's join+agg over ONE tenant; PlanSpec asserts the
+    * predicate lands in the scan's PartitionFilters.
+    */
+  def tenantStats(spark: SparkSession, dir: String, tenant: Int = 3,
+      nTenants: Int = 8): DataFrame = {
+    val table = graft.SessionCache.getOrElseUpdate(spark, ("tenantLineitem", dir)) {
+      val name = f"tenant_lineitem_${dir.hashCode & 0xffffffffL}%x"
+      Dedup.dropTableAndLocation(spark, name)
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_discount"),
+          pmod(col("l_orderkey"), lit(nTenants)).as("tenant"))
+        .write.partitionBy("tenant").saveAsTable(name)
+      name
+    }.asInstanceOf[String]
+    playlistStatsOf(
+      spark.table(table).filter(col("tenant") === tenant)
+        .select(col("l_orderkey"), col("l_discount")),
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")))
+  }
+
   /** I6: INCREMENTALLY-MAINTAINED AGGREGATE — the §2.12 freshness family
     * finally gate-checked end to end: the materialized stats table
     * (playlist_stats, THE reference's precomputed aggregate,

@@ -486,5 +486,19 @@ class PlanSpec extends SparkSuite {
       s"d21c pair join lost its band-bucket keys:\n${d21c.take(1500)}")
     assert(!d21c.contains("CartesianProduct") &&
       !d21c.contains("BroadcastNestedLoopJoin"), "d21c went quadratic")
+    // a6b: the tenant predicate must land in the scan's PartitionFilters
+    // (planning-time pruning — the scan never opens another tenant's
+    // files), NOT ride as a post-scan Filter over all partitions
+    val a6b = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) {
+        Library.tenantStats(spark, dir).orderBy("priority", "stars")
+          .explain("formatted")
+      }
+      out.toString
+    }
+    val pf = a6b.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("tenant") && pf.contains("= 3"),
+      s"tenant predicate not in PartitionFilters:\n${a6b.take(2000)}")
   }
 }
