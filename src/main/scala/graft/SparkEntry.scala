@@ -111,6 +111,11 @@ object SparkEntry {
     "w1_adjacent_dups" -> ((s, d) => Library.adjacentDuplicates(s, d)),
     "w2_top_n_per_group" -> ((s, d) => Library.topNPerGroup(s, d).orderBy("o_orderpriority", "rn")),
     "w4_asof_join" -> ((s, d) => Library.clickAsofView(s, d).orderBy("click_id")),
+    // w4's chunk twin: per-(user, time-chunk) local carry + a chunk-
+    // summary carry-in stitch (bounded by chunks, never events) —
+    // identical output, so the oracle is shared
+    "w4b_asof_chunked" -> ((s, d) =>
+      Library.clickAsofViewChunked(s, d).orderBy("click_id")),
     "w5_range_join" -> ((s, d) => Library.rangeJoinCounts(s, d).orderBy("left_id")),
     "w7_sessionize" -> ((s, d) => Library.sessionize(s, d).orderBy("user_id", "session_idx")),
     // the skew-hardened twin: time-chunked two-phase sessionize, output
@@ -1962,6 +1967,7 @@ object SparkEntry {
     "w7b_sessionize_chunked" -> oracleBase("w7_sessionize"),
     "w6b_running_sum_chunked" -> oracleBase("w6_running_sum"),
     "w10b_burst_chunked" -> oracleBase("w10_burst_detection"),
+    "w4b_asof_chunked" -> oracleBase("w4_asof_join"),
     "m4b_image_neardup_png" -> oracleBase("m4_image_neardup"),
     "s9_ann_delta_search" -> annDeltaSearchSql,
     "s10_ann_drift" -> annDriftSql)

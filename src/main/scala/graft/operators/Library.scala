@@ -1004,6 +1004,87 @@ object Library {
         unix_micros(col("right_ts")).as("view_us"),
         col("right_value").as("view_value"))
 
+  /** W4's SKEW-HARDENED twin — the chunk decomposition for the AS-OF
+    * carry (the last of the w-family's single-task-per-user exposures,
+    * after w7b/w6b/w10b). The carried right row can lie arbitrarily far
+    * back, so unlike w10b no bounded ghost exchange suffices; instead the
+    * carry itself is two-phase:
+    *
+    *   - phase 1 runs the exact w4 tagged window per (user, time-chunk):
+    *     left rows whose match lives in their own chunk are done; the
+    *     rest surface a NULL local carry;
+    *   - phase 2 reduces each (user, chunk) to its LAST right row (one
+    *     summary per chunk — max_by on the (ts, event_id) order, which is
+    *     total because the right side is pre-deduplicated per (user,
+    *     ts)), then a per-user window over CHUNK SUMMARIES — rows bounded
+    *     by chunks, never events — computes each chunk's carry-in: the
+    *     latest right row strictly before the chunk;
+    *   - the stitch joins carry-ins back on (user, chunk) and takes
+    *     coalesce(local, carry_in).
+    *
+    * Exactness: a left row's as-of match is in its own chunk (phase 1
+    * finds it, equal-ts ties included — same ts ⇒ same chunk) or in a
+    * prior chunk, in which case the local carry is NULL and the match is
+    * by definition the last right row of the preceding chunks = the
+    * carry-in. Identical output to [[asofJoin]] (spec-proven on a planted
+    * gallery and real data); shares w4's oracle.
+    */
+  def asofJoinChunked(events: DataFrame, leftType: String, rightType: String,
+      chunkUs: Long = 6L * 3600 * 1000 * 1000): DataFrame = {
+    val rights = events.filter(col("event_type") === rightType)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("value"),
+        max(col("event_id")).as("event_id"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        lit(rightType).as("event_type"), col("value"))
+    val lefts = events.filter(col("event_type") === leftType)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val tagged = lefts.unionByName(rights)
+      .withColumn("is_right", (col("event_type") === rightType).cast("int"))
+      .withColumn("chunk", floor(unix_micros(col("ts")) / chunkUs))
+    val wChunk = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("ts"), col("is_right").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localized = tagged.withColumn("local_right",
+      last(when(col("is_right") === 1,
+        struct(col("ts").as("ts"), col("value").as("value"))),
+        ignoreNulls = true).over(wChunk))
+    // one summary row per (user, chunk): the chunk's last right row
+    val summaries = tagged.filter(col("is_right") === 1)
+      .groupBy(col("user_id"), col("chunk"))
+      .agg(max_by(struct(col("ts").as("ts"), col("value").as("value")),
+        struct(col("ts"), col("event_id"))).as("chunk_last"))
+    // carry-in per populated (user, chunk): last summary of PRIOR chunks
+    val wPrior = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = tagged.select(col("user_id"), col("chunk")).distinct()
+      .join(summaries, Seq("user_id", "chunk"), "left_outer")
+      .withColumn("carry_in", last(col("chunk_last"), ignoreNulls = true).over(wPrior))
+      .select(col("user_id"), col("chunk"), col("carry_in"))
+    // LEFT OUTER: a NULL-user_id left row never equi-matches the carry
+    // frame but must still surface (with NULL attributes), exactly as the
+    // plain window form emits it
+    localized.join(carries, Seq("user_id", "chunk"), "left_outer")
+      .withColumn("right_row", coalesce(col("local_right"), col("carry_in")))
+      .filter(col("event_type") === leftType)
+      .withColumn("right_ts", col("right_row.ts"))
+      .withColumn("right_value", col("right_row.value"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("right_ts"), col("right_value"))
+  }
+
+  /** [[clickAsofView]] answered through the chunked as-of — shares w4's
+    * oracle (identical output by the exactness argument above).
+    */
+  def clickAsofViewChunked(spark: SparkSession, dir: String): DataFrame =
+    asofJoinChunked(Tables.events(spark, dir), "click", "view")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        unix_micros(col("right_ts")).as("view_us"),
+        col("right_value").as("view_value"))
+
   /** RANGE join — the second custom time-series operator (SURVEY §2
     * custom-operator bucket, compose-first): pair events of two types for
     * the same key whose timestamps fall within ±window of each other.

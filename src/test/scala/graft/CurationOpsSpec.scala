@@ -170,6 +170,71 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("w4b chunked as-of == w4 on a planted carry gallery and real data") {
+    import spark.implicits._
+    val hour = 3600L * 1000 * 1000
+    val base = 1704067200000000L
+    // the gallery plants every carry shape: user 1 = views only in chunk
+    // 0, clicks spread over chunks 1..5 (multi-chunk carry-in, incl.
+    // empty chunks between); user 2 = a view EXACTLY at the 6h chunk edge
+    // and a click 1µs later in the same chunk, plus a click at the edge
+    // of the NEXT chunk (carry across); user 3 = click and view at the
+    // SAME ts (ASOF <= must match it) and a click BEFORE any view (null
+    // attrs); user 4 = duplicate-ts views (highest event_id wins); the
+    // BOT user 5 = a click every 70s for 36h with one view per 12h
+    val u1 = Seq((101L, base + hour, 1L, "view", 1.5)) ++
+      (1 to 5).map(c => (110L + c, base + c * 6 * hour + hour, 1L, "click", 0.0))
+    val u2 = Seq(
+      (201L, base + 6 * hour, 2L, "view", 2.5),
+      (202L, base + 6 * hour + 1, 2L, "click", 0.0),
+      (203L, base + 12 * hour, 2L, "click", 0.0))
+    val u3 = Seq(
+      (301L, base + hour, 3L, "click", 0.0),
+      (302L, base + 2 * hour, 3L, "view", 3.5),
+      (303L, base + 2 * hour, 3L, "click", 0.0))
+    val u4 = Seq(
+      (401L, base + hour, 4L, "view", 4.0),
+      (402L, base + hour, 4L, "view", 4.5),
+      (403L, base + 3 * hour, 4L, "click", 0.0))
+    val bot = (0 until 1851).map(i =>
+      (1000L + i, base + i * 70L * 1000000, 5L, "click", 0.0)) ++
+      (0 until 3).map(i => (9000L + i, base + i * 12 * hour, 5L, "view", 0.5 + i))
+    val root = java.nio.file.Files.createTempDirectory("w4b_gallery").toString
+    val tmpOut = s"$root/out"
+    (u1 ++ u2 ++ u3 ++ u4 ++ bot).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(tmpOut)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$root/events.parquet"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val w4 = rows(Library.clickAsofView(spark, root))
+    for (chunk <- Seq(6 * hour, hour, 10L * 60 * 1000000))
+      assert(rows(Library.asofJoinChunked(Tables.events(spark, root), "click", "view",
+          chunkUs = chunk)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"),
+          unix_micros(col("right_ts")).as("view_us"),
+          col("right_value").as("view_value"))) == w4,
+        s"chunked asof != w4 at chunkUs=$chunk")
+    // structure sanity: u1's far clicks all carry the chunk-0 view; u3's
+    // first click has NULL attrs, its same-ts click matches; u4's dup-ts
+    // carry is the higher event_id's value
+    val m = w4.map(s => s.head.asInstanceOf[Long] -> s).toMap
+    (1 to 5).foreach(c => assert(m(110L + c)(4) == 1.5, s"u1 click $c"))
+    assert(m(301L)(3) == null && m(301L)(4) == null)
+    assert(m(303L)(4) == 3.5)
+    assert(m(403L)(4) == 4.5)
+    // and on real data at both small SFs
+    for (sfd <- Seq("sf0.001", "sf0.01"))
+      assert(rows(Library.clickAsofViewChunked(spark, sf(sfd))) ==
+        rows(Library.clickAsofView(spark, sf(sfd))), s"w4b != w4 at $sfd")
+  }
+
   test("w8 ntile quartiles: driver-side bucketing reproduces counts and bounds") {
     val dir = sf("sf0.001")
     val got = Library.priorityQuartiles(spark, dir)

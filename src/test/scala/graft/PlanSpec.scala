@@ -464,6 +464,13 @@ class PlanSpec extends SparkSuite {
     val w10b = executedPlan(Library.chunkedBurstDetection(spark, dir).orderBy("user_id"))
     assert(w10b.contains(", chunk#"),
       s"w10b lost its (user, chunk) frame partitioning:\n${w10b.take(1500)}")
+    // w4b: the per-event carry window is per (user, chunk); the carry-in
+    // stitch is an equi join over chunk summaries
+    val w4b = executedPlan(Library.clickAsofViewChunked(spark, dir).orderBy("click_id"))
+    assert(w4b.contains(", chunk#"),
+      s"w4b lost its (user, chunk) carry partitioning:\n${w4b.take(1500)}")
+    assert(!w4b.contains("CartesianProduct") &&
+      !w4b.contains("BroadcastNestedLoopJoin"), "w4b stitch went non-equi")
     // d22/s13: the retraction anti-joins must be BROADCAST (a takedown
     // list shuffled like a fact table would break the Exchange-free
     // index-read property the tombstone design preserves)
