@@ -248,6 +248,12 @@ object SparkEntry {
     // pair set == full recompute over corpus minus the removed docs
     "d22_index_remove" -> ((s, d) =>
       Dedup.deltaNearDupsGateRemoved(s, d).orderBy("id_a", "id_b")),
+    // retraction through the LABEL store: removal deletes vertices, so
+    // touched components re-label (splits included) while untouched
+    // clusters serve from the persisted state; oracle = d19's canonical
+    // over documents minus the removed class
+    "d23_canonical_remove" -> ((s, d) =>
+      Dedup.canonicalAfterRemoval(s, d).orderBy("doc_id")),
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d).orderBy("probe_id", "rn")),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d).orderBy("probe_id", "rn")),
@@ -1142,6 +1148,14 @@ object SparkEntry {
     // never removes members, untouched clusters keep members/labels/ranks
     // — so d19's oracle gates it unchanged
     "d19b_delta_canonical" -> clusterCanonicalSql,
+    // d19's canonical over documents MINUS the takedown class — the full
+    // declarative recompute the retraction transition must reproduce
+    // (every `FROM documents` reference rebinds to the filtered CTE)
+    "d23_canonical_remove" ->
+      clusterCanonicalSql
+        .replace("FROM documents", "FROM docs_live")
+        .replace("WITH RECURSIVE ",
+          "WITH RECURSIVE docs_live AS (SELECT * FROM documents WHERE doc_id % 9 != 4),\n"),
     // decontamination: the split definition is t9's md5 bucket (one shared
     // rendering, splitBucketSql), the 8-gram CTE follows the t5/shingles
     // length convention (short doc → one whole-text gram); grams are md5'd

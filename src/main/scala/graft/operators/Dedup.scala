@@ -619,6 +619,84 @@ object Dedup {
       .select(col("doc_id"), col("cluster"), col("qlen"))
   }
 
+  /** RETRACTION for the label state — the transition [[mergeLabelState]]
+    * cannot express: removal deletes VERTICES (and their incident
+    * edges), so a touched component can SPLIT, where ingest only ever
+    * merges. Exactness rests on two facts: splits are confined to the
+    * removed docs' own components (deleting edges never joins
+    * components), and pair signatures are per-document functions, so
+    * re-running the LSH pair + component machinery over JUST the
+    * touched clusters' remaining members yields exactly the full
+    * recompute's induced subgraph. Compute is therefore bounded by
+    * touched-cluster membership (near-dup density), never the corpus:
+    *
+    *   - touched clusters = clusters containing a removed doc (one
+    *     broadcast semi-join against the takedown list);
+    *   - their remaining members re-label via [[labelStateOf]] (new
+    *     min-member-id labels — a removed min relabels its survivors);
+    *   - returns the RELABELED SLICE only; [[applyLabelRetraction]]
+    *     folds it into the persisted store together with the deletes.
+    */
+  def removeFromLabelState(labels: DataFrame, documents: DataFrame,
+      removed: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val rm = removed.select(col("doc_id"))
+    val touchedClusters = labels
+      .join(broadcast(rm), Seq("doc_id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val remaining = labels
+      .join(broadcast(touchedClusters), Seq("cluster"), "left_semi")
+      .join(broadcast(rm), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    labelStateOf(documents.join(remaining, Seq("doc_id"), "left_semi"), threshold)
+  }
+
+  /** Fold a retraction into the persisted label store as a generation
+    * swap: the new generation = old state ∖ removed ∖ stale rows of the
+    * relabeled slice ∪ the relabeled slice. Both carve-outs broadcast
+    * (takedown-list- and touched-cluster-sized).
+    */
+  def applyLabelRetraction(spark: SparkSession, table: String,
+      removed: DataFrame, relabeled: DataFrame, buckets: Int = 4): Unit = {
+    val tmp = s"${table}__gen"
+    recoverGenerationSwap(spark, table, tmp)
+    dropTableAndLocation(spark, tmp)
+    val rl = relabeled.localCheckpoint()
+    spark.table(table)
+      .join(broadcast(removed.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .join(broadcast(rl.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .unionByName(rl)
+      .repartition(buckets, col("cluster"))
+      .write.bucketBy(buckets, "cluster").sortBy("cluster")
+      .saveAsTable(tmp)
+    dropTableAndLocation(spark, table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.catalog.refreshTable(table)
+  }
+
+  /** D23 — canonical survivors AFTER A TAKEDOWN, end to end on disk:
+    * persist the full label state, retract the doc_id ≡ 4 (mod 9) slice
+    * through [[removeFromLabelState]] + [[applyLabelRetraction]]
+    * (touched components re-labeled — splits included — untouched
+    * clusters untouched in the store), then run the d19 survivor window
+    * over the post-retraction state. Oracle = d19's full canonical SQL
+    * over documents ∖ removed, so a takedown that leaked into any
+    * cluster label, membership count, or keep flag fails the gate.
+    */
+  def canonicalAfterRemoval(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val state = graft.SessionCache.getOrElseUpdate(spark,
+        ("labelStateRemoved", dir, threshold)) {
+      val docs = Tables.documents(spark, dir)
+      val removed = docs.filter(col("doc_id") % 9 === 4).select(col("doc_id"))
+      val table = f"labels_rm_${dir.hashCode & 0xffffffffL}%x"
+      saveLabelState(spark, table, labelStateOf(docs, threshold))
+      applyLabelRetraction(spark, table, removed,
+        removeFromLabelState(spark.table(table), docs, removed, threshold))
+      spark.table(table)
+    }.asInstanceOf[DataFrame]
+    canonicalOfLabelState(state)
+  }
+
   /** The d19b canonical window over a qlen-carrying label state — no
     * document re-read: (doc_id, cluster, n_members, keep).
     */

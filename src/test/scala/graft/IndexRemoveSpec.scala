@@ -66,6 +66,56 @@ class IndexRemoveSpec extends SparkSuite {
     }
   }
 
+  test("label-state retraction: removing a bridge doc SPLITS its component") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    val baseText = (1 to 60).map(i => s"tok$i").mkString(" ")
+    def edit2(at: Int) =
+      baseText.replace(s"tok$at tok${at + 1}", "XX YY")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"m${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    // 5 = the BRIDGE (smallest id, so the old cluster label is ITS id);
+    // 10 and 20 are near-dups of 5 but not of each other (two disjoint
+    // 2-token edits); 30/31 an untouched near-dup pair; 40 a singleton
+    val docs = Seq(
+      (5L, baseText), (10L, edit2(10)), (20L, edit2(50)),
+      (30L, noise(30) + " " + baseText.take(120)),
+      (31L, noise(30) + " " + baseText.take(120) + " zz"),
+      (40L, noise(40))).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val full = ops.labelStateOf(docs)
+    def lab(st: org.apache.spark.sql.DataFrame) =
+      st.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = lab(full)
+    assert(before(5L) == 5L && before(10L) == 5L && before(20L) == 5L,
+      s"fixture chain not formed: $before")
+    assert(before(30L) == before(31L) && before(30L) != 5L)
+
+    // retract the bridge: {5,10,20} must split into {10}, {20} with NEW
+    // min-member labels; 30/31 untouched; 40 untouched
+    val removed = Seq(5L).toDF("doc_id")
+    val relabeled = ops.removeFromLabelState(full, docs, removed)
+    val after = lab(relabeled)
+    assert(after == Map(10L -> 10L, 20L -> 20L), s"split wrong: $after")
+
+    // the persisted store folds deletes + relabels via generation swap
+    spark.sql("DROP TABLE IF EXISTS rml_state")
+    ops.saveLabelState(spark, "rml_state", full)
+    ops.applyLabelRetraction(spark, "rml_state", removed, relabeled)
+    try {
+      val stored = lab(spark.table("rml_state"))
+      assert(!stored.contains(5L), "removed doc still in the store")
+      assert(stored == lab(ops.labelStateOf(
+        docs.filter(col("doc_id") =!= 5L))), "store != full recompute over corpus minus removed")
+      // canonical survivors over the post-retraction state: both split
+      // halves survive (each its own cluster)
+      val keep = ops.canonicalOfLabelState(spark.table("rml_state"))
+        .filter(col("keep")).collect().map(_.getLong(0)).toSet
+      assert(keep.contains(10L) && keep.contains(20L))
+    } finally spark.sql("DROP TABLE IF EXISTS rml_state")
+  }
+
   test("ANN index: removed vectors unsearchable, compact deletes, append resurrects") {
     import spark.implicits._
     val ops = graft.operators.Similarity
