@@ -474,6 +474,82 @@ object EventsStream {
     spark.table(s"${name}_labels")
   }
 
+  /** CONTINUOUS RETRACTION — the takedown half of [[runIngestCuration]]:
+    * a stream of takedown requests (doc_id rows) maintains the SAME
+    * persisted stores the ingest loop grows. Per micro-batch:
+    *
+    *   1. dedup the batch against the takedown log (replay tolerance —
+    *      though every step below is idempotent on an already-removed id
+    *      anyway: its tombstone row is inert, and a gone id touches no
+    *      cluster);
+    *   2. TOMBSTONE the near-dup index
+    *      ([[graft.operators.Dedup.removeFromNearDupIndex]] — served
+    *      filtered immediately, physical at the next compaction);
+    *   3. RETRACT the label state
+    *      ([[graft.operators.Dedup.removeFromLabelState]] — touched
+    *      components re-label, splits included, compute bounded by
+    *      touched-cluster membership) and fold deletes + relabels into
+    *      the store via the generation swap
+    *      ([[graft.operators.Dedup.applyLabelRetraction]]);
+    *   4. append the batch to the `<name>_log` audit table (batch id +
+    *      doc id — the record a compliance pipeline keeps).
+    *
+    * Apply-then-log ordering is the MIRROR of the ingest loop's: a crash
+    * between apply and log refires the batch, whose operations no-op on
+    * the already-removed ids, then logs — the log never claims a
+    * takedown that did not happen. `documents` is the corpus/document
+    * store the re-pairing reads (stale rows for removed ids are fine:
+    * only remaining members are re-read). StreamingSpec asserts the
+    * post-stream state equals the one-shot recompute over corpus ∖ all
+    * takedowns, and that a full replay of the stream is a no-op.
+    */
+  def runTakedownStream(spark: SparkSession, takedownDir: String,
+      indexName: String, labelTable: String, documents: DataFrame,
+      threshold: Double = 0.8, name: String = "takedown",
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.Dedup
+    val docStore = documents.localCheckpoint()
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(takedownDir)
+    val logTable = s"${name}_log"
+    // stale warehouse dir without a catalog entry (prior JVM) would fail
+    // the first log append — the appendTombstones gotcha
+    if (!spark.catalog.tableExists(logTable))
+      Dedup.dropTableAndLocation(spark, logTable)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        spark.catalog.refreshTable(labelTable)
+        val alreadyDone =
+          if (spark.catalog.tableExists(logTable)) {
+            // the prior batch APPENDED to the log — drop the cached file
+            // listing or this batch replays its takedowns (the same
+            // relation-cache gotcha as the ingest loop's index tables)
+            spark.catalog.refreshTable(logTable)
+            spark.table(logTable).select(col("doc_id"))
+          } else batch.select(col("doc_id")).limit(0)
+        val toRemove = batch.select(col("doc_id")).distinct()
+          .join(alreadyDone, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        if (!toRemove.isEmpty) {
+          Dedup.removeFromNearDupIndex(spark, indexName, toRemove)
+          val labels = spark.table(labelTable).localCheckpoint()
+          val relabeled = Dedup.removeFromLabelState(labels, docStore,
+            toRemove, threshold).localCheckpoint()
+          Dedup.applyLabelRetraction(spark, labelTable, toRemove, relabeled)
+          toRemove.withColumn("batch_id", lit(batchId))
+            .write.mode("append").saveAsTable(logTable)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(labelTable)
+  }
+
   /** Run the streaming delta dedup over a shard directory to completion
     * (memory sink, AvailableNow).
     */

@@ -164,6 +164,69 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("continuous retraction: streamed takedowns == one-shot over corpus minus removed; replay is a no-op") {
+    import graft.operators.Dedup
+    val baseText = (1 to 60).map(i => s"base$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    // 5 bridges 10 and 20 (two disjoint 2-token edits — removing 5 must
+    // SPLIT the cluster); 30/31 an untouched pair; 40 a singleton that
+    // is itself taken down in the second batch
+    val corpus = Seq(
+      (5L, baseText),
+      (10L, baseText.replace("base10 base11", "XX YY")),
+      (20L, baseText.replace("base50 base51", "XX YY")),
+      (30L, noise(30) + " " + baseText.take(120)),
+      (31L, noise(30) + " " + baseText.take(120) + " zz"),
+      (40L, noise(40)))
+      .map { case (i, t) => (i, t, "en", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tdDir = java.nio.file.Files.createTempDirectory("graft_takedown").toString
+    Seq(5L).toDF("doc_id").coalesce(1).write.mode("append").parquet(tdDir)
+    Seq(40L, 5L).toDF("doc_id").coalesce(1).write.mode("append").parquet(tdDir) // 5 replays
+    Seq("ndtd_banded", "ndtd_shingles", "ndtd_meta", "ndtd_tombstones",
+      "td_labels", "td_labels__gen", "td_log").foreach(t =>
+      Dedup.dropTableAndLocation(spark, t))
+    Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(corpus), "ndtd", buckets = 4)
+    Dedup.saveLabelState(spark, "td_labels", Dedup.labelStateOf(corpus))
+    try {
+      def stateSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "cluster", "qlen").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val streamed = stateSet(EventsStream.runTakedownStream(
+        spark, tdDir, "ndtd", "td_labels", corpus, name = "td"))
+      val survivors = corpus.filter(!col("doc_id").isin(5L, 40L))
+      assert(streamed == stateSet(Dedup.labelStateOf(survivors)))
+      // the split happened: 10 and 20 are now their own clusters
+      val byId = streamed.map(s => s._1 -> s._2).toMap
+      assert(byId(10L) == 10L && byId(20L) == 20L)
+      assert(!byId.contains(5L) && !byId.contains(40L))
+      // the index serves minus the takedowns: no pair partner is removed
+      // probe 90 is 1 token from survivor 10 (j ~0.90) and 2 tokens from
+      // the REMOVED 5 (j ~0.87 — it WOULD have paired before the takedown)
+      val pairs = Dedup.deltaNearDups(
+        Seq((90L, baseText.replace("base10 base11", "XX ZZ"), "en", "s", 1L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"),
+        Dedup.loadNearDupIndex(spark, "ndtd"))
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"removed doc paired: $pairs")
+      assert(pairs.contains((10L, 90L)), s"survivor must still pair: $pairs")
+      // a FULL replay of the takedown stream is a no-op (fresh run, same
+      // files; the log anti-join and idempotent ops both protect it)
+      val replayed = stateSet(EventsStream.runTakedownStream(
+        spark, tdDir, "ndtd", "td_labels", corpus, name = "td"))
+      assert(replayed == streamed)
+      spark.catalog.refreshTable("td_log")
+      assert(spark.table("td_log").count() == 2,
+        s"log must stay one row per takedown: ${spark.table("td_log").collect().toSeq}")
+    } finally {
+      Seq("ndtd_banded", "ndtd_shingles", "ndtd_meta", "ndtd_tombstones",
+        "td_labels", "td_labels__gen", "td_log").foreach(t =>
+        Dedup.dropTableAndLocation(spark, t))
+    }
+  }
+
   test("curation screen: contaminated docs quarantined at ingest, exactly once; clean state == one-shot over clean docs") {
     import graft.operators.Dedup
     val baseText = (1 to 60).map(i => s"base$i").mkString(" ")
