@@ -50,6 +50,9 @@ object SparkEntry {
           .as("hllpp_within_5pct"))
       .orderBy("l_returnflag")),
     "a2c_sketch_rollup" -> ((s, d) => Library.sketchRollup(s, d).orderBy("event_type")),
+    // the sketch plane's rebuild-only retraction: affected cells
+    // re-aggregated from retained events, untouched cells copied
+    "a2d_cell_rebuild" -> ((s, d) => Library.sketchRollupRetracted(s, d).orderBy("event_type")),
     "a3_stars_histogram" -> ((s, d) => Library.starsHistogram(s, d).orderBy("stars")),
     "a4_two_key_histogram" -> ((s, d) => Library.twoKeyHistogram(s, d).orderBy("flag", "stars")),
     "a5_param_histogram" -> ((s, d) => Library.paramHistogram(s, d).orderBy("grp", "stars")),
@@ -59,6 +62,10 @@ object SparkEntry {
     // reference's every-query-filters-User_ID shape made scan-cheap
     "a6b_tenant_stats" -> ((s, d) => Library.tenantStats(s, d).orderBy("priority", "stars")),
     "i6_incremental_agg" -> ((s, d) => Library.incrementalPlaylistStats(s, d).orderBy("priority", "stars")),
+    // the materialized aggregate under retraction: stats(base) MINUS
+    // stats(removed slice), zero groups dropped — the i6 merge's inverse
+    // (counts subtract; the sketch tables are rebuild-only by contrast)
+    "i7_retract_agg" -> ((s, d) => Library.retractedPlaylistStats(s, d).orderBy("priority", "stars")),
     "a7_reagg_stats" -> ((s, d) => Library.reaggStats(s, d).orderBy("stars")),
     "a8_group_ordered" -> ((s, d) => Library.groupOrdered(s, d)),
     "a9_pivot_stars" -> ((s, d) => Library.pivotStars(s, d).orderBy("grp")),
@@ -627,6 +634,12 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         | TRUE AS hll_within_5pct
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // the cell-scoped REBUILD after a takedown must equal the full
+    // recompute over retained events (a2c's discipline, minus the class)
+    "a2d_cell_rebuild" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | TRUE AS hll_within_5pct
+        |FROM events WHERE user_id % 13 != 5 GROUP BY 1 ORDER BY event_type""".stripMargin,
     "a3_stars_histogram" ->
       s"SELECT coalesce($starsD, 0) AS stars, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY stars",
     "a4_two_key_histogram" ->
@@ -639,6 +652,10 @@ object SparkEntry {
     // (tenant = l_orderkey mod 8; the mod stays in WHERE, never SELECTed)
     "a6b_tenant_stats" ->
       s"SELECT o_orderpriority AS priority, coalesce($starsD,0) AS stars, count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_orderkey % 8 = 3 GROUP BY 1,2 ORDER BY priority, stars",
+    // the a6 full recompute over lineitem minus the takedown class — what
+    // the subtractive maintenance must reproduce
+    "i7_retract_agg" ->
+      s"SELECT o_orderpriority AS priority, coalesce($starsD,0) AS stars, count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_orderkey % 11 != 7 GROUP BY 1,2 ORDER BY priority, stars",
     "a7_reagg_stats" ->
       s"SELECT stars, CAST(sum(n) AS BIGINT) AS total FROM (SELECT o_orderpriority AS priority, coalesce($starsD,0) AS stars, count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1,2) GROUP BY stars ORDER BY stars",
     "a8_group_ordered" ->

@@ -147,6 +147,45 @@ object Library {
         (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L))).as("n"))
   }
 
+  /** I7: the incrementally-maintained aggregate under RETRACTION — the
+    * i6 identity's inverse: counts are SUBTRACTABLE (the property the
+    * sketch tables deliberately lack — HLL/GK cells are rebuild-only),
+    * so a takedown maintains the materialized stats by
+    *
+    *   stats(base ∖ removed) = stats(base) ⊖ stats(removed)
+    *
+    * — aggregate the REMOVED slice only, full-outer merge with
+    * subtraction, and drop groups whose count reaches zero (the full
+    * recompute never emits them). Per-takedown cost is the removed
+    * slice's aggregation plus a group-count-sized merge, never the
+    * history rescan; the persisted full-corpus base aggregate is the i6
+    * serving state. The takedown class is l_orderkey ≡ 7 (mod 11)
+    * (order-grained, matching how a deletion list arrives); the oracle
+    * is the full a6 recompute over lineitem ∖ removed.
+    */
+  def retractedPlaylistStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+    val baseTable = graft.SessionCache.getOrElseUpdate(
+        spark, ("statsBaseFull", dir)) {
+      val t = f"stats_full_${dir.hashCode & 0xffffffffL}%x"
+      Dedup.dropTableAndLocation(spark, t)
+      playlistStatsOf(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_discount")), o)
+        .write.saveAsTable(t)
+      t
+    }
+    val removedAgg = playlistStatsOf(Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") % 11 === 7)
+      .select(col("l_orderkey"), col("l_discount")), o)
+    spark.table(baseTable)
+      .select(col("priority"), col("stars"), col("n").as("n_base"))
+      .join(removedAgg.select(col("priority"), col("stars"), col("n").as("n_rm")),
+        Seq("priority", "stars"), "full_outer")
+      .select(col("priority"), col("stars"),
+        (coalesce(col("n_base"), lit(0L)) - coalesce(col("n_rm"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+  }
+
   /** A7 (itdb2html.py:478-493): re-aggregation of the materialized aggregate —
     * partial/final pattern over playlistStats' output.
     */
@@ -1572,6 +1611,61 @@ object Library {
       .groupBy(col("event_type"))
       .agg(graft.plans.HllAgg.hllMerge(col("sk")).as("hll_users"))
     val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("hll_users") - col("exact_users")) * 20 <= col("exact_users"))
+          .as("hll_within_5pct"))
+  }
+
+  /** A2D — the sketch-state table under RETRACTION: the REBUILD-ONLY
+    * deletion semantics the HLL cells document (registers are additive —
+    * a max cannot be un-raised — so unlike i7's subtractive counts, a
+    * takedown cannot be merged in). The rebuild is CELL-SCOPED, the
+    * bounded operation that documentation promises:
+    *
+    *   - affected cells = (event_type, day) groups containing a removed
+    *     user's event (one distinct projection of the takedown slice);
+    *   - a NEW generation of the cell table = untouched cells copied
+    *     (anti-join — they serve unchanged, no event re-read) ∪ affected
+    *     cells re-aggregated from their RETAINED events only (a cell
+    *     emptied by the takedown simply vanishes);
+    *   - the a2c rollup then runs over the rebuilt plane.
+    *
+    * Rebuilt cells equal a from-scratch build over the retained corpus
+    * exactly (hllSketch is deterministic per input set), so the gate
+    * reuses the a2c discipline — exact distinct over retained events +
+    * the ±5% band flag — against the full-recompute oracle. The takedown
+    * class is user_id ≡ 5 (mod 13).
+    */
+  def sketchRollupRetracted(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000 * 1000
+    def removedPred = pmod(col("user_id"), lit(13)) === 5
+    val base = userSketchTable(spark, dir)
+    val rebuilt = graft.SessionCache.getOrElseUpdate(spark,
+        ("userSketchesRetracted", dir)) {
+      val t = f"user_sketches_rm_${dir.hashCode & 0xffffffffL}%x"
+      Dedup.dropTableAndLocation(spark, t)
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id"),
+          expr(s"unix_micros(ts) div ${dayUs}L").as("day"))
+      val affected = ev.filter(removedPred)
+        .select(col("event_type"), col("day")).distinct()
+      val untouched = spark.table(base)
+        .join(affected, Seq("event_type", "day"), "left_anti")
+      val rebuiltCells = ev.filter(!removedPred)
+        .join(affected, Seq("event_type", "day"), "left_semi")
+        .groupBy(col("event_type"), col("day"))
+        .agg(graft.plans.HllAgg.hllSketch(col("user_id")).as("sk"))
+      untouched.unionByName(rebuiltCells).write.saveAsTable(t)
+      t
+    }
+    val merged = spark.table(rebuilt)
+      .groupBy(col("event_type"))
+      .agg(graft.plans.HllAgg.hllMerge(col("sk")).as("hll_users"))
+    val exact = Tables.events(spark, dir)
+      .filter(!removedPred)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
     merged.join(exact, Seq("event_type"))

@@ -116,6 +116,29 @@ class IndexRemoveSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS rml_state")
   }
 
+  test("a2d: rebuilt sketch cells byte-equal a from-scratch build over retained events") {
+    val dir = sf("sf0.001")
+    // force the rebuilt generation
+    graft.operators.Library.sketchRollupRetracted(spark, dir).collect()
+    val table = f"user_sketches_rm_${dir.hashCode & 0xffffffffL}%x"
+    def cellMap(df: DataFrame) =
+      df.collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")) ->
+        r.getAs[Array[Byte]]("sk").toSeq).toMap
+    val rebuilt = cellMap(spark.table(table))
+    val fresh = cellMap(Tables.events(spark, dir)
+      .filter(pmod(col("user_id"), lit(13)) =!= 5)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000L").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(graft.plans.HllAgg.hllSketch(col("user_id")).as("sk")))
+    assert(rebuilt == fresh, "rebuilt plane != from-scratch build over retained corpus")
+    assert(rebuilt.nonEmpty)
+    // the takedown genuinely touched cells: the retracted plane differs
+    // from the pre-takedown one somewhere
+    val before = cellMap(spark.table(f"user_sketches_${dir.hashCode & 0xffffffffL}%x"))
+    assert(before != rebuilt)
+  }
+
   test("ANN index: removed vectors unsearchable, compact deletes, append resurrects") {
     import spark.implicits._
     val ops = graft.operators.Similarity
