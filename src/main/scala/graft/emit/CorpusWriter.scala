@@ -49,4 +49,66 @@ object CorpusWriter {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("split", "lang")
       .parquet(path)
+
+  /** RETRACT documents from a written corpus by PARTITION-SCOPED rewrite
+    * — the takedown's final stop (the reference's dedup flow ends in
+    * literal file deletion, dupes/dedup.py:133-171; a partitioned corpus
+    * deletes by rewriting only the directories that held the rows):
+    *
+    *   - affected (split, lang) partitions = those containing a removed
+    *     doc — ONE distinct projection of the takedown join;
+    *   - ONLY those partitions re-read, filtered, and overwritten via
+    *     dynamic partition overwrite (`partitionOverwriteMode=dynamic`
+    *     replaces exactly the written partition dirs); the reads
+    *     partition-prune to the affected dirs, so the rewrite cost is
+    *     the affected partitions' size, never the corpus;
+    *   - untouched partition FILES are not opened, rewritten, or moved —
+    *     the spec pins their byte-identity.
+    *
+    * A partition emptied by the takedown keeps one empty-rows write (its
+    * directory replaced with an empty file set), so readers of the
+    * layout never see the removed rows again. Returns the number of
+    * removed rows.
+    */
+  def retract(docs: DataFrame, path: String, removedIds: DataFrame): Long = {
+    val spark = docs.sparkSession
+    val corpus = spark.read.parquet(path)
+    val rm = broadcast(removedIds.select(col("doc_id")))
+    val affected = corpus.join(rm, Seq("doc_id"), "left_semi")
+      .select(col("split"), col("lang")).distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (affected.isEmpty) return 0L
+    val affectedPred = affected.map { case (s, l) =>
+      col("split") === s && col("lang") === l
+    }.reduce(_ || _)
+    val slice = corpus.filter(affectedPred)
+    val removedCount = slice.join(rm, Seq("doc_id"), "left_semi").count()
+    // localCheckpoint: the write replaces the directories its own input
+    // was read from — freeze the retained rows first
+    val retained = slice.join(rm, Seq("doc_id"), "left_anti").localCheckpoint()
+    val nonEmpty = retained.select(col("split"), col("lang")).distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    if (nonEmpty.nonEmpty) {
+      val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try retained
+        .repartition(col("split"), col("lang"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite")
+        .partitionBy("split", "lang")
+        .parquet(path)
+      finally prior match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // a partition EMPTIED by the takedown produces no write output, so
+    // dynamic overwrite never touches its directory — delete it outright
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (affected.toSet -- nonEmpty).foreach { case (s, l) =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"split=$s/lang=$l"), true)
+    }
+    removedCount
+  }
 }

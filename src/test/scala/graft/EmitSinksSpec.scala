@@ -70,6 +70,54 @@ class EmitSinksSpec extends SparkSuite {
     }
   }
 
+  test("corpus retract: partition-scoped rewrite removes rows, untouched partition files byte-identical") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("corpus_rm").toString
+    try {
+      val docs = Tables.documents(spark, dir)
+      graft.emit.CorpusWriter.write(docs, out, nShards = 4)
+      val before = spark.read.parquet(out)
+        .select("doc_id", "split", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // take down every doc of ONE (split, lang) partition's first two
+      // ids plus one id from a second partition — several partitions must
+      // survive untouched
+      val byPart = before.groupBy(p => (p._2, p._3))
+      val parts = byPart.keys.toSeq.sorted
+      assert(parts.size >= 3, s"fixture needs >= 3 partitions, got $parts")
+      val victims = (byPart(parts.head).map(_._1).sorted.take(2) ++
+        byPart(parts(1)).map(_._1).sorted.take(1)).toSeq
+      // snapshot untouched partitions' file bytes
+      def fileState(p: (String, String)): Map[String, Long] = {
+        val d = new java.io.File(s"$out/split=${p._1}/lang=${p._2}")
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap
+      }
+      val untouchedParts = parts.drop(2)
+      val snapBefore = untouchedParts.map(p => p -> fileState(p)).toMap
+      val n = graft.emit.CorpusWriter.retract(docs, out, victims.toDF("doc_id"))
+      assert(n == victims.size, s"removed $n of ${victims.size}")
+      // removed ids gone, everything else intact
+      val after = spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(victims.forall(v => !after.contains(v)))
+      assert(after == before.map(_._1).toSet -- victims)
+      // untouched partitions: same files, same mtimes — never rewritten
+      untouchedParts.foreach(p =>
+        assert(fileState(p) == snapBefore(p), s"partition $p was rewritten"))
+      // retract EVERY doc of one partition: its directory must vanish
+      val wipe = byPart(parts(1)).map(_._1).toSeq
+      graft.emit.CorpusWriter.retract(docs, out, wipe.toDF("doc_id"))
+      assert(!new java.io.File(s"$out/split=${parts(1)._1}/lang=${parts(1)._2}").exists,
+        "emptied partition directory must be deleted")
+      assert(spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).toSet == before.map(_._1).toSet -- victims -- wipe)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("t7 repetition: planted repetitive doc scores high on top ratios") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
     Seq(
