@@ -383,6 +383,26 @@ object SparkEntry {
         .groupBy(col("split"), col("lang"), col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("split", "lang", "shard")
+    }),
+    // ---- e2: the WRITTEN corpus under retraction — write the full tree,
+    // take down the doc_id ≡ 4 (mod 9) class via the partition-scoped
+    // rewrite, re-read the tree from disk; the oracle recomputes the
+    // layout over documents ∖ removed, so a leftover row in a rewritten
+    // partition (or a surviving emptied directory) hash-mismatches ----
+    "e2_corpus_retract" -> ((s, d) => {
+      val tag = java.util.UUID.nameUUIDFromBytes(("rm:" + d).getBytes("UTF-8"))
+        .toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_corpus_gate_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      corpusGateCleanupOnExit(out)
+      val docs = Tables.documents(s, d)
+      graft.emit.CorpusWriter.write(docs, out, nShards = 4)
+      graft.emit.CorpusWriter.retract(docs, out,
+        docs.filter(col("doc_id") % 9 === 4).select(col("doc_id")))
+      s.read.parquet(out)
+        .groupBy(col("split"), col("lang"), col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang", "shard")
     }))
 
   /** One shutdown hook per e1 output path: deletes this process's corpus
@@ -1927,6 +1947,19 @@ object SparkEntry {
          |       WHEN $splitBucketSql < 253 THEN 'val' ELSE 'test' END AS split,
          |  $sh % 4 AS shard
          |  FROM documents)
+         |GROUP BY 1, 2, 3 ORDER BY split, lang, shard""".stripMargin
+    },
+    // the written-then-retracted tree re-read: e1's layout recompute over
+    // documents minus the takedown class — a leftover row in any rewritten
+    // (or supposedly-deleted) partition hash-mismatches
+    "e2_corpus_retract" -> {
+      val sh = s"(${hexv("substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 2, 1)")})"
+      s"""SELECT split, lang, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs
+         |FROM (SELECT lang,
+         |  CASE WHEN $splitBucketSql < 250 THEN 'train'
+         |       WHEN $splitBucketSql < 253 THEN 'val' ELSE 'test' END AS split,
+         |  $sh % 4 AS shard
+         |  FROM documents WHERE doc_id % 9 != 4)
          |GROUP BY 1, 2, 3 ORDER BY split, lang, shard""".stripMargin
     })
 
