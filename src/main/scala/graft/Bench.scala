@@ -29,7 +29,9 @@ object Bench {
     "t2_language_id", "t5_fingerprints", "t13_distinctive_terms",
     "t15_heavy_hitters", "m2_media_stats",
     "d10b_contamination_bloom", "g1_pagerank", "w11_retention",
-    "a2c_sketch_rollup", "j8c_edit_distance_join", "i6_incremental_agg")
+    "a2c_sketch_rollup", "j8c_edit_distance_join", "i6_incremental_agg",
+    "d22_index_remove", "s13_ann_remove", "d23_canonical_remove",
+    "d21c_semdedup_banded", "w6b_running_sum_chunked", "w4b_asof_chunked")
 
   // Locale.ROOT: the f-interpolator uses the default locale, and a
   // comma-decimal locale would corrupt the JSON contract line

@@ -38,7 +38,11 @@ object ExplainAudit {
       "g1_pagerank", "g1b_delta_pagerank", "w11_retention", "w12_funnel",
       "w13_rolling_distinct", "a2c_sketch_rollup", "a16c_percentile_sketch_rollup",
       "j8b_hamming_join", "j8c_edit_distance_join", "t20_source_cap",
-      "i6_incremental_agg")
+      "i6_incremental_agg",
+      "d22_index_remove", "s13_ann_remove", "d23_canonical_remove",
+      "d21c_semdedup_banded", "w6b_running_sum_chunked", "w10b_burst_chunked",
+      "w4b_asof_chunked", "a6b_tenant_stats", "i7_retract_agg",
+      "a2d_cell_rebuild", "m4b_image_neardup_png")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
