@@ -333,6 +333,10 @@ object SparkEntry {
     // unigram-LM surprisal quality score — integer-exact floor-log2 via
     // bin() length, shares t13's inverted-index projection
     "t18_unigram_surprisal" -> ((s, d) => TextAnalysis.unigramSurprisal(s, d).orderBy("doc_id")),
+    // model-based curation: an integer-exact Naive-Bayes log-odds probe
+    // (weak labels from t3, t18's bit-length log2, the weight table IS
+    // the model) — trained and scored in word-count-shaped passes
+    "t21_nb_quality_probe" -> ((s, d) => TextAnalysis.nbQualityProbe(s, d).orderBy("doc_id")),
     "t14_sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d).orderBy("split", "lang", "bin")),
     "t15_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d).orderBy("lang", "token")),
     "t16_quality_sample" -> ((s, d) => TextAnalysis.qualityWeightedSample(s, d).orderBy("tier")),
@@ -1807,6 +1811,30 @@ object SparkEntry {
         |  CAST(sum(tf * (length(bin(total // wtf)) - 1)) AS BIGINT) AS surprisal_sum
         |FROM tf JOIN w USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // NB probe: the full train-and-score trajectory replayed — the
+    // target-language weak labels, per-term class counts, the centered
+    // fixed-point likelihood-ratio weights (positive operands: floor ==
+    // trunc), and the scoring join; all sums CAST back from HUGEINT
+    // before output (the t19 lesson)
+    "t21_nb_quality_probe" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |lab AS (SELECT doc_id, (lang = 'en') AS label FROM t),
+        |tf AS (SELECT doc_id, x AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t, unnest(w) AS u(x) GROUP BY 1, 2),
+        |tc AS (SELECT term,
+        |  CAST(sum(CASE WHEN label THEN tf ELSE 0 END) AS BIGINT) AS ck,
+        |  CAST(sum(CASE WHEN NOT label THEN tf ELSE 0 END) AS BIGINT) AS cd
+        |  FROM tf JOIN lab USING (doc_id) GROUP BY term),
+        |tot AS (SELECT CAST(sum(ck) AS BIGINT) AS nk, CAST(sum(cd) AS BIGINT) AS nd,
+        |  CAST(count(*) AS BIGINT) AS v FROM tc),
+        |wt AS (SELECT term,
+        |  CAST(((ck + 1) * (nd + v) * 1024) // ((cd + 1) * (nk + v)) - 1024 AS BIGINT) AS w
+        |  FROM tc CROSS JOIN tot)
+        |SELECT tf.doc_id, CAST(sum(tf.tf * wt.w) AS BIGINT) AS score, lab.label AS label,
+        |  (sum(tf.tf * wt.w) >= 0) AS predicted
+        |FROM tf JOIN wt USING (term) JOIN lab ON lab.doc_id = tf.doc_id
+        |GROUP BY tf.doc_id, lab.label ORDER BY tf.doc_id""".stripMargin,
     // sequence packing: integer-only running sum + integer div — both
     // window semantics (ROWS ... 1 PRECEDING over doc_id order) and the
     // bin arithmetic are exact on both engines

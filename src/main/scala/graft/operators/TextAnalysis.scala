@@ -392,6 +392,60 @@ object TextAnalysis {
         sum(col("tf") * col("surp")).cast("long").as("surprisal_sum"))
   }
 
+  /** T21 — MODEL-BASED CURATION SCORING: a Naive-Bayes log-odds probe
+    * trained IN the engine (the CCNet/fastText-family classifier filter
+    * — the standard model-in-the-loop stage of a web-scale pipeline,
+    * where a probe trained on weak labels scores the whole corpus):
+    * weak labels mark the TARGET-LANGUAGE slice (lang = 'en' — CCNet's
+    * own formulation: keep what scores like the target distribution),
+    * per-token class counts train the model, and every document scores
+    * by the sum of its tokens' CENTERED LIKELIHOOD-RATIO weights in
+    * fixed point — all INTEGER, no transcendental in the gate path:
+    *
+    *   w(t) = ((ck+1)·(Nd+V)·1024) div ((cd+1)·(Nk+V)) − 1024
+    *   score(doc) = Σ_t tf(doc,t) · w(t)
+    *
+    * (+1 token smoothing; w is 0 for a class-neutral token, positive
+    * for target-leaning ones — the ratio replaces NB's log precisely
+    * because an integer bit-length log is too coarse for the frequency-
+    * MIX differences that carry the signal when the classes share a
+    * vocabulary; the per-token monotone transform keeps the ranking
+    * semantics. Products stay < 2^50 at any corpus the gates run, and
+    * every operand is positive so truncating and flooring division
+    * agree across engines.)
+    *
+    * Scale shape: reuses the shared inverted-index projection (ONE token
+    * explode), one label join, TWO word-count-shaped aggregations (term
+    * class counts; a one-row totals frame broadcast onto the weight
+    * projection), one term-keyed scoring join (AQE broadcasts the weight
+    * table when it fits) and a doc rollup — the exact t13/t18 topology,
+    * so a 100 TB corpus trains and scores in word-count passes with no
+    * driver-side model state at all (the "model" IS the weight table).
+    */
+  def nbQualityProbe(spark: SparkSession, dir: String,
+      targetLang: String = "en"): DataFrame = {
+    val tf = tfTable(spark, dir)
+    val labels = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), (col("lang") === targetLang).as("keep"))
+    val termCounts = tf.join(labels, Seq("doc_id"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("keep"), col("tf")).otherwise(0L)).as("ck"),
+        sum(when(!col("keep"), col("tf")).otherwise(0L)).as("cd"))
+    val totals = termCounts.agg(sum(col("ck")).as("nk"), sum(col("cd")).as("nd"),
+      count(lit(1)).as("v"))
+    val weights = termCounts.crossJoin(broadcast(totals))
+      .select(col("term"),
+        (expr("((ck + 1) * (nd + v) * 1024) div ((cd + 1) * (nk + v))") - 1024)
+          .cast("long").as("w"))
+    tf.join(weights, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("w")).cast("long").as("score"))
+      .join(labels, Seq("doc_id"))
+      .select(col("doc_id"), col("score"), col("keep").as("label"),
+        (col("score") >= 0).as("predicted"))
+  }
+
   /** SEQUENCE PACKING — assign documents to fixed token-budget training
     * bins, the batch-layout step between curation and the trainer: within
     * each (split, lang) stream, documents are laid out in deterministic

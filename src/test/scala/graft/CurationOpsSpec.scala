@@ -516,6 +516,43 @@ class CurationOpsSpec extends SparkSuite {
     assert(got.values.exists(_._2 > 0))
   }
 
+  test("t21 NB probe: driver-side replay reproduces every score; classes separate") {
+    val dir = sf("sf0.001")
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .flatMap(r => Option(r.getString(1)).map(t =>
+        (r.getLong(0), t, r.getString(2))))
+    def toks(t: String): Seq[String] = t.trim.split("\\s+").toSeq
+    // the target-language weak label (the CCNet formulation)
+    val label: Map[Long, Boolean] = raw.map { case (id, _, l) => id -> (l == "en") }.toMap
+    val docs = raw.map { case (id, t, _) => id -> t }
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (id, t) =>
+      toks(t).groupBy(identity).map { case (w, g) => (id, w) -> g.size.toLong }
+    }.toMap
+    val ck = tf.groupBy(_._1._2).map { case (w, m) =>
+      w -> m.collect { case ((id, _), c) if label(id) => c }.sum }
+    val cd = tf.groupBy(_._1._2).map { case (w, m) =>
+      w -> m.collect { case ((id, _), c) if !label(id) => c }.sum }
+    val (nk, nd, v) = (ck.values.sum, cd.values.sum, ck.size.toLong)
+    val w: Map[String, Long] = ck.keys.map(t =>
+      t -> (((ck(t) + 1) * (nd + v) * 1024) / ((cd(t) + 1) * (nk + v)) - 1024)).toMap
+    val expected = tf.groupBy(_._1._1).map { case (id, m) =>
+      id -> m.map { case ((_, t), c) => c * w(t) }.sum
+    }
+    val got = TextAnalysis.nbQualityProbe(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3))))
+      .toMap
+    assert(got.view.mapValues(_._1).toMap == expected)
+    assert(got.forall { case (id, (s, l, p)) => l == label(id) && p == (s >= 0) })
+    // the probe genuinely separates its training classes: mean score of
+    // keeps above mean score of drops, strictly
+    val keeps = got.values.collect { case (s, true, _) => s.toDouble }
+    val drops = got.values.collect { case (s, false, _) => s.toDouble }
+    assert(keeps.nonEmpty && drops.nonEmpty)
+    assert(keeps.sum / keeps.size > drops.sum / drops.size,
+      s"no separation: keep mean ${keeps.sum / keeps.size} vs drop mean ${drops.sum / drops.size}")
+  }
+
   test("t14 sequence pack: driver-side greedy packing reproduces every bin") {
     val dir = sf("sf0.001")
     val got = TextAnalysis.sequencePack(spark, dir)
