@@ -337,6 +337,10 @@ object SparkEntry {
     // (weak labels from t3, t18's bit-length log2, the weight table IS
     // the model) — trained and scored in word-count-shaped passes
     "t21_nb_quality_probe" -> ((s, d) => TextAnalysis.nbQualityProbe(s, d).orderBy("doc_id")),
+    // the probe served from its PERSISTED weight table (deterministic
+    // training => identical output; t21's oracle gates the disk path)
+    "t21b_nb_probe_indexed" -> ((s, d) =>
+      TextAnalysis.nbQualityProbeFromIndex(s, d).orderBy("doc_id")),
     "t14_sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d).orderBy("split", "lang", "bin")),
     "t15_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d).orderBy("lang", "token")),
     "t16_quality_sample" -> ((s, d) => TextAnalysis.qualityWeightedSample(s, d).orderBy("tier")),
@@ -2061,6 +2065,7 @@ object SparkEntry {
     "w10b_burst_chunked" -> oracleBase("w10_burst_detection"),
     "w4b_asof_chunked" -> oracleBase("w4_asof_join"),
     "m4b_image_neardup_png" -> oracleBase("m4_image_neardup"),
+    "t21b_nb_probe_indexed" -> oracleBase("t21_nb_quality_probe"),
     "s9_ann_delta_search" -> annDeltaSearchSql,
     "s10_ann_drift" -> annDriftSql)
 }

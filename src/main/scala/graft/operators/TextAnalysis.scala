@@ -422,28 +422,59 @@ object TextAnalysis {
     * so a 100 TB corpus trains and scores in word-count passes with no
     * driver-side model state at all (the "model" IS the weight table).
     */
-  def nbQualityProbe(spark: SparkSession, dir: String,
-      targetLang: String = "en"): DataFrame = {
-    val tf = tfTable(spark, dir)
-    val labels = Tables.documents(spark, dir)
+  private def nbProbeLabels(spark: SparkSession, dir: String,
+      targetLang: String): DataFrame =
+    Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), (col("lang") === targetLang).as("keep"))
-    val termCounts = tf.join(labels, Seq("doc_id"))
+
+  /** The probe's trained WEIGHT TABLE — (term, w); the model itself. */
+  private def nbProbeWeights(spark: SparkSession, dir: String,
+      targetLang: String): DataFrame = {
+    val termCounts = tfTable(spark, dir)
+      .join(nbProbeLabels(spark, dir, targetLang), Seq("doc_id"))
       .groupBy(col("term"))
       .agg(sum(when(col("keep"), col("tf")).otherwise(0L)).as("ck"),
         sum(when(!col("keep"), col("tf")).otherwise(0L)).as("cd"))
     val totals = termCounts.agg(sum(col("ck")).as("nk"), sum(col("cd")).as("nd"),
       count(lit(1)).as("v"))
-    val weights = termCounts.crossJoin(broadcast(totals))
+    termCounts.crossJoin(broadcast(totals))
       .select(col("term"),
         (expr("((ck + 1) * (nd + v) * 1024) div ((cd + 1) * (nk + v))") - 1024)
           .cast("long").as("w"))
-    tf.join(weights, Seq("term"))
+  }
+
+  private def nbScoreWith(spark: SparkSession, dir: String,
+      weights: DataFrame, targetLang: String): DataFrame =
+    tfTable(spark, dir).join(weights, Seq("term"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("w")).cast("long").as("score"))
-      .join(labels, Seq("doc_id"))
+      .join(nbProbeLabels(spark, dir, targetLang), Seq("doc_id"))
       .select(col("doc_id"), col("score"), col("keep").as("label"),
         (col("score") >= 0).as("predicted"))
+
+  def nbQualityProbe(spark: SparkSession, dir: String,
+      targetLang: String = "en"): DataFrame =
+    nbScoreWith(spark, dir, nbProbeWeights(spark, dir, targetLang), targetLang)
+
+  /** T21B — the probe SERVED FROM ITS PERSISTED MODEL (the d13/s2b
+    * discipline applied to the trained classifier: every trained state
+    * in the engine has a disk lifecycle): the weight table writes once
+    * per session as a bucketed warehouse table keyed on `term` (at scale
+    * the scoring join's co-location key; here AQE broadcasts it), and
+    * scoring answers from the LOADED table — deterministic training ⇒
+    * identical output, so t21's oracle gates the serving path verbatim.
+    */
+  def nbQualityProbeFromIndex(spark: SparkSession, dir: String,
+      targetLang: String = "en"): DataFrame = {
+    val table = graft.SessionCache.getOrElseUpdate(spark,
+        ("nbProbeModel", dir, targetLang)) {
+      val t = f"nb_probe_${targetLang}_${dir.hashCode & 0xffffffffL}%x"
+      Dedup.saveBucketedTable(nbProbeWeights(spark, dir, targetLang), t,
+        buckets = 4, keys = Seq("term"))
+      t
+    }.asInstanceOf[String]
+    nbScoreWith(spark, dir, spark.table(table), targetLang)
   }
 
   /** SEQUENCE PACKING — assign documents to fixed token-budget training

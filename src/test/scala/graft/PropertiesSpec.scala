@@ -284,6 +284,49 @@ class PropertiesSpec extends SparkSuite {
     assert(exp.exists(_._3 == 2) && exp.exists(_._3 == 0))
   }
 
+  test("property: label retraction == full recompute over corpus minus removed") {
+    // random near-dup corpora (clusters of edited copies + noise docs),
+    // random takedown sets — removeFromLabelState must equal
+    // labelStateOf(docs ∖ removed) exactly, splits and relabels included
+    val rng = new scala.util.Random(31)
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"p${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    for (trial <- 1 to 3) {
+      val nClusters = 2 + rng.nextInt(3)
+      val docs = scala.collection.mutable.Buffer.empty[(Long, String)]
+      var nextId = 1L
+      for (c <- 0 until nClusters) {
+        val baseTokens = (1 to 60).map(i => s"c${c}t$i")
+        val base = baseTokens.mkString(" ")
+        val members = 2 + rng.nextInt(4)
+        for (m <- 0 until members) {
+          // member m edits ONE distinct token pair — chain-shaped overlap
+          val t = if (m == 0) base
+            else base.replace(s"c${c}t${m * 7} c${c}t${m * 7 + 1}", s"E$m F$m")
+          docs += ((nextId, t)); nextId += 1
+        }
+      }
+      for (_ <- 0 until 3 + rng.nextInt(3)) { docs += ((nextId, noise(nextId))); nextId += 1 }
+      val df = docs.toSeq.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val removedIds = docs.map(_._1).filter(_ => rng.nextInt(3) == 0).toSeq
+      val removed = removedIds.toDF("doc_id")
+      val full = graft.operators.Dedup.labelStateOf(df)
+      val relabeled = graft.operators.Dedup.removeFromLabelState(full, df, removed)
+      // assemble the post-retraction state exactly as applyLabelRetraction
+      // would: full ∖ removed ∖ relabeled-ids ∪ relabeled
+      def m(st: org.apache.spark.sql.DataFrame) =
+        st.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+      val rl = m(relabeled)
+      val after = (m(full) -- removedIds -- rl.keys) ++ rl
+      val expected = m(graft.operators.Dedup.labelStateOf(
+        df.filter(!col("doc_id").isin(removedIds: _*))))
+      assert(after == expected,
+        s"trial $trial removed=$removedIds diff=${(after.toSet diff expected.toSet).take(5)}")
+    }
+  }
+
   test("property: HLL cell merge == one-shot sketch under random partitionings") {
     val rng = new scala.util.Random(17)
     for (trial <- 1 to 3) {
