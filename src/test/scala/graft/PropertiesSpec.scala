@@ -327,6 +327,52 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: index retraction == delta pairs over corpus minus removed (random takedowns)") {
+    // random near-dup corpora; random subsets removed from the SAVED
+    // index (alternating tombstone-only and tombstone+compact); the
+    // delta join against the loaded index must equal the join against a
+    // fresh index built over base ∖ removed
+    val rng = new scala.util.Random(41)
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"q${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    val ops = graft.operators.Dedup
+    for (trial <- 1 to 2) {
+      val baseTokens = (1 to 60).map(i => s"r${trial}k$i")
+      val base = baseTokens.mkString(" ")
+      val members = (0 until 4).map { m =>
+        (10L + m, if (m == 0) base
+          else base.replace(s"r${trial}k${m * 9} r${trial}k${m * 9 + 1}", s"X$m Y$m"))
+      }
+      val others = (0 until 5).map(i => (30L + i, noise(100L * trial + i)))
+      val corpus = (members ++ others).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val shard = Seq((90L, base.replace(s"r${trial}k30", "EDITED")))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val name = s"prix$trial"
+      Seq("_banded", "_shingles", "_meta", "_tombstones").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $name$s"))
+      ops.saveNearDupIndex(ops.buildNearDupIndex(corpus), name, buckets = 2)
+      val removedIds = (members ++ others).map(_._1).filter(_ => rng.nextInt(3) == 0)
+      if (removedIds.nonEmpty) {
+        ops.removeFromNearDupIndex(spark, name, removedIds.toDF("doc_id"))
+        if (trial % 2 == 0) ops.compactNearDupIndex(spark, name)
+      }
+      try {
+        def pairs(idx: ops.NearDupIndex) =
+          ops.deltaNearDups(shard, idx).select("id_a", "id_b", "jaccard")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val got = pairs(ops.loadNearDupIndex(spark, name))
+        val expected = pairs(ops.buildNearDupIndex(
+          corpus.filter(!col("doc_id").isin(removedIds: _*))))
+        assert(got == expected, s"trial $trial removed=$removedIds")
+      } finally Seq("_banded", "_shingles", "_meta", "_tombstones").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $name$s"))
+    }
+  }
+
   test("property: HLL cell merge == one-shot sketch under random partitionings") {
     val rng = new scala.util.Random(17)
     for (trial <- 1 to 3) {
