@@ -341,6 +341,10 @@ object SparkEntry {
     // training => identical output; t21's oracle gates the disk path)
     "t21b_nb_probe_indexed" -> ((s, d) =>
       TextAnalysis.nbQualityProbeFromIndex(s, d).orderBy("doc_id")),
+    // largest-remainder apportionment of the training token budget over
+    // (lang, source) strata — sums to the budget exactly, all integer
+    "t22_mixture_allocation" -> ((s, d) =>
+      TextAnalysis.mixtureAllocation(s, d).orderBy("lang", "source")),
     "t14_sequence_pack" -> ((s, d) => TextAnalysis.sequencePack(s, d).orderBy("split", "lang", "bin")),
     "t15_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d).orderBy("lang", "token")),
     "t16_quality_sample" -> ((s, d) => TextAnalysis.qualityWeightedSample(s, d).orderBy("tier")),
@@ -1839,6 +1843,23 @@ object SparkEntry {
         |  (sum(tf.tf * wt.w) >= 0) AS predicted
         |FROM tf JOIN wt USING (term) JOIN lab ON lab.doc_id = tf.doc_id
         |GROUP BY tf.doc_id, lab.label ORDER BY tf.doc_id""".stripMargin,
+    // mixture allocation: Hamilton apportionment replayed — integer
+    // base/remainder, remainder-ranked top-ups, CASTs shield the HUGEINT
+    // class on every sum-derived output
+    "t22_mixture_allocation" ->
+      """WITH s AS (SELECT lang, source,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS toks
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM s),
+        |b AS (SELECT lang, source, toks,
+        |  CAST((100000 * toks) // total AS BIGINT) AS base,
+        |  CAST((100000 * toks) % total AS BIGINT) AS rem FROM s CROSS JOIN tot),
+        |sf AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS shortfall FROM b),
+        |r AS (SELECT lang, source, toks, base,
+        |  row_number() OVER (ORDER BY rem DESC, lang, source) AS rk FROM b)
+        |SELECT lang, source, toks,
+        |  CAST(base + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r CROSS JOIN sf ORDER BY lang, source""".stripMargin,
     // sequence packing: integer-only running sum + integer div — both
     // window semantics (ROWS ... 1 PRECEDING over doc_id order) and the
     // bin arithmetic are exact on both engines

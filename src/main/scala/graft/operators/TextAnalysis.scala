@@ -477,6 +477,46 @@ object TextAnalysis {
     nbScoreWith(spark, dir, spark.table(table), targetLang)
   }
 
+  /** T22 — MIXTURE ALLOCATION: apportion a fixed training token budget
+    * across (lang, source) strata proportionally to their token mass —
+    * the data-mixture step between corpus stats and sampling (the
+    * deterministic skeleton under DoReMi-style reweighting: compute the
+    * target allocation per stratum; t11/t16/t17 then sample to hit it).
+    * Largest-remainder (Hamilton) apportionment, all INTEGER:
+    *
+    *   base_i  = (B·T_i) div ΣT,  rem_i = (B·T_i) mod ΣT
+    *   alloc_i = base_i + 1 for the (B − Σ base) strata of largest
+    *             remainder (ties by (lang, source) — total order)
+    *
+    * so Σ alloc == B exactly and every step replays bit-for-bit in the
+    * oracle. Scale shape: one stratum aggregation (word-count shape)
+    * collapses the corpus to REPORT-SIZED rows; everything after
+    * (one-row total, remainder ranking window) runs on strata counts,
+    * never documents — the single-partition window is over ~|langs ×
+    * sources| rows by construction.
+    */
+  def mixtureAllocation(spark: SparkSession, dir: String,
+      budget: Long = 100000L): DataFrame = {
+    val strata = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("toks"))
+    val total = strata.agg(sum(col("toks")).as("total"))
+    val based = strata.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("toks"),
+        expr(s"($budget * toks) div total").as("base"),
+        expr(s"($budget * toks) % total").as("rem"))
+    val shortfall = based.agg((lit(budget) - sum(col("base"))).as("shortfall"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("lang"), col("source"))
+    based
+      .withColumn("rk", row_number().over(wr))
+      .crossJoin(broadcast(shortfall))
+      .select(col("lang"), col("source"), col("toks"),
+        (col("base") + when(col("rk") <= col("shortfall"), 1L).otherwise(0L))
+          .cast("long").as("alloc"))
+  }
+
   /** SEQUENCE PACKING — assign documents to fixed token-budget training
     * bins, the batch-layout step between curation and the trainer: within
     * each (split, lang) stream, documents are laid out in deterministic

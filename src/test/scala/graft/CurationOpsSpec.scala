@@ -553,6 +553,33 @@ class CurationOpsSpec extends SparkSuite {
       s"no separation: keep mean ${keeps.sum / keeps.size} vs drop mean ${drops.sum / drops.size}")
   }
 
+  test("t22 mixture allocation: driver-side Hamilton apportionment, sums to budget exactly") {
+    val dir = sf("sf0.001")
+    val budget = 100000L
+    val got = TextAnalysis.mixtureAllocation(spark, dir, budget)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._4).sum == budget, "allocations must sum to the budget exactly")
+    // driver replay
+    val strata = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "source", "text").collect()
+      .flatMap(r => Option(r.getString(2)).map(t =>
+        (r.getString(0), r.getString(1)) -> t.trim.split("\\s+").length.toLong))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val total = strata.values.sum
+    val based = strata.map { case (k, t) =>
+      (k, t, budget * t / total, budget * t % total) }.toSeq
+    val shortfall = budget - based.map(_._3).sum
+    val topped = based.sortBy { case ((l, s), _, _, rem) => (-rem, l, s) }
+      .zipWithIndex.map { case ((k, t, b, _), i) =>
+        (k._1, k._2, t, b + (if (i < shortfall) 1L else 0L)) }.toSet
+    assert(got.toSet == topped)
+    // proportionality: every allocation within 1 of the exact quota
+    got.foreach { case (l, s, t, a) =>
+      val quota = budget.toDouble * t / total
+      assert(math.abs(a - quota) < 1.0 + 1e-9, s"($l,$s) alloc $a quota $quota")
+    }
+  }
+
   test("t14 sequence pack: driver-side greedy packing reproduces every bin") {
     val dir = sf("sf0.001")
     val got = TextAnalysis.sequencePack(spark, dir)
