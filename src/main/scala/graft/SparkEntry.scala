@@ -264,6 +264,9 @@ object SparkEntry {
     // ---- similarity search ----
     "s1_ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d).orderBy("probe_id", "rn")),
     "s2_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d).orderBy("probe_id", "rn")),
+    // the serving-quality monitor: measured recall@5 of the LSH tier
+    // against the exact tier, per probe (empty buckets surface as 0)
+    "s14_ann_recall" -> ((s, d) => Similarity.annRecallLsh(s, d).orderBy("probe_id")),
     "s3_label_centroids" -> ((s, d) => Similarity.labelCentroidsFlat(s, d).orderBy("label", "dim_idx")),
     "s4_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d).orderBy("probe_id", "rn")),
     "s5_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d).orderBy("probe_id", "rn")),
@@ -1486,6 +1489,35 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS rn
          |  FROM p JOIN w c ON p.bucket = c.bucket WHERE probe_id != c.vec_id)
          |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+    },
+    // measured LSH recall: both tiers replayed (exact top-5 + the bucket
+    // pipeline), intersected per probe; empty-bucket probes surface as 0
+    "s14_ann_recall" -> {
+      val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+         |p0 AS (SELECT vec_id AS probe_id, v AS pv, n AS pn FROM e WHERE vec_id < 5),
+         |exact AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT probe_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS rn
+         |  FROM p0 CROSS JOIN e c WHERE probe_id != c.vec_id) WHERE rn <= 5),
+         |bk AS (SELECT vec_id,
+         |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+         |    THEN 1 << j ELSE 0 END for j in range(0, 8)]) AS bucket FROM e),
+         |w AS (SELECT e.vec_id, e.v, e.n, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, n AS pn, bucket FROM w WHERE vec_id < 5),
+         |approx AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT probe_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS rn
+         |  FROM p JOIN w c ON p.bucket = c.bucket WHERE probe_id != c.vec_id) WHERE rn <= 5),
+         |hits AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM exact SEMI JOIN approx USING (probe_id, neighbor_id) GROUP BY 1)
+         |SELECT p0.probe_id, coalesce(h.n_hits, 0) AS n_hits,
+         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 4) AS recall_at_k
+         |FROM p0 LEFT JOIN hits h ON h.probe_id = p0.probe_id
+         |ORDER BY p0.probe_id""".stripMargin
     },
     "s3_label_centroids" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

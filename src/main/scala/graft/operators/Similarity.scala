@@ -525,6 +525,38 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** S14 — MEASURED RECALL of the LSH tier: per probe,
+    * |lsh-top-k ∩ exact-top-k| / k — the serving-quality number an ANN
+    * deployment monitors next to the s10 drift trigger (recall is the
+    * contract an approximate tier is bought with; a silent recall
+    * collapse after a corpus shift is the failure mode this query
+    * alerts on). Both tiers are deterministic here, so the measurement
+    * itself is oracle-replayable — unlike a sampled production recall
+    * probe, the gate checks the EXACT value. Probes with an empty
+    * bucket intersection surface with recall 0, not as missing rows
+    * (the alerting shape: silence must not look like health).
+    *
+    * Scale: the exact side is the s1 broadcast scan (at 100 TB a
+    * SAMPLED probe set — the measurement is per-probe, so sampling
+    * composes trivially); the intersection is a probe+neighbor-keyed
+    * semi-join of two k-row-per-probe frames.
+    */
+  def annRecallLsh(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val approx = lshTopK(spark, dir, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    preparedEmbeddings(spark, dir).filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4).as("recall_at_k"))
+  }
+
   /** IVF-style ANN: label is the coarse cluster (the trained quantizer's
     * assignment); each probe ranks the cluster CENTROIDS first, then
     * searches only its `nprobe` nearest clusters exactly. At scale the
