@@ -267,6 +267,8 @@ object SparkEntry {
     // the serving-quality monitor: measured recall@5 of the LSH tier
     // against the exact tier, per probe (empty buckets surface as 0)
     "s14_ann_recall" -> ((s, d) => Similarity.annRecallLsh(s, d).orderBy("probe_id")),
+    // the lexical twin: exact-vs-banded dedup recall over an audit slice
+    "d24_dedup_recall" -> ((s, d) => Dedup.dedupRecallAudit(s, d)),
     "s3_label_centroids" -> ((s, d) => Similarity.labelCentroidsFlat(s, d).orderBy("label", "dim_idx")),
     "s4_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d).orderBy("probe_id", "rn")),
     "s5_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d).orderBy("probe_id", "rn")),
@@ -1046,6 +1048,20 @@ object SparkEntry {
       s"""$shinglesCte,
          |$lshPairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    // measured LSH-dedup recall over the doc_id < 500 audit slice: exact
+    // all-pairs Jaccard on the slice vs the banded tier's pair table
+    "d24_dedup_recall" ->
+      s"""$shinglesCte,
+         |$lshPairsCtes,
+         |ds AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s WHERE doc_id < 500),
+         |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE) / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) >= 0.8),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex SEMI JOIN pairs USING (id_a, id_b)),
+         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+         |SELECT n_exact, n_caught,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
+         |FROM nx CROSS JOIN ct""".stripMargin,
     // incremental ingest identity: delta(index over bucket<200, shard
     // bucket>=200) == full-recompute pairs restricted to shard-touching
     // pairs (signatures are per-doc functions, so both computations hash

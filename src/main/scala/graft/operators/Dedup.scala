@@ -2235,6 +2235,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** D24 — MEASURED RECALL of the MinHash-LSH dedup tier (the s14
+    * pattern for the lexical family): over a bounded AUDIT SLICE
+    * (doc_id < sliceMax), compute the EXACT near-dup pair set by
+    * deliberate all-pairs Jaccard — the one place the engine runs an
+    * unblocked pair join, and the point: an audit's exact side cannot
+    * share the blocking it audits, so its cost is bounded by the SAMPLE,
+    * not the corpus (at 100 TB the slice is a drawn sample; per-slice
+    * recall composes) — then count how many the banded tier caught.
+    * One row: (n_exact, n_caught, recall). Both sides deterministic, so
+    * the oracle checks the exact recall value; an empty exact set
+    * reports recall 1.0 (nothing to miss).
+    */
+  def dedupRecallAudit(spark: SparkSession, dir: String,
+      sliceMax: Long = 500, threshold: Double = 0.8): DataFrame = {
+    val sets = persistedShingleTable(spark, dir)
+      .filter(col("doc_id") < sliceMax)
+      .select(col("doc_id"), array_distinct(col("sh")).as("dsh"))
+    val a = sets.select(col("doc_id").as("id_a"), col("dsh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("dsh").as("sh_b"))
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .filter(round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val caught = exact.join(
+      minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")),
+      Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .select(col("n_exact"), col("n_caught"),
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(round(col("n_caught").cast("double") / col("n_exact"), 4))
+          .as("recall"))
+  }
+
   /** Bounded near-dup tier: block by (label, band, band-bucket) with
     * OR-amplified sign-random-projection LSH — the banded analogue of the
     * minhash-LSH pipeline (`minhashLshPairs`). `bands` disjoint slices of
