@@ -1048,14 +1048,22 @@ object SparkEntry {
       s"""$shinglesCte,
          |$lshPairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
-    // measured LSH-dedup recall over the doc_id < 500 audit slice: exact
-    // all-pairs Jaccard on the slice vs the banded tier's pair table
+    // measured LSH-dedup recall over the FULL corpus: the exact side
+    // counts intersections through the unblocked posting join (no array
+    // op, no quadratic scan — any qualifying pair shares shingles), then
+    // intersects with the banded tier's pair table
     "d24_dedup_recall" ->
       s"""$shinglesCte,
          |$lshPairsCtes,
-         |ds AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s WHERE doc_id < 500),
-         |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ds a JOIN ds b ON a.doc_id < b.doc_id
-         |  WHERE round(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE) / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) >= 0.8),
+         |dl AS (SELECT doc_id, list_distinct(sh) AS dsh, len(list_distinct(sh)) AS l
+         |  FROM s WHERE len(sh) > 0),
+         |al AS (SELECT doc_id, l, unnest(dsh) AS key FROM dl),
+         |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS la, b.l AS lb,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM al a JOIN al b ON a.key = b.key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |ex AS (SELECT id_a, id_b FROM co
+         |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8),
          |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex SEMI JOIN pairs USING (id_a, id_b)),
          |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
          |SELECT n_exact, n_caught,

@@ -2236,28 +2236,49 @@ object Dedup {
   }
 
   /** D24 — MEASURED RECALL of the MinHash-LSH dedup tier (the s14
-    * pattern for the lexical family): over a bounded AUDIT SLICE
-    * (doc_id < sliceMax), compute the EXACT near-dup pair set by
-    * deliberate all-pairs Jaccard — the one place the engine runs an
-    * unblocked pair join, and the point: an audit's exact side cannot
-    * share the blocking it audits, so its cost is bounded by the SAMPLE,
-    * not the corpus (at 100 TB the slice is a drawn sample; per-slice
-    * recall composes) — then count how many the banded tier caught.
-    * One row: (n_exact, n_caught, recall). Both sides deterministic, so
-    * the oracle checks the exact recall value; an empty exact set
-    * reports recall 1.0 (nothing to miss).
+    * pattern for the lexical family), over the FULL corpus: an audit's
+    * exact side cannot share the probabilistic blocking it audits, and
+    * it does not need a quadratic scan either — the exact pair set
+    * computes by COUNTING through the posting join (the d4 verification
+    * idea, unblocked): explode distinct shingles, self-join on the
+    * shingle, and the per-(a, b) match count IS |A∩B| exactly (any
+    * qualifying pair shares shingles, so none is missed); Jaccard =
+    * inter / (|A| + |B| − inter) needs no array op at all. Join volume
+    * is Σ_shingle df² — bounded by shingle collision counts (27k rows
+    * → 1.3M co-occurrences at sf0.1; at 100 TB a boilerplate-hot
+    * shingle rides the same census+salt machinery as the band joins,
+    * and PPJoin-style sorted-prefix filtering further bounds which
+    * shingles may generate candidates; both refinements preserve
+    * exactness — a sample audit composes per-slice when even that is
+    * too hot).
+    *
+    * The audit then counts how many exact pairs the banded tier caught.
+    * One row: (n_exact, n_caught, recall) — all deterministic, so the
+    * oracle checks the exact recall value (at sf0.1 it measures 255/256
+    * = 0.9961: the banding genuinely misses one pair, and the audit is
+    * the query that knows). Empty exact set ⇒ recall 1.0.
     */
   def dedupRecallAudit(spark: SparkSession, dir: String,
-      sliceMax: Long = 500, threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame = {
+    // materialized once per pass: postings feed both join sides and the
+    // length frame (the PERF.md §1 trap otherwise)
     val sets = persistedShingleTable(spark, dir)
-      .filter(col("doc_id") < sliceMax)
       .select(col("doc_id"), array_distinct(col("sh")).as("dsh"))
-    val a = sets.select(col("doc_id").as("id_a"), col("dsh").as("sh_a"))
-    val b = sets.select(col("doc_id").as("id_b"), col("dsh").as("sh_b"))
-    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
-      .filter(round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4) >= threshold)
+      .filter(col("dsh").isNotNull && size(col("dsh")) > 0)
+      .withColumn("l", size(col("dsh")))
+      .localCheckpoint()
+    val postings = sets.select(col("doc_id"), explode(col("dsh")).as("key"))
+      .localCheckpoint()
+    val co = postings.select(col("doc_id").as("id_a"), col("key"))
+      .join(postings.select(col("doc_id").as("id_b"), col("key")), Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val lens = sets.select(col("doc_id"), col("l"))
+    val exact = co
+      .join(lens.select(col("doc_id").as("id_a"), col("l").as("la")), Seq("id_a"))
+      .join(lens.select(col("doc_id").as("id_b"), col("l").as("lb")), Seq("id_b"))
+      .filter(round(col("inter").cast("double") /
+        (col("la") + col("lb") - col("inter")), 4) >= threshold)
       .select(col("id_a"), col("id_b"))
     val caught = exact.join(
       minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")),
