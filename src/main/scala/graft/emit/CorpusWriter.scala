@@ -106,8 +106,14 @@ object CorpusWriter {
     // dynamic overwrite never touches its directory — delete it outright
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // directory names use Spark's partition-value encoding (':', '%',
+    // '/', '=', '#', … are percent-escaped) — build the path the way the
+    // writer did, or a value needing escapes computes a nonexistent path
+    // and the removed rows silently stay readable
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     (affected.toSet -- nonEmpty).foreach { case (s, l) =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"split=$s/lang=$l"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        s"split=${escapePathName(s)}/lang=${escapePathName(l)}"), true)
     }
     removedCount
   }

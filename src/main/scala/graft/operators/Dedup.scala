@@ -1149,10 +1149,14 @@ object Dedup {
       splitAt: Int = 200, threshold: Double = 0.8): DataFrame = {
     def bucket = TextAnalysis.splitBucket(col("doc_id"))
     val sh = persistedShingleTable(spark, dir)
+    // the full parameterization keys the cached state (the statsBase
+    // convention); the band shape is fixed so threshold only gates the
+    // verify stage, but tying the persisted table to every parameter
+    // keeps a differently-parameterized second call from aliasing it
     val index = graft.SessionCache.getOrElseUpdate(spark,
-        ("neardupIndexRemoved", dir, splitAt)) {
+        ("neardupIndexRemoved", dir, splitAt, threshold)) {
       val baseSh = sh.filter(bucket < splitAt)
-      val name = f"neardup_rm_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      val name = f"neardup_rm_${splitAt}_t${(threshold * 100).round}_${dir.hashCode & 0xffffffffL}%x"
       saveNearDupIndex(NearDupIndex(bandedKeys(baseSh, 3, 3), baseSh, 3, 3), name)
       val ids = Tables.documents(spark, dir).filter(bucket < splitAt)
         .select(col("doc_id"))

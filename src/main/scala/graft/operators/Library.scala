@@ -89,8 +89,12 @@ object Library {
     */
   def tenantStats(spark: SparkSession, dir: String, tenant: Int = 3,
       nTenants: Int = 8): DataFrame = {
-    val table = graft.SessionCache.getOrElseUpdate(spark, ("tenantLineitem", dir)) {
-      val name = f"tenant_lineitem_${dir.hashCode & 0xffffffffL}%x"
+    // nTenants shapes the persisted layout → it belongs in BOTH the cache
+    // key and the table name (a second call with a different nTenants must
+    // build its own table, not silently read the stale layout)
+    val table = graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantLineitem", dir, nTenants)) {
+      val name = f"tenant_lineitem_${nTenants}_${dir.hashCode & 0xffffffffL}%x"
       Dedup.dropTableAndLocation(spark, name)
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_discount"),
@@ -442,7 +446,12 @@ object Library {
       .agg(sum(col("dval")).as("ctot"))
       .withColumn("off", sum(col("ctot")).over(byUserChunks))
       .select(col("user_id"), col("chunk"), col("off"))
-    locals.join(offsets, Seq("user_id", "chunk"))
+    // null-safe on user_id: NULL users form one window partition in w6
+    // (and in the shared oracle), so the stitch must carry them through —
+    // a plain equi-join would silently drop every NULL-user event
+    locals.join(offsets.withColumnsRenamed(
+        Map("user_id" -> "o_user_id", "chunk" -> "o_chunk")),
+        locals("user_id") <=> col("o_user_id") && locals("chunk") === col("o_chunk"))
       .select(col("event_id"), col("user_id"),
         round((col("local_run") + coalesce(col("off"), lit(0).cast("decimal(18,6)")))
           .cast("double"), 4).as("running_value"))

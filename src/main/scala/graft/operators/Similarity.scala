@@ -1148,9 +1148,11 @@ object Similarity {
     */
   private[graft] def annRemoveGateIndex(spark: SparkSession, dir: String,
       nProbes: Int = 5): AnnIndex =
-    graft.SessionCache.getOrElseUpdate(spark, ("annIndexRemoved", dir)) {
+    // nProbes shapes WHICH ids are removed from the persisted index →
+    // cache key and table name carry it (the statsBase convention)
+    graft.SessionCache.getOrElseUpdate(spark, ("annIndexRemoved", dir, nProbes)) {
       val e = preparedEmbeddings(spark, dir).select("vec_id", "label", "v", "n")
-      val name = f"ann_rm_${dir.hashCode & 0xffffffffL}%x"
+      val name = f"ann_rm_${nProbes}_${dir.hashCode & 0xffffffffL}%x"
       saveAnnIndex(spark, name, e)
       val ids = e.filter(col("vec_id") >= nProbes).select(col("vec_id"))
       removeFromAnnIndex(spark, name, ids.filter(col("vec_id") % 10 === 2))

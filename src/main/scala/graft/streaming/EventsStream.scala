@@ -478,10 +478,13 @@ object EventsStream {
     * a stream of takedown requests (doc_id rows) maintains the SAME
     * persisted stores the ingest loop grows. Per micro-batch:
     *
-    *   1. dedup the batch against the takedown log (replay tolerance —
-    *      though every step below is idempotent on an already-removed id
-    *      anyway: its tombstone row is inert, and a gone id touches no
-    *      cluster);
+    *   1. dedup the batch against the takedown log's rows FOR THIS OR A
+    *      LATER BATCH ID (replay tolerance scoped to batch identity —
+    *      an id logged by an earlier batch is a completed takedown whose
+    *      doc may have been re-ingested since, and must remain
+    *      re-takedownable; every step below is idempotent on an
+    *      already-removed id anyway: its tombstone row is inert, and a
+    *      gone id touches no cluster);
     *   2. TOMBSTONE the near-dup index
     *      ([[graft.operators.Dedup.removeFromNearDupIndex]] — served
     *      filtered immediately, physical at the next compaction);
@@ -527,9 +530,17 @@ object EventsStream {
           if (spark.catalog.tableExists(logTable)) {
             // the prior batch APPENDED to the log — drop the cached file
             // listing or this batch replays its takedowns (the same
-            // relation-cache gotcha as the ingest loop's index tables)
+            // relation-cache gotcha as the ingest loop's index tables).
+            // Replay-dedup is scoped to BATCH IDENTITY (batch_id >=
+            // current): only a crash-refire of THIS batch (or a later
+            // one) is a replay. An id logged by an EARLIER batch is a
+            // *completed* takedown — the doc may have been legitimately
+            // re-ingested since (appendNearDupIndex lifts its tombstone),
+            // and a fresh request must take it down again; excluding the
+            // whole log would make one takedown permanent-per-doc-id.
             spark.catalog.refreshTable(logTable)
-            spark.table(logTable).select(col("doc_id"))
+            spark.table(logTable)
+              .filter(col("batch_id") >= batchId).select(col("doc_id"))
           } else batch.select(col("doc_id")).limit(0)
         val toRemove = batch.select(col("doc_id")).distinct()
           .join(alreadyDone, Seq("doc_id"), "left_anti")

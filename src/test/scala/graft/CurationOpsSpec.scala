@@ -170,6 +170,40 @@ class CurationOpsSpec extends SparkSuite {
     }
   }
 
+  test("w6b carries NULL-user events through the stitch (r11 ADVICE)") {
+    import spark.implicits._
+    val hour = 3600L * 1000 * 1000
+    val base = 1704067200000000L
+    // NULL user_ids form ONE window partition in w6 (and its oracle);
+    // the chunked twin's stitch join must be null-safe or every
+    // NULL-user event silently vanishes. Spread the NULL rows across
+    // chunks so the offset join (not just the local prefix) is exercised.
+    val rows0 = Seq(
+      (1L, base, Some(1L), 1.0),
+      (2L, base + 1, None, 2.5),
+      (3L, base + 7 * hour, None, -1.25),
+      (4L, base + 13 * hour, None, 0.000001),
+      (5L, base + hour, Some(1L), 3.0),
+      (6L, base + 13 * hour + 1, None, 4.75))
+    val root = java.nio.file.Files.createTempDirectory("w6b_null").toString
+    val tmpOut = s"$root/out"
+    rows0.toDF("event_id", "ts", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .withColumn("event_type", lit("click"))
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.parquet(tmpOut)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, java.nio.file.Paths.get(s"$root/events.parquet"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val w6 = rows(Library.runningSum(spark, root))
+    assert(w6.count(_(1) == null) == 4, "gallery lost its NULL-user rows in w6")
+    for (chunk <- Seq(2 * hour, 6 * hour, 60L * 1000000))
+      assert(rows(Library.chunkedRunningSum(spark, root, chunkUs = chunk)) == w6,
+        s"chunked running sum != w6 with NULL users at chunkUs=$chunk")
+  }
+
   test("w4b chunked as-of == w4 on a planted carry gallery and real data") {
     import spark.implicits._
     val hour = 3600L * 1000 * 1000

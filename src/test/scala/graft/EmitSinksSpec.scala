@@ -118,6 +118,35 @@ class EmitSinksSpec extends SparkSuite {
     }
   }
 
+  test("corpus retract: escaped partition values (space/colon) still delete emptied dirs (r11 ADVICE)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("corpus_esc").toString
+    try {
+      // partition values Spark percent-encodes in directory names — the
+      // emptied-dir delete must build paths the same way the writer did
+      val df = Seq(
+        (1L, "a", "train", "pt%BR"),
+        (2L, "b", "train", "pt%BR"),
+        (3L, "c", "train", "zh:Hant"),
+        (4L, "d", "train", "en"))
+        .toDF("doc_id", "text", "split", "lang")
+      df.write.mode("overwrite").partitionBy("split", "lang").parquet(out)
+      assert(new java.io.File(s"$out/split=train/lang=pt%25BR").exists,
+        "fixture must exercise the escaped layout")
+      val n = graft.emit.CorpusWriter.retract(df, out,
+        Seq(1L, 2L, 3L).toDF("doc_id"))
+      assert(n == 3L)
+      assert(!new java.io.File(s"$out/split=train/lang=pt%25BR").exists,
+        "emptied escaped-value directory must be deleted")
+      assert(!new java.io.File(s"$out/split=train/lang=zh%3AHant").exists,
+        "emptied colon-value directory must be deleted")
+      assert(spark.read.parquet(out).select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(4L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("t7 repetition: planted repetitive doc scores high on top ratios") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
     Seq(

@@ -218,8 +218,33 @@ class StreamingSpec extends SparkSuite {
         spark, tdDir, "ndtd", "td_labels", corpus, name = "td"))
       assert(replayed == streamed)
       spark.catalog.refreshTable("td_log")
-      assert(spark.table("td_log").count() == 2,
-        s"log must stay one row per takedown: ${spark.table("td_log").collect().toSeq}")
+      // replay-dedup is BATCH-scoped (r11 ADVICE): the second batch's
+      // request for 5 is a FRESH request (applied as a no-op, logged), so
+      // the log holds one row per APPLIED REQUEST — 3 — and the full
+      // replay appended nothing
+      assert(spark.table("td_log").count() == 3,
+        s"log must hold one row per applied request: ${spark.table("td_log").collect().toSeq}")
+      // re-ingest 5 (compact turns the tombstones physical, the append
+      // re-adds clean rows), then a NEW takedown request for 5: log-wide
+      // dedup would swallow it forever; batch-scoped dedup must take 5
+      // down again
+      Dedup.compactNearDupIndex(spark, "ndtd")
+      Dedup.appendNearDupIndex(spark, "ndtd",
+        corpus.filter(col("doc_id") === 5L))
+      val probe90 = Seq((90L, baseText.replace("base10 base11", "XX ZZ"), "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      def pairSet() = Dedup.deltaNearDups(probe90, Dedup.loadNearDupIndex(spark, "ndtd"))
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairSet().exists(p => p._1 == 5L || p._2 == 5L),
+        "re-ingested doc must serve again before the new takedown")
+      Seq(5L).toDF("doc_id").coalesce(1).write.mode("append").parquet(tdDir)
+      val after = stateSet(EventsStream.runTakedownStream(
+        spark, tdDir, "ndtd", "td_labels", corpus, name = "td"))
+      assert(after == streamed, "label state must be unchanged (5 never re-labeled)")
+      assert(!pairSet().exists(p => p._1 == 5L || p._2 == 5L),
+        "the NEW takedown request for a re-ingested doc must go through")
+      spark.catalog.refreshTable("td_log")
+      assert(spark.table("td_log").count() == 4)
     } finally {
       Seq("ndtd_banded", "ndtd_shingles", "ndtd_meta", "ndtd_tombstones",
         "td_labels", "td_labels__gen", "td_log").foreach(t =>
