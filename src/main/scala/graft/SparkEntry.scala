@@ -255,6 +255,20 @@ object SparkEntry {
     // pair set == full recompute over corpus minus the removed docs
     "d22_index_remove" -> ((s, d) =>
       Dedup.deltaNearDupsGateRemoved(s, d).orderBy("id_a", "id_b")),
+    // the d22 retraction lifecycle stamped onto the SIMHASH index:
+    // doc_id%14==3 removed+compacted, %14==10 tombstone-served — pair
+    // set == full recompute over corpus minus the removed class
+    "d25_simhash_remove" -> ((s, d) =>
+      Dedup.deltaSimhashGateRemoved(s, d).orderBy("id_a", "id_b")),
+    // ... and onto the EMBEDDING index (banded rows AND verification
+    // vectors both tombstone-filtered / physically deleted)
+    "d26_embedding_remove" -> ((s, d) =>
+      Dedup.deltaEmbeddingGateRemoved(s, d).orderBy("id_a", "id_b")),
+    // ... and onto the CONTAINMENT index, where the df cap must also
+    // re-evaluate over index-minus-removed: count subtraction while
+    // tombstoned, rebuild at compaction
+    "d27_containment_remove" -> ((s, d) =>
+      Dedup.deltaContainmentGateRemoved(s, d).orderBy("id_a", "id_b")),
     // retraction through the LABEL store: removal deletes vertices, so
     // touched components re-label (splits included) while untouched
     // clusters serve from the persisted state; oracle = d19's canonical
@@ -600,9 +614,14 @@ object SparkEntry {
     * query-specific (d20 emits all pairs, d20b restricts to
     * shard-touching pairs).
     */
-  private lazy val containmentCtes =
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-      |  FROM documents WHERE text IS NOT NULL),
+  /** The d20 CTE chain with an optional extra predicate on the source
+    * docs — the retraction oracle (d27) must drop removed docs BEFORE
+    * the df counts form, not just filter output pairs (a removed doc's
+    * fingerprints change which digests clear the df cap).
+    */
+  private def containmentCtesFiltered(docFilter: String) =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      |  FROM documents WHERE text IS NOT NULL$docFilter),
       |sp AS (SELECT doc_id, w,
       |  CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
       |       ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] END AS spans FROM t),
@@ -619,6 +638,8 @@ object SparkEntry {
       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fp
       |  FROM kept a JOIN kept b ON a.d = b.d AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  private lazy val containmentCtes = containmentCtesFiltered("")
 
   private lazy val deltaNearDupSql =
     s"""$shinglesCte,
@@ -1137,6 +1158,26 @@ object SparkEntry {
          |FROM cand JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
          |WHERE bit_count(xor(sh_a, sh_b)) <= 3 AND (xa.bucket >= 200 OR xb.bucket >= 200)
          |ORDER BY id_a, id_b""".stripMargin,
+    // simhash retraction: d15's delta SQL with indexed-side members of
+    // the removed class (doc_id ≡ 3 mod 7 = union of the compacted ≡3
+    // and tombstoned ≡10 mod-14 slices) excluded — the full recompute
+    // over corpus ∖ removed (the d22 oracle pattern)
+    "d25_simhash_remove" ->
+      s"""$simhash64Cte,
+         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
+         |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |    a.simhash AS sh_a, b2.simhash AS sh_b
+         |  FROM banded a JOIN banded b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id),
+         |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+         |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b,
+         |  CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+         |FROM cand JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+         |WHERE bit_count(xor(sh_a, sh_b)) <= 3 AND (xa.bucket >= 200 OR xb.bucket >= 200)
+         |  AND NOT (xa.bucket < 200 AND id_a % 7 = 3)
+         |  AND NOT (xb.bucket < 200 AND id_b % 7 = 3)
+         |ORDER BY id_a, id_b""".stripMargin,
     "d6_embedding_neardup" -> {
       val coeff = hexv("substr(md5('plane:' || (b*2+j) || ':' || i), 1, 1)")
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -1174,6 +1215,32 @@ object SparkEntry {
          |  FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b) p
          |JOIN sb xa ON xa.vec_id = id_a JOIN sb xb ON xb.vec_id = id_b
          |WHERE cos >= 0.35 AND (xa.sbucket >= 200 OR xb.sbucket >= 200)
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    // embedding retraction: d17's delta SQL minus indexed-side members
+    // of the removed class (vec_id ≡ 3 mod 7) — band buckets are
+    // per-vector functions, so dropping a vector drops exactly its
+    // incident pairs (the d22/d25 oracle pattern)
+    "d26_embedding_remove" -> {
+      val coeff = hexv("substr(md5('plane:' || (b*2+j) || ':' || i), 1, 1)")
+      val vecBucket = s"(${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)")})"
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+         |bkd AS (SELECT vec_id, label, b,
+         |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+         |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) AS bucket
+         |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM bkd a JOIN bkd b2 ON a.label = b2.label AND a.b = b2.b AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+         |sb AS (SELECT vec_id, $vecBucket AS sbucket FROM embeddings)
+         |SELECT id_a, id_b, xa.sbucket >= 200 AS new_a, xb.sbucket >= 200 AS new_b, cos
+         |FROM (
+         |  SELECT id_a, id_b, round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) AS cos
+         |  FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b) p
+         |JOIN sb xa ON xa.vec_id = id_a JOIN sb xb ON xb.vec_id = id_b
+         |WHERE cos >= 0.35 AND (xa.sbucket >= 200 OR xb.sbucket >= 200)
+         |  AND NOT (xa.sbucket < 200 AND id_a % 7 = 3)
+         |  AND NOT (xb.sbucket < 200 AND id_b % 7 = 3)
          |ORDER BY id_a, id_b""".stripMargin
     },
     "d7_tail_fingerprint" ->
@@ -1343,6 +1410,24 @@ object SparkEntry {
     // cap equals the corpus cap) — the d13 oracle pattern
     "d20b_delta_containment" ->
       s"""$containmentCtes,
+        |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+        |SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp,
+        |  round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
+        |    least(len(fa.dall), len(fb.dall)), 4) AS containment
+        |FROM cand JOIN f fa ON fa.doc_id = id_a JOIN f fb ON fb.doc_id = id_b
+        |JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+        |WHERE (xa.bucket >= 200 OR xb.bucket >= 200)
+        |  AND round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
+        |    least(len(fa.dall), len(fb.dall)), 4) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    // containment retraction: the WHOLE d20 chain recomputed over
+    // documents ∖ removed (filter in the t CTE, not on output pairs —
+    // removed docs must stop counting toward the df cap), restricted to
+    // shard-touching pairs; this is exactly what the load-time df
+    // subtraction / compaction-time df rebuild must reproduce
+    "d27_containment_remove" ->
+      s"""${containmentCtesFiltered(
+             s" AND NOT ($splitBucketSql < 200 AND doc_id % 7 = 3)")},
         |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
         |SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp,
         |  round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /

@@ -1862,15 +1862,114 @@ object Dedup {
     * verification join key) — the d13/d15/d17 layout for the fourth
     * family.
     */
-  def saveContainIndex(index: ContainIndex, name: String, buckets: Int = 8): Unit = {
+  def saveContainIndex(index: ContainIndex, name: String, buckets: Int = 8,
+      w: Int = 8, winnow: Int = 4): Unit = {
     saveBucketedTable(index.fp, s"${name}_fp", buckets, Seq("d"))
     saveBucketedTable(index.dfTab, s"${name}_df", buckets, Seq("d"))
     saveBucketedTable(index.sets, s"${name}_sets", buckets, Seq("doc_id"))
+    val spark = index.fp.sparkSession
+    import spark.implicits._
+    dropTableAndLocation(spark, s"${name}_meta")
+    // span/winnow parameters ride the meta table so appends can never
+    // fingerprint a shard differently than the index was built
+    Seq((w, winnow, buckets)).toDF("w", "winnow", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
-  def loadContainIndex(spark: SparkSession, name: String): ContainIndex =
-    ContainIndex(spark.table(s"${name}_fp"), spark.table(s"${name}_df"),
-      spark.table(s"${name}_sets"))
+  /** Load a saved containment index. Tombstoned documents (a
+    * [[removeFromContainIndex]] takedown not yet compacted away) are
+    * anti-joined out of the fingerprint and span-set tables; the
+    * per-digest document-frequency table — an AGGREGATE, so it cannot be
+    * anti-joined — is corrected by SUBTRACTION (the i7 rule: counts are
+    * abelian): the removed docs' fingerprint rows aggregate to a
+    * takedown-sized per-digest count that broadcasts back onto the
+    * bucketed df scan. The df cap therefore evaluates over
+    * index ∖ removed exactly, not just the candidate legs.
+    */
+  def loadContainIndex(spark: SparkSession, name: String): ContainIndex = {
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+    val rawFp = spark.table(s"${name}_fp")
+    // the df table is a LOG of per-digest counts: one row per digest per
+    // generation plus [[appendContainIndex]] increment rows — sum per
+    // digest (bucketed by d ⇒ Exchange-free) to serve the current total
+    val df0 = spark.table(s"${name}_df")
+      .groupBy(col("d")).agg(sum(col("n")).as("n"))
+    val dfTab = ts.fold(df0) { t =>
+      val rmCnt = rawFp
+        .join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .groupBy(col("d")).agg(count(lit(1)).as("n_rm"))
+      df0.join(broadcast(rmCnt), Seq("d"), "left_outer")
+        .select(col("d"),
+          (col("n") - coalesce(col("n_rm"), lit(0L))).as("n"))
+        .filter(col("n") > 0)
+    }
+    ContainIndex(minusTombstones(rawFp, ts, "doc_id"), dfTab,
+      minusTombstones(spark.table(s"${name}_sets"), ts, "doc_id"))
+  }
+
+  /** [[removeFromNearDupIndex]]'s containment twin: tombstone now (served
+    * filtered + df-subtracted by [[loadContainIndex]]), physical delete
+    * and df rebuild at the next [[compactContainIndex]]. Re-ingestion of
+    * a not-yet-compacted removal must compact first (the span-set table
+    * is a verification payload — same contract as [[removeFromEmbIndex]]).
+    */
+  def removeFromContainIndex(spark: SparkSession, name: String,
+      docIds: DataFrame): Unit =
+    appendTombstones(spark, s"${name}_tombstones", docIds, "doc_id")
+
+  /** Append a shard into a saved containment index: fingerprint and
+    * span-set rows INSERT INTO the bucketed tables, and the per-digest
+    * df table takes the shard's counts as APPENDED INCREMENT rows
+    * ([[loadContainIndex]] sums per digest — Exchange-free on the
+    * bucketed layout — and [[compactContainIndex]]'s rebuild collapses
+    * the log back to one row per digest), so the append rewrites
+    * nothing. Span/winnow parameters come from the meta table.
+    */
+  def appendContainIndex(spark: SparkSession, name: String,
+      newDocs: DataFrame): Unit = {
+    val meta = spark.table(s"${name}_meta").head()
+    val buckets = meta.getAs[Int]("buckets")
+    val sel = containmentSelection(newDocs, meta.getAs[Int]("w"),
+      meta.getAs[Int]("winnow")).localCheckpoint()
+    val fp = sel.select(col("doc_id"), explode(col("fps")).as("d"))
+    appendBucketedTable(fp, s"${name}_fp", buckets, Seq("d"))
+    appendBucketedTable(sel.select(col("doc_id"), col("dall")),
+      s"${name}_sets", buckets, Seq("doc_id"))
+    appendBucketedTable(fp.groupBy(col("d")).agg(count(lit(1)).as("n")),
+      s"${name}_df", buckets, Seq("d"))
+    clearTombstones(spark, s"${name}_tombstones",
+      sel.select(col("doc_id")), "doc_id")
+  }
+
+  /** Restore the one-file-per-bucket invariant and make pending
+    * takedowns physical: fp and sets rewrite minus the tombstones, and
+    * the df table REBUILDS from the compacted fingerprint generation (an
+    * aggregate under retraction rebuilds from retained rows — the a2d
+    * rule; rebuilding also collapses any [[appendContainIndex]] increment
+    * rows back to one row per digest). Crash recovery = re-run the
+    * compaction: each table's swap is idempotent and the df rebuild
+    * always reads the surviving fp generation.
+    */
+  def compactContainIndex(spark: SparkSession, name: String): Unit = {
+    val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+      .map(_.select(col("doc_id")).localCheckpoint())
+    compactBucketedTable(spark, s"${name}_fp", buckets, Seq("d"),
+      ts.map((_, "doc_id")))
+    compactBucketedTable(spark, s"${name}_sets", buckets, Seq("doc_id"),
+      ts.map((_, "doc_id")))
+    val dfTable = s"${name}_df"
+    val tmp = s"${dfTable}__compact"
+    recoverGenerationSwap(spark, dfTable, tmp)
+    dropTableAndLocation(spark, tmp)
+    spark.table(s"${name}_fp").groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .repartition(buckets, col("d"))
+      .write.bucketBy(buckets, "d").sortBy("d").saveAsTable(tmp)
+    dropTableAndLocation(spark, dfTable)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $dfTable")
+    spark.catalog.refreshTable(dfTable)
+    if (ts.isDefined) dropTableAndLocation(spark, s"${name}_tombstones")
+  }
 
   /** D20B — INCREMENTAL containment: a new shard's embedded-doc pairs
     * against the persisted fingerprint index — the d13 ingest pattern
@@ -1958,6 +2057,41 @@ object Dedup {
         ("containIndexDisk", dir, splitAt)) {
       val name = f"contain_gate_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
       saveContainIndex(containIndexFromSelection(sel.filter(bucket < splitAt)), name)
+      loadContainIndex(spark, name)
+    }
+    deltaContainmentFromSelection(sel.filter(bucket >= splitAt), index,
+      minShared, dfCap, threshold)
+  }
+
+  /** The d27 gate — the retraction lifecycle for the containment family
+    * (see [[deltaSimhashGateRemoved]]): doc_id ≡ 3 (mod 14) removed +
+    * compacted (fp/sets physically rewritten, df REBUILT from the
+    * surviving fingerprints), doc_id ≡ 10 (mod 14) removed uncompacted
+    * (fp/sets anti-joined, df count-SUBTRACTED at load). The df cap is
+    * the family's extra stake: it must evaluate over
+    * (index ∖ removed) ∪ shard, which is exactly what the subtraction /
+    * rebuild deliver — the oracle recomputes d20b over documents minus
+    * the removed class (doc_id ≡ 3 mod 7 on the indexed side), df counts
+    * included.
+    */
+  def deltaContainmentGateRemoved(spark: SparkSession, dir: String,
+      splitAt: Int = 200, w: Int = 8, winnow: Int = 4, minShared: Int = 2,
+      dfCap: Int = 64, threshold: Double = 0.9): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sel = graft.SessionCache.getOrElseUpdate(spark,
+        ("containmentSel", dir, w, winnow)) {
+      containmentSelection(Tables.documents(spark, dir), w, winnow).persist()
+    }
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("containIndexRemoved", dir, splitAt, threshold)) {
+      val name = f"contain_rm_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveContainIndex(containIndexFromSelection(sel.filter(bucket < splitAt)),
+        name, w = w, winnow = winnow)
+      val ids = Tables.documents(spark, dir).filter(bucket < splitAt)
+        .select(col("doc_id"))
+      removeFromContainIndex(spark, name, ids.filter(col("doc_id") % 14 === 3))
+      compactContainIndex(spark, name)
+      removeFromContainIndex(spark, name, ids.filter(col("doc_id") % 14 === 10))
       loadContainIndex(spark, name)
     }
     deltaContainmentFromSelection(sel.filter(bucket >= splitAt), index,
@@ -2111,8 +2245,24 @@ object Dedup {
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
+  /** Load a saved simhash index. Tombstoned documents (a
+    * [[removeFromSimHashIndex]] takedown not yet compacted away) are
+    * filtered by a broadcast anti-join, which preserves the bucketed
+    * scan's partitioning — the [[loadNearDupIndex]] contract for the
+    * simhash family.
+    */
   def loadSimHashIndex(spark: SparkSession, name: String): SimHashIndex =
-    SimHashIndex(spark.table(s"${name}_banded"))
+    SimHashIndex(minusTombstones(spark.table(s"${name}_banded"),
+      tombstoneTable(spark, s"${name}_tombstones"), "doc_id"))
+
+  /** [[removeFromNearDupIndex]]'s simhash twin: takedowns tombstone,
+    * [[loadSimHashIndex]] serves the index minus them immediately, the
+    * next [[compactSimHashIndex]] makes the delete physical. Re-appending
+    * a removed id lifts its tombstone (delete-then-append).
+    */
+  def removeFromSimHashIndex(spark: SparkSession, name: String,
+      docIds: DataFrame): Unit =
+    appendTombstones(spark, s"${name}_tombstones", docIds, "doc_id")
 
   /** [[upsertSimHashIndex]]'s disk half: append a shard's banded
     * signature rows into the saved table (bucket-spec-matched INSERT
@@ -2123,13 +2273,22 @@ object Dedup {
     val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
     appendBucketedTable(simhashBanded(newSigs), s"${name}_banded", buckets,
       Seq("b", "chunk"))
+    // a re-added id lifts its tombstone (delete-then-append idempotence)
+    clearTombstones(spark, s"${name}_tombstones",
+      newSigs.select(col("doc_id")), "doc_id")
   }
 
   /** Restore the one-file-per-bucket invariant after appends (see
-    * [[compactNearDupIndex]]). */
+    * [[compactNearDupIndex]]); pending takedowns become physical deletes
+    * in the rewritten generation and the tombstone list clears.
+    */
   def compactSimHashIndex(spark: SparkSession, name: String): Unit = {
     val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
-    compactBucketedTable(spark, s"${name}_banded", buckets, Seq("b", "chunk"))
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+      .map(_.select(col("doc_id")).localCheckpoint())
+    compactBucketedTable(spark, s"${name}_banded", buckets, Seq("b", "chunk"),
+      ts.map((_, "doc_id")))
+    if (ts.isDefined) dropTableAndLocation(spark, s"${name}_tombstones")
   }
 
   /** Incremental simhash near-dup: a new shard's signatures (map-side)
@@ -2218,6 +2377,35 @@ object Dedup {
       loadSimHashIndex(spark, name)
     }.asInstanceOf[SimHashIndex]
     deltaSimhashPairs(sigs.filter(bucket >= split2), index, maxHamming)
+  }
+
+  /** The d25 gate — [[deltaNearDupsGateRemoved]]'s lifecycle for the
+    * simhash family: save the base index (bucket < splitAt), take down
+    * doc_id ≡ 3 (mod 14) and COMPACT (physical delete, tombstones
+    * cleared), take down doc_id ≡ 10 (mod 14) WITHOUT compacting
+    * (served via the load-time broadcast anti-join), delta-join the
+    * bucket ≥ splitAt shard against the loaded result. The two slices
+    * union to doc_id ≡ 3 (mod 7), so the oracle is d15's delta SQL with
+    * indexed-side members of that class excluded — the full recompute
+    * over corpus ∖ removed (a signature is a per-doc function; removing
+    * a doc removes exactly its incident pairs).
+    */
+  def deltaSimhashGateRemoved(spark: SparkSession, dir: String,
+      splitAt: Int = 200, maxHamming: Int = 3): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sigs = simhash64Cached(spark, dir)
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("simhashIndexRemoved", dir, splitAt, maxHamming)) {
+      val name = f"simhash_rm_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveSimHashIndex(buildSimHashIndex(sigs.filter(bucket < splitAt)), name)
+      val ids = Tables.documents(spark, dir).filter(bucket < splitAt)
+        .select(col("doc_id"))
+      removeFromSimHashIndex(spark, name, ids.filter(col("doc_id") % 14 === 3))
+      compactSimHashIndex(spark, name)
+      removeFromSimHashIndex(spark, name, ids.filter(col("doc_id") % 14 === 10))
+      loadSimHashIndex(spark, name)
+    }.asInstanceOf[SimHashIndex]
+    deltaSimhashPairs(sigs.filter(bucket >= splitAt), index, maxHamming)
   }
 
   /** Embedding near-dup, scale path: block by the sign-random-projection
@@ -2404,8 +2592,30 @@ object Dedup {
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
-  def loadEmbIndex(spark: SparkSession, name: String): EmbIndex =
-    EmbIndex(spark.table(s"${name}_banded"), spark.table(s"${name}_vectors"))
+  /** Load a saved embedding index. Tombstoned vectors (a
+    * [[removeFromEmbIndex]] takedown not yet compacted away) are filtered
+    * out of BOTH tables by a broadcast anti-join — banded rows AND the
+    * verification vectors, so a removed vector can neither seed a
+    * candidate nor verify one.
+    */
+  def loadEmbIndex(spark: SparkSession, name: String): EmbIndex = {
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+    EmbIndex(minusTombstones(spark.table(s"${name}_banded"), ts, "vec_id"),
+      minusTombstones(spark.table(s"${name}_vectors"), ts, "vec_id"))
+  }
+
+  /** [[removeFromNearDupIndex]]'s embedding twin: tombstone now, serve
+    * filtered immediately, physical delete at the next
+    * [[compactEmbIndex]]. Re-ingesting a removed vec_id
+    * ([[appendEmbIndex]]) lifts its tombstone; because the vectors table
+    * is the verification payload, re-ingestion of a NOT-yet-compacted
+    * removal must compact first (duplicate vector rows would multiply
+    * verify joins) — the delete-then-insert contract the EmbIndex
+    * scaladoc states.
+    */
+  def removeFromEmbIndex(spark: SparkSession, name: String,
+      vecIds: DataFrame): Unit =
+    appendTombstones(spark, s"${name}_tombstones", vecIds, "vec_id")
 
   /** [[upsertEmbIndex]]'s disk half: a shard's banded LSH rows and
     * vectors append into the saved bucketed tables; banding and layout
@@ -2420,15 +2630,24 @@ object Dedup {
       s"${name}_banded", buckets, Seq("label", "band", "bucket"))
     appendBucketedTable(newVecs.select("label", "vec_id", "v", "n"),
       s"${name}_vectors", buckets, Seq("vec_id"))
+    // a re-added id lifts its tombstone (delete-then-append idempotence)
+    clearTombstones(spark, s"${name}_tombstones",
+      newVecs.select(col("vec_id")), "vec_id")
   }
 
   /** Restore the one-file-per-bucket invariant after appends (see
-    * [[compactNearDupIndex]]). */
+    * [[compactNearDupIndex]]); pending takedowns become physical deletes
+    * in the rewritten generation and the tombstone list clears.
+    */
   def compactEmbIndex(spark: SparkSession, name: String): Unit = {
     val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+      .map(_.select(col("vec_id")).localCheckpoint())
     compactBucketedTable(spark, s"${name}_banded", buckets,
-      Seq("label", "band", "bucket"))
-    compactBucketedTable(spark, s"${name}_vectors", buckets, Seq("vec_id"))
+      Seq("label", "band", "bucket"), ts.map((_, "vec_id")))
+    compactBucketedTable(spark, s"${name}_vectors", buckets, Seq("vec_id"),
+      ts.map((_, "vec_id")))
+    if (ts.isDefined) dropTableAndLocation(spark, s"${name}_tombstones")
   }
 
   /** Incremental embedding near-dup: a new shard's banded LSH rows
@@ -2521,6 +2740,31 @@ object Dedup {
       loadEmbIndex(spark, name)
     }.asInstanceOf[EmbIndex]
     deltaEmbeddingPairs(e.filter(bucket >= split2), index, threshold)
+  }
+
+  /** The d26 gate — the retraction lifecycle for the embedding family
+    * (see [[deltaSimhashGateRemoved]]): vec_id ≡ 3 (mod 14) removed +
+    * compacted (physical delete from banded AND vectors), vec_id ≡ 10
+    * (mod 14) removed uncompacted (anti-joined out of both tables at
+    * load), shard delta-joined against the loaded result. Union = vec_id
+    * ≡ 3 (mod 7); oracle = d17's delta SQL minus indexed-side members of
+    * that class.
+    */
+  def deltaEmbeddingGateRemoved(spark: SparkSession, dir: String,
+      splitAt: Int = 200, threshold: Double = 0.35): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("vec_id"))
+    val e = Similarity.preparedEmbeddings(spark, dir)
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("embIndexRemoved", dir, splitAt, threshold)) {
+      val name = f"emb_rm_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveEmbIndex(buildEmbIndex(e.filter(bucket < splitAt)), name)
+      val ids = e.filter(bucket < splitAt).select(col("vec_id"))
+      removeFromEmbIndex(spark, name, ids.filter(col("vec_id") % 14 === 3))
+      compactEmbIndex(spark, name)
+      removeFromEmbIndex(spark, name, ids.filter(col("vec_id") % 14 === 10))
+      loadEmbIndex(spark, name)
+    }.asInstanceOf[EmbIndex]
+    deltaEmbeddingPairs(e.filter(bucket >= splitAt), index, threshold)
   }
 
   /** Near-duplicate pairs by embedding cosine similarity: block by label

@@ -66,6 +66,137 @@ class IndexRemoveSpec extends SparkSuite {
     }
   }
 
+  test("simhash index: remove tombstones now, deletes at compact, append resurrects") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    val sig0 = 0x0123456789abcdefL
+    // noise chunks land in 0x1000..0x4FFF — disjoint from sig0's four
+    // 16-bit chunks, so noise docs never band with the planted near-dups
+    def noiseSig(i: Long) = ((0x1000L + i) << 48) | ((0x2000L + i) << 32) |
+      ((0x3000L + i) << 16) | (0x4000L + i)
+    val base = ((0L to 9L).map(i => (i, noiseSig(i))) ++
+      Seq((10L, sig0), (11L, sig0 ^ 1L))).toDF("doc_id", "simhash")
+    val shard = Seq((20L, sig0 ^ 2L)).toDF("doc_id", "simhash")
+    Seq("_banded", "_meta", "_tombstones").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS rmsh$s"))
+    ops.saveSimHashIndex(ops.buildSimHashIndex(base), "rmsh", buckets = 4)
+    def pairs() = pairSet(ops.deltaSimhashPairs(shard, ops.loadSimHashIndex(spark, "rmsh")))
+    try {
+      assert(pairs() == Set((10L, 20L), (11L, 20L)))
+      // tombstone-served removal
+      ops.removeFromSimHashIndex(spark, "rmsh", Seq(10L).toDF("doc_id"))
+      assert(pairs() == Set((11L, 20L)), "tombstoned signature still pairing")
+      // compact = physical delete + cleared tombstones
+      ops.compactSimHashIndex(spark, "rmsh")
+      assert(!spark.catalog.tableExists("rmsh_tombstones"))
+      assert(spark.table("rmsh_banded").filter(col("doc_id") === 10L).isEmpty)
+      assert(pairs() == Set((11L, 20L)))
+      // delete-then-append: the re-added signature wins
+      ops.removeFromSimHashIndex(spark, "rmsh", Seq(11L).toDF("doc_id"))
+      assert(pairs().isEmpty)
+      ops.appendSimHashIndex(spark, "rmsh", base.filter(col("doc_id") === 11L))
+      assert(spark.table("rmsh_tombstones").isEmpty,
+        "re-appending the only tombstoned id must clear the list")
+      assert(pairs() == Set((11L, 20L)), "re-appended signature not restored")
+    } finally {
+      Seq("_banded", "_meta", "_tombstones").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS rmsh$s"))
+    }
+  }
+
+  test("embedding index: remove filters banded AND vectors, compact deletes, append resurrects") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    // noise = unit basis vectors (pairwise cos 0, cos 1/8 vs the planted
+    // flat vector); 10/11 near-identical to the shard vector 20
+    def basis(i: Int) = Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    def flat(bump: Int) = Array.tabulate(64)(j => if (j == bump) 1.1 else 1.0)
+    def withNorm(id: Long, v: Array[Double]) =
+      (id, -1, v, math.sqrt(v.map(x => x * x).sum))
+    val base = ((0 to 9).map(i => withNorm(i.toLong, basis(i))) ++
+      Seq(withNorm(10L, flat(63)), withNorm(11L, flat(0))))
+      .toDF("vec_id", "label", "v", "n")
+    val shard = Seq(withNorm(20L, flat(1))).toDF("vec_id", "label", "v", "n")
+    Seq("_banded", "_vectors", "_meta", "_tombstones").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS rmemb$s"))
+    ops.saveEmbIndex(ops.buildEmbIndex(base), "rmemb", buckets = 4)
+    def pairs() = pairSet(
+      ops.deltaEmbeddingPairs(shard, ops.loadEmbIndex(spark, "rmemb"), threshold = 0.8))
+    try {
+      assert(pairs() == Set((10L, 20L), (11L, 20L)))
+      // tombstone-served removal (banded AND vectors filtered)
+      ops.removeFromEmbIndex(spark, "rmemb", Seq(10L).toDF("vec_id"))
+      assert(pairs() == Set((11L, 20L)), "tombstoned vector still pairing")
+      // compact = physical delete from BOTH tables + cleared tombstones
+      ops.compactEmbIndex(spark, "rmemb")
+      assert(!spark.catalog.tableExists("rmemb_tombstones"))
+      assert(spark.table("rmemb_banded").filter(col("vec_id") === 10L).isEmpty)
+      assert(spark.table("rmemb_vectors").filter(col("vec_id") === 10L).isEmpty)
+      assert(pairs() == Set((11L, 20L)))
+      // delete-then-append (compact first: the vectors table is a
+      // verification payload — the documented re-ingestion contract)
+      ops.removeFromEmbIndex(spark, "rmemb", Seq(11L).toDF("vec_id"))
+      assert(pairs().isEmpty)
+      ops.compactEmbIndex(spark, "rmemb")
+      ops.appendEmbIndex(spark, "rmemb", base.filter(col("vec_id") === 11L))
+      assert(pairs() == Set((11L, 20L)), "re-appended vector not restored")
+    } finally {
+      Seq("_banded", "_vectors", "_meta", "_tombstones").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS rmemb$s"))
+    }
+  }
+
+  test("containment index: removal re-opens the df cap (count subtraction), compact rebuilds df") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    val passage = (1 to 60).map(i => s"tok$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    def docs(rows: Seq[(Long, String)]) =
+      rows.map { case (i, t) => (i, t, "en", "s", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // 10 and 11 are IDENTICAL copies of the passage the shard doc 20 also
+    // carries: every shared digest has df = 3, so at dfCap = 2 the cap
+    // suppresses ALL pairs — until a removal drops df to 2. This pins the
+    // family's distinctive retraction stake: the df table must shrink
+    // with the takedown (subtraction while tombstoned, rebuild at
+    // compaction), not just the candidate legs.
+    val base = docs((0L to 9L).map(i => (i, noise(i))) ++
+      Seq((10L, passage), (11L, passage)))
+    val shardSel = docs(Seq((20L, passage)))
+    Seq("_fp", "_df", "_sets", "_meta", "_tombstones").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS rmct$s"))
+    ops.saveContainIndex(ops.buildContainIndex(base), "rmct", buckets = 4)
+    def pairs() = pairSet(ops.deltaContainment(shardSel,
+      ops.loadContainIndex(spark, "rmct"), dfCap = 2))
+    try {
+      assert(pairs().isEmpty, "df cap must suppress the df=3 digests")
+      // tombstone-served removal: df counts subtract, the cap re-opens
+      ops.removeFromContainIndex(spark, "rmct", Seq(10L).toDF("doc_id"))
+      assert(pairs() == Set((11L, 20L)),
+        "load-time df subtraction must re-admit the now-df=2 digests")
+      // compact = physical delete + df REBUILT from surviving fingerprints
+      ops.compactContainIndex(spark, "rmct")
+      assert(!spark.catalog.tableExists("rmct_tombstones"))
+      assert(spark.table("rmct_fp").filter(col("doc_id") === 10L).isEmpty)
+      assert(spark.table("rmct_sets").filter(col("doc_id") === 10L).isEmpty)
+      assert(spark.table("rmct_df").agg(sum(col("n"))).head.getLong(0) ==
+        spark.table("rmct_fp").count(), "df rebuild out of sync with fp")
+      assert(pairs() == Set((11L, 20L)))
+      // delete-then-append (compact first — sets is a verification
+      // payload, same contract as the embedding family)
+      ops.removeFromContainIndex(spark, "rmct", Seq(11L).toDF("doc_id"))
+      assert(pairs().isEmpty)
+      ops.compactContainIndex(spark, "rmct")
+      ops.appendContainIndex(spark, "rmct",
+        base.filter(col("doc_id") === 11L))
+      assert(pairs() == Set((11L, 20L)), "re-appended doc not restored")
+    } finally {
+      Seq("_fp", "_df", "_sets", "_meta", "_tombstones").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS rmct$s"))
+    }
+  }
+
   test("label-state retraction: removing a bridge doc SPLITS its component") {
     import spark.implicits._
     val ops = graft.operators.Dedup
