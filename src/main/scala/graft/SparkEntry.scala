@@ -269,6 +269,15 @@ object SparkEntry {
     // tombstoned, rebuild at compaction
     "d27_containment_remove" -> ((s, d) =>
       Dedup.deltaContainmentGateRemoved(s, d).orderBy("id_a", "id_b")),
+    // the UNIFIED takedown: one Takedown.apply fans the doc_id%9==4
+    // deletion list out to all nine registered state classes (indexes,
+    // ANN store, labels, subtractive aggregate, rebuilt sketch cells,
+    // corpus tree) + the audit log; the gate emits a per-state census
+    // from the real post-takedown state — n_refs (rows still serving a
+    // removed id / stale cells) must be 0 and n_live must equal the
+    // oracle's recompute over corpus minus removed
+    "td1_takedown_unified" -> ((s, d) =>
+      graft.operators.Takedown.unifiedTakedownGate(s, d).orderBy("state")),
     // retraction through the LABEL store: removal deletes vertices, so
     // touched components re-label (splits included) while untouched
     // clusters serve from the persisted state; oracle = d19's canonical
@@ -1420,6 +1429,24 @@ object SparkEntry {
         |  AND round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
         |    least(len(fa.dall), len(fb.dall)), 4) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    // the unified takedown census: every state class's live-id count
+    // over corpus ∖ removed (doc_id ≡ 4 mod 9), every removed-reference
+    // count 0 — the orchestration gate; value-level identities are the
+    // per-family gates (d22–d27, s13, i7, a2d, e2)
+    "td1_takedown_unified" ->
+      """WITH live AS (SELECT * FROM documents WHERE doc_id % 9 != 4)
+        |SELECT state, n_live, n_refs FROM (
+        |  SELECT 'ann_store' AS state, (SELECT count(*) FROM embeddings WHERE vec_id % 9 != 4) AS n_live, CAST(0 AS BIGINT) AS n_refs
+        |  UNION ALL SELECT 'contain_index', (SELECT count(*) FROM live WHERE text IS NOT NULL), 0
+        |  UNION ALL SELECT 'corpus_tree', (SELECT count(*) FROM live), 0
+        |  UNION ALL SELECT 'doc_stats', (SELECT count(*) FROM live), 0
+        |  UNION ALL SELECT 'emb_index', (SELECT count(*) FROM embeddings WHERE vec_id % 9 != 4), 0
+        |  UNION ALL SELECT 'labels', (SELECT count(*) FROM live), 0
+        |  UNION ALL SELECT 'neardup_index', (SELECT count(*) FROM live), 0
+        |  UNION ALL SELECT 'simhash_index', (SELECT count(*) FROM live), 0
+        |  UNION ALL SELECT 'sketch_cells', (SELECT count(DISTINCT lang) FROM live), 0
+        |  UNION ALL SELECT 'takedown_log', (SELECT count(*) FROM documents WHERE doc_id % 9 = 4), 0
+        |) ORDER BY state""".stripMargin,
     // containment retraction: the WHOLE d20 chain recomputed over
     // documents ∖ removed (filter in the t CTE, not on output pairs —
     // removed docs must stop counting toward the df cap), restricted to

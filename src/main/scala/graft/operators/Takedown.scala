@@ -1,0 +1,278 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The UNIFIED takedown — one deletion list fans out to every registered
+  * class of persisted state with a single apply-then-log audit table.
+  * The reference's dedup flow exists to delete files
+  * (dupes/dedup.py:133-171); at pipeline scale a compliance deletion
+  * must reach every place a document's bytes or derived state live, and
+  * doing it per-store invites the one store somebody forgot. This
+  * facade is the deletion analogue of CurationPipeline: each state
+  * class keeps its own retraction semantics (round-11's per-class
+  * rules), the facade contributes orchestration, replay-safe
+  * bookkeeping, and the audit record.
+  *
+  * Per-class semantics (unchanged, just fanned out):
+  *   - indexes (near-dup, simhash, embedding, containment, ANN store):
+  *     TOMBSTONE — served filtered immediately, physical at compaction;
+  *   - label/canonical state: touched clusters RE-LABEL (splits
+  *     included) via [[Dedup.removeFromLabelState]], folded in by
+  *     generation swap;
+  *   - materialized aggregates: counts SUBTRACT (abelian), zero-count
+  *     groups drop;
+  *   - sketch cells: affected cells REBUILD from retained rows
+  *     (registers are additive — never subtracted), untouched cells
+  *     copy; a cell whose every member is gone disappears;
+  *   - corpus tree: partition-scoped rewrite via
+  *     [[graft.emit.CorpusWriter.retract]].
+  *
+  * Replay tolerance is scoped to BATCH IDENTITY (the r11 stream fix):
+  * ids already logged with `batch_id >= batchId` are crash-refires and
+  * skip; ids logged by earlier batches are COMPLETED takedowns — the
+  * doc may have been re-ingested since, and a fresh request must go
+  * through. Apply-then-log ordering means the log never claims a
+  * takedown that did not happen; every per-class step is idempotent on
+  * an already-removed id, so a refire is harmless.
+  *
+  * [[graft.streaming.EventsStream.runTakedownStream]] uses this as its
+  * per-micro-batch core — streaming and batch share one code path.
+  */
+object Takedown {
+
+  /** The registered state classes one takedown propagates to. Absent ⇒
+    * the class is not deployed. `documents` is the document store the
+    * label re-pairing, aggregate subtraction, and sketch rebuild read
+    * (stale rows for removed ids are fine: only retained members are
+    * re-read).
+    */
+  final case class Targets(
+      nearDupIndex: Option[String] = None,
+      simHashIndex: Option[String] = None,
+      embIndex: Option[String] = None,
+      containIndex: Option[String] = None,
+      annIndex: Option[String] = None,
+      labelTable: Option[String] = None,
+      labelThreshold: Double = 0.8,
+      docStatsTable: Option[String] = None,
+      sketchCellsTable: Option[String] = None,
+      corpusPath: Option[String] = None,
+      documents: Option[DataFrame] = None)
+
+  /** Propagate a deletion list to every configured state class, then
+    * append the applied ids to `logTable` (doc_id, batch_id). Returns
+    * the number of ids actually applied (0 for a pure replay).
+    */
+  def apply(spark: SparkSession, ids0: DataFrame, targets: Targets,
+      logTable: String = "takedown_log", batchId: Long = 0L): Long = {
+    // a stale warehouse dir without a catalog entry (prior JVM) would
+    // fail the first log append — the appendTombstones gotcha
+    if (!spark.catalog.tableExists(logTable))
+      Dedup.dropTableAndLocation(spark, logTable)
+    val alreadyDone =
+      if (spark.catalog.tableExists(logTable)) {
+        // a prior batch APPENDED — drop the cached file listing (the
+        // relation-cache gotcha) and scope replay-dedup to batch identity
+        spark.catalog.refreshTable(logTable)
+        spark.table(logTable).filter(col("batch_id") >= batchId)
+          .select(col("doc_id"))
+      } else ids0.select(col("doc_id")).limit(0)
+    val ids = ids0.select(col("doc_id")).distinct()
+      .join(alreadyDone, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val n = ids.count()
+    if (n == 0) return 0L
+
+    targets.nearDupIndex.foreach(Dedup.removeFromNearDupIndex(spark, _, ids))
+    targets.simHashIndex.foreach(Dedup.removeFromSimHashIndex(spark, _, ids))
+    targets.containIndex.foreach(Dedup.removeFromContainIndex(spark, _, ids))
+    val vecIds = ids.select(col("doc_id").as("vec_id"))
+    targets.embIndex.foreach(Dedup.removeFromEmbIndex(spark, _, vecIds))
+    targets.annIndex.foreach(Similarity.removeFromAnnIndex(spark, _, vecIds))
+    for (lt <- targets.labelTable; docs <- targets.documents) {
+      spark.catalog.refreshTable(lt)
+      val labels = spark.table(lt).localCheckpoint()
+      val relabeled = Dedup.removeFromLabelState(labels, docs, ids,
+        targets.labelThreshold).localCheckpoint()
+      Dedup.applyLabelRetraction(spark, lt, ids, relabeled)
+    }
+    for (st <- targets.docStatsTable; docs <- targets.documents)
+      retractDocStats(spark, st, docs, ids)
+    for (sk <- targets.sketchCellsTable; docs <- targets.documents)
+      rebuildSketchCells(spark, sk, docs, ids, logTable)
+    targets.corpusPath.foreach(p =>
+      graft.emit.CorpusWriter.retract(ids, p, ids))
+
+    ids.withColumn("batch_id", lit(batchId))
+      .write.mode("append").saveAsTable(logTable)
+    n
+  }
+
+  /** Subtractive maintenance of a (lang, source, n) materialized doc
+    * aggregate — the i7 identity: stats(base ∖ removed) = stats(base) ⊖
+    * stats(removed slice); groups reaching zero drop. Group-count-sized
+    * generation swap, never a corpus rescan.
+    */
+  private def retractDocStats(spark: SparkSession, table: String,
+      docs: DataFrame, ids: DataFrame): Unit = {
+    val rm = docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_rm"))
+      .localCheckpoint()
+    val tmp = s"${table}__gen"
+    Dedup.recoverGenerationSwap(spark, table, tmp)
+    Dedup.dropTableAndLocation(spark, tmp)
+    spark.table(table)
+      .join(broadcast(rm), Seq("lang", "source"), "left_outer")
+      .select(col("lang"), col("source"),
+        (col("n") - coalesce(col("n_rm"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+      .write.saveAsTable(tmp)
+    Dedup.dropTableAndLocation(spark, table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Rebuild-only maintenance of a (lang, sk) HLL cell table over
+    * doc_id — the a2d rule: registers are additive, so the AFFECTED
+    * cells (langs of the removed docs) re-aggregate from retained rows
+    * while untouched cells copy byte-identically; a lang whose every doc
+    * is gone loses its cell. Retained = documents ∖ (takedown log ∪ the
+    * current batch) — the log IS the cumulative removal record.
+    */
+  private def rebuildSketchCells(spark: SparkSession, table: String,
+      docs: DataFrame, ids: DataFrame, logTable: String): Unit = {
+    val removedAll =
+      (if (spark.catalog.tableExists(logTable))
+        spark.table(logTable).select(col("doc_id")) else ids.limit(0))
+        .unionByName(ids).distinct().localCheckpoint()
+    val retained = docs.join(broadcast(removedAll), Seq("doc_id"), "left_anti")
+    val affected = docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("lang")).distinct().localCheckpoint()
+    val rebuilt = retained.join(broadcast(affected), Seq("lang"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
+    val tmp = s"${table}__gen"
+    Dedup.recoverGenerationSwap(spark, table, tmp)
+    Dedup.dropTableAndLocation(spark, tmp)
+    spark.table(table)
+      .join(broadcast(affected), Seq("lang"), "left_anti")
+      .unionByName(rebuilt)
+      .write.saveAsTable(tmp)
+    Dedup.dropTableAndLocation(spark, table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.catalog.refreshTable(table)
+  }
+
+  // ---- the td1 gate -----------------------------------------------------
+
+  /** One (state, n_live, n_refs) row per registered class, read from the
+    * REAL post-takedown persisted state: `n_live` = ids (or cells/
+    * groups) still served, `n_refs` = rows still referencing a logged-
+    * removed id (stale cells / groups for the aggregate classes) — the
+    * facade contract is every `n_refs` = 0 and every `n_live` equal to
+    * the oracle's recompute over corpus ∖ removed.
+    */
+  private def statRow(state: String, live: DataFrame, liveAgg: Column,
+      refs: DataFrame): DataFrame =
+    live.agg(liveAgg.as("n_live"))
+      .crossJoin(refs.agg(count(lit(1)).as("n_refs")))
+      .select(lit(state).as("state"), col("n_live"), col("n_refs"))
+
+  /** TD1 — the unified-takedown gate: build EVERY state class over the
+    * full corpus (session-cached ingest-side work, the d22 convention),
+    * run ONE [[Takedown.apply]] for the doc_id ≡ 4 (mod 9) class, and
+    * emit the per-state census above. The oracle recomputes each
+    * `n_live` over documents/embeddings ∖ removed and asserts every
+    * `n_refs` is zero, so a takedown that missed any registered state —
+    * or removed too much — fails the gate. The replay no-op and the
+    * per-class value-level identities live in TakedownSpec and the
+    * per-family gates (d22–d27, s13, i7, a2d, e2).
+    */
+  def unifiedTakedownGate(spark: SparkSession, dir: String): DataFrame = {
+    val h = f"${dir.hashCode & 0xffffffffL}%x"
+    val (log, names) = graft.SessionCache.getOrElseUpdate(spark,
+        ("takedownUnified", dir)) {
+      val docs = Tables.documents(spark, dir)
+      val e = Similarity.preparedEmbeddings(spark, dir)
+        .select("vec_id", "label", "v", "n")
+      val nm = Map(
+        "nd" -> s"td_nd_$h", "sh" -> s"td_sh_$h", "emb" -> s"td_emb_$h",
+        "ct" -> s"td_ct_$h", "ann" -> s"td_ann_$h", "lab" -> s"td_lab_$h",
+        "st" -> s"td_st_$h", "sk" -> s"td_sk_$h")
+      val logT = s"td_log_$h"
+      val corpusPath = new java.io.File(sys.props("java.io.tmpdir"),
+        f"graft_td_corpus_${ProcessHandle.current().pid()}_$h").getAbsolutePath
+      // fresh state every session: the gate measures one full lifecycle
+      (nm.values.toSeq.flatMap(n => Seq(n, s"${n}_banded", s"${n}_shingles",
+        s"${n}_meta", s"${n}_tombstones", s"${n}_fp", s"${n}_df",
+        s"${n}_sets", s"${n}_vectors", s"${n}_centroids", s"${n}_pqbook",
+        s"${n}__gen")) :+ logT)
+        .foreach(t => Dedup.dropTableAndLocation(spark, t))
+      Dedup.saveNearDupIndex(Dedup.buildNearDupIndex(docs), nm("nd"))
+      Dedup.saveSimHashIndex(
+        Dedup.buildSimHashIndex(Dedup.simhash64Cached(spark, dir)), nm("sh"))
+      Dedup.saveEmbIndex(Dedup.buildEmbIndex(e), nm("emb"))
+      Dedup.saveContainIndex(Dedup.buildContainIndex(docs), nm("ct"))
+      Similarity.saveAnnIndex(spark, nm("ann"), e)
+      Dedup.saveLabelState(spark, nm("lab"), Dedup.labelStateOf(docs))
+      docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        .write.saveAsTable(nm("st"))
+      docs.groupBy(col("lang"))
+        .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
+        .write.saveAsTable(nm("sk"))
+      graft.emit.CorpusWriter.write(docs, corpusPath)
+      Takedown(spark,
+        docs.filter(col("doc_id") % 9 === 4).select(col("doc_id")),
+        Targets(
+          nearDupIndex = Some(nm("nd")), simHashIndex = Some(nm("sh")),
+          embIndex = Some(nm("emb")), containIndex = Some(nm("ct")),
+          annIndex = Some(nm("ann")), labelTable = Some(nm("lab")),
+          docStatsTable = Some(nm("st")), sketchCellsTable = Some(nm("sk")),
+          corpusPath = Some(corpusPath), documents = Some(docs)),
+        logT)
+      (logT, nm + ("corpus" -> corpusPath))
+    }.asInstanceOf[(String, Map[String, String])]
+
+    spark.catalog.refreshTable(log)
+    val logged = spark.table(log).select(col("doc_id")).localCheckpoint()
+    val loggedVec = logged.select(col("doc_id").as("vec_id"))
+    val docs = Tables.documents(spark, dir)
+    val liveGroups = docs.join(broadcast(logged), Seq("doc_id"), "left_anti")
+    def semi(df: DataFrame, key: String) =
+      df.join(broadcast(if (key == "vec_id") loggedVec else logged),
+        Seq(key), "left_semi")
+    val nd = Dedup.loadNearDupIndex(spark, names("nd")).shingles
+    val sh = Dedup.loadSimHashIndex(spark, names("sh")).banded
+    val emb = Dedup.loadEmbIndex(spark, names("emb")).vectors
+    val ct = Dedup.loadContainIndex(spark, names("ct")).sets
+    val ann = Similarity.loadAnnIndex(spark, names("ann")).vectors
+    val lab = spark.table(names("lab"))
+    val st = spark.table(names("st"))
+    val sk = spark.table(names("sk"))
+    val corpus = spark.read.parquet(names("corpus"))
+    statRow("ann_store", ann.select(col("vec_id")).distinct(),
+        count(lit(1)), semi(ann, "vec_id"))
+      .unionByName(statRow("contain_index",
+        ct.select(col("doc_id")).distinct(), count(lit(1)), semi(ct, "doc_id")))
+      .unionByName(statRow("corpus_tree",
+        corpus.select(col("doc_id")).distinct(), count(lit(1)),
+        semi(corpus, "doc_id")))
+      .unionByName(statRow("doc_stats", st, sum(col("n")),
+        st.join(liveGroups.select(col("lang"), col("source")).distinct(),
+          Seq("lang", "source"), "left_anti")))
+      .unionByName(statRow("emb_index",
+        emb.select(col("vec_id")).distinct(), count(lit(1)), semi(emb, "vec_id")))
+      .unionByName(statRow("labels",
+        lab.select(col("doc_id")).distinct(), count(lit(1)), semi(lab, "doc_id")))
+      .unionByName(statRow("neardup_index",
+        nd.select(col("doc_id")).distinct(), count(lit(1)), semi(nd, "doc_id")))
+      .unionByName(statRow("simhash_index",
+        sh.select(col("doc_id")).distinct(), count(lit(1)), semi(sh, "doc_id")))
+      .unionByName(statRow("sketch_cells", sk, count(lit(1)),
+        sk.join(liveGroups.select(col("lang")).distinct(), Seq("lang"), "left_anti")))
+      .unionByName(statRow("takedown_log", logged.distinct(), count(lit(1)),
+        logged.filter(col("doc_id") % 9 =!= 4)))
+  }
+}

@@ -523,37 +523,18 @@ object EventsStream {
     // the first log append — the appendTombstones gotcha
     if (!spark.catalog.tableExists(logTable))
       Dedup.dropTableAndLocation(spark, logTable)
+    // the per-batch core IS the unified facade (graft.operators.Takedown):
+    // batch-identity-scoped replay dedup, per-class retraction fan-out,
+    // apply-then-log — streaming and batch takedowns share one code path
+    val targets = graft.operators.Takedown.Targets(
+      nearDupIndex = Some(indexName),
+      labelTable = Some(labelTable),
+      labelThreshold = threshold,
+      documents = Some(docStore))
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        spark.catalog.refreshTable(labelTable)
-        val alreadyDone =
-          if (spark.catalog.tableExists(logTable)) {
-            // the prior batch APPENDED to the log — drop the cached file
-            // listing or this batch replays its takedowns (the same
-            // relation-cache gotcha as the ingest loop's index tables).
-            // Replay-dedup is scoped to BATCH IDENTITY (batch_id >=
-            // current): only a crash-refire of THIS batch (or a later
-            // one) is a replay. An id logged by an EARLIER batch is a
-            // *completed* takedown — the doc may have been legitimately
-            // re-ingested since (appendNearDupIndex lifts its tombstone),
-            // and a fresh request must take it down again; excluding the
-            // whole log would make one takedown permanent-per-doc-id.
-            spark.catalog.refreshTable(logTable)
-            spark.table(logTable)
-              .filter(col("batch_id") >= batchId).select(col("doc_id"))
-          } else batch.select(col("doc_id")).limit(0)
-        val toRemove = batch.select(col("doc_id")).distinct()
-          .join(alreadyDone, Seq("doc_id"), "left_anti")
-          .localCheckpoint()
-        if (!toRemove.isEmpty) {
-          Dedup.removeFromNearDupIndex(spark, indexName, toRemove)
-          val labels = spark.table(labelTable).localCheckpoint()
-          val relabeled = Dedup.removeFromLabelState(labels, docStore,
-            toRemove, threshold).localCheckpoint()
-          Dedup.applyLabelRetraction(spark, labelTable, toRemove, relabeled)
-          toRemove.withColumn("batch_id", lit(batchId))
-            .write.mode("append").saveAsTable(logTable)
-        }
+        graft.operators.Takedown(spark, batch, targets, logTable, batchId)
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The unified takedown facade: ONE apply propagates a deletion list to
+  * every registered state class, each state then VALUE-equals its
+  * independent recompute over corpus ∖ removed, a replayed apply is a
+  * global no-op, and a later batch with a fresh id goes through.
+  */
+class TakedownSpec extends SparkSuite {
+
+  private val ops = graft.operators.Dedup
+  private val sim = graft.operators.Similarity
+  private val td = graft.operators.Takedown
+
+  private def allTables(nm: Map[String, String], log: String): Seq[String] =
+    nm.values.toSeq.flatMap(n => Seq(n, s"${n}_banded", s"${n}_shingles",
+      s"${n}_meta", s"${n}_tombstones", s"${n}_fp", s"${n}_df", s"${n}_sets",
+      s"${n}_vectors", s"${n}_centroids", s"${n}_pqbook", s"${n}__gen")) :+ log
+
+  test("unified takedown: every state class retracted by one apply; replay is a global no-op") {
+    import spark.implicits._
+    val baseText = (1 to 60).map(i => s"w$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    // 10/11 a near-dup cluster (the takedown of 11 re-labels it); 4 a
+    // noise doc whose (lang, source) group and lang cell must shrink;
+    // langs/sources alternate so the aggregate has several groups
+    val docs = ((0L to 9L).map(i =>
+        (i, noise(i), if (i % 2 == 0) "en" else "de", s"s${i % 3}", 1L)) ++ Seq(
+        (10L, baseText, "en", "s0", 1L),
+        (11L, baseText.replace("w45", "ALT"), "en", "s1", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").localCheckpoint()
+    def basis(i: Int) = Array.tabulate(64)(j => if (j == i) 1.0 else 0.1)
+    val e = (0L to 11L).map { id =>
+      val v = basis((id % 64).toInt)
+      (id, -1, v, math.sqrt(v.map(x => x * x).sum))
+    }.toDF("vec_id", "label", "v", "n").localCheckpoint()
+
+    val nm = Map("nd" -> "tds_nd", "sh" -> "tds_sh", "emb" -> "tds_emb",
+      "ct" -> "tds_ct", "ann" -> "tds_ann", "lab" -> "tds_lab",
+      "st" -> "tds_st", "sk" -> "tds_sk")
+    val log = "tds_log"
+    val corpusPath = java.nio.file.Files.createTempDirectory("tds_corpus").toString + "/tree"
+    allTables(nm, log).foreach(t => ops.dropTableAndLocation(spark, t))
+    ops.saveNearDupIndex(ops.buildNearDupIndex(docs), nm("nd"), buckets = 4)
+    ops.saveSimHashIndex(ops.buildSimHashIndex(
+      docs.select(col("doc_id"), lit(0L).as("simhash"))), nm("sh"), buckets = 4)
+    ops.saveEmbIndex(ops.buildEmbIndex(e), nm("emb"), buckets = 4)
+    ops.saveContainIndex(ops.buildContainIndex(docs), nm("ct"), buckets = 4)
+    sim.saveAnnIndex(spark, nm("ann"), e, buckets = 2)
+    ops.saveLabelState(spark, nm("lab"), ops.labelStateOf(docs))
+    docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .write.saveAsTable(nm("st"))
+    docs.groupBy(col("lang"))
+      .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
+      .write.saveAsTable(nm("sk"))
+    graft.emit.CorpusWriter.write(docs, corpusPath)
+    val targets = td.Targets(
+      nearDupIndex = Some(nm("nd")), simHashIndex = Some(nm("sh")),
+      embIndex = Some(nm("emb")), containIndex = Some(nm("ct")),
+      annIndex = Some(nm("ann")), labelTable = Some(nm("lab")),
+      docStatsTable = Some(nm("st")), sketchCellsTable = Some(nm("sk")),
+      corpusPath = Some(corpusPath), documents = Some(docs))
+
+    def idsIn(df: DataFrame, key: String = "doc_id"): Set[Long] =
+      df.select(col(key)).distinct().collect().map(_.getLong(0)).toSet
+    def statsMap() = spark.table(nm("st")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def cellMap() = spark.table(nm("sk")).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+    def labelSet() = spark.table(nm("lab")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    try {
+      val removed = Seq(4L, 11L)
+      val applied = td(spark, removed.toDF("doc_id"), targets, log)
+      assert(applied == 2L)
+      val live = (0L to 10L).toSet - 4L
+      val retained = docs.filter(!col("doc_id").isin(removed: _*))
+
+      // every id-keyed state serves exactly the retained ids
+      assert(idsIn(ops.loadNearDupIndex(spark, nm("nd")).shingles) == live)
+      assert(idsIn(ops.loadSimHashIndex(spark, nm("sh")).banded) == live)
+      assert(idsIn(ops.loadEmbIndex(spark, nm("emb")).vectors, "vec_id") == live)
+      assert(idsIn(ops.loadContainIndex(spark, nm("ct")).sets) == live)
+      assert(idsIn(sim.loadAnnIndex(spark, nm("ann")).vectors, "vec_id") == live)
+      assert(idsIn(spark.read.parquet(corpusPath)) == live)
+      // value-level: labels == one-shot recompute over corpus ∖ removed
+      assert(labelSet() == ops.labelStateOf(retained).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+      // value-level: subtracted aggregate == recompute over retained
+      assert(statsMap() == retained.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
+      // byte-level: rebuilt cells == from-scratch build over retained
+      assert(cellMap() == retained.groupBy(col("lang"))
+        .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk")).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap)
+      spark.catalog.refreshTable(log)
+      assert(idsIn(spark.table(log)) == removed.toSet)
+
+      // REPLAY (same batch id): zero applied, every state bit-unchanged
+      val statsBefore = statsMap(); val cellsBefore = cellMap()
+      val labelsBefore = labelSet()
+      val corpusMtimes = new java.io.File(corpusPath).listFiles().flatMap(d =>
+        Option(d.listFiles()).getOrElse(Array.empty).map(f =>
+          f.getPath -> f.lastModified())).toMap
+      assert(td(spark, removed.toDF("doc_id"), targets, log) == 0L)
+      assert(statsMap() == statsBefore && cellMap() == cellsBefore &&
+        labelSet() == labelsBefore)
+      assert(new java.io.File(corpusPath).listFiles().flatMap(d =>
+        Option(d.listFiles()).getOrElse(Array.empty).map(f =>
+          f.getPath -> f.lastModified())).toMap == corpusMtimes,
+        "replay rewrote corpus partitions")
+      spark.catalog.refreshTable(log)
+      assert(spark.table(log).count() == 2, "replay must not re-log")
+
+      // a LATER batch with a fresh id goes through (batch-scoped dedup)
+      assert(td(spark, Seq(7L).toDF("doc_id"), targets, log, batchId = 1L) == 1L)
+      assert(idsIn(ops.loadNearDupIndex(spark, nm("nd")).shingles) == live - 7L)
+      assert(idsIn(spark.read.parquet(corpusPath)) == live - 7L)
+      spark.catalog.refreshTable(log)
+      assert(idsIn(spark.table(log)) == Set(4L, 7L, 11L))
+    } finally {
+      allTables(nm, log).foreach(t => ops.dropTableAndLocation(spark, t))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(corpusPath).getParentFile)
+    }
+  }
+}
