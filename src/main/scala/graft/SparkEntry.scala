@@ -290,8 +290,24 @@ object SparkEntry {
     // the serving-quality monitor: measured recall@5 of the LSH tier
     // against the exact tier, per probe (empty buckets surface as 0)
     "s14_ann_recall" -> ((s, d) => Similarity.annRecallLsh(s, d).orderBy("probe_id")),
+    // the s14 monitor stamped onto the remaining approximate tiers
+    // (round-11 verdict ask #3): every compressed/coarse tier ships with
+    // its measured recall@5 as an in-engine query
+    "s15_ann_recall_kmeans" -> ((s, d) =>
+      Similarity.annRecallKmeans(s, d).orderBy("probe_id")),
+    "s16_ann_recall_int8" -> ((s, d) =>
+      Similarity.annRecallQuantized(s, d).orderBy("probe_id")),
+    "s17_ann_recall_pq" -> ((s, d) =>
+      Similarity.annRecallPq(s, d).orderBy("probe_id")),
     // the lexical twin: exact-vs-banded dedup recall over an audit slice
     "d24_dedup_recall" -> ((s, d) => Dedup.dedupRecallAudit(s, d)),
+    // the d24 pattern stamped onto the remaining approximate dedup tiers
+    // (round-11 verdict ask #3): simhash banding past its pigeonhole
+    // radius (exact side = finer 8-bit bands, still sub-quadratic), the
+    // d8 AND-amplified SRP bucket, and d21c's banded SemDeDup margin
+    "d28_simhash_recall" -> ((s, d) => Dedup.simhashBandRecall(s, d)),
+    "d29_srp_recall" -> ((s, d) => Dedup.srpBucketRecall(s, d)),
+    "d30_semdedup_recall" -> ((s, d) => Dedup.semDedupBandRecall(s, d)),
     "s3_label_centroids" -> ((s, d) => Similarity.labelCentroidsFlat(s, d).orderBy("label", "dim_idx")),
     "s4_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d).orderBy("probe_id", "rn")),
     "s5_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d).orderBy("probe_id", "rn")),
@@ -1100,6 +1116,78 @@ object SparkEntry {
          |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
          |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
          |FROM nx CROSS JOIN ct""".stripMargin,
+    // measured simhash-banding recall at Hamming 5 (past the 4-band
+    // pigeonhole guarantee of 3): exact side brute-forced here — the
+    // Spark side's finer 8-bit banding is pigeonhole-exact through 7,
+    // so the two exact sides coincide
+    "d28_simhash_recall" ->
+      s"""$simhash64Cte,
+         |ex AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM sh64 a JOIN sh64 b2 ON a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
+         |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |ap AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM banded a JOIN banded b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex SEMI JOIN ap USING (id_a, id_b)),
+         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+         |SELECT n_exact, n_caught,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
+         |FROM nx CROSS JOIN ct""".stripMargin,
+    // measured recall of the d8 AND-amplified SRP bucket vs exact
+    // all-pairs cosine at the d8 threshold
+    "d29_srp_recall" -> {
+      val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+         |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b
+         |  ON a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) >= 0.3),
+         |bk AS (SELECT vec_id,
+         |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+         |    THEN 1 << j ELSE 0 END for j in range(0, 8)]) AS bucket FROM e),
+         |w AS (SELECT e.vec_id, e.v, e.n, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
+         |ap AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM w a JOIN w b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) >= 0.3),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex SEMI JOIN ap USING (id_a, id_b)),
+         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+         |SELECT n_exact, n_caught,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
+         |FROM nx CROSS JOIN ct""".stripMargin
+    },
+    // measured recall of d21c's banded within-cluster candidate stage vs
+    // d21's exact within-cluster pairs, both under the frozen k-means
+    // assignment and the gate threshold
+    "d30_semdedup_recall" -> {
+      val bandCoeff = hexv("substr(md5('plane:' || (2 * b + j) || ':' || i), 1, 1)")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+         |${kmeansCtes()},
+         |memb AS (SELECT en.vec_id, en.v, en.n, a3.cl FROM en JOIN a3 USING (vec_id)),
+         |ex AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM memb x
+         |  JOIN memb y ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |  WHERE round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.45),
+         |bks AS (SELECT vec_id,
+         |  [list_sum([CASE WHEN list_sum([v[i+1] * ($bandCoeff - 7.5) for i in range(0, 64)]) > 0
+         |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) for b in range(0, 8)] AS bk FROM e),
+         |ap AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM memb x
+         |  JOIN memb y ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |  JOIN bks bx ON bx.vec_id = x.vec_id
+         |  JOIN bks yb ON yb.vec_id = y.vec_id
+         |  WHERE len([b for b in range(1, 9) if bx.bk[b] = yb.bk[b]]) > 0
+         |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.45),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex SEMI JOIN ap USING (id_a, id_b)),
+         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+         |SELECT n_exact, n_caught,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
+         |FROM nx CROSS JOIN ct""".stripMargin
+    },
     // incremental ingest identity: delta(index over bucket<200, shard
     // bucket>=200) == full-recompute pairs restricted to shard-touching
     // pairs (signatures are per-doc functions, so both computations hash
@@ -2232,11 +2320,42 @@ object SparkEntry {
        |FROM e JOIN sb USING (vec_id) CROSS JOIN m""".stripMargin
   }
 
+  /** Wrap a search-tier oracle (its full SQL, ending `ORDER BY probe_id,
+    * rn`) into the s14 recall shape: per-probe |approx ∩ exact|/k. The
+    * tier's SQL runs verbatim as a subquery, so the recall oracle can
+    * never drift from the tier oracle it audits.
+    */
+  private def annRecallOracle(approxSql: String, k: Int = 5): String = {
+    val inner = approxSql.stripSuffix(" ORDER BY probe_id, rn")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+       |p0 AS (SELECT vec_id AS probe_id, v AS pv, n AS pn FROM e0 WHERE vec_id < 5),
+       |exact AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT probe_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS rn
+       |  FROM p0 CROSS JOIN e0 c WHERE probe_id != c.vec_id) WHERE rn <= $k),
+       |approx AS (SELECT probe_id, neighbor_id FROM (
+       |$inner
+       |) qq),
+       |hits AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM exact SEMI JOIN approx USING (probe_id, neighbor_id) GROUP BY 1)
+       |SELECT p0.probe_id, coalesce(h.n_hits, 0) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $k, 4) AS recall_at_k
+       |FROM p0 LEFT JOIN hits h ON h.probe_id = p0.probe_id
+       |ORDER BY p0.probe_id""".stripMargin
+  }
+
   /** The indexed serving twins (s2b/s6b/s7b) answer exactly like their
     * recompute twins — same deterministic training over the same corpus,
     * frozen rather than re-derived — so they share oracles verbatim.
     */
   def oracleSql: Map[String, String] = oracleBase ++ Map(
+    // the recall monitors replay their audited tier's oracle verbatim as
+    // the approx side — one SQL, two consumers (the d10b convention)
+    "s15_ann_recall_kmeans" -> annRecallOracle(oracleBase("s6_ann_kmeans")),
+    "s16_ann_recall_int8" -> annRecallOracle(oracleBase("s7_ann_quantized")),
+    "s17_ann_recall_pq" -> annRecallOracle(oracleBase("s11_ann_pq")),
     // the Bloom pre-filter is a semi-join REDUCTION, not a semantics
     // change: no false negatives + exact verify join ⇒ output identical
     // to the exact tier, so d10's oracle gates it verbatim

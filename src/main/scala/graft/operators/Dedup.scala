@@ -2475,12 +2475,110 @@ object Dedup {
     val caught = exact.join(
       minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")),
       Seq("id_a", "id_b"), "left_semi")
+    recallRow(exact, caught)
+  }
+
+  /** The shared one-row audit tail: (n_exact, n_caught, recall), an
+    * empty exact side reading as perfect recall. `caught` is the
+    * already-intersected frame (or the approx side to intersect when
+    * `intersect` is set).
+    */
+  private def recallRow(exact: DataFrame, caught: DataFrame): DataFrame =
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
       .select(col("n_exact"), col("n_caught"),
         when(col("n_exact") === 0, lit(1.0))
           .otherwise(round(col("n_caught").cast("double") / col("n_exact"), 4))
           .as("recall"))
+
+  private def recallRowOf(exact: DataFrame, approx: DataFrame): DataFrame =
+    recallRow(exact, exact.join(approx, Seq("id_a", "id_b"), "left_semi"))
+
+  /** D28 — measured recall of the 16-bit simhash banding PAST its
+    * pigeonhole guarantee: 4 bands catch every pair through Hamming
+    * bands−1 = 3 (d11's radius — provably lossless there), but a pair at
+    * Hamming 4..7 can differ in all four bands and slip through. This
+    * audit prices that tail at radius `maxHamming` (default 5). The
+    * exact side is NOT quadratic: 8×8-bit banding is pigeonhole-exact
+    * through Hamming 7, so re-blocking the same signatures on finer
+    * chunks IS the exact tier for the audited radius — both sides ride
+    * the shared census+salt machinery, so the audit is hot-block-bounded
+    * like the production join itself (the d24 scale rule, solved here
+    * without a posting join).
+    */
+  def simhashBandRecall(spark: SparkSession, dir: String,
+      maxHamming: Int = 5, hotBlockRows: Long = 1L << 17): DataFrame = {
+    require(maxHamming <= 7,
+      "the 8-band exact side is pigeonhole-exact only through Hamming 7")
+    val sigs = simhash64Cached(spark, dir)
+    val fine = sigs.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("chunk", expr("(simhash >> (b * 8)) & 255"))
+    val exact = blockedPairCandidates(fine, Seq("b", "chunk"), Seq("simhash"),
+        hotBlockRows, salts = 16)
+      .filter(expr("CAST(bit_count(simhash_a ^ simhash_b) AS INT)") <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val approx = simhashPairsOf(sigs, maxHamming, hotBlockRows)
+      .select(col("id_a"), col("id_b"))
+    recallRowOf(exact, approx)
+  }
+
+  /** D29 — measured recall of the d8 single-bucket SRP tier: 8
+    * AND-amplified hyperplanes keep only pairs agreeing on EVERY sign,
+    * so recall at moderate thresholds is the tier's real price — ~
+    * (1−θ/π)^8 per pair, far below 1 at cos 0.3 — and this is the query
+    * that measures it instead of guessing. Exact side: all-pairs cosine
+    * at audit scale (broadcast loop join; at 100 TB the audit composes
+    * per md5-bucket slice exactly like d24's sampled mode — the exact
+    * side is the AUDIT'S cost, never the serving path's).
+    */
+  def srpBucketRecall(spark: SparkSession, dir: String,
+      threshold: Double = 0.3, nPlanes: Int = 8): DataFrame = {
+    val e = Similarity.preparedEmbeddings(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .filter(round(dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4)
+        >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val approx = embeddingNearDupsLsh(spark, dir, threshold, nPlanes)
+      .select(col("id_a"), col("id_b"))
+    recallRowOf(exact, approx)
+  }
+
+  /** D30 — measured recall of d21c's banded candidate stage against
+    * d21's exact within-cluster pair set (both at the gate threshold):
+    * the number that closes the round-10 "what does the banding cost"
+    * question with a measurement instead of the closed-form estimate in
+    * [[semDedupBanded]]'s scaladoc. Both sides share the frozen k-means
+    * assignment; the exact side is within-cluster all-pairs (n²/k — the
+    * audit's price, not the serving tier's), the banded side is the
+    * production candidate machinery itself.
+    */
+  def semDedupBandRecall(spark: SparkSession, dir: String,
+      threshold: Double = 0.45, bands: Int = 8, planesPerBand: Int = 2,
+      hotBlockRows: Long = 1L << 17): DataFrame = {
+    val model = Similarity.kmeansModel(spark, dir)
+    val vecs = Similarity.preparedEmbeddings(spark, dir)
+      .select(col("vec_id"), col("v"), col("n"))
+      .withColumn("cl", Similarity.assignExpr(model))
+      .localCheckpoint()
+    val a = vecs.select(col("cl"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val b = vecs.select(col("cl"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
+    val exact = a.join(b, Seq("cl")).filter(col("id_a") < col("id_b"))
+      .filter(round(dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4)
+        >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val banded = embBandedOf(
+      vecs.select(col("cl").as("label"), col("vec_id"), col("v")),
+      bands, planesPerBand).localCheckpoint()
+    val cand = blockedPairCandidates(banded, Seq("label", "band", "bucket"),
+      Nil, hotBlockRows, salts = 16, idCol = "vec_id")
+    val approx = verifyCosine(vecs, cand, threshold)
+      .select(col("id_a"), col("id_b"))
+    recallRowOf(exact, approx)
   }
 
   /** Bounded near-dup tier: block by (label, band, band-bucket) with

@@ -542,11 +542,19 @@ object Similarity {
     * semi-join of two k-row-per-probe frames.
     */
   def annRecallLsh(spark: SparkSession, dir: String,
-      nProbes: Int = 5, k: Int = 5): DataFrame = {
+      nProbes: Int = 5, k: Int = 5): DataFrame =
+    annRecallOf(spark, dir, lshTopK(spark, dir, nProbes, k), nProbes, k)
+
+  /** The s14 measurement against an arbitrary approximate tier: per
+    * probe, |approx-top-k ∩ exact-top-k| / k, empty intersections as 0
+    * rows (silence must not look like health). Shared by every ANN
+    * recall monitor — one definition, N audited tiers.
+    */
+  private def annRecallOf(spark: SparkSession, dir: String,
+      approxTier: DataFrame, nProbes: Int, k: Int): DataFrame = {
     val exact = bruteForceTopK(spark, dir, nProbes, k)
       .select(col("probe_id"), col("neighbor_id"))
-    val approx = lshTopK(spark, dir, nProbes, k)
-      .select(col("probe_id"), col("neighbor_id"))
+    val approx = approxTier.select(col("probe_id"), col("neighbor_id"))
     val hits = exact.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
       .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
     preparedEmbeddings(spark, dir).filter(col("vec_id") < nProbes)
@@ -556,6 +564,31 @@ object Similarity {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4).as("recall_at_k"))
   }
+
+  /** S15 — measured recall of the trained-k-means IVF tier (s6): the
+    * coarse quantizer's nprobe dial is exactly a recall trade, so the
+    * monitor that prices it belongs next to it.
+    */
+  def annRecallKmeans(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5): DataFrame =
+    annRecallOf(spark, dir,
+      kmeansIvfTopK(spark, dir, nProbes = nProbes, k = k), nProbes, k)
+
+  /** S16 — measured recall of the int8-quantized tier (s7): quantization
+    * reorders candidates only through the rerank-window cut, and this is
+    * the query that measures how much.
+    */
+  def annRecallQuantized(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5): DataFrame =
+    annRecallOf(spark, dir, quantizedTopK(spark, dir, nProbes, k), nProbes, k)
+
+  /** S17 — measured recall of the product-quantized tier (s11): PQ's ADC
+    * scores are the coarsest of the three compressed tiers, so its
+    * recall monitor is the one most worth watching after a re-train.
+    */
+  def annRecallPq(spark: SparkSession, dir: String,
+      nProbes: Int = 5, k: Int = 5): DataFrame =
+    annRecallOf(spark, dir, pqTopK(spark, dir, nProbes, k), nProbes, k)
 
   /** IVF-style ANN: label is the coarse cluster (the trained quantizer's
     * assignment); each probe ranks the cluster CENTROIDS first, then
