@@ -301,6 +301,9 @@ object SparkEntry {
       Similarity.annRecallPq(s, d).orderBy("probe_id")),
     // the lexical twin: exact-vs-banded dedup recall over an audit slice
     "d24_dedup_recall" -> ((s, d) => Dedup.dedupRecallAudit(s, d)),
+    // the 100 TB audit mode: exact recall over one md5-bucket slice
+    // (both endpoints in-slice), sharing d24's machinery and oracle
+    "d24b_dedup_recall_sampled" -> ((s, d) => Dedup.dedupRecallAuditSampled(s, d)),
     // the d24 pattern stamped onto the remaining approximate dedup tiers
     // (round-11 verdict ask #3): simhash banding past its pigeonhole
     // radius (exact side = finer 8-bit bands, still sub-quadratic), the
@@ -665,6 +668,29 @@ object SparkEntry {
       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
   private lazy val containmentCtes = containmentCtesFiltered("")
+
+  /** The d24 recall-audit oracle, parameterized by the md5-bucket cap:
+    * 256 = the whole corpus (d24), smaller = the sampled slice (d24b —
+    * both pair endpoints inside the slice).
+    */
+  private def dedupRecallSql(bucketCap: Int): String =
+    s"""$shinglesCte,
+       |$lshPairsCtes,
+       |dl AS (SELECT doc_id, list_distinct(sh) AS dsh, len(list_distinct(sh)) AS l
+       |  FROM s WHERE len(sh) > 0 AND ($splitBucketSql < $bucketCap)),
+       |al AS (SELECT doc_id, l, unnest(dsh) AS key FROM dl),
+       |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS la, b.l AS lb,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM al a JOIN al b ON a.key = b.key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |ex AS (SELECT id_a, id_b FROM co
+       |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8),
+       |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex SEMI JOIN pairs USING (id_a, id_b)),
+       |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+       |SELECT n_exact, n_caught,
+       |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
+       |FROM nx CROSS JOIN ct""".stripMargin
 
   private lazy val deltaNearDupSql =
     s"""$shinglesCte,
@@ -1094,28 +1120,14 @@ object SparkEntry {
       s"""$shinglesCte,
          |$lshPairsCtes
          |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
-    // measured LSH-dedup recall over the FULL corpus: the exact side
-    // counts intersections through the unblocked posting join (no array
-    // op, no quadratic scan — any qualifying pair shares shingles), then
-    // intersects with the banded tier's pair table
-    "d24_dedup_recall" ->
-      s"""$shinglesCte,
-         |$lshPairsCtes,
-         |dl AS (SELECT doc_id, list_distinct(sh) AS dsh, len(list_distinct(sh)) AS l
-         |  FROM s WHERE len(sh) > 0),
-         |al AS (SELECT doc_id, l, unnest(dsh) AS key FROM dl),
-         |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS la, b.l AS lb,
-         |    CAST(count(*) AS BIGINT) AS inter
-         |  FROM al a JOIN al b ON a.key = b.key AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4),
-         |ex AS (SELECT id_a, id_b FROM co
-         |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8),
-         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex SEMI JOIN pairs USING (id_a, id_b)),
-         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
-         |SELECT n_exact, n_caught,
-         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
-         |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
-         |FROM nx CROSS JOIN ct""".stripMargin,
+    // measured LSH-dedup recall over the FULL corpus: the oracle's exact
+    // side counts intersections through the unblocked posting join (no
+    // array op, no quadratic scan — any qualifying pair shares
+    // shingles); the Spark side's prefix-filter + salt refinements are
+    // output-invariant, so the same SQL still gates them
+    "d24_dedup_recall" -> dedupRecallSql(256),
+    // the sampled twin: d24's SQL restricted to the md5-bucket slice
+    "d24b_dedup_recall_sampled" -> dedupRecallSql(64),
     // measured simhash-banding recall at Hamming 5 (past the 4-band
     // pigeonhole guarantee of 3): exact side brute-forced here — the
     // Spark side's finer 8-bit banding is pigeonhole-exact through 7,

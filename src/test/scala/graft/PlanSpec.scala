@@ -507,5 +507,22 @@ class PlanSpec extends SparkSuite {
     val pf = a6b.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("tenant") && pf.contains("= 3"),
       s"tenant predicate not in PartitionFilters:\n${a6b.take(2000)}")
+    // d24: the audit's exact side must ride the prefix filter + the
+    // census+salt candidate machinery (r11 verdict ask #4) — the salt
+    // expression (crc32) proves the blockedPairCandidates path, the
+    // array_intersect proves the candidate-bounded verify (never the
+    // posting-count join), and nothing may go quadratic
+    val d24 = executedPlan(graft.operators.Dedup.dedupRecallAudit(spark, dir))
+    assert(d24.contains("crc32"),
+      s"d24 exact side lost the hot-block salt path:\n${d24.take(1500)}")
+    assert(d24.contains("array_intersect"),
+      s"d24 verify must be candidate-bounded:\n${d24.take(1500)}")
+    assert(d24.contains("row_number"),
+      s"d24 lost the prefix ranking window:\n${d24.take(1500)}")
+    // the only nested-loop join allowed is the final one-row×one-row
+    // recall assembly (two count aggregates crossed)
+    assert(!d24.contains("CartesianProduct"), "d24 went cartesian")
+    assert(d24.split("BroadcastNestedLoopJoin").length <= 2,
+      "d24 has a nested-loop join beyond the one-row recall assembly")
   }
 }
