@@ -278,6 +278,12 @@ object SparkEntry {
     // oracle's recompute over corpus minus removed
     "td1_takedown_unified" -> ((s, d) =>
       graft.operators.Takedown.unifiedTakedownGate(s, d).orderBy("state")),
+    // the multi-tenant INDEX: banded/shingle tables partitioned by
+    // tenant (a6b's planning-time isolation extended to persisted index
+    // state) — one tenant's delta join never opens another tenant's
+    // files (PlanSpec asserts PartitionFilters on both index scans)
+    "d31_tenant_index" -> ((s, d) =>
+      Dedup.tenantDeltaNearDups(s, d).orderBy("id_a", "id_b")),
     // retraction through the LABEL store: removal deletes vertices, so
     // touched components re-label (splits included) while untouched
     // clusters serve from the persisted state; oracle = d19's canonical
@@ -1205,6 +1211,19 @@ object SparkEntry {
     // pairs (signatures are per-doc functions, so both computations hash
     // the same band keys and shingle sets)
     "d13_delta_neardup" -> deltaNearDupSql,
+    // the tenant-partitioned index serves tenant 0's delta exactly:
+    // the d13 identity with both endpoints in the tenant (tenants are
+    // isolated corpora — shingles and band keys are per-doc functions,
+    // so the within-tenant pair set is the global set restricted)
+    "d31_tenant_index" ->
+      s"""$shinglesCte,
+         |$lshPairsCtes,
+         |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+         |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b, jaccard
+         |FROM pairs JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+         |WHERE (xa.bucket >= 200 OR xb.bucket >= 200)
+         |  AND id_a % 2 = 0 AND id_b % 2 = 0
+         |ORDER BY id_a, id_b""".stripMargin,
     // the appended+compacted index holds exactly the bucket<200 docs the
     // d13 index holds (base save + one appended slice), so the delta
     // pair set — and the oracle — are identical; the Spark path differs

@@ -524,5 +524,22 @@ class PlanSpec extends SparkSuite {
     assert(!d24.contains("CartesianProduct"), "d24 went cartesian")
     assert(d24.split("BroadcastNestedLoopJoin").length <= 2,
       "d24 has a nested-loop join beyond the one-row recall assembly")
+    // d31: the tenant-partitioned INDEX scans (banded + shingles) must
+    // prune to the tenant's directories at planning time — both scans
+    // carry the tenant predicate in PartitionFilters, so another
+    // tenant's files are never opened by this tenant's delta join
+    val d31 = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) {
+        graft.operators.Dedup.tenantDeltaNearDups(spark, dir)
+          .orderBy("id_a", "id_b").explain("formatted")
+      }
+      out.toString
+    }
+    val tenantPfs = d31.linesIterator
+      .filter(_.contains("PartitionFilters")).filter(_.contains("tenant"))
+      .toSeq
+    assert(tenantPfs.size >= 2 && tenantPfs.forall(_.contains("= 0")),
+      s"tenant predicate not pruning both index scans:\n${d31.take(2500)}")
   }
 }
