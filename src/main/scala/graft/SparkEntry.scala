@@ -416,6 +416,11 @@ object SparkEntry {
     // branch — pixel-identical grids, so m4's oracle gates it verbatim
     "m4b_image_neardup_png" -> ((s, d) =>
       Multimodal.imageNearDupsPng(s, d).orderBy("id_a", "id_b")),
+    // the LOSSY container gated arithmetically: DC-only baseline JPEGs
+    // whose decode is exact by construction (multiple-of-8 DC, flat-128
+    // chroma, one block per grid cell) — m4's oracle verbatim
+    "m4c_image_neardup_jpeg" -> ((s, d) =>
+      Multimodal.imageNearDupsJpeg(s, d).orderBy("id_a", "id_b")),
     // video near-dup: per-frame dHash over '00db' DIB chunks decoded from
     // real AVI bytes, shared-keyframe count join (boilerplate frames
     // df-filtered first, the d12 pattern) — the oracle replays frame
@@ -2404,6 +2409,7 @@ object SparkEntry {
     "w10b_burst_chunked" -> oracleBase("w10_burst_detection"),
     "w4b_asof_chunked" -> oracleBase("w4_asof_join"),
     "m4b_image_neardup_png" -> oracleBase("m4_image_neardup"),
+    "m4c_image_neardup_jpeg" -> oracleBase("m4_image_neardup"),
     "t21b_nb_probe_indexed" -> oracleBase("t21_nb_quality_probe"),
     "s9_ann_delta_search" -> annDeltaSearchSql,
     "s10_ann_drift" -> annDriftSql)

@@ -2574,7 +2574,18 @@ object Dedup {
       .select(col("doc_id"), col("key"))
     val cand = blockedPairCandidates(prefix, Seq("key"), Nil,
       hotBlockRows, salts = 16)
-    cand
+    // PPJoin's LENGTH FILTER before the wide verify (also exact:
+    // J ≥ t ⇒ min(l) ≥ t·max(l), same rounding slack): the narrow
+    // length join kills most coincidental prefix collisions so the
+    // array-sized intersection work only runs on length-compatible pairs
+    val lens = sets.select(col("doc_id"), col("l"))
+    val candLen = cand
+      .join(lens.select(col("doc_id").as("id_a"), col("l").as("la")), Seq("id_a"))
+      .join(lens.select(col("doc_id").as("id_b"), col("l").as("lb")), Seq("id_b"))
+      .filter(col("la").cast("double") >= lit(threshold - 1e-4) * col("lb") &&
+        col("lb").cast("double") >= lit(threshold - 1e-4) * col("la"))
+      .select(col("id_a"), col("id_b"))
+    candLen
       .join(sets.select(col("doc_id").as("id_a"), col("dsh").as("da"),
         col("l").as("la")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("dsh").as("db"),

@@ -247,6 +247,93 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** A REAL baseline JPEG whose decode is ARITHMETICALLY EXACT (the m4c
+    * tier's input) — lossy-format decode made replayable by construction:
+    *
+    *   - every 8×8 block carries ONLY a DC coefficient, and the IDCT of
+    *     a DC-only block is flat: libjpeg's islow path computes
+    *     pixel = DESCALE(dc·q << PASS1_BITS, PASS1_BITS+3) + 128, which
+    *     is exactly dc/8 + 128 (no rounding ambiguity) when dc is a
+    *     MULTIPLE OF 8 — so DC = (gray − 128)·8 with quant 1 decodes to
+    *     precisely `gray`;
+    *   - three components at 1×1 sampling with Cb = Cr = flat 128
+    *     (DC 0): the integer YCbCr→RGB tables are exactly zero at 128,
+    *     so decoded R = G = B = Y — no colorspace drift, and the BT.601
+    *     luma in [[parseCompressedGray]] returns Y verbatim (the m4b
+    *     truecolor trick, restated for JPEG);
+    *   - one flat block PER TARGET PIXEL (blocksW × blocksH blocks =
+    *     8·blocksW × 8·blocksH pixels): the block-mean downscale to the
+    *     dHash raster averages a constant block — integer-exact — so the
+    *     decoded-and-downscaled grid IS `gray` bit for bit.
+    *
+    * The container is standards-complete: DQT (all-ones), SOF0, DHT
+    * (canonical custom tables — 12 DC categories at length 4, a single
+    * length-2 AC code for EOB), SOS, entropy-coded MCUs with DC
+    * prediction and 0xFF byte stuffing. Any baseline decoder reads it;
+    * the synthesis is pure arithmetic like [[buildPngGray]].
+    */
+  def buildJpegGrayBlocks(blocksW: Int, blocksH: Int,
+      gray: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64); u8(0x00) // DQT table 0: all ones
+    var i = 0
+    while (i < 64) { u8(1); i += 1 }
+    marker(0xc0); u16(8 + 3 * 3); u8(8) // SOF0: 8-bit, 3 components 1x1
+    u16(blocksH * 8); u16(blocksW * 8); u8(3)
+    Seq(1, 2, 3).foreach { id => u8(id); u8(0x11); u8(0) }
+    // DHT: DC table 0 = categories 0..11, all length 4 (canonical code k
+    // for symbol k); AC table 0 = one length-2 code ("00") for EOB
+    marker(0xc4); u16(2 + (1 + 16 + 12) + (1 + 16 + 1))
+    u8(0x00); (1 to 16).foreach(l => u8(if (l == 4) 12 else 0))
+    (0 until 12).foreach(u8)
+    u8(0x10); (1 to 16).foreach(l => u8(if (l == 2) 1 else 0))
+    u8(0x00)
+    marker(0xda); u16(6 + 2 * 3); u8(3) // SOS
+    Seq(1, 2, 3).foreach { id => u8(id); u8(0x00) }
+    u8(0); u8(63); u8(0)
+    var acc = 0; var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      var j = len - 1
+      while (j >= 0) {
+        acc = (acc << 1) | ((code >> j) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        j -= 1
+      }
+    }
+    def encodeDcOnlyBlock(diff: Int): Unit = {
+      val cat = if (diff == 0) 0
+        else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(cat, 4) // DC category, canonical code = symbol
+      if (cat > 0)
+        putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+      putBits(0, 2) // EOB: all AC zero
+    }
+    var prevY = 0
+    var by = 0
+    while (by < blocksH) {
+      var bx = 0
+      while (bx < blocksW) {
+        val dcY = (gray(bx, by) - 128) * 8
+        encodeDcOnlyBlock(dcY - prevY); prevY = dcY
+        encodeDcOnlyBlock(0) // Cb: flat 128 (prediction stays 0)
+        encodeDcOnlyBlock(0) // Cr
+        bx += 1
+      }
+      by += 1
+    }
+    while (nbits != 0) putBits(1, 1) // pad to byte with 1s
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Decode a 24bpp BMP's pixel grid to gray values (blue channel — the
     * m4 gallery is achromatic): header fields drive the data offset, row
     * stride and the bottom-up row order; anything malformed (wrong bpp,

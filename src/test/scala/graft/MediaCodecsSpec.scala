@@ -222,6 +222,31 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(gBig(17)(23) == (23 * 7 + 17 * 3) % 200)
   }
 
+  test("buildJpegGrayBlocks: DC-only baseline JPEG decodes to the exact grid (lossy made arithmetic)") {
+    val id = 777L
+    val grid = (x: Int, y: Int) => graft.operators.Multimodal.grayPixel(id)(x, y)
+    val jpg = MediaCodecs.buildJpegGrayBlocks(9, 8, grid)
+    // metadata arm: SOFn walk finds the 72x64 frame
+    assert(MediaCodecs.parse(jpg).contains(MediaCodecs.Parsed(72, 64, 0L, 0)))
+    // decode arm: a REAL baseline decoder (ImageIO/libjpeg) must read the
+    // hand-assembled container — custom canonical huffman tables, all-1
+    // quant, DC prediction, byte stuffing — and the DC-only construction
+    // (multiple-of-8 coefficients, flat-128 chroma) makes the decode +
+    // block-mean downscale EXACT despite JPEG being a lossy format
+    val g = MediaCodecs.parseImageGray(jpg).get
+    val expected = (0 until 8).map(y => (0 until 9).map(x => grid(x, y)))
+    assert(g.map(_.toSeq).toSeq == expected.map(_.toSeq),
+      "JPEG decode drifted from the arithmetic grid")
+    // the extreme grays exercise the full DC category range (|dc| <= 1024)
+    val extremes = MediaCodecs.buildJpegGrayBlocks(4, 2,
+      (x, y) => Seq(0, 255, 128, 1, 254, 127, 129, 64)(y * 4 + x))
+    val ge = MediaCodecs.parseCompressedGray(extremes, 4, 2).get
+    assert(ge.flatten.toSeq == Seq(0, 255, 128, 1, 254, 127, 129, 64))
+    // identity with the m4 family: same grid as the BMP rendering
+    assert(MediaCodecs.parseBmpGray(MediaCodecs.buildBmpGray(9, 8, grid))
+      .get.map(_.toSeq).toSeq == g.map(_.toSeq).toSeq)
+  }
+
   test("PNG/JPEG branch: golden PNG decodes to known pixels, matches its BMP gallery sibling") {
     val id = 4096L
     val grid = (x: Int, y: Int) => graft.operators.Multimodal.grayPixel(id)(x, y)
