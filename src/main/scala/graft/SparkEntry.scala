@@ -375,6 +375,15 @@ object SparkEntry {
     "t3_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d).orderBy("doc_id")),
     "t4_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d).orderBy("doc_id")),
     "t5_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).orderBy("doc_id")),
+    // concat-and-chunk sequence packing: per-doc placement into fixed
+    // 2048-token training sequences via the w6b two-level integer prefix
+    // sum (no global single-partition window)
+    "t23_sequence_pack" -> ((s, d) =>
+      TextAnalysis.packSequences(s, d).orderBy("doc_id")),
+    // ... and the packing writer's manifest: one row per (sequence,
+    // doc-slice), generated map-side from the placement columns
+    "t23b_sequence_manifest" -> ((s, d) =>
+      TextAnalysis.packSequencesManifest(s, d).orderBy("seq_id", "doc_id")),
     "t6_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d).orderBy("lang", "source")),
     "t7_repetition" -> ((s, d) => TextAnalysis.repetition(s, d).orderBy("doc_id")),
     "t8_filter_funnel" -> ((s, d) => TextAnalysis.filterFunnel(s, d)),
@@ -1974,6 +1983,28 @@ object SparkEntry {
         |s AS (SELECT doc_id, CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
         |  ELSE [array_to_string(w[i:i+4], ' ') for i in range(1, len(w)-3)] END AS sh FROM t)
         |SELECT doc_id, list_min([md5(x) for x in sh]) AS fingerprint FROM s ORDER BY doc_id""".stripMargin,
+    // concat-and-chunk packing: the global token prefix sum in doc_id
+    // order decides every placement; t4's whitespace tokens verbatim
+    "t23_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+        |SELECT doc_id, n_tokens,
+        |  (cum - n_tokens) // 2048 AS seq_first,
+        |  (cum - 1) // 2048 AS seq_last,
+        |  (cum - n_tokens) % 2048 AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "t23b_sequence_manifest" ->
+      """WITH t AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t),
+        |m AS (SELECT doc_id, n_tokens, cum - n_tokens AS strt,
+        |  (cum - n_tokens) // 2048 AS seq_first, (cum - 1) // 2048 AS seq_last FROM c),
+        |x AS (SELECT doc_id, strt, n_tokens,
+        |  unnest(generate_series(seq_first, seq_last)) AS seq_id FROM m)
+        |SELECT seq_id, doc_id,
+        |  greatest(seq_id * 2048, strt) - strt AS tok_from,
+        |  least((seq_id + 1) * 2048, strt + n_tokens) - strt AS tok_until,
+        |  greatest(seq_id * 2048, strt) % 2048 AS pos_in_seq
+        |FROM x ORDER BY seq_id, doc_id""".stripMargin,
     "t6_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,

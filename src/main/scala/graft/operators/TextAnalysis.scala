@@ -716,4 +716,68 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("src_rank"),
         (col("src_rank") <= cap).as("kept"))
   }
+
+  /** T23 — SEQUENCE PACKING (concat-and-chunk): the step that turns a
+    * curated corpus into fixed-length training sequences. Documents are
+    * concatenated in deterministic doc_id order and cut every `seqLen`
+    * tokens; each document's placement is fully determined by the
+    * PREFIX SUM of token counts, so the operator emits per doc: its
+    * token count, the first and last sequence it lands in, and its
+    * offset inside the first (a doc straddling a cut simply spans
+    * seq_first..seq_last — exactly what a packed-training loader
+    * reconstructs).
+    *
+    * Scale: the prefix sum is NOT one global window (a single-partition
+    * sort over the corpus — the w6 trap). It is the w6b two-level
+    * decomposition with integer (hence associative-exact) addition:
+    * per-(doc_id div chunkDocs) local cumsums in parallel, a tiny
+    * window over CHUNK TOTALS (corpus/chunkDocs rows) for offsets, and
+    * a broadcastable stitch. Token counts are t4's whitespace tokens —
+    * ONE definition, two consumers.
+    */
+  def packSequences(spark: SparkSession, dir: String, seqLen: Int = 2048,
+      chunkDocs: Long = 4096): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("chunk", floor(col("doc_id") / chunkDocs).cast("long"))
+    val byChunk = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val locals = toks.withColumn("local_cum", sum(col("n_tokens")).over(byChunk))
+    val wChunks = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("ctot"))
+      .withColumn("off", sum(col("ctot")).over(wChunks))
+      .select(col("chunk"), col("off"))
+    // integer `div`, not `/`: token prefix totals stay exact at any
+    // corpus size (the nanos-epoch discipline applied to offsets)
+    locals.join(broadcast(offsets), Seq("chunk"))
+      .withColumn("cum", col("local_cum") + coalesce(col("off"), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${seqLen}L").as("seq_first"),
+        expr(s"(cum - 1) div ${seqLen}L").as("seq_last"),
+        pmod(col("cum") - col("n_tokens"), lit(seqLen.toLong)).as("seq_offset"))
+  }
+
+  /** T23B — the packed-sequence MANIFEST: [[packSequences]]'s per-doc
+    * placement exploded to one row per (sequence, document-slice) — the
+    * exact record a packing writer emits: which token range of which doc
+    * fills which positions of which sequence. Generated map-side from
+    * the placement columns (sequence(seq_first, seq_last) explode; slice
+    * bounds are pure arithmetic on the sequence boundaries), so the
+    * manifest costs one narrow generator pass, never a re-tokenization.
+    */
+  def packSequencesManifest(spark: SparkSession, dir: String,
+      seqLen: Int = 2048, chunkDocs: Long = 4096): DataFrame = {
+    val sl = lit(seqLen.toLong)
+    packSequences(spark, dir, seqLen, chunkDocs)
+      .withColumn("start", col("seq_first") * sl + col("seq_offset"))
+      .withColumn("seq_id", explode(sequence(col("seq_first"), col("seq_last"))))
+      .select(col("seq_id"), col("doc_id"),
+        // token range of THIS doc landing in THIS sequence
+        greatest(col("seq_id") * sl, col("start")).minus(col("start"))
+          .as("tok_from"),
+        (least((col("seq_id") + 1) * sl, col("start") + col("n_tokens"))
+          - col("start")).as("tok_until"),
+        pmod(greatest(col("seq_id") * sl, col("start")), sl).as("pos_in_seq"))
+  }
 }

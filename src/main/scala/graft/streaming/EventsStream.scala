@@ -510,8 +510,27 @@ object EventsStream {
       indexName: String, labelTable: String, documents: DataFrame,
       threshold: Double = 0.8, name: String = "takedown",
       maxFilesPerTrigger: Int = 1): DataFrame = {
+    runTakedownStreamTargets(spark, takedownDir,
+      graft.operators.Takedown.Targets(
+        nearDupIndex = Some(indexName),
+        labelTable = Some(labelTable),
+        labelThreshold = threshold,
+        documents = Some(documents.localCheckpoint())),
+      name, maxFilesPerTrigger)
+    spark.table(labelTable)
+  }
+
+  /** The fully-general takedown stream: every state class registered in
+    * `targets` — all four dedup indexes, the ANN store, labels,
+    * subtractive aggregates, sketch cells, the corpus tree — is
+    * maintained by the SAME per-batch facade call, so a compliance
+    * deployment streams deletions into its whole estate through one
+    * query. Returns the takedown log table name.
+    */
+  def runTakedownStreamTargets(spark: SparkSession, takedownDir: String,
+      targets: graft.operators.Takedown.Targets, name: String = "takedown",
+      maxFilesPerTrigger: Int = 1): String = {
     import graft.operators.Dedup
-    val docStore = documents.localCheckpoint()
     val src = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -526,11 +545,6 @@ object EventsStream {
     // the per-batch core IS the unified facade (graft.operators.Takedown):
     // batch-identity-scoped replay dedup, per-class retraction fan-out,
     // apply-then-log — streaming and batch takedowns share one code path
-    val targets = graft.operators.Takedown.Targets(
-      nearDupIndex = Some(indexName),
-      labelTable = Some(labelTable),
-      labelThreshold = threshold,
-      documents = Some(docStore))
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Takedown(spark, batch, targets, logTable, batchId)
@@ -539,7 +553,7 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(labelTable)
+    logTable
   }
 
   /** Run the streaming delta dedup over a shard directory to completion

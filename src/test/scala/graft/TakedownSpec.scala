@@ -129,4 +129,69 @@ class TakedownSpec extends SparkSuite {
         new java.io.File(corpusPath).getParentFile)
     }
   }
+
+  test("full-estate takedown STREAM: facade targets maintained per micro-batch; replay no-op") {
+    import spark.implicits._
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    val docs = (0L to 11L).map(i =>
+        (i, noise(i), if (i % 2 == 0) "en" else "de", s"s${i % 3}", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").localCheckpoint()
+    val nm = Map("nd" -> "tdst_nd", "st" -> "tdst_st", "sk" -> "tdst_sk")
+    val log = "tdst_log"
+    val corpusPath = java.nio.file.Files.createTempDirectory("tdst_corpus").toString + "/tree"
+    val tdDir = java.nio.file.Files.createTempDirectory("tdst_reqs").toString
+    allTables(nm, log).foreach(t => ops.dropTableAndLocation(spark, t))
+    ops.saveNearDupIndex(ops.buildNearDupIndex(docs), nm("nd"), buckets = 4)
+    docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .write.saveAsTable(nm("st"))
+    docs.groupBy(col("lang"))
+      .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
+      .write.saveAsTable(nm("sk"))
+    graft.emit.CorpusWriter.write(docs, corpusPath)
+    val targets = td.Targets(
+      nearDupIndex = Some(nm("nd")), docStatsTable = Some(nm("st")),
+      sketchCellsTable = Some(nm("sk")), corpusPath = Some(corpusPath),
+      documents = Some(docs))
+    // two takedown request files → two micro-batches
+    Seq(2L, 5L).toDF("doc_id").coalesce(1).write.mode("append").parquet(tdDir)
+    Seq(8L).toDF("doc_id").coalesce(1).write.mode("append").parquet(tdDir)
+    try {
+      val logT = graft.streaming.EventsStream.runTakedownStreamTargets(
+        spark, tdDir, targets, name = "tdst")
+      assert(logT == log)
+      val retained = docs.filter(!col("doc_id").isin(2L, 5L, 8L))
+      // every registered class equals its recompute over corpus ∖ removed
+      assert(ops.loadNearDupIndex(spark, nm("nd")).shingles
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ==
+        (0L to 11L).toSet -- Set(2L, 5L, 8L))
+      def statsMap() = spark.table(nm("st")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(statsMap() == retained.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
+      def cellMap() = spark.table(nm("sk")).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+      assert(cellMap() == retained.groupBy(col("lang"))
+        .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk")).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap)
+      assert(spark.read.parquet(corpusPath).select("doc_id").collect()
+        .map(_.getLong(0)).toSet == (0L to 11L).toSet -- Set(2L, 5L, 8L))
+      spark.catalog.refreshTable(log)
+      assert(spark.table(log).select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(2L, 5L, 8L))
+      // replay of the whole stream (fresh run, same files): global no-op
+      val statsBefore = statsMap(); val cellsBefore = cellMap()
+      graft.streaming.EventsStream.runTakedownStreamTargets(
+        spark, tdDir, targets, name = "tdst")
+      assert(statsMap() == statsBefore && cellMap() == cellsBefore)
+      spark.catalog.refreshTable(log)
+      assert(spark.table(log).count() == 3, "replay must not re-log")
+    } finally {
+      allTables(nm, log).foreach(t => ops.dropTableAndLocation(spark, t))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(corpusPath).getParentFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tdDir))
+    }
+  }
 }
