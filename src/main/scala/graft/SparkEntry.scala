@@ -384,6 +384,11 @@ object SparkEntry {
     // doc-slice), generated map-side from the placement columns
     "t23b_sequence_manifest" -> ((s, d) =>
       TextAnalysis.packSequencesManifest(s, d).orderBy("seq_id", "doc_id")),
+    // incremental packing: monotone ids pack strictly after the base, so
+    // the persisted base state is ONE number (the token total) — shard
+    // placements == full recompute restricted to the shard
+    "t23c_sequence_pack_delta" -> ((s, d) =>
+      TextAnalysis.packSequencesDelta(s, d).orderBy("doc_id")),
     "t6_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d).orderBy("lang", "source")),
     "t7_repetition" -> ((s, d) => TextAnalysis.repetition(s, d).orderBy("doc_id")),
     "t8_filter_funnel" -> ((s, d) => TextAnalysis.filterFunnel(s, d)),
@@ -1993,6 +1998,16 @@ object SparkEntry {
         |  (cum - 1) // 2048 AS seq_last,
         |  (cum - n_tokens) % 2048 AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // the incremental identity: delta(base total, shard) == full
+    // recompute restricted to the shard (prefix sums are associative)
+    "t23c_sequence_pack_delta" ->
+      """WITH t AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+        |SELECT doc_id, n_tokens,
+        |  (cum - n_tokens) // 2048 AS seq_first,
+        |  (cum - 1) // 2048 AS seq_last,
+        |  (cum - n_tokens) % 2048 AS seq_offset
+        |FROM c WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin,
     "t23b_sequence_manifest" ->
       """WITH t AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t),

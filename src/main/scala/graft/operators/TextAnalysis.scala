@@ -758,6 +758,51 @@ object TextAnalysis {
         pmod(col("cum") - col("n_tokens"), lit(seqLen.toLong)).as("seq_offset"))
   }
 
+  /** T23C — INCREMENTAL packing, the d13 ingest pattern for t23: ids are
+    * assigned monotonically, so a new shard packs strictly AFTER the
+    * base corpus, and its placements depend on the base only through ONE
+    * NUMBER — the base token total. That is the entire persisted state
+    * (a one-row table, built through the real disk path once per
+    * session, the i6 convention): per-shard cost is the shard's own
+    * two-level prefix sum plus a broadcast of one row — no base rescan,
+    * no repacking, and already-written sequences never move (the
+    * append-only property that makes concat-and-chunk the production
+    * packing). Oracle: t23's full-recompute SQL restricted to the shard.
+    */
+  def packSequencesDelta(spark: SparkSession, dir: String,
+      splitId: Long = 400, seqLen: Int = 2048,
+      chunkDocs: Long = 4096): DataFrame = {
+    val stateTable = graft.SessionCache.getOrElseUpdate(spark,
+        ("packBaseTotal", dir, splitId)) {
+      val t = f"pack_base_${splitId}_${dir.hashCode & 0xffffffffL}%x"
+      graft.operators.Dedup.dropTableAndLocation(spark, t)
+      Tables.documents(spark, dir).filter(col("doc_id") < splitId)
+        .agg(coalesce(sum(size(tokens(col("text"))).cast("long")), lit(0L))
+          .as("base_total"))
+        .write.saveAsTable(t)
+      t
+    }.asInstanceOf[String]
+    val shard = Tables.documents(spark, dir).filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("chunk", floor(col("doc_id") / chunkDocs).cast("long"))
+    val byChunk = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val locals = shard.withColumn("local_cum", sum(col("n_tokens")).over(byChunk))
+    val wChunks = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = shard.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("ctot"))
+      .withColumn("off", sum(col("ctot")).over(wChunks))
+      .select(col("chunk"), col("off"))
+    locals.join(broadcast(offsets), Seq("chunk"))
+      .crossJoin(broadcast(spark.table(stateTable)))
+      .withColumn("cum", col("local_cum") + coalesce(col("off"), lit(0L))
+        + col("base_total"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${seqLen}L").as("seq_first"),
+        expr(s"(cum - 1) div ${seqLen}L").as("seq_last"),
+        pmod(col("cum") - col("n_tokens"), lit(seqLen.toLong)).as("seq_offset"))
+  }
+
   /** T23B — the packed-sequence MANIFEST: [[packSequences]]'s per-doc
     * placement exploded to one row per (sequence, document-slice) — the
     * exact record a packing writer emits: which token range of which doc

@@ -524,6 +524,27 @@ class PlanSpec extends SparkSuite {
     assert(!d24.contains("CartesianProduct"), "d24 went cartesian")
     assert(d24.split("BroadcastNestedLoopJoin").length <= 2,
       "d24 has a nested-loop join beyond the one-row recall assembly")
+    // d25/d26: the new retraction families keep d22's shape — the
+    // tombstone filter is a broadcast anti-join, nothing goes cartesian
+    val d25 = executedPlan(graft.operators.Dedup
+      .deltaSimhashGateRemoved(spark, dir).orderBy("id_a", "id_b"))
+    assert(d25.contains("LeftAnti"),
+      s"d25 tombstone filter missing:\n${d25.take(1500)}")
+    assert(!d25.contains("CartesianProduct"), "d25 went cartesian")
+    val d26 = executedPlan(graft.operators.Dedup
+      .deltaEmbeddingGateRemoved(spark, dir).orderBy("id_a", "id_b"))
+    assert(d26.contains("LeftAnti"),
+      s"d26 tombstone filter missing:\n${d26.take(1500)}")
+    assert(!d26.contains("CartesianProduct"), "d26 went cartesian")
+    // t23: the packing prefix sum must be the TWO-LEVEL decomposition —
+    // a (chunk)-partitioned window plus a broadcast stitch, never one
+    // global single-partition window over every document
+    val t23 = executedPlan(graft.operators.TextAnalysis
+      .packSequences(spark, dir).orderBy("doc_id"))
+    assert(t23.contains("chunk#"),
+      s"t23 lost its chunk partitioning:\n${t23.take(1500)}")
+    assert(t23.contains("BroadcastHashJoin"),
+      s"t23 stitch must broadcast the chunk offsets:\n${t23.take(1500)}")
     // d31: the tenant-partitioned INDEX scans (banded + shingles) must
     // prune to the tenant's directories at planning time — both scans
     // carry the tenant predicate in PartitionFilters, so another
