@@ -389,6 +389,11 @@ object SparkEntry {
     // placements == full recompute restricted to the shard
     "t23c_sequence_pack_delta" -> ((s, d) =>
       TextAnalysis.packSequencesDelta(s, d).orderBy("doc_id")),
+    // dedup -> pack, end to end: only d19's cluster-canonical survivors
+    // pack; the oracle recomputes pair graph + survivor window + prefix
+    // sum, gating the composition, not just the parts
+    "t24_deduped_pack" -> ((s, d) =>
+      TextAnalysis.packDeduped(s, d).orderBy("doc_id")),
     "t6_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d).orderBy("lang", "source")),
     "t7_repetition" -> ((s, d) => TextAnalysis.repetition(s, d).orderBy("doc_id")),
     "t8_filter_funnel" -> ((s, d) => TextAnalysis.filterFunnel(s, d)),
@@ -2008,6 +2013,21 @@ object SparkEntry {
         |  (cum - 1) // 2048 AS seq_last,
         |  (cum - n_tokens) % 2048 AS seq_offset
         |FROM c WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin,
+    // dedup -> pack composition: d19's survivor set (full recursive
+    // recompute, run verbatim as a subquery so the two gates can never
+    // drift), then the same prefix-sum placement over survivors only
+    "t24_deduped_pack" ->
+      s"""WITH kept AS (SELECT doc_id FROM (
+         |${clusterCanonicalSql.stripSuffix("ORDER BY l.doc_id")}
+         |) cq WHERE keep),
+         |tt AS (SELECT d.doc_id, CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents d SEMI JOIN kept USING (doc_id)),
+         |c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM tt)
+         |SELECT doc_id, n_tokens,
+         |  (cum - n_tokens) // 2048 AS seq_first,
+         |  (cum - 1) // 2048 AS seq_last,
+         |  (cum - n_tokens) % 2048 AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
     "t23b_sequence_manifest" ->
       """WITH t AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t),

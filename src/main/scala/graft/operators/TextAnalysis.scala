@@ -736,9 +736,18 @@ object TextAnalysis {
     * ONE definition, two consumers.
     */
   def packSequences(spark: SparkSession, dir: String, seqLen: Int = 2048,
-      chunkDocs: Long = 4096): DataFrame = {
-    val toks = Tables.documents(spark, dir).select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      chunkDocs: Long = 4096): DataFrame =
+    packingOf(Tables.documents(spark, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens")), seqLen, chunkDocs)
+
+  /** The t23 placement core over an arbitrary (doc_id, n_tokens) frame —
+    * one prefix-sum machine, three consumers (full corpus, curated
+    * subset, incremental shard).
+    */
+  private def packingOf(toks0: DataFrame, seqLen: Int,
+      chunkDocs: Long): DataFrame = {
+    val toks = toks0
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("chunk", floor(col("doc_id") / chunkDocs).cast("long"))
     val byChunk = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -757,6 +766,25 @@ object TextAnalysis {
         expr(s"(cum - 1) div ${seqLen}L").as("seq_last"),
         pmod(col("cum") - col("n_tokens"), lit(seqLen.toLong)).as("seq_offset"))
   }
+
+  /** T24 — DEDUP → PACK, the end-to-end composition a training run
+    * actually executes: only the d19 cluster-canonical survivors pack
+    * (near-dup cluster non-representatives drop — 24 docs at sf0.01),
+    * through the same placement core. The keep rule is d19's single
+    * shared definition, so the composition gate fails if EITHER the
+    * dedup decision or the placement arithmetic drifts — the oracle
+    * recomputes the full pair graph, the survivor window, AND the prefix
+    * sum end to end.
+    */
+  def packDeduped(spark: SparkSession, dir: String, seqLen: Int = 2048,
+      chunkDocs: Long = 4096): DataFrame =
+    packingOf(
+      graft.operators.Dedup.clusterCanonical(spark, dir)
+        .filter(col("keep")).select(col("doc_id"))
+        .join(Tables.documents(spark, dir).select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+          Seq("doc_id")),
+      seqLen, chunkDocs)
 
   /** T23C — INCREMENTAL packing, the d13 ingest pattern for t23: ids are
     * assigned monotonically, so a new shard packs strictly AFTER the
