@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -554,6 +555,92 @@ object EventsStream {
       .start()
     q.awaitTermination()
     logTable
+  }
+
+  /** STREAMING sequence packing — the ingest loop's member of the t23
+    * family: each micro-batch of arriving documents gets its placements
+    * from the persisted token TOTAL (t23c's one-number state) and the
+    * total advances; already-written placements never move (the
+    * append-only property of concat-and-chunk in id order). Per batch:
+    *
+    *   1. skip if the state row's batch_id ≥ this batch (crash-refire);
+    *   2. placements = batch-local prefix sum + stored total (the batch
+    *      is trigger-bounded, so one batch-level window is the honest
+    *      plan — the corpus-level two-level machinery lives in t23);
+    *   3. placements land via DYNAMIC PARTITION OVERWRITE of this
+    *      batch's partition — a refire that recomputes them overwrites
+    *      its own partition with identical rows, never duplicates;
+    *   4. the state row advances by GENERATION SWAP to (batchId, total').
+    *
+    * Write-placements-then-advance ordering makes every crash window
+    * safe: placements without the advance refire into an identical
+    * overwrite; an advance without a crash needs nothing. Requires the
+    * monotone-id ingest contract (ids in a later batch exceed earlier
+    * ones — how packing stays append-only at all); StreamingSpec asserts
+    * stream == batch recompute and replay is a no-op.
+    */
+  def runPackingStream(spark: SparkSession, shardDir: String,
+      name: String = "packing", seqLen: Int = 2048,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.Dedup
+    val stateT = s"${name}_state"
+    val outT = s"${name}_placements"
+    if (!spark.catalog.tableExists(stateT)) {
+      Seq(stateT, s"${stateT}__gen", outT).foreach(t =>
+        Dedup.dropTableAndLocation(spark, t))
+      import spark.implicits._
+      Seq((-1L, 0L)).toDF("batch_id", "total").write.saveAsTable(stateT)
+    }
+    val q = documentSource(spark, shardDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        spark.catalog.refreshTable(stateT)
+        val st = spark.table(stateT).head()
+        if (st.getAs[Long]("batch_id") < batchId) {
+          val total = st.getAs[Long]("total")
+          val toks = batch.select(col("doc_id"),
+              size(graft.functions.Exprs.tokens(col("text"))).cast("long").as("n_tokens"))
+            .localCheckpoint()
+          val w = Window.orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val placed = toks
+            .withColumn("cum", sum(col("n_tokens")).over(w) + total)
+            .select(col("doc_id"), col("n_tokens"),
+              expr(s"(cum - n_tokens) div ${seqLen}L").as("seq_first"),
+              expr(s"(cum - 1) div ${seqLen}L").as("seq_last"),
+              pmod(col("cum") - col("n_tokens"), lit(seqLen.toLong)).as("seq_offset"),
+              lit(batchId).as("batch_id"))
+            .localCheckpoint()
+          val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try {
+            if (!spark.catalog.tableExists(outT))
+              placed.write.partitionBy("batch_id").saveAsTable(outT)
+            else {
+              spark.catalog.refreshTable(outT)
+              placed.write.mode("overwrite").insertInto(outT)
+            }
+          } finally prior match {
+            case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+          val newTotal = total +
+            toks.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
+          val tmp = s"${stateT}__gen"
+          Dedup.recoverGenerationSwap(spark, stateT, tmp)
+          Dedup.dropTableAndLocation(spark, tmp)
+          import spark.implicits._
+          Seq((batchId, newTotal)).toDF("batch_id", "total")
+            .write.saveAsTable(tmp)
+          Dedup.dropTableAndLocation(spark, stateT)
+          spark.sql(s"ALTER TABLE $tmp RENAME TO $stateT")
+          spark.catalog.refreshTable(stateT)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(outT)
+    spark.table(outT)
   }
 
   /** Run the streaming delta dedup over a shard directory to completion

@@ -194,4 +194,52 @@ class TakedownSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tdDir))
     }
   }
+
+  test("streaming packing == batch packing; replay is a no-op; placements never move") {
+    import spark.implicits._
+    def mkDocs(ids: Seq[Long]) = ids.map(i =>
+        (i, (1 to (5 + (i % 7)).toInt).map(j => s"w${i}_$j").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val shardDir = java.nio.file.Files.createTempDirectory("pack_stream").toString
+    // three batches with MONOTONE ids (the packing contract)
+    mkDocs(0L to 4L).coalesce(1).write.mode("append").parquet(shardDir)
+    Thread.sleep(1100) // file-source ordering is mtime-based
+    mkDocs(5L to 8L).coalesce(1).write.mode("append").parquet(shardDir)
+    Thread.sleep(1100)
+    mkDocs(9L to 12L).coalesce(1).write.mode("append").parquet(shardDir)
+    Seq("pks_state", "pks_state__gen", "pks_placements").foreach(t =>
+      ops.dropTableAndLocation(spark, t))
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "n_tokens", "seq_first", "seq_last", "seq_offset")
+          .collect().map(_.toSeq).toSet
+      val streamed = rows(graft.streaming.EventsStream.runPackingStream(
+        spark, shardDir, name = "pks", seqLen = 16))
+      // == the batch recompute over the union (seqLen 16 so docs straddle)
+      val docsDir = java.nio.file.Files.createTempDirectory("pack_batch").toString
+      mkDocs(0L to 12L).coalesce(1).write.parquet(s"$docsDir/out")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$docsDir/out"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$docsDir/documents.parquet"))
+      val batch = rows(graft.operators.TextAnalysis.packSequences(
+        spark, docsDir, seqLen = 16))
+      assert(streamed == batch, "streamed placements != batch recompute")
+      assert(streamed.exists(r => r(2) != r(3)), "fixture must straddle cuts")
+      // replay: fresh run over the same files — placements bit-identical,
+      // state unmoved
+      val st1 = spark.table("pks_state").collect().map(_.toSeq).toSeq
+      val replayed = rows(graft.streaming.EventsStream.runPackingStream(
+        spark, shardDir, name = "pks", seqLen = 16))
+      assert(replayed == streamed)
+      spark.catalog.refreshTable("pks_state")
+      assert(spark.table("pks_state").collect().map(_.toSeq).toSeq == st1)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(docsDir))
+    } finally {
+      Seq("pks_state", "pks_state__gen", "pks_placements").foreach(t =>
+        ops.dropTableAndLocation(spark, t))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(shardDir))
+    }
+  }
 }
