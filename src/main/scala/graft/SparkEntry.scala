@@ -1999,9 +1999,9 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
         |SELECT doc_id, n_tokens,
-        |  (cum - n_tokens) // 2048 AS seq_first,
-        |  (cum - 1) // 2048 AS seq_last,
-        |  (cum - n_tokens) % 2048 AS seq_offset
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
+        |  CAST((cum - 1) // 2048 AS BIGINT) AS seq_last,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
     // the incremental identity: delta(base total, shard) == full
     // recompute restricted to the shard (prefix sums are associative)
@@ -2009,9 +2009,9 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
         |SELECT doc_id, n_tokens,
-        |  (cum - n_tokens) // 2048 AS seq_first,
-        |  (cum - 1) // 2048 AS seq_last,
-        |  (cum - n_tokens) % 2048 AS seq_offset
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
+        |  CAST((cum - 1) // 2048 AS BIGINT) AS seq_last,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
         |FROM c WHERE doc_id >= 400 ORDER BY doc_id""".stripMargin,
     // dedup -> pack composition: d19's survivor set (full recursive
     // recompute, run verbatim as a subquery so the two gates can never
@@ -2024,21 +2024,21 @@ object SparkEntry {
          |  FROM documents d SEMI JOIN kept USING (doc_id)),
          |c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM tt)
          |SELECT doc_id, n_tokens,
-         |  (cum - n_tokens) // 2048 AS seq_first,
-         |  (cum - 1) // 2048 AS seq_last,
-         |  (cum - n_tokens) % 2048 AS seq_offset
+         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
+         |  CAST((cum - 1) // 2048 AS BIGINT) AS seq_last,
+         |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
     "t23b_sequence_manifest" ->
       """WITH t AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t),
         |m AS (SELECT doc_id, n_tokens, cum - n_tokens AS strt,
-        |  (cum - n_tokens) // 2048 AS seq_first, (cum - 1) // 2048 AS seq_last FROM c),
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first, CAST((cum - 1) // 2048 AS BIGINT) AS seq_last FROM c),
         |x AS (SELECT doc_id, strt, n_tokens,
         |  unnest(generate_series(seq_first, seq_last)) AS seq_id FROM m)
         |SELECT seq_id, doc_id,
         |  greatest(seq_id * 2048, strt) - strt AS tok_from,
         |  least((seq_id + 1) * 2048, strt + n_tokens) - strt AS tok_until,
-        |  greatest(seq_id * 2048, strt) % 2048 AS pos_in_seq
+        |  CAST(greatest(seq_id * 2048, strt) % 2048 AS BIGINT) AS pos_in_seq
         |FROM x ORDER BY seq_id, doc_id""".stripMargin,
     "t6_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -2521,12 +2521,9 @@ object Dedup {
     * the query that knows). Empty exact set ⇒ recall 1.0.
     */
   def dedupRecallAudit(spark: SparkSession, dir: String,
-      threshold: Double = 0.8, hotBlockRows: Long = 1L << 17): DataFrame = {
-    val caught = exactJaccardPairs(spark, dir, threshold, hotBlockRows).join(
-      minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")),
-      Seq("id_a", "id_b"), "left_semi")
-    recallRow(exactJaccardPairs(spark, dir, threshold, hotBlockRows), caught)
-  }
+      threshold: Double = 0.8, hotBlockRows: Long = 1L << 17): DataFrame =
+    recallRowOf(exactJaccardPairs(spark, dir, threshold, hotBlockRows),
+      minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")))
 
   /** D24B — the SAMPLED audit, the 100 TB mode the d24 scaladoc
     * promises: exact recall measured over one md5-bucket slice of the
