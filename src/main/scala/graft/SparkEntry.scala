@@ -322,6 +322,11 @@ object SparkEntry {
     "s5_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d).orderBy("probe_id", "rn")),
     "s12_ann_filtered" -> ((s, d) => Similarity.filteredTopK(s, d).orderBy("probe_id", "rn")),
     "s12b_ann_filtered_indexed" -> ((s, d) => Similarity.filteredTopKFromIndex(s, d).orderBy("probe_id", "rn")),
+    // filtered search over the label-PARTITIONED store: the predicate
+    // prunes at planning time (PartitionFilters — the a6b/d31 isolation
+    // for vectors); identical output, s12's oracle verbatim
+    "s18_ann_filtered_partitioned" -> ((s, d) =>
+      Similarity.filteredTopKPartitioned(s, d).orderBy("probe_id", "rn")),
     "s6_ann_kmeans" -> ((s, d) => Similarity.kmeansIvfTopK(s, d).orderBy("probe_id", "rn")),
     // int8 scalar quantization + exact re-rank: candidates scored by the
     // INTEGER quantized dot (portable exactly), top-rerank cut, then the
@@ -2467,6 +2472,7 @@ object SparkEntry {
     "i6_incremental_agg" -> oracleBase("a6_playlist_stats"),
     "s2b_ann_lsh_indexed" -> oracleBase("s2_ann_lsh"),
     "s12b_ann_filtered_indexed" -> oracleBase("s12_ann_filtered"),
+    "s18_ann_filtered_partitioned" -> oracleBase("s12_ann_filtered"),
     "s6b_ann_kmeans_indexed" -> oracleBase("s6_ann_kmeans"),
     "s7b_ann_quantized_indexed" -> oracleBase("s7_ann_quantized"),
     "s11b_ann_pq_indexed" -> oracleBase("s11_ann_pq"),

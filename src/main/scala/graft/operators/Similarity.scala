@@ -137,6 +137,41 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** S18 — the vector store PARTITIONED BY the filter attribute: a6b's
+    * planning-time isolation (and d31's index form) for the similarity
+    * family. At 100 TB a filtered-search deployment whose predicate
+    * column is the partition key never OPENS out-of-slice files — the
+    * per-query scan cost is the slice's size, not the store's — where
+    * s12b's bucketed form still lists every file and prunes row groups.
+    * The gate answers s12's query from the partitioned store (output
+    * identical — pre-filter semantics over the same slice — so s12's
+    * oracle gates it verbatim); PlanSpec asserts the label predicate
+    * lands in the scan's PartitionFilters. Probes read from the shared
+    * prepared-vector cache (nProbes rows; a probe is not a corpus scan).
+    */
+  def filteredTopKPartitioned(spark: SparkSession, dir: String,
+      labelEq: Int = 2, nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val table = graft.SessionCache.getOrElseUpdate(spark,
+        ("annPartitioned", dir)) {
+      val name = f"ann_part_${dir.hashCode & 0xffffffffL}%x"
+      Dedup.dropTableAndLocation(spark, name)
+      preparedEmbeddings(spark, dir).select("vec_id", "v", "n", "label")
+        .write.partitionBy("label").saveAsTable(name)
+      name
+    }.asInstanceOf[String]
+    val probes = preparedEmbeddings(spark, dir).filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    val corpus = spark.table(table).filter(col("label") === labelEq)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** S7 — scalar-quantized ANN, the memory/IO scale tier: symmetric int8
     * quantization q_i = floor(v_i·127/M + 0.5) with M = the corpus max
     * |component| (one tiny broadcast aggregate), candidates scored by the

@@ -562,5 +562,19 @@ class PlanSpec extends SparkSuite {
       .toSeq
     assert(tenantPfs.size >= 2 && tenantPfs.forall(_.contains("= 0")),
       s"tenant predicate not pruning both index scans:\n${d31.take(2500)}")
+    // s18: the filtered-search predicate must prune the label-partitioned
+    // vector store at planning time
+    val s18 = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) {
+        graft.operators.Similarity.filteredTopKPartitioned(spark, dir)
+          .orderBy("probe_id", "rn").explain("formatted")
+      }
+      out.toString
+    }
+    val labelPf = s18.linesIterator
+      .filter(_.contains("PartitionFilters")).filter(_.contains("label")).toSeq
+    assert(labelPf.nonEmpty && labelPf.exists(_.contains("= 2")),
+      s"label predicate not in the partitioned store's PartitionFilters:\n${s18.take(2500)}")
   }
 }

@@ -389,4 +389,75 @@ class PropertiesSpec extends SparkSuite {
         s"trial $trial parts=$parts")
     }
   }
+
+  test("property: packing placements are a partition of the token stream (random corpora)") {
+    // random doc sets (sparse ids, random token counts) at small seqLens:
+    // the placement invariants a loader depends on, independent of the
+    // oracle's prefix-sum formulation
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 4) {
+      val seqLen = Seq(8, 16, 32, 64)(trial - 1)
+      val nDocs = 20 + rnd.nextInt(60)
+      val ids = scala.collection.mutable.SortedSet.empty[Long]
+      while (ids.size < nDocs) ids += rnd.nextInt(10000).toLong
+      val docs = ids.toSeq.map(i =>
+        (i, (1 to (1 + rnd.nextInt(3 * seqLen))).map(j => s"t${i}_$j").mkString(" "),
+          "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val root = java.nio.file.Files.createTempDirectory(s"pack_prop$trial").toString
+      docs.coalesce(1).write.parquet(s"$root/out")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/out"))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$root/documents.parquet"))
+      val placed = graft.operators.TextAnalysis
+        .packSequences(spark, root, seqLen = seqLen, chunkDocs = 7)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // 1. contiguity: each doc starts exactly where the previous ended
+      var cursor = 0L
+      placed.foreach { case (id, n, first, last, off) =>
+        assert(first * seqLen + off == cursor, s"doc $id not contiguous")
+        assert(off >= 0 && off < seqLen, s"doc $id offset $off out of range")
+        assert(last == (cursor + n - 1) / seqLen, s"doc $id wrong last seq")
+        cursor += n
+      }
+      // 2. the manifest slices PARTITION each document's tokens exactly
+      val manifest = graft.operators.TextAnalysis
+        .packSequencesManifest(spark, root, seqLen = seqLen, chunkDocs = 7)
+        .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val byDoc = manifest.groupBy(_._1)
+      val nTok = placed.map(p => p._1 -> p._2).toMap
+      byDoc.foreach { case (id, slices) =>
+        val sorted = slices.sortBy(_._3)
+        assert(sorted.head._3 == 0 && sorted.last._4 == nTok(id),
+          s"doc $id slices don't span the doc")
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._4 == b._3, s"doc $id slice gap")
+          case _ => ()
+        }
+        // slice lengths never exceed a sequence and positions stay in range
+        sorted.foreach { case (_, _, f, u, pos) =>
+          assert(u > f && u - f <= seqLen && pos >= 0 && pos < seqLen)
+        }
+      }
+      // 3. every sequence's slices tile it without overlap (full seqs
+      // exactly seqLen; the last may be partial)
+      val bySeq = manifest.groupBy(_._2)
+      val lastSeq = bySeq.keys.max
+      bySeq.foreach { case (seq, slices) =>
+        val spans = slices.map(s => (s._5, s._5 + (s._4 - s._3))).sortBy(_._1)
+        assert(spans.head._1 == 0, s"seq $seq doesn't start at 0")
+        spans.sliding(2).foreach {
+          case Array(a, b) => assert(a._2 == b._1, s"seq $seq tile gap/overlap")
+          case _ => ()
+        }
+        if (seq < lastSeq) assert(spans.last._2 == seqLen, s"seq $seq not full")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
 }
