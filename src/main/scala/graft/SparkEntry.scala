@@ -284,6 +284,11 @@ object SparkEntry {
     // files (PlanSpec asserts PartitionFilters on both index scans)
     "d31_tenant_index" -> ((s, d) =>
       Dedup.tenantDeltaNearDups(s, d).orderBy("id_a", "id_b")),
+    // the takedown composed with tenant isolation: tombstones filter the
+    // tenant's slice (the partition pruning survives — the tombstone
+    // anti-join broadcasts), removed docs pair with nothing
+    "d31b_tenant_remove" -> ((s, d) =>
+      Dedup.tenantDeltaNearDupsRemoved(s, d).orderBy("id_a", "id_b")),
     // retraction through the LABEL store: removal deletes vertices, so
     // touched components re-label (splits included) while untouched
     // clusters serve from the persisted state; oracle = d19's canonical
@@ -445,6 +450,9 @@ object SparkEntry {
     // chroma, one block per grid cell) — m4's oracle verbatim
     "m4c_image_neardup_jpeg" -> ((s, d) =>
       Multimodal.imageNearDupsJpeg(s, d).orderBy("id_a", "id_b")),
+    // the d28 banding-recall audit for the perceptual family: image
+    // dHashes at Hamming 5, exact side via the shared 8-bit re-blocking
+    "m7_image_band_recall" -> ((s, d) => Multimodal.imageBandRecall(s, d)),
     // video near-dup: per-frame dHash over '00db' DIB chunks decoded from
     // real AVI bytes, shared-keyframe count join (boilerplate frames
     // df-filtered first, the d12 pattern) — the oracle replays frame
@@ -1252,6 +1260,20 @@ object SparkEntry {
          |FROM pairs JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
          |WHERE (xa.bucket >= 200 OR xb.bucket >= 200)
          |  AND id_a % 2 = 0 AND id_b % 2 = 0
+         |ORDER BY id_a, id_b""".stripMargin,
+    // ... and with a takedown folded in: indexed-side members of the
+    // removed class (doc_id ≡ 8 mod 14 within the tenant) excluded —
+    // corpus ∖ removed restricted to the tenant
+    "d31b_tenant_remove" ->
+      s"""$shinglesCte,
+         |$lshPairsCtes,
+         |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+         |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b, jaccard
+         |FROM pairs JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+         |WHERE (xa.bucket >= 200 OR xb.bucket >= 200)
+         |  AND id_a % 2 = 0 AND id_b % 2 = 0
+         |  AND NOT (xa.bucket < 200 AND id_a % 14 = 8)
+         |  AND NOT (xb.bucket < 200 AND id_b % 14 = 8)
          |ORDER BY id_a, id_b""".stripMargin,
     // the appended+compacted index holds exactly the bucket<200 docs the
     // d13 index holds (base save + one appended slice), so the delta
@@ -2297,6 +2319,38 @@ object SparkEntry {
          |FROM dh a JOIN dh b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
+    },
+    // the d28 banding recall over the image dHashes: exact side brute
+    // (the Spark side's 8-bit re-blocking is pigeonhole-exact through 7,
+    // so the two exact sides coincide), banded side = the 16-bit chunks
+    "m7_image_band_recall" -> {
+      def g(x: Int, y: Int): String = {
+        val md5 = s"md5('px:' || (doc_id // 4) || ':' || ${x * 8 + y})"
+        val pert = if (x == 2 && y == 3)
+          " + (CASE WHEN doc_id % 4 = 3 THEN 37 ELSE 0 END)" else ""
+        s"(((${hexv(s"substr($md5, 1, 1)")} * 16 + ${hexv(s"substr($md5, 2, 1)")}) % 200)" +
+          s" + (doc_id % 4) * 5$pert)"
+      }
+      val bits = (0 until 64).map { i =>
+        val x = i % 8; val y = i / 8
+        s"(CASE WHEN ${g(x + 1, y)} > ${g(x, y)} THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH dh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM documents),
+         |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 5),
+         |banded AS (SELECT doc_id, simhash, bb.b, (simhash >> (bb.b * 16)) & 65535 AS chunk
+         |  FROM dh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |ap AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM banded a JOIN banded b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex SEMI JOIN ap USING (id_a, id_b)),
+         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+         |SELECT n_exact, n_caught,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
+         |FROM nx CROSS JOIN ct""".stripMargin
     },
     // video near-dup: the m5 gallery's frame pixels are
     // (vid // 2, f)-seeded md5 arithmetic (Multimodal.videoFramePixel),

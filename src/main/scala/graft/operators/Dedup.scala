@@ -1180,15 +1180,66 @@ object Dedup {
         Seq("doc_id"))
       t
     }.asInstanceOf[String]
-    val index = NearDupIndex(
-      spark.table(s"${name}_banded").filter(col("tenant") === tenant)
-        .drop("tenant"),
-      spark.table(s"${name}_shingles").filter(col("tenant") === tenant)
-        .drop("tenant"),
-      3, 3)
     deltaNearDupsFromShingles(
       sh.filter(bucket >= splitAt && pmod(col("doc_id"), lit(nTenants)) === tenant),
-      index, threshold)
+      loadTenantNearDupIndex(spark, name, tenant), threshold)
+  }
+
+  /** One tenant's slice of the partitioned index, tombstone-filtered
+    * like [[loadNearDupIndex]]: the tenant predicate prunes partitions
+    * at planning time AND pending takedowns serve anti-joined — the d22
+    * serving contract composed with d31's isolation.
+    */
+  private[graft] def loadTenantNearDupIndex(spark: SparkSession,
+      name: String, tenant: Int): NearDupIndex = {
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+    NearDupIndex(
+      minusTombstones(spark.table(s"${name}_banded")
+        .filter(col("tenant") === tenant).drop("tenant"), ts, "doc_id"),
+      minusTombstones(spark.table(s"${name}_shingles")
+        .filter(col("tenant") === tenant).drop("tenant"), ts, "doc_id"),
+      3, 3)
+  }
+
+  /** D31B — a TAKEDOWN against the tenant-partitioned index: tombstone
+    * the doc_id ≡ 8 (mod 14) slice of the tenant's indexed docs
+    * ([[removeFromNearDupIndex]] works unchanged — tombstones are
+    * id-keyed, layout-agnostic), then run the tenant's delta against the
+    * filtered slice. Oracle = d31's SQL with indexed-side members of the
+    * removed class excluded — the full recompute over corpus ∖ removed
+    * restricted to the tenant, composing the d22 takedown contract with
+    * d31's partition isolation.
+    */
+  def tenantDeltaNearDupsRemoved(spark: SparkSession, dir: String,
+      tenant: Int = 0, nTenants: Int = 2, splitAt: Int = 200,
+      threshold: Double = 0.8): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sh = persistedShingleTable(spark, dir)
+    val name = graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantNearDupRemoved", dir, tenant, nTenants, splitAt)) {
+      // the d31 gate's table plus this gate's tombstones — build our own
+      // copy so the two gates can't race each other's tombstone list
+      val t = f"tenant_ndrm_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      val baseSh = sh.filter(bucket < splitAt)
+        .withColumn("tenant", pmod(col("doc_id"), lit(nTenants)))
+        .localCheckpoint()
+      dropTableAndLocation(spark, s"${t}_tombstones")
+      saveTenantBucketedTable(bandedKeys(baseSh.drop("tenant"), 3, 3)
+          .withColumn("tenant", pmod(col("doc_id"), lit(nTenants))),
+        s"${t}_banded", buckets = 8, Seq("band", "bkey"))
+      saveTenantBucketedTable(baseSh, s"${t}_shingles", buckets = 8,
+        Seq("doc_id"))
+      removeFromNearDupIndex(spark, t,
+        Tables.documents(spark, dir)
+          .filter(bucket < splitAt &&
+            pmod(col("doc_id"), lit(nTenants)) === tenant &&
+            col("doc_id") % 14 === 8)
+          .select(col("doc_id")))
+      t
+    }.asInstanceOf[String]
+    deltaNearDupsFromShingles(
+      sh.filter(bucket >= splitAt && pmod(col("doc_id"), lit(nTenants)) === tenant),
+      loadTenantNearDupIndex(spark, name, tenant), threshold)
   }
 
   /** The d22 gate — the RETRACTION lifecycle on disk, both halves in one
@@ -2622,10 +2673,17 @@ object Dedup {
     * without a posting join).
     */
   def simhashBandRecall(spark: SparkSession, dir: String,
+      maxHamming: Int = 5, hotBlockRows: Long = 1L << 17): DataFrame =
+    simhashBandRecallOf(simhash64Cached(spark, dir), maxHamming, hotBlockRows)
+
+  /** The d28 measurement over ANY 64-bit (doc_id, simhash) signature
+    * frame — shared with the perceptual family's m7 (image dHashes ride
+    * the same 16-bit banding and deserve the same audit).
+    */
+  private[operators] def simhashBandRecallOf(sigs: DataFrame,
       maxHamming: Int = 5, hotBlockRows: Long = 1L << 17): DataFrame = {
     require(maxHamming <= 7,
       "the 8-band exact side is pigeonhole-exact only through Hamming 7")
-    val sigs = simhash64Cached(spark, dir)
     val fine = sigs.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(7))).as("b"))
       .withColumn("chunk", expr("(simhash >> (b * 8)) & 255"))

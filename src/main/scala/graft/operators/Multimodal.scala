@@ -194,15 +194,30 @@ object Multimodal {
     * d11 signature cache (the pair search scans it three times).
     */
   def imageNearDups(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = graft.SessionCache.getOrElseUpdate(spark, ("imageDhash", dir)) {
+      maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairsOf(imageDhashSigs(spark, dir), maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+
+  /** The session-shared (doc_id, simhash) dHash signature frame — the
+    * image family's analogue of the simhash64 cache, shared by the pair
+    * search (m4) and the banding recall audit (m7).
+    */
+  private def imageDhashSigs(spark: SparkSession, dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("imageDhash", dir)) {
       imageDHashes(spark, dir)
         .select(col("media_id").as("doc_id"), col("dhash").as("simhash"))
         .persist()
     }
-    Dedup.simhashPairsOf(sigs, maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-  }
+
+  /** M7 — the d28 measurement for the PERCEPTUAL family: image dHashes
+    * ride the same 4×16-bit banding as d11's signatures (pigeonhole-
+    * exact through Hamming 3), so widening the perceptual radius needs
+    * the same measured-recall number before anyone trusts it. Exact side
+    * = the shared 8-bit re-blocking (exact through 7).
+    */
+  def imageBandRecall(spark: SparkSession, dir: String,
+      maxHamming: Int = 5): DataFrame =
+    Dedup.simhashBandRecallOf(imageDhashSigs(spark, dir), maxHamming)
 
   /** The m4 gallery re-rendered as REAL PNG bytes (m4b): the same
     * [[grayPixel]] grid per document, but the payload is a compressed
