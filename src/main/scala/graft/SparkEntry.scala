@@ -332,6 +332,12 @@ object SparkEntry {
     // for vectors); identical output, s12's oracle verbatim
     "s18_ann_filtered_partitioned" -> ((s, d) =>
       Similarity.filteredTopKPartitioned(s, d).orderBy("probe_id", "rn")),
+    // the RETRAIN lifecycle: base index + frozen-model appends, then a
+    // full re-train with a crash-recoverable four-table generation swap;
+    // deterministic training makes retrain(base ∪ appended) == one-shot
+    // training over the full corpus, so s7's oracle gates the lifecycle
+    "s19_ann_retrain" -> ((s, d) =>
+      Similarity.annRetrainSearch(s, d).orderBy("probe_id", "rn")),
     "s6_ann_kmeans" -> ((s, d) => Similarity.kmeansIvfTopK(s, d).orderBy("probe_id", "rn")),
     // int8 scalar quantization + exact re-rank: candidates scored by the
     // INTEGER quantized dot (portable exactly), top-rerank cut, then the
@@ -2527,6 +2533,7 @@ object SparkEntry {
     "s2b_ann_lsh_indexed" -> oracleBase("s2_ann_lsh"),
     "s12b_ann_filtered_indexed" -> oracleBase("s12_ann_filtered"),
     "s18_ann_filtered_partitioned" -> oracleBase("s12_ann_filtered"),
+    "s19_ann_retrain" -> oracleBase("s7_ann_quantized"),
     "s6b_ann_kmeans_indexed" -> oracleBase("s6_ann_kmeans"),
     "s7b_ann_quantized_indexed" -> oracleBase("s7_ann_quantized"),
     "s11b_ann_pq_indexed" -> oracleBase("s11_ann_pq"),

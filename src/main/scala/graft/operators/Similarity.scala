@@ -943,6 +943,89 @@ object Similarity {
       vecIds: DataFrame): Unit =
     Dedup.appendTombstones(spark, s"${name}_tombstones", vecIds, "vec_id")
 
+  private val annTableSuffixes =
+    Seq("_vectors", "_centroids", "_pqbook", "_meta")
+
+  /** RE-TRAIN the serving index — [[annIndexDrift]]'s other half, now an
+    * operator instead of a scaladoc promise: the retained corpus
+    * (appends included, tombstones respected) becomes the new training
+    * set, the whole index rebuilds under the SAME hyperparameters (from
+    * the meta table) as a complete `__gen` generation, and the four
+    * tables swap in. Because training is deterministic over the vector
+    * SET (md5-ranked seeds, corpus-max scale, integer Lloyd), the
+    * retrained index is IDENTICAL to one trained on the full corpus in
+    * one shot — the property the s19 gate checks with s7's oracle.
+    *
+    * Crash safety: `saveAnnIndex` registers `__gen_meta` LAST, so its
+    * presence implies a complete new generation; [[recoverAnnRetrain]]
+    * (run first here) finishes a swap a prior process died inside, or
+    * clears an incomplete `__gen` write. Pending tombstones are
+    * physically absent from the new generation and the list drops.
+    */
+  def retrainAnnIndex(spark: SparkSession, name: String): Unit = {
+    recoverAnnRetrain(spark, name)
+    val meta = spark.table(s"${name}_meta").head()
+    // freeze the retained rows: the new generation's write must not read
+    // the tables its swap replaces
+    val live = loadAnnIndex(spark, name).vectors
+      .select(col("vec_id"), col("label"), col("v"), col("n"))
+      .localCheckpoint()
+    saveAnnIndex(spark, s"${name}__gen", live,
+      meta.getAs[Int]("buckets"), meta.getAs[Int]("k_clusters"),
+      meta.getAs[Int]("iters"), meta.getAs[Int]("n_planes"))
+    annTableSuffixes.foreach { sfx =>
+      Dedup.dropTableAndLocation(spark, s"$name$sfx")
+      spark.sql(s"ALTER TABLE ${name}__gen$sfx RENAME TO $name$sfx")
+      spark.catalog.refreshTable(s"$name$sfx")
+    }
+    Dedup.dropTableAndLocation(spark, s"${name}_tombstones")
+  }
+
+  /** Complete (or clear) a retrain a prior process died inside: a
+    * registered `__gen_meta` means the new generation is COMPLETE (it is
+    * written last), so finishing the per-table swap is always right;
+    * without it, any stray `__gen` tables are an incomplete write and
+    * drop. Idempotent — re-running after any crash point converges.
+    */
+  def recoverAnnRetrain(spark: SparkSession, name: String): Unit =
+    if (spark.catalog.tableExists(s"${name}__gen_meta"))
+      annTableSuffixes.foreach { sfx =>
+        if (spark.catalog.tableExists(s"${name}__gen$sfx")) {
+          Dedup.dropTableAndLocation(spark, s"$name$sfx")
+          spark.sql(s"ALTER TABLE ${name}__gen$sfx RENAME TO $name$sfx")
+          spark.catalog.refreshTable(s"$name$sfx")
+        }
+      }
+    else annTableSuffixes.foreach(sfx =>
+      Dedup.dropTableAndLocation(spark, s"${name}__gen$sfx"))
+
+  /** S19 — the retrain lifecycle on disk: base index (bucket < splitAt),
+    * the rest appended under the FROZEN model (s9's contract — this is
+    * what ages the model), then [[retrainAnnIndex]]. Determinism makes
+    * the identity sharp: retrain(base ∪ appended) == one-shot training
+    * over the full corpus, so the quantized search answers exactly s7's
+    * full-corpus query and s7's oracle gates the whole lifecycle.
+    */
+  private[graft] def annRetrainGateIndex(spark: SparkSession, dir: String,
+      splitAt: Int = 200): AnnIndex =
+    graft.SessionCache.getOrElseUpdate(spark, ("annRetrained", dir, splitAt)) {
+      val e = preparedEmbeddings(spark, dir).select("vec_id", "label", "v", "n")
+      val bucket = graft.operators.TextAnalysis.splitBucket(col("vec_id"))
+      val name = f"ann_rt_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      annTableSuffixes.foreach { sfx =>
+        Dedup.dropTableAndLocation(spark, s"$name$sfx")
+        Dedup.dropTableAndLocation(spark, s"${name}__gen$sfx")
+      }
+      Dedup.dropTableAndLocation(spark, s"${name}_tombstones")
+      saveAnnIndex(spark, name, e.filter(bucket < splitAt))
+      appendAnnIndex(spark, name, e.filter(bucket >= splitAt))
+      retrainAnnIndex(spark, name)
+      loadAnnIndex(spark, name)
+    }.asInstanceOf[AnnIndex]
+
+  def annRetrainSearch(spark: SparkSession, dir: String): DataFrame =
+    quantizedTopKIndexed(annRetrainGateIndex(spark, dir))
+
   /** INCREMENTAL ANN ingest — the d17 shape for the serving index: new
     * embeddings are quantized, cluster-assigned and banded MAP-SIDE
     * against the FROZEN model (scale + centroids + planes from the meta

@@ -270,6 +270,49 @@ class IndexRemoveSpec extends SparkSuite {
     assert(before != rebuilt)
   }
 
+  test("ANN retrain: drift trigger cleared; retrained index == one-shot training; recovery idempotent") {
+    import spark.implicits._
+    val ops = graft.operators.Similarity
+    def vec(id: Long, scale: Double): Array[Double] =
+      Array.tabulate(64)(i => scale * (math.sin(id * 64 + i) +
+        (if (i == (id % 64).toInt) 2.0 else 0.0)))
+    def rows(ids: Seq[Long], scale: Double) = ids.map { id =>
+      val v = vec(id, scale)
+      (id, -1, v, math.sqrt(v.map(x => x * x).sum))
+    }.toDF("vec_id", "label", "v", "n")
+    val tables = Seq("_vectors", "_centroids", "_pqbook", "_meta", "_tombstones")
+    (tables.map(s => s"rtann$s") ++ tables.map(s => s"rtann__gen$s") ++
+      tables.map(s => s"rtfull$s"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      // base on 0..7 at scale 1; append 8..11 at scale 3 → over the
+      // frozen scale, the measured drift trigger must trip
+      ops.saveAnnIndex(spark, "rtann", rows(0L to 7L, 1.0), buckets = 2)
+      ops.appendAnnIndex(spark, "rtann", rows(8L to 11L, 3.0))
+      val drift = ops.annIndexDrift(ops.loadAnnIndex(spark, "rtann")).head()
+      assert(drift.getAs[Boolean]("retrain") && drift.getAs[Long]("n_overscale") == 4L)
+      ops.retrainAnnIndex(spark, "rtann")
+      // the trigger clears: the new scale covers every vector
+      val after = ops.annIndexDrift(ops.loadAnnIndex(spark, "rtann")).head()
+      assert(!after.getAs[Boolean]("retrain") && after.getAs[Long]("n_overscale") == 0L)
+      // determinism: the retrained index answers exactly like one trained
+      // on the full corpus in one shot
+      val full = rows(0L to 7L, 1.0).unionByName(rows(8L to 11L, 3.0))
+      ops.saveAnnIndex(spark, "rtfull", full, buckets = 2)
+      def res(name: String) = ops.quantizedTopKIndexed(
+        ops.loadAnnIndex(spark, name), nProbes = 2, k = 5)
+        .collect().map(_.toSeq).toSet
+      assert(res("rtann") == res("rtfull"), "retrain != one-shot training")
+      // recovery is an idempotent no-op after a completed retrain
+      ops.recoverAnnRetrain(spark, "rtann")
+      assert(res("rtann") == res("rtfull"))
+    } finally {
+      (tables.map(s => s"rtann$s") ++ tables.map(s => s"rtann__gen$s") ++
+        tables.map(s => s"rtfull$s"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ANN index: removed vectors unsearchable, compact deletes, append resurrects") {
     import spark.implicits._
     val ops = graft.operators.Similarity
