@@ -167,6 +167,8 @@ object SparkEntry {
     "d4_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d).orderBy("id_a", "id_b")),
     "d5_simhash" -> ((s, d) => Dedup.simhash(s, d).orderBy("doc_id")),
     "d11_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d).orderBy("id_a", "id_b")),
+    "d11b_simhash_radius5" ->
+      ((s, d) => Dedup.simhashPairsWide(s, d).orderBy("id_a", "id_b")),
     "d12_boilerplate" -> ((s, d) => Dedup.boilerplateChunks(s, d).orderBy("doc_id")),
     "d14_span_scrub" -> ((s, d) => Dedup.spanScrub(s, d).orderBy("doc_id")),
     // winnowed twin: ~(winnow+1)/2x fewer rows into the df shuffle, the
@@ -320,8 +322,14 @@ object SparkEntry {
     // radius (exact side = finer 8-bit bands, still sub-quadratic), the
     // d8 AND-amplified SRP bucket, and d21c's banded SemDeDup margin
     "d28_simhash_recall" -> ((s, d) => Dedup.simhashBandRecall(s, d)),
+    "d28b_simhash_recall_wide" ->
+      ((s, d) => Dedup.simhashBandRecall(s, d, servingBands = 8)),
     "d29_srp_recall" -> ((s, d) => Dedup.srpBucketRecall(s, d)),
+    "d29b_srp_recall_sampled" ->
+      ((s, d) => Dedup.srpBucketRecall(s, d, sampleBuckets = 64)),
     "d30_semdedup_recall" -> ((s, d) => Dedup.semDedupBandRecall(s, d)),
+    "d30b_semdedup_recall_sampled" ->
+      ((s, d) => Dedup.semDedupBandRecall(s, d, sampleBuckets = 64)),
     "s3_label_centroids" -> ((s, d) => Similarity.labelCentroidsFlat(s, d).orderBy("label", "dim_idx")),
     "s4_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d).orderBy("probe_id", "rn")),
     "s5_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d).orderBy("probe_id", "rn")),
@@ -768,6 +776,75 @@ object SparkEntry {
   private val splitBucketSql =
     s"(${hexv("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)")})"
 
+  /** The same md5 slice bucket over the embedding id — the d24b
+    * sampled-audit convention applied to the vector families (d29b,
+    * d30b).
+    */
+  private val vecBucketSql =
+    s"(${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)")})"
+
+  /** The d29 SRP recall-audit oracle, parameterized by the md5-bucket
+    * cap: 256 = the whole corpus (d29), smaller = the sampled slice
+    * (d29b — both pair endpoints inside the slice; bucketing is a
+    * per-vector function, so slicing `e` restricts both sides
+    * identically to the engine's sliced computation).
+    */
+  private def srpRecallSql(bucketCap: Int): String = {
+    val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
+    val slice = if (bucketCap >= 256) "" else s" WHERE $vecBucketSql < $bucketCap"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings$slice),
+       |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b
+       |  ON a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) >= 0.3),
+       |bk AS (SELECT vec_id,
+       |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+       |    THEN 1 << j ELSE 0 END for j in range(0, 8)]) AS bucket FROM e),
+       |w AS (SELECT e.vec_id, e.v, e.n, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
+       |ap AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM w a JOIN w b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) >= 0.3),
+       |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex SEMI JOIN ap USING (id_a, id_b)),
+       |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+       |SELECT n_exact, n_caught,
+       |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
+       |FROM nx CROSS JOIN ct""".stripMargin
+  }
+
+  /** The d30 SemDeDup-banding recall-audit oracle, parameterized by the
+    * md5-bucket cap: 256 = the whole corpus (d30), smaller = the
+    * sampled slice (d30b). The k-means CTEs stay on the FULL embedding
+    * table — the model is frozen, slicing must not move centroids; only
+    * the membership frame (and hence both pair sides) is sliced.
+    */
+  private def semDedupRecallSql(bucketCap: Int): String = {
+    val bandCoeff = hexv("substr(md5('plane:' || (2 * b + j) || ':' || i), 1, 1)")
+    val slice = if (bucketCap >= 256) "" else s" WHERE $vecBucketSql < $bucketCap"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+       |${kmeansCtes()},
+       |memb AS (SELECT en.vec_id, en.v, en.n, a3.cl FROM en JOIN a3 USING (vec_id)$slice),
+       |ex AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM memb x
+       |  JOIN memb y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |  WHERE round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.45),
+       |bks AS (SELECT vec_id,
+       |  [list_sum([CASE WHEN list_sum([v[i+1] * ($bandCoeff - 7.5) for i in range(0, 64)]) > 0
+       |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) for b in range(0, 8)] AS bk FROM e),
+       |ap AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM memb x
+       |  JOIN memb y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |  JOIN bks bx ON bx.vec_id = x.vec_id
+       |  JOIN bks yb ON yb.vec_id = y.vec_id
+       |  WHERE len([b for b in range(1, 9) if bx.bk[b] = yb.bk[b]]) > 0
+       |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.45),
+       |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex SEMI JOIN ap USING (id_a, id_b)),
+       |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+       |SELECT n_exact, n_caught,
+       |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
+       |FROM nx CROSS JOIN ct""".stripMargin
+  }
+
   /** Marker lexicons — the SQL rendering of TextAnalysis.lexicons, shared
     * by the t2 and t8 oracles.
     */
@@ -1198,57 +1275,39 @@ object SparkEntry {
          |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
          |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
          |FROM nx CROSS JOIN ct""".stripMargin,
-    // measured recall of the d8 AND-amplified SRP bucket vs exact
-    // all-pairs cosine at the d8 threshold
-    "d29_srp_recall" -> {
-      val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
-         |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b
-         |  ON a.vec_id < b.vec_id
-         |  WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) >= 0.3),
-         |bk AS (SELECT vec_id,
-         |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
-         |    THEN 1 << j ELSE 0 END for j in range(0, 8)]) AS bucket FROM e),
-         |w AS (SELECT e.vec_id, e.v, e.n, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
-         |ap AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM w a JOIN w b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) >= 0.3),
+    // d28 re-measured against the d11b 8-band tier: the oracle's exact
+    // side recomputes Hamming-≤5 pairs ALL-PAIRS, so the asserted 1.0
+    // is an independent proof the finer banding loses nothing
+    "d28b_simhash_recall_wide" ->
+      s"""$simhash64Cte,
+         |ex AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM sh64 a JOIN sh64 b2 ON a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS chunk
+         |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b) bb),
+         |ap AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM banded a JOIN banded b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
          |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex SEMI JOIN ap USING (id_a, id_b)),
          |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
          |SELECT n_exact, n_caught,
          |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
          |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
-         |FROM nx CROSS JOIN ct""".stripMargin
-    },
+         |FROM nx CROSS JOIN ct""".stripMargin,
+    // measured recall of the d8 AND-amplified SRP bucket vs exact
+    // all-pairs cosine at the d8 threshold
+    "d29_srp_recall" -> srpRecallSql(256),
+    // the sampled twin — exact all-pairs WITHIN one md5-slice of the
+    // vectors (both endpoints in-slice, the d24b convention)
+    "d29b_srp_recall_sampled" -> srpRecallSql(64),
     // measured recall of d21c's banded within-cluster candidate stage vs
     // d21's exact within-cluster pairs, both under the frozen k-means
     // assignment and the gate threshold
-    "d30_semdedup_recall" -> {
-      val bandCoeff = hexv("substr(md5('plane:' || (2 * b + j) || ':' || i), 1, 1)")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
-         |${kmeansCtes()},
-         |memb AS (SELECT en.vec_id, en.v, en.n, a3.cl FROM en JOIN a3 USING (vec_id)),
-         |ex AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM memb x
-         |  JOIN memb y ON x.cl = y.cl AND x.vec_id < y.vec_id
-         |  WHERE round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.45),
-         |bks AS (SELECT vec_id,
-         |  [list_sum([CASE WHEN list_sum([v[i+1] * ($bandCoeff - 7.5) for i in range(0, 64)]) > 0
-         |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) for b in range(0, 8)] AS bk FROM e),
-         |ap AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM memb x
-         |  JOIN memb y ON x.cl = y.cl AND x.vec_id < y.vec_id
-         |  JOIN bks bx ON bx.vec_id = x.vec_id
-         |  JOIN bks yb ON yb.vec_id = y.vec_id
-         |  WHERE len([b for b in range(1, 9) if bx.bk[b] = yb.bk[b]]) > 0
-         |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.45),
-         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex SEMI JOIN ap USING (id_a, id_b)),
-         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
-         |SELECT n_exact, n_caught,
-         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
-         |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
-         |FROM nx CROSS JOIN ct""".stripMargin
-    },
+    "d30_semdedup_recall" -> semDedupRecallSql(256),
+    // the sampled twin — within-cluster all-pairs restricted to one
+    // md5-slice; the k-means model stays frozen on the FULL corpus
+    "d30b_semdedup_recall_sampled" -> semDedupRecallSql(64),
     // incremental ingest identity: delta(index over bucket<200, shard
     // bucket>=200) == full-recompute pairs restricted to shard-touching
     // pairs (signatures are per-doc functions, so both computations hash
@@ -1327,6 +1386,19 @@ object SparkEntry {
          |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+    // the radius-5 serving tier: 8 bands of 8 bits (pigeonhole-exact
+    // through Hamming 7) replayed in full — blocking included, so the
+    // oracle fails if the finer banding loses OR invents a pair
+    "d11b_simhash_radius5" ->
+      s"""$simhash64Cte,
+         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS chunk
+         |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b) bb),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |    a.simhash AS sh_a, b2.simhash AS sh_b
+         |  FROM banded a JOIN banded b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 5 ORDER BY id_a, id_b""".stripMargin,
     // incremental simhash ingest: d11's banded/cand CTEs restricted to
     // pairs touching the bucket >= 200 shard, with structural flags
     "d15_delta_simhash" ->

@@ -2194,7 +2194,11 @@ object Dedup {
     }
     val index = graft.SessionCache.getOrElseUpdate(spark,
         ("containIndexRemoved", dir, splitAt, threshold)) {
-      val name = f"contain_rm_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      // threshold only gates the verify stage, but it is part of the
+      // cache key — so it must be part of the table name too, or a
+      // second same-session call with a different threshold rebuilds
+      // the SAME tables under the first cached index (the d22 rule)
+      val name = f"contain_rm_${splitAt}_t${(threshold * 100).round}_${dir.hashCode & 0xffffffffL}%x"
       saveContainIndex(containIndexFromSelection(sel.filter(bucket < splitAt)),
         name, w = w, winnow = winnow)
       val ids = Tables.documents(spark, dir).filter(bucket < splitAt)
@@ -2310,22 +2314,49 @@ object Dedup {
     * rationale as Library.saltedJoin.)
     */
   private[graft] def simhashPairsOf(sigs: DataFrame, maxHamming: Int = 3,
-      hotBlockRows: Long = 1L << 17, salts: Int = 16): DataFrame = {
-    blockedPairCandidates(simhashBanded(sigs), Seq("b", "chunk"), Seq("simhash"),
-      hotBlockRows, salts)
+      hotBlockRows: Long = 1L << 17, salts: Int = 16,
+      bands: Int = 4): DataFrame = {
+    blockedPairCandidates(simhashBanded(sigs, bands), Seq("b", "chunk"),
+      Seq("simhash"), hotBlockRows, salts)
       .withColumn("hamming", expr("CAST(bit_count(simhash_a ^ simhash_b) AS INT)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** The banded view of a (doc_id, simhash) signature table: 4 rows per
-    * doc, one per 16-bit band chunk — the join format of both the batch
-    * pair query (d11) and the persisted simhash index (d15).
+  /** D11B — the RADIUS-5 serving tier the d28 measurement demands: the
+    * default 4×16-bit banding is pigeonhole-exact only through Hamming
+    * 3, and d28 measured it catching just 0.81 of Hamming-≤5 pairs at
+    * sf0.1. 8 bands of 8 bits are pigeonhole-exact through Hamming
+    * bands−1 = 7 (≤7 differing bits cannot touch all 8 bands), so this
+    * tier serves radius 5 at recall 1.0 BY CONSTRUCTION — verified by
+    * the re-measured audit (d28b). The price is 2× banded rows (8/doc
+    * vs 4) and 256-value chunks (vs 65536): coarser blocks, more
+    * candidates — the block census + salt machinery bounds the hot
+    * ones, same as every band join.
     */
-  private def simhashBanded(sigs: DataFrame): DataFrame =
+  def simhashPairsWide(spark: SparkSession, dir: String,
+      maxHamming: Int = 5, bands: Int = 8,
+      hotBlockRows: Long = 1L << 17): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"$bands bands are pigeonhole-exact only through Hamming ${bands - 1}")
+    simhashPairsOf(simhash64Cached(spark, dir), maxHamming, hotBlockRows,
+      bands = bands)
+  }
+
+  /** The banded view of a (doc_id, simhash) signature table: `bands`
+    * rows per doc, one per 64/bands-bit band chunk — the join format of
+    * the batch pair queries (d11 at 4×16, d11b at 8×8) and the
+    * persisted simhash index (d15). Pigeonhole guarantee: every pair at
+    * Hamming ≤ bands−1 shares at least one band chunk.
+    */
+  private def simhashBanded(sigs: DataFrame, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
     sigs.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("b"))
-      .withColumn("chunk", expr("(simhash >> (b * 16)) & 65535"))
+      explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .withColumn("chunk", expr(s"(simhash >> (b * $bits)) & $mask"))
+  }
 
   /** Persisted state of INCREMENTAL simhash near-dup — the [[NearDupIndex]]
     * pattern for the simhash family, one table instead of two because the
@@ -2506,7 +2537,10 @@ object Dedup {
     val sigs = simhash64Cached(spark, dir)
     val index = graft.SessionCache.getOrElseUpdate(spark,
         ("simhashIndexRemoved", dir, splitAt, maxHamming)) {
-      val name = f"simhash_rm_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      // maxHamming is verify-stage only but keys the cache — mirror it
+      // into the table name so differently-parameterized calls never
+      // alias the persisted state (the d22 rule)
+      val name = f"simhash_rm_${splitAt}_h${maxHamming}_${dir.hashCode & 0xffffffffL}%x"
       saveSimHashIndex(buildSimHashIndex(sigs.filter(bucket < splitAt)), name)
       val ids = Tables.documents(spark, dir).filter(bucket < splitAt)
         .select(col("doc_id"))
@@ -2525,8 +2559,17 @@ object Dedup {
     * every hyperplane sign, so recall at high thresholds is ~1.
     */
   def embeddingNearDupsLsh(spark: SparkSession, dir: String,
-      threshold: Double = 0.35, nPlanes: Int = 8): DataFrame = {
-    val e = Similarity.preparedEmbeddings(spark, dir)
+      threshold: Double = 0.35, nPlanes: Int = 8): DataFrame =
+    embeddingNearDupsLshOf(Similarity.preparedEmbeddings(spark, dir),
+      threshold, nPlanes)
+
+  /** Frame-shaped d8 tier over any (vec_id, v, n) frame — the d29b
+    * sampled audit feeds it a slice (bucketing is per-vector, so the
+    * sliced pair set is the full run's restricted to the slice).
+    */
+  private[graft] def embeddingNearDupsLshOf(e0: DataFrame,
+      threshold: Double, nPlanes: Int): DataFrame = {
+    val e = e0
       .withColumn("bucket", Similarity.bucketExpr(col("v"), nPlanes))
     val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
     val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
@@ -2673,15 +2716,23 @@ object Dedup {
     * without a posting join).
     */
   def simhashBandRecall(spark: SparkSession, dir: String,
-      maxHamming: Int = 5, hotBlockRows: Long = 1L << 17): DataFrame =
-    simhashBandRecallOf(simhash64Cached(spark, dir), maxHamming, hotBlockRows)
+      maxHamming: Int = 5, hotBlockRows: Long = 1L << 17,
+      servingBands: Int = 4): DataFrame =
+    simhashBandRecallOf(simhash64Cached(spark, dir), maxHamming, hotBlockRows,
+      servingBands)
 
   /** The d28 measurement over ANY 64-bit (doc_id, simhash) signature
     * frame — shared with the perceptual family's m7 (image dHashes ride
     * the same 16-bit banding and deserve the same audit).
+    * `servingBands` selects the AUDITED tier: 4 = the d11 default
+    * (measured 0.8105 at radius 5, sf0.1), 8 = the d11b radius-5 tier
+    * (pigeonhole-exact through 7 ⇒ the re-measured recall must be 1.0 —
+    * the d28b gate, whose oracle recomputes the exact side all-pairs
+    * and so independently proves the 8-band tier loses nothing).
     */
   private[operators] def simhashBandRecallOf(sigs: DataFrame,
-      maxHamming: Int = 5, hotBlockRows: Long = 1L << 17): DataFrame = {
+      maxHamming: Int = 5, hotBlockRows: Long = 1L << 17,
+      servingBands: Int = 4): DataFrame = {
     require(maxHamming <= 7,
       "the 8-band exact side is pigeonhole-exact only through Hamming 7")
     val fine = sigs.select(col("doc_id"), col("simhash"),
@@ -2691,7 +2742,8 @@ object Dedup {
         hotBlockRows, salts = 16)
       .filter(expr("CAST(bit_count(simhash_a ^ simhash_b) AS INT)") <= maxHamming)
       .select(col("id_a"), col("id_b"))
-    val approx = simhashPairsOf(sigs, maxHamming, hotBlockRows)
+    val approx = simhashPairsOf(sigs, maxHamming, hotBlockRows,
+        bands = servingBands)
       .select(col("id_a"), col("id_b"))
     recallRowOf(exact, approx)
   }
@@ -2701,20 +2753,27 @@ object Dedup {
     * so recall at moderate thresholds is the tier's real price — ~
     * (1−θ/π)^8 per pair, far below 1 at cos 0.3 — and this is the query
     * that measures it instead of guessing. Exact side: all-pairs cosine
-    * at audit scale (broadcast loop join; at 100 TB the audit composes
-    * per md5-bucket slice exactly like d24's sampled mode — the exact
-    * side is the AUDIT'S cost, never the serving path's).
+    * at audit scale (broadcast loop join). `sampleBuckets` < 256 is the
+    * 100 TB mode (the d29b gate) — the d24b md5-slice convention:
+    * exact all-pairs WITHIN one slice only, both endpoints in-slice.
+    * Cosine and the SRP bucket are per-vector / pairwise functions, so
+    * the in-slice pair sets of both sides equal the full run's
+    * restricted to the slice — sampled recall composes per-slice, and
+    * the quadratic term drops from n² to (n·f)² per slice audited.
     */
   def srpBucketRecall(spark: SparkSession, dir: String,
-      threshold: Double = 0.3, nPlanes: Int = 8): DataFrame = {
-    val e = Similarity.preparedEmbeddings(spark, dir)
+      threshold: Double = 0.3, nPlanes: Int = 8,
+      sampleBuckets: Int = 256): DataFrame = {
+    val e0 = Similarity.preparedEmbeddings(spark, dir)
+    val e = if (sampleBuckets >= 256) e0
+      else e0.filter(TextAnalysis.splitBucket(col("vec_id")) < sampleBuckets)
     val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
       .filter(round(dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4)
         >= threshold)
       .select(col("id_a"), col("id_b"))
-    val approx = embeddingNearDupsLsh(spark, dir, threshold, nPlanes)
+    val approx = embeddingNearDupsLshOf(e, threshold, nPlanes)
       .select(col("id_a"), col("id_b"))
     recallRowOf(exact, approx)
   }
@@ -2726,13 +2785,21 @@ object Dedup {
     * [[semDedupBanded]]'s scaladoc. Both sides share the frozen k-means
     * assignment; the exact side is within-cluster all-pairs (n²/k — the
     * audit's price, not the serving tier's), the banded side is the
-    * production candidate machinery itself.
+    * production candidate machinery itself. `sampleBuckets` < 256 is
+    * the 100 TB mode (the d30b gate) — the d24b md5-slice convention:
+    * both endpoints in-slice, the MODEL stays frozen on the full corpus
+    * (slicing must not move centroids), and because cluster assignment
+    * and band buckets are per-vector functions the in-slice pair sets
+    * of both sides equal the full run's restricted to the slice — the
+    * n²/k term drops to (n·f)²/k per slice audited.
     */
   def semDedupBandRecall(spark: SparkSession, dir: String,
       threshold: Double = 0.45, bands: Int = 8, planesPerBand: Int = 2,
-      hotBlockRows: Long = 1L << 17): DataFrame = {
+      hotBlockRows: Long = 1L << 17, sampleBuckets: Int = 256): DataFrame = {
     val model = Similarity.kmeansModel(spark, dir)
-    val vecs = Similarity.preparedEmbeddings(spark, dir)
+    val vecs0 = Similarity.preparedEmbeddings(spark, dir)
+    val vecs = (if (sampleBuckets >= 256) vecs0
+      else vecs0.filter(TextAnalysis.splitBucket(col("vec_id")) < sampleBuckets))
       .select(col("vec_id"), col("v"), col("n"))
       .withColumn("cl", Similarity.assignExpr(model))
       .localCheckpoint()
@@ -3027,7 +3094,10 @@ object Dedup {
     val e = Similarity.preparedEmbeddings(spark, dir)
     val index = graft.SessionCache.getOrElseUpdate(spark,
         ("embIndexRemoved", dir, splitAt, threshold)) {
-      val name = f"emb_rm_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      // threshold is verify-stage only but keys the cache — mirror it
+      // into the table name so differently-parameterized calls never
+      // alias the persisted state (the d22 rule)
+      val name = f"emb_rm_${splitAt}_t${(threshold * 100).round}_${dir.hashCode & 0xffffffffL}%x"
       saveEmbIndex(buildEmbIndex(e.filter(bucket < splitAt)), name)
       val ids = e.filter(bucket < splitAt).select(col("vec_id"))
       removeFromEmbIndex(spark, name, ids.filter(col("vec_id") % 14 === 3))

@@ -44,9 +44,14 @@ object Takedown {
 
   /** The registered state classes one takedown propagates to. Absent ⇒
     * the class is not deployed. `documents` is the document store the
-    * label re-pairing, aggregate subtraction, and sketch rebuild read
-    * (stale rows for removed ids are fine: only retained members are
-    * re-read).
+    * label re-pairing, aggregate subtraction, and sketch rebuild read.
+    * CONTRACT: at apply time it must STILL CONTAIN the removed ids' rows
+    * (with their lang/source attributes) — the aggregate subtraction
+    * semi-joins `documents` against the removal list to compute the
+    * per-group decrement, so a store that already purged them makes the
+    * subtraction a silent zero and the stats table keeps counting
+    * removed docs. Purge the store (or swap in the retracted corpus
+    * tree) only AFTER [[Takedown.apply]] returns.
     */
   final case class Targets(
       nearDupIndex: Option[String] = None,
@@ -110,6 +115,32 @@ object Takedown {
     n
   }
 
+  /** The RE-INGEST hook — the facade-level [[Dedup.clearTombstones]]
+    * analogue: a document re-ingested after a completed takedown must
+    * drop out of the cumulative removal record, or every later sketch-
+    * cell rebuild of its lang permanently excludes it (the log is
+    * subtracted wholesale there — see [[rebuildSketchCells]]). The
+    * per-index paths do NOT need this (their tombstones clear on
+    * re-append, and replay-dedup is batch-scoped already); only the
+    * log-reading rebuild does. Call it from the ingest path alongside
+    * the per-index re-appends. Idempotent; a missing log is a no-op.
+    */
+  def clearTakedownLog(spark: SparkSession, ids: DataFrame,
+      logTable: String = "takedown_log"): Unit =
+    if (spark.catalog.tableExists(logTable)) {
+      spark.catalog.refreshTable(logTable)
+      val tmp = s"${logTable}__gen"
+      Dedup.recoverGenerationSwap(spark, logTable, tmp)
+      Dedup.dropTableAndLocation(spark, tmp)
+      spark.table(logTable)
+        .join(broadcast(ids.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_anti")
+        .write.saveAsTable(tmp)
+      Dedup.dropTableAndLocation(spark, logTable)
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $logTable")
+      spark.catalog.refreshTable(logTable)
+    }
+
   /** Subtractive maintenance of a (lang, source, n) materialized doc
     * aggregate — the i7 identity: stats(base ∖ removed) = stats(base) ⊖
     * stats(removed slice); groups reaching zero drop. Group-count-sized
@@ -139,7 +170,10 @@ object Takedown {
     * cells (langs of the removed docs) re-aggregate from retained rows
     * while untouched cells copy byte-identically; a lang whose every doc
     * is gone loses its cell. Retained = documents ∖ (takedown log ∪ the
-    * current batch) — the log IS the cumulative removal record.
+    * current batch) — the log IS the cumulative removal record, which
+    * is why a re-ingest MUST clear its ids from the log
+    * ([[clearTakedownLog]]) or the doc stays excluded from every later
+    * rebuild of its lang.
     */
   private def rebuildSketchCells(spark: SparkSession, table: String,
       docs: DataFrame, ids: DataFrame, logTable: String): Unit = {

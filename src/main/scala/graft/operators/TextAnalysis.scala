@@ -748,6 +748,12 @@ object TextAnalysis {
       chunkDocs: Long): DataFrame = {
     val toks = toks0
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      // an empty doc (n_tokens = 0) would place at seq_last = seq_first - 1
+      // and the manifest's sequence(seq_first, seq_last) would generate a
+      // DESCENDING range — unreachable from tokens() (\s+ split is never
+      // empty) but this core serves arbitrary (doc_id, n_tokens) frames,
+      // and a zero-length doc occupies no sequence by definition
+      .filter(col("n_tokens") > 0)
       .withColumn("chunk", floor(col("doc_id") / chunkDocs).cast("long"))
     val byChunk = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -195,6 +195,45 @@ class TakedownSpec extends SparkSuite {
     }
   }
 
+  test("re-ingest clears the takedown log: later sketch rebuilds count the doc again") {
+    import spark.implicits._
+    // 0,2,4 en / 1,3,5 de — takedowns hit en so the en cell rebuilds
+    val docs = (0L to 5L).map(i =>
+        (i, s"d$i words here", if (i % 2 == 0) "en" else "de", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").localCheckpoint()
+    val sk = "tdr_sk"; val log = "tdr_log"
+    Seq(sk, s"${sk}__gen", log, s"${log}__gen").foreach(t =>
+      ops.dropTableAndLocation(spark, t))
+    docs.groupBy(col("lang"))
+      .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
+      .write.saveAsTable(sk)
+    val targets = td.Targets(sketchCellsTable = Some(sk), documents = Some(docs))
+    def cellMap() = spark.table(sk).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+    def expect(retained: DataFrame) = retained.groupBy(col("lang"))
+      .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk")).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+    try {
+      assert(td(spark, Seq(2L).toDF("doc_id"), targets, log) == 1L)
+      assert(cellMap() == expect(docs.filter(col("doc_id") =!= 2L)))
+      // doc 2 re-ingested: without the log clear, every later rebuild of
+      // "en" would permanently exclude it (the cumulative-log subtraction)
+      td.clearTakedownLog(spark, Seq(2L).toDF("doc_id"), log)
+      spark.catalog.refreshTable(log)
+      assert(spark.table(log).count() == 0)
+      // a later takedown of doc 4 rebuilds the en cell — doc 2 must count
+      assert(td(spark, Seq(4L).toDF("doc_id"), targets, log, batchId = 1L) == 1L)
+      assert(cellMap() == expect(docs.filter(col("doc_id") =!= 4L)),
+        "re-ingested doc 2 missing from the rebuilt en cell")
+      spark.catalog.refreshTable(log)
+      assert(spark.table(log).select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(4L))
+    } finally {
+      Seq(sk, s"${sk}__gen", log, s"${log}__gen").foreach(t =>
+        ops.dropTableAndLocation(spark, t))
+    }
+  }
+
   test("streaming packing == batch packing; replay is a no-op; placements never move") {
     import spark.implicits._
     def mkDocs(ids: Seq[Long]) = ids.map(i =>
