@@ -1684,7 +1684,8 @@ object SparkEntry {
     "td1_takedown_unified" ->
       """WITH live AS (SELECT * FROM documents WHERE doc_id % 9 != 4)
         |SELECT state, n_live, n_refs FROM (
-        |  SELECT 'ann_store' AS state, (SELECT count(*) FROM embeddings WHERE vec_id % 9 != 4) AS n_live, CAST(0 AS BIGINT) AS n_refs
+        |  SELECT 'ann_part_store' AS state, (SELECT count(*) FROM embeddings WHERE vec_id % 9 != 4) AS n_live, CAST(0 AS BIGINT) AS n_refs
+        |  UNION ALL SELECT 'ann_store', (SELECT count(*) FROM embeddings WHERE vec_id % 9 != 4), 0
         |  UNION ALL SELECT 'contain_index', (SELECT count(*) FROM live WHERE text IS NOT NULL), 0
         |  UNION ALL SELECT 'corpus_tree', (SELECT count(*) FROM live), 0
         |  UNION ALL SELECT 'doc_stats', (SELECT count(*) FROM live), 0

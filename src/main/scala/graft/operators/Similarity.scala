@@ -154,14 +154,13 @@ object Similarity {
     val table = graft.SessionCache.getOrElseUpdate(spark,
         ("annPartitioned", dir)) {
       val name = f"ann_part_${dir.hashCode & 0xffffffffL}%x"
-      Dedup.dropTableAndLocation(spark, name)
-      preparedEmbeddings(spark, dir).select("vec_id", "v", "n", "label")
-        .write.partitionBy("label").saveAsTable(name)
+      savePartitionedAnnStore(spark, name, preparedEmbeddings(spark, dir))
       name
     }.asInstanceOf[String]
     val probes = preparedEmbeddings(spark, dir).filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
-    val corpus = spark.table(table).filter(col("label") === labelEq)
+    val corpus = loadPartitionedAnnStore(spark, table)
+      .filter(col("label") === labelEq)
       .select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -170,6 +169,96 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** Build the s18 label-partitioned store under an explicit name —
+    * [[filteredTopKPartitioned]]'s gate build and the takedown estate
+    * (td1) share this one writer so the layout can't drift.
+    */
+  def savePartitionedAnnStore(spark: SparkSession, table: String,
+      e: DataFrame): Unit = {
+    Dedup.dropTableAndLocation(spark, table)
+    e.select("vec_id", "v", "n", "label")
+      .write.partitionBy("label").saveAsTable(table)
+  }
+
+  /** Serve the partitioned store minus pending takedowns — the
+    * [[loadAnnIndex]] contract for the s18 family: the tombstone filter
+    * is a broadcast anti-join ABOVE the partition-pruned scan, so a
+    * label predicate still lands in PartitionFilters (and with no
+    * pending takedown the plan is exactly the raw table scan).
+    */
+  def loadPartitionedAnnStore(spark: SparkSession, table: String): DataFrame =
+    Dedup.minusTombstones(spark.table(table),
+      Dedup.tombstoneTable(spark, s"${table}_tombstones"), "vec_id")
+
+  /** RETRACTION for the s18 partitioned store — closes the estate gap
+    * the round-12 verdict flagged (a takedown left removed vectors
+    * queryable through the partitioned store): tombstone now (every
+    * [[loadPartitionedAnnStore]] read filters immediately), physical
+    * delete at [[compactPartitionedAnnStore]], resurrection on
+    * [[appendPartitionedAnnStore]] re-append.
+    */
+  def removeFromPartitionedAnnStore(spark: SparkSession, table: String,
+      vecIds: DataFrame): Unit =
+    Dedup.appendTombstones(spark, s"${table}_tombstones", vecIds, "vec_id")
+
+  /** Append new vectors into their label partitions (dynamic append —
+    * only the touched partitions gain files); a re-added id lifts its
+    * tombstone (delete-then-append idempotence).
+    */
+  def appendPartitionedAnnStore(spark: SparkSession, table: String,
+      newVecs: DataFrame): Unit = {
+    newVecs.select("vec_id", "v", "n", "label")
+      .write.mode("append").insertInto(table)
+    Dedup.clearTombstones(spark, s"${table}_tombstones",
+      newVecs.select(col("vec_id")), "vec_id")
+  }
+
+  /** Make pending takedowns physical — the [[compactAnnIndex]] analogue
+    * for the label-partitioned layout, partition-scoped like
+    * [[graft.emit.CorpusWriter.retract]]: only label partitions holding
+    * a removed vector rewrite (dynamic partition overwrite), a
+    * partition EMPTIED by the takedown produces no write output so its
+    * directory is deleted outright, and untouched labels' files never
+    * move. The tombstone list drops at the end.
+    */
+  def compactPartitionedAnnStore(spark: SparkSession, table: String): Unit = {
+    val ts = Dedup.tombstoneTable(spark, s"${table}_tombstones")
+      .map(_.select(col("vec_id")).localCheckpoint())
+    ts.foreach { rm =>
+      spark.catalog.refreshTable(table)
+      val store = spark.table(table)
+      val affected = store.join(broadcast(rm), Seq("vec_id"), "left_semi")
+        .select(col("label")).distinct().collect().map(_.getInt(0))
+      if (affected.nonEmpty) {
+        val slice = store.filter(col("label").isin(affected.map(x => x: Any): _*))
+        // freeze the retained rows: the write replaces directories its
+        // own input was read from (the CorpusWriter.retract rule)
+        val retained = slice.join(broadcast(rm), Seq("vec_id"), "left_anti")
+          .select("vec_id", "v", "n", "label").localCheckpoint()
+        val nonEmpty = retained.select(col("label")).distinct().collect()
+          .map(_.getInt(0)).toSet
+        if (nonEmpty.nonEmpty) {
+          val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try retained.write.mode("overwrite").insertInto(table)
+          finally prior match {
+            case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
+        // emptied partitions got no write output — delete their dirs
+        val root = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        (affected.toSet -- nonEmpty).foreach { l =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"label=$l"), true)
+        }
+        spark.catalog.refreshTable(table)
+      }
+      Dedup.dropTableAndLocation(spark, s"${table}_tombstones")
+    }
   }
 
   /** S7 — scalar-quantized ANN, the memory/IO scale tier: symmetric int8

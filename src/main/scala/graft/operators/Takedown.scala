@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * bookkeeping, and the audit record.
   *
   * Per-class semantics (unchanged, just fanned out):
-  *   - indexes (near-dup, simhash, embedding, containment, ANN store):
-  *     TOMBSTONE — served filtered immediately, physical at compaction;
+  *   - indexes (near-dup, simhash, embedding, containment, ANN store,
+  *     the s18 label-partitioned vector store): TOMBSTONE — served
+  *     filtered immediately, physical at compaction;
   *   - label/canonical state: touched clusters RE-LABEL (splits
   *     included) via [[Dedup.removeFromLabelState]], folded in by
   *     generation swap;
@@ -59,6 +60,7 @@ object Takedown {
       embIndex: Option[String] = None,
       containIndex: Option[String] = None,
       annIndex: Option[String] = None,
+      partitionedAnnTable: Option[String] = None,
       labelTable: Option[String] = None,
       labelThreshold: Double = 0.8,
       docStatsTable: Option[String] = None,
@@ -96,6 +98,8 @@ object Takedown {
     val vecIds = ids.select(col("doc_id").as("vec_id"))
     targets.embIndex.foreach(Dedup.removeFromEmbIndex(spark, _, vecIds))
     targets.annIndex.foreach(Similarity.removeFromAnnIndex(spark, _, vecIds))
+    targets.partitionedAnnTable.foreach(
+      Similarity.removeFromPartitionedAnnStore(spark, _, vecIds))
     for (lt <- targets.labelTable; docs <- targets.documents) {
       spark.catalog.refreshTable(lt)
       val labels = spark.table(lt).localCheckpoint()
@@ -233,8 +237,8 @@ object Takedown {
         .select("vec_id", "label", "v", "n")
       val nm = Map(
         "nd" -> s"td_nd_$h", "sh" -> s"td_sh_$h", "emb" -> s"td_emb_$h",
-        "ct" -> s"td_ct_$h", "ann" -> s"td_ann_$h", "lab" -> s"td_lab_$h",
-        "st" -> s"td_st_$h", "sk" -> s"td_sk_$h")
+        "ct" -> s"td_ct_$h", "ann" -> s"td_ann_$h", "annp" -> s"td_annp_$h",
+        "lab" -> s"td_lab_$h", "st" -> s"td_st_$h", "sk" -> s"td_sk_$h")
       val logT = s"td_log_$h"
       val corpusPath = new java.io.File(sys.props("java.io.tmpdir"),
         f"graft_td_corpus_${ProcessHandle.current().pid()}_$h").getAbsolutePath
@@ -250,6 +254,7 @@ object Takedown {
       Dedup.saveEmbIndex(Dedup.buildEmbIndex(e), nm("emb"))
       Dedup.saveContainIndex(Dedup.buildContainIndex(docs), nm("ct"))
       Similarity.saveAnnIndex(spark, nm("ann"), e)
+      Similarity.savePartitionedAnnStore(spark, nm("annp"), e)
       Dedup.saveLabelState(spark, nm("lab"), Dedup.labelStateOf(docs))
       docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
         .write.saveAsTable(nm("st"))
@@ -262,7 +267,8 @@ object Takedown {
         Targets(
           nearDupIndex = Some(nm("nd")), simHashIndex = Some(nm("sh")),
           embIndex = Some(nm("emb")), containIndex = Some(nm("ct")),
-          annIndex = Some(nm("ann")), labelTable = Some(nm("lab")),
+          annIndex = Some(nm("ann")),
+          partitionedAnnTable = Some(nm("annp")), labelTable = Some(nm("lab")),
           docStatsTable = Some(nm("st")), sketchCellsTable = Some(nm("sk")),
           corpusPath = Some(corpusPath), documents = Some(docs)),
         logT)
@@ -282,12 +288,15 @@ object Takedown {
     val emb = Dedup.loadEmbIndex(spark, names("emb")).vectors
     val ct = Dedup.loadContainIndex(spark, names("ct")).sets
     val ann = Similarity.loadAnnIndex(spark, names("ann")).vectors
+    val annp = Similarity.loadPartitionedAnnStore(spark, names("annp"))
     val lab = spark.table(names("lab"))
     val st = spark.table(names("st"))
     val sk = spark.table(names("sk"))
     val corpus = spark.read.parquet(names("corpus"))
-    statRow("ann_store", ann.select(col("vec_id")).distinct(),
-        count(lit(1)), semi(ann, "vec_id"))
+    statRow("ann_part_store", annp.select(col("vec_id")).distinct(),
+        count(lit(1)), semi(annp, "vec_id"))
+      .unionByName(statRow("ann_store", ann.select(col("vec_id")).distinct(),
+        count(lit(1)), semi(ann, "vec_id")))
       .unionByName(statRow("contain_index",
         ct.select(col("doc_id")).distinct(), count(lit(1)), semi(ct, "doc_id")))
       .unionByName(statRow("corpus_tree",

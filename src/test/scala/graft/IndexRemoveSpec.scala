@@ -353,4 +353,52 @@ class IndexRemoveSpec extends SparkSuite {
         spark.sql(s"DROP TABLE IF EXISTS rmann$s"))
     }
   }
+
+  test("s18 partitioned store: remove hides now, compact deletes (emptied partition dirs too), append resurrects") {
+    import spark.implicits._
+    val sim = graft.operators.Similarity
+    val ops = graft.operators.Dedup
+    def basis(i: Int) = Array.tabulate(64)(j => if (j == i) 1.0 else 0.1)
+    val e = (0L to 9L).map { id =>
+      val v = basis((id % 8).toInt)
+      (id, (id % 3).toInt, v, math.sqrt(v.map(x => x * x).sum))
+    }.toDF("vec_id", "label", "v", "n")
+    Seq("rmannp", "rmannp_tombstones").foreach(t => ops.dropTableAndLocation(spark, t))
+    sim.savePartitionedAnnStore(spark, "rmannp", e)
+    def served() = sim.loadPartitionedAnnStore(spark, "rmannp")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    try {
+      assert(served() == (0L to 9L).toSet)
+
+      // tombstone: the removed vector is unqueryable immediately
+      sim.removeFromPartitionedAnnStore(spark, "rmannp", Seq(4L).toDF("vec_id"))
+      assert(served() == (0L to 9L).toSet - 4L, "tombstoned vector still served")
+
+      // compact: physical delete from the partition files, tombstones drop
+      sim.compactPartitionedAnnStore(spark, "rmannp")
+      spark.catalog.refreshTable("rmannp")
+      assert(spark.table("rmannp").select("vec_id").collect()
+        .map(_.getLong(0)).toSet == (0L to 9L).toSet - 4L,
+        "compaction left the removed row on disk")
+      assert(!spark.catalog.tableExists("rmannp_tombstones"))
+
+      // a takedown that EMPTIES a label partition deletes its directory
+      // (dynamic overwrite writes nothing there — the CorpusWriter rule)
+      sim.removeFromPartitionedAnnStore(spark, "rmannp",
+        e.filter(col("label") === 2).select("vec_id"))
+      sim.compactPartitionedAnnStore(spark, "rmannp")
+      val root = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "rmannp")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "label=2")),
+        "emptied partition directory survived the compaction")
+      assert(served() == Set(0L, 1L, 3L, 6L, 7L, 9L))
+
+      // delete-then-append: the re-added vector serves again
+      sim.appendPartitionedAnnStore(spark, "rmannp", e.filter(col("vec_id") === 4L))
+      assert(served().contains(4L), "re-appended vector not served")
+    } finally {
+      Seq("rmannp", "rmannp_tombstones").foreach(t => ops.dropTableAndLocation(spark, t))
+    }
+  }
 }

@@ -577,4 +577,39 @@ class PlanSpec extends SparkSuite {
     assert(labelPf.nonEmpty && labelPf.exists(_.contains("= 2")),
       s"label predicate not in the partitioned store's PartitionFilters:\n${s18.take(2500)}")
   }
+
+  test("round-13 ops: d11b wide banding, d29b/d30b sampled audits keep their scale shapes") {
+    val dir = sf("sf0.001")
+    // d11b: the radius-5 tier must ride the SAME census+salt band
+    // machinery as d11 — 8-bit chunks as the block key (the "& 255"
+    // mask), the crc32 salt path, and nothing quadratic
+    val d11b = executedPlan(graft.operators.Dedup.simhashPairsWide(spark, dir)
+      .orderBy("id_a", "id_b"))
+    assert(d11b.contains("& 255"),
+      s"d11b lost its 8-bit band chunks:\n${d11b.take(1500)}")
+    assert(d11b.contains("crc32"),
+      s"d11b lost the hot-block salt path:\n${d11b.take(1500)}")
+    assert(!d11b.contains("CartesianProduct") &&
+      !d11b.contains("BroadcastNestedLoopJoin"), "d11b went quadratic")
+    // d29b: the md5-slice predicate must restrict BOTH all-pairs sides
+    // before the (deliberate, audit-priced) broadcast loop join — the
+    // filter evaluates over the scan, so the quadratic term is
+    // (n·f)², never n² sliced after the fact
+    val d29b = executedPlan(
+      graft.operators.Dedup.srpBucketRecall(spark, dir, sampleBuckets = 64))
+    assert(d29b.contains("md5(cast(cast(vec_id") &&d29b.contains("< 64"),
+      s"d29b slice predicate missing from the plan:\n${d29b.take(2000)}")
+    // d30b: the membership frame checkpoints AFTER the slice filter (the
+    // audit scans it from several subtrees), so the executed plan starts
+    // at the checkpoint and cannot show the predicate — the slice's
+    // APPLICATION is pinned by the oracle's value identity (exact side =
+    // DuckDB's in-slice recompute) and the row-count bound below; the
+    // plan assertions pin what remains visible: nothing goes cartesian,
+    // and the one nested-loop join is the one-row recall assembly
+    val d30b = executedPlan(
+      graft.operators.Dedup.semDedupBandRecall(spark, dir, sampleBuckets = 64))
+    assert(!d30b.contains("CartesianProduct"), "d30b went cartesian")
+    assert(d30b.split("BroadcastNestedLoopJoin").length <= 2,
+      "d30b has a nested-loop join beyond the one-row recall assembly")
+  }
 }
