@@ -325,6 +325,7 @@ object SparkEntry {
     "d28b_simhash_recall_wide" ->
       ((s, d) => Dedup.simhashBandRecall(s, d, servingBands = 8)),
     "d29_srp_recall" -> ((s, d) => Dedup.srpBucketRecall(s, d)),
+    "d32_reband_trigger" -> ((s, d) => Dedup.simhashRebandGate(s, d)),
     "d29b_srp_recall_sampled" ->
       ((s, d) => Dedup.srpBucketRecall(s, d, sampleBuckets = 64)),
     "d30_semdedup_recall" -> ((s, d) => Dedup.semDedupBandRecall(s, d)),
@@ -1295,6 +1296,46 @@ object SparkEntry {
          |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
          |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
          |FROM nx CROSS JOIN ct""".stripMargin,
+    // the monitor→action loop: phase 0 measures the 4-band serving
+    // recall at radius 5 (trigger = recall < 0.95), the action re-bands
+    // to 8×8 and swaps generations, phase 1 re-measures — the oracle
+    // recomputes BOTH recalls (exact side all-pairs) and the
+    // conditional swap, so trigger, action, and swap are all gated
+    "d32_reband_trigger" ->
+      s"""$simhash64Cte,
+         |ex AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM sh64 a JOIN sh64 b2 ON a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |b4 AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
+         |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |ap4 AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM b4 a JOIN b4 b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |b8 AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS chunk
+         |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b) bb),
+         |ap8 AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM b8 a JOIN b8 b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+         |c4 AS (SELECT CAST(count(*) AS BIGINT) AS n4 FROM ex SEMI JOIN ap4 USING (id_a, id_b)),
+         |c8 AS (SELECT CAST(count(*) AS BIGINT) AS n8 FROM ex SEMI JOIN ap8 USING (id_a, id_b)),
+         |r AS (SELECT n_exact, n4, n8,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE round(CAST(n4 AS DOUBLE) / n_exact, 4) END AS r4,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE round(CAST(n8 AS DOUBLE) / n_exact, 4) END AS r8
+         |  FROM nx CROSS JOIN c4 CROSS JOIN c8)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS phase, CAST(4 AS BIGINT) AS bands,
+         |    n_exact, n4 AS n_caught, r4 AS recall, r4 < 0.95 AS triggered FROM r
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), CAST(CASE WHEN r4 < 0.95 THEN 8 ELSE 4 END AS BIGINT),
+         |    n_exact, CASE WHEN r4 < 0.95 THEN n8 ELSE n4 END,
+         |    CASE WHEN r4 < 0.95 THEN r8 ELSE r4 END,
+         |    (CASE WHEN r4 < 0.95 THEN r8 ELSE r4 END) < 0.95 FROM r
+         |) ORDER BY phase""".stripMargin,
     // measured recall of the d8 AND-amplified SRP bucket vs exact
     // all-pairs cosine at the d8 threshold
     "d29_srp_recall" -> srpRecallSql(256),

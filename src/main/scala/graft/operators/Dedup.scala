@@ -2748,6 +2748,107 @@ object Dedup {
     recallRowOf(exact, approx)
   }
 
+  /** D32 — the MONITOR→ACTION loop for the dedup family (the s19
+    * pattern applied to d28's measurement): the persisted simhash
+    * serving index records its banding in a meta table; the gate
+    * measures the d28 recall of the CURRENT persisted banding at the
+    * target radius, and when it misses `target`, RE-BANDS the index
+    * (8×8 bits — pigeonhole-exact through Hamming 7, the d11b tier) as
+    * a complete `__gen` generation and swaps, after which the
+    * re-measured trigger clears. Two rows out, one per phase:
+    * (phase, bands, n_exact, n_caught, recall, triggered) — both
+    * measurements read the REAL persisted table, and the oracle
+    * recomputes both recalls (exact side all-pairs) plus the
+    * conditional swap, so a trigger that fails to trip, an action that
+    * fails to fix, or a swap that serves the wrong generation all fail
+    * the gate. Crash safety is the retrainAnnIndex convention: the
+    * meta table registers LAST, so a present `__gen_meta` implies a
+    * complete new generation.
+    */
+  def simhashRebandGate(spark: SparkSession, dir: String, radius: Int = 5,
+      target: Double = 0.95): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("simhashReband", dir, radius, target)) {
+      val sigs = simhash64Cached(spark, dir)
+      val name = f"simhash_rb_r${radius}_t${(target * 100).round}_${dir.hashCode & 0xffffffffL}%x"
+      // fresh state every session: the gate measures one full lifecycle
+      Seq("_banded", "_meta").foreach { s =>
+        dropTableAndLocation(spark, s"$name$s")
+        dropTableAndLocation(spark, s"${name}__gen$s")
+      }
+      simhashRebandLifecycle(spark, name, sigs, radius, target)
+    }.asInstanceOf[DataFrame]
+
+  /** The d32 lifecycle over an explicit (doc_id, simhash) frame and
+    * state name — shared by the gate and the planted-degradation spec.
+    */
+  private[graft] def simhashRebandLifecycle(spark: SparkSession, name: String,
+      sigs0: DataFrame, radius: Int, target: Double): DataFrame = {
+    val sigs = sigs0.select(col("doc_id"), col("simhash")).localCheckpoint()
+    // generation 0: the d11 serving default (4×16-bit banding)
+    saveBandedGeneration(spark, name, sigs, bands = 4)
+    def measure(phase: Int): DataFrame = {
+      spark.catalog.refreshTable(s"${name}_banded")
+      val bands = spark.table(s"${name}_meta").head().getAs[Int]("bands")
+      servingBandRecall(sigs, spark.table(s"${name}_banded"), radius)
+        .select(lit(phase).cast("long").as("phase"),
+          lit(bands).cast("long").as("bands"),
+          col("n_exact"), col("n_caught"), col("recall"),
+          (col("recall") < target).as("triggered"))
+        .localCheckpoint()
+    }
+    val before = measure(0)
+    if (before.head().getAs[Boolean]("triggered")) {
+      // the ACTION: re-band as a complete __gen generation, swap
+      saveBandedGeneration(spark, s"${name}__gen", sigs, bands = 8)
+      Seq("_banded", "_meta").foreach { sfx =>
+        dropTableAndLocation(spark, s"$name$sfx")
+        spark.sql(s"ALTER TABLE ${name}__gen$sfx RENAME TO $name$sfx")
+        spark.catalog.refreshTable(s"$name$sfx")
+      }
+    }
+    before.unionByName(measure(1)).orderBy("phase")
+  }
+
+  /** One banding generation on disk: the banded table (bucketed on its
+    * join keys) plus a meta row recording the banding — meta LAST, so
+    * its presence implies the generation is complete (the crash-safety
+    * ordering every generation swap in the engine relies on).
+    */
+  private def saveBandedGeneration(spark: SparkSession, name: String,
+      sigs: DataFrame, bands: Int, buckets: Int = 8): Unit = {
+    saveBucketedTable(simhashBanded(sigs, bands), s"${name}_banded", buckets,
+      Seq("b", "chunk"))
+    import spark.implicits._
+    dropTableAndLocation(spark, s"${name}_meta")
+    Seq((buckets, bands)).toDF("buckets", "bands")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** d28's recall measurement where the approx side is a PERSISTED
+    * banded table (whatever banding it carries) instead of a freshly
+    * banded signature frame — the serving-generation form the d32
+    * monitor reads. Exact side: the 8-band fine re-blocking (exact
+    * through Hamming 7), as in [[simhashBandRecallOf]].
+    */
+  private def servingBandRecall(sigs: DataFrame, banded: DataFrame,
+      maxHamming: Int, hotBlockRows: Long = 1L << 17): DataFrame = {
+    require(maxHamming <= 7,
+      "the 8-band exact side is pigeonhole-exact only through Hamming 7")
+    val fine = sigs.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("chunk", expr("(simhash >> (b * 8)) & 255"))
+    val exact = blockedPairCandidates(fine, Seq("b", "chunk"), Seq("simhash"),
+        hotBlockRows, salts = 16)
+      .filter(expr("CAST(bit_count(simhash_a ^ simhash_b) AS INT)") <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val approx = blockedPairCandidates(banded, Seq("b", "chunk"), Seq("simhash"),
+        hotBlockRows, salts = 16)
+      .filter(expr("CAST(bit_count(simhash_a ^ simhash_b) AS INT)") <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+    recallRowOf(exact, approx)
+  }
+
   /** D29 — measured recall of the d8 single-bucket SRP tier: 8
     * AND-amplified hyperplanes keep only pairs agreeing on EVERY sign,
     * so recall at moderate thresholds is the tier's real price — ~

@@ -354,6 +354,46 @@ class IndexRemoveSpec extends SparkSuite {
     }
   }
 
+  test("d32 reband loop: planted Hamming-5 evaders trip the trigger; the 8-band swap clears it") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    // a base signature plus partners at Hamming 5 with the differing
+    // bits SPREAD over 4+ of the 16-bit bands — invisible to the 4-band
+    // blocking (no shared 16-bit chunk), caught by the 8-band exact side
+    val base = 0x0F0F0F0F0F0F0F0FL
+    def evader(i: Int) = base ^ (1L << (i % 16)) ^ (1L << (16 + (i % 16))) ^
+      (1L << (32 + (i % 16))) ^ (1L << (48 + (i % 16))) ^ (1L << ((i * 7) % 16))
+    // noise docs far from everything (distinct high nibbles)
+    def noise(i: Long) = (0xA000L + i * 0x101L) << 16 | (0x5AA5L ^ i)
+    val sigs = (Seq((0L, base)) ++ (1 to 3).map(i => (i.toLong, evader(i))) ++
+      (10L to 19L).map(i => (i, noise(i)))).toDF("doc_id", "simhash")
+    val name = "rb_test"
+    val all = Seq("_banded", "_meta").flatMap(s =>
+      Seq(s"$name$s", s"${name}__gen$s", s"$name${s}__compact"))
+    all.foreach(t => ops.dropTableAndLocation(spark, t))
+    try {
+      val rows = ops.simhashRebandLifecycle(spark, name, sigs,
+        radius = 5, target = 0.95).collect()
+      assert(rows.length == 2)
+      val p0 = rows(0); val p1 = rows(1)
+      // phase 0: the 4-band generation misses the planted evaders
+      assert(p0.getAs[Long]("bands") == 4L)
+      assert(p0.getAs[Double]("recall") < 0.95,
+        s"planted degradation not measured: recall ${p0.getAs[Double]("recall")}")
+      assert(p0.getAs[Boolean]("triggered"), "trigger did not trip")
+      // phase 1: the swapped 8-band generation serves radius 5 losslessly
+      assert(p1.getAs[Long]("bands") == 8L, "action did not swap generations")
+      assert(p1.getAs[Double]("recall") == 1.0,
+        s"re-band did not clear the miss: recall ${p1.getAs[Double]("recall")}")
+      assert(!p1.getAs[Boolean]("triggered"), "trigger did not clear")
+      // the persisted serving table really is the 8-band generation
+      spark.catalog.refreshTable(s"${name}_banded")
+      assert(spark.table(s"${name}_banded").select("b").distinct().count() == 8)
+      assert(!spark.catalog.tableExists(s"${name}__gen_meta"),
+        "generation swap left the __gen tables registered")
+    } finally all.foreach(t => ops.dropTableAndLocation(spark, t))
+  }
+
   test("s18 partitioned store: remove hides now, compact deletes (emptied partition dirs too), append resurrects") {
     import spark.implicits._
     val sim = graft.operators.Similarity
