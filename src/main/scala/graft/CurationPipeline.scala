@@ -36,6 +36,17 @@ object CurationPipeline {
       nCapDropped: Long,
       nKept: Long)
 
+  /** The funnel report extended through the packing stage: every kept
+    * doc places (nPlaced == nKept — packing drops nothing with > 0
+    * tokens), total tokens conserve, and nSequences = ⌈nTokens/seqLen⌉
+    * — the telescoping arithmetic continued past the corpus write.
+    */
+  final case class PackedReport(
+      curation: Report,
+      nPlaced: Long,
+      nTokens: Long,
+      nSequences: Long)
+
   /** Run the full flow; returns (kept corpus frame as written, report).
     * `trainUpTo`/`valFrom` are the t9 split thresholds: only TRAIN-split
     * documents (bucket < trainUpTo) are decontaminated; the gram state
@@ -111,5 +122,39 @@ object CurationPipeline {
       nQualityDropped = nAfterNear - nAfterQuality,
       nCapDropped = nAfterQuality - nKept,
       nKept = nKept))
+  }
+
+  /** The lifecycle a training run actually executes: [[run]]'s curate →
+    * write, continued through SEQUENCE PACKING and the manifest — the
+    * t23 family folded into the facade. The packing rides the SAME
+    * placement core as the t24-gated dedup→pack composition
+    * ([[TextAnalysis.packingOf]] — the two-level integer prefix sum)
+    * and the manifest the same generator arithmetic as t23b
+    * ([[TextAnalysis.manifestOf]]), so the composed path's correctness
+    * is gated by their oracles; the pipeline adds only the composition
+    * and the extended funnel report (PipelineSpec telescopes it through
+    * placements). Returns (kept corpus, placements, manifest, report).
+    */
+  def runWithPacking(spark: SparkSession, dir: String, outPath: String,
+      seqLen: Int = 2048, chunkDocs: Long = 4096, cap: Int = 20,
+      trainUpTo: Int = 250, valFrom: Int = 253, threshold: Double = 0.8)
+      : (DataFrame, DataFrame, DataFrame, PackedReport) = {
+    val (kept, report) = run(spark, dir, outPath, cap, trainUpTo, valFrom,
+      threshold)
+    val placements = TextAnalysis.packingOf(
+      kept.select(col("doc_id"),
+        size(graft.functions.Exprs.tokens(col("text"))).cast("long")
+          .as("n_tokens")),
+      seqLen, chunkDocs).localCheckpoint()
+    val manifest = TextAnalysis.manifestOf(placements, seqLen)
+    val stats = placements.agg(
+      count(lit(1)).as("n_placed"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+      coalesce(max(col("seq_last")) + 1L, lit(0L)).as("n_sequences")).head()
+    (kept, placements, manifest, PackedReport(
+      curation = report,
+      nPlaced = stats.getAs[Long]("n_placed"),
+      nTokens = stats.getAs[Long]("n_tokens"),
+      nSequences = stats.getAs[Long]("n_sequences")))
   }
 }

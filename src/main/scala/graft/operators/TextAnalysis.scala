@@ -741,10 +741,12 @@ object TextAnalysis {
       size(tokens(col("text"))).cast("long").as("n_tokens")), seqLen, chunkDocs)
 
   /** The t23 placement core over an arbitrary (doc_id, n_tokens) frame —
-    * one prefix-sum machine, three consumers (full corpus, curated
-    * subset, incremental shard).
+    * one prefix-sum machine, four consumers (full corpus t23, the
+    * t24-gated dedup→pack composition, the incremental shard, and
+    * [[graft.CurationPipeline.runWithPacking]]'s curated set — sharing
+    * it is what lets t24's oracle gate the composed path).
     */
-  private def packingOf(toks0: DataFrame, seqLen: Int,
+  private[graft] def packingOf(toks0: DataFrame, seqLen: Int,
       chunkDocs: Long): DataFrame = {
     val toks = toks0
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
@@ -846,9 +848,16 @@ object TextAnalysis {
     * manifest costs one narrow generator pass, never a re-tokenization.
     */
   def packSequencesManifest(spark: SparkSession, dir: String,
-      seqLen: Int = 2048, chunkDocs: Long = 4096): DataFrame = {
+      seqLen: Int = 2048, chunkDocs: Long = 4096): DataFrame =
+    manifestOf(packSequences(spark, dir, seqLen, chunkDocs), seqLen)
+
+  /** The manifest arithmetic over ANY placement frame (the t23b
+    * generator pass) — shared by the t23b gate and the pipeline's
+    * curate→pack→manifest lifecycle.
+    */
+  private[graft] def manifestOf(placements: DataFrame, seqLen: Int): DataFrame = {
     val sl = lit(seqLen.toLong)
-    packSequences(spark, dir, seqLen, chunkDocs)
+    placements
       .withColumn("start", col("seq_first") * sl + col("seq_offset"))
       .withColumn("seq_id", explode(sequence(col("seq_first"), col("seq_last"))))
       .select(col("seq_id"), col("doc_id"),

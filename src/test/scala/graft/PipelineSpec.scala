@@ -217,6 +217,53 @@ class PipelineSpec extends SparkSuite {
       "split predicate should resolve via partition pruning, not a data filter")
   }
 
+  test("curation pipeline with packing: the funnel telescopes through placements and manifest") {
+    val dir = sf("sf0.001")
+    val out = Files.createTempDirectory("graft_curation_pack_out").toString
+    val sl = 64L // small enough that curated docs straddle sequence cuts
+    val (kept, placements, manifest, pr) =
+      CurationPipeline.runWithPacking(spark, dir, out, seqLen = sl.toInt)
+    try {
+      // the funnel CONTINUES: every kept doc places exactly once
+      assert(pr.nPlaced == pr.curation.nKept)
+      val pRows = placements.collect()
+      assert(pRows.map(_.getAs[Long]("doc_id")).toSet ==
+        kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+      // token conservation and the sequence-count arithmetic
+      assert(pr.nTokens == pRows.map(_.getAs[Long]("n_tokens")).sum)
+      assert(pr.nSequences == (pr.nTokens + sl - 1) / sl)
+      assert(pRows.map(_.getAs[Long]("seq_last")).max == pr.nSequences - 1)
+      // placements ARE the prefix-sum packing of the kept set in doc_id
+      // order — reconstructed doc by doc
+      var cum = 0L
+      pRows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("seq_first") == cum / sl)
+        assert(r.getAs[Long]("seq_offset") == cum % sl)
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("seq_last") == (cum - 1) / sl)
+      }
+      assert(cum == pr.nTokens)
+      assert(pRows.exists(r => r.getAs[Long]("seq_first") != r.getAs[Long]("seq_last")),
+        "fixture must straddle sequence cuts")
+      // manifest telescopes both ways: per doc the slices sum to its
+      // token count; per sequence every slot is filled (full seqLen
+      // except the final partial)
+      val mRows = manifest.collect()
+      def sliceLen(s: org.apache.spark.sql.Row) =
+        s.getAs[Long]("tok_until") - s.getAs[Long]("tok_from")
+      val byDoc = mRows.groupBy(_.getAs[Long]("doc_id"))
+      pRows.foreach { r =>
+        assert(byDoc(r.getAs[Long]("doc_id")).map(sliceLen).sum ==
+          r.getAs[Long]("n_tokens"))
+      }
+      mRows.groupBy(_.getAs[Long]("seq_id")).foreach { case (sid, slices) =>
+        val tot = slices.map(sliceLen).sum
+        if (sid < pr.nSequences - 1) assert(tot == sl, s"sequence $sid not full: $tot")
+        else assert(tot == pr.nTokens - (pr.nSequences - 1) * sl)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("IVF ANN: planted clone found via its cluster") {
     val dir = sf("sf0.001")
     val ivf = graft.operators.Similarity.ivfTopK(spark, dir, nProbes = 3, k = 3)
