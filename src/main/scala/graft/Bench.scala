@@ -33,7 +33,8 @@ object Bench {
     "d22_index_remove", "s13_ann_remove", "d23_canonical_remove",
     "d21c_semdedup_banded", "w6b_running_sum_chunked", "w4b_asof_chunked",
     "d24_dedup_recall", "d25_simhash_remove", "d27_containment_remove",
-    "td1_takedown_unified", "d31_tenant_index")
+    "td1_takedown_unified", "d31_tenant_index", "d11b_simhash_radius5",
+    "d32_reband_trigger", "d29b_srp_recall_sampled")
 
   // Locale.ROOT: the f-interpolator uses the default locale, and a
   // comma-decimal locale would corrupt the JSON contract line
@@ -108,8 +109,23 @@ object Bench {
     // load spike that lands inside any single pass. Both the median and
     // mean steady totals are printed so a skewed run is visible from the
     // summary line alone.
+    // load marker per pass (round-12 verdict ask #7): the 1-minute
+    // loadavg sampled immediately before each pass, plus one final
+    // sample — an inflated pass (another build stealing the cores mid-
+    // bench) self-identifies in the artifact instead of costing a
+    // spike-vs-regression audit next round. -1 where unreadable.
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loads = scala.collection.mutable.ArrayBuffer[Double]()
+    loads += loadAvg()
     val results = timedPass()
-    val steadyPasses = Seq.fill(3)(timedPass())
+    val steadyPasses = Seq.fill(3) { loads += loadAvg(); timedPass() }
+    loads += loadAvg()
+    val loadJson = loads.map(fmt).mkString("[", ",", "]")
+    val nCpu = Runtime.getRuntime.availableProcessors()
     val steady: Map[String, (Double, Boolean)] = selected.keysIterator.map { k =>
       val vs = steadyPasses.map(_(k))
       k -> (vs.map(_._1).sorted.apply(1), vs.forall(_._2))
@@ -130,7 +146,7 @@ object Bench {
     val detailPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath,
-      s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","loadavg_per_pass":$loadJson,"ncpu":$nCpu,"queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
     // the printed per-query numbers are the STEADY MEDIANS, not the cold
     // pass (round-11 verdict ask #6): a load spike landing inside any
@@ -144,6 +160,6 @@ object Bench {
     // LAST line, compact: fits entirely inside the driver's tail window;
     // "steady" is the median-of-3 total (robust), "steady_mean" the plain
     // mean of the three steady pass totals
-    println(s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","queries_kind":"steady_median","queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","queries_kind":"steady_median","loadavg_per_pass":$loadJson,"ncpu":$nCpu,"queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench_full.json","sf":"$sfDir"}""")
   }
 }
