@@ -463,6 +463,7 @@ object SparkEntry {
     // the LOSSY container gated arithmetically: DC-only baseline JPEGs
     // whose decode is exact by construction (multiple-of-8 DC, flat-128
     // chroma, one block per grid cell) — m4's oracle verbatim
+    "m4d_jpeg_golden_decode" -> ((s, d) => Multimodal.jpegGoldenDecode(s, d)),
     "m4c_image_neardup_jpeg" -> ((s, d) =>
       Multimodal.imageNearDupsJpeg(s, d).orderBy("id_a", "id_b")),
     // the d28 banding-recall audit for the perceptual family: image
@@ -2657,6 +2658,16 @@ object SparkEntry {
     "w4b_asof_chunked" -> oracleBase("w4_asof_join"),
     "m4b_image_neardup_png" -> oracleBase("m4_image_neardup"),
     "m4c_image_neardup_jpeg" -> oracleBase("m4_image_neardup"),
+    // golden literals, decoded ONCE at fixture-authoring time
+    // (tools/GenJpegFixtures) and frozen: full-res luma digest, 9×8
+    // serving-grid digest, stored dHash — decoder drift fails the gate
+    "m4d_jpeg_golden_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('cam0', CAST(96 AS BIGINT), CAST(64 AS BIGINT), '97bfcab8dee9b27323e69bbdddb80f31', 'ac6e08675e42334c4adcd4a8f88be6b9', CAST(-108095187175081985 AS BIGINT)),
+        |  ('cam1', CAST(96 AS BIGINT), CAST(64 AS BIGINT), '41da353bf0eaa198b48d9cd3fc6b1a55', 'a32615a2fb01fbbe51ef3ba6a5c8737d', CAST(4485364429931624239 AS BIGINT)),
+        |  ('cam2', CAST(96 AS BIGINT), CAST(64 AS BIGINT), 'cdf1cdb2808a587acb4f791bd7c3b510', '4909b626b54e0a45784bbc3e4f946d72', CAST(-7052751848350048369 AS BIGINT))
+        |) AS t(name, width, height, luma_md5, grid_md5, dhash)
+        |ORDER BY name""".stripMargin,
     "t21b_nb_probe_indexed" -> oracleBase("t21_nb_quality_probe"),
     "s9_ann_delta_search" -> annDeltaSearchSql,
     "s10_ann_drift" -> annDriftSql)
