@@ -291,6 +291,12 @@ object SparkEntry {
     // anti-join broadcasts), removed docs pair with nothing
     "d31b_tenant_remove" -> ((s, d) =>
       Dedup.tenantDeltaNearDupsRemoved(s, d).orderBy("id_a", "id_b")),
+    // the d31 contract on the SECOND dedup family: tenant-partitioned
+    // simhash index, planning-time pruning + takedown isolation
+    "d33_tenant_simhash" -> ((s, d) =>
+      Dedup.tenantDeltaSimhash(s, d).orderBy("id_a", "id_b")),
+    "d33b_tenant_simhash_remove" -> ((s, d) =>
+      Dedup.tenantDeltaSimhashRemoved(s, d).orderBy("id_a", "id_b")),
     // retraction through the LABEL store: removal deletes vertices, so
     // touched components re-label (splits included) while untouched
     // clusters serve from the persisted state; oracle = d19's canonical
@@ -1378,6 +1384,44 @@ object SparkEntry {
          |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b, jaccard
          |FROM pairs JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
          |WHERE (xa.bucket >= 200 OR xb.bucket >= 200)
+         |  AND id_a % 2 = 0 AND id_b % 2 = 0
+         |  AND NOT (xa.bucket < 200 AND id_a % 14 = 8)
+         |  AND NOT (xb.bucket < 200 AND id_b % 14 = 8)
+         |ORDER BY id_a, id_b""".stripMargin,
+    // the tenant-partitioned SIMHASH index (the d31 contract on the
+    // second family): d15's delta identity with both endpoints in the
+    // tenant (signatures are per-doc functions, so the within-tenant
+    // pair set is the global set restricted)
+    "d33_tenant_simhash" ->
+      s"""$simhash64Cte,
+         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
+         |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |    a.simhash AS sh_a, b2.simhash AS sh_b
+         |  FROM banded a JOIN banded b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id),
+         |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+         |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b,
+         |  CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+         |FROM cand JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+         |WHERE bit_count(xor(sh_a, sh_b)) <= 3 AND (xa.bucket >= 200 OR xb.bucket >= 200)
+         |  AND id_a % 2 = 0 AND id_b % 2 = 0
+         |ORDER BY id_a, id_b""".stripMargin,
+    // ... with a takedown folded in: indexed-side members of the removed
+    // class (doc_id ≡ 8 mod 14 within the tenant) excluded
+    "d33b_tenant_simhash_remove" ->
+      s"""$simhash64Cte,
+         |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
+         |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |    a.simhash AS sh_a, b2.simhash AS sh_b
+         |  FROM banded a JOIN banded b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id),
+         |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+         |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b,
+         |  CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+         |FROM cand JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+         |WHERE bit_count(xor(sh_a, sh_b)) <= 3 AND (xa.bucket >= 200 OR xb.bucket >= 200)
          |  AND id_a % 2 = 0 AND id_b % 2 = 0
          |  AND NOT (xa.bucket < 200 AND id_a % 14 = 8)
          |  AND NOT (xb.bucket < 200 AND id_b % 14 = 8)

@@ -2552,6 +2552,84 @@ object Dedup {
     deltaSimhashPairs(sigs.filter(bucket >= splitAt), index, maxHamming)
   }
 
+  /** D33 — the tenant-partitioned SIMHASH index: d31's planning-time
+    * tenant isolation applied to a second dedup family (round-12
+    * verdict stretch ask). The banded signature table saves partitioned
+    * by tenant (bucketed on (b, chunk) within each partition), and a
+    * tenant's delta reads it through a tenant filter that lands in the
+    * scan's PartitionFilters — per-tenant delta cost is the tenant's
+    * own index size, and a tenant's takedown/compaction touches only
+    * that tenant's directories. Tenancy = doc_id mod nTenants (the a6b
+    * convention); simhash semantics are per tenant (isolated corpora).
+    * Oracle: d15's delta SQL with both endpoints in the tenant.
+    */
+  def tenantDeltaSimhash(spark: SparkSession, dir: String, tenant: Int = 0,
+      nTenants: Int = 2, splitAt: Int = 200, maxHamming: Int = 3): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sigs = simhash64Cached(spark, dir)
+    val name = graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantSimhashIndex", dir, nTenants, splitAt)) {
+      val t = f"tenant_sh_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveTenantBucketedTable(
+        simhashBanded(sigs.filter(bucket < splitAt))
+          .withColumn("tenant", pmod(col("doc_id"), lit(nTenants))),
+        s"${t}_banded", buckets = 8, Seq("b", "chunk"))
+      t
+    }.asInstanceOf[String]
+    deltaSimhashPairs(
+      sigs.filter(bucket >= splitAt &&
+        pmod(col("doc_id"), lit(nTenants)) === tenant),
+      loadTenantSimHashIndex(spark, name, tenant), maxHamming)
+  }
+
+  /** One tenant's slice of the partitioned simhash index,
+    * tombstone-filtered like [[loadSimHashIndex]]: partition pruning at
+    * planning time, pending takedowns anti-joined — the d25 serving
+    * contract composed with d31's isolation.
+    */
+  private[graft] def loadTenantSimHashIndex(spark: SparkSession,
+      name: String, tenant: Int): SimHashIndex =
+    SimHashIndex(minusTombstones(
+      spark.table(s"${name}_banded")
+        .filter(col("tenant") === tenant).drop("tenant"),
+      tombstoneTable(spark, s"${name}_tombstones"), "doc_id"))
+
+  /** D33B — a takedown against the tenant-partitioned simhash index
+    * (the d31b contract for the second family): tombstone the doc_id ≡
+    * 8 (mod 14) slice of the tenant's indexed docs
+    * ([[removeFromSimHashIndex]] works unchanged — tombstones are
+    * id-keyed, layout-agnostic), then run the tenant's delta against
+    * the filtered slice. Oracle = d33's SQL minus the removed class.
+    */
+  def tenantDeltaSimhashRemoved(spark: SparkSession, dir: String,
+      tenant: Int = 0, nTenants: Int = 2, splitAt: Int = 200,
+      maxHamming: Int = 3): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sigs = simhash64Cached(spark, dir)
+    val name = graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantSimhashRemoved", dir, tenant, nTenants, splitAt)) {
+      // a separate copy of the d33 table: the two gates must not race
+      // each other's tombstone list
+      val t = f"tenant_shrm_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      dropTableAndLocation(spark, s"${t}_tombstones")
+      saveTenantBucketedTable(
+        simhashBanded(sigs.filter(bucket < splitAt))
+          .withColumn("tenant", pmod(col("doc_id"), lit(nTenants))),
+        s"${t}_banded", buckets = 8, Seq("b", "chunk"))
+      removeFromSimHashIndex(spark, t,
+        Tables.documents(spark, dir)
+          .filter(bucket < splitAt &&
+            pmod(col("doc_id"), lit(nTenants)) === tenant &&
+            col("doc_id") % 14 === 8)
+          .select(col("doc_id")))
+      t
+    }.asInstanceOf[String]
+    deltaSimhashPairs(
+      sigs.filter(bucket >= splitAt &&
+        pmod(col("doc_id"), lit(nTenants)) === tenant),
+      loadTenantSimHashIndex(spark, name, tenant), maxHamming)
+  }
+
   /** Embedding near-dup, scale path: block by the sign-random-projection
     * LSH bucket (Similarity.lshBuckets) instead of a given label — pairs
     * only form inside a bucket (2^nPlanes buckets ⇒ expected n²/2^p pair

@@ -611,5 +611,21 @@ class PlanSpec extends SparkSuite {
     assert(!d30b.contains("CartesianProduct"), "d30b went cartesian")
     assert(d30b.split("BroadcastNestedLoopJoin").length <= 2,
       "d30b has a nested-loop join beyond the one-row recall assembly")
+    // d33: the tenant-partitioned simhash index prunes to the tenant's
+    // directories at planning time (the d31 contract on the second
+    // family) — the tenant predicate lands in the scan's PartitionFilters
+    val d33 = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) {
+        graft.operators.Dedup.tenantDeltaSimhash(spark, dir)
+          .orderBy("id_a", "id_b").explain("formatted")
+      }
+      out.toString
+    }
+    val shPfs = d33.linesIterator
+      .filter(_.contains("PartitionFilters")).filter(_.contains("tenant"))
+      .toSeq
+    assert(shPfs.nonEmpty && shPfs.forall(_.contains("= 0")),
+      s"tenant predicate not pruning the simhash index scan:\n${d33.take(2500)}")
   }
 }
