@@ -297,6 +297,20 @@ object SparkEntry {
       Dedup.tenantDeltaSimhash(s, d).orderBy("id_a", "id_b")),
     "d33b_tenant_simhash_remove" -> ((s, d) =>
       Dedup.tenantDeltaSimhashRemoved(s, d).orderBy("id_a", "id_b")),
+    // the takedown turned PHYSICAL by a tenant-scoped compaction (only
+    // the tenant's partition directory rewrites) — served output
+    // identical, so d33b's oracle gates the compacted lifecycle
+    "d33c_tenant_simhash_compacted" -> ((s, d) =>
+      Dedup.tenantDeltaSimhashCompacted(s, d).orderBy("id_a", "id_b")),
+    // the THIRD tenant-partitioned family (embedding): both persisted
+    // halves — banded LSH rows AND verification vectors — partition by
+    // tenant, and the tenant's delta + verify joins prune both scans
+    "d34_tenant_embedding" -> ((s, d) =>
+      Dedup.tenantDeltaEmbedding(s, d).orderBy("id_a", "id_b")),
+    "d34b_tenant_embedding_remove" -> ((s, d) =>
+      Dedup.tenantDeltaEmbeddingRemoved(s, d).orderBy("id_a", "id_b")),
+    "d34c_tenant_embedding_compacted" -> ((s, d) =>
+      Dedup.tenantDeltaEmbeddingCompacted(s, d).orderBy("id_a", "id_b")),
     // retraction through the LABEL store: removal deletes vertices, so
     // touched components re-label (splits included) while untouched
     // clusters serve from the persisted state; oracle = d19's canonical
@@ -334,6 +348,7 @@ object SparkEntry {
     "d32_reband_trigger" -> ((s, d) => Dedup.simhashRebandGate(s, d)),
     "d29b_srp_recall_sampled" ->
       ((s, d) => Dedup.srpBucketRecall(s, d, sampleBuckets = 64)),
+    "d29c_srp_banded_recall" -> ((s, d) => Dedup.srpBandedRecall(s, d)),
     "d30_semdedup_recall" -> ((s, d) => Dedup.semDedupBandRecall(s, d)),
     "d30b_semdedup_recall_sampled" ->
       ((s, d) => Dedup.semDedupBandRecall(s, d, sampleBuckets = 64)),
@@ -790,6 +805,37 @@ object SparkEntry {
     */
   private val vecBucketSql =
     s"(${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)")})"
+
+  /** The d34 tenant-embedding oracle: d17's delta identity with both
+    * endpoints in tenant 0 (of 2) — band buckets and cosine are
+    * per-vector / pairwise functions, so the within-tenant pair set is
+    * the global set restricted. `removed` folds in the d34b takedown
+    * (indexed-side members of vec_id ≡ 8 mod 14 excluded).
+    */
+  private def tenantEmbDeltaSql(removed: Boolean): String = {
+    val coeff = hexv("substr(md5('plane:' || (b*2+j) || ':' || i), 1, 1)")
+    val removedClause = if (!removed) "" else
+      """
+        |  AND NOT (xa.sbucket < 200 AND id_a % 14 = 8)
+        |  AND NOT (xb.sbucket < 200 AND id_b % 14 = 8)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+       |bkd AS (SELECT vec_id, label, b,
+       |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+       |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) AS bucket
+       |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |  FROM bkd a JOIN bkd b2 ON a.label = b2.label AND a.b = b2.b AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id),
+       |sb AS (SELECT vec_id, $vecBucketSql AS sbucket FROM embeddings)
+       |SELECT id_a, id_b, xa.sbucket >= 200 AS new_a, xb.sbucket >= 200 AS new_b, cos
+       |FROM (
+       |  SELECT id_a, id_b, round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) AS cos
+       |  FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b) p
+       |JOIN sb xa ON xa.vec_id = id_a JOIN sb xb ON xb.vec_id = id_b
+       |WHERE cos >= 0.35 AND (xa.sbucket >= 200 OR xb.sbucket >= 200)
+       |  AND id_a % 2 = 0 AND id_b % 2 = 0$removedClause
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** The d29 SRP recall-audit oracle, parameterized by the md5-bucket
     * cap: 256 = the whole corpus (d29), smaller = the sampled slice
@@ -1349,6 +1395,32 @@ object SparkEntry {
     // the sampled twin — exact all-pairs WITHIN one md5-slice of the
     // vectors (both endpoints in-slice, the d24b convention)
     "d29b_srp_recall_sampled" -> srpRecallSql(64),
+    // the OR-amplified banded tier d29's 2% measurement demands, itself
+    // measured: candidate when ANY of 8 two-plane bands agrees, exact
+    // cosine verify — same exact side as d29
+    "d29c_srp_banded_recall" -> {
+      val bandCoeff = hexv("substr(md5('plane:' || (2 * b + j) || ':' || i), 1, 1)")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+         |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b
+         |  ON a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) >= 0.3),
+         |bks AS (SELECT vec_id,
+         |  [list_sum([CASE WHEN list_sum([v[i+1] * ($bandCoeff - 7.5) for i in range(0, 64)]) > 0
+         |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) for b in range(0, 8)] AS bk FROM e),
+         |ap AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM e x
+         |  JOIN e y ON x.vec_id < y.vec_id
+         |  JOIN bks bx ON bx.vec_id = x.vec_id
+         |  JOIN bks yb ON yb.vec_id = y.vec_id
+         |  WHERE len([b for b in range(1, 9) if bx.bk[b] = yb.bk[b]]) > 0
+         |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.3),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex SEMI JOIN ap USING (id_a, id_b)),
+         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex)
+         |SELECT n_exact, n_caught,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
+         |FROM nx CROSS JOIN ct""".stripMargin
+    },
     // measured recall of d21c's banded within-cluster candidate stage vs
     // d21's exact within-cluster pairs, both under the frozen k-means
     // assignment and the gate threshold
@@ -1426,6 +1498,15 @@ object SparkEntry {
          |  AND NOT (xa.bucket < 200 AND id_a % 14 = 8)
          |  AND NOT (xb.bucket < 200 AND id_b % 14 = 8)
          |ORDER BY id_a, id_b""".stripMargin,
+    // the tenant-partitioned EMBEDDING index (the d31 contract on the
+    // third family): d17's delta identity with both endpoints in the
+    // tenant (band buckets and cosine are per-vector / pairwise
+    // functions, so the within-tenant pair set is the global set
+    // restricted)
+    "d34_tenant_embedding" -> tenantEmbDeltaSql(removed = false),
+    // ... with a takedown folded in: indexed-side members of the removed
+    // class (vec_id ≡ 8 mod 14 within the tenant) excluded
+    "d34b_tenant_embedding_remove" -> tenantEmbDeltaSql(removed = true),
     // the appended+compacted index holds exactly the bucket<200 docs the
     // d13 index holds (base save + one appended slice), so the delta
     // pair set — and the oracle — are identical; the Spark path differs
@@ -2692,6 +2773,11 @@ object SparkEntry {
     "s2b_ann_lsh_indexed" -> oracleBase("s2_ann_lsh"),
     "s12b_ann_filtered_indexed" -> oracleBase("s12_ann_filtered"),
     "s18_ann_filtered_partitioned" -> oracleBase("s12_ann_filtered"),
+    // physical tenant-scoped compaction serves corpus ∖ removed exactly
+    // like the tombstoned form — d33b's oracle verbatim
+    "d33c_tenant_simhash_compacted" -> oracleBase("d33b_tenant_simhash_remove"),
+    // ... and the embedding family's compacted lifecycle — d34b's oracle
+    "d34c_tenant_embedding_compacted" -> oracleBase("d34b_tenant_embedding_remove"),
     "s19_ann_retrain" -> oracleBase("s7_ann_quantized"),
     "s6b_ann_kmeans_indexed" -> oracleBase("s6_ann_kmeans"),
     "s7b_ann_quantized_indexed" -> oracleBase("s7_ann_quantized"),

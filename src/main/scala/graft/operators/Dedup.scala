@@ -1138,7 +1138,7 @@ object Dedup {
     * PLANNING time — the a6b fact-table isolation extended to persisted
     * index state. `df` must carry a `tenant` column.
     */
-  private def saveTenantBucketedTable(df: DataFrame, table: String,
+  private[graft] def saveTenantBucketedTable(df: DataFrame, table: String,
       buckets: Int, keys: Seq[String]): Unit = {
     dropTableAndLocation(df.sparkSession, table)
     df.repartition(buckets, keys.map(col): _*)
@@ -2349,7 +2349,7 @@ object Dedup {
     * persisted simhash index (d15). Pigeonhole guarantee: every pair at
     * Hamming ≤ bands−1 shares at least one band chunk.
     */
-  private def simhashBanded(sigs: DataFrame, bands: Int = 4): DataFrame = {
+  private[graft] def simhashBanded(sigs: DataFrame, bands: Int = 4): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val bits = 64 / bands
     val mask = (1L << bits) - 1
@@ -2594,6 +2594,104 @@ object Dedup {
         .filter(col("tenant") === tenant).drop("tenant"),
       tombstoneTable(spark, s"${name}_tombstones"), "doc_id"))
 
+  /** TENANT-SCOPED compaction of one tenant's partition in a
+    * tenant-partitioned bucketed table — the d33 layout's point made
+    * physical: a takedown's compaction rewrites ONLY the affected
+    * tenant's directory (other tenants' files never move — the spec
+    * pins their mtimes), unlike [[compactBucketedTable]]'s whole-table
+    * generation. Mechanics: the tenant's retained rows write as a
+    * fresh bucketed generation under a temp table (correct bucket-id
+    * file names), the temp's data files MOVE into the tenant's
+    * partition directory replacing the old ones (bucket ids ride the
+    * file names, so the partitioned scan keeps its bucketing), and an
+    * emptied tenant's directory deletes outright (the CorpusWriter
+    * rule). `minus` rows drop during the rewrite; the caller clears
+    * the now-physical tombstones.
+    */
+  private[graft] def compactTenantPartition(spark: SparkSession,
+      table: String, tenant: Int, buckets: Int, keys: Seq[String],
+      minus: Option[(DataFrame, String)]): Unit = {
+    val slice = spark.table(table)
+      .filter(col("tenant") === tenant).drop("tenant")
+    val retained = minus.fold(slice) { case (t, k) =>
+      minusTombstones(slice, Some(t), k) }.localCheckpoint()
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val partDir = new org.apache.hadoop.fs.Path(root, s"tenant=$tenant")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (retained.isEmpty) {
+      fs.delete(partDir, true)
+    } else {
+      val tmp = s"${table}__tcomp"
+      saveBucketedTable(retained, tmp, buckets, keys)
+      val tmpLoc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), tmp.toLowerCase)
+      fs.delete(partDir, true)
+      fs.mkdirs(partDir)
+      fs.listStatus(tmpLoc).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => fs.rename(f,
+          new org.apache.hadoop.fs.Path(partDir, f.getName)))
+      dropTableAndLocation(spark, tmp)
+    }
+    spark.catalog.refreshTable(table)
+  }
+
+  /** [[compactSimHashIndex]]'s tenant-scoped form for the d33 layout:
+    * the tenant's pending tombstones become physical in THAT tenant's
+    * partition only, and only that tenant's tombstone rows clear (a
+    * takedown against tenant A must not lose tenant B's pending
+    * tombstones).
+    */
+  def compactTenantSimHashIndex(spark: SparkSession, name: String,
+      tenant: Int, nTenants: Int, buckets: Int = 8): Unit = {
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+      .map(_.select(col("doc_id")).localCheckpoint())
+    ts.foreach { t =>
+      val tenantIds = t.filter(pmod(col("doc_id"), lit(nTenants)) === tenant)
+        .localCheckpoint()
+      compactTenantPartition(spark, s"${name}_banded", tenant, buckets,
+        Seq("b", "chunk"), Some((tenantIds, "doc_id")))
+      clearTombstones(spark, s"${name}_tombstones", tenantIds, "doc_id")
+    }
+  }
+
+  /** D33C — the takedown + TENANT-SCOPED compaction lifecycle: same
+    * state and removal as [[tenantDeltaSimhashRemoved]], but the
+    * tombstones turn physical via [[compactTenantSimHashIndex]] before
+    * the delta runs — served output identical (d33b's oracle verbatim),
+    * while only the tenant's directory rewrote (IndexRemoveSpec pins
+    * the other tenant's file mtimes).
+    */
+  def tenantDeltaSimhashCompacted(spark: SparkSession, dir: String,
+      tenant: Int = 0, nTenants: Int = 2, splitAt: Int = 200,
+      maxHamming: Int = 3): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sigs = simhash64Cached(spark, dir)
+    val name = graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantSimhashCompacted", dir, tenant, nTenants, splitAt)) {
+      val t = f"tenant_shc_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      dropTableAndLocation(spark, s"${t}_tombstones")
+      dropTableAndLocation(spark, s"${t}_banded__tcomp")
+      saveTenantBucketedTable(
+        simhashBanded(sigs.filter(bucket < splitAt))
+          .withColumn("tenant", pmod(col("doc_id"), lit(nTenants))),
+        s"${t}_banded", buckets = 8, Seq("b", "chunk"))
+      removeFromSimHashIndex(spark, t,
+        Tables.documents(spark, dir)
+          .filter(bucket < splitAt &&
+            pmod(col("doc_id"), lit(nTenants)) === tenant &&
+            col("doc_id") % 14 === 8)
+          .select(col("doc_id")))
+      compactTenantSimHashIndex(spark, t, tenant, nTenants)
+      t
+    }.asInstanceOf[String]
+    deltaSimhashPairs(
+      sigs.filter(bucket >= splitAt &&
+        pmod(col("doc_id"), lit(nTenants)) === tenant),
+      loadTenantSimHashIndex(spark, name, tenant), maxHamming)
+  }
+
   /** D33B — a takedown against the tenant-partitioned simhash index
     * (the d31b contract for the second family): tombstone the doc_id ≡
     * 8 (mod 14) slice of the tenant's indexed docs
@@ -2628,6 +2726,148 @@ object Dedup {
       sigs.filter(bucket >= splitAt &&
         pmod(col("doc_id"), lit(nTenants)) === tenant),
       loadTenantSimHashIndex(spark, name, tenant), maxHamming)
+  }
+
+  /** D34 — the tenant-partitioned EMBEDDING index: the d31/d33
+    * planning-time tenant isolation on the THIRD dedup family. Both
+    * persisted halves partition by tenant — the banded LSH rows
+    * (bucketed on (label, band, bucket) within each partition) AND the
+    * verification vectors (bucketed on vec_id) — so a tenant's delta
+    * join and its cosine-verify re-join each open only that tenant's
+    * directories (PlanSpec pins PartitionFilters on BOTH scans; the
+    * vectors table is the new structural case vs d31/d33, where the
+    * signature rides the banded row and no payload table exists).
+    * Tenancy = vec_id mod nTenants (the a6b convention); near-dup
+    * semantics are per tenant (isolated corpora). Oracle: d17's delta
+    * SQL with both endpoints in the tenant.
+    */
+  def tenantDeltaEmbedding(spark: SparkSession, dir: String, tenant: Int = 0,
+      nTenants: Int = 2, splitAt: Int = 200,
+      threshold: Double = 0.35): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("vec_id"))
+    val e = Similarity.preparedEmbeddings(spark, dir)
+    val name = graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantEmbIndex", dir, nTenants, splitAt)) {
+      val t = f"tenant_em_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveTenantEmbTables(e.filter(bucket < splitAt), t, nTenants)
+      t
+    }.asInstanceOf[String]
+    deltaEmbeddingPairs(
+      e.filter(bucket >= splitAt &&
+        pmod(col("vec_id"), lit(nTenants)) === tenant),
+      loadTenantEmbIndex(spark, name, tenant), threshold)
+  }
+
+  /** Both halves of a tenant-partitioned embedding index, saved under
+    * the d31 layout (partitioned by tenant, bucketed within).
+    */
+  private def saveTenantEmbTables(base: DataFrame, t: String,
+      nTenants: Int): Unit = {
+    def withTenant(df: DataFrame) =
+      df.withColumn("tenant", pmod(col("vec_id"), lit(nTenants)))
+    saveTenantBucketedTable(withTenant(embBandedOf(base, 4, 2)),
+      s"${t}_banded", buckets = 8, Seq("label", "band", "bucket"))
+    saveTenantBucketedTable(withTenant(base.select("label", "vec_id", "v", "n")),
+      s"${t}_vectors", buckets = 8, Seq("vec_id"))
+  }
+
+  /** One tenant's slice of the partitioned embedding index, tombstone-
+    * filtered like [[loadEmbIndex]]: the tenant predicate prunes BOTH
+    * scans at planning time; pending takedowns anti-join out of both
+    * tables (a removed vector can neither seed a candidate nor verify
+    * one — the d26 serving contract composed with d31's isolation).
+    */
+  private[graft] def loadTenantEmbIndex(spark: SparkSession, name: String,
+      tenant: Int): EmbIndex = {
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+    def slice(table: String) = minusTombstones(
+      spark.table(table).filter(col("tenant") === tenant).drop("tenant"),
+      ts, "vec_id")
+    EmbIndex(slice(s"${name}_banded"), slice(s"${name}_vectors"))
+  }
+
+  /** D34B — a takedown against the tenant-partitioned embedding index:
+    * tombstone the vec_id ≡ 8 (mod 14) slice of the tenant's indexed
+    * vectors ([[removeFromEmbIndex]] works unchanged — tombstones are
+    * id-keyed, layout-agnostic), then run the tenant's delta against the
+    * filtered slice. Oracle = d34's SQL minus the removed class.
+    */
+  def tenantDeltaEmbeddingRemoved(spark: SparkSession, dir: String,
+      tenant: Int = 0, nTenants: Int = 2, splitAt: Int = 200,
+      threshold: Double = 0.35): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("vec_id"))
+    val e = Similarity.preparedEmbeddings(spark, dir)
+    val name = graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantEmbRemoved", dir, tenant, nTenants, splitAt)) {
+      // a separate copy of the d34 tables: the two gates must not race
+      // each other's tombstone list
+      val t = f"tenant_emrm_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      dropTableAndLocation(spark, s"${t}_tombstones")
+      saveTenantEmbTables(e.filter(bucket < splitAt), t, nTenants)
+      removeFromEmbIndex(spark, t,
+        e.filter(bucket < splitAt &&
+            pmod(col("vec_id"), lit(nTenants)) === tenant &&
+            col("vec_id") % 14 === 8)
+          .select(col("vec_id")))
+      t
+    }.asInstanceOf[String]
+    deltaEmbeddingPairs(
+      e.filter(bucket >= splitAt &&
+        pmod(col("vec_id"), lit(nTenants)) === tenant),
+      loadTenantEmbIndex(spark, name, tenant), threshold)
+  }
+
+  /** [[compactTenantSimHashIndex]]'s embedding twin, over BOTH halves:
+    * the tenant's pending tombstones turn physical in that tenant's
+    * banded AND vectors partitions (other tenants' files never move),
+    * and only the tenant's tombstone rows clear.
+    */
+  def compactTenantEmbIndex(spark: SparkSession, name: String,
+      tenant: Int, nTenants: Int, buckets: Int = 8): Unit = {
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+      .map(_.select(col("vec_id")).localCheckpoint())
+    ts.foreach { t =>
+      val tenantIds = t.filter(pmod(col("vec_id"), lit(nTenants)) === tenant)
+        .localCheckpoint()
+      compactTenantPartition(spark, s"${name}_banded", tenant, buckets,
+        Seq("label", "band", "bucket"), Some((tenantIds, "vec_id")))
+      compactTenantPartition(spark, s"${name}_vectors", tenant, buckets,
+        Seq("vec_id"), Some((tenantIds, "vec_id")))
+      clearTombstones(spark, s"${name}_tombstones", tenantIds, "vec_id")
+    }
+  }
+
+  /** D34C — the d34b takedown made PHYSICAL by a tenant-scoped
+    * compaction of both index halves ([[compactTenantEmbIndex]]) before
+    * the delta runs — served output identical (d34b's oracle verbatim)
+    * while only the tenant's two partition directories rewrote
+    * (IndexRemoveSpec pins the other tenant's file mtimes on BOTH
+    * tables).
+    */
+  def tenantDeltaEmbeddingCompacted(spark: SparkSession, dir: String,
+      tenant: Int = 0, nTenants: Int = 2, splitAt: Int = 200,
+      threshold: Double = 0.35): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("vec_id"))
+    val e = Similarity.preparedEmbeddings(spark, dir)
+    val name = graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantEmbCompacted", dir, tenant, nTenants, splitAt)) {
+      val t = f"tenant_emc_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      dropTableAndLocation(spark, s"${t}_tombstones")
+      Seq("banded", "vectors").foreach(h =>
+        dropTableAndLocation(spark, s"${t}_${h}__tcomp"))
+      saveTenantEmbTables(e.filter(bucket < splitAt), t, nTenants)
+      removeFromEmbIndex(spark, t,
+        e.filter(bucket < splitAt &&
+            pmod(col("vec_id"), lit(nTenants)) === tenant &&
+            col("vec_id") % 14 === 8)
+          .select(col("vec_id")))
+      compactTenantEmbIndex(spark, t, tenant, nTenants)
+      t
+    }.asInstanceOf[String]
+    deltaEmbeddingPairs(
+      e.filter(bucket >= splitAt &&
+        pmod(col("vec_id"), lit(nTenants)) === tenant),
+      loadTenantEmbIndex(spark, name, tenant), threshold)
   }
 
   /** Embedding near-dup, scale path: block by the sign-random-projection
@@ -2943,18 +3183,56 @@ object Dedup {
   def srpBucketRecall(spark: SparkSession, dir: String,
       threshold: Double = 0.3, nPlanes: Int = 8,
       sampleBuckets: Int = 256): DataFrame = {
+    val e = srpAuditVectors(spark, dir, sampleBuckets)
+    val approx = embeddingNearDupsLshOf(e, threshold, nPlanes)
+      .select(col("id_a"), col("id_b"))
+    recallRowOf(srpExactPairs(e, threshold), approx)
+  }
+
+  /** D29C — ACTING on d29's measurement (the d28→d11b→d28b pattern for
+    * the embedding family): the AND-amplified single bucket catches
+    * ~2% of cos ≥ 0.3 pairs (d29's measured number — every hyperplane
+    * must agree, ~(1−θ/π)^8 per pair), so moderate-threshold serving
+    * needs the OR-AMPLIFIED banded tier — `bands` disjoint slices of
+    * `planesPerBand` hyperplanes, candidate when ANY band agrees,
+    * per-pair probability 1−(1−p^r)^b ≈ 0.97 at cos 0.3 with 8×2 —
+    * and this gate MEASURES it against the same exact side instead of
+    * trusting the closed form. The tier is [[embeddingNearDupsBoundedOf]]
+    * with label blocking disabled (global SRP — d29's exact side is
+    * global), riding the same census+salt candidate machinery.
+    */
+  def srpBandedRecall(spark: SparkSession, dir: String,
+      threshold: Double = 0.3, bands: Int = 8, planesPerBand: Int = 2,
+      hotBlockRows: Long = 1L << 17, sampleBuckets: Int = 256): DataFrame = {
+    val e = srpAuditVectors(spark, dir, sampleBuckets)
+    val approx = embeddingNearDupsBoundedOf(e.withColumn("label", lit(0)),
+        threshold, bands, planesPerBand, hotBlockRows)
+      .select(col("id_a"), col("id_b"))
+    recallRowOf(srpExactPairs(e, threshold), approx)
+  }
+
+  /** The d29-family audit corpus: prepared vectors, optionally one
+    * md5-bucket slice (the d24b convention — both pair endpoints
+    * in-slice).
+    */
+  private def srpAuditVectors(spark: SparkSession, dir: String,
+      sampleBuckets: Int): DataFrame = {
     val e0 = Similarity.preparedEmbeddings(spark, dir)
-    val e = if (sampleBuckets >= 256) e0
-      else e0.filter(TextAnalysis.splitBucket(col("vec_id")) < sampleBuckets)
+    if (sampleBuckets >= 256) e0
+    else e0.filter(TextAnalysis.splitBucket(col("vec_id")) < sampleBuckets)
+  }
+
+  /** The d29-family EXACT side: all-pairs cosine at audit scale
+    * (broadcast loop join — the audit's price, never the serving
+    * path's; the sampled mode bounds it).
+    */
+  private def srpExactPairs(e: DataFrame, threshold: Double): DataFrame = {
     val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
-    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .filter(round(dotProduct(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4)
         >= threshold)
       .select(col("id_a"), col("id_b"))
-    val approx = embeddingNearDupsLshOf(e, threshold, nPlanes)
-      .select(col("id_a"), col("id_b"))
-    recallRowOf(exact, approx)
   }
 
   /** D30 — measured recall of d21c's banded candidate stage against

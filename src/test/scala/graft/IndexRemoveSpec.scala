@@ -354,6 +354,148 @@ class IndexRemoveSpec extends SparkSuite {
     }
   }
 
+  test("d33c tenant compaction: physical delete rewrites ONLY the tenant's partition; other tenant's files and tombstones survive") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    // two tenants by doc_id parity; distinct signatures
+    val sigs = (0L to 19L).map(i => (i, 0x1111L * (i % 7) + (i << 3)))
+      .toDF("doc_id", "simhash")
+    val name = "tshc"
+    val all = Seq(s"${name}_banded", s"${name}_banded__tcomp", s"${name}_tombstones")
+    all.foreach(t => ops.dropTableAndLocation(spark, t))
+    ops.saveTenantBucketedTable(
+      ops.simhashBanded(sigs).withColumn("tenant", pmod(col("doc_id"), lit(2))),
+      s"${name}_banded", buckets = 4, Seq("b", "chunk"))
+    def mtimes(tenant: Int): Map[String, Long] = {
+      val d = new java.io.File(
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"),
+          s"${name}_banded").toUri.getPath, s"tenant=$tenant")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    def servedIds(tenant: Int): Set[Long] =
+      ops.loadTenantSimHashIndex(spark, name, tenant).banded
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    try {
+      val t1Before = mtimes(1)
+      assert(t1Before.nonEmpty)
+      // tombstone tenant-0 docs 4,6 AND tenant-1 doc 5 (pending)
+      ops.removeFromSimHashIndex(spark, name, Seq(4L, 6L, 5L).toDF("doc_id"))
+      assert(servedIds(0) == (0L to 19L by 2).toSet -- Set(4L, 6L))
+      assert(servedIds(1) == (1L to 19L by 2).toSet - 5L)
+      // compact TENANT 0 only
+      ops.compactTenantSimHashIndex(spark, name, tenant = 0, nTenants = 2,
+        buckets = 4)
+      // tenant 0: physically gone (served without any tombstone rows)
+      spark.catalog.refreshTable(s"${name}_banded")
+      assert(spark.table(s"${name}_banded").filter(col("tenant") === 0)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ==
+        (0L to 19L by 2).toSet -- Set(4L, 6L),
+        "tenant-0 compaction left removed rows on disk")
+      // tenant 1: file mtimes UNTOUCHED, pending tombstone 5 survives
+      assert(mtimes(1) == t1Before, "tenant-1 files rewrote during tenant-0 compaction")
+      spark.catalog.refreshTable(s"${name}_tombstones")
+      assert(spark.table(s"${name}_tombstones").collect()
+        .map(_.getLong(0)).toSet == Set(5L),
+        "tenant-1's pending tombstone was lost")
+      assert(servedIds(1) == (1L to 19L by 2).toSet - 5L)
+      // emptying compaction: tombstone ALL remaining tenant-0 docs — the
+      // partition directory itself must disappear
+      ops.removeFromSimHashIndex(spark, name,
+        ((0L to 19L by 2).filterNot(Set(4L, 6L))).toDF("doc_id"))
+      ops.compactTenantSimHashIndex(spark, name, tenant = 0, nTenants = 2,
+        buckets = 4)
+      val t0Dir = new java.io.File(
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"),
+          s"${name}_banded").toUri.getPath, "tenant=0")
+      assert(!t0Dir.exists, "emptied tenant partition directory survived")
+      assert(servedIds(1) == (1L to 19L by 2).toSet - 5L)
+    } finally all.foreach(t => ops.dropTableAndLocation(spark, t))
+  }
+
+  test("d34c tenant emb compaction: physical delete rewrites ONLY the tenant's partitions (both tables); other tenant untouched") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    // two tenants by vec_id parity; deterministic distinct vectors
+    def mk(id: Long) = {
+      val v = Array.tabulate(64)(i => math.sin(id * 64 + i) + 1.0)
+      (id, 0, v, math.sqrt(v.map(x => x * x).sum))
+    }
+    val e = (0L to 19L).map(mk).toDF("vec_id", "label", "v", "n")
+    val name = "temc"
+    val all = Seq(s"${name}_banded", s"${name}_vectors",
+      s"${name}_banded__tcomp", s"${name}_vectors__tcomp", s"${name}_tombstones")
+    all.foreach(t => ops.dropTableAndLocation(spark, t))
+    def withTenant(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("tenant", pmod(col("vec_id"), lit(2)))
+    ops.saveTenantBucketedTable(withTenant(ops.embBandedOf(e, 4, 2)),
+      s"${name}_banded", buckets = 4, Seq("label", "band", "bucket"))
+    ops.saveTenantBucketedTable(withTenant(e.select("label", "vec_id", "v", "n")),
+      s"${name}_vectors", buckets = 4, Seq("vec_id"))
+    def mtimes(table: String, tenant: Int): Map[String, Long] = {
+      val d = new java.io.File(
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table).toUri.getPath,
+        s"tenant=$tenant")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    def servedIds(tenant: Int): Set[Long] = {
+      val idx = ops.loadTenantEmbIndex(spark, name, tenant)
+      val fromVecs = idx.vectors.select("vec_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val fromBanded = idx.banded.select("vec_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(fromVecs == fromBanded, "banded and vectors serve different id sets")
+      fromVecs
+    }
+    try {
+      val t1Before = (mtimes(s"${name}_banded", 1), mtimes(s"${name}_vectors", 1))
+      assert(t1Before._1.nonEmpty && t1Before._2.nonEmpty)
+      // tombstone tenant-0 vecs 4,6 AND tenant-1 vec 5 (pending)
+      ops.removeFromEmbIndex(spark, name, Seq(4L, 6L, 5L).toDF("vec_id"))
+      assert(servedIds(0) == (0L to 19L by 2).toSet -- Set(4L, 6L))
+      assert(servedIds(1) == (1L to 19L by 2).toSet - 5L)
+      // compact TENANT 0 only — both tables
+      ops.compactTenantEmbIndex(spark, name, tenant = 0, nTenants = 2,
+        buckets = 4)
+      Seq(s"${name}_banded", s"${name}_vectors").foreach { t =>
+        spark.catalog.refreshTable(t)
+        assert(spark.table(t).filter(col("tenant") === 0)
+          .select("vec_id").distinct().collect().map(_.getLong(0)).toSet ==
+          (0L to 19L by 2).toSet -- Set(4L, 6L),
+          s"tenant-0 compaction left removed rows on disk in $t")
+      }
+      // tenant 1: file mtimes UNTOUCHED in both tables, tombstone 5 pends
+      assert(mtimes(s"${name}_banded", 1) == t1Before._1,
+        "tenant-1 banded files rewrote during tenant-0 compaction")
+      assert(mtimes(s"${name}_vectors", 1) == t1Before._2,
+        "tenant-1 vector files rewrote during tenant-0 compaction")
+      spark.catalog.refreshTable(s"${name}_tombstones")
+      assert(spark.table(s"${name}_tombstones").collect()
+        .map(_.getLong(0)).toSet == Set(5L),
+        "tenant-1's pending tombstone was lost")
+      assert(servedIds(1) == (1L to 19L by 2).toSet - 5L)
+      // emptying compaction: both tenant-0 partition dirs must disappear
+      ops.removeFromEmbIndex(spark, name,
+        ((0L to 19L by 2).filterNot(Set(4L, 6L))).toDF("vec_id"))
+      ops.compactTenantEmbIndex(spark, name, tenant = 0, nTenants = 2,
+        buckets = 4)
+      Seq(s"${name}_banded", s"${name}_vectors").foreach { t =>
+        val d = new java.io.File(
+          new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), t).toUri.getPath,
+          "tenant=0")
+        assert(!d.exists, s"emptied tenant partition directory survived in $t")
+      }
+      assert(servedIds(1) == (1L to 19L by 2).toSet - 5L)
+    } finally all.foreach(t => ops.dropTableAndLocation(spark, t))
+  }
+
   test("d32 reband loop: planted Hamming-5 evaders trip the trigger; the 8-band swap clears it") {
     import spark.implicits._
     val ops = graft.operators.Dedup

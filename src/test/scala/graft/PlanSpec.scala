@@ -627,5 +627,22 @@ class PlanSpec extends SparkSuite {
       .toSeq
     assert(shPfs.nonEmpty && shPfs.forall(_.contains("= 0")),
       s"tenant predicate not pruning the simhash index scan:\n${d33.take(2500)}")
+    // d34: the tenant-partitioned EMBEDDING index — BOTH persisted
+    // halves (banded LSH rows and verification vectors) must prune to
+    // the tenant's directories, so the delta join AND the cosine-verify
+    // re-join each open only the tenant's files
+    val d34 = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) {
+        graft.operators.Dedup.tenantDeltaEmbedding(spark, dir)
+          .orderBy("id_a", "id_b").explain("formatted")
+      }
+      out.toString
+    }
+    val emPfs = d34.linesIterator
+      .filter(_.contains("PartitionFilters")).filter(_.contains("tenant"))
+      .toSeq
+    assert(emPfs.size >= 2 && emPfs.forall(_.contains("= 0")),
+      s"tenant predicate not pruning both embedding index scans:\n${d34.take(2500)}")
   }
 }
