@@ -311,6 +311,16 @@ object SparkEntry {
       Dedup.tenantDeltaEmbeddingRemoved(s, d).orderBy("id_a", "id_b")),
     "d34c_tenant_embedding_compacted" -> ((s, d) =>
       Dedup.tenantDeltaEmbeddingCompacted(s, d).orderBy("id_a", "id_b")),
+    // the FOURTH tenant-partitioned family (containment) — all three
+    // persisted halves (fingerprints, the per-digest df AGGREGATE, span
+    // sets) partition by tenant; the df cap counts WITHIN the tenant
+    // (isolated corpora — the only correct semantics)
+    "d35_tenant_containment" -> ((s, d) =>
+      Dedup.tenantDeltaContainment(s, d).orderBy("id_a", "id_b")),
+    "d35b_tenant_containment_remove" -> ((s, d) =>
+      Dedup.tenantDeltaContainmentRemoved(s, d).orderBy("id_a", "id_b")),
+    "d35c_tenant_containment_compacted" -> ((s, d) =>
+      Dedup.tenantDeltaContainmentCompacted(s, d).orderBy("id_a", "id_b")),
     // retraction through the LABEL store: removal deletes vertices, so
     // touched components re-label (splits included) while untouched
     // clusters serve from the persisted state; oracle = d19's canonical
@@ -805,6 +815,31 @@ object SparkEntry {
     */
   private val vecBucketSql =
     s"(${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)")})"
+
+  /** The d35 tenant-containment oracle: the d20b delta identity over
+    * TENANT-ONLY docs (tenant 0 of 2 = doc_id even). Unlike d33/d34 —
+    * where the per-doc/pairwise functions make the tenant pair set the
+    * global set restricted — the df CAP re-forms within the tenant
+    * (isolated corpora), which the filtered CTE chain delivers by
+    * construction: the filter lands on the source docs, BEFORE the df
+    * counts. `removed` folds in the d35b takedown the same way (the
+    * d27 rule — a removed doc stops counting toward the cap).
+    */
+  private def tenantContainSql(removed: Boolean): String = {
+    val removedClause = if (!removed) "" else
+      s" AND NOT ($splitBucketSql < 200 AND doc_id % 14 = 8)"
+    s"""${containmentCtesFiltered(s" AND doc_id % 2 = 0$removedClause")},
+      |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+      |SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp,
+      |  round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
+      |    least(len(fa.dall), len(fb.dall)), 4) AS containment
+      |FROM cand JOIN f fa ON fa.doc_id = id_a JOIN f fb ON fb.doc_id = id_b
+      |JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+      |WHERE (xa.bucket >= 200 OR xb.bucket >= 200)
+      |  AND round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
+      |    least(len(fa.dall), len(fb.dall)), 4) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** The d34 tenant-embedding oracle: d17's delta identity with both
     * endpoints in tenant 0 (of 2) — band buckets and cosine are
@@ -1507,6 +1542,11 @@ object SparkEntry {
     // ... with a takedown folded in: indexed-side members of the removed
     // class (vec_id ≡ 8 mod 14 within the tenant) excluded
     "d34b_tenant_embedding_remove" -> tenantEmbDeltaSql(removed = true),
+    // the tenant-partitioned CONTAINMENT index: d20b's delta identity
+    // over tenant-only docs — the df cap re-forms within the tenant
+    "d35_tenant_containment" -> tenantContainSql(removed = false),
+    // ... with the takedown dropped BEFORE the df counts form (d27 rule)
+    "d35b_tenant_containment_remove" -> tenantContainSql(removed = true),
     // the appended+compacted index holds exactly the bucket<200 docs the
     // d13 index holds (base save + one appended slice), so the delta
     // pair set — and the oracle — are identical; the Spark path differs
@@ -2778,6 +2818,9 @@ object SparkEntry {
     "d33c_tenant_simhash_compacted" -> oracleBase("d33b_tenant_simhash_remove"),
     // ... and the embedding family's compacted lifecycle — d34b's oracle
     "d34c_tenant_embedding_compacted" -> oracleBase("d34b_tenant_embedding_remove"),
+    // ... and the containment family's (all three halves rewritten
+    // tenant-scoped, df REBUILT from the compacted fingerprints) — d35b's
+    "d35c_tenant_containment_compacted" -> oracleBase("d35b_tenant_containment_remove"),
     "s19_ann_retrain" -> oracleBase("s7_ann_quantized"),
     "s6b_ann_kmeans_indexed" -> oracleBase("s6_ann_kmeans"),
     "s7b_ann_quantized_indexed" -> oracleBase("s7_ann_quantized"),

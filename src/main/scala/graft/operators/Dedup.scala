@@ -1896,11 +1896,8 @@ object Dedup {
     // the corpus — session-persist it like the shingle table so steady
     // passes read the cache instead of re-winnowing (and re-writing a
     // corpus-sized localCheckpoint) per call
-    val sel = graft.SessionCache.getOrElseUpdate(spark,
-        ("containmentSel", dir, w, winnow)) {
-      containmentSelection(Tables.documents(spark, dir), w, winnow).persist()
-    }
-    containmentFromSelection(sel, minShared, dfCap, threshold)
+    containmentFromSelection(containmentSelCached(spark, dir, w, winnow),
+      minShared, dfCap, threshold)
   }
 
   /** [[containmentPairs]] over an explicit (doc_id, text) frame. */
@@ -2159,10 +2156,7 @@ object Dedup {
       w: Int = 8, winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
       threshold: Double = 0.9): DataFrame = {
     def bucket = TextAnalysis.splitBucket(col("doc_id"))
-    val sel = graft.SessionCache.getOrElseUpdate(spark,
-        ("containmentSel", dir, w, winnow)) {
-      containmentSelection(Tables.documents(spark, dir), w, winnow).persist()
-    }
+    val sel = containmentSelCached(spark, dir, w, winnow)
     val index = graft.SessionCache.getOrElseUpdate(spark,
         ("containIndexDisk", dir, splitAt)) {
       val name = f"contain_gate_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
@@ -2188,10 +2182,7 @@ object Dedup {
       splitAt: Int = 200, w: Int = 8, winnow: Int = 4, minShared: Int = 2,
       dfCap: Int = 64, threshold: Double = 0.9): DataFrame = {
     def bucket = TextAnalysis.splitBucket(col("doc_id"))
-    val sel = graft.SessionCache.getOrElseUpdate(spark,
-        ("containmentSel", dir, w, winnow)) {
-      containmentSelection(Tables.documents(spark, dir), w, winnow).persist()
-    }
+    val sel = containmentSelCached(spark, dir, w, winnow)
     val index = graft.SessionCache.getOrElseUpdate(spark,
         ("containIndexRemoved", dir, splitAt, threshold)) {
       // threshold only gates the verify stage, but it is part of the
@@ -2613,8 +2604,27 @@ object Dedup {
       minus: Option[(DataFrame, String)]): Unit = {
     val slice = spark.table(table)
       .filter(col("tenant") === tenant).drop("tenant")
-    val retained = minus.fold(slice) { case (t, k) =>
-      minusTombstones(slice, Some(t), k) }.localCheckpoint()
+    rewriteTenantPartition(spark, table, tenant, buckets, keys,
+      minus.fold(slice) { case (t, k) => minusTombstones(slice, Some(t), k) })
+  }
+
+  /** Replace one tenant's partition directory with `rows` (tenant-free
+    * columns, matching the table's data schema): the rows MATERIALIZE
+    * first (localCheckpoint — they usually read the very files about to
+    * be replaced), write as a fresh bucketed generation under a temp
+    * table (correct bucket-id file names), the temp's data files MOVE
+    * into the tenant's partition directory, and an empty `rows` deletes
+    * the directory outright (the CorpusWriter rule). Bucket ids ride
+    * the file names, so the partitioned scan keeps its bucketing. This
+    * is [[compactTenantPartition]]'s mechanics factored out — the
+    * containment family's df AGGREGATE needs it directly, because its
+    * compaction REBUILDS the tenant's rows from the compacted
+    * fingerprints (the a2d rule) rather than filtering them.
+    */
+  private[graft] def rewriteTenantPartition(spark: SparkSession,
+      table: String, tenant: Int, buckets: Int, keys: Seq[String],
+      rows: DataFrame): Unit = {
+    val retained = rows.localCheckpoint()
     val root = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val partDir = new org.apache.hadoop.fs.Path(root, s"tenant=$tenant")
@@ -2868,6 +2878,210 @@ object Dedup {
       e.filter(bucket >= splitAt &&
         pmod(col("vec_id"), lit(nTenants)) === tenant),
       loadTenantEmbIndex(spark, name, tenant), threshold)
+  }
+
+  /** D35 — the tenant-partitioned CONTAINMENT index: the d31/d33/d34
+    * planning-time tenant isolation on the FOURTH (and last) dedup
+    * family, and the structurally richest: THREE persisted halves —
+    * fingerprint rows (bucketed on the digest), the per-digest
+    * document-frequency AGGREGATE, and the span-set verification
+    * payload (bucketed on doc_id) — all partition by tenant. The df
+    * table is the new case vs d31/d33/d34: tenants are isolated
+    * corpora, so the df CAP must count within the tenant — per-tenant
+    * df rows are not a layout convenience but the only correct
+    * semantics (a digest frequent in tenant A must still pair in
+    * tenant B). Tenancy = doc_id mod nTenants (the a6b convention).
+    * Oracle: the d20b delta SQL over tenant-only docs — the df counts
+    * re-form within the tenant, exactly what the partitioned df table
+    * serves.
+    */
+  def tenantDeltaContainment(spark: SparkSession, dir: String,
+      tenant: Int = 0, nTenants: Int = 2, splitAt: Int = 200, w: Int = 8,
+      winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
+      threshold: Double = 0.9): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sel = containmentSelCached(spark, dir, w, winnow)
+    val name = graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantContainIndex", dir, nTenants, splitAt)) {
+      val t = f"tenant_cn_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveTenantContainTables(sel.filter(bucket < splitAt), t, nTenants)
+      t
+    }.asInstanceOf[String]
+    deltaContainmentFromSelection(
+      sel.filter(bucket >= splitAt &&
+        pmod(col("doc_id"), lit(nTenants)) === tenant),
+      loadTenantContainIndex(spark, name, tenant), minShared, dfCap,
+      threshold)
+  }
+
+  /** The session-persisted winnowed selection [[containmentPairs]] and
+    * the d20b/d27 gates share — factored so the d35 family reads the
+    * same cache instead of re-winnowing the corpus.
+    */
+  private def containmentSelCached(spark: SparkSession, dir: String,
+      w: Int, winnow: Int): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("containmentSel", dir, w, winnow)) {
+      containmentSelection(Tables.documents(spark, dir), w, winnow).persist()
+    }
+
+  /** All three halves of a tenant-partitioned containment index, saved
+    * under the d31 layout (partitioned by tenant, bucketed within).
+    * The df table's rows are PER (tenant, digest) — each tenant's cap
+    * evaluates over its own corpus only.
+    */
+  private[graft] def saveTenantContainTables(sel: DataFrame, t: String,
+      nTenants: Int): Unit = {
+    def withTenant(df: DataFrame) =
+      df.withColumn("tenant", pmod(col("doc_id"), lit(nTenants)))
+    val fp = sel.select(col("doc_id"), explode(col("fps")).as("d"))
+    saveTenantBucketedTable(withTenant(fp), s"${t}_fp",
+      buckets = 8, Seq("d"))
+    saveTenantBucketedTable(
+      withTenant(fp).groupBy(col("tenant"), col("d"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("d"), col("n"), col("tenant")),
+      s"${t}_df", buckets = 8, Seq("d"))
+    saveTenantBucketedTable(withTenant(sel.select(col("doc_id"), col("dall"))),
+      s"${t}_sets", buckets = 8, Seq("doc_id"))
+  }
+
+  /** One tenant's slice of the partitioned containment index — the
+    * [[loadContainIndex]] serving contract composed with d31's
+    * isolation: the tenant predicate prunes all THREE scans at planning
+    * time; pending takedowns anti-join out of fp/sets and count-
+    * SUBTRACT from the tenant's df rows (the i7 rule — the subtraction
+    * reads only the tenant's fingerprint slice, so the corrected cap is
+    * the tenant's corpus minus its removed docs, never another
+    * tenant's). The global id-keyed tombstone list needs no tenant
+    * filter: other tenants' ids simply never match the slice.
+    */
+  private[graft] def loadTenantContainIndex(spark: SparkSession,
+      name: String, tenant: Int): ContainIndex = {
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+    val rawFp = spark.table(s"${name}_fp")
+      .filter(col("tenant") === tenant).drop("tenant")
+    val df0 = spark.table(s"${name}_df")
+      .filter(col("tenant") === tenant).drop("tenant")
+      .groupBy(col("d")).agg(sum(col("n")).as("n"))
+    val dfTab = ts.fold(df0) { t =>
+      val rmCnt = rawFp
+        .join(broadcast(t.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .groupBy(col("d")).agg(count(lit(1)).as("n_rm"))
+      df0.join(broadcast(rmCnt), Seq("d"), "left_outer")
+        .select(col("d"),
+          (col("n") - coalesce(col("n_rm"), lit(0L))).as("n"))
+        .filter(col("n") > 0)
+    }
+    ContainIndex(minusTombstones(rawFp, ts, "doc_id"), dfTab,
+      minusTombstones(spark.table(s"${name}_sets")
+        .filter(col("tenant") === tenant).drop("tenant"), ts, "doc_id"))
+  }
+
+  /** D35B — a takedown against the tenant-partitioned containment
+    * index: tombstone the doc_id ≡ 8 (mod 14) slice of the tenant's
+    * indexed docs ([[removeFromContainIndex]] works unchanged —
+    * tombstones are id-keyed, layout-agnostic), then run the tenant's
+    * delta against the filtered slice — fp/sets anti-joined, the
+    * tenant's df rows count-subtracted. Oracle = d35's SQL with the
+    * removed class dropped BEFORE the df counts form (the d27 rule:
+    * a removed doc must stop counting toward the cap).
+    */
+  def tenantDeltaContainmentRemoved(spark: SparkSession, dir: String,
+      tenant: Int = 0, nTenants: Int = 2, splitAt: Int = 200, w: Int = 8,
+      winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
+      threshold: Double = 0.9): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sel = containmentSelCached(spark, dir, w, winnow)
+    val name = graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantContainRemoved", dir, tenant, nTenants, splitAt)) {
+      // a separate copy of the d35 tables: the two gates must not race
+      // each other's tombstone list
+      val t = f"tenant_cnrm_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      dropTableAndLocation(spark, s"${t}_tombstones")
+      saveTenantContainTables(sel.filter(bucket < splitAt), t, nTenants)
+      removeFromContainIndex(spark, t,
+        Tables.documents(spark, dir)
+          .filter(bucket < splitAt &&
+            pmod(col("doc_id"), lit(nTenants)) === tenant &&
+            col("doc_id") % 14 === 8)
+          .select(col("doc_id")))
+      t
+    }.asInstanceOf[String]
+    deltaContainmentFromSelection(
+      sel.filter(bucket >= splitAt &&
+        pmod(col("doc_id"), lit(nTenants)) === tenant),
+      loadTenantContainIndex(spark, name, tenant), minShared, dfCap,
+      threshold)
+  }
+
+  /** [[compactTenantSimHashIndex]]'s containment twin, over all THREE
+    * halves: the tenant's pending tombstones turn physical in that
+    * tenant's fp and sets partitions (filtered rewrites), and the
+    * tenant's df partition REBUILDS from its compacted fingerprints
+    * (the a2d rule, partition-scoped — registers under retraction
+    * rebuild from retained rows; the rebuild also collapses any append
+    * increment rows back to one row per digest for this tenant). Other
+    * tenants' files never move and only the tenant's tombstone rows
+    * clear. Crash recovery = re-run: each partition rewrite is
+    * idempotent and the df rebuild always reads the surviving fp
+    * generation.
+    */
+  def compactTenantContainIndex(spark: SparkSession, name: String,
+      tenant: Int, nTenants: Int, buckets: Int = 8): Unit = {
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+      .map(_.select(col("doc_id")).localCheckpoint())
+    ts.foreach { t =>
+      val tenantIds = t.filter(pmod(col("doc_id"), lit(nTenants)) === tenant)
+        .localCheckpoint()
+      compactTenantPartition(spark, s"${name}_fp", tenant, buckets,
+        Seq("d"), Some((tenantIds, "doc_id")))
+      compactTenantPartition(spark, s"${name}_sets", tenant, buckets,
+        Seq("doc_id"), Some((tenantIds, "doc_id")))
+      rewriteTenantPartition(spark, s"${name}_df", tenant, buckets,
+        Seq("d"),
+        spark.table(s"${name}_fp").filter(col("tenant") === tenant)
+          .groupBy(col("d")).agg(count(lit(1)).as("n")))
+      clearTombstones(spark, s"${name}_tombstones", tenantIds, "doc_id")
+    }
+  }
+
+  /** D35C — the d35b takedown made PHYSICAL by a tenant-scoped
+    * compaction of all three index halves
+    * ([[compactTenantContainIndex]]) before the delta runs — served
+    * output identical (d35b's oracle verbatim) while only the tenant's
+    * three partition directories rewrote (IndexRemoveSpec pins the
+    * other tenant's file mtimes on all three tables and proves the
+    * rebuilt df partition equals a from-scratch count of the surviving
+    * fingerprints).
+    */
+  def tenantDeltaContainmentCompacted(spark: SparkSession, dir: String,
+      tenant: Int = 0, nTenants: Int = 2, splitAt: Int = 200, w: Int = 8,
+      winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
+      threshold: Double = 0.9): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sel = containmentSelCached(spark, dir, w, winnow)
+    val name = graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantContainCompacted", dir, tenant, nTenants, splitAt)) {
+      val t = f"tenant_cnc_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      dropTableAndLocation(spark, s"${t}_tombstones")
+      Seq("fp", "sets", "df").foreach(h =>
+        dropTableAndLocation(spark, s"${t}_${h}__tcomp"))
+      saveTenantContainTables(sel.filter(bucket < splitAt), t, nTenants)
+      removeFromContainIndex(spark, t,
+        Tables.documents(spark, dir)
+          .filter(bucket < splitAt &&
+            pmod(col("doc_id"), lit(nTenants)) === tenant &&
+            col("doc_id") % 14 === 8)
+          .select(col("doc_id")))
+      compactTenantContainIndex(spark, t, tenant, nTenants)
+      t
+    }.asInstanceOf[String]
+    deltaContainmentFromSelection(
+      sel.filter(bucket >= splitAt &&
+        pmod(col("doc_id"), lit(nTenants)) === tenant),
+      loadTenantContainIndex(spark, name, tenant), minShared, dfCap,
+      threshold)
   }
 
   /** Embedding near-dup, scale path: block by the sign-random-projection

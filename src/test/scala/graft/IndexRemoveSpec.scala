@@ -496,6 +496,103 @@ class IndexRemoveSpec extends SparkSuite {
     } finally all.foreach(t => ops.dropTableAndLocation(spark, t))
   }
 
+  test("d35c tenant contain compaction: only the tenant's three partitions rewrite; df REBUILDS from compacted fingerprints") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    // two tenants by doc_id parity; digests shared across docs so the
+    // df table has real counts to rebuild
+    val sel = (0L to 19L).map { id =>
+      val fps = Seq(s"g${id % 5}", s"h${id % 3}")
+      (id, fps, fps :+ s"u$id")
+    }.toDF("doc_id", "fps", "dall")
+    val name = "tcnc"
+    val halves = Seq("fp", "df", "sets")
+    val all = halves.map(h => s"${name}_$h") ++
+      halves.map(h => s"${name}_${h}__tcomp") :+ s"${name}_tombstones"
+    all.foreach(t => ops.dropTableAndLocation(spark, t))
+    ops.saveTenantContainTables(sel, name, nTenants = 2)
+    def mtimes(table: String, tenant: Int): Map[String, Long] = {
+      val d = new java.io.File(
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table).toUri.getPath,
+        s"tenant=$tenant")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    def servedIds(tenant: Int): Set[Long] = {
+      val idx = ops.loadTenantContainIndex(spark, name, tenant)
+      val fromFp = idx.fp.select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val fromSets = idx.sets.select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(fromFp == fromSets, "fp and sets serve different id sets")
+      fromFp
+    }
+    // the served df table must equal a from-scratch count over the
+    // served fingerprint rows — the i7 subtraction / a2d rebuild contract
+    def dfMatchesFp(tenant: Int): Unit = {
+      val idx = ops.loadTenantContainIndex(spark, name, tenant)
+      val served = idx.dfTab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = idx.fp.groupBy(col("d")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(served == expect, s"tenant-$tenant df table drifted from fingerprints")
+    }
+    try {
+      val t1Before = halves.map(h => mtimes(s"${name}_$h", 1))
+      assert(t1Before.forall(_.nonEmpty))
+      // tombstone tenant-0 docs 4,6 AND tenant-1 doc 5 (pending)
+      ops.removeFromContainIndex(spark, name, Seq(4L, 6L, 5L).toDF("doc_id"))
+      assert(servedIds(0) == (0L to 19L by 2).toSet -- Set(4L, 6L))
+      assert(servedIds(1) == (1L to 19L by 2).toSet - 5L)
+      dfMatchesFp(0); dfMatchesFp(1)
+      // compact TENANT 0 only — all three halves
+      ops.compactTenantContainIndex(spark, name, tenant = 0, nTenants = 2,
+        buckets = 8)
+      // tenant 0: physically gone from fp/sets; df partition holds the
+      // rebuilt counts (one row per digest, no tombstone correction)
+      Seq(s"${name}_fp", s"${name}_sets").foreach { t =>
+        spark.catalog.refreshTable(t)
+        assert(spark.table(t).filter(col("tenant") === 0)
+          .select("doc_id").distinct().collect().map(_.getLong(0)).toSet ==
+          (0L to 19L by 2).toSet -- Set(4L, 6L),
+          s"tenant-0 compaction left removed rows on disk in $t")
+      }
+      spark.catalog.refreshTable(s"${name}_df")
+      val dfDisk = spark.table(s"${name}_df").filter(col("tenant") === 0)
+        .select("d", "n").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val fpDisk = spark.table(s"${name}_fp").filter(col("tenant") === 0)
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dfDisk == fpDisk, "compacted df partition != rebuild from compacted fp")
+      dfMatchesFp(0)
+      // tenant 1: mtimes UNTOUCHED on all three tables, tombstone 5 pends
+      halves.zip(t1Before).foreach { case (h, before) =>
+        assert(mtimes(s"${name}_$h", 1) == before,
+          s"tenant-1 $h files rewrote during tenant-0 compaction")
+      }
+      spark.catalog.refreshTable(s"${name}_tombstones")
+      assert(spark.table(s"${name}_tombstones").collect()
+        .map(_.getLong(0)).toSet == Set(5L),
+        "tenant-1's pending tombstone was lost")
+      assert(servedIds(1) == (1L to 19L by 2).toSet - 5L)
+      dfMatchesFp(1)
+      // emptying compaction: all three tenant-0 partition dirs disappear
+      ops.removeFromContainIndex(spark, name,
+        ((0L to 19L by 2).filterNot(Set(4L, 6L))).toDF("doc_id"))
+      ops.compactTenantContainIndex(spark, name, tenant = 0, nTenants = 2,
+        buckets = 8)
+      halves.foreach { h =>
+        val d = new java.io.File(
+          new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"),
+            s"${name}_$h").toUri.getPath, "tenant=0")
+        assert(!d.exists, s"emptied tenant partition directory survived in ${name}_$h")
+      }
+      assert(servedIds(1) == (1L to 19L by 2).toSet - 5L)
+    } finally all.foreach(t => ops.dropTableAndLocation(spark, t))
+  }
+
   test("d32 reband loop: planted Hamming-5 evaders trip the trigger; the 8-band swap clears it") {
     import spark.implicits._
     val ops = graft.operators.Dedup

@@ -644,5 +644,21 @@ class PlanSpec extends SparkSuite {
       .toSeq
     assert(emPfs.size >= 2 && emPfs.forall(_.contains("= 0")),
       s"tenant predicate not pruning both embedding index scans:\n${d34.take(2500)}")
+    // d35: the tenant-partitioned CONTAINMENT index — all THREE
+    // persisted halves (fingerprints, the per-digest df aggregate, span
+    // sets) must prune to the tenant's directories
+    val d35 = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) {
+        graft.operators.Dedup.tenantDeltaContainment(spark, dir)
+          .orderBy("id_a", "id_b").explain("formatted")
+      }
+      out.toString
+    }
+    val cnPfs = d35.linesIterator
+      .filter(_.contains("PartitionFilters")).filter(_.contains("tenant"))
+      .toSeq
+    assert(cnPfs.size >= 3 && cnPfs.forall(_.contains("= 0")),
+      s"tenant predicate not pruning all three containment index scans:\n${d35.take(2500)}")
   }
 }
