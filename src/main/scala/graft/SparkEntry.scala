@@ -280,6 +280,13 @@ object SparkEntry {
     // oracle's recompute over corpus minus removed
     "td1_takedown_unified" -> ((s, d) =>
       graft.operators.Takedown.unifiedTakedownGate(s, d).orderBy("state")),
+    // the TENANT-SCOPED takedown facade: one tenant's deletion list fans
+    // across all four tenant-partitioned index families and lands
+    // PHYSICAL (tenant-scoped compaction) — n_live = the tenant's corpus
+    // minus removed, n_other = the other tenant's FULL count (row-level
+    // isolation), n_refs = 0 by physical absence, not tombstones
+    "td2_takedown_tenant" -> ((s, d) =>
+      graft.operators.Takedown.tenantTakedownGate(s, d)),
     // the multi-tenant INDEX: banded/shingle tables partitioned by
     // tenant (a6b's planning-time isolation extended to persisted index
     // state) — one tenant's delta join never opens another tenant's
@@ -1902,6 +1909,30 @@ object SparkEntry {
         |  UNION ALL SELECT 'simhash_index', (SELECT count(*) FROM live), 0
         |  UNION ALL SELECT 'sketch_cells', (SELECT count(DISTINCT lang) FROM live), 0
         |  UNION ALL SELECT 'takedown_log', (SELECT count(*) FROM documents WHERE doc_id % 9 = 4), 0
+        |) ORDER BY state""".stripMargin,
+    // the tenant-scoped takedown census: per family, n_live = tenant-0
+    // docs minus the removed class, n_other = tenant-1's FULL count
+    // (isolation — the takedown must not have touched it), n_refs = 0;
+    // the containment family counts text-bearing docs only (the
+    // winnowed selection's domain), embeddings count vec_ids
+    "td2_takedown_tenant" ->
+      """SELECT state, n_live, n_other, n_refs FROM (
+        |  SELECT 'contain_index' AS state,
+        |    (SELECT count(*) FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0 AND doc_id % 9 != 4) AS n_live,
+        |    (SELECT count(*) FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1) AS n_other,
+        |    CAST(0 AS BIGINT) AS n_refs
+        |  UNION ALL SELECT 'emb_index',
+        |    (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0 AND vec_id % 9 != 4),
+        |    (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1), 0
+        |  UNION ALL SELECT 'neardup_index',
+        |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 0 AND doc_id % 9 != 4),
+        |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 1), 0
+        |  UNION ALL SELECT 'simhash_index',
+        |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 0 AND doc_id % 9 != 4),
+        |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 1), 0
+        |  UNION ALL SELECT 'takedown_log',
+        |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 0 AND doc_id % 9 = 4),
+        |    0, 0
         |) ORDER BY state""".stripMargin,
     // containment retraction: the WHOLE d20 chain recomputed over
     // documents ∖ removed (filter in the t CTE, not on output pairs —

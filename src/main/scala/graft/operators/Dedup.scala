@@ -72,7 +72,7 @@ object Dedup {
     * per call (the materialized-aggregate pattern, itdbloader.py:269-293).
     * Evicted with the session via [[graft.SessionCache]].
     */
-  private def persistedShingleTable(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def persistedShingleTable(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("shingles", dir)) {
       shingleTable(spark, dir).persist()
     }
@@ -1170,19 +1170,47 @@ object Dedup {
     val name = graft.SessionCache.getOrElseUpdate(spark,
         ("tenantNearDupIndex", dir, nTenants, splitAt)) {
       val t = f"tenant_nd_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
-      val baseSh = sh.filter(bucket < splitAt)
-        .withColumn("tenant", pmod(col("doc_id"), lit(nTenants)))
-        .localCheckpoint()
-      saveTenantBucketedTable(bandedKeys(baseSh.drop("tenant"), 3, 3)
-          .withColumn("tenant", pmod(col("doc_id"), lit(nTenants))),
-        s"${t}_banded", buckets = 8, Seq("band", "bkey"))
-      saveTenantBucketedTable(baseSh, s"${t}_shingles", buckets = 8,
-        Seq("doc_id"))
+      saveTenantNearDupTables(sh.filter(bucket < splitAt).localCheckpoint(),
+        t, nTenants)
       t
     }.asInstanceOf[String]
     deltaNearDupsFromShingles(
       sh.filter(bucket >= splitAt && pmod(col("doc_id"), lit(nTenants)) === tenant),
       loadTenantNearDupIndex(spark, name, tenant), threshold)
+  }
+
+  /** Both halves of a tenant-partitioned near-dup index, saved under
+    * the d31 layout (partitioned by tenant, bucketed within). `sh` is a
+    * (doc_id, sh, qlen…) shingle frame WITHOUT a tenant column.
+    */
+  private[graft] def saveTenantNearDupTables(sh: DataFrame, t: String,
+      nTenants: Int): Unit = {
+    def withTenant(df: DataFrame) =
+      df.withColumn("tenant", pmod(col("doc_id"), lit(nTenants)))
+    saveTenantBucketedTable(withTenant(bandedKeys(sh, 3, 3)),
+      s"${t}_banded", buckets = 8, Seq("band", "bkey"))
+    saveTenantBucketedTable(withTenant(sh), s"${t}_shingles", buckets = 8,
+      Seq("doc_id"))
+  }
+
+  /** [[compactTenantSimHashIndex]]'s near-dup twin, over both halves of
+    * the d31 layout: the tenant's pending tombstones turn physical in
+    * that tenant's banded and shingle partitions only, and only the
+    * tenant's tombstone rows clear.
+    */
+  def compactTenantNearDupIndex(spark: SparkSession, name: String,
+      tenant: Int, nTenants: Int, buckets: Int = 8): Unit = {
+    val ts = tombstoneTable(spark, s"${name}_tombstones")
+      .map(_.select(col("doc_id")).localCheckpoint())
+    ts.foreach { t =>
+      val tenantIds = t.filter(pmod(col("doc_id"), lit(nTenants)) === tenant)
+        .localCheckpoint()
+      compactTenantPartition(spark, s"${name}_banded", tenant, buckets,
+        Seq("band", "bkey"), Some((tenantIds, "doc_id")))
+      compactTenantPartition(spark, s"${name}_shingles", tenant, buckets,
+        Seq("doc_id"), Some((tenantIds, "doc_id")))
+      clearTombstones(spark, s"${name}_tombstones", tenantIds, "doc_id")
+    }
   }
 
   /** One tenant's slice of the partitioned index, tombstone-filtered
@@ -1220,15 +1248,9 @@ object Dedup {
       // the d31 gate's table plus this gate's tombstones — build our own
       // copy so the two gates can't race each other's tombstone list
       val t = f"tenant_ndrm_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
-      val baseSh = sh.filter(bucket < splitAt)
-        .withColumn("tenant", pmod(col("doc_id"), lit(nTenants)))
-        .localCheckpoint()
       dropTableAndLocation(spark, s"${t}_tombstones")
-      saveTenantBucketedTable(bandedKeys(baseSh.drop("tenant"), 3, 3)
-          .withColumn("tenant", pmod(col("doc_id"), lit(nTenants))),
-        s"${t}_banded", buckets = 8, Seq("band", "bkey"))
-      saveTenantBucketedTable(baseSh, s"${t}_shingles", buckets = 8,
-        Seq("doc_id"))
+      saveTenantNearDupTables(sh.filter(bucket < splitAt).localCheckpoint(),
+        t, nTenants)
       removeFromNearDupIndex(spark, t,
         Tables.documents(spark, dir)
           .filter(bucket < splitAt &&
@@ -2561,10 +2583,7 @@ object Dedup {
     val name = graft.SessionCache.getOrElseUpdate(spark,
         ("tenantSimhashIndex", dir, nTenants, splitAt)) {
       val t = f"tenant_sh_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
-      saveTenantBucketedTable(
-        simhashBanded(sigs.filter(bucket < splitAt))
-          .withColumn("tenant", pmod(col("doc_id"), lit(nTenants))),
-        s"${t}_banded", buckets = 8, Seq("b", "chunk"))
+      saveTenantSimHashTables(sigs.filter(bucket < splitAt), t, nTenants)
       t
     }.asInstanceOf[String]
     deltaSimhashPairs(
@@ -2572,6 +2591,17 @@ object Dedup {
         pmod(col("doc_id"), lit(nTenants)) === tenant),
       loadTenantSimHashIndex(spark, name, tenant), maxHamming)
   }
+
+  /** The banded half of a tenant-partitioned simhash index, saved under
+    * the d31 layout. `sigs` is a (doc_id, simhash) frame WITHOUT a
+    * tenant column.
+    */
+  private[graft] def saveTenantSimHashTables(sigs: DataFrame, t: String,
+      nTenants: Int): Unit =
+    saveTenantBucketedTable(
+      simhashBanded(sigs)
+        .withColumn("tenant", pmod(col("doc_id"), lit(nTenants))),
+      s"${t}_banded", buckets = 8, Seq("b", "chunk"))
 
   /** One tenant's slice of the partitioned simhash index,
     * tombstone-filtered like [[loadSimHashIndex]]: partition pruning at
@@ -2683,10 +2713,7 @@ object Dedup {
       val t = f"tenant_shc_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
       dropTableAndLocation(spark, s"${t}_tombstones")
       dropTableAndLocation(spark, s"${t}_banded__tcomp")
-      saveTenantBucketedTable(
-        simhashBanded(sigs.filter(bucket < splitAt))
-          .withColumn("tenant", pmod(col("doc_id"), lit(nTenants))),
-        s"${t}_banded", buckets = 8, Seq("b", "chunk"))
+      saveTenantSimHashTables(sigs.filter(bucket < splitAt), t, nTenants)
       removeFromSimHashIndex(spark, t,
         Tables.documents(spark, dir)
           .filter(bucket < splitAt &&
@@ -2720,10 +2747,7 @@ object Dedup {
       // each other's tombstone list
       val t = f"tenant_shrm_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
       dropTableAndLocation(spark, s"${t}_tombstones")
-      saveTenantBucketedTable(
-        simhashBanded(sigs.filter(bucket < splitAt))
-          .withColumn("tenant", pmod(col("doc_id"), lit(nTenants))),
-        s"${t}_banded", buckets = 8, Seq("b", "chunk"))
+      saveTenantSimHashTables(sigs.filter(bucket < splitAt), t, nTenants)
       removeFromSimHashIndex(spark, t,
         Tables.documents(spark, dir)
           .filter(bucket < splitAt &&
@@ -2771,7 +2795,7 @@ object Dedup {
   /** Both halves of a tenant-partitioned embedding index, saved under
     * the d31 layout (partitioned by tenant, bucketed within).
     */
-  private def saveTenantEmbTables(base: DataFrame, t: String,
+  private[graft] def saveTenantEmbTables(base: DataFrame, t: String,
       nTenants: Int): Unit = {
     def withTenant(df: DataFrame) =
       df.withColumn("tenant", pmod(col("vec_id"), lit(nTenants)))
@@ -2918,7 +2942,7 @@ object Dedup {
     * the d20b/d27 gates share — factored so the d35 family reads the
     * same cache instead of re-winnowing the corpus.
     */
-  private def containmentSelCached(spark: SparkSession, dir: String,
+  private[graft] def containmentSelCached(spark: SparkSession, dir: String,
       w: Int, winnow: Int): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark,
         ("containmentSel", dir, w, winnow)) {

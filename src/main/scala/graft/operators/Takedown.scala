@@ -119,6 +119,76 @@ object Takedown {
     n
   }
 
+  /** The tenant-partitioned index families one TENANT-SCOPED takedown
+    * propagates to (the d31/d33/d34/d35 layouts). Absent ⇒ the family
+    * is not deployed for this estate. `compact` turns the takedown
+    * PHYSICAL in the same call: each family's tenant-scoped compaction
+    * rewrites only the tenant's partition directories.
+    */
+  final case class TenantTargets(
+      nearDupIndex: Option[String] = None,
+      simHashIndex: Option[String] = None,
+      embIndex: Option[String] = None,
+      containIndex: Option[String] = None,
+      compact: Boolean = true)
+
+  /** The TENANT-SCOPED takedown — [[apply]]'s counterpart for the
+    * tenant-partitioned estate: one tenant's deletion list fans across
+    * the d31/d33/d34/d35 index families and (with `compact`) turns
+    * physical immediately, while the whole lifecycle touches ONLY the
+    * tenant's partition directories — other tenants' files never move
+    * and their pending tombstones survive (the per-family
+    * compactTenant* contracts, IndexRemoveSpec-pinned). Ids outside the
+    * tenant are DROPPED, not fanned: a tenant's takedown request must
+    * not reach into another tenant's estate (isolation is the layout's
+    * point). Replay bookkeeping mirrors [[apply]] — batch-identity
+    * scoped, apply-then-log, the tenant recorded in the log row.
+    */
+  def applyTenant(spark: SparkSession, ids0: DataFrame, tenant: Int,
+      nTenants: Int, targets: TenantTargets,
+      logTable: String = "takedown_tenant_log", batchId: Long = 0L): Long = {
+    if (!spark.catalog.tableExists(logTable))
+      Dedup.dropTableAndLocation(spark, logTable)
+    val alreadyDone =
+      if (spark.catalog.tableExists(logTable)) {
+        spark.catalog.refreshTable(logTable)
+        spark.table(logTable).filter(col("batch_id") >= batchId)
+          .select(col("doc_id"))
+      } else ids0.select(col("doc_id")).limit(0)
+    val ids = ids0.select(col("doc_id")).distinct()
+      .filter(pmod(col("doc_id"), lit(nTenants)) === tenant)
+      .join(alreadyDone, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val n = ids.count()
+    if (n == 0) return 0L
+
+    targets.nearDupIndex.foreach { t =>
+      Dedup.removeFromNearDupIndex(spark, t, ids)
+      if (targets.compact)
+        Dedup.compactTenantNearDupIndex(spark, t, tenant, nTenants)
+    }
+    targets.simHashIndex.foreach { t =>
+      Dedup.removeFromSimHashIndex(spark, t, ids)
+      if (targets.compact)
+        Dedup.compactTenantSimHashIndex(spark, t, tenant, nTenants)
+    }
+    targets.embIndex.foreach { t =>
+      Dedup.removeFromEmbIndex(spark, t, ids.select(col("doc_id").as("vec_id")))
+      if (targets.compact)
+        Dedup.compactTenantEmbIndex(spark, t, tenant, nTenants)
+    }
+    targets.containIndex.foreach { t =>
+      Dedup.removeFromContainIndex(spark, t, ids)
+      if (targets.compact)
+        Dedup.compactTenantContainIndex(spark, t, tenant, nTenants)
+    }
+
+    ids.withColumn("tenant", lit(tenant))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").saveAsTable(logTable)
+    n
+  }
+
   /** The RE-INGEST hook — the facade-level [[Dedup.clearTombstones]]
     * analogue: a document re-ingested after a completed takedown must
     * drop out of the cumulative removal record, or every later sketch-
@@ -317,5 +387,94 @@ object Takedown {
         sk.join(liveGroups.select(col("lang")).distinct(), Seq("lang"), "left_anti")))
       .unionByName(statRow("takedown_log", logged.distinct(), count(lit(1)),
         logged.filter(col("doc_id") % 9 =!= 4)))
+  }
+
+  // ---- the td2 gate -----------------------------------------------------
+
+  /** TD2 — the tenant-scoped takedown gate: build ALL FOUR
+    * tenant-partitioned index families over the full corpus (two
+    * tenants, session-cached), run ONE [[applyTenant]] for tenant 0's
+    * doc_id ≡ 4 (mod 9) class WITH compaction (the takedown lands
+    * physical), and emit a per-family census of
+    * (state, n_live, n_other, n_refs):
+    *   - `n_live`  = ids the tenant's slice still serves — the oracle's
+    *     recompute over the tenant's corpus ∖ removed;
+    *   - `n_other` = ids the OTHER tenant's slice serves — must equal
+    *     that tenant's FULL count (the isolation half: a takedown
+    *     against tenant 0 touches nothing of tenant 1's — the census
+    *     proves the row-level half; the mtime-level half is
+    *     TakedownSpec's);
+    *   - `n_refs`  = rows still referencing a removed id — 0, and since
+    *     compaction ran, by physical absence, not tombstone filtering.
+    * The embedding census reads the VECTORS half and the containment
+    * census the SETS half (the verification payloads — if a removed
+    * id's payload survived, it could still verify a candidate).
+    */
+  def tenantTakedownGate(spark: SparkSession, dir: String, tenant: Int = 0,
+      nTenants: Int = 2): DataFrame = {
+    val h = f"${dir.hashCode & 0xffffffffL}%x"
+    val names = graft.SessionCache.getOrElseUpdate(spark,
+        ("takedownTenant", dir, tenant, nTenants)) {
+      val docs = Tables.documents(spark, dir)
+      val e = Similarity.preparedEmbeddings(spark, dir)
+        .select("vec_id", "label", "v", "n")
+      val nm = Map("nd" -> s"td2_nd_$h", "sh" -> s"td2_sh_$h",
+        "emb" -> s"td2_em_$h", "ct" -> s"td2_ct_$h")
+      val logT = s"td2_log_$h"
+      // fresh state every session: the gate measures one full lifecycle
+      (nm.values.toSeq.flatMap(n => Seq(s"${n}_banded", s"${n}_shingles",
+        s"${n}_fp", s"${n}_df", s"${n}_sets", s"${n}_vectors",
+        s"${n}_tombstones").flatMap(t => Seq(t, s"${t}__tcomp"))) :+ logT)
+        .foreach(t => Dedup.dropTableAndLocation(spark, t))
+      Dedup.saveTenantNearDupTables(
+        Dedup.persistedShingleTable(spark, dir), nm("nd"), nTenants)
+      Dedup.saveTenantSimHashTables(
+        Dedup.simhash64Cached(spark, dir), nm("sh"), nTenants)
+      Dedup.saveTenantEmbTables(e, nm("emb"), nTenants)
+      Dedup.saveTenantContainTables(
+        Dedup.containmentSelCached(spark, dir, 8, 4), nm("ct"), nTenants)
+      applyTenant(spark,
+        docs.filter(col("doc_id") % 9 === 4).select(col("doc_id")),
+        tenant, nTenants,
+        TenantTargets(nearDupIndex = Some(nm("nd")),
+          simHashIndex = Some(nm("sh")), embIndex = Some(nm("emb")),
+          containIndex = Some(nm("ct"))),
+        logT)
+      nm + ("log" -> logT)
+    }.asInstanceOf[Map[String, String]]
+
+    spark.catalog.refreshTable(names("log"))
+    val logged = spark.table(names("log")).select(col("doc_id"))
+      .localCheckpoint()
+    val other = (tenant + 1) % nTenants
+    def census(state: String, slice: Int => DataFrame,
+        key: String): DataFrame = {
+      val rm = if (key == "vec_id")
+        logged.select(col("doc_id").as("vec_id")) else logged
+      statRow(state, slice(tenant).select(col(key)).distinct(),
+        count(lit(1)),
+        slice(tenant).join(broadcast(rm), Seq(key), "left_semi"))
+        .crossJoin(slice(other).select(col(key)).distinct()
+          .agg(count(lit(1)).as("n_other")))
+        .select(col("state"), col("n_live"), col("n_other"), col("n_refs"))
+    }
+    census("neardup_index",
+        t => Dedup.loadTenantNearDupIndex(spark, names("nd"), t).shingles,
+        "doc_id")
+      .unionByName(census("simhash_index",
+        t => Dedup.loadTenantSimHashIndex(spark, names("sh"), t).banded,
+        "doc_id"))
+      .unionByName(census("emb_index",
+        t => Dedup.loadTenantEmbIndex(spark, names("emb"), t).vectors,
+        "vec_id"))
+      .unionByName(census("contain_index",
+        t => Dedup.loadTenantContainIndex(spark, names("ct"), t).sets,
+        "doc_id"))
+      .unionByName(statRow("takedown_log", logged.distinct(), count(lit(1)),
+          logged.filter(col("doc_id") % 9 =!= 4 ||
+            pmod(col("doc_id"), lit(nTenants)) =!= tenant))
+        .select(col("state"), col("n_live"), lit(0L).as("n_other"),
+          col("n_refs")))
+      .orderBy("state")
   }
 }

@@ -130,6 +130,95 @@ class TakedownSpec extends SparkSuite {
     }
   }
 
+  test("tenant-scoped takedown: one applyTenant fans four families physical; other tenant's files and ids untouched; replay no-op; foreign ids dropped") {
+    import spark.implicits._
+    // four small tenant-partitioned estates over docs/vecs 0..19,
+    // tenant = parity
+    val sh = (0L to 19L).map(i =>
+        (i, "en", Seq(s"a$i", s"b$i", "common")))
+      .toDF("doc_id", "lang", "sh").localCheckpoint()
+    val sigs = (0L to 19L).map(i => (i, 0x1111L * (i % 7) + (i << 3)))
+      .toDF("doc_id", "simhash").localCheckpoint()
+    def mkv(id: Long) = {
+      val v = Array.tabulate(64)(i => math.sin(id * 64 + i) + 1.0)
+      (id, 0, v, math.sqrt(v.map(x => x * x).sum))
+    }
+    val e = (0L to 19L).map(mkv).toDF("vec_id", "label", "v", "n")
+      .localCheckpoint()
+    val sel = (0L to 19L).map { id =>
+      val fps = Seq(s"g${id % 5}", s"h${id % 3}")
+      (id, fps, fps :+ s"u$id")
+    }.toDF("doc_id", "fps", "dall").localCheckpoint()
+    val nm = Map("nd" -> "tdt2_nd", "sh" -> "tdt2_sh", "emb" -> "tdt2_em",
+      "ct" -> "tdt2_ct")
+    val log = "tdt2_log"
+    val tables = Seq(s"${nm("nd")}_banded", s"${nm("nd")}_shingles",
+      s"${nm("sh")}_banded", s"${nm("emb")}_banded", s"${nm("emb")}_vectors",
+      s"${nm("ct")}_fp", s"${nm("ct")}_df", s"${nm("ct")}_sets")
+    val all = tables.flatMap(t => Seq(t, s"${t}__tcomp")) ++
+      nm.values.map(n => s"${n}_tombstones") :+ log
+    all.foreach(t => ops.dropTableAndLocation(spark, t))
+    ops.saveTenantNearDupTables(sh, nm("nd"), 2)
+    ops.saveTenantSimHashTables(sigs, nm("sh"), 2)
+    ops.saveTenantEmbTables(e, nm("emb"), 2)
+    ops.saveTenantContainTables(sel, nm("ct"), 2)
+    val targets = td.TenantTargets(nearDupIndex = Some(nm("nd")),
+      simHashIndex = Some(nm("sh")), embIndex = Some(nm("emb")),
+      containIndex = Some(nm("ct")))
+    def mtimes(table: String, tenant: Int): Map[String, Long] = {
+      val d = new java.io.File(
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table).toUri.getPath,
+        s"tenant=$tenant")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    def served(tenant: Int): Seq[Set[Long]] = Seq(
+      ops.loadTenantNearDupIndex(spark, nm("nd"), tenant).shingles,
+      ops.loadTenantSimHashIndex(spark, nm("sh"), tenant).banded,
+      ops.loadTenantEmbIndex(spark, nm("emb"), tenant).vectors
+        .withColumnRenamed("vec_id", "doc_id"),
+      ops.loadTenantContainIndex(spark, nm("ct"), tenant).sets
+    ).map(_.select("doc_id").distinct().collect().map(_.getLong(0)).toSet)
+    try {
+      val t0 = (0L to 19L by 2).toSet
+      val t1 = (1L to 19L by 2).toSet
+      val t1Before = tables.map(t => t -> mtimes(t, 1)).toMap
+      // the list includes tenant-1's id 5 — it must be DROPPED, not fanned
+      assert(td.applyTenant(spark, Seq(4L, 6L, 5L).toDF("doc_id"),
+        tenant = 0, nTenants = 2, targets, log) == 2L)
+      assert(served(0).forall(_ == t0 -- Set(4L, 6L)))
+      assert(served(1).forall(_ == t1), "tenant-1 ids changed (5 must NOT be taken down)")
+      tables.foreach { t =>
+        assert(mtimes(t, 1) == t1Before(t),
+          s"tenant-1 files rewrote in $t during tenant-0 takedown")
+      }
+      // physical: no pending tombstone rows survive the compaction
+      nm.values.foreach { n =>
+        if (spark.catalog.tableExists(s"${n}_tombstones")) {
+          spark.catalog.refreshTable(s"${n}_tombstones")
+          assert(spark.table(s"${n}_tombstones").isEmpty,
+            s"$n tombstones not cleared by the compaction")
+        }
+      }
+      // replay of the same batch is a no-op, down to tenant-0 mtimes
+      val t0After = tables.map(t => t -> mtimes(t, 0)).toMap
+      assert(td.applyTenant(spark, Seq(4L, 6L, 5L).toDF("doc_id"),
+        tenant = 0, nTenants = 2, targets, log) == 0L)
+      tables.foreach(t => assert(mtimes(t, 0) == t0After(t),
+        s"replayed takedown rewrote $t"))
+      // a LATER batch with a fresh tenant-0 id goes through
+      assert(td.applyTenant(spark, Seq(8L).toDF("doc_id"),
+        tenant = 0, nTenants = 2, targets, log, batchId = 1L) == 1L)
+      assert(served(0).forall(_ == t0 -- Set(4L, 6L, 8L)))
+      assert(served(1).forall(_ == t1))
+      spark.catalog.refreshTable(log)
+      assert(spark.table(log).select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(4L, 6L, 8L))
+    } finally all.foreach(t => ops.dropTableAndLocation(spark, t))
+  }
+
   test("full-estate takedown STREAM: facade targets maintained per micro-batch; replay no-op") {
     import spark.implicits._
     def noise(id: Long) = (1 to 40).map(j =>
