@@ -457,6 +457,19 @@ object SparkEntry {
     // sum, gating the composition, not just the parts
     "t24_deduped_pack" -> ((s, d) =>
       TextAnalysis.packDeduped(s, d).orderBy("doc_id")),
+    // mixture sampling to target token shares: per-lang integer budgets
+    // filled greedily in portable-md5 order via the two-level prefix sum
+    // keyed by (lang, md5-prefix) — no single-partition window per lang
+    "t25_mixture_sample" -> ((s, d) =>
+      TextAnalysis.mixtureSample(s, d).orderBy("doc_id")),
+    // deterministic epoch upsampling: fractional per-lang weights ->
+    // integer replica counts via an md5-derived coin (1/65536 units)
+    "t26_epoch_upsample" -> ((s, d) =>
+      TextAnalysis.epochUpsample(s, d).orderBy("doc_id")),
+    // upsample -> pack composition through the shared placement core:
+    // every (doc, epoch) replica packs as its own unit
+    "t26b_upsampled_pack" -> ((s, d) =>
+      TextAnalysis.packUpsampled(s, d).orderBy("doc_id", "epoch")),
     "t6_corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(s, d).orderBy("lang", "source")),
     "t7_repetition" -> ((s, d) => TextAnalysis.repetition(s, d).orderBy("doc_id")),
     "t8_filter_funnel" -> ((s, d) => TextAnalysis.filterFunnel(s, d)),
@@ -2372,6 +2385,54 @@ object SparkEntry {
          |  CAST((cum - 1) // 2048 AS BIGINT) AS seq_last,
          |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+    // mixture sampling: per-lang prefix sum in md5 order against the
+    // integer budget — the boundary-crossing doc is included
+    // (cum_before < budget), an undershooting group keeps everything
+    "t25_mixture_sample" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT lang, CAST((12000 * w_pct) // 100 AS BIGINT) AS budget
+        |  FROM (VALUES ('de', 15), ('en', 40), ('es', 15), ('fr', 15), ('zh', 15)) v(lang, w_pct)),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_before, budget
+        |FROM c JOIN b USING (lang) WHERE cum_before < budget ORDER BY doc_id""".stripMargin,
+    // epoch upsampling: floor(w) epochs + one more iff the first four
+    // hex digits of md5('epoch:' || doc_id) fall under the fraction in
+    // 1/65536 units — integer-exact on both engines
+    "t26_epoch_upsample" -> {
+      val f16 = (1 to 4).map(p =>
+        s"${hexv(s"substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), $p, 1)")} * ${1L << (4 * (4 - p))}")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    $f16 AS f16 FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT * FROM (VALUES ('de', 150), ('en', 230), ('es', 100), ('fr', 100), ('zh', 75)) v(lang, w_pct))
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(w_pct // 100 + CASE WHEN f16 * 100 < (w_pct % 100) * 65536 THEN 1 ELSE 0 END AS BIGINT) AS n_epochs
+         |FROM t JOIN w USING (lang) ORDER BY doc_id""".stripMargin
+    },
+    // upsample -> pack: replica id = doc_id*8 + epoch, then t23's
+    // prefix-sum placement verbatim over the replica stream
+    "t26b_upsampled_pack" -> {
+      val f16 = (1 to 4).map(p =>
+        s"${hexv(s"substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), $p, 1)")} * ${1L << (4 * (4 - p))}")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    $f16 AS f16 FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT * FROM (VALUES ('de', 150), ('en', 230), ('es', 100), ('fr', 100), ('zh', 75)) v(lang, w_pct)),
+         |n AS (SELECT doc_id, n_tokens,
+         |    w_pct // 100 + CASE WHEN f16 * 100 < (w_pct % 100) * 65536 THEN 1 ELSE 0 END AS n_epochs
+         |  FROM t JOIN w USING (lang)),
+         |r AS (SELECT doc_id * 8 + unnest(generate_series(0, n_epochs - 1)) AS rid, doc_id, n_tokens
+         |  FROM n WHERE n_epochs > 0 AND n_tokens > 0),
+         |c AS (SELECT rid, doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY rid) AS BIGINT) AS cum FROM r)
+         |SELECT doc_id, CAST(rid % 8 AS BIGINT) AS epoch, n_tokens,
+         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_first,
+         |  CAST((cum - 1) // 2048 AS BIGINT) AS seq_last,
+         |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+         |FROM c ORDER BY doc_id, epoch""".stripMargin
+    },
     "t23b_sequence_manifest" ->
       """WITH t AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t),

@@ -868,4 +868,134 @@ object TextAnalysis {
           - col("start")).as("tok_until"),
         pmod(greatest(col("seq_id") * sl, col("start")), sl).as("pos_in_seq"))
   }
+
+  /** T25 — MIXTURE SAMPLING to target token shares: the step that turns
+    * per-source weights ("en contributes 40% of training tokens, de
+    * 15%, …" — the Pile/LLaMA-style mixture recipe) into a concrete
+    * document selection. Per language, documents order by the portable
+    * md5 shuffle key (deterministic, engine-reproducible, uncorrelated
+    * with doc_id — an unbiased within-group sample, the t20 rule) and
+    * fill the group's integer token budget greedily: a doc is kept iff
+    * the cumulative token count BEFORE it is under budget (the
+    * boundary-crossing doc is included — guarantees progress when one
+    * document exceeds the whole budget; a group whose corpus
+    * undershoots its budget keeps everything).
+    *
+    * Scale: the per-group prefix sum in md5 order is NOT one window per
+    * language (a mega-language = a single-partition sort — the w6
+    * trap). md5 order makes the two-level decomposition free: the first
+    * TWO hex chars are a 256-way chunking that RESPECTS the md5 sort
+    * order, so chunk-local windows run in parallel and a
+    * langs×256-row broadcast stitch supplies the chunk offsets —
+    * [[packingOf]]'s machine keyed by (lang, md5-prefix).
+    */
+  def mixtureSample(spark: SparkSession, dir: String,
+      weightsPct: Map[String, Int] = Map("en" -> 40, "de" -> 15,
+        "es" -> 15, "fr" -> 15, "zh" -> 15),
+      totalTokens: Long = 12000L): DataFrame =
+    mixtureSampleOf(
+      Tables.documents(spark, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+      weightsPct, totalTokens)
+
+  /** The t25 selection core over an arbitrary (doc_id, lang, n_tokens)
+    * frame — PropertiesSpec drives it with random corpora.
+    */
+  private[graft] def mixtureSampleOf(docs0: DataFrame,
+      weightsPct: Map[String, Int], totalTokens: Long): DataFrame = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    val docs = docs0
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("chunk", substring(col("h"), 1, 2))
+    val byChunk = Window.partitionBy(col("lang"), col("chunk"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val locals = docs.withColumn("local_cum", sum(col("n_tokens")).over(byChunk))
+    val wChunks = Window.partitionBy(col("lang")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("lang"), col("chunk"))
+      .agg(sum(col("n_tokens")).as("ctot"))
+      .withColumn("off", sum(col("ctot")).over(wChunks))
+      .select(col("lang"), col("chunk"), col("off"))
+    // integer budgets: floor(total * pct / 100) — associative-exact,
+    // identical in any engine (the nanos-epoch discipline)
+    val budgets = weightsPct.toSeq.toDF("lang", "w_pct")
+      .select(col("lang"),
+        expr(s"(${totalTokens}L * w_pct) div 100L").as("budget"))
+    locals.join(broadcast(offsets), Seq("lang", "chunk"))
+      .withColumn("cum_before",
+        col("local_cum") - col("n_tokens") + coalesce(col("off"), lit(0L)))
+      .join(broadcast(budgets), Seq("lang"))
+      .filter(col("cum_before") < col("budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_before"), col("budget"))
+  }
+
+  /** T26 — deterministic EPOCH UPSAMPLING: fractional per-language
+    * weights ("see en 2.3 times per training pass") become an integer
+    * replica count per document — floor(w) epochs for everyone, plus
+    * one more iff the doc's md5-derived uniform falls under the
+    * fractional part. The coin is the first FOUR hex digits of
+    * md5('epoch:' || doc_id) against the fraction in 1/65536 units —
+    * integer-exact, engine-reproducible, i.i.d. across docs, and
+    * independent of the t20/t25 shuffle keys (different salt). Over n
+    * docs the realized epoch mass concentrates at n·w/100 — the
+    * upsampling a mixture trainer actually executes, not a
+    * row-duplication rand() can't replay.
+    */
+  def epochUpsample(spark: SparkSession, dir: String,
+      weightsPct: Map[String, Int] = Map("en" -> 230, "de" -> 150,
+        "es" -> 100, "fr" -> 100, "zh" -> 75)): DataFrame =
+    epochUpsampleOf(
+      Tables.documents(spark, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+      weightsPct)
+
+  /** The t26 replica-count core over an arbitrary (doc_id, lang,
+    * n_tokens) frame — PropertiesSpec drives it with random corpora.
+    */
+  private[graft] def epochUpsampleOf(docs0: DataFrame,
+      weightsPct: Map[String, Int]): DataFrame = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    val w = weightsPct.toSeq.toDF("lang", "w_pct")
+    val h4 = Seq(1, 2, 3, 4).map(p =>
+      hexVal(substring(md5(concat(lit("epoch:"),
+        col("doc_id").cast("string"))), p, 1)) *
+        lit(1L << (4 * (4 - p)))).reduce(_ + _)
+    docs0
+      .join(broadcast(w), Seq("lang"))
+      .withColumn("frac16", h4.cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (expr("w_pct div 100") +
+          when(col("frac16") * 100 < (col("w_pct") % 100) * 65536, 1L)
+            .otherwise(0L)).cast("long").as("n_epochs"))
+  }
+
+  /** T26B — UPSAMPLE → PACK, the composition a mixture trainer runs:
+    * every (doc, epoch) replica packs as its own unit through the
+    * SHARED placement core. Replica id = doc_id·8 + epoch (weights are
+    * capped under 8 epochs) keeps the packing order deterministic and
+    * collision-free, epochs of one doc adjacent — and because
+    * [[packingOf]] is the same machine t23/t24/the pipeline use, this
+    * gate fails if EITHER the epoch arithmetic or the placement drifts.
+    */
+  def packUpsampled(spark: SparkSession, dir: String, seqLen: Int = 2048,
+      chunkDocs: Long = 4096,
+      weightsPct: Map[String, Int] = Map("en" -> 230, "de" -> 150,
+        "es" -> 100, "fr" -> 100, "zh" -> 75)): DataFrame = {
+    require(weightsPct.values.forall(_ < 800), "replica id packs 8 epochs/doc")
+    val replicas = epochUpsample(spark, dir, weightsPct)
+      .filter(col("n_epochs") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_epochs") - 1)))
+      .select((col("doc_id") * 8 + col("epoch")).as("doc_id"),
+        col("n_tokens"))
+    packingOf(replicas, seqLen, chunkDocs)
+      .select(expr("doc_id div 8").as("doc_id"),
+        pmod(col("doc_id"), lit(8L)).as("epoch"), col("n_tokens"),
+        col("seq_first"), col("seq_last"), col("seq_offset"))
+  }
 }

@@ -545,6 +545,15 @@ class PlanSpec extends SparkSuite {
       s"t23 lost its chunk partitioning:\n${t23.take(1500)}")
     assert(t23.contains("BroadcastHashJoin"),
       s"t23 stitch must broadcast the chunk offsets:\n${t23.take(1500)}")
+    // t25: the mixture sampler's per-lang prefix sum must be the same
+    // two-level machine keyed by (lang, md5-prefix chunk) — a
+    // mega-language must never become one single-partition window
+    val t25 = executedPlan(graft.operators.TextAnalysis
+      .mixtureSample(spark, dir).orderBy("doc_id"))
+    assert(t25.contains("chunk#"),
+      s"t25 lost its (lang, chunk) partitioning:\n${t25.take(1500)}")
+    assert(t25.contains("BroadcastHashJoin"),
+      s"t25 stitch/budget joins must broadcast:\n${t25.take(1500)}")
     // d31: the tenant-partitioned INDEX scans (banded + shingles) must
     // prune to the tenant's directories at planning time — both scans
     // carry the tenant predicate in PartitionFilters, so another

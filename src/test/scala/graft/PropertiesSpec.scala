@@ -460,4 +460,86 @@ class PropertiesSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
   }
+
+  test("property: mixture sample is the budget-respecting md5-order prefix per group (random corpora)") {
+    val ta = graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(20260815)
+    for (trial <- 1 to 4) {
+      val langs = Seq("aa", "bb", "cc")
+      val nDocs = 30 + rnd.nextInt(70)
+      val docs = (0 until nDocs).map { i =>
+        (i.toLong * (1 + rnd.nextInt(7)), langs(rnd.nextInt(3)),
+          1L + rnd.nextInt(40))
+      }.distinct
+      val weights = Map("aa" -> (10 + rnd.nextInt(50)),
+        "bb" -> (10 + rnd.nextInt(50)))  // cc UNWEIGHTED — must drop
+      val total = 50L + rnd.nextInt(500)
+      val got = ta.mixtureSampleOf(
+          docs.toDF("doc_id", "lang", "n_tokens"), weights, total)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // reference: greedy prefix in (md5, doc_id) order per weighted lang
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expect = weights.flatMap { case (lang, pct) =>
+        val budget = total * pct / 100
+        var cum = 0L
+        docs.filter(_._2 == lang)
+          .sortBy(d => (md5hex(d._1.toString), d._1))
+          .flatMap { case (id, _, n) =>
+            val keep = cum < budget
+            val row = if (keep) Some((id, lang, n, cum, budget)) else None
+            cum += (if (keep) n else 0L)
+            row
+          }
+      }.toSet
+      assert(got.toSet == expect,
+        s"trial $trial: sample != greedy md5-order prefix (got ${got.length}, want ${expect.size})")
+      assert(got.forall(_._2 != "cc"), "unweighted lang leaked into the sample")
+    }
+  }
+
+  test("property: epoch upsampling replica counts bound by the weight; pack conserves every replica's tokens") {
+    val ta = graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(20260816)
+    val docs = (0 until 80).map { i =>
+      (i.toLong * 3, Seq("aa", "bb")(i % 2), 1L + rnd.nextInt(30))
+    }
+    val weights = Map("aa" -> 230, "bb" -> 140)
+    val got = ta.epochUpsampleOf(
+        docs.toDF("doc_id", "lang", "n_tokens"), weights)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == docs.length)
+    got.foreach { case (id, lang, _, e) =>
+      val w = weights(lang)
+      assert(e == w / 100 || e == w / 100 + 1, s"doc $id epochs $e out of bound")
+    }
+    // the md5 coin is non-degenerate: both floor and floor+1 occur
+    assert(got.map(_._4).distinct.length > 1, "epoch coin degenerate")
+    // composition: the packed stream holds exactly n_epochs replicas per
+    // doc, each with the doc's token count, contiguous in replica order
+    val docsDf = docs.toDF("doc_id", "lang", "n_tokens")
+    val packed = ta.packingOf(
+        ta.epochUpsampleOf(docsDf, weights)
+          .filter(col("n_epochs") > 0)
+          .withColumn("epoch",
+            explode(sequence(lit(0L), col("n_epochs") - 1)))
+          .select((col("doc_id") * 8 + col("epoch")).as("doc_id"),
+            col("n_tokens")),
+        seqLen = 32, chunkDocs = 7)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val epochsOf = got.map(g => g._1 -> g._4).toMap
+    assert(packed.length == got.map(_._4).sum)
+    packed.groupBy(_._1 / 8).foreach { case (id, rows) =>
+      assert(rows.length == epochsOf(id), s"doc $id replica count drifted")
+    }
+    var cursor = 0L
+    packed.foreach { case (_, n, first, off) =>
+      assert(first * 32 + off == cursor, "replica stream not contiguous")
+      cursor += n
+    }
+  }
 }
