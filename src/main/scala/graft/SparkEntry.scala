@@ -379,6 +379,15 @@ object SparkEntry {
     // for vectors); identical output, s12's oracle verbatim
     "s18_ann_filtered_partitioned" -> ((s, d) =>
       Similarity.filteredTopKPartitioned(s, d).orderBy("probe_id", "rn")),
+    // the TWO-LEVEL (tenant, label) store: d31's tenant isolation
+    // composed with s18's attribute partitioning — a tenant's filtered
+    // search opens only tenant=X/label=Y, probes are the tenant's own
+    "s20_ann_tenant_store" -> ((s, d) =>
+      Similarity.filteredTopKTenant(s, d).orderBy("probe_id", "rn")),
+    // ... with a takedown landed PHYSICAL tenant-scoped: only the
+    // tenant's affected label directories rewrite
+    "s20b_ann_tenant_remove" -> ((s, d) =>
+      Similarity.filteredTopKTenantRemoved(s, d).orderBy("probe_id", "rn")),
     // the RETRAIN lifecycle: base index + frozen-model appends, then a
     // full re-train with a crash-recoverable four-table generation swap;
     // deterministic training makes retrain(base ∪ appended) == one-shot
@@ -835,6 +844,25 @@ object SparkEntry {
     */
   private val vecBucketSql =
     s"(${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)")})"
+
+  /** The s20 tenant-ANN oracle: s12's brute-force filtered search with
+    * corpus and probes restricted to tenant 0 (of 2); `removed` drops
+    * the tenant's vec_id ≡ 8 (mod 14) class ≥ 10 from the corpus side
+    * (probes are never removed — the s13 convention).
+    */
+  private def tenantAnnSql(removed: Boolean): String = {
+    val removedClause = if (!removed) "" else
+      " AND NOT (vec_id % 14 = 8 AND vec_id >= 10)"
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE vec_id % 2 = 0),
+      |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10)
+      |SELECT probe_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+      |  SELECT probe_id, vec_id AS neighbor_id,
+      |    round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) AS cos,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) DESC, vec_id) AS rn
+      |  FROM p CROSS JOIN e WHERE probe_id != vec_id AND label = 2$removedClause)
+      |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+  }
 
   /** The d35 tenant-containment oracle: the d20b delta identity over
     * TENANT-ONLY docs (tenant 0 of 2 = doc_id even). Unlike d33/d34 —
@@ -2004,6 +2032,12 @@ object SparkEntry {
         |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
     // attribute-filtered ANN: exactly brute force over the label slice
     // (pre-filter semantics — the WHERE restricts candidates, not results)
+    // the two-level (tenant, label) store: s12's brute force with corpus
+    // AND probes restricted to the tenant (isolated corpora)
+    "s20_ann_tenant_store" -> tenantAnnSql(removed = false),
+    // ... minus the removed class on the corpus side (probes < 10 are
+    // never removed — the s13 convention)
+    "s20b_ann_tenant_remove" -> tenantAnnSql(removed = true),
     "s12_ann_filtered" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5)

@@ -261,6 +261,151 @@ object Similarity {
     }
   }
 
+  /** S20 — the vector store partitioned TWO-LEVEL (tenant, label): d31's
+    * tenant isolation composed with s18's attribute partitioning in one
+    * directory tree — a tenant's filtered search opens only
+    * tenant=X/label=Y, so per-query scan cost is the tenant's slice of
+    * the label, and a tenant's takedown/compaction touches only that
+    * tenant's directories (the other tenants' files never move even for
+    * the same label). Probes are the tenant's own first vectors
+    * (tenants are isolated corpora — a tenant never probes with another
+    * tenant's vector). Oracle: s12's brute-force SQL with corpus AND
+    * probes restricted to the tenant.
+    */
+  def filteredTopKTenant(spark: SparkSession, dir: String, tenant: Int = 0,
+      nTenants: Int = 2, labelEq: Int = 2, nProbes: Int = 5,
+      k: Int = 5): DataFrame = {
+    val table = graft.SessionCache.getOrElseUpdate(spark,
+        ("annTenantStore", dir, nTenants)) {
+      val name = f"ann_ten_${nTenants}_${dir.hashCode & 0xffffffffL}%x"
+      saveTenantAnnStore(spark, name, preparedEmbeddings(spark, dir), nTenants)
+      name
+    }.asInstanceOf[String]
+    serveTenantTopK(spark, dir, table, tenant, nTenants, labelEq, nProbes, k)
+  }
+
+  /** S20B — a takedown against the two-level store, landed PHYSICAL:
+    * tombstone the tenant's vec_id ≡ 8 (mod 14) class (probes excluded —
+    * the s13 convention), compact TENANT-SCOPED (only the tenant's
+    * affected label directories rewrite; IndexRemoveSpec pins the other
+    * tenant's files for the SAME labels), serve the identical query.
+    * Oracle = s20's minus the removed class.
+    */
+  def filteredTopKTenantRemoved(spark: SparkSession, dir: String,
+      tenant: Int = 0, nTenants: Int = 2, labelEq: Int = 2, nProbes: Int = 5,
+      k: Int = 5): DataFrame = {
+    val table = graft.SessionCache.getOrElseUpdate(spark,
+        ("annTenantRemoved", dir, tenant, nTenants)) {
+      // a separate copy of the s20 store: the two gates must not race
+      // each other's tombstone list
+      val name = f"ann_tenrm_${tenant}_${nTenants}_${dir.hashCode & 0xffffffffL}%x"
+      Dedup.dropTableAndLocation(spark, s"${name}_tombstones")
+      val e = preparedEmbeddings(spark, dir)
+      saveTenantAnnStore(spark, name, e, nTenants)
+      removeFromPartitionedAnnStore(spark, name,
+        e.filter(pmod(col("vec_id"), lit(nTenants)) === tenant &&
+            col("vec_id") % 14 === 8 &&
+            col("vec_id") >= nProbes.toLong * nTenants)
+          .select(col("vec_id")))
+      compactTenantAnnStore(spark, name, tenant, nTenants)
+      name
+    }.asInstanceOf[String]
+    serveTenantTopK(spark, dir, table, tenant, nTenants, labelEq, nProbes, k)
+  }
+
+  /** The s20 serving query over a two-level store: tenant slice
+    * (PartitionFilters on both levels), label pre-filter, brute-force
+    * ranking against the tenant's own probes.
+    */
+  private def serveTenantTopK(spark: SparkSession, dir: String,
+      table: String, tenant: Int, nTenants: Int, labelEq: Int,
+      nProbes: Int, k: Int): DataFrame = {
+    val probes = preparedEmbeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(nTenants)) === tenant &&
+        col("vec_id") < nProbes.toLong * nTenants)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    val corpus = loadTenantAnnStore(spark, table, tenant)
+      .filter(col("label") === labelEq)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** Build the s20 two-level store: tenant is the OUTER partition level
+    * so every tenant-scoped operation (serve, compact, delete) resolves
+    * to one subtree.
+    */
+  def saveTenantAnnStore(spark: SparkSession, table: String, e: DataFrame,
+      nTenants: Int): Unit = {
+    Dedup.dropTableAndLocation(spark, table)
+    e.select("vec_id", "v", "n", "label")
+      .withColumn("tenant", pmod(col("vec_id"), lit(nTenants)))
+      .write.partitionBy("tenant", "label").saveAsTable(table)
+  }
+
+  /** One tenant's slice of the two-level store minus pending takedowns —
+    * the [[loadPartitionedAnnStore]] contract with the tenant predicate
+    * pruning the OUTER partition level at planning time.
+    */
+  def loadTenantAnnStore(spark: SparkSession, table: String,
+      tenant: Int): DataFrame =
+    Dedup.minusTombstones(
+      spark.table(table).filter(col("tenant") === tenant).drop("tenant"),
+      Dedup.tombstoneTable(spark, s"${table}_tombstones"), "vec_id")
+
+  /** [[compactPartitionedAnnStore]]'s tenant-scoped form: only THIS
+    * tenant's pending tombstones turn physical, only this tenant's
+    * affected label partitions rewrite (dynamic overwrite keyed by both
+    * partition columns), a (tenant, label) emptied by the takedown
+    * deletes its directory, and only the tenant's tombstone rows clear.
+    */
+  def compactTenantAnnStore(spark: SparkSession, table: String,
+      tenant: Int, nTenants: Int): Unit = {
+    val ts = Dedup.tombstoneTable(spark, s"${table}_tombstones")
+      .map(_.select(col("vec_id")).localCheckpoint())
+    ts.foreach { rm0 =>
+      val rm = rm0.filter(pmod(col("vec_id"), lit(nTenants)) === tenant)
+        .localCheckpoint()
+      spark.catalog.refreshTable(table)
+      val store = spark.table(table).filter(col("tenant") === tenant)
+      val affected = store.join(broadcast(rm), Seq("vec_id"), "left_semi")
+        .select(col("label")).distinct().collect().map(_.getInt(0))
+      if (affected.nonEmpty) {
+        val slice = store.filter(col("label").isin(affected.map(x => x: Any): _*))
+        // freeze the retained rows: the write replaces directories its
+        // own input was read from (the CorpusWriter.retract rule)
+        val retained = slice.join(broadcast(rm), Seq("vec_id"), "left_anti")
+          .select("vec_id", "v", "n", "tenant", "label").localCheckpoint()
+        val nonEmpty = retained.select(col("label")).distinct().collect()
+          .map(_.getInt(0)).toSet
+        if (nonEmpty.nonEmpty) {
+          val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          try retained.write.mode("overwrite").insertInto(table)
+          finally prior match {
+            case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
+        // emptied (tenant, label) partitions got no write output
+        val root = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        (affected.toSet -- nonEmpty).foreach { l =>
+          fs.delete(new org.apache.hadoop.fs.Path(root,
+            s"tenant=$tenant/label=$l"), true)
+        }
+        spark.catalog.refreshTable(table)
+      }
+      Dedup.clearTombstones(spark, s"${table}_tombstones", rm, "vec_id")
+    }
+  }
+
   /** S7 — scalar-quantized ANN, the memory/IO scale tier: symmetric int8
     * quantization q_i = floor(v_i·127/M + 0.5) with M = the corpus max
     * |component| (one tiny broadcast aggregate), candidates scored by the

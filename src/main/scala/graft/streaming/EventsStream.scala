@@ -557,6 +557,43 @@ object EventsStream {
     logTable
   }
 
+  /** The td2 facade under TRUE streaming ingest: a stream of takedown
+    * requests fans per micro-batch through
+    * [[graft.operators.Takedown.applyTenant]] — the tenant-scoped core
+    * that lands PHYSICAL via per-family tenant compaction — so
+    * streaming and batch tenant takedowns share one code path (the
+    * runTakedownStream rule). Ids outside the tenant drop per the
+    * facade contract (a tenant's stream must not reach another
+    * tenant's estate); replay safety is the facade's batch-identity
+    * dedup, and every per-family step is idempotent on an
+    * already-removed id.
+    */
+  def runTenantTakedownStream(spark: SparkSession, takedownDir: String,
+      tenant: Int, nTenants: Int,
+      targets: graft.operators.Takedown.TenantTargets,
+      name: String = "tenant_takedown", maxFilesPerTrigger: Int = 1): String = {
+    import graft.operators.Dedup
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(takedownDir)
+    val logTable = s"${name}_log"
+    if (!spark.catalog.tableExists(logTable))
+      Dedup.dropTableAndLocation(spark, logTable)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Takedown.applyTenant(spark, batch, tenant,
+          nTenants, targets, logTable, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    logTable
+  }
+
   /** STREAMING sequence packing — the ingest loop's member of the t23
     * family: each micro-batch of arriving documents gets its placements
     * from the persisted token TOTAL (t23c's one-number state) and the

@@ -593,6 +593,72 @@ class IndexRemoveSpec extends SparkSuite {
     } finally all.foreach(t => ops.dropTableAndLocation(spark, t))
   }
 
+  test("s20 tenant ANN compaction: only the tenant's label subtrees rewrite; same-label other-tenant files untouched") {
+    import spark.implicits._
+    val sim = graft.operators.Similarity
+    val ops = graft.operators.Dedup
+    def mk(id: Long) = {
+      val v = Array.tabulate(64)(i => math.sin(id * 64 + i) + 1.0)
+      (id, (id % 3).toInt, v, math.sqrt(v.map(x => x * x).sum))
+    }
+    val e = (0L to 19L).map(mk).toDF("vec_id", "label", "v", "n")
+    val name = "tans"
+    val all = Seq(name, s"${name}_tombstones")
+    all.foreach(t => ops.dropTableAndLocation(spark, t))
+    sim.saveTenantAnnStore(spark, name, e, 2)
+    def mtimes(tenant: Int): Map[String, Long] = {
+      val root = new java.io.File(
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), name).toUri.getPath,
+        s"tenant=$tenant")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    def servedIds(tenant: Int): Set[Long] =
+      sim.loadTenantAnnStore(spark, name, tenant)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    try {
+      val t1Before = mtimes(1)
+      assert(t1Before.nonEmpty)
+      // tombstone tenant-0 vecs 4,6 AND tenant-1 vec 5 (pending)
+      sim.removeFromPartitionedAnnStore(spark, name, Seq(4L, 6L, 5L).toDF("vec_id"))
+      assert(servedIds(0) == (0L to 19L by 2).toSet -- Set(4L, 6L))
+      assert(servedIds(1) == (1L to 19L by 2).toSet - 5L)
+      // compact TENANT 0 only
+      sim.compactTenantAnnStore(spark, name, tenant = 0, nTenants = 2)
+      spark.catalog.refreshTable(name)
+      assert(spark.table(name).filter(col("tenant") === 0)
+        .select("vec_id").collect().map(_.getLong(0)).toSet ==
+        (0L to 19L by 2).toSet -- Set(4L, 6L),
+        "tenant-0 compaction left removed rows on disk")
+      // tenant 1: every file (including SAME-label partitions) untouched
+      assert(mtimes(1) == t1Before,
+        "tenant-1 files rewrote during tenant-0 compaction")
+      spark.catalog.refreshTable(s"${name}_tombstones")
+      assert(spark.table(s"${name}_tombstones").collect()
+        .map(_.getLong(0)).toSet == Set(5L),
+        "tenant-1's pending tombstone was lost")
+      assert(servedIds(1) == (1L to 19L by 2).toSet - 5L)
+      // emptying compaction: remove all remaining tenant-0 label-2 vecs
+      // (2, 8, 14) — the (tenant=0, label=2) directory must disappear
+      sim.removeFromPartitionedAnnStore(spark, name, Seq(2L, 8L, 14L).toDF("vec_id"))
+      sim.compactTenantAnnStore(spark, name, tenant = 0, nTenants = 2)
+      val l2Dir = new java.io.File(
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), name).toUri.getPath,
+        "tenant=0/label=2")
+      assert(!l2Dir.exists, "emptied (tenant, label) directory survived")
+      // tenant 1's label-2 partition still serves (5 ≡ 2 mod 3 is the
+      // pending tombstone, 11 and 17 remain)
+      assert(sim.loadTenantAnnStore(spark, name, 1)
+        .filter(col("label") === 2).select("vec_id").collect()
+        .map(_.getLong(0)).toSet == Set(11L, 17L))
+    } finally all.foreach(t => ops.dropTableAndLocation(spark, t))
+  }
+
   test("d32 reband loop: planted Hamming-5 evaders trip the trigger; the 8-band swap clears it") {
     import spark.implicits._
     val ops = graft.operators.Dedup

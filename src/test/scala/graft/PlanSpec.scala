@@ -669,5 +669,22 @@ class PlanSpec extends SparkSuite {
       .toSeq
     assert(cnPfs.size >= 3 && cnPfs.forall(_.contains("= 0")),
       s"tenant predicate not pruning all three containment index scans:\n${d35.take(2500)}")
+    // s20: the TWO-LEVEL (tenant, label) vector store — BOTH partition
+    // levels must land in the scan's PartitionFilters, so a tenant's
+    // filtered search opens exactly one tenant=X/label=Y subtree
+    val s20 = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) {
+        graft.operators.Similarity.filteredTopKTenant(spark, dir)
+          .orderBy("probe_id", "rn").explain("formatted")
+      }
+      out.toString
+    }
+    val annPfs = s20.linesIterator
+      .filter(_.contains("PartitionFilters")).filter(_.contains("tenant"))
+      .toSeq
+    assert(annPfs.nonEmpty &&
+      annPfs.forall(l => l.contains("= 0") && l.contains("label")),
+      s"tenant+label predicates not pruning the two-level store scan:\n${s20.take(2500)}")
   }
 }

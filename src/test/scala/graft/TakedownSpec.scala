@@ -284,6 +284,70 @@ class TakedownSpec extends SparkSuite {
     }
   }
 
+  test("tenant takedown STREAM: applyTenant per micro-batch; physical, isolated, replay no-op") {
+    import spark.implicits._
+    val sh = (0L to 19L).map(i =>
+        (i, "en", Seq(s"a$i", s"b$i", "common")))
+      .toDF("doc_id", "lang", "sh").localCheckpoint()
+    val sel = (0L to 19L).map { id =>
+      val fps = Seq(s"g${id % 5}", s"h${id % 3}")
+      (id, fps, fps :+ s"u$id")
+    }.toDF("doc_id", "fps", "dall").localCheckpoint()
+    val nm = Map("nd" -> "tdts_nd", "ct" -> "tdts_ct")
+    val log = "tdts_log"
+    val tables = Seq(s"${nm("nd")}_banded", s"${nm("nd")}_shingles",
+      s"${nm("ct")}_fp", s"${nm("ct")}_df", s"${nm("ct")}_sets")
+    val all = tables.flatMap(t => Seq(t, s"${t}__tcomp")) ++
+      nm.values.map(n => s"${n}_tombstones") :+ log
+    val tdDir = java.nio.file.Files.createTempDirectory("tdts_reqs").toString
+    all.foreach(t => ops.dropTableAndLocation(spark, t))
+    ops.saveTenantNearDupTables(sh, nm("nd"), 2)
+    ops.saveTenantContainTables(sel, nm("ct"), 2)
+    val targets = td.TenantTargets(nearDupIndex = Some(nm("nd")),
+      containIndex = Some(nm("ct")))
+    def mtimes(table: String, tenant: Int): Map[String, Long] = {
+      val d = new java.io.File(
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table).toUri.getPath,
+        s"tenant=$tenant")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    def served(tenant: Int): Seq[Set[Long]] = Seq(
+      ops.loadTenantNearDupIndex(spark, nm("nd"), tenant).shingles,
+      ops.loadTenantContainIndex(spark, nm("ct"), tenant).sets
+    ).map(_.select("doc_id").distinct().collect().map(_.getLong(0)).toSet)
+    // two request files → two micro-batches; 5 is tenant-1 (must drop)
+    Seq(4L, 5L).toDF("doc_id").coalesce(1).write.mode("append").parquet(tdDir)
+    Seq(8L).toDF("doc_id").coalesce(1).write.mode("append").parquet(tdDir)
+    try {
+      val t0 = (0L to 19L by 2).toSet
+      val t1 = (1L to 19L by 2).toSet
+      val t1Before = tables.map(t => t -> mtimes(t, 1)).toMap
+      assert(graft.streaming.EventsStream.runTenantTakedownStream(
+        spark, tdDir, tenant = 0, nTenants = 2, targets, name = "tdts") == log)
+      assert(served(0).forall(_ == t0 -- Set(4L, 8L)))
+      assert(served(1).forall(_ == t1), "tenant-1 ids changed through the stream")
+      tables.foreach(t => assert(mtimes(t, 1) == t1Before(t),
+        s"tenant-1 files rewrote in $t during the tenant-0 stream"))
+      spark.catalog.refreshTable(log)
+      assert(spark.table(log).select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(4L, 8L), "log must hold only tenant-0 ids")
+      // replay of the whole stream: no-op down to tenant-0 mtimes
+      val t0After = tables.map(t => t -> mtimes(t, 0)).toMap
+      graft.streaming.EventsStream.runTenantTakedownStream(
+        spark, tdDir, tenant = 0, nTenants = 2, targets, name = "tdts")
+      tables.foreach(t => assert(mtimes(t, 0) == t0After(t),
+        s"replayed stream rewrote $t"))
+      spark.catalog.refreshTable(log)
+      assert(spark.table(log).count() == 2, "replay must not re-log")
+    } finally {
+      all.foreach(t => ops.dropTableAndLocation(spark, t))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tdDir))
+    }
+  }
+
   test("re-ingest clears the takedown log: later sketch rebuilds count the doc again") {
     import spark.implicits._
     // 0,2,4 en / 1,3,5 de — takedowns hit en so the en cell rebuilds
