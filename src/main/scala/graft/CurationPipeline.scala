@@ -157,4 +157,62 @@ object CurationPipeline {
       nTokens = stats.getAs[Long]("n_tokens"),
       nSequences = stats.getAs[Long]("n_sequences")))
   }
+
+  /** The funnel report extended through the MIXTURE stages: of the kept
+    * corpus, `nSampled` docs fill the per-lang token budgets (t25),
+    * expand to `nReplicas` (doc, epoch) replicas (t26), and place
+    * `nTokens` replica tokens into `nSequences` sequences (t26b's
+    * composition) — every count telescoping from the last.
+    */
+  final case class MixedReport(
+      curation: Report,
+      nSampled: Long,
+      nReplicas: Long,
+      nTokens: Long,
+      nSequences: Long)
+
+  /** The MIXTURE-RECIPE lifecycle end to end: [[run]]'s curate → write,
+    * continued through token-share sampling (t25), fractional-epoch
+    * upsampling (t26) and replica packing (t26b) — what a run that
+    * trains on a weighted blend of the curated corpus actually
+    * executes. Every stage is the gate-checked operator core
+    * ([[TextAnalysis.mixtureSampleOf]] / [[TextAnalysis.packUpsampledOf]]
+    * — the SAME code paths t25/t26b's oracles gate), so the facade adds
+    * only composition and the extended funnel report (PipelineSpec
+    * telescopes it: sampled ⊆ kept and budget-prefix-exact, replica and
+    * token conservation, placement contiguity).
+    * Returns (kept corpus, replica placements, report).
+    */
+  def runWithMixture(spark: SparkSession, dir: String, outPath: String,
+      mixWeightsPct: Map[String, Int] = Map("en" -> 40, "de" -> 15,
+        "es" -> 15, "fr" -> 15, "zh" -> 15),
+      mixTotalTokens: Long = 12000L,
+      epochWeightsPct: Map[String, Int] = Map("en" -> 230, "de" -> 150,
+        "es" -> 100, "fr" -> 100, "zh" -> 75),
+      seqLen: Int = 2048, chunkDocs: Long = 4096, cap: Int = 20,
+      trainUpTo: Int = 250, valFrom: Int = 253, threshold: Double = 0.8)
+      : (DataFrame, DataFrame, MixedReport) = {
+    val (kept, report) = run(spark, dir, outPath, cap, trainUpTo, valFrom,
+      threshold)
+    val toks = kept.select(col("doc_id"), col("lang"),
+      size(graft.functions.Exprs.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    val sampled = TextAnalysis
+      .mixtureSampleOf(toks, mixWeightsPct, mixTotalTokens)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .localCheckpoint()
+    val placements = TextAnalysis
+      .packUpsampledOf(sampled, seqLen, chunkDocs, epochWeightsPct)
+      .localCheckpoint()
+    val stats = placements.agg(
+      count(lit(1)).as("n_replicas"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+      coalesce(max(col("seq_last")) + 1L, lit(0L)).as("n_sequences")).head()
+    (kept, placements, MixedReport(
+      curation = report,
+      nSampled = sampled.count(),
+      nReplicas = stats.getAs[Long]("n_replicas"),
+      nTokens = stats.getAs[Long]("n_tokens"),
+      nSequences = stats.getAs[Long]("n_sequences")))
+  }
 }

@@ -986,9 +986,21 @@ object TextAnalysis {
   def packUpsampled(spark: SparkSession, dir: String, seqLen: Int = 2048,
       chunkDocs: Long = 4096,
       weightsPct: Map[String, Int] = Map("en" -> 230, "de" -> 150,
-        "es" -> 100, "fr" -> 100, "zh" -> 75)): DataFrame = {
+        "es" -> 100, "fr" -> 100, "zh" -> 75)): DataFrame =
+    packUpsampledOf(
+      Tables.documents(spark, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+      seqLen, chunkDocs, weightsPct)
+
+  /** The t26b composition over an arbitrary (doc_id, lang, n_tokens)
+    * frame — shared by the t26b gate and
+    * [[graft.CurationPipeline.runWithMixture]]'s curated set.
+    */
+  private[graft] def packUpsampledOf(toks: DataFrame, seqLen: Int,
+      chunkDocs: Long, weightsPct: Map[String, Int]): DataFrame = {
     require(weightsPct.values.forall(_ < 800), "replica id packs 8 epochs/doc")
-    val replicas = epochUpsample(spark, dir, weightsPct)
+    val replicas = epochUpsampleOf(toks, weightsPct)
       .filter(col("n_epochs") > 0)
       .withColumn("epoch", explode(sequence(lit(0L), col("n_epochs") - 1)))
       .select((col("doc_id") * 8 + col("epoch")).as("doc_id"),

@@ -264,6 +264,83 @@ class PipelineSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("curation pipeline with mixture: sampled prefix exact, replica/token conservation, contiguous replica stream") {
+    val dir = sf("sf0.001")
+    val out = Files.createTempDirectory("graft_curation_mix_out").toString
+    val sl = 64L
+    val mixW = Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15)
+    val epochW = Map("en" -> 230, "de" -> 150, "es" -> 100, "fr" -> 100,
+      "zh" -> 75)
+    val total = 3000L // small enough that budgets bind at sf0.001
+    val (kept, placements, mr) = CurationPipeline.runWithMixture(
+      spark, dir, out, mixWeightsPct = mixW, mixTotalTokens = total,
+      epochWeightsPct = epochW, seqLen = sl.toInt)
+    try {
+      // sampled set == the greedy md5-order budget prefix of the KEPT
+      // corpus, recomputed independently per lang
+      val keptToks = kept.collect().map { r =>
+        val t = Option(r.getAs[String]("text")).getOrElse("")
+        (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+          t.trim.split("\\s+").count(_.nonEmpty).toLong)
+      }
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expectSample = mixW.toSeq.flatMap { case (lang, pct) =>
+        val budget = total * pct / 100
+        var cum = 0L
+        keptToks.toSeq.filter(_._2 == lang)
+          .sortBy(d => (md5hex(d._1.toString), d._1))
+          .flatMap { case (id, _, n) =>
+            val keep = cum < budget
+            if (keep) cum += n
+            if (keep) Some(id) else None
+          }
+      }.toSet
+      assert(mr.nSampled == expectSample.size)
+      // budgets must BIND (some kept docs not sampled) or the stage is
+      // vacuous at this fixture
+      assert(expectSample.size < keptToks.length,
+        "fixture must leave the budgets binding")
+      // replica conservation: placements = Σ n_epochs over the sample,
+      // each replica carrying its doc's token count
+      val pRows = placements.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_first"),
+          r.getAs[Long]("seq_offset")))
+      // the epoch coin recomputed independently: floor(w) + 1 iff the
+      // first four hex digits of md5('epoch:'||id) fall under the
+      // fraction in 1/65536 units (a w<100 lang can drop to 0 epochs)
+      val langOf = keptToks.map(d => d._1 -> d._2).toMap
+      def epochsOf(id: Long): Long = {
+        val w = epochW(langOf(id))
+        val f16 = java.lang.Long.parseLong(md5hex(s"epoch:$id").take(4), 16)
+        w / 100 + (if (f16 * 100 < (w % 100).toLong * 65536) 1L else 0L)
+      }
+      val nTokOf = keptToks.map(d => d._1 -> d._3).toMap
+      assert(pRows.map(_._1).toSet == expectSample.filter(id =>
+        nTokOf(id) > 0 && epochsOf(id) > 0))
+      assert(mr.nReplicas == pRows.length)
+      pRows.groupBy(_._1).foreach { case (id, rows) =>
+        assert(rows.length == epochsOf(id), s"doc $id replica count drifted")
+      }
+      pRows.foreach { case (id, e, n, _, _) =>
+        assert(n == nTokOf(id), s"doc $id replica token count drifted")
+        assert(e >= 0 && e < 8)
+      }
+      assert(mr.nTokens == pRows.map(_._3).sum)
+      assert(mr.nSequences == (mr.nTokens + sl - 1) / sl)
+      // the replica stream is contiguous in (doc_id, epoch) order
+      var cum = 0L
+      pRows.sortBy(p => p._1 * 8 + p._2).foreach { case (_, _, n, first, off) =>
+        assert(first * sl + off == cum, "replica stream not contiguous")
+        cum += n
+      }
+      // at least one doc actually upsampled past one epoch (en w=2.3)
+      assert(pRows.groupBy(_._1).exists(_._2.length >= 2),
+        "fixture must exercise multi-epoch replication")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("IVF ANN: planted clone found via its cluster") {
     val dir = sf("sf0.001")
     val ivf = graft.operators.Similarity.ivfTopK(spark, dir, nProbes = 3, k = 3)
