@@ -34,7 +34,9 @@ object Bench {
     "d21c_semdedup_banded", "w6b_running_sum_chunked", "w4b_asof_chunked",
     "d24_dedup_recall", "d25_simhash_remove", "d27_containment_remove",
     "td1_takedown_unified", "d31_tenant_index", "d11b_simhash_radius5",
-    "d32_reband_trigger", "d29b_srp_recall_sampled")
+    "d32_reband_trigger", "d29b_srp_recall_sampled",
+    "td2_takedown_tenant", "d35_tenant_containment", "t25_mixture_sample",
+    "t26b_upsampled_pack", "s20_ann_tenant_store")
 
   // Locale.ROOT: the f-interpolator uses the default locale, and a
   // comma-decimal locale would corrupt the JSON contract line
