@@ -2650,28 +2650,64 @@ object Dedup {
     * containment family's df AGGREGATE needs it directly, because its
     * compaction REBUILDS the tenant's rows from the compacted
     * fingerprints (the a2d rule) rather than filtering them.
+    *
+    * CRASH SAFETY (the recoverGenerationSwap discipline for a
+    * partition-scoped swap): once the temp generation is fully written,
+    * the OLD partition directory is RENAMED to a marker (never deleted
+    * before the new files are in place), so no crash window loses the
+    * tenant's rows. On entry, a surviving marker means a prior call
+    * crashed mid-swap AFTER its temp generation was complete — the
+    * recovery finishes that swap (move the remaining temp files in,
+    * drop the marker and temp) and returns WITHOUT recomputing `rows`:
+    * mid-swap the live slice reads empty/partial, and the caller's
+    * tombstones only clear after the whole compaction succeeds, so the
+    * interrupted generation IS the one this call would write. A temp
+    * table with NO marker is a crash from before the swap began — the
+    * old partition is intact, so the temp is simply dropped and the
+    * rewrite redone from live data.
     */
   private[graft] def rewriteTenantPartition(spark: SparkSession,
       table: String, tenant: Int, buckets: Int, keys: Seq[String],
       rows: DataFrame): Unit = {
-    val retained = rows.localCheckpoint()
     val root = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val partDir = new org.apache.hadoop.fs.Path(root, s"tenant=$tenant")
+    // no '=' in the marker name: it must never parse as a partition
+    val marker = new org.apache.hadoop.fs.Path(root, s"__swap_old_t$tenant")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // per-TENANT temp name: compacting tenant B must never drop tenant
+    // A's surviving mid-swap generation
+    val tmp = s"${table}__tcomp_t$tenant"
+    val tmpLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), tmp.toLowerCase)
+    def moveTmpFilesIn(): Unit = {
+      if (!fs.exists(partDir)) fs.mkdirs(partDir)
+      if (fs.exists(tmpLoc))
+        fs.listStatus(tmpLoc).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => fs.rename(f,
+            new org.apache.hadoop.fs.Path(partDir, f.getName)))
+    }
+    if (fs.exists(marker)) {
+      // finish the interrupted swap; never recompute from the live slice
+      moveTmpFilesIn()
+      fs.delete(marker, true)
+      dropTableAndLocation(spark, tmp)
+      spark.catalog.refreshTable(table)
+      return
+    }
+    val retained = rows.localCheckpoint()
     if (retained.isEmpty) {
       fs.delete(partDir, true)
     } else {
-      val tmp = s"${table}__tcomp"
       saveBucketedTable(retained, tmp, buckets, keys)
-      val tmpLoc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), tmp.toLowerCase)
-      fs.delete(partDir, true)
-      fs.mkdirs(partDir)
-      fs.listStatus(tmpLoc).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet"))
-        .foreach(f => fs.rename(f,
-          new org.apache.hadoop.fs.Path(partDir, f.getName)))
+      // swap: rename-away (atomic, recoverable), move the new generation
+      // in, then drop the old — the marker existing implies the temp
+      // generation is complete
+      fs.delete(marker, true)
+      if (fs.exists(partDir)) fs.rename(partDir, marker)
+      moveTmpFilesIn()
+      fs.delete(marker, true)
       dropTableAndLocation(spark, tmp)
     }
     spark.catalog.refreshTable(table)

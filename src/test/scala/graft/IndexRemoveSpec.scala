@@ -593,6 +593,71 @@ class IndexRemoveSpec extends SparkSuite {
     } finally all.foreach(t => ops.dropTableAndLocation(spark, t))
   }
 
+  test("tenant compaction crash recovery: a mid-swap crash finishes the interrupted generation; a pre-swap temp is discarded") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    val sigs = (0L to 19L).map(i => (i, 0x1111L * (i % 7) + (i << 3)))
+      .toDF("doc_id", "simhash")
+    val name = "tcrash"
+    val banded = s"${name}_banded"
+    val tmp = s"${banded}__tcomp_t0"
+    val all = Seq(banded, tmp, s"${name}_tombstones")
+    all.foreach(t => ops.dropTableAndLocation(spark, t))
+    ops.saveTenantSimHashTables(sigs, name, 2)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val root = new org.apache.hadoop.fs.Path(wh, banded)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part0 = new org.apache.hadoop.fs.Path(root, "tenant=0")
+    val marker = new org.apache.hadoop.fs.Path(root, "__swap_old_t0")
+    def tenantIds(t: Int): Set[Long] = {
+      spark.catalog.refreshTable(banded)
+      spark.table(banded).filter(col("tenant") === t)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    }
+    try {
+      ops.removeFromSimHashIndex(spark, name, Seq(4L, 6L).toDF("doc_id"))
+      // STAGE a mid-swap crash: the retained generation fully written to
+      // the per-tenant temp, the old directory renamed to the marker,
+      // and only ONE file moved in (crash mid-move)
+      val retained = spark.table(banded).filter(col("tenant") === 0)
+        .drop("tenant")
+        .join(Seq(4L, 6L).toDF("doc_id"), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val nRetained = retained.count()
+      ops.saveBucketedTable(retained, tmp, 8, Seq("b", "chunk"))
+      assert(fs.rename(part0, marker), "staging rename failed")
+      fs.mkdirs(part0)
+      val tmpLoc = new org.apache.hadoop.fs.Path(wh, tmp)
+      val firstFile = fs.listStatus(tmpLoc).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      fs.rename(firstFile,
+        new org.apache.hadoop.fs.Path(part0, firstFile.getName))
+      // RE-RUN the compaction: recovery must FINISH the interrupted swap
+      // (never recompute from the half-swapped live slice), then the
+      // caller clears the tenant's tombstones as usual
+      ops.compactTenantSimHashIndex(spark, name, tenant = 0, nTenants = 2)
+      assert(tenantIds(0) == (0L to 19L by 2).toSet -- Set(4L, 6L),
+        "recovery lost or duplicated tenant-0 rows")
+      assert(spark.table(banded).filter(col("tenant") === 0).count() == nRetained,
+        "recovery duplicated rows")
+      assert(!fs.exists(marker), "marker survived recovery")
+      assert(!spark.catalog.tableExists(tmp), "temp table survived recovery")
+      assert(tenantIds(1) == (1L to 19L by 2).toSet)
+      spark.catalog.refreshTable(s"${name}_tombstones")
+      assert(spark.table(s"${name}_tombstones").isEmpty,
+        "tombstones not cleared after recovered compaction")
+      // PRE-SWAP crash: a stale (even partial) temp with NO marker means
+      // the old partition is intact — the rewrite discards the temp and
+      // redoes from live data
+      ops.saveBucketedTable(retained.limit(3), tmp, 8, Seq("b", "chunk"))
+      ops.removeFromSimHashIndex(spark, name, Seq(8L).toDF("doc_id"))
+      ops.compactTenantSimHashIndex(spark, name, tenant = 0, nTenants = 2)
+      assert(tenantIds(0) == (0L to 19L by 2).toSet -- Set(4L, 6L, 8L),
+        "pre-swap temp leaked into the rewrite")
+      assert(tenantIds(1) == (1L to 19L by 2).toSet)
+    } finally all.foreach(t => ops.dropTableAndLocation(spark, t))
+  }
+
   test("s20 tenant ANN compaction: only the tenant's label subtrees rewrite; same-label other-tenant files untouched") {
     import spark.implicits._
     val sim = graft.operators.Similarity
