@@ -615,10 +615,20 @@ object EventsStream {
     * monotone-id ingest contract (ids in a later batch exceed earlier
     * ones — how packing stays append-only at all); StreamingSpec asserts
     * stream == batch recompute and replay is a no-op.
+    *
+    * `epochWeightsPct` turns the loop into the MIXTURE ingest path: each
+    * arriving doc expands map-side to its t26 replica set
+    * ([[graft.operators.TextAnalysis.epochUpsampleOf]] — the same md5
+    * coin the t26 oracle gates) before placement, and the output carries
+    * (doc_id, epoch). Replica ids (doc_id·8 + epoch) inherit the
+    * monotone contract from doc ids, so the stream equals the one-shot
+    * [[graft.operators.TextAnalysis.packUpsampledOf]] over base ∪ all
+    * shards (StreamingSpec asserts it).
     */
   def runPackingStream(spark: SparkSession, shardDir: String,
       name: String = "packing", seqLen: Int = 2048,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
+      maxFilesPerTrigger: Int = 1,
+      epochWeightsPct: Option[Map[String, Int]] = None): DataFrame = {
     import graft.operators.Dedup
     val stateT = s"${name}_state"
     val outT = s"${name}_placements"
@@ -634,18 +644,32 @@ object EventsStream {
         val st = spark.table(stateT).head()
         if (st.getAs[Long]("batch_id") < batchId) {
           val total = st.getAs[Long]("total")
-          val toks = batch.select(col("doc_id"),
-              size(graft.functions.Exprs.tokens(col("text"))).cast("long").as("n_tokens"))
-            .localCheckpoint()
+          val toks0 = batch.select(col("doc_id"), col("lang"),
+            size(graft.functions.Exprs.tokens(col("text"))).cast("long").as("n_tokens"))
+          // mixture mode: expand each doc to its replica set map-side;
+          // the unit of placement becomes the replica id
+          val toks = epochWeightsPct.fold(
+              toks0.select(col("doc_id"), col("n_tokens"))) { wp =>
+            graft.operators.TextAnalysis.epochUpsampleOf(toks0, wp)
+              .filter(col("n_epochs") > 0)
+              .withColumn("epoch",
+                explode(sequence(lit(0L), col("n_epochs") - 1)))
+              .select((col("doc_id") * 8 + col("epoch")).as("doc_id"),
+                col("n_tokens"))
+          }.localCheckpoint()
           val w = Window.orderBy(col("doc_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val idCols: Seq[org.apache.spark.sql.Column] =
+            if (epochWeightsPct.isEmpty) Seq(col("doc_id"))
+            else Seq(expr("doc_id div 8").as("doc_id"),
+              pmod(col("doc_id"), lit(8L)).as("epoch"))
           val placed = toks
             .withColumn("cum", sum(col("n_tokens")).over(w) + total)
-            .select(col("doc_id"), col("n_tokens"),
+            .select(idCols ++ Seq(col("n_tokens"),
               expr(s"(cum - n_tokens) div ${seqLen}L").as("seq_first"),
               expr(s"(cum - 1) div ${seqLen}L").as("seq_last"),
               pmod(col("cum") - col("n_tokens"), lit(seqLen.toLong)).as("seq_offset"),
-              lit(batchId).as("batch_id"))
+              lit(batchId).as("batch_id")): _*)
             .localCheckpoint()
           val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
           spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

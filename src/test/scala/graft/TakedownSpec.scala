@@ -434,4 +434,50 @@ class TakedownSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(shardDir))
     }
   }
+
+  test("streaming UPSAMPLED packing == one-shot packUpsampledOf; replay is a no-op") {
+    import spark.implicits._
+    val wp = Map("en" -> 230, "de" -> 140)
+    def mkDocs(ids: Seq[Long]) = ids.map(i =>
+        (i, (1 to (5 + (i % 7)).toInt).map(j => s"w${i}_$j").mkString(" "),
+          if (i % 2 == 0) "en" else "de", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val shardDir = java.nio.file.Files.createTempDirectory("upack_stream").toString
+    mkDocs(0L to 4L).coalesce(1).write.mode("append").parquet(shardDir)
+    Thread.sleep(1100)
+    mkDocs(5L to 8L).coalesce(1).write.mode("append").parquet(shardDir)
+    Thread.sleep(1100)
+    mkDocs(9L to 12L).coalesce(1).write.mode("append").parquet(shardDir)
+    val tables = Seq("upks_state", "upks_state__gen", "upks_placements")
+    tables.foreach(t => ops.dropTableAndLocation(spark, t))
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "epoch", "n_tokens", "seq_first", "seq_last",
+          "seq_offset").collect().map(_.toSeq).toSet
+      val streamed = rows(graft.streaming.EventsStream.runPackingStream(
+        spark, shardDir, name = "upks", seqLen = 16,
+        epochWeightsPct = Some(wp)))
+      // == the one-shot upsample -> pack over the union of all shards
+      val allToks = mkDocs(0L to 12L).select(col("doc_id"), col("lang"),
+        size(graft.functions.Exprs.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      val batch = rows(graft.operators.TextAnalysis.packUpsampledOf(
+        allToks, seqLen = 16, chunkDocs = 7, wp))
+      assert(streamed == batch, "streamed upsampled placements != one-shot")
+      // multi-epoch replication actually exercised (en weight 2.3)
+      assert(streamed.groupBy(_.head).exists(_._2.size >= 2),
+        "fixture must replicate some doc past one epoch")
+      // replay: fresh run over the same files — bit-identical, state unmoved
+      val st1 = spark.table("upks_state").collect().map(_.toSeq).toSeq
+      val replayed = rows(graft.streaming.EventsStream.runPackingStream(
+        spark, shardDir, name = "upks", seqLen = 16,
+        epochWeightsPct = Some(wp)))
+      assert(replayed == streamed)
+      spark.catalog.refreshTable("upks_state")
+      assert(spark.table("upks_state").collect().map(_.toSeq).toSeq == st1)
+    } finally {
+      tables.foreach(t => ops.dropTableAndLocation(spark, t))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(shardDir))
+    }
+  }
 }
