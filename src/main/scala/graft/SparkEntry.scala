@@ -581,6 +581,30 @@ object SparkEntry {
         .groupBy(col("split"), col("lang"), col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("split", "lang", "shard")
+    }),
+    // ---- e3: the GENERATION DIFF between two written trees — gen A is
+    // the corpus minus the doc_id ≡ 5 (mod 13) class, gen B the corpus
+    // minus the ≡ 4 (mod 9) class with the ≡ 3 (mod 11) class's text
+    // amended; the diff re-reads BOTH trees from disk and classifies by
+    // content sha, so a write-path corruption (dropped rows, text
+    // mangling) surfaces as a wrong status ----
+    "e3_corpus_diff" -> ((s, d) => {
+      val tag = java.util.UUID.nameUUIDFromBytes(("diff:" + d).getBytes("UTF-8"))
+        .toString.take(8)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_corpus_gate_${ProcessHandle.current().pid()}_$tag").getAbsolutePath
+      corpusGateCleanupOnExit(out)
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      graft.emit.CorpusWriter.write(
+        docs.filter(col("doc_id") % 13 =!= 5), s"$out/a", nShards = 4)
+      graft.emit.CorpusWriter.write(
+        docs.filter(col("doc_id") % 9 =!= 4)
+          .withColumn("text", when(col("doc_id") % 11 === 3,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))),
+        s"$out/b", nShards = 4)
+      graft.emit.CorpusWriter.corpusDiff(s, s"$out/a", s"$out/b")
+        .filter(col("status") =!= "unchanged")
+        .orderBy("doc_id")
     }))
 
   /** One shutdown hook per e1 output path: deletes this process's corpus
@@ -2834,6 +2858,22 @@ object SparkEntry {
     // the written-then-retracted tree re-read: e1's layout recompute over
     // documents minus the takedown class — a leftover row in any rewritten
     // (or supposedly-deleted) partition hash-mismatches
+    // the generation diff: statuses recomputed straight from documents
+    // under the same gen-A/gen-B membership and amendment rules — a doc
+    // in both gens with equal text is 'unchanged' and filtered out
+    "e3_corpus_diff" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
+        |a AS (SELECT doc_id, lang, sha256(text) AS sha FROM d WHERE doc_id % 13 != 5),
+        |b AS (SELECT doc_id, lang,
+        |    sha256(CASE WHEN doc_id % 11 = 3 THEN text || ' v2' ELSE text END) AS sha
+        |  FROM d WHERE doc_id % 9 != 4)
+        |SELECT doc_id,
+        |  CASE WHEN a.sha IS NULL THEN 'added' WHEN b.sha IS NULL THEN 'removed'
+        |       WHEN a.sha != b.sha THEN 'changed' END AS status,
+        |  coalesce(b.lang, a.lang) AS lang
+        |FROM a FULL JOIN b USING (doc_id)
+        |WHERE a.sha IS NULL OR b.sha IS NULL OR a.sha != b.sha
+        |ORDER BY doc_id""".stripMargin,
     "e2_corpus_retract" -> {
       val sh = s"(${hexv("substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 2, 1)")})"
       s"""SELECT split, lang, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs

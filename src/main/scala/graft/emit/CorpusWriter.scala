@@ -117,4 +117,28 @@ object CorpusWriter {
     }
     removedCount
   }
+
+  /** E3 — corpus GENERATION DIFF: which documents were added, removed,
+    * or content-changed between two written corpus trees — the record an
+    * incremental retrain (or a compliance audit) reads to decide what
+    * work generation N+1 actually implies. Byte-level identity is the
+    * content sha (computed MAP-SIDE over each tree's scan, so only
+    * (doc_id, sha, lang) ever shuffles into the full-outer join — text
+    * never moves); status is a pure function of the two shas.
+    * `unchanged` rows are emitted too (callers filter) — the diff is a
+    * total account of both generations.
+    */
+  def corpusDiff(spark: org.apache.spark.sql.SparkSession, pathA: String,
+      pathB: String): DataFrame = {
+    def sig(p: String, side: String) = spark.read.parquet(p)
+      .select(col("doc_id"), col("lang").as(s"lang_$side"),
+        sha2(col("text"), 256).as(s"sha_$side"))
+    sig(pathA, "a").join(sig(pathB, "b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("sha_a").isNull, lit("added"))
+          .when(col("sha_b").isNull, lit("removed"))
+          .when(col("sha_a") =!= col("sha_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("lang_b"), col("lang_a")).as("lang"))
+  }
 }
