@@ -244,6 +244,14 @@ object SparkEntry {
     // the oracle computes
     "d13_delta_neardup" -> ((s, d) =>
       Dedup.deltaNearDupsGate(s, d).orderBy("id_a", "id_b")),
+    // diff-driven index sync: gen-N index + the e3 corpus diff = the
+    // gen-N+1 index without a rebuild (remove∪changed tombstone out,
+    // compact physical, added∪changed append with gen-B text); the
+    // oracle recomputes the delta over gen B ALONE — any sync failure
+    // (leftover doc, stale unamended shingles, missed addition)
+    // hash-mismatches
+    "d36_diff_synced_delta" -> ((s, d) =>
+      Dedup.diffSyncedDeltaNearDups(s, d).orderBy("id_a", "id_b")),
     // the full index lifecycle on disk: save base (bucket < 150), APPEND
     // the 150-199 slice via bucket-spec-matched INSERT INTO, COMPACT back
     // to one file per bucket (generation swap), delta-join the bucket >=
@@ -661,6 +669,28 @@ object SparkEntry {
     */
   private val hexv = (c: String) =>
     s"(CASE WHEN ascii($c) >= 97 THEN ascii($c) - 87 ELSE ascii($c) - 48 END)"
+
+  /** The d36 oracle: d13's delta SQL recomputed over GEN B ∪ shard —
+    * the indexed side (bucket < 200) keeps only gen B's membership
+    * (≡4 mod 9 dropped) with the ≡3 mod 11 class's text amended, so the
+    * pair set is what a from-scratch gen-B index would serve. Gen A
+    * never appears: the diff-driven sync must fully erase it.
+    */
+  private lazy val diffSyncedDeltaSql =
+    s"""WITH bk0 AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents),
+       |t AS (SELECT d.doc_id, d.lang, regexp_split_to_array(trim(
+       |    CASE WHEN b0.bucket < 200 AND d.doc_id % 11 = 3 THEN d.text || ' v2' ELSE d.text END), '\\s+') AS w
+       |  FROM documents d JOIN bk0 b0 ON d.doc_id = b0.doc_id
+       |  WHERE d.text IS NOT NULL AND NOT (b0.bucket < 200 AND d.doc_id % 9 = 4)),
+       |s AS (SELECT doc_id, lang, w[1] AS tok0, w[-1] AS tokz,
+       |  CASE WHEN len(w)<3 THEN [array_to_string(w,' ')]
+       |       ELSE [array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)] END AS sh FROM t),
+       |$lshPairsCtes,
+       |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+       |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b, jaccard
+       |FROM pairs JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+       |WHERE xa.bucket >= 200 OR xb.bucket >= 200
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** 16-bit simhash signature CTE (`sh(doc_id, simhash)`) — the oracle
     * rendering of Dedup.simhash (d5's display signature).
@@ -1540,6 +1570,7 @@ object SparkEntry {
     // pairs (signatures are per-doc functions, so both computations hash
     // the same band keys and shingle sets)
     "d13_delta_neardup" -> deltaNearDupSql,
+    "d36_diff_synced_delta" -> diffSyncedDeltaSql,
     // the tenant-partitioned index serves tenant 0's delta exactly:
     // the d13 identity with both endpoints in the tenant (tenants are
     // isolated corpora — shingles and band keys are per-doc functions,

@@ -1132,6 +1132,55 @@ object Dedup {
     deltaNearDupsFromShingles(sh.filter(bucket >= split2), index, threshold)
   }
 
+  /** D36 — DIFF-DRIVEN INDEX SYNC: generation-N index + the e3 corpus
+    * diff = the generation-N+1 index, WITHOUT a rebuild. Two corpus
+    * generations write as real trees (gen A drops the ≡5 mod 13 class;
+    * gen B drops ≡4 mod 9 and amends the ≡3 mod 11 class's text), the
+    * index is built over gen A, and [[graft.emit.CorpusWriter.corpusDiff]]
+    * drives the sync: `removed ∪ changed` tombstone out, a COMPACTION
+    * makes them physical (the payload contract — re-appending a
+    * tombstoned id must not resurrect its OLD shingle rows), and
+    * `added ∪ changed` append with gen-B text. The gate then serves the
+    * d13 delta of the bucket ≥ splitAt shard against the synced index;
+    * the oracle recomputes the SAME delta over gen B alone — gen A never
+    * appears in it, so any sync failure (a leftover dropped doc, a stale
+    * unamended shingle, a missed addition) hash-mismatches. Per-shard
+    * cost at 100 TB is diff-sized: remove/append touch only the changed
+    * rows, the compaction only affected buckets.
+    */
+  def diffSyncedDeltaNearDups(spark: SparkSession, dir: String,
+      splitAt: Int = 200, threshold: Double = 0.8): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("diffSyncedIndex", dir, splitAt)) {
+      val h = f"${dir.hashCode & 0xffffffffL}%x"
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        f"graft_d36_${ProcessHandle.current().pid()}_$h").getAbsolutePath
+      val base = docs.filter(bucket < splitAt)
+      val genA = base.filter(col("doc_id") % 13 =!= 5).localCheckpoint()
+      val genB = base.filter(col("doc_id") % 9 =!= 4)
+        .withColumn("text", when(col("doc_id") % 11 === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .localCheckpoint()
+      graft.emit.CorpusWriter.write(genA, s"$out/a")
+      graft.emit.CorpusWriter.write(genB, s"$out/b")
+      val name = f"diffsync_${splitAt}_$h"
+      saveNearDupIndex(buildNearDupIndex(genA), name)
+      val diff = graft.emit.CorpusWriter.corpusDiff(spark, s"$out/a", s"$out/b")
+        .localCheckpoint()
+      removeFromNearDupIndex(spark, name,
+        diff.filter(col("status").isin("removed", "changed"))
+          .select(col("doc_id")))
+      compactNearDupIndex(spark, name)
+      appendNearDupIndex(spark, name,
+        genB.join(diff.filter(col("status").isin("added", "changed"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      loadNearDupIndex(spark, name)
+    }.asInstanceOf[NearDupIndex]
+    deltaNearDups(docs.filter(bucket >= splitAt), index, threshold)
+  }
+
   /** Save a bucketed table PARTITIONED BY TENANT: each tenant's rows
     * live under their own partition directories (within which the
     * bucket layout is the usual one), so a tenant-scoped read prunes at

@@ -593,6 +593,54 @@ class IndexRemoveSpec extends SparkSuite {
     } finally all.foreach(t => ops.dropTableAndLocation(spark, t))
   }
 
+  test("d36 diff-driven sync exercises all three classes: removed gone, added pairs, changed pairs only under amended text") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    // ids chosen so splitBucket(id) < 200 for indexed docs and >= 200 for
+    // shard docs, hitting each diff class exactly:
+    //   4  removed  (id % 9 == 4)        | 18 added  (id % 13 == 5)
+    //   14 changed  (id % 11 == 3)       | 1  stable
+    //   0, 2, 3, 5 shard (bucket >= 200)
+    val cOrig = "alpha beta gamma delta"
+    val docs = Seq(
+      (4L, "red green blue cyan magenta", "en"),     // removed: pairs shard 0 pre-sync only
+      (18L, "one two three four five six", "en"),    // added: pairs shard 2
+      (14L, cOrig, "en"),                            // changed: ' v2' amended in gen B
+      (1L, "lorem ipsum dolor sit amet", "en"),      // stable: pairs shard 5
+      (0L, "red green blue cyan magenta", "en"),     // shard partner of the REMOVED doc
+      (2L, "one two three four five six", "en"),     // shard partner of the ADDED doc
+      (3L, s"$cOrig v2", "en"),                      // shard partner of the AMENDED text
+      (5L, "lorem ipsum dolor sit amet", "en"))      // shard partner of the stable doc
+      .map { case (i, t, l) => (i, t, l, "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("d36fix").toString
+    docs.coalesce(1).write.parquet(s"$root/out")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/out"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(s"$root/documents.parquet"))
+    try {
+      val pairs = ops.diffSyncedDeltaNearDups(spark, root)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // ADDED doc serves: its identical-text shard partner pairs
+      assert(pairs.contains((2L, 18L)), s"added doc not indexed: $pairs")
+      // STABLE doc still serves
+      assert(pairs.contains((1L, 5L)), s"stable doc lost: $pairs")
+      // REMOVED doc is gone: its identical-text shard partner finds nothing
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+        s"removed doc still serving: $pairs")
+      // CHANGED doc serves its AMENDED shingles: pairs the ' v2' shard
+      // text (jaccard 1 post-amendment; the ORIGINAL text's jaccard vs
+      // the amended index entry is 3/7 < 0.8, so a stale unamended row
+      // would flip this assertion set)
+      assert(pairs.contains((3L, 14L)), s"changed doc not re-indexed with amended text: $pairs")
+      assert(pairs == Set((2L, 18L), (1L, 5L), (3L, 14L)), s"unexpected pairs: $pairs")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("tenant compaction crash recovery: a mid-swap crash finishes the interrupted generation; a pre-swap temp is discarded") {
     import spark.implicits._
     val ops = graft.operators.Dedup
