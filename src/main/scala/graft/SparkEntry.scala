@@ -479,6 +479,10 @@ object SparkEntry {
     // keyed by (lang, md5-prefix) — no single-partition window per lang
     "t25_mixture_sample" -> ((s, d) =>
       TextAnalysis.mixtureSample(s, d).orderBy("doc_id")),
+    // the mixture REALIZATION audit: per-lang selected token mass vs
+    // budget, with the greedy-prefix guarantees as oracle-asserted flags
+    "t25b_mixture_realization" -> ((s, d) =>
+      TextAnalysis.mixtureRealization(s, d).orderBy("lang")),
     // deterministic epoch upsampling: fractional per-lang weights ->
     // integer replica counts via an md5-derived coin (1/65536 units)
     "t26_epoch_upsample" -> ((s, d) =>
@@ -2487,6 +2491,26 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t)
         |SELECT doc_id, lang, n_tokens, cum_before, budget
         |FROM c JOIN b USING (lang) WHERE cum_before < budget ORDER BY doc_id""".stripMargin,
+    // the mixture realization audit: the t25 selection aggregated per
+    // lang, the greedy-prefix guarantees (never under-fill a meetable
+    // budget; overshoot bounded by one boundary doc) asserted TRUE
+    "t25b_mixture_realization" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT lang, CAST((12000 * w_pct) // 100 AS BIGINT) AS budget
+        |  FROM (VALUES ('de', 15), ('en', 40), ('es', 15), ('fr', 15), ('zh', 15)) v(lang, w_pct)),
+        |g AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS group_total FROM t GROUP BY 1),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t),
+        |sel AS (SELECT lang, budget, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS selected_tokens,
+        |    CAST(max(n_tokens) AS BIGINT) AS max_doc
+        |  FROM c JOIN b USING (lang) WHERE cum_before < budget GROUP BY 1, 2)
+        |SELECT lang, budget, n_docs, selected_tokens,
+        |  selected_tokens >= least(budget, group_total) AS filled,
+        |  selected_tokens < budget + max_doc AS bounded
+        |FROM sel JOIN g USING (lang) ORDER BY lang""".stripMargin,
     // epoch upsampling: floor(w) epochs + one more iff the first four
     // hex digits of md5('epoch:' || doc_id) fall under the fraction in
     // 1/65536 units — integer-exact on both engines

@@ -933,6 +933,41 @@ object TextAnalysis {
         col("cum_before"), col("budget"))
   }
 
+  /** T25B — the mixture REALIZATION audit (the a2b/monitor discipline
+    * for t25): per language, the selected token mass vs the budget and
+    * the two greedy-prefix guarantees as flags the oracle asserts TRUE —
+    *   - `filled`: selected ≥ min(budget, the group's whole corpus) —
+    *     the sampler never under-fills a budget it could have met;
+    *   - `bounded`: selected < budget + the largest selected doc — the
+    *     only overshoot is the boundary-crossing document.
+    * At 100 TB this is the dashboard row a mixture owner watches; here
+    * the flags make the greedy-prefix CONTRACT itself oracle-gated, not
+    * just the row-level selection (which t25 already hashes).
+    */
+  def mixtureRealization(spark: SparkSession, dir: String,
+      weightsPct: Map[String, Int] = Map("en" -> 40, "de" -> 15,
+        "es" -> 15, "fr" -> 15, "zh" -> 15),
+      totalTokens: Long = 12000L): DataFrame = {
+    val toks = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val totals = toks.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("group_total"))
+    mixtureSampleOf(toks, weightsPct, totalTokens)
+      .groupBy(col("lang"), col("budget"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("selected_tokens"),
+        max(col("n_tokens")).as("max_doc"))
+      .join(totals, Seq("lang"))
+      .select(col("lang"), col("budget"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("selected_tokens").cast("long").as("selected_tokens"),
+        (col("selected_tokens") >= least(col("budget"), col("group_total")))
+          .as("filled"),
+        (col("selected_tokens") < col("budget") + col("max_doc"))
+          .as("bounded"))
+  }
+
   /** T26 — deterministic EPOCH UPSAMPLING: fractional per-language
     * weights ("see en 2.3 times per training pass") become an integer
     * replica count per document — floor(w) epochs for everyone, plus
