@@ -1157,6 +1157,14 @@ object Dedup {
       val h = f"${dir.hashCode & 0xffffffffL}%x"
       val out = new java.io.File(sys.props("java.io.tmpdir"),
         f"graft_d36_${ProcessHandle.current().pid()}_$h").getAbsolutePath
+      // per-pid tmp trees accumulate across processes — delete this
+      // one when the JVM exits (the e1/e2 corpus-gate convention)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rec)); f.delete(); ()
+        }
+        rec(new java.io.File(out))
+      }))
       val base = docs.filter(bucket < splitAt)
       val genA = base.filter(col("doc_id") % 13 =!= 5).localCheckpoint()
       val genB = base.filter(col("doc_id") % 9 =!= 4)
