@@ -215,4 +215,51 @@ object CurationPipeline {
       nTokens = stats.getAs[Long]("n_tokens"),
       nSequences = stats.getAs[Long]("n_sequences")))
   }
+
+  /** [[runWithMixture]] with the per-lang token budgets COMPUTED instead
+    * of caller-supplied: the t22 Hamilton apportionment
+    * ([[TextAnalysis.allocationOf]]) distributes `mixTotalTokens` across
+    * the KEPT corpus's languages proportionally to their post-curation
+    * token masses (Σ budgets == mixTotalTokens exactly), and the t25
+    * greedy prefix fills those budgets — the t27-gated composition as a
+    * lifecycle. Returns the budgets frame too, so a caller (and
+    * PipelineSpec's telescoping check) can see the allocation the run
+    * executed. Sampling, upsampling and packing are the same gate-checked
+    * cores as [[runWithMixture]].
+    */
+  def runWithAllocatedMixture(spark: SparkSession, dir: String,
+      outPath: String, mixTotalTokens: Long = 12000L,
+      epochWeightsPct: Map[String, Int] = Map("en" -> 230, "de" -> 150,
+        "es" -> 100, "fr" -> 100, "zh" -> 75),
+      seqLen: Int = 2048, chunkDocs: Long = 4096, cap: Int = 20,
+      trainUpTo: Int = 250, valFrom: Int = 253, threshold: Double = 0.8)
+      : (DataFrame, DataFrame, DataFrame, MixedReport) = {
+    val (kept, report) = run(spark, dir, outPath, cap, trainUpTo, valFrom,
+      threshold)
+    val toks = kept.select(col("doc_id"), col("lang"),
+      size(graft.functions.Exprs.tokens(col("text"))).cast("long")
+        .as("n_tokens"))
+    val budgets = TextAnalysis.allocationOf(
+        toks.groupBy(col("lang")).agg(sum(col("n_tokens")).as("toks")),
+        Seq("lang"), mixTotalTokens)
+      .select(col("lang"), col("alloc").as("budget"))
+      .localCheckpoint()
+    val sampled = TextAnalysis
+      .mixtureSampleWithBudgets(toks, budgets)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .localCheckpoint()
+    val placements = TextAnalysis
+      .packUpsampledOf(sampled, seqLen, chunkDocs, epochWeightsPct)
+      .localCheckpoint()
+    val stats = placements.agg(
+      count(lit(1)).as("n_replicas"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+      coalesce(max(col("seq_last")) + 1L, lit(0L)).as("n_sequences")).head()
+    (kept, budgets, placements, MixedReport(
+      curation = report,
+      nSampled = sampled.count(),
+      nReplicas = stats.getAs[Long]("n_replicas"),
+      nTokens = stats.getAs[Long]("n_tokens"),
+      nSequences = stats.getAs[Long]("n_sequences")))
+  }
 }

@@ -483,6 +483,12 @@ object SparkEntry {
     // budget, with the greedy-prefix guarantees as oracle-asserted flags
     "t25b_mixture_realization" -> ((s, d) =>
       TextAnalysis.mixtureRealization(s, d).orderBy("lang")),
+    // allocation -> sampling composition: the per-lang budgets come from
+    // the t22 Hamilton apportionment over the corpus's own token masses
+    // (sum == budget exactly), then the t25 greedy md5-prefix fill runs
+    // against them — the whole chain replayed by one oracle
+    "t27_allocated_mixture" -> ((s, d) =>
+      TextAnalysis.allocatedMixtureSample(s, d).orderBy("doc_id")),
     // deterministic epoch upsampling: fractional per-lang weights ->
     // integer replica counts via an md5-derived coin (1/65536 units)
     "t26_epoch_upsample" -> ((s, d) =>
@@ -2017,7 +2023,11 @@ object SparkEntry {
     // winnowed selection's domain), embeddings count vec_ids
     "td2_takedown_tenant" ->
       """SELECT state, n_live, n_other, n_refs FROM (
-        |  SELECT 'contain_index' AS state,
+        |  SELECT 'ann_tenant_store' AS state,
+        |    (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0 AND vec_id % 9 != 4) AS n_live,
+        |    (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS n_other,
+        |    CAST(0 AS BIGINT) AS n_refs
+        |  UNION ALL SELECT 'contain_index',
         |    (SELECT count(*) FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0 AND doc_id % 9 != 4) AS n_live,
         |    (SELECT count(*) FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1) AS n_other,
         |    CAST(0 AS BIGINT) AS n_refs
@@ -2486,6 +2496,26 @@ object SparkEntry {
         |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents WHERE text IS NOT NULL),
         |b AS (SELECT lang, CAST((12000 * w_pct) // 100 AS BIGINT) AS budget
         |  FROM (VALUES ('de', 15), ('en', 40), ('es', 15), ('fr', 15), ('zh', 15)) v(lang, w_pct)),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_before, budget
+        |FROM c JOIN b USING (lang) WHERE cum_before < budget ORDER BY doc_id""".stripMargin,
+    // allocation -> sampling: Hamilton apportionment of the 12000-token
+    // budget over per-LANG token masses (t22's arithmetic, lang-keyed),
+    // then t25's greedy md5-order prefix against the computed budgets;
+    // CASTs shield the HUGEINT class on every sum-derived column
+    "t27_allocated_mixture" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS toks FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS total FROM s),
+        |bs AS (SELECT lang, CAST((12000 * toks) // total AS BIGINT) AS base,
+        |  CAST((12000 * toks) % total AS BIGINT) AS rem FROM s CROSS JOIN tot),
+        |sf AS (SELECT CAST(12000 - sum(base) AS BIGINT) AS shortfall FROM bs),
+        |rr AS (SELECT lang, base, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM bs),
+        |b AS (SELECT lang, CAST(base + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS BIGINT) AS budget
+        |  FROM rr CROSS JOIN sf),
         |c AS (SELECT doc_id, lang, n_tokens,
         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t)

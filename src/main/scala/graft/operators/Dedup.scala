@@ -2723,6 +2723,17 @@ object Dedup {
     * old partition is intact, so the temp is simply dropped and the
     * rewrite redone from live data.
     */
+  /** Drop every per-tenant temp table [[rewriteTenantPartition]] may
+    * have left behind for `table` (a crash between saving the temp
+    * generation and the swap) — the cleanup helper that knows the
+    * `__tcomp_t$tenant` naming, so fresh-state gates can't drift out of
+    * sync with it.
+    */
+  private[graft] def dropTenantCompactionTemps(spark: SparkSession,
+      table: String, nTenants: Int): Unit =
+    (0 until nTenants).foreach(tn =>
+      dropTableAndLocation(spark, s"${table}__tcomp_t$tn"))
+
   private[graft] def rewriteTenantPartition(spark: SparkSession,
       table: String, tenant: Int, buckets: Int, keys: Seq[String],
       rows: DataFrame): Unit = {
@@ -2805,7 +2816,7 @@ object Dedup {
         ("tenantSimhashCompacted", dir, tenant, nTenants, splitAt)) {
       val t = f"tenant_shc_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
       dropTableAndLocation(spark, s"${t}_tombstones")
-      dropTableAndLocation(spark, s"${t}_banded__tcomp")
+      dropTenantCompactionTemps(spark, s"${t}_banded", nTenants)
       saveTenantSimHashTables(sigs.filter(bucket < splitAt), t, nTenants)
       removeFromSimHashIndex(spark, t,
         Tables.documents(spark, dir)
@@ -2981,7 +2992,7 @@ object Dedup {
       val t = f"tenant_emc_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
       dropTableAndLocation(spark, s"${t}_tombstones")
       Seq("banded", "vectors").foreach(h =>
-        dropTableAndLocation(spark, s"${t}_${h}__tcomp"))
+        dropTenantCompactionTemps(spark, s"${t}_$h", nTenants))
       saveTenantEmbTables(e.filter(bucket < splitAt), t, nTenants)
       removeFromEmbIndex(spark, t,
         e.filter(bucket < splitAt &&
@@ -3183,7 +3194,7 @@ object Dedup {
       val t = f"tenant_cnc_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
       dropTableAndLocation(spark, s"${t}_tombstones")
       Seq("fp", "sets", "df").foreach(h =>
-        dropTableAndLocation(spark, s"${t}_${h}__tcomp"))
+        dropTenantCompactionTemps(spark, s"${t}_$h", nTenants))
       saveTenantContainTables(sel.filter(bucket < splitAt), t, nTenants)
       removeFromContainIndex(spark, t,
         Tables.documents(spark, dir)
@@ -3448,13 +3459,20 @@ object Dedup {
     }
     val before = measure(0)
     if (before.head().getAs[Boolean]("triggered")) {
-      // the ACTION: re-band as a complete __gen generation, swap
+      // the ACTION: re-band as a complete __gen generation, swap.
+      // Swap ORDER is the convention's: drop the CURRENT meta first (its
+      // absence marks the swap in progress — a crash here leaves a
+      // recoverable "incomplete" state whose __gen_meta implies the new
+      // generation is whole), swap the banded table, then register the
+      // new meta LAST — no crash window pairs a banded table with the
+      // other generation's meta row.
       saveBandedGeneration(spark, s"${name}__gen", sigs, bands = 8)
-      Seq("_banded", "_meta").foreach { sfx =>
-        dropTableAndLocation(spark, s"$name$sfx")
-        spark.sql(s"ALTER TABLE ${name}__gen$sfx RENAME TO $name$sfx")
-        spark.catalog.refreshTable(s"$name$sfx")
-      }
+      dropTableAndLocation(spark, s"${name}_meta")
+      dropTableAndLocation(spark, s"${name}_banded")
+      spark.sql(s"ALTER TABLE ${name}__gen_banded RENAME TO ${name}_banded")
+      spark.sql(s"ALTER TABLE ${name}__gen_meta RENAME TO ${name}_meta")
+      Seq("_banded", "_meta").foreach(sfx =>
+        spark.catalog.refreshTable(s"$name$sfx"))
     }
     before.unionByName(measure(1)).orderBy("phase")
   }

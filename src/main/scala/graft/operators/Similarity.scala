@@ -257,7 +257,10 @@ object Similarity {
         }
         spark.catalog.refreshTable(table)
       }
-      Dedup.dropTableAndLocation(spark, s"${table}_tombstones")
+      // clear only the ids captured at entry (compactTenantAnnStore's
+      // convention) — a tombstone appended between capture and here
+      // must survive for the next compaction
+      Dedup.clearTombstones(spark, s"${table}_tombstones", rm, "vec_id")
     }
   }
 

@@ -130,6 +130,7 @@ object Takedown {
       simHashIndex: Option[String] = None,
       embIndex: Option[String] = None,
       containIndex: Option[String] = None,
+      tenantAnnStore: Option[String] = None,
       compact: Boolean = true)
 
   /** The TENANT-SCOPED takedown — [[apply]]'s counterpart for the
@@ -181,6 +182,16 @@ object Takedown {
       Dedup.removeFromContainIndex(spark, t, ids)
       if (targets.compact)
         Dedup.compactTenantContainIndex(spark, t, tenant, nTenants)
+    }
+    // the s20 two-level (tenant, label) vector store: tombstone, then
+    // tenant-scoped label-subtree compaction — the serving surface the
+    // round-13 estate left outside the facade (the s18/td1 gap one
+    // level up)
+    targets.tenantAnnStore.foreach { t =>
+      Similarity.removeFromPartitionedAnnStore(spark, t,
+        ids.select(col("doc_id").as("vec_id")))
+      if (targets.compact)
+        Similarity.compactTenantAnnStore(spark, t, tenant, nTenants)
     }
 
     ids.withColumn("tenant", lit(tenant))
@@ -392,8 +403,9 @@ object Takedown {
   // ---- the td2 gate -----------------------------------------------------
 
   /** TD2 — the tenant-scoped takedown gate: build ALL FOUR
-    * tenant-partitioned index families over the full corpus (two
-    * tenants, session-cached), run ONE [[applyTenant]] for tenant 0's
+    * tenant-partitioned index families PLUS the s20 two-level (tenant,
+    * label) vector store over the full corpus (two tenants,
+    * session-cached), run ONE [[applyTenant]] for tenant 0's
     * doc_id ≡ 4 (mod 9) class WITH compaction (the takedown lands
     * physical), and emit a per-family census of
     * (state, n_live, n_other, n_refs):
@@ -419,13 +431,19 @@ object Takedown {
       val e = Similarity.preparedEmbeddings(spark, dir)
         .select("vec_id", "label", "v", "n")
       val nm = Map("nd" -> s"td2_nd_$h", "sh" -> s"td2_sh_$h",
-        "emb" -> s"td2_em_$h", "ct" -> s"td2_ct_$h")
+        "emb" -> s"td2_em_$h", "ct" -> s"td2_ct_$h", "ann" -> s"td2_an_$h")
       val logT = s"td2_log_$h"
+      // the s20 store is its own (partitioned, unsuffixed) table
+      Dedup.dropTableAndLocation(spark, nm("ann"))
       // fresh state every session: the gate measures one full lifecycle
       (nm.values.toSeq.flatMap(n => Seq(s"${n}_banded", s"${n}_shingles",
         s"${n}_fp", s"${n}_df", s"${n}_sets", s"${n}_vectors",
-        s"${n}_tombstones").flatMap(t => Seq(t, s"${t}__tcomp"))) :+ logT)
-        .foreach(t => Dedup.dropTableAndLocation(spark, t))
+        s"${n}_tombstones")) :+ logT)
+        .foreach { t =>
+          Dedup.dropTableAndLocation(spark, t)
+          // a crashed prior session's per-tenant compaction temps
+          Dedup.dropTenantCompactionTemps(spark, t, nTenants)
+        }
       Dedup.saveTenantNearDupTables(
         Dedup.persistedShingleTable(spark, dir), nm("nd"), nTenants)
       Dedup.saveTenantSimHashTables(
@@ -433,12 +451,13 @@ object Takedown {
       Dedup.saveTenantEmbTables(e, nm("emb"), nTenants)
       Dedup.saveTenantContainTables(
         Dedup.containmentSelCached(spark, dir, 8, 4), nm("ct"), nTenants)
+      Similarity.saveTenantAnnStore(spark, nm("ann"), e, nTenants)
       applyTenant(spark,
         docs.filter(col("doc_id") % 9 === 4).select(col("doc_id")),
         tenant, nTenants,
         TenantTargets(nearDupIndex = Some(nm("nd")),
           simHashIndex = Some(nm("sh")), embIndex = Some(nm("emb")),
-          containIndex = Some(nm("ct"))),
+          containIndex = Some(nm("ct")), tenantAnnStore = Some(nm("ann"))),
         logT)
       nm + ("log" -> logT)
     }.asInstanceOf[Map[String, String]]
@@ -470,6 +489,9 @@ object Takedown {
       .unionByName(census("contain_index",
         t => Dedup.loadTenantContainIndex(spark, names("ct"), t).sets,
         "doc_id"))
+      .unionByName(census("ann_tenant_store",
+        t => Similarity.loadTenantAnnStore(spark, names("ann"), t),
+        "vec_id"))
       .unionByName(statRow("takedown_log", logged.distinct(), count(lit(1)),
           logged.filter(col("doc_id") % 9 =!= 4 ||
             pmod(col("doc_id"), lit(nTenants)) =!= tenant))

@@ -496,25 +496,38 @@ object TextAnalysis {
     * sources| rows by construction.
     */
   def mixtureAllocation(spark: SparkSession, dir: String,
-      budget: Long = 100000L): DataFrame = {
-    val strata = Tables.documents(spark, dir)
-      .filter(col("text").isNotNull)
-      .groupBy(col("lang"), col("source"))
-      .agg(sum(size(tokens(col("text"))).cast("long")).as("toks"))
+      budget: Long = 100000L): DataFrame =
+    allocationOf(
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(size(tokens(col("text"))).cast("long")).as("toks")),
+      Seq("lang", "source"), budget)
+
+  /** The Hamilton-apportionment core over an arbitrary strata frame
+    * (key columns + `toks`) — one machine, two consumers: t22's
+    * (lang, source) allocation and t27's per-lang allocation feeding
+    * the t25 budgets ([[allocatedMixtureSample]] /
+    * [[graft.CurationPipeline.runWithAllocatedMixture]]). The
+    * remainder-ranking window orders by ALL key columns after `rem` —
+    * a total order, so the top-up set replays bit-for-bit anywhere.
+    */
+  private[graft] def allocationOf(strata: DataFrame, keys: Seq[String],
+      budget: Long): DataFrame = {
     val total = strata.agg(sum(col("toks")).as("total"))
     val based = strata.crossJoin(broadcast(total))
-      .select(col("lang"), col("source"), col("toks"),
-        expr(s"($budget * toks) div total").as("base"),
-        expr(s"($budget * toks) % total").as("rem"))
+      .select(keys.map(col) ++ Seq(col("toks"),
+        expr(s"(${budget}L * toks) div total").as("base"),
+        expr(s"(${budget}L * toks) % total").as("rem")): _*)
     val shortfall = based.agg((lit(budget) - sum(col("base"))).as("shortfall"))
     val wr = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rem").desc, col("lang"), col("source"))
+      .orderBy(col("rem").desc +: keys.map(col): _*)
     based
       .withColumn("rk", row_number().over(wr))
       .crossJoin(broadcast(shortfall))
-      .select(col("lang"), col("source"), col("toks"),
+      .select(keys.map(col) ++ Seq(col("toks"),
         (col("base") + when(col("rk") <= col("shortfall"), 1L).otherwise(0L))
-          .cast("long").as("alloc"))
+          .cast("long").as("alloc")): _*)
   }
 
   /** SEQUENCE PACKING — assign documents to fixed token-budget training
@@ -730,10 +743,12 @@ object TextAnalysis {
     * Scale: the prefix sum is NOT one global window (a single-partition
     * sort over the corpus — the w6 trap). It is the w6b two-level
     * decomposition with integer (hence associative-exact) addition:
-    * per-(doc_id div chunkDocs) local cumsums in parallel, a tiny
-    * window over CHUNK TOTALS (corpus/chunkDocs rows) for offsets, and
-    * a broadcastable stitch. Token counts are t4's whitespace tokens —
-    * ONE definition, two consumers.
+    * per-(doc_id div chunkDocs) local cumsums in parallel, the chunk
+    * totals stitched by [[chunkOffsetsOf]] (the decomposition recursed
+    * once more, so no single window ever holds more than ~corpus /
+    * chunkDocs² rows — bounded even at 10¹² docs), and a broadcastable
+    * stitch. Token counts are t4's whitespace tokens — ONE definition,
+    * two consumers.
     */
   def packSequences(spark: SparkSession, dir: String, seqLen: Int = 2048,
       chunkDocs: Long = 4096): DataFrame =
@@ -746,6 +761,32 @@ object TextAnalysis {
     * [[graft.CurationPipeline.runWithPacking]]'s curated set — sharing
     * it is what lets t24's oracle gate the composed path).
     */
+  /** Exclusive prefix sum over (chunk, ctot) rows WITHOUT a single
+    * unbounded window: the two-level decomposition applied once more to
+    * the chunk totals themselves. Chunks group into `chunkDocs`-sized
+    * superchunks; chunk-local offsets window inside each superchunk in
+    * parallel and only the SUPERCHUNK totals (n_chunks / chunkDocs rows
+    * — ~6×10⁴ even at 10¹² docs with the default 4096) cross the one
+    * ordered window left. Integer addition is associative-exact, so the
+    * result is bit-identical to the flat window — value-level identity
+    * pinned by TextAnalysisSpec's tiny-chunk recursion case.
+    */
+  private def chunkOffsetsOf(totals: DataFrame, chunkDocs: Long): DataFrame = {
+    val sup = totals.withColumn("sup", expr(s"chunk div ${chunkDocs}L"))
+    val bySup = Window.partitionBy(col("sup")).orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSup = Window.orderBy(col("sup"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val supOff = sup.groupBy(col("sup")).agg(sum(col("ctot")).as("stot"))
+      .withColumn("soff", sum(col("stot")).over(wSup))
+      .select(col("sup"), col("soff"))
+    sup.withColumn("loff", sum(col("ctot")).over(bySup))
+      .join(broadcast(supOff), Seq("sup"))
+      .select(col("chunk"),
+        (coalesce(col("loff"), lit(0L)) + coalesce(col("soff"), lit(0L)))
+          .as("off"))
+  }
+
   private[graft] def packingOf(toks0: DataFrame, seqLen: Int,
       chunkDocs: Long): DataFrame = {
     val toks = toks0
@@ -760,11 +801,9 @@ object TextAnalysis {
     val byChunk = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val locals = toks.withColumn("local_cum", sum(col("n_tokens")).over(byChunk))
-    val wChunks = Window.orderBy(col("chunk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toks.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("ctot"))
-      .withColumn("off", sum(col("ctot")).over(wChunks))
-      .select(col("chunk"), col("off"))
+    val offsets = chunkOffsetsOf(
+      toks.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("ctot")),
+      chunkDocs)
     // integer `div`, not `/`: token prefix totals stay exact at any
     // corpus size (the nanos-epoch discipline applied to offsets)
     locals.join(broadcast(offsets), Seq("chunk"))
@@ -824,11 +863,9 @@ object TextAnalysis {
     val byChunk = Window.partitionBy(col("chunk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val locals = shard.withColumn("local_cum", sum(col("n_tokens")).over(byChunk))
-    val wChunks = Window.orderBy(col("chunk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = shard.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("ctot"))
-      .withColumn("off", sum(col("ctot")).over(wChunks))
-      .select(col("chunk"), col("off"))
+    val offsets = chunkOffsetsOf(
+      shard.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("ctot")),
+      chunkDocs)
     locals.join(broadcast(offsets), Seq("chunk"))
       .crossJoin(broadcast(spark.table(stateTable)))
       .withColumn("cum", col("local_cum") + coalesce(col("off"), lit(0L))
@@ -906,6 +943,21 @@ object TextAnalysis {
       weightsPct: Map[String, Int], totalTokens: Long): DataFrame = {
     val spark = docs0.sparkSession
     import spark.implicits._
+    // integer budgets: floor(total * pct / 100) — associative-exact,
+    // identical in any engine (the nanos-epoch discipline)
+    mixtureSampleWithBudgets(docs0,
+      weightsPct.toSeq.toDF("lang", "w_pct")
+        .select(col("lang"),
+          expr(s"(${totalTokens}L * w_pct) div 100L").as("budget")))
+  }
+
+  /** The t25 greedy-prefix machine against an EXPLICIT (lang, budget)
+    * frame — shared by the weights form above and the t27 composition
+    * where the budgets come from Hamilton apportionment
+    * ([[allocationOf]]) instead of caller literals.
+    */
+  private[graft] def mixtureSampleWithBudgets(docs0: DataFrame,
+      budgets: DataFrame): DataFrame = {
     val docs = docs0
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("chunk", substring(col("h"), 1, 2))
@@ -919,11 +971,6 @@ object TextAnalysis {
       .agg(sum(col("n_tokens")).as("ctot"))
       .withColumn("off", sum(col("ctot")).over(wChunks))
       .select(col("lang"), col("chunk"), col("off"))
-    // integer budgets: floor(total * pct / 100) — associative-exact,
-    // identical in any engine (the nanos-epoch discipline)
-    val budgets = weightsPct.toSeq.toDF("lang", "w_pct")
-      .select(col("lang"),
-        expr(s"(${totalTokens}L * w_pct) div 100L").as("budget"))
     locals.join(broadcast(offsets), Seq("lang", "chunk"))
       .withColumn("cum_before",
         col("local_cum") - col("n_tokens") + coalesce(col("off"), lit(0L)))
@@ -931,6 +978,31 @@ object TextAnalysis {
       .filter(col("cum_before") < col("budget"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("cum_before"), col("budget"))
+  }
+
+  /** T27 — ALLOCATION → SAMPLING, the composition that makes the
+    * mixture recipe self-contained: the per-lang token budgets t25
+    * takes as caller literals are COMPUTED here by the t22 Hamilton
+    * apportionment over the corpus's own token masses (Σ budget ==
+    * `budget` exactly — no percentage rounding slack), then the greedy
+    * md5-prefix fill runs against them. One allocation machine
+    * ([[allocationOf]]) and one selection machine
+    * ([[mixtureSampleWithBudgets]]) — both already oracle-gated alone;
+    * this gate replays the whole chain end to end, so a drift in
+    * EITHER the apportionment or the prefix fill hash-mismatches.
+    * Scale shape: the allocation runs on langs-count rows; the
+    * selection is t25's two-level (lang, md5-chunk) machine.
+    */
+  def allocatedMixtureSample(spark: SparkSession, dir: String,
+      budget: Long = 12000L): DataFrame = {
+    val toks = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    mixtureSampleWithBudgets(toks,
+      allocationOf(
+        toks.groupBy(col("lang")).agg(sum(col("n_tokens")).as("toks")),
+        Seq("lang"), budget)
+        .select(col("lang"), col("alloc").as("budget")))
   }
 
   /** T25B — the mixture REALIZATION audit (the a2b/monitor discipline

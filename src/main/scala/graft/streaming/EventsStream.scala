@@ -322,7 +322,8 @@ object EventsStream {
     */
   def runIngestNearDup(spark: SparkSession, shardDir: String,
       indexName: String, threshold: Double = 0.8,
-      name: String = "ingest_neardup", maxFilesPerTrigger: Int = 1): DataFrame = {
+      name: String = "ingest_neardup", maxFilesPerTrigger: Int = 1,
+      takedownLog: String = "takedown_log"): DataFrame = {
     import graft.operators.Dedup
     Dedup.dropTableAndLocation(spark, s"${name}_pairs")
     val src = spark.readStream
@@ -350,6 +351,13 @@ object EventsStream {
               threshold)
             .write.mode("append").saveAsTable(s"${name}_pairs")
           Dedup.appendNearDupIndex(spark, indexName, fresh)
+          // a RE-INGESTED doc must also drop out of the cumulative
+          // takedown log, or every later sketch-cell rebuild of its lang
+          // permanently excludes it (the per-index tombstones clear on
+          // re-append; only the log-reading rebuild needs this hook) —
+          // no-op when no takedown estate is deployed
+          graft.operators.Takedown.clearTakedownLog(spark,
+            fresh.select(col("doc_id")), takedownLog)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -399,7 +407,8 @@ object EventsStream {
   def runIngestCuration(spark: SparkSession, shardDir: String,
       indexName: String, threshold: Double = 0.8,
       name: String = "ingest_curation", maxFilesPerTrigger: Int = 1,
-      screen: Option[graft.operators.Dedup.EvalGramState] = None): DataFrame = {
+      screen: Option[graft.operators.Dedup.EvalGramState] = None,
+      takedownLog: String = "takedown_log"): DataFrame = {
     import graft.operators.Dedup
     Dedup.dropTableAndLocation(spark, s"${name}_label_updates")
     Dedup.dropTableAndLocation(spark, s"${name}_quarantine")
@@ -467,6 +476,11 @@ object EventsStream {
               .write.mode("append").saveAsTable(logTable)
           Dedup.applyLabelUpdates(spark, s"${name}_labels", changed)
           Dedup.appendNearDupIndex(spark, indexName, fresh)
+          // re-ingested docs drop out of the cumulative takedown log
+          // (see runIngestNearDup — the log-reading sketch rebuild is
+          // the one consumer the per-index tombstone lift doesn't cover)
+          graft.operators.Takedown.clearTakedownLog(spark,
+            fresh.select(col("doc_id")), takedownLog)
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -650,6 +664,9 @@ object EventsStream {
           // the unit of placement becomes the replica id
           val toks = epochWeightsPct.fold(
               toks0.select(col("doc_id"), col("n_tokens"))) { wp =>
+            // the packUpsampledOf guard — a weight >= 800 would alias one
+            // doc's epoch 8 onto the next doc's epoch 0 in the replica id
+            require(wp.values.forall(_ < 800), "replica id packs 8 epochs/doc")
             graft.operators.TextAnalysis.epochUpsampleOf(toks0, wp)
               .filter(col("n_epochs") > 0)
               .withColumn("epoch",
@@ -842,7 +859,8 @@ object EventsStream {
     * .annIndexDrift]] is the re-train (generation-rebuild) trigger.
     */
   def runIngestAnnIndex(spark: SparkSession, shardDir: String,
-      indexName: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+      indexName: String, maxFilesPerTrigger: Int = 1,
+      takedownLog: String = "takedown_log"): DataFrame = {
     import graft.functions.Exprs.{doubleVector, l2Norm}
     import graft.operators.Similarity
     val src = spark.readStream
@@ -861,8 +879,13 @@ object EventsStream {
           .join(spark.table(s"${indexName}_vectors").select("vec_id"),
             Seq("vec_id"), "left_anti")
           .localCheckpoint()
-        if (!fresh.isEmpty)
+        if (!fresh.isEmpty) {
           Similarity.appendAnnIndex(spark, indexName, fresh)
+          // the re-ingest hook for the vector estate (doc_id == vec_id
+          // in the takedown log's id space)
+          graft.operators.Takedown.clearTakedownLog(spark,
+            fresh.select(col("vec_id").as("doc_id")), takedownLog)
+        }
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -894,7 +917,8 @@ object EventsStream {
     */
   def runIngestSemDedup(spark: SparkSession, shardDir: String,
       indexName: String, curTable: String, threshold: Double = 0.45,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
+      maxFilesPerTrigger: Int = 1,
+      takedownLog: String = "takedown_log"): DataFrame = {
     import graft.functions.Exprs.{doubleVector, l2Norm}
     import graft.operators.{Dedup, Similarity}
     val src = spark.readStream
@@ -937,6 +961,9 @@ object EventsStream {
           Dedup.dropTableAndLocation(spark, curTable)
           spark.sql(s"ALTER TABLE $tmp RENAME TO $curTable")
           spark.catalog.refreshTable(curTable)
+          // the re-ingest hook (see runIngestNearDup)
+          graft.operators.Takedown.clearTakedownLog(spark,
+            fresh.select(col("vec_id").as("doc_id")), takedownLog)
         }
       }
       .trigger(Trigger.AvailableNow())

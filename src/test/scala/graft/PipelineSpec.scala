@@ -341,6 +341,61 @@ class PipelineSpec extends SparkSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  test("curation pipeline with ALLOCATED mixture: Hamilton budgets sum to the total exactly and drive the same greedy prefix") {
+    val dir = sf("sf0.001")
+    val out = Files.createTempDirectory("graft_curation_amix_out").toString
+    val total = 3000L // small enough that budgets bind at sf0.001
+    val (kept, budgets, placements, mr) =
+      CurationPipeline.runWithAllocatedMixture(spark, dir, out,
+        mixTotalTokens = total, seqLen = 64)
+    try {
+      val keptToks = kept.collect().map { r =>
+        val t = Option(r.getAs[String]("text")).getOrElse("")
+        (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+          t.trim.split("\\s+").count(_.nonEmpty).toLong)
+      }
+      val bRows = budgets.collect()
+        .map(r => r.getAs[String]("lang") -> r.getAs[Long]("budget")).toMap
+      // Σ alloc == B EXACTLY — the Hamilton identity the percentage form
+      // can't give (floor(B·pct/100) undershoots)
+      assert(bRows.values.sum == total, s"budgets ${bRows} don't sum to $total")
+      // the allocation equals an independent largest-remainder recompute
+      // over the kept corpus's per-lang token masses
+      val masses = keptToks.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val tot = masses.values.sum
+      val base = masses.view.mapValues(m => total * m / tot).toMap
+      val rem = masses.map { case (l, m) => l -> (total * m) % tot }
+      val short = (total - base.values.sum).toInt
+      val topUp = rem.toSeq.sortBy { case (l, r) => (-r, l) }
+        .take(short).map(_._1).toSet
+      val expectAlloc = base.map { case (l, b) =>
+        l -> (b + (if (topUp(l)) 1L else 0L)) }
+      assert(bRows == expectAlloc, s"$bRows != $expectAlloc")
+      // the sample is the greedy md5-order prefix against THOSE budgets
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expectSample = bRows.toSeq.flatMap { case (lang, budget) =>
+        var cum = 0L
+        keptToks.toSeq.filter(_._2 == lang)
+          .sortBy(d => (md5hex(d._1.toString), d._1))
+          .flatMap { case (id, _, n) =>
+            val keep = cum < budget
+            if (keep) cum += n
+            if (keep) Some(id) else None
+          }
+      }.toSet
+      assert(mr.nSampled == expectSample.size)
+      assert(expectSample.size < keptToks.length,
+        "fixture must leave the budgets binding")
+      // the tail telescopes (full replica arithmetic is the mixture
+      // test's job — here pin the placement set derives from THIS sample)
+      val placedIds = placements.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(placedIds.subsetOf(expectSample))
+      assert(mr.nSequences == (mr.nTokens + 63) / 64)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("IVF ANN: planted clone found via its cluster") {
     val dir = sf("sf0.001")
     val ivf = graft.operators.Similarity.ivfTopK(spark, dir, nProbes = 3, k = 3)

@@ -252,6 +252,59 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("ingest loop clears the takedown log: a re-ingested doc counts in later sketch rebuilds") {
+    import graft.operators.{Dedup, Takedown}
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    // 0,2,4 en / 1,3,5 de — the takedowns hit en so the en cell rebuilds
+    val docs = (0L to 5L).map(i =>
+        (i, noise(i), if (i % 2 == 0) "en" else "de", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").localCheckpoint()
+    val sk = "sil_sk"; val log = "sil_log"
+    val all = Seq(sk, s"${sk}__gen", log, s"${log}__gen", "ndsil_banded",
+      "ndsil_shingles", "ndsil_meta", "ndsil_tombstones", "sil_pairs")
+    all.foreach(t => Dedup.dropTableAndLocation(spark, t))
+    docs.groupBy(col("lang"))
+      .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
+      .write.saveAsTable(sk)
+    val targets = Takedown.Targets(nearDupIndex = Some("ndsil"),
+      sketchCellsTable = Some(sk), documents = Some(docs))
+    def cellMap() = { spark.catalog.refreshTable(sk)
+      spark.table(sk).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap }
+    def expect(retained: org.apache.spark.sql.DataFrame) =
+      retained.groupBy(col("lang"))
+        .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk")).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_sil").toString
+    try {
+      // base index over everything except 2, then take 2 down
+      Dedup.saveNearDupIndex(
+        Dedup.buildNearDupIndex(docs.filter(col("doc_id") =!= 2L)),
+        "ndsil", buckets = 4)
+      assert(Takedown(spark, Seq(2L).toDF("doc_id"), targets, log) == 1L)
+      assert(cellMap() == expect(docs.filter(col("doc_id") =!= 2L)))
+      // doc 2 re-arrives THROUGH THE INGEST LOOP — the per-batch core
+      // must clear its log row alongside the index append (no manual
+      // clearTakedownLog call anywhere in this scenario)
+      docs.filter(col("doc_id") === 2L).coalesce(1)
+        .write.mode("append").parquet(shardDir)
+      EventsStream.runIngestNearDup(spark, shardDir, "ndsil",
+        name = "sil", takedownLog = log)
+      spark.catalog.refreshTable(log)
+      assert(spark.table(log).count() == 0,
+        "ingest loop did not clear the re-ingested doc's takedown-log row")
+      // a LATER takedown of doc 4 rebuilds the en cell — doc 2 must count
+      assert(Takedown(spark, Seq(4L).toDF("doc_id"), targets, log,
+        batchId = 1L) == 1L)
+      assert(cellMap() == expect(docs.filter(col("doc_id") =!= 4L)),
+        "re-ingested doc 2 missing from the rebuilt en cell")
+    } finally {
+      all.foreach(t => Dedup.dropTableAndLocation(spark, t))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(shardDir))
+    }
+  }
+
   test("curation screen: contaminated docs quarantined at ingest, exactly once; clean state == one-shot over clean docs") {
     import graft.operators.Dedup
     val baseText = (1 to 60).map(i => s"base$i").mkString(" ")

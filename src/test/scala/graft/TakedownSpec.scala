@@ -130,7 +130,7 @@ class TakedownSpec extends SparkSuite {
     }
   }
 
-  test("tenant-scoped takedown: one applyTenant fans four families physical; other tenant's files and ids untouched; replay no-op; foreign ids dropped") {
+  test("tenant-scoped takedown: one applyTenant fans four families + the s20 store physical; other tenant's files and ids untouched; replay no-op; foreign ids dropped") {
     import spark.implicits._
     // four small tenant-partitioned estates over docs/vecs 0..19,
     // tenant = parity
@@ -141,7 +141,7 @@ class TakedownSpec extends SparkSuite {
       .toDF("doc_id", "simhash").localCheckpoint()
     def mkv(id: Long) = {
       val v = Array.tabulate(64)(i => math.sin(id * 64 + i) + 1.0)
-      (id, 0, v, math.sqrt(v.map(x => x * x).sum))
+      (id, (id % 3).toInt, v, math.sqrt(v.map(x => x * x).sum))
     }
     val e = (0L to 19L).map(mkv).toDF("vec_id", "label", "v", "n")
       .localCheckpoint()
@@ -150,11 +150,11 @@ class TakedownSpec extends SparkSuite {
       (id, fps, fps :+ s"u$id")
     }.toDF("doc_id", "fps", "dall").localCheckpoint()
     val nm = Map("nd" -> "tdt2_nd", "sh" -> "tdt2_sh", "emb" -> "tdt2_em",
-      "ct" -> "tdt2_ct")
+      "ct" -> "tdt2_ct", "ann" -> "tdt2_an")
     val log = "tdt2_log"
     val tables = Seq(s"${nm("nd")}_banded", s"${nm("nd")}_shingles",
       s"${nm("sh")}_banded", s"${nm("emb")}_banded", s"${nm("emb")}_vectors",
-      s"${nm("ct")}_fp", s"${nm("ct")}_df", s"${nm("ct")}_sets")
+      s"${nm("ct")}_fp", s"${nm("ct")}_df", s"${nm("ct")}_sets", nm("ann"))
     val all = tables.flatMap(t => Seq(t, s"${t}__tcomp")) ++
       nm.values.map(n => s"${n}_tombstones") :+ log
     all.foreach(t => ops.dropTableAndLocation(spark, t))
@@ -162,24 +162,32 @@ class TakedownSpec extends SparkSuite {
     ops.saveTenantSimHashTables(sigs, nm("sh"), 2)
     ops.saveTenantEmbTables(e, nm("emb"), 2)
     ops.saveTenantContainTables(sel, nm("ct"), 2)
+    graft.operators.Similarity.saveTenantAnnStore(spark, nm("ann"), e, 2)
     val targets = td.TenantTargets(nearDupIndex = Some(nm("nd")),
       simHashIndex = Some(nm("sh")), embIndex = Some(nm("emb")),
-      containIndex = Some(nm("ct")))
+      containIndex = Some(nm("ct")), tenantAnnStore = Some(nm("ann")))
+    // recursive: the s20 store nests label=… dirs under tenant=…
     def mtimes(table: String, tenant: Int): Map[String, Long] = {
-      val d = new java.io.File(
+      def walk(f: java.io.File, prefix: String): Seq[(String, Long)] =
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap { c =>
+          if (c.isDirectory) walk(c, s"$prefix${c.getName}/")
+          else if (c.getName.endsWith(".parquet"))
+            Seq(s"$prefix${c.getName}" -> c.lastModified())
+          else Nil
+        }
+      walk(new java.io.File(
         new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir"), table).toUri.getPath,
-        s"tenant=$tenant")
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getName -> f.lastModified()).toMap
+        s"tenant=$tenant"), "").toMap
     }
     def served(tenant: Int): Seq[Set[Long]] = Seq(
       ops.loadTenantNearDupIndex(spark, nm("nd"), tenant).shingles,
       ops.loadTenantSimHashIndex(spark, nm("sh"), tenant).banded,
       ops.loadTenantEmbIndex(spark, nm("emb"), tenant).vectors
         .withColumnRenamed("vec_id", "doc_id"),
-      ops.loadTenantContainIndex(spark, nm("ct"), tenant).sets
+      ops.loadTenantContainIndex(spark, nm("ct"), tenant).sets,
+      graft.operators.Similarity.loadTenantAnnStore(spark, nm("ann"), tenant)
+        .withColumnRenamed("vec_id", "doc_id")
     ).map(_.select("doc_id").distinct().collect().map(_.getLong(0)).toSet)
     try {
       val t0 = (0L to 19L by 2).toSet
