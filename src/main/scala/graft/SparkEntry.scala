@@ -717,14 +717,17 @@ object SparkEntry {
     * of Dedup.simhash64: bit p votes ±1 by bit (p mod 4) of hex digit
     * (p div 4) of each token's md5.
     */
-  private val simhash64Cte: String = {
-    val bits = (0 until 64).map { p =>
-      val digit = hexv(s"substr(md5(x), ${p / 4 + 1}, 1)")
-      s"(CASE WHEN list_sum([(($digit >> ${p % 4}) & 1) * 2 - 1 for x in w]) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
-    }.mkString(" + ")
+  /** The 64 per-bit vote terms over a token array `w` — shared by the
+    * full-corpus sh64 CTE and the d37 gen-B variant.
+    */
+  private lazy val simhash64BitsSql: String = (0 until 64).map { p =>
+    val digit = hexv(s"substr(md5(x), ${p / 4 + 1}, 1)")
+    s"(CASE WHEN list_sum([(($digit >> ${p % 4}) & 1) * 2 - 1 for x in w]) > 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val simhash64Cte: String =
     s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
-       |sh64 AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)""".stripMargin
-  }
+       |sh64 AS (SELECT doc_id, CAST($simhash64BitsSql AS BIGINT) AS simhash FROM t)""".stripMargin
 
   /** The k-means training trajectory (s6) in SQL: md5-ranked seeds, then
     * `iters` Lloyd rounds — assignment is an integer argmin over
@@ -831,7 +834,15 @@ object SparkEntry {
     * fingerprints change which digests clear the df cap).
     */
   private def containmentCtesFiltered(docFilter: String) =
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    containmentCtesOf("text", docFilter)
+
+  /** The d20 CTE chain with BOTH the source-doc predicate and the text
+    * expression parameterized — the d39 diff-sync oracle feeds the
+    * gen-B rendering (indexed-side ≡3 mod 11 amended) through the same
+    * chain the d20/d20b/d27 oracles use.
+    */
+  private def containmentCtesOf(textSql: String, docFilter: String) =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim($textSql), '\\s+') AS w
       |  FROM documents WHERE text IS NOT NULL$docFilter),
       |sp AS (SELECT doc_id, w,
       |  CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]

@@ -1148,12 +1148,21 @@ object Dedup {
     * cost at 100 TB is diff-sized: remove/append touch only the changed
     * rows, the compaction only affected buckets.
     */
-  def diffSyncedDeltaNearDups(spark: SparkSession, dir: String,
-      splitAt: Int = 200, threshold: Double = 0.8): DataFrame = {
-    def bucket = TextAnalysis.splitBucket(col("doc_id"))
-    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
-    val index = graft.SessionCache.getOrElseUpdate(spark,
-        ("diffSyncedIndex", dir, splitAt)) {
+  /** The shared two-generation corpus fixture + e3 diff, built ONCE per
+    * (session, dir, splitAt) as REAL trees on disk (JVM-exit cleaned):
+    * gen A drops the ≡5 (mod 13) class, gen B drops ≡4 (mod 9) and
+    * amends the ≡3 (mod 11) class's text (' v2'). The d36/d37/d38/d39
+    * gates all sync their family's index with THIS one diff — the
+    * 100 TB shape: ONE corpus generation swap produces ONE diff, and
+    * every serving surface follows it through [[syncEstateWithDiff]]
+    * instead of rebuilding.
+    */
+  private[graft] def corpusGenFixture(spark: SparkSession, dir: String,
+      splitAt: Int): (DataFrame, DataFrame, DataFrame) =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("corpusGenFixture", dir, splitAt)) {
+      def bucket = TextAnalysis.splitBucket(col("doc_id"))
+      val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
       val h = f"${dir.hashCode & 0xffffffffL}%x"
       val out = new java.io.File(sys.props("java.io.tmpdir"),
         f"graft_d36_${ProcessHandle.current().pid()}_$h").getAbsolutePath
@@ -1173,20 +1182,165 @@ object Dedup {
         .localCheckpoint()
       graft.emit.CorpusWriter.write(genA, s"$out/a")
       graft.emit.CorpusWriter.write(genB, s"$out/b")
-      val name = f"diffsync_${splitAt}_$h"
-      saveNearDupIndex(buildNearDupIndex(genA), name)
       val diff = graft.emit.CorpusWriter.corpusDiff(spark, s"$out/a", s"$out/b")
         .localCheckpoint()
-      removeFromNearDupIndex(spark, name,
-        diff.filter(col("status").isin("removed", "changed"))
-          .select(col("doc_id")))
-      compactNearDupIndex(spark, name)
-      appendNearDupIndex(spark, name,
-        genB.join(diff.filter(col("status").isin("added", "changed"))
-          .select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      (diff, genA, genB)
+    }.asInstanceOf[(DataFrame, DataFrame, DataFrame)]
+
+  /** The per-family payloads one diff-driven estate sync fans to: each
+    * slot is (index table name, gen-B payload source) — documents for
+    * the text families, prepared vectors (vec_id key) for the embedding
+    * family. Absent ⇒ the family is not deployed.
+    */
+  final case class EstateSyncTargets(
+      nearDup: Option[(String, DataFrame)] = None,
+      simHash: Option[(String, DataFrame)] = None,
+      emb: Option[(String, DataFrame)] = None,
+      contain: Option[(String, DataFrame)] = None)
+
+  /** DIFF-DRIVEN ESTATE SYNC — apply ONE e3 corpus diff to every
+    * registered index family: `removed ∪ changed` tombstone out, a
+    * compaction lands them physical (the payload contract — re-appending
+    * a changed id must not resurrect its OLD shingle/vector/span rows),
+    * and `added ∪ changed` re-append from the gen-B payload (semi-join:
+    * diff ids absent from a family's payload — e.g. docs without
+    * vectors — simply don't fan there). Per-family cost is diff-sized
+    * (remove/append touch only changed rows, compaction only affected
+    * buckets); the diff itself shuffles three narrow columns (e3's
+    * contract — text never moves). The takedown analogue is
+    * [[Takedown.apply]]; this is the GENERATION-SWAP analogue: the same
+    * remove/append/compact primitives, driven by a corpus diff instead
+    * of a deletion list.
+    */
+  def syncEstateWithDiff(spark: SparkSession, diff: DataFrame,
+      targets: EstateSyncTargets): Unit = {
+    val gone = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id")).localCheckpoint()
+    val came = diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id")).localCheckpoint()
+    targets.nearDup.foreach { case (t, docs) =>
+      removeFromNearDupIndex(spark, t, gone)
+      compactNearDupIndex(spark, t)
+      appendNearDupIndex(spark, t,
+        docs.join(came, Seq("doc_id"), "left_semi"))
+    }
+    targets.simHash.foreach { case (t, docs) =>
+      removeFromSimHashIndex(spark, t, gone)
+      compactSimHashIndex(spark, t)
+      appendSimHashIndex(spark, t,
+        simhash64Of(docs.join(came, Seq("doc_id"), "left_semi")))
+    }
+    targets.emb.foreach { case (t, vecs) =>
+      removeFromEmbIndex(spark, t, gone.select(col("doc_id").as("vec_id")))
+      compactEmbIndex(spark, t)
+      appendEmbIndex(spark, t,
+        vecs.join(came.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"))
+    }
+    targets.contain.foreach { case (t, docs) =>
+      removeFromContainIndex(spark, t, gone)
+      compactContainIndex(spark, t)
+      appendContainIndex(spark, t,
+        docs.join(came, Seq("doc_id"), "left_semi"))
+    }
+  }
+
+  def diffSyncedDeltaNearDups(spark: SparkSession, dir: String,
+      splitAt: Int = 200, threshold: Double = 0.8): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("diffSyncedIndex", dir, splitAt)) {
+      val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
+      val name = f"diffsync_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveNearDupIndex(buildNearDupIndex(genA), name)
+      syncEstateWithDiff(spark, diff,
+        EstateSyncTargets(nearDup = Some((name, genB))))
       loadNearDupIndex(spark, name)
     }.asInstanceOf[NearDupIndex]
     deltaNearDups(docs.filter(bucket >= splitAt), index, threshold)
+  }
+
+  /** D37 — the d36 discipline for the SIMHASH family: build the banded
+    * signature index over gen A, sync it with the SAME e3 diff through
+    * [[syncEstateWithDiff]] (changed docs' signatures recompute from the
+    * amended gen-B text), serve the d15 delta of the bucket ≥ splitAt
+    * shard. The oracle recomputes the delta over gen B ALONE — a
+    * leftover dropped doc, a stale unamended signature, or a missed
+    * addition hash-mismatches. Both sides text-bearing docs only (the
+    * tree fixture's domain).
+    */
+  def diffSyncedDeltaSimhash(spark: SparkSession, dir: String,
+      splitAt: Int = 200, maxHamming: Int = 3): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("diffSyncedSimhash", dir, splitAt)) {
+      val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
+      val name = f"diffsync_sh_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveSimHashIndex(buildSimHashIndex(simhash64Of(genA)), name)
+      syncEstateWithDiff(spark, diff,
+        EstateSyncTargets(simHash = Some((name, genB))))
+      loadSimHashIndex(spark, name)
+    }.asInstanceOf[SimHashIndex]
+    deltaSimhashPairs(simhash64Of(docs.filter(bucket >= splitAt)), index,
+      maxHamming)
+  }
+
+  /** D38 — the d36 discipline for the EMBEDDING family: the index holds
+    * gen A's vectors (vectors are keyed by the same id space as the
+    * corpus — verified subset), the diff drives tombstone + compaction +
+    * re-append from the prepared-vector payload. A `changed` doc's
+    * vector re-appends VALUE-IDENTICAL here (the synthetic embedding
+    * table is not text-derived), so the changed class exercises the
+    * remove/re-append machinery while the membership classes
+    * (added/removed) change the served output — the oracle recomputes
+    * the d17 delta over gen-B MEMBERSHIP alone.
+    */
+  def diffSyncedDeltaEmbedding(spark: SparkSession, dir: String,
+      splitAt: Int = 200, threshold: Double = 0.35): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("vec_id"))
+    val e = Similarity.preparedEmbeddings(spark, dir)
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("diffSyncedEmb", dir, splitAt)) {
+      val (diff, genA, _) = corpusGenFixture(spark, dir, splitAt)
+      val name = f"diffsync_em_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveEmbIndex(buildEmbIndex(
+        e.join(genA.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")), name)
+      syncEstateWithDiff(spark, diff,
+        EstateSyncTargets(emb = Some((name, e))))
+      loadEmbIndex(spark, name)
+    }.asInstanceOf[EmbIndex]
+    deltaEmbeddingPairs(e.filter(bucket >= splitAt), index, threshold)
+  }
+
+  /** D39 — the d36 discipline for the CONTAINMENT family, the one whose
+    * df CAP makes sync hardest: removing gen A's dropped docs and
+    * re-fingerprinting the amended ones must leave the persisted
+    * per-digest counts equal to a from-scratch gen-B build (the
+    * compaction's df rebuild + the append's increment rows deliver it).
+    * The oracle recomputes the WHOLE d20b chain over gen B alone — df
+    * census included, so a digest whose count the sync corrupted flips
+    * the cap and hash-mismatches.
+    */
+  def diffSyncedDeltaContainment(spark: SparkSession, dir: String,
+      splitAt: Int = 200, w: Int = 8, winnow: Int = 4, minShared: Int = 2,
+      dfCap: Int = 64, threshold: Double = 0.9): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sel = containmentSelCached(spark, dir, w, winnow)
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("diffSyncedContain", dir, splitAt)) {
+      val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
+      val name = f"diffsync_ct_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      saveContainIndex(buildContainIndex(genA, w, winnow), name,
+        w = w, winnow = winnow)
+      syncEstateWithDiff(spark, diff,
+        EstateSyncTargets(contain = Some((name, genB))))
+      loadContainIndex(spark, name)
+    }
+    deltaContainmentFromSelection(sel.filter(bucket >= splitAt), index,
+      minShared, dfCap, threshold)
   }
 
   /** Save a bucketed table PARTITIONED BY TENANT: each tenant's rows
