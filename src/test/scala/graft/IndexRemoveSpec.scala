@@ -838,7 +838,13 @@ class IndexRemoveSpec extends SparkSuite {
       assert(spark.table("rmannp").select("vec_id").collect()
         .map(_.getLong(0)).toSet == (0L to 9L).toSet - 4L,
         "compaction left the removed row on disk")
-      assert(!spark.catalog.tableExists("rmannp_tombstones"))
+      // r14 race-fix contract: compaction clears only the ids captured at
+      // entry (clearTombstones rewrites the table rather than dropping it,
+      // so a tombstone appended mid-compaction survives) — assert EMPTY,
+      // not nonexistent
+      spark.catalog.refreshTable("rmannp_tombstones")
+      assert(spark.table("rmannp_tombstones").count() == 0L,
+        "compaction left cleared ids in the tombstone table")
 
       // a takedown that EMPTIES a label partition deletes its directory
       // (dynamic overwrite writes nothing there — the CorpusWriter rule)
