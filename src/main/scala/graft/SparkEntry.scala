@@ -252,6 +252,27 @@ object SparkEntry {
     // hash-mismatches
     "d36_diff_synced_delta" -> ((s, d) =>
       Dedup.diffSyncedDeltaNearDups(s, d).orderBy("id_a", "id_b")),
+    // the d36 discipline for the SIMHASH family: the banded signature
+    // index synced with the SAME e3 diff (changed docs re-sign from the
+    // amended gen-B text); oracle = d15's delta over gen B alone
+    "d37_diff_synced_simhash" -> ((s, d) =>
+      Dedup.diffSyncedDeltaSimhash(s, d).orderBy("id_a", "id_b")),
+    // the d36 discipline for the EMBEDDING family: membership classes
+    // (added/removed) change the served pairs, the changed class
+    // exercises remove/re-append (vectors aren't text-derived); oracle =
+    // d17's delta over gen-B membership alone
+    "d38_diff_synced_embedding" -> ((s, d) =>
+      Dedup.diffSyncedDeltaEmbedding(s, d).orderBy("id_a", "id_b")),
+    // the d36 discipline for the CONTAINMENT family — the df-capped one:
+    // the synced per-digest counts must equal a from-scratch gen-B
+    // build's; oracle = the whole d20b chain over gen B alone
+    "d39_diff_synced_containment" -> ((s, d) =>
+      Dedup.diffSyncedDeltaContainment(s, d).orderBy("id_a", "id_b")),
+    // the d36 discipline for the VECTOR STORE: the corpus diff reaches
+    // the ANN estate the way a takedown does (td1/td2); oracle = brute
+    // force k-NN over gen-B membership alone
+    "d40_diff_synced_ann" -> ((s, d) =>
+      Dedup.diffSyncedAnnSearch(s, d).orderBy("probe_id", "rn")),
     // the full index lifecycle on disk: save base (bucket < 150), APPEND
     // the 150-199 slice via bucket-spec-matched INSERT INTO, COMPACT back
     // to one file per bucket (generation swap), delta-join the bucket >=
@@ -375,6 +396,13 @@ object SparkEntry {
       ((s, d) => Dedup.srpBucketRecall(s, d, sampleBuckets = 64)),
     "d29c_srp_banded_recall" -> ((s, d) => Dedup.srpBandedRecall(s, d)),
     "d30_semdedup_recall" -> ((s, d) => Dedup.semDedupBandRecall(s, d)),
+    // ACTING on d29c: the d32 monitor→action loop for the global SRP
+    // banded tier — persisted 4-band generation, sampled recall miss
+    // triggers an 8-band meta-last __gen swap, the re-measure clears
+    "d41_srp_reband_trigger" -> ((s, d) => Dedup.srpRebandGate(s, d)),
+    // ACTING on d30b: the same loop for d21c's within-cluster banded
+    // stage under the frozen k-means model
+    "d42_semdedup_reband_trigger" -> ((s, d) => Dedup.semDedupRebandGate(s, d)),
     "d30b_semdedup_recall_sampled" ->
       ((s, d) => Dedup.semDedupBandRecall(s, d, sampleBuckets = 64)),
     "s3_label_centroids" -> ((s, d) => Similarity.labelCentroidsFlat(s, d).orderBy("label", "dim_idx")),
@@ -701,6 +729,85 @@ object SparkEntry {
        |FROM pairs JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
        |WHERE xa.bucket >= 200 OR xb.bucket >= 200
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** The d37 oracle: d15's simhash delta recomputed over GEN B ∪ shard —
+    * signatures form over the amended gen-B text (the ≡3 mod 11 class's
+    * ' v2' suffix shifts its tokens' bit votes), the ≡4 mod 9 class is
+    * gone. A leftover dropped doc, a stale unamended signature, or a
+    * missed addition hash-mismatches.
+    */
+  private lazy val diffSyncedSimhashSql =
+    s"""WITH bk0 AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents),
+       |t AS (SELECT d.doc_id, regexp_split_to_array(trim(
+       |    CASE WHEN b0.bucket < 200 AND d.doc_id % 11 = 3 THEN d.text || ' v2' ELSE d.text END), '\\s+') AS w
+       |  FROM documents d JOIN bk0 b0 ON d.doc_id = b0.doc_id
+       |  WHERE d.text IS NOT NULL AND NOT (b0.bucket < 200 AND d.doc_id % 9 = 4)),
+       |sh64 AS (SELECT doc_id, CAST($simhash64BitsSql AS BIGINT) AS simhash FROM t),
+       |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
+       |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+       |    a.simhash AS sh_a, b2.simhash AS sh_b
+       |  FROM banded a JOIN banded b2
+       |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id)
+       |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b,
+       |  CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+       |FROM cand JOIN bk0 xa ON xa.doc_id = id_a JOIN bk0 xb ON xb.doc_id = id_b
+       |WHERE bit_count(xor(sh_a, sh_b)) <= 3 AND (xa.bucket >= 200 OR xb.bucket >= 200)
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The d38 oracle: d17's embedding delta recomputed over gen-B
+    * MEMBERSHIP alone — an indexed-side (sbucket < 200) vector survives
+    * only if its id is a live gen-B doc (text-bearing, ≢4 mod 9); the
+    * shard side is unrestricted, exactly the Scala gate's serving
+    * universe. Vectors are not text-derived, so the changed class
+    * re-appends value-identically (machinery exercised, membership
+    * classes change the output).
+    */
+  private lazy val diffSyncedEmbeddingSql = {
+    val coeff = hexv("substr(md5('plane:' || (b*2+j) || ':' || i), 1, 1)")
+    val vecBucket = s"(${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)")})"
+    s"""WITH genb AS (SELECT doc_id FROM documents WHERE text IS NOT NULL AND doc_id % 9 != 4),
+       |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n,
+       |  $vecBucket AS sbucket FROM embeddings),
+       |eu AS (SELECT * FROM e WHERE sbucket >= 200
+       |  OR vec_id IN (SELECT doc_id FROM genb)),
+       |bkd AS (SELECT vec_id, label, b,
+       |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+       |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) AS bucket
+       |  FROM eu CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |  FROM bkd a JOIN bkd b2 ON a.label = b2.label AND a.b = b2.b AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |SELECT id_a, id_b, xa.sbucket >= 200 AS new_a, xb.sbucket >= 200 AS new_b, cos
+       |FROM (
+       |  SELECT id_a, id_b, round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) AS cos
+       |  FROM cand JOIN eu x ON x.vec_id = id_a JOIN eu y ON y.vec_id = id_b) p
+       |JOIN e xa ON xa.vec_id = id_a JOIN e xb ON xb.vec_id = id_b
+       |WHERE cos >= 0.35 AND (xa.sbucket >= 200 OR xb.sbucket >= 200)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The d39 oracle: the WHOLE d20b containment chain — winnowed
+    * selection, df census, cap, candidate join — recomputed over the
+    * gen-B rendering (indexed side ≡4 mod 9 dropped, ≡3 mod 11 amended),
+    * restricted to shard-touching pairs. A digest whose persisted count
+    * the sync corrupted flips the df cap and hash-mismatches.
+    */
+  private lazy val diffSyncedContainmentSql = {
+    val genbText = s"CASE WHEN $splitBucketSql < 200 AND doc_id % 11 = 3 THEN text || ' v2' ELSE text END"
+    val genbFilter = s" AND NOT ($splitBucketSql < 200 AND doc_id % 9 = 4)"
+    s"""${containmentCtesOf(genbText, genbFilter)},
+       |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+       |SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp,
+       |  round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
+       |    least(len(fa.dall), len(fb.dall)), 4) AS containment
+       |FROM cand JOIN f fa ON fa.doc_id = id_a JOIN f fb ON fb.doc_id = id_b
+       |JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+       |WHERE (xa.bucket >= 200 OR xb.bucket >= 200)
+       |  AND round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
+       |    least(len(fa.dall), len(fb.dall)), 4) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** 16-bit simhash signature CTE (`sh(doc_id, simhash)`) — the oracle
     * rendering of Dedup.simhash (d5's display signature).
@@ -1055,6 +1162,92 @@ object SparkEntry {
        |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
        |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
        |FROM nx CROSS JOIN ct""".stripMargin
+  }
+
+  /** The shared two-phase tail of the d41/d42 banded-trigger oracles
+    * (d32's pattern): phase 0 = the 4-band measurement + trigger,
+    * phase 1 = the post-action generation (8 bands iff triggered).
+    * Expects CTEs nx(n_exact), c4(n4), c8(n8) upstream.
+    */
+  private def rebandPhasesSql(target: Double): String =
+    s"""r AS (SELECT n_exact, n4, n8,
+       |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round(CAST(n4 AS DOUBLE) / n_exact, 4) END AS r4,
+       |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round(CAST(n8 AS DOUBLE) / n_exact, 4) END AS r8
+       |  FROM nx CROSS JOIN c4 CROSS JOIN c8)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS phase, CAST(4 AS BIGINT) AS bands,
+       |    n_exact, n4 AS n_caught, r4 AS recall, r4 < $target AS triggered FROM r
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), CAST(CASE WHEN r4 < $target THEN 8 ELSE 4 END AS BIGINT),
+       |    n_exact, CASE WHEN r4 < $target THEN n8 ELSE n4 END,
+       |    CASE WHEN r4 < $target THEN r8 ELSE r4 END,
+       |    (CASE WHEN r4 < $target THEN r8 ELSE r4 END) < $target FROM r
+       |) ORDER BY phase""".stripMargin
+
+  /** The d41 oracle: the d29c-family measurement replayed for BOTH
+    * bandings over the md5-sliced audit corpus, then the d32 two-phase
+    * trigger/action tail — the 8-band candidate set contains the 4-band
+    * one (same plane family, bands 0–3 shared), so the oracle's r8 ≥ r4
+    * mirrors the action's monotone-recall guarantee.
+    */
+  private lazy val srpRebandSql: String = {
+    val bandCoeff = hexv("substr(md5('plane:' || (2 * b + j) || ':' || i), 1, 1)")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings
+       |  WHERE $vecBucketSql < 64),
+       |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) >= 0.3),
+       |bks AS (SELECT vec_id,
+       |  [list_sum([CASE WHEN list_sum([v[i+1] * ($bandCoeff - 7.5) for i in range(0, 64)]) > 0
+       |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) for b in range(0, 8)] AS bk FROM e),
+       |ap4 AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM e x JOIN e y ON x.vec_id < y.vec_id
+       |  JOIN bks bx ON bx.vec_id = x.vec_id JOIN bks yb ON yb.vec_id = y.vec_id
+       |  WHERE len([b for b in range(1, 5) if bx.bk[b] = yb.bk[b]]) > 0
+       |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.3),
+       |ap8 AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM e x JOIN e y ON x.vec_id < y.vec_id
+       |  JOIN bks bx ON bx.vec_id = x.vec_id JOIN bks yb ON yb.vec_id = y.vec_id
+       |  WHERE len([b for b in range(1, 9) if bx.bk[b] = yb.bk[b]]) > 0
+       |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.3),
+       |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+       |c4 AS (SELECT CAST(count(*) AS BIGINT) AS n4 FROM ex SEMI JOIN ap4 USING (id_a, id_b)),
+       |c8 AS (SELECT CAST(count(*) AS BIGINT) AS n8 FROM ex SEMI JOIN ap8 USING (id_a, id_b)),
+       |${rebandPhasesSql(0.9)}""".stripMargin
+  }
+
+  /** The d42 oracle: d30b's within-cluster measurement (frozen k-means
+    * CTEs on the FULL table — slicing must not move centroids) replayed
+    * for both bandings at the gate's audit threshold, then the two-phase
+    * trigger/action tail.
+    */
+  private lazy val semDedupRebandSql: String = {
+    val bandCoeff = hexv("substr(md5('plane:' || (2 * b + j) || ':' || i), 1, 1)")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+       |${kmeansCtes()},
+       |memb AS (SELECT en.vec_id, en.v, en.n, a3.cl FROM en JOIN a3 USING (vec_id)
+       |  WHERE $vecBucketSql < 64),
+       |ex AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM memb x
+       |  JOIN memb y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |  WHERE round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.3),
+       |bks AS (SELECT vec_id,
+       |  [list_sum([CASE WHEN list_sum([v[i+1] * ($bandCoeff - 7.5) for i in range(0, 64)]) > 0
+       |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) for b in range(0, 8)] AS bk FROM e),
+       |ap4 AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM memb x
+       |  JOIN memb y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |  JOIN bks bx ON bx.vec_id = x.vec_id JOIN bks yb ON yb.vec_id = y.vec_id
+       |  WHERE len([b for b in range(1, 5) if bx.bk[b] = yb.bk[b]]) > 0
+       |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.3),
+       |ap8 AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM memb x
+       |  JOIN memb y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |  JOIN bks bx ON bx.vec_id = x.vec_id JOIN bks yb ON yb.vec_id = y.vec_id
+       |  WHERE len([b for b in range(1, 9) if bx.bk[b] = yb.bk[b]]) > 0
+       |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.3),
+       |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+       |c4 AS (SELECT CAST(count(*) AS BIGINT) AS n4 FROM ex SEMI JOIN ap4 USING (id_a, id_b)),
+       |c8 AS (SELECT CAST(count(*) AS BIGINT) AS n8 FROM ex SEMI JOIN ap8 USING (id_a, id_b)),
+       |${rebandPhasesSql(0.9)}""".stripMargin
   }
 
   /** Marker lexicons — the SQL rendering of TextAnalysis.lexicons, shared
@@ -1586,12 +1779,33 @@ object SparkEntry {
     // the sampled twin — within-cluster all-pairs restricted to one
     // md5-slice; the k-means model stays frozen on the FULL corpus
     "d30b_semdedup_recall_sampled" -> semDedupRecallSql(64),
+    // the two monitor→action gates: trigger + action + serving replayed
+    "d41_srp_reband_trigger" -> srpRebandSql,
+    "d42_semdedup_reband_trigger" -> semDedupRebandSql,
     // incremental ingest identity: delta(index over bucket<200, shard
     // bucket>=200) == full-recompute pairs restricted to shard-touching
     // pairs (signatures are per-doc functions, so both computations hash
     // the same band keys and shingle sets)
     "d13_delta_neardup" -> deltaNearDupSql,
     "d36_diff_synced_delta" -> diffSyncedDeltaSql,
+    "d37_diff_synced_simhash" -> diffSyncedSimhashSql,
+    "d38_diff_synced_embedding" -> diffSyncedEmbeddingSql,
+    "d39_diff_synced_containment" -> diffSyncedContainmentSql,
+    // the vector-store leg of the estate sync: gen-B membership alone
+    // (bucket < 200, text-bearing, ≢4 mod 9, vector present), probes =
+    // the store's own first 10 member vectors, exact tier
+    "d40_diff_synced_ann" ->
+      s"""WITH genb AS (SELECT doc_id FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 9 != 4 AND $splitBucketSql < 200),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE vec_id IN (SELECT doc_id FROM genb)),
+         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10)
+         |SELECT probe_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT probe_id, vec_id AS neighbor_id,
+         |    round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) AS cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) DESC, vec_id) AS rn
+         |  FROM p CROSS JOIN e WHERE probe_id != vec_id)
+         |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
     // the tenant-partitioned index serves tenant 0's delta exactly:
     // the d13 identity with both endpoints in the tenant (tenants are
     // isolated corpora — shingles and band keys are per-doc functions,
@@ -2045,6 +2259,12 @@ object SparkEntry {
         |  UNION ALL SELECT 'emb_index',
         |    (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0 AND vec_id % 9 != 4),
         |    (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1), 0
+        |  UNION ALL SELECT 'labels',
+        |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 0 AND doc_id % 9 != 4),
+        |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 1), 0
+        |  UNION ALL SELECT 'sketch_cells',
+        |    (SELECT count(DISTINCT lang) FROM documents WHERE doc_id % 2 = 0 AND doc_id % 9 != 4),
+        |    (SELECT count(DISTINCT lang) FROM documents WHERE doc_id % 2 = 1), 0
         |  UNION ALL SELECT 'neardup_index',
         |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 0 AND doc_id % 9 != 4),
         |    (SELECT count(*) FROM documents WHERE doc_id % 2 = 1), 0

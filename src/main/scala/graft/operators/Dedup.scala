@@ -1196,7 +1196,8 @@ object Dedup {
       nearDup: Option[(String, DataFrame)] = None,
       simHash: Option[(String, DataFrame)] = None,
       emb: Option[(String, DataFrame)] = None,
-      contain: Option[(String, DataFrame)] = None)
+      contain: Option[(String, DataFrame)] = None,
+      annStore: Option[(String, DataFrame)] = None)
 
   /** DIFF-DRIVEN ESTATE SYNC — apply ONE e3 corpus diff to every
     * registered index family: `removed ∪ changed` tombstone out, a
@@ -1242,6 +1243,19 @@ object Dedup {
       compactContainIndex(spark, t)
       appendContainIndex(spark, t,
         docs.join(came, Seq("doc_id"), "left_semi"))
+    }
+    // the vector STORE follows the same diff the text/vector indexes do
+    // — takedown already reached it (td1/td2); now a corpus generation
+    // swap does too. Appends quantize under the store's frozen model
+    // (the s9 contract); the exact tier this gate serves is
+    // model-independent, and a drifted model re-trains via s19.
+    targets.annStore.foreach { case (t, vecs) =>
+      Similarity.removeFromAnnIndex(spark, t,
+        gone.select(col("doc_id").as("vec_id")))
+      Similarity.compactAnnIndex(spark, t)
+      Similarity.appendAnnIndex(spark, t,
+        vecs.join(came.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"))
     }
   }
 
@@ -1341,6 +1355,158 @@ object Dedup {
     }
     deltaContainmentFromSelection(sel.filter(bucket >= splitAt), index,
       minShared, dfCap, threshold)
+  }
+
+  /** D40 — the d36 discipline for the VECTOR STORE (the estate-sync slot
+    * takedown already had via td1/td2): the s13-style ANN store holds gen
+    * A's vectors, the SAME e3 diff drives tombstone + compaction +
+    * re-append through [[syncEstateWithDiff]]'s annStore slot, and the
+    * gate serves the exact top-k tier over the synced store (probes =
+    * the store's own first `nProbes` vectors — the s13 convention). The
+    * oracle recomputes the brute-force k-NN over gen-B MEMBERSHIP alone,
+    * so a leftover dropped vector, a missed addition, or a tombstone the
+    * compaction failed to land all hash-mismatch. The store's model
+    * stays frozen (appends quantize under it); the exact tier is
+    * model-independent, which is what makes the oracle sharp.
+    */
+  def diffSyncedAnnSearch(spark: SparkSession, dir: String,
+      splitAt: Int = 200, nProbes: Int = 10, kClusters: Int = 4): DataFrame = {
+    val index = graft.SessionCache.getOrElseUpdate(spark,
+        ("diffSyncedAnn", dir, splitAt, kClusters)) {
+      val e = Similarity.preparedEmbeddings(spark, dir)
+        .select("vec_id", "label", "v", "n")
+      val (diff, genA, _) = corpusGenFixture(spark, dir, splitAt)
+      val name = f"diffsync_an_${splitAt}_k${kClusters}_${dir.hashCode & 0xffffffffL}%x"
+      // fresh state every session (a crashed session's tombstones would
+      // otherwise hide rows from the rebuilt store)
+      (Similarity.annTableSuffixes :+ "_tombstones").foreach(sfx =>
+        dropTableAndLocation(spark, s"$name$sfx"))
+      Similarity.saveAnnIndex(spark, name,
+        e.join(genA.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"), kClusters = kClusters)
+      syncEstateWithDiff(spark, diff,
+        EstateSyncTargets(annStore = Some((name, e))))
+      Similarity.loadAnnIndex(spark, name)
+    }.asInstanceOf[Similarity.AnnIndex]
+    Similarity.bruteForceTopKIndexed(index, nProbes)
+  }
+
+  /** Build + persist the per-tenant LABEL state (the d23 class under
+    * d31's layout): tenants are ISOLATED corpora, so each tenant's
+    * components compute over its own slice alone — a shared text in two
+    * tenants must NOT merge their clusters — and the rows land under
+    * tenant partitions (cluster-bucketed within, the d16 layout), so a
+    * tenant-scoped read prunes at planning time.
+    */
+  private[graft] def saveTenantLabelState(spark: SparkSession, table: String,
+      docs: DataFrame, nTenants: Int, threshold: Double = 0.8,
+      buckets: Int = 4, smallGraphEdges: Long = 1000000L,
+      maxIters: Int = 20): Unit = {
+    // ONE shingle + LSH pass for the whole fleet: shingles and band keys
+    // are per-doc functions, so banding a tenant alone and banding the
+    // fleet find the SAME within-tenant pairs — the cross-tenant
+    // candidates just DROP here (a shared text in two tenants must not
+    // merge their clusters). Every surviving edge is within-tenant, so
+    // components cannot span tenants and one labeling pass is exactly
+    // the per-slice recompute, at half the scans.
+    val pairs = lshPairsFrom(shingleTableOf(docs), 3, 3, threshold)
+      .filter(pmod(col("id_a"), lit(nTenants)) ===
+        pmod(col("id_b"), lit(nTenants)))
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val lab =
+      if (pairs.count() <= smallGraphEdges) unionFindLabels(spark, pairs)
+      else propagateLabels(spark, pairs, maxIters)
+    val qlen = docs.select(col("doc_id"),
+      length(coalesce(col("text"), lit(""))).as("qlen"))
+    val labels = qlen
+      .join(lab.select(col("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"), col("qlen"))
+      .withColumn("tenant", pmod(col("doc_id"), lit(nTenants)))
+    saveTenantBucketedTable(labels, table, buckets, Seq("cluster"))
+  }
+
+  /** One tenant's label slice — partition pruning at planning time. */
+  private[graft] def loadTenantLabelState(spark: SparkSession, name: String,
+      tenant: Int): DataFrame =
+    spark.table(name).filter(col("tenant") === tenant).drop("tenant")
+
+  /** TENANT-SCOPED label retraction: the tenant's touched clusters
+    * re-label over the tenant's remaining docs (the d23 semantics —
+    * vertex removal SPLITS components, so touched clusters recompute
+    * rather than merge), and ONLY the tenant's partition rewrites via
+    * the [[rewriteTenantPartition]] marker swap — the other tenants'
+    * label files never move (the d33/d34/d35 isolation contract
+    * extended to the label state class).
+    */
+  def retractTenantLabelState(spark: SparkSession, table: String,
+      docs: DataFrame, ids: DataFrame, tenant: Int, nTenants: Int,
+      threshold: Double = 0.8, buckets: Int = 4): Unit = {
+    spark.catalog.refreshTable(table)
+    val slice = spark.table(table).filter(col("tenant") === tenant)
+      .drop("tenant").localCheckpoint()
+    val docsT = docs.filter(pmod(col("doc_id"), lit(nTenants)) === tenant)
+    val relabeled = removeFromLabelState(slice, docsT, ids, threshold)
+      .localCheckpoint()
+    val rows = slice
+      .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .join(broadcast(relabeled.select(col("doc_id"))), Seq("doc_id"),
+        "left_anti")
+      .unionByName(relabeled)
+    rewriteTenantPartition(spark, table, tenant, buckets, Seq("cluster"), rows)
+  }
+
+  /** Build + persist per-tenant HLL sketch cells (the a2c/a2d class
+    * under d31's layout): one (lang, sk) cell per tenant partition,
+    * lang-bucketed within (tiny, but the uniform bucket-file layout is
+    * what [[rewriteTenantPartition]]'s swap mechanics expect).
+    */
+  private[graft] def saveTenantSketchCells(spark: SparkSession, table: String,
+      docs: DataFrame, nTenants: Int, buckets: Int = 2): Unit =
+    saveTenantBucketedTable(
+      docs.withColumn("tenant", pmod(col("doc_id"), lit(nTenants)))
+        .groupBy(col("tenant"), col("lang"))
+        .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk")),
+      table, buckets, Seq("lang"))
+
+  /** One tenant's cell slice — partition pruning at planning time. */
+  private[graft] def loadTenantSketchCells(spark: SparkSession, name: String,
+      tenant: Int): DataFrame =
+    spark.table(name).filter(col("tenant") === tenant).drop("tenant")
+
+  /** TENANT-SCOPED sketch-cell rebuild (the a2d rule under d31):
+    * registers are additive, so the AFFECTED cells (langs of the
+    * tenant's removed docs) re-aggregate from the tenant's retained
+    * rows — corpus ∖ (takedown log ∪ batch), the cumulative-record
+    * rule — while the tenant's untouched cells carry over
+    * byte-identically, and ONLY the tenant's partition rewrites. A
+    * lang whose every tenant doc is gone loses its cell; a tenant
+    * losing every cell loses its directory (the CorpusWriter rule,
+    * rewriteTenantPartition's empty case). The FLEET is never read:
+    * both the re-aggregate and the carry-over scan one tenant's slice,
+    * closing the round-13/14 "a tenant's rebuild reads every tenant's
+    * rows" gap.
+    */
+  def rebuildTenantSketchCells(spark: SparkSession, table: String,
+      docs: DataFrame, ids: DataFrame, tenant: Int, nTenants: Int,
+      logTable: String, buckets: Int = 2): Unit = {
+    val docsT = docs.filter(pmod(col("doc_id"), lit(nTenants)) === tenant)
+    val removedAll =
+      (if (spark.catalog.tableExists(logTable))
+        spark.table(logTable).select(col("doc_id")) else ids.limit(0))
+        .unionByName(ids.select(col("doc_id"))).distinct().localCheckpoint()
+    val retained = docsT.join(broadcast(removedAll), Seq("doc_id"), "left_anti")
+    val affected = docsT.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("lang")).distinct().localCheckpoint()
+    val rebuilt = retained.join(broadcast(affected), Seq("lang"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
+    spark.catalog.refreshTable(table)
+    val rows = spark.table(table).filter(col("tenant") === tenant)
+      .drop("tenant")
+      .join(broadcast(affected), Seq("lang"), "left_anti")
+      .unionByName(rebuilt)
+    rewriteTenantPartition(spark, table, tenant, buckets, Seq("lang"), rows)
   }
 
   /** Save a bucketed table PARTITIONED BY TENANT: each tenant's rows
@@ -2884,9 +3050,14 @@ object Dedup {
     * sync with it.
     */
   private[graft] def dropTenantCompactionTemps(spark: SparkSession,
-      table: String, nTenants: Int): Unit =
+      table: String, nTenants: Int): Unit = {
     (0 until nTenants).foreach(tn =>
       dropTableAndLocation(spark, s"${table}__tcomp_t$tn"))
+    // transition cleanup: a crash under the pre-round-14 code left a
+    // single UN-suffixed temp; drop it too so stale warehouse tables
+    // don't accumulate across the naming change
+    dropTableAndLocation(spark, s"${table}__tcomp")
+  }
 
   private[graft] def rewriteTenantPartition(spark: SparkSession,
       table: String, tenant: Int, buckets: Int, keys: Seq[String],
@@ -3611,6 +3782,11 @@ object Dedup {
           (col("recall") < target).as("triggered"))
         .localCheckpoint()
     }
+    // crash hygiene: a prior process that died inside the swap below
+    // left either a WHOLE new generation under the __gen names (finish
+    // it) or a meta-less stray (discard it) — recover before gen 0
+    // overwrites anything
+    recoverBandedGenerationSwap(spark, name)
     val before = measure(0)
     if (before.head().getAs[Boolean]("triggered")) {
       // the ACTION: re-band as a complete __gen generation, swap.
@@ -3621,22 +3797,65 @@ object Dedup {
       // new meta LAST — no crash window pairs a banded table with the
       // other generation's meta row.
       saveBandedGeneration(spark, s"${name}__gen", sigs, bands = 8)
-      dropTableAndLocation(spark, s"${name}_meta")
-      dropTableAndLocation(spark, s"${name}_banded")
-      spark.sql(s"ALTER TABLE ${name}__gen_banded RENAME TO ${name}_banded")
-      spark.sql(s"ALTER TABLE ${name}__gen_meta RENAME TO ${name}_meta")
-      Seq("_banded", "_meta").foreach(sfx =>
-        spark.catalog.refreshTable(s"$name$sfx"))
+      swapInBandedGeneration(spark, name)
     }
     before.unionByName(measure(1)).orderBy("phase")
   }
+
+  /** The shared swap tail of every banded-generation monitor→action
+    * loop (d32, d41, d42): the CURRENT meta drops FIRST (its absence
+    * marks the swap in progress — a crash here leaves a recoverable
+    * state whose `__gen_meta` implies the new generation is whole), the
+    * banded table swaps, and the new meta registers LAST — no crash
+    * window pairs a banded table with the other generation's meta row.
+    * Crash recovery is [[recoverBandedGenerationSwap]].
+    */
+  private[graft] def swapInBandedGeneration(spark: SparkSession,
+      name: String): Unit = {
+    dropTableAndLocation(spark, s"${name}_meta")
+    dropTableAndLocation(spark, s"${name}_banded")
+    spark.sql(s"ALTER TABLE ${name}__gen_banded RENAME TO ${name}_banded")
+    spark.sql(s"ALTER TABLE ${name}__gen_meta RENAME TO ${name}_meta")
+    Seq("_banded", "_meta").foreach(sfx =>
+      spark.catalog.refreshTable(s"$name$sfx"))
+  }
+
+  /** Finish (or discard) a banded-generation swap a prior process died
+    * inside — the executable form of the swap-order comment in
+    * [[simhashRebandLifecycle]]. The decision bit is `__gen_meta`: meta
+    * registers LAST in [[saveBandedGeneration]], so its presence proves
+    * the __gen generation is WHOLE — recovery finishes the swap from
+    * whichever window the crash hit (before the drops, between them, or
+    * between the two renames). Its absence proves the __gen banded table
+    * is an incomplete stray — discard it and keep serving the old
+    * generation. Crash-window cases staged by IndexRemoveSpec's "d32
+    * reband swap crash recovery".
+    */
+  private[graft] def recoverBandedGenerationSwap(spark: SparkSession,
+      name: String): Unit =
+    if (spark.catalog.tableExists(s"${name}__gen_meta")) {
+      if (spark.catalog.tableExists(s"${name}__gen_banded")) {
+        // crash before the banded rename: both old tables may survive
+        dropTableAndLocation(spark, s"${name}_meta")
+        dropTableAndLocation(spark, s"${name}_banded")
+        spark.sql(s"ALTER TABLE ${name}__gen_banded RENAME TO ${name}_banded")
+      } else
+        // crash between the two renames: _banded already IS the new
+        // generation and _meta was dropped first (no-op safety drop)
+        dropTableAndLocation(spark, s"${name}_meta")
+      spark.sql(s"ALTER TABLE ${name}__gen_meta RENAME TO ${name}_meta")
+      Seq("_banded", "_meta").foreach(sfx =>
+        spark.catalog.refreshTable(s"$name$sfx"))
+    } else
+      // no __gen_meta ⇒ the __gen generation never completed its write
+      dropTableAndLocation(spark, s"${name}__gen_banded")
 
   /** One banding generation on disk: the banded table (bucketed on its
     * join keys) plus a meta row recording the banding — meta LAST, so
     * its presence implies the generation is complete (the crash-safety
     * ordering every generation swap in the engine relies on).
     */
-  private def saveBandedGeneration(spark: SparkSession, name: String,
+  private[graft] def saveBandedGeneration(spark: SparkSession, name: String,
       sigs: DataFrame, bands: Int, buckets: Int = 8): Unit = {
     saveBucketedTable(simhashBanded(sigs, bands), s"${name}_banded", buckets,
       Seq("b", "chunk"))
@@ -3780,6 +3999,140 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     recallRowOf(exact, approx)
   }
+
+  /** One SRP banded generation on disk — [[saveBandedGeneration]]'s
+    * vector twin: the (label, vec_id, band, bucket) rows bucketed on
+    * their candidate-join keys, plus the meta row LAST (its presence
+    * proves the generation complete — the shared crash-safety ordering).
+    */
+  private def saveEmbBandedGeneration(spark: SparkSession, name: String,
+      e: DataFrame, bands: Int, planesPerBand: Int = 2,
+      buckets: Int = 8): Unit = {
+    saveBucketedTable(embBandedOf(e, bands, planesPerBand),
+      s"${name}_banded", buckets, Seq("band", "bucket"))
+    import spark.implicits._
+    dropTableAndLocation(spark, s"${name}_meta")
+    Seq((buckets, bands)).toDF("buckets", "bands")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** The d32 monitor→action lifecycle for an SRP-banded vector tier —
+    * shared by d41 (global SRP, the d29c tier) and d42 (within-cluster,
+    * the d21c/d30 tier): generation 0 is the 4-band serving default;
+    * the monitor measures the PERSISTED banding's recall over the
+    * md5-sliced audit corpus (the d29b/d30b 100 TB convention — both
+    * pair endpoints in-slice, exact side all-pairs within the slice and
+    * `label` block, never corpus-quadratic); a miss re-bands at 8 (OR
+    * amplification is monotone — the 8-band candidate set contains the
+    * 4-band one, so the re-measured recall can only rise) as a complete
+    * __gen generation and swaps meta-last, then re-measures. `label` is
+    * lit(0) for the global tier, the frozen k-means assignment for
+    * SemDeDup. Both measurements read the REAL persisted table; the
+    * oracle recomputes both recalls plus the conditional swap.
+    */
+  private[graft] def srpRebandLifecycle(spark: SparkSession, name: String,
+      e0: DataFrame, slice: DataFrame => DataFrame, threshold: Double,
+      target: Double, hotBlockRows: Long = 1L << 17): DataFrame = {
+    val e = e0.select(col("vec_id"), col("label"), col("v"), col("n"))
+      .localCheckpoint()
+    saveEmbBandedGeneration(spark, name, e, bands = 4)
+    val audit = slice(e).localCheckpoint()
+    val a = audit.select(col("label"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val b = audit.select(col("label"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
+    val exact = a.join(broadcast(b), Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dotProduct(col("v_a"), col("v_b")) /
+        (col("n_a") * col("n_b")), 4) >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    def measure(phase: Int): DataFrame = {
+      spark.catalog.refreshTable(s"${name}_banded")
+      val bands = spark.table(s"${name}_meta").head().getAs[Int]("bands")
+      // in-slice candidates = the full tier's restricted to the slice
+      // (band buckets are per-vector functions)
+      val banded = spark.table(s"${name}_banded")
+        .join(broadcast(audit.select(col("vec_id"))), Seq("vec_id"),
+          "left_semi")
+      val cand = blockedPairCandidates(banded,
+        Seq("label", "band", "bucket"), Nil, hotBlockRows, salts = 16,
+        idCol = "vec_id")
+      val approx = verifyCosine(audit, cand, threshold)
+        .select(col("id_a"), col("id_b"))
+      recallRowOf(exact, approx)
+        .select(lit(phase).cast("long").as("phase"),
+          lit(bands).cast("long").as("bands"),
+          col("n_exact"), col("n_caught"), col("recall"),
+          (col("recall") < target).as("triggered"))
+        .localCheckpoint()
+    }
+    val before = measure(0)
+    if (before.head().getAs[Boolean]("triggered")) {
+      saveEmbBandedGeneration(spark, s"${name}__gen", e, bands = 8)
+      swapInBandedGeneration(spark, name)
+    }
+    before.unionByName(measure(1)).orderBy("phase")
+  }
+
+  /** D41 — ACTING on d29c's measurement (the d32 loop for the global
+    * SRP banded tier, closing the round-13/14 monitor→action ask): the
+    * persisted 4-band generation's sampled recall at cos ≥ `threshold`
+    * misses `target`, the action re-bands at 8 as a meta-last __gen
+    * swap, the re-measured trigger clears. Two rows out, one per phase:
+    * (phase, bands, n_exact, n_caught, recall, triggered). The oracle
+    * recomputes both in-slice recalls and the conditional swap — a
+    * trigger that fails to trip, an action that fails to fix, or a swap
+    * serving the wrong generation all hash-mismatch.
+    */
+  def srpRebandGate(spark: SparkSession, dir: String,
+      threshold: Double = 0.3, target: Double = 0.9,
+      sampleBuckets: Int = 64): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("srpReband", dir, threshold, target, sampleBuckets)) {
+      val e = Similarity.preparedEmbeddings(spark, dir)
+        .withColumn("label", lit(0))
+      val name = f"srp_rb_t${(target * 100).round}_${dir.hashCode & 0xffffffffL}%x"
+      // fresh state every session: the gate measures one full lifecycle
+      Seq("_banded", "_meta").foreach { s =>
+        dropTableAndLocation(spark, s"$name$s")
+        dropTableAndLocation(spark, s"${name}__gen$s")
+      }
+      srpRebandLifecycle(spark, name, e,
+        df => df.filter(TextAnalysis.splitBucket(col("vec_id")) < sampleBuckets),
+        threshold, target)
+    }.asInstanceOf[DataFrame]
+
+  /** D42 — the same loop for d21c's within-cluster banded candidate
+    * stage under the FROZEN k-means model (d30b's measurement finally
+    * driving an action): membership comes from [[Similarity.assignExpr]]
+    * (the model trains on the full corpus — slicing must not move
+    * centroids), the exact side is within-cluster all-pairs restricted
+    * to the slice, and the re-band swaps the persisted banded rows the
+    * d21c candidate stage would read. Audited at cos ≥ `threshold` =
+    * 0.3 rather than the curation 0.45 because the synthetic corpus's
+    * 0.45-pair population is single-digit in any slice — the banding's
+    * recall behavior is threshold-monotone, so the denser population
+    * prices the same tier.
+    */
+  def semDedupRebandGate(spark: SparkSession, dir: String,
+      threshold: Double = 0.3, target: Double = 0.9,
+      sampleBuckets: Int = 64): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("semDedupReband", dir, threshold, target, sampleBuckets)) {
+      val model = Similarity.kmeansModel(spark, dir)
+      val e = Similarity.preparedEmbeddings(spark, dir)
+        .select(col("vec_id"), col("v"), col("n"))
+        .withColumn("label", Similarity.assignExpr(model))
+      val name = f"sdd_rb_t${(target * 100).round}_${dir.hashCode & 0xffffffffL}%x"
+      Seq("_banded", "_meta").foreach { s =>
+        dropTableAndLocation(spark, s"$name$s")
+        dropTableAndLocation(spark, s"${name}__gen$s")
+      }
+      srpRebandLifecycle(spark, name, e,
+        df => df.filter(TextAnalysis.splitBucket(col("vec_id")) < sampleBuckets),
+        threshold, target)
+    }.asInstanceOf[DataFrame]
 
   /** Bounded near-dup tier: block by (label, band, band-bucket) with
     * OR-amplified sign-random-projection LSH — the banded analogue of the

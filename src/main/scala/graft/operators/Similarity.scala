@@ -1180,7 +1180,7 @@ object Similarity {
       vecIds: DataFrame): Unit =
     Dedup.appendTombstones(spark, s"${name}_tombstones", vecIds, "vec_id")
 
-  private val annTableSuffixes =
+  private[operators] val annTableSuffixes =
     Seq("_vectors", "_centroids", "_pqbook", "_meta")
 
   /** RE-TRAIN the serving index — [[annIndexDrift]]'s other half, now an

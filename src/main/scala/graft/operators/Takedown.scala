@@ -131,6 +131,10 @@ object Takedown {
       embIndex: Option[String] = None,
       containIndex: Option[String] = None,
       tenantAnnStore: Option[String] = None,
+      labelTable: Option[String] = None,
+      labelThreshold: Double = 0.8,
+      sketchCellsTable: Option[String] = None,
+      documents: Option[DataFrame] = None,
       compact: Boolean = true)
 
   /** The TENANT-SCOPED takedown — [[apply]]'s counterpart for the
@@ -193,6 +197,16 @@ object Takedown {
       if (targets.compact)
         Similarity.compactTenantAnnStore(spark, t, tenant, nTenants)
     }
+    // the two AGGREGATE state classes, tenant-partitioned (round-15):
+    // labels re-label the tenant's touched clusters only, cells
+    // re-aggregate the tenant's affected langs only — both rewrite one
+    // tenant partition, never the fleet
+    for (lt <- targets.labelTable; docs <- targets.documents)
+      Dedup.retractTenantLabelState(spark, lt, docs, ids, tenant, nTenants,
+        targets.labelThreshold)
+    for (sk <- targets.sketchCellsTable; docs <- targets.documents)
+      Dedup.rebuildTenantSketchCells(spark, sk, docs, ids, tenant, nTenants,
+        logTable)
 
     ids.withColumn("tenant", lit(tenant))
       .withColumn("batch_id", lit(batchId))
@@ -217,13 +231,21 @@ object Takedown {
       val tmp = s"${logTable}__gen"
       Dedup.recoverGenerationSwap(spark, logTable, tmp)
       Dedup.dropTableAndLocation(spark, tmp)
-      spark.table(logTable)
-        .join(broadcast(ids.select(col("doc_id")).distinct()),
-          Seq("doc_id"), "left_anti")
-        .write.saveAsTable(tmp)
-      Dedup.dropTableAndLocation(spark, logTable)
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $logTable")
-      spark.catalog.refreshTable(logTable)
+      val batch = ids.select(col("doc_id")).distinct().localCheckpoint()
+      // ingest hot path: most micro-batches re-ingest nothing that was
+      // ever taken down — skip the whole-log generation swap unless a
+      // log row actually matches (one broadcast semi-join probe)
+      val touched = !spark.table(logTable)
+        .join(broadcast(batch), Seq("doc_id"), "left_semi")
+        .isEmpty
+      if (touched) {
+        spark.table(logTable)
+          .join(broadcast(batch), Seq("doc_id"), "left_anti")
+          .write.saveAsTable(tmp)
+        Dedup.dropTableAndLocation(spark, logTable)
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $logTable")
+        spark.catalog.refreshTable(logTable)
+      }
     }
 
   /** Subtractive maintenance of a (lang, source, n) materialized doc
@@ -431,10 +453,15 @@ object Takedown {
       val e = Similarity.preparedEmbeddings(spark, dir)
         .select("vec_id", "label", "v", "n")
       val nm = Map("nd" -> s"td2_nd_$h", "sh" -> s"td2_sh_$h",
-        "emb" -> s"td2_em_$h", "ct" -> s"td2_ct_$h", "ann" -> s"td2_an_$h")
+        "emb" -> s"td2_em_$h", "ct" -> s"td2_ct_$h", "ann" -> s"td2_an_$h",
+        "lab" -> s"td2_lab_$h", "sk" -> s"td2_sk_$h")
       val logT = s"td2_log_$h"
-      // the s20 store is its own (partitioned, unsuffixed) table
-      Dedup.dropTableAndLocation(spark, nm("ann"))
+      // the s20 store and the two aggregate state classes are their own
+      // (partitioned, unsuffixed) tables
+      Seq("ann", "lab", "sk").foreach { k =>
+        Dedup.dropTableAndLocation(spark, nm(k))
+        Dedup.dropTenantCompactionTemps(spark, nm(k), nTenants)
+      }
       // fresh state every session: the gate measures one full lifecycle
       (nm.values.toSeq.flatMap(n => Seq(s"${n}_banded", s"${n}_shingles",
         s"${n}_fp", s"${n}_df", s"${n}_sets", s"${n}_vectors",
@@ -452,12 +479,16 @@ object Takedown {
       Dedup.saveTenantContainTables(
         Dedup.containmentSelCached(spark, dir, 8, 4), nm("ct"), nTenants)
       Similarity.saveTenantAnnStore(spark, nm("ann"), e, nTenants)
+      Dedup.saveTenantLabelState(spark, nm("lab"), docs, nTenants)
+      Dedup.saveTenantSketchCells(spark, nm("sk"), docs, nTenants)
       applyTenant(spark,
         docs.filter(col("doc_id") % 9 === 4).select(col("doc_id")),
         tenant, nTenants,
         TenantTargets(nearDupIndex = Some(nm("nd")),
           simHashIndex = Some(nm("sh")), embIndex = Some(nm("emb")),
-          containIndex = Some(nm("ct")), tenantAnnStore = Some(nm("ann"))),
+          containIndex = Some(nm("ct")), tenantAnnStore = Some(nm("ann")),
+          labelTable = Some(nm("lab")), sketchCellsTable = Some(nm("sk")),
+          documents = Some(docs)),
         logT)
       nm + ("log" -> logT)
     }.asInstanceOf[Map[String, String]]
@@ -492,6 +523,22 @@ object Takedown {
       .unionByName(census("ann_tenant_store",
         t => Similarity.loadTenantAnnStore(spark, names("ann"), t),
         "vec_id"))
+      .unionByName(census("labels",
+        t => Dedup.loadTenantLabelState(spark, names("lab"), t),
+        "doc_id"))
+      .unionByName {
+        // cells aren't id-keyed: n_refs counts STALE cells — langs with
+        // no live doc left in the tenant (the td1 sketch_cells rule)
+        def cells(t: Int) = Dedup.loadTenantSketchCells(spark, names("sk"), t)
+        val liveLangs = Tables.documents(spark, dir)
+          .filter(pmod(col("doc_id"), lit(nTenants)) === tenant)
+          .join(broadcast(logged), Seq("doc_id"), "left_anti")
+          .select(col("lang")).distinct()
+        statRow("sketch_cells", cells(tenant), count(lit(1)),
+            cells(tenant).join(liveLangs, Seq("lang"), "left_anti"))
+          .crossJoin(cells(other).agg(count(lit(1)).as("n_other")))
+          .select(col("state"), col("n_live"), col("n_other"), col("n_refs"))
+      }
       .unionByName(statRow("takedown_log", logged.distinct(), count(lit(1)),
           logged.filter(col("doc_id") % 9 =!= 4 ||
             pmod(col("doc_id"), lit(nTenants)) =!= tenant))

@@ -769,9 +769,11 @@ object TextAnalysis {
     * — ~6×10⁴ even at 10¹² docs with the default 4096) cross the one
     * ordered window left. Integer addition is associative-exact, so the
     * result is bit-identical to the flat window — value-level identity
-    * pinned by TextAnalysisSpec's tiny-chunk recursion case.
+    * pinned by PropertiesSpec's "chunkOffsetsOf equals the flat window"
+    * case (chunkDocs=2, many superchunks) and its chunkDocs=7 packing
+    * contiguity property.
     */
-  private def chunkOffsetsOf(totals: DataFrame, chunkDocs: Long): DataFrame = {
+  private[graft] def chunkOffsetsOf(totals: DataFrame, chunkDocs: Long): DataFrame = {
     val sup = totals.withColumn("sup", expr(s"chunk div ${chunkDocs}L"))
     val bySup = Window.partitionBy(col("sup")).orderBy(col("chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)

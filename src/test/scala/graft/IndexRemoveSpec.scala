@@ -641,6 +641,261 @@ class IndexRemoveSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("d41/d42 srp reband loop: a planted 4-band evader trips the trigger; the 8-band swap clears it") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    // searched offline against the real md5 plane family: cos(u,v) =
+    // 0.5105 ≥ 0.3, u and v DISAGREE on all four 2-plane band buckets
+    // (bands 0–3) and AGREE on at least one of bands 4–7 — so the pair
+    // is exact, invisible to the 4-band tier, and caught by the 8-band
+    // one. The planted-recall arithmetic below re-proves all of it.
+    val u = Array(0.62, 0.308, -0.222, 2.316, 1.507, -1.399, -0.4, 0.428,
+      0.783, -1.348, -2.256, -1.906, -0.071, -0.103, 0.345, -0.77, -1.224,
+      -2.023, 0.329, 0.37, 0.993, 0.791, -0.191, 1.349, -0.136, -0.661,
+      -0.521, -0.585, -2.166, 0.156, 0.25, -0.362, -0.714, 0.372, 1.717,
+      0.038, -0.508, -0.591, -0.07, -1.265, -0.125, 0.061, 1.845, 0.943,
+      1.034, -0.713, 0.67, -1.139, 0.312, 0.419, -0.766, 1.999, 0.567,
+      -1.903, 0.553, -0.407, 0.001, 0.466, 0.391, -2.039, -1.158, 0.773,
+      1.301, 1.903)
+    val v = Array(1.874, -1.578, 0.532, -0.355, 2.2, -0.554, -1.19, 1.944,
+      0.978, -2.349, -0.991, -1.67, 0.055, -0.452, 1.357, -1.633, -0.404,
+      0.429, -0.522, 0.383, 0.718, -0.151, 0.446, 0.825, -0.877, 1.134,
+      0.387, -0.464, -1.732, -0.581, 1.184, -0.324, -0.002, 0.048, 1.468,
+      -0.078, 0.37, -0.481, 0.667, -0.124, -0.168, -0.697, 0.215, -0.111,
+      -0.268, 0.344, 0.329, 0.708, 2.109, 0.251, -1.737, 0.775, 0.248,
+      -2.312, 0.091, 0.02, -0.39, -0.397, -0.43, 0.397, -0.773, -0.28,
+      0.399, 1.858)
+    def norm(x: Array[Double]) = math.sqrt(x.map(a => a * a).sum)
+    // duplicating each vector makes exact = 6 pairs: the two identical
+    // pairs are caught by ANY banding, the four (u,v) cross pairs only
+    // by the 8-band one — phase-0 recall 2/6 trips, phase-1 hits 1.0
+    val e = Seq((0L, u), (1L, u), (2L, v), (3L, v))
+      .map { case (i, x) => (i, 0, x, norm(x)) }
+      .toDF("vec_id", "label", "v", "n")
+    val name = "srprb"
+    def reset() = Seq("_banded", "_meta").foreach { s =>
+      ops.dropTableAndLocation(spark, s"$name$s")
+      ops.dropTableAndLocation(spark, s"${name}__gen$s")
+    }
+    reset()
+    try {
+      val out = ops.srpRebandLifecycle(spark, name, e, df => df, 0.3, 0.9)
+        .orderBy("phase").collect()
+      val (p0, p1) = (out(0), out(1))
+      assert(p0.getAs[Long]("bands") == 4L)
+      assert(p0.getAs[Long]("n_exact") == 6L, s"exact side: $p0")
+      assert(p0.getAs[Long]("n_caught") == 2L,
+        s"planted 4-band evasion did not evade: $p0")
+      assert(p0.getAs[Boolean]("triggered"), "trigger did not trip")
+      assert(p1.getAs[Long]("bands") == 8L, "action did not swap generations")
+      assert(p1.getAs[Double]("recall") == 1.0,
+        s"re-band did not clear the miss: $p1")
+      assert(!p1.getAs[Boolean]("triggered"), "trigger did not clear")
+      // the persisted serving table really is the 8-band generation
+      spark.catalog.refreshTable(s"${name}_banded")
+      assert(spark.table(s"${name}_banded").select("band").distinct().count() == 8)
+      assert(!spark.catalog.tableExists(s"${name}__gen_meta"),
+        "generation swap left the __gen tables registered")
+    } finally reset()
+  }
+
+  test("d32 reband swap crash recovery: a whole __gen generation finishes from any crash window; a meta-less stray discards") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    val sigs = (0L to 19L).map(i => (i, 0x2222L * (i % 5) + (i << 2)))
+      .toDF("doc_id", "simhash")
+    val name = "d32crash"
+    val all = Seq(s"${name}_banded", s"${name}_meta",
+      s"${name}__gen_banded", s"${name}__gen_meta")
+    def reset() = all.foreach(t => ops.dropTableAndLocation(spark, t))
+    def bands() = {
+      spark.catalog.refreshTable(s"${name}_meta")
+      spark.table(s"${name}_meta").head().getAs[Int]("bands")
+    }
+    def servedBands() = {
+      spark.catalog.refreshTable(s"${name}_banded")
+      spark.table(s"${name}_banded").select("b").distinct().count()
+    }
+    reset()
+    try {
+      // window 1 — crash BETWEEN the two renames: _banded already holds
+      // the new 8-band generation, _meta was dropped first, the new meta
+      // still sits under the __gen name (the VERDICT-staged window)
+      ops.saveBandedGeneration(spark, name, sigs, bands = 8)
+      ops.dropTableAndLocation(spark, s"${name}_meta")
+      Seq((8, 8)).toDF("buckets", "bands")
+        .write.saveAsTable(s"${name}__gen_meta")
+      ops.recoverBandedGenerationSwap(spark, name)
+      assert(bands() == 8 && servedBands() == 8,
+        "between-renames crash not finished")
+      assert(!spark.catalog.tableExists(s"${name}__gen_meta"))
+
+      // window 2 — crash after the drops, before the first rename: ONLY
+      // the whole __gen generation exists
+      reset()
+      ops.saveBandedGeneration(spark, s"${name}__gen", sigs, bands = 8)
+      ops.recoverBandedGenerationSwap(spark, name)
+      assert(bands() == 8 && servedBands() == 8,
+        "post-drop crash not finished")
+
+      // window 3 — crash before the drops: the old 4-band generation is
+      // still fully live next to the whole __gen one; the new generation
+      // must still win (meta presence proves it complete)
+      reset()
+      ops.saveBandedGeneration(spark, name, sigs, bands = 4)
+      ops.saveBandedGeneration(spark, s"${name}__gen", sigs, bands = 8)
+      ops.recoverBandedGenerationSwap(spark, name)
+      assert(bands() == 8 && servedBands() == 8,
+        "pre-drop crash not finished")
+
+      // stray — crash MID-WRITE of the new generation (banded table
+      // without its meta): the old generation keeps serving, the
+      // incomplete stray is discarded
+      reset()
+      ops.saveBandedGeneration(spark, name, sigs, bands = 4)
+      ops.saveBucketedTable(ops.simhashBanded(sigs, 8),
+        s"${name}__gen_banded", 8, Seq("b", "chunk"))
+      ops.recoverBandedGenerationSwap(spark, name)
+      assert(bands() == 4 && servedBands() == 4,
+        "meta-less stray replaced the live generation")
+      assert(!spark.catalog.tableExists(s"${name}__gen_banded"),
+        "incomplete stray survived recovery")
+    } finally reset()
+  }
+
+  /** Writes `df` as a single parquet file `root/name.parquet` — the
+    * Tables.* single-file layout the planted fixtures mimic.
+    */
+  private def writeFixtureTable(df: DataFrame, root: String, name: String): Unit = {
+    df.coalesce(1).write.parquet(s"$root/out_$name")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/out_$name"))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part,
+      java.nio.file.Paths.get(s"$root/$name.parquet"))
+  }
+
+  // the d37/d38/d39 fixtures reuse the d36 id plan: splitBucket puts
+  // 4/18/14/1 in the indexed half and 0/2/3/5 in the shard, and the mod
+  // classes hit each diff class exactly — 4 removed (≡4 mod 9), 18 added
+  // (≡5 mod 13), 14 changed (≡3 mod 11), 1 stable.
+
+  test("d37 simhash diff sync: removed unpaired, added pairs, changed pairs only under the re-signed amended text") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    val cOrig = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (4L, "red green blue cyan magenta yellow", "en"),
+      (18L, "one two three four five six seven", "en"),
+      (14L, cOrig, "en"),
+      (1L, "lorem ipsum dolor sit amet elite", "en"),
+      (0L, "red green blue cyan magenta yellow", "en"),
+      (2L, "one two three four five six seven", "en"),
+      (3L, s"$cOrig v2", "en"),
+      (5L, "lorem ipsum dolor sit amet elite", "en"))
+      .map { case (i, t, l) => (i, t, l, "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("d37fix").toString
+    writeFixtureTable(docs, root, "documents")
+    try {
+      // fixture validity: the amendment must MOVE the signature out of
+      // hamming-3 range, or a stale unamended index row would be
+      // indistinguishable from the re-signed one
+      val sigs = ops.simhash64Of(Seq((0L, cOrig), (1L, s"$cOrig v2"))
+        .toDF("doc_id", "text")).orderBy("doc_id").collect().map(_.getLong(1))
+      assert(java.lang.Long.bitCount(sigs(0) ^ sigs(1)) > 3,
+        "fixture invalid: amendment within hamming 3")
+      val pairs = pairSet(ops.diffSyncedDeltaSimhash(spark, root))
+      assert(pairs.contains((2L, 18L)), s"added doc not indexed: $pairs")
+      assert(pairs.contains((1L, 5L)), s"stable doc lost: $pairs")
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+        s"removed doc still serving: $pairs")
+      assert(pairs.contains((3L, 14L)),
+        s"changed doc not re-signed from amended text: $pairs")
+      assert(pairs == Set((2L, 18L), (1L, 5L), (3L, 14L)),
+        s"unexpected pairs: $pairs")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("d38 embedding diff sync: membership classes change served pairs; changed survives remove + re-append") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    // orthogonal basis vectors per pair group: partners pair at cos 1.0,
+    // cross-group candidates (if banded together) die at cos 0 < 0.35
+    def basis(i: Int) = (0 until 64).map(j => if (j == i) 1.0f else 0.0f)
+    val docs = Seq(4L, 18L, 14L, 1L, 0L, 2L, 3L, 5L)
+      .map(i => (i, s"doc $i body", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val emb = Seq(
+      (4L, basis(0)), (0L, basis(0)),  // removed + its shard partner
+      (18L, basis(1)), (2L, basis(1)), // added + its shard partner
+      (14L, basis(2)), (3L, basis(2)), // changed + its shard partner
+      (1L, basis(3)), (5L, basis(3)))  // stable + its shard partner
+      .map { case (i, v) => (i, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val root = java.nio.file.Files.createTempDirectory("d38fix").toString
+    writeFixtureTable(docs, root, "documents")
+    writeFixtureTable(emb, root, "embeddings")
+    try {
+      val pairs = pairSet(ops.diffSyncedDeltaEmbedding(spark, root))
+      assert(pairs.contains((2L, 18L)), s"added vector not indexed: $pairs")
+      assert(pairs.contains((1L, 5L)), s"stable vector lost: $pairs")
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+        s"removed vector still serving: $pairs")
+      assert(pairs.contains((3L, 14L)),
+        s"changed vector lost across remove + re-append: $pairs")
+      assert(pairs == Set((2L, 18L), (1L, 5L), (3L, 14L)),
+        s"unexpected pairs: $pairs")
+      // d40 over the SAME fixture: the synced ANN STORE's membership is
+      // exactly gen B's (4 removed, 18 added, 14 survived the
+      // remove + re-append, 1 stable); the exact tier serves only them
+      // kClusters = 1: three gen-A vectors can't seed four clusters
+      val served = ops.diffSyncedAnnSearch(spark, root, kClusters = 1)
+        .select("probe_id", "neighbor_id").collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      assert(served == Set(1L, 14L, 18L),
+        s"synced ANN store serves the wrong membership: $served")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("d39 containment diff sync: removed unpaired, added pairs, changed's amended span replaces the stale one") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    // 8-token texts are ONE whole-text span under w=8; the changed doc's
+    // original is 7 tokens (also one span, a DIFFERENT digest from its
+    // 8-token amended form), so a stale unamended index row shares zero
+    // digests with the amended shard partner and its df stays under 2 —
+    // the (3,14) pair exists only if the sync re-fingerprinted
+    val t7 = "w1 w2 w3 w4 w5 w6 w7"
+    val docs = Seq(
+      (4L, "r1 r2 r3 r4 r5 r6 r7 r8", "en"),
+      (18L, "a1 a2 a3 a4 a5 a6 a7 a8", "en"),
+      (14L, t7, "en"),
+      (1L, "s1 s2 s3 s4 s5 s6 s7 s8", "en"),
+      (0L, "r1 r2 r3 r4 r5 r6 r7 r8", "en"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8", "en"),
+      (3L, s"$t7 v2", "en"),
+      (5L, "s1 s2 s3 s4 s5 s6 s7 s8", "en"))
+      .map { case (i, t, l) => (i, t, l, "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("d39fix").toString
+    writeFixtureTable(docs, root, "documents")
+    try {
+      val pairs = pairSet(ops.diffSyncedDeltaContainment(spark, root, minShared = 1))
+      assert(pairs.contains((2L, 18L)), s"added doc not indexed: $pairs")
+      assert(pairs.contains((1L, 5L)), s"stable doc lost: $pairs")
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+        s"removed doc still serving: $pairs")
+      assert(pairs.contains((3L, 14L)),
+        s"changed doc not re-fingerprinted from amended text: $pairs")
+      assert(pairs == Set((2L, 18L), (1L, 5L), (3L, 14L)),
+        s"unexpected pairs: $pairs")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("tenant compaction crash recovery: a mid-swap crash finishes the interrupted generation; a pre-swap temp is discarded") {
     import spark.implicits._
     val ops = graft.operators.Dedup

@@ -461,6 +461,31 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: chunkOffsetsOf equals the flat exclusive window (chunkDocs=2, many superchunks)") {
+    import spark.implicits._
+    // the promised value-level identity for the recursed t23 stitch: the
+    // superchunk decomposition must be BIT-IDENTICAL to one flat ordered
+    // window, on a fixture with far more chunks than chunkDocs so the
+    // multi-superchunk stitch (not the trivial sup=0 path) is exercised
+    val rnd = new scala.util.Random(20260815)
+    for (trial <- 1 to 3) {
+      val nChunks = 11 + rnd.nextInt(40)
+      val totals = (0 until nChunks)
+        .filter(_ => rnd.nextInt(5) > 0) // gaps: chunk ids need not be dense
+        .map(c => (c.toLong, 1L + rnd.nextInt(1000).toLong))
+        .toDF("chunk", "ctot")
+      val got = graft.operators.TextAnalysis.chunkOffsetsOf(totals, 2L)
+        .orderBy("chunk").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val flat = org.apache.spark.sql.expressions.Window.orderBy(col("chunk"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val want = totals
+        .withColumn("off", coalesce(sum(col("ctot")).over(flat), lit(0L)))
+        .orderBy("chunk").select("chunk", "off")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == want.toSeq, s"trial $trial: stitch != flat window")
+    }
+  }
+
   test("property: mixture sample is the budget-respecting md5-order prefix per group (random corpora)") {
     val ta = graft.operators.TextAnalysis
     val rnd = new scala.util.Random(20260815)

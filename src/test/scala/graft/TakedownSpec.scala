@@ -227,6 +227,105 @@ class TakedownSpec extends SparkSuite {
     } finally all.foreach(t => ops.dropTableAndLocation(spark, t))
   }
 
+  test("tenant labels + sketch cells: one applyTenant re-labels and rebuilds ONLY the tenant's partition; values == fresh build over live slice; plans prune") {
+    import spark.implicits._
+    val baseText = (1 to 60).map(i => s"w$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    // tenant = parity; docs 0/2/4 (tenant 0) form a near-dup cluster —
+    // taking down 4 must SPLIT-proof re-label {0,2}; 6 is a singleton
+    // whose 'de' cell shrinks; tenant 1 has its own cluster 1/3 that
+    // must not move
+    val docs = (0L to 19L).map { i =>
+      val text = i match {
+        case 0L => baseText
+        case 2L => baseText.replace("w45", "ALT")
+        case 4L => baseText.replace("w30", "EDITED")
+        case 1L => baseText.replace("w12", "OTHER")
+        case 3L => baseText.replace("w13", "THIRD")
+        case _ => noise(i)
+      }
+      (i, text, if (i % 4 < 2) "en" else "de", "s", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars").localCheckpoint()
+    val (lab, sk, log) = ("tdt3_lab", "tdt3_sk", "tdt3_log")
+    def reset() = Seq(lab, sk, log).foreach { t =>
+      ops.dropTableAndLocation(spark, t)
+      ops.dropTenantCompactionTemps(spark, t, 2)
+    }
+    def mtimes(table: String, tenant: Int): Map[String, Long] = {
+      def walk(f: java.io.File, prefix: String): Seq[(String, Long)] =
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap { c =>
+          if (c.isDirectory) walk(c, s"$prefix${c.getName}/")
+          else if (c.getName.endsWith(".parquet"))
+            Seq(s"$prefix${c.getName}" -> c.lastModified())
+          else Nil
+        }
+      walk(new java.io.File(
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table).toUri.getPath,
+        s"tenant=$tenant"), "").toMap
+    }
+    def labelsOf(t: Int): Map[Long, Long] =
+      ops.loadTenantLabelState(spark, lab, t)
+        .select("doc_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cellsOf(t: Int): Map[String, Seq[Byte]] =
+      ops.loadTenantSketchCells(spark, sk, t)
+        .select("lang", "sk").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    def freshCells(live: DataFrame): Map[String, Seq[Byte]] =
+      live.groupBy(col("lang"))
+        .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq)
+        .toMap
+    reset()
+    try {
+      ops.saveTenantLabelState(spark, lab, docs, 2)
+      ops.saveTenantSketchCells(spark, sk, docs, 2)
+      // tenant isolation at build time: each tenant's clusters computed
+      // over its own slice (0/2/4 one cluster, 1/3 another — parity
+      // keeps them apart even though all five texts are near-dups)
+      assert(labelsOf(0).view.filterKeys(Set(0L, 2L, 4L)).values.toSet == Set(0L))
+      assert(labelsOf(1).view.filterKeys(Set(1L, 3L)).values.toSet == Set(1L))
+      val lab1Before = labelsOf(1)
+      val cells1Before = cellsOf(1)
+      val mtLabBefore = mtimes(lab, 1)
+      val mtSkBefore = mtimes(sk, 1)
+      val n = td.applyTenant(spark, Seq(4L, 6L).toDF("doc_id"),
+        tenant = 0, nTenants = 2,
+        td.TenantTargets(labelTable = Some(lab), sketchCellsTable = Some(sk),
+          documents = Some(docs)),
+        log)
+      assert(n == 2L)
+      // tenant-0 labels: removed gone, the touched cluster re-labeled
+      // over survivors ({0,2} still pair), untouched singletons intact
+      val l0 = labelsOf(0)
+      assert(!l0.contains(4L) && !l0.contains(6L), s"removed doc still labeled: $l0")
+      assert(l0(0L) == 0L && l0(2L) == 0L, s"surviving cluster lost: $l0")
+      assert(l0(8L) == 8L, s"untouched singleton moved: $l0")
+      // tenant-0 cells: BYTE-identical to a fresh build over the live slice
+      val live0 = docs.filter(col("doc_id") % 2 === 0 &&
+        !col("doc_id").isin(4L, 6L))
+      assert(cellsOf(0) == freshCells(live0),
+        "tenant-0 cells != fresh build over live slice")
+      // tenant-1 untouched: same values, same FILES (mtime-pinned)
+      assert(labelsOf(1) == lab1Before, "tenant-1 labels changed")
+      assert(cellsOf(1) == cells1Before, "tenant-1 cells changed")
+      assert(mtimes(lab, 1) == mtLabBefore, "tenant-1 label files rewrote")
+      assert(mtimes(sk, 1) == mtSkBefore, "tenant-1 cell files rewrote")
+      // the tenant-sliced reads prune at PLANNING time (PartitionFilters)
+      Seq(ops.loadTenantLabelState(spark, lab, 0),
+          ops.loadTenantSketchCells(spark, sk, 0)).foreach { df =>
+        val out = new java.io.ByteArrayOutputStream()
+        Console.withOut(out)(df.explain("formatted"))
+        val pf = out.toString.linesIterator
+          .filter(_.contains("PartitionFilters")).toSeq
+        assert(pf.nonEmpty && pf.exists(l => l.contains("tenant") && l.contains("= 0")),
+          s"tenant predicate not in PartitionFilters:\n${out.toString.take(2000)}")
+      }
+    } finally reset()
+  }
+
   test("full-estate takedown STREAM: facade targets maintained per micro-batch; replay no-op") {
     import spark.implicits._
     def noise(id: Long) = (1 to 40).map(j =>
