@@ -273,6 +273,20 @@ object SparkEntry {
     // force k-NN over gen-B membership alone
     "d40_diff_synced_ann" -> ((s, d) =>
       Dedup.diffSyncedAnnSearch(s, d).orderBy("probe_id", "rn")),
+    // the diff reaches the LABEL aggregate: retraction (split-aware) +
+    // merge (pairs from the synced index) = gen-B labels without a
+    // recompute; oracle = the whole canonical chain over gen B alone
+    "d44_diff_synced_canonical" -> ((s, d) =>
+      Dedup.diffSyncedCanonical(s, d).orderBy("doc_id")),
+    // the diff reaches the DOC-STATS aggregate: affected langs rebuild
+    // from the gen-B payload (e3 carries the langs); oracle = gen-B
+    // group counts
+    "d45_diff_synced_doc_stats" -> ((s, d) =>
+      Dedup.diffSyncedDocStats(s, d).orderBy("lang", "source")),
+    // the diff reaches the SKETCH CELLS (a2d class): affected cells
+    // rebuild from gen-B rows; served as exact + deterministic band flag
+    "d46_diff_synced_cells" -> ((s, d) =>
+      Dedup.diffSyncedSketchCells(s, d).orderBy("lang")),
     // the full index lifecycle on disk: save base (bucket < 150), APPEND
     // the 150-199 slice via bucket-spec-matched INSERT INTO, COMPACT back
     // to one file per bucket (generation swap), delta-join the bucket >=
@@ -808,6 +822,46 @@ object SparkEntry {
        |    least(len(fa.dall), len(fb.dall)), 4) >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** The gen-B universe CTEs shared by the d44/d45/d46 aggregate-sync
+    * oracles: `gb(doc_id, text, lang, source)` = the indexed corpus
+    * after the generation swap — bucket < 200, text-bearing, ≡4 mod 9
+    * dropped, ≡3 mod 11 amended (' v2').
+    */
+  private lazy val genBUniverseCtes =
+    s"""bk0 AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents),
+       |gb AS (SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 11 = 3 THEN d.text || ' v2' ELSE d.text END AS text,
+       |    d.lang, d.source
+       |  FROM documents d JOIN bk0 b0 ON d.doc_id = b0.doc_id
+       |  WHERE d.text IS NOT NULL AND b0.bucket < 200 AND d.doc_id % 9 != 4)""".stripMargin
+
+  /** The d44 oracle: the d19 canonical chain — LSH pairs, connected
+    * components, longest-text survivor — recomputed over gen B ALONE
+    * (amended text changes BOTH the pair set and the qlen ordering). A
+    * leftover cluster member, a missed split, an unmerged addition, or
+    * a stale unamended qlen hash-mismatches.
+    */
+  private lazy val diffSyncedCanonicalSql =
+    s"""WITH RECURSIVE $genBUniverseCtes,
+       |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM gb),
+       |s AS (SELECT doc_id,
+       |  CASE WHEN len(w)<3 THEN [array_to_string(w,' ')]
+       |       ELSE [array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)] END AS sh FROM t),
+       |$lshPairsCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM gb
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+       |lab AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+       |q AS (SELECT doc_id, length(coalesce(text, '')) AS qlen FROM gb)
+       |SELECT l.doc_id, l.cluster,
+       |  count(*) OVER (PARTITION BY l.cluster) AS n_members,
+       |  (row_number() OVER (PARTITION BY l.cluster ORDER BY q.qlen DESC, l.doc_id) = 1) AS keep
+       |FROM lab l JOIN q USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
 
   /** 16-bit simhash signature CTE (`sh(doc_id, simhash)`) — the oracle
     * rendering of Dedup.simhash (d5's display signature).
@@ -1794,6 +1848,16 @@ object SparkEntry {
     // the vector-store leg of the estate sync: gen-B membership alone
     // (bucket < 200, text-bearing, ≢4 mod 9, vector present), probes =
     // the store's own first 10 member vectors, exact tier
+    "d44_diff_synced_canonical" -> diffSyncedCanonicalSql,
+    "d45_diff_synced_doc_stats" ->
+      s"""WITH $genBUniverseCtes
+         |SELECT lang, source, count(*) AS n FROM gb
+         |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    "d46_diff_synced_cells" ->
+      s"""WITH $genBUniverseCtes
+         |SELECT lang, count(DISTINCT doc_id) AS exact_docs,
+         |  TRUE AS hll_within_5pct
+         |FROM gb GROUP BY 1 ORDER BY lang""".stripMargin,
     "d40_diff_synced_ann" ->
       s"""WITH genb AS (SELECT doc_id FROM documents
          |  WHERE text IS NOT NULL AND doc_id % 9 != 4 AND $splitBucketSql < 200),

@@ -1197,7 +1197,14 @@ object Dedup {
       simHash: Option[(String, DataFrame)] = None,
       emb: Option[(String, DataFrame)] = None,
       contain: Option[(String, DataFrame)] = None,
-      annStore: Option[(String, DataFrame)] = None)
+      annStore: Option[(String, DataFrame)] = None,
+      // the AGGREGATE state classes (round 15): labels requires the
+      // nearDup slot (its merge pairs come from the synced index);
+      // docStats/sketchCells carry the gen-B corpus payload their
+      // affected-lang rebuild reads
+      labels: Option[String] = None,
+      docStats: Option[(String, DataFrame)] = None,
+      sketchCells: Option[(String, DataFrame)] = None)
 
   /** DIFF-DRIVEN ESTATE SYNC — apply ONE e3 corpus diff to every
     * registered index family: `removed ∪ changed` tombstone out, a
@@ -1256,6 +1263,67 @@ object Dedup {
       Similarity.appendAnnIndex(spark, t,
         vecs.join(came.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi"))
+    }
+    // ---- the AGGREGATE state classes. The e3 diff CARRIES each changed
+    // id's lang (coalesced gen-B-first), so the affected-lang set is
+    // diff-derived — the rebuilds read only the gen-B payload's affected
+    // slices plus the old table's untouched rows: never gen A, never an
+    // unaffected lang. (The TAKEDOWN analogue subtracts doc stats — it
+    // has the removed rows in hand; a generation swap doesn't, so both
+    // aggregate slots use the a2d affected-group rebuild.)
+    lazy val affectedLangs = diff
+      .filter(col("status").isin("added", "removed", "changed"))
+      .select(col("lang")).distinct().localCheckpoint()
+    def swapAggregate(table: String, rebuilt: DataFrame): Unit = {
+      val tmp = s"${table}__gen"
+      recoverGenerationSwap(spark, table, tmp)
+      dropTableAndLocation(spark, tmp)
+      spark.catalog.refreshTable(table)
+      spark.table(table)
+        .join(broadcast(affectedLangs), Seq("lang"), "left_anti")
+        .unionByName(rebuilt)
+        .write.saveAsTable(tmp)
+      dropTableAndLocation(spark, table)
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      spark.catalog.refreshTable(table)
+    }
+    targets.docStats.foreach { case (t, genB) =>
+      swapAggregate(t,
+        genB.join(broadcast(affectedLangs), Seq("lang"), "left_semi")
+          .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n")))
+    }
+    targets.sketchCells.foreach { case (t, genB) =>
+      // registers are additive, never subtractable — affected cells
+      // REBUILD from the gen-B rows (the a2d rule); untouched cells'
+      // bytes carry over
+      swapAggregate(t,
+        genB.join(broadcast(affectedLangs), Seq("lang"), "left_semi")
+          .groupBy(col("lang"))
+          .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk")))
+    }
+    // the LABEL aggregate follows the diff THROUGH the synced near-dup
+    // index (pairs are what clusters are made of): gone docs retract
+    // first (touched components re-label over surviving members — the
+    // split-aware d23 semantics), then came docs merge via their delta
+    // pairs against the just-synced index (the d16 ingest semantics) —
+    // both spec-proven equal to full recomputes, so the composition
+    // equals labelStateOf(gen B), which is exactly what the d44 oracle
+    // recomputes.
+    targets.labels.foreach { lt =>
+      val (idx, genB) = targets.nearDup.getOrElse(throw new
+        IllegalArgumentException("EstateSyncTargets.labels requires the " +
+          "nearDup slot — the merge's delta pairs come from the synced index"))
+      spark.catalog.refreshTable(lt)
+      val relabeled = removeFromLabelState(spark.table(lt), genB, gone)
+      applyLabelRetraction(spark, lt, gone, relabeled)
+      val cameDocs = genB.join(came, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val pairs = deltaNearDups(cameDocs, loadNearDupIndex(spark, idx))
+        .select(col("id_a"), col("id_b")).distinct()
+      val changed = mergeLabelState(spark, spark.table(lt), pairs,
+        cameDocs.select(col("doc_id"),
+          length(coalesce(col("text"), lit(""))).as("qlen")))
+      applyLabelUpdates(spark, lt, changed)
     }
   }
 
@@ -1389,6 +1457,86 @@ object Dedup {
       Similarity.loadAnnIndex(spark, name)
     }.asInstanceOf[Similarity.AnnIndex]
     Similarity.bruteForceTopKIndexed(index, nProbes)
+  }
+
+  /** D44 — the diff reaches the LABEL aggregate: gen A's persisted label
+    * state + the e3 diff = gen B's labels WITHOUT a recompute — gone
+    * docs retract through the split-aware d23 machinery, came docs merge
+    * through the d16 machinery with pairs from the SYNCED near-dup
+    * index. The gate serves the d19 canonical window over the synced
+    * state; the oracle recomputes the whole canonical chain (LSH pairs,
+    * components, longest-text survivor) over gen B ALONE — a leftover
+    * cluster member, a missed split, an unmerged addition, or a stale
+    * unamended qlen all hash-mismatch.
+    */
+  def diffSyncedCanonical(spark: SparkSession, dir: String,
+      splitAt: Int = 200, threshold: Double = 0.8): DataFrame = {
+    val state = graft.SessionCache.getOrElseUpdate(spark,
+        ("diffSyncedLabels", dir, splitAt, threshold)) {
+      val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
+      val h = f"${dir.hashCode & 0xffffffffL}%x"
+      val idx = s"diffsync_lbidx_${splitAt}_$h"
+      val lt = s"diffsync_lb_${splitAt}_$h"
+      Seq(lt, s"${lt}__gen").foreach(dropTableAndLocation(spark, _))
+      saveNearDupIndex(buildNearDupIndex(genA), idx)
+      saveLabelState(spark, lt, labelStateOf(genA, threshold))
+      syncEstateWithDiff(spark, diff, EstateSyncTargets(
+        nearDup = Some((idx, genB)), labels = Some(lt)))
+      spark.table(lt).localCheckpoint()
+    }.asInstanceOf[DataFrame]
+    canonicalOfLabelState(state)
+  }
+
+  /** D45 — the diff reaches the DOC-STATS aggregate: affected langs
+    * (diff-derived — e3 carries them) rebuild their (lang, source)
+    * groups from the gen-B payload, untouched langs' rows carry over;
+    * generation swap. Oracle = the group counts over gen B alone.
+    */
+  def diffSyncedDocStats(spark: SparkSession, dir: String,
+      splitAt: Int = 200): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("diffSyncedStats", dir, splitAt)) {
+      val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
+      val t = f"diffsync_st_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      Seq(t, s"${t}__gen").foreach(dropTableAndLocation(spark, _))
+      genA.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        .write.saveAsTable(t)
+      syncEstateWithDiff(spark, diff,
+        EstateSyncTargets(docStats = Some((t, genB))))
+      spark.table(t).localCheckpoint()
+    }.asInstanceOf[DataFrame]
+
+  /** D46 — the diff reaches the SKETCH CELLS (the a2d class): affected
+    * langs' HLL cells rebuild from gen-B rows (registers are additive,
+    * never subtractable), untouched cells byte-copy. The gate serves
+    * each synced cell's estimate as the a2b-style deterministic band
+    * flag next to the EXACT gen-B distinct count — a cell the sync
+    * corrupted (stale gen-A members, a missed addition) drifts the
+    * estimate or the exact count and hash-mismatches.
+    */
+  def diffSyncedSketchCells(spark: SparkSession, dir: String,
+      splitAt: Int = 200): DataFrame = {
+    val synced = graft.SessionCache.getOrElseUpdate(spark,
+        ("diffSyncedCells", dir, splitAt)) {
+      val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
+      val t = f"diffsync_sk_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      Seq(t, s"${t}__gen").foreach(dropTableAndLocation(spark, _))
+      genA.groupBy(col("lang"))
+        .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
+        .write.saveAsTable(t)
+      syncEstateWithDiff(spark, diff,
+        EstateSyncTargets(sketchCells = Some((t, genB))))
+      (t, genB.localCheckpoint())
+    }.asInstanceOf[(String, DataFrame)]
+    val (t, genB) = synced
+    val est = spark.table(t).groupBy(col("lang"))
+      .agg(graft.plans.HllAgg.hllMerge(col("sk")).as("hll_docs"))
+    val exact = genB.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("exact_docs"))
+    est.join(exact, Seq("lang"))
+      .select(col("lang"), col("exact_docs"),
+        (abs(col("hll_docs") - col("exact_docs")) * 20 <= col("exact_docs"))
+          .as("hll_within_5pct"))
   }
 
   /** Build + persist the per-tenant LABEL state (the d23 class under

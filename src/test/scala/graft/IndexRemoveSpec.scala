@@ -860,6 +860,80 @@ class IndexRemoveSpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("d44/d45/d46 aggregate diff sync: labels split + merge + re-pair on amendment; stats and cells equal gen-B recomputes") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    val base60 = (1 to 60).map(i => s"t$i").mkString(" ")
+    val chainB = (1 to 60).map(i => s"u$i").mkString(" ")
+    val vocab60 = (1 to 60).map(i => s"v$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    // indexed ids (splitBucket < 200): 1 6 7 9 11 12 13 14 15 16 17 18
+    //   13 removed (≡4 mod 9): it BRIDGES 9 and 11 (each within 0.8 of
+    //     13, but 9 vs 11 at ~0.66) — its takedown must SPLIT the cluster
+    //   18 added (≡5 mod 13): identical to 16 — the merge must cluster them
+    //   14 changed (≡3 mod 11): 3 tokens; amended "… v2" is IDENTICAL to
+    //     15's text (stale unamended 14 is at jaccard 0.5 from 15 — a
+    //     missed re-index leaves {14,15} unclustered)
+    val texts = Map[Long, String](
+      1L -> noise(1), 12L -> noise(12), 17L -> noise(17),
+      6L -> base60, 7L -> s"$base60 extra",
+      13L -> chainB,
+      9L -> chainB.replace("u10 ", "X1 ").replace("u20 ", "X2 "),
+      11L -> chainB.replace("u40 ", "Y1 "),
+      14L -> "alpha beta gamma", 15L -> "alpha beta gamma v2",
+      16L -> vocab60, 18L -> vocab60,
+      0L -> noise(0), 2L -> noise(2)) // shard ids (bucket >= 200)
+    val docs = texts.toSeq.sortBy(_._1).map { case (i, t) =>
+      (i, t, if (i % 2 == 0) "en" else "de", "s", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("d44fix").toString
+    writeFixtureTable(docs, root, "documents")
+    val idx = Seq(1L, 6L, 7L, 9L, 11L, 12L, 13L, 14L, 15L, 16L, 17L, 18L)
+    val genA = docs.filter(col("doc_id").isin(idx.filterNot(_ == 18L): _*))
+    val genB = docs.filter(col("doc_id").isin(idx.filterNot(_ == 13L): _*))
+      .withColumn("text", when(col("doc_id") === 14L,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    try {
+      // fixture validity: in gen A the bridge doc really bridges
+      val labA = ops.labelStateOf(genA).select("doc_id", "cluster")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labA(9L) == labA(13L) && labA(11L) == labA(13L),
+        s"fixture: 13 does not bridge 9 and 11 in gen A: $labA")
+      // d44: the synced state's canonical == the gen-B recompute, row-level
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+          .toSeq
+      val got = canon(ops.diffSyncedCanonical(spark, root))
+      val want = canon(ops.canonicalOfLabelState(ops.labelStateOf(genB)))
+      assert(got == want, s"synced labels != gen-B recompute:\n$got\n$want")
+      val cl = got.map(r => r._1 -> r._2).toMap
+      assert(!cl.contains(13L), "removed doc still labeled")
+      assert(cl(9L) != cl(11L), "takedown of the bridge did not split the cluster")
+      assert(cl(16L) == cl(18L), "added doc not merged with its twin")
+      assert(cl(14L) == cl(15L), "amended doc not re-paired with its ' v2' twin")
+      assert(cl(6L) == cl(7L), "stable cluster lost")
+      // d45: stats table == gen-B group counts
+      val gotStats = ops.diffSyncedDocStats(spark, root)
+        .orderBy("lang", "source").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val wantStats = genB.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n")).orderBy("lang", "source").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(gotStats == wantStats, s"stats != gen-B recompute: $gotStats")
+      // d46: every cell's exact count right, every band flag true
+      val cells = ops.diffSyncedSketchCells(spark, root).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      val wantCells = genB.groupBy(col("lang")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cells.map(c => c._1 -> c._2).toMap == wantCells,
+        s"cell exact counts wrong: ${cells.toSeq}")
+      assert(cells.forall(_._3), s"a synced cell drifted past 5%: ${cells.toSeq}")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("d39 containment diff sync: removed unpaired, added pairs, changed's amended span replaces the stale one") {
     import spark.implicits._
     val ops = graft.operators.Dedup
