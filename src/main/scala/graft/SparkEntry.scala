@@ -287,6 +287,15 @@ object SparkEntry {
     // rebuild from gen-B rows; served as exact + deterministic band flag
     "d46_diff_synced_cells" -> ((s, d) =>
       Dedup.diffSyncedSketchCells(s, d).orderBy("lang")),
+    // the diff reaches the s18 label-PARTITIONED vector store (label-
+    // scoped compaction); oracle = brute force over the label slice of
+    // gen-B membership
+    "d47_diff_synced_ann_part" -> ((s, d) =>
+      Dedup.diffSyncedPartitionedAnn(s, d).orderBy("probe_id", "rn")),
+    // the estate-sync ORCHESTRATION gate: ONE syncEstateWithDiff call
+    // fans all nine state classes; census rows (state, n_live, n_refs)
+    // against gen-B recomputes — td1's shape for the generation swap
+    "d48_estate_sync_census" -> ((s, d) => Dedup.estateSyncCensus(s, d)),
     // the full index lifecycle on disk: save base (bucket < 150), APPEND
     // the 150-199 slice via bucket-spec-matched INSERT INTO, COMPACT back
     // to one file per bucket (generation swap), delta-join the bucket >=
@@ -1849,6 +1858,33 @@ object SparkEntry {
     // (bucket < 200, text-bearing, ≢4 mod 9, vector present), probes =
     // the store's own first 10 member vectors, exact tier
     "d44_diff_synced_canonical" -> diffSyncedCanonicalSql,
+    "d47_diff_synced_ann_part" ->
+      s"""WITH $genBUniverseCtes,
+         |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id, v FROM e WHERE label = 2 AND vec_id IN (SELECT doc_id FROM gb)),
+         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5)
+         |SELECT probe_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT probe_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(pv, c.v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, c.v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(c.v, c.v))), 4) DESC, c.vec_id) AS rn
+         |  FROM p CROSS JOIN c WHERE probe_id != c.vec_id)
+         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+    // the orchestration census: every n_live over gen B alone, every
+    // n_refs 0 (physical absence of the removed class in every family)
+    "d48_estate_sync_census" ->
+      s"""WITH $genBUniverseCtes,
+         |ev AS (SELECT vec_id FROM embeddings WHERE vec_id IN (SELECT doc_id FROM gb))
+         |SELECT state, n_live, n_refs FROM (
+         |  SELECT 'ann_part_store' AS state, (SELECT count(*) FROM ev) AS n_live, CAST(0 AS BIGINT) AS n_refs
+         |  UNION ALL SELECT 'ann_store', (SELECT count(*) FROM ev), 0
+         |  UNION ALL SELECT 'contain_index', (SELECT count(*) FROM gb), 0
+         |  UNION ALL SELECT 'doc_stats', (SELECT count(*) FROM gb), 0
+         |  UNION ALL SELECT 'emb_index', (SELECT count(*) FROM ev), 0
+         |  UNION ALL SELECT 'labels', (SELECT count(*) FROM gb), 0
+         |  UNION ALL SELECT 'neardup_index', (SELECT count(*) FROM gb), 0
+         |  UNION ALL SELECT 'simhash_index', (SELECT count(*) FROM gb), 0
+         |  UNION ALL SELECT 'sketch_cells', (SELECT count(DISTINCT lang) FROM gb), 0
+         |) ORDER BY state""".stripMargin,
     "d45_diff_synced_doc_stats" ->
       s"""WITH $genBUniverseCtes
          |SELECT lang, source, count(*) AS n FROM gb

@@ -1198,6 +1198,7 @@ object Dedup {
       emb: Option[(String, DataFrame)] = None,
       contain: Option[(String, DataFrame)] = None,
       annStore: Option[(String, DataFrame)] = None,
+      annPart: Option[(String, DataFrame)] = None,
       // the AGGREGATE state classes (round 15): labels requires the
       // nearDup slot (its merge pairs come from the synced index);
       // docStats/sketchCells carry the gen-B corpus payload their
@@ -1261,6 +1262,17 @@ object Dedup {
         gone.select(col("doc_id").as("vec_id")))
       Similarity.compactAnnIndex(spark, t)
       Similarity.appendAnnIndex(spark, t,
+        vecs.join(came.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"))
+    }
+    // the s18 label-PARTITIONED store: same lifecycle, with the
+    // compaction rewriting only the labels holding a gone vector
+    // (dynamic overwrite — untouched labels' files never move)
+    targets.annPart.foreach { case (t, vecs) =>
+      Similarity.removeFromPartitionedAnnStore(spark, t,
+        gone.select(col("doc_id").as("vec_id")))
+      Similarity.compactPartitionedAnnStore(spark, t)
+      Similarity.appendPartitionedAnnStore(spark, t,
         vecs.join(came.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi"))
     }
@@ -1537,6 +1549,142 @@ object Dedup {
       .select(col("lang"), col("exact_docs"),
         (abs(col("hll_docs") - col("exact_docs")) * 20 <= col("exact_docs"))
           .as("hll_within_5pct"))
+  }
+
+  /** D47 — the diff reaches the s18 label-PARTITIONED vector store: the
+    * annPart slot drives tombstone + label-scoped compaction (only the
+    * labels holding a gone vector rewrite) + re-append, and the gate
+    * serves the label-filtered exact search over the synced store
+    * (probes external, the filteredTopKPartitioned convention). Oracle =
+    * brute force over the LABEL SLICE of gen-B membership alone.
+    */
+  def diffSyncedPartitionedAnn(spark: SparkSession, dir: String,
+      splitAt: Int = 200, labelEq: Int = 2, nProbes: Int = 5,
+      k: Int = 5): DataFrame = {
+    val e = Similarity.preparedEmbeddings(spark, dir)
+    val table = graft.SessionCache.getOrElseUpdate(spark,
+        ("diffSyncedAnnPart", dir, splitAt)) {
+      val (diff, genA, _) = corpusGenFixture(spark, dir, splitAt)
+      val name = f"diffsync_ap_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      dropTableAndLocation(spark, s"${name}_tombstones")
+      Similarity.savePartitionedAnnStore(spark, name,
+        e.join(genA.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"))
+      syncEstateWithDiff(spark, diff,
+        EstateSyncTargets(annPart = Some((name, e))))
+      name
+    }.asInstanceOf[String]
+    val probes = e.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    val corpus = Similarity.loadPartitionedAnnStore(spark, table)
+      .filter(col("label") === labelEq)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) /
+        (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** D48 — the estate-sync ORCHESTRATION gate (td1's shape for the
+    * generation swap): build EVERY registered state class over gen A,
+    * run ONE [[syncEstateWithDiff]] with every slot filled, and emit a
+    * per-state census of (state, n_live, n_refs) from the REAL synced
+    * state — n_live = ids (or groups/cells) served, n_refs = rows still
+    * referencing a REMOVED id (0, by physical absence after each
+    * family's compaction; changed ids are legitimately present — they
+    * re-appended). The oracle recomputes every n_live over gen B alone,
+    * so a family the single fan-out call misses — or syncs wrong — fails
+    * the gate. Per-family value identities are d36–d46.
+    */
+  def estateSyncCensus(spark: SparkSession, dir: String,
+      splitAt: Int = 200): DataFrame = {
+    val h = f"${dir.hashCode & 0xffffffffL}%x"
+    val state = graft.SessionCache.getOrElseUpdate(spark,
+        ("estateSyncCensus", dir, splitAt)) {
+      val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
+      val e = Similarity.preparedEmbeddings(spark, dir)
+        .select("vec_id", "label", "v", "n")
+      val eA = e.join(genA.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val nm = Map("nd" -> s"esync_nd_$h", "sh" -> s"esync_sh_$h",
+        "emb" -> s"esync_em_$h", "ct" -> s"esync_ct_$h",
+        "ann" -> s"esync_an_$h", "annp" -> s"esync_ap_$h",
+        "lab" -> s"esync_lb_$h", "st" -> s"esync_st_$h",
+        "sk" -> s"esync_sk_$h")
+      // fresh state every session: the gate measures one full lifecycle
+      nm.values.toSeq.flatMap(n => Seq(n, s"${n}_banded", s"${n}_shingles",
+          s"${n}_meta", s"${n}_tombstones", s"${n}_fp", s"${n}_df",
+          s"${n}_sets", s"${n}_vectors", s"${n}_centroids", s"${n}_pqbook",
+          s"${n}__gen"))
+        .foreach(t => dropTableAndLocation(spark, t))
+      saveNearDupIndex(buildNearDupIndex(genA), nm("nd"))
+      saveSimHashIndex(buildSimHashIndex(simhash64Of(genA)), nm("sh"))
+      saveEmbIndex(buildEmbIndex(eA), nm("emb"))
+      saveContainIndex(buildContainIndex(genA), nm("ct"))
+      Similarity.saveAnnIndex(spark, nm("ann"), eA)
+      Similarity.savePartitionedAnnStore(spark, nm("annp"), eA)
+      saveLabelState(spark, nm("lab"), labelStateOf(genA))
+      genA.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        .write.saveAsTable(nm("st"))
+      genA.groupBy(col("lang"))
+        .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
+        .write.saveAsTable(nm("sk"))
+      // ONE call fans the whole estate
+      syncEstateWithDiff(spark, diff, EstateSyncTargets(
+        nearDup = Some((nm("nd"), genB)),
+        simHash = Some((nm("sh"), genB)),
+        emb = Some((nm("emb"), e)),
+        contain = Some((nm("ct"), genB)),
+        annStore = Some((nm("ann"), e)),
+        annPart = Some((nm("annp"), e)),
+        labels = Some(nm("lab")),
+        docStats = Some((nm("st"), genB)),
+        sketchCells = Some((nm("sk"), genB))))
+      (nm, diff.filter(col("status") === "removed")
+        .select(col("doc_id")).localCheckpoint(), genB.localCheckpoint())
+    }.asInstanceOf[(Map[String, String], DataFrame, DataFrame)]
+    val (names, removed, genB) = state
+    val rmVec = removed.select(col("doc_id").as("vec_id"))
+    def census(state: String, df: DataFrame, key: String): DataFrame = {
+      val rm = if (key == "vec_id") rmVec else removed
+      df.select(col(key)).distinct().agg(count(lit(1)).as("n_live"))
+        .crossJoin(df.join(broadcast(rm), Seq(key), "left_semi")
+          .agg(count(lit(1)).as("n_refs")))
+        .select(lit(state).as("state"), col("n_live"), col("n_refs"))
+    }
+    // refs for the two GROUP-keyed classes: a STALE group/cell — one
+    // whose (lang, source)/lang has no live gen-B doc — is the leak
+    // their id-less rows can show (the td1 convention)
+    def groupCensus(state: String, df: DataFrame, liveAgg: Column,
+        groupKeys: Seq[String]): DataFrame =
+      df.agg(liveAgg.as("n_live"))
+        .crossJoin(df.join(
+            genB.select(groupKeys.map(col): _*).distinct(),
+            groupKeys, "left_anti")
+          .agg(count(lit(1)).as("n_refs")))
+        .select(lit(state).as("state"), col("n_live"), col("n_refs"))
+    census("ann_part_store",
+        Similarity.loadPartitionedAnnStore(spark, names("annp")), "vec_id")
+      .unionByName(census("ann_store",
+        Similarity.loadAnnIndex(spark, names("ann")).vectors, "vec_id"))
+      .unionByName(census("contain_index",
+        loadContainIndex(spark, names("ct")).sets, "doc_id"))
+      .unionByName(groupCensus("doc_stats", spark.table(names("st")),
+        sum(col("n")), Seq("lang", "source")))
+      .unionByName(census("emb_index",
+        loadEmbIndex(spark, names("emb")).vectors, "vec_id"))
+      .unionByName(census("labels", spark.table(names("lab")), "doc_id"))
+      .unionByName(census("neardup_index",
+        loadNearDupIndex(spark, names("nd")).shingles, "doc_id"))
+      .unionByName(census("simhash_index",
+        loadSimHashIndex(spark, names("sh")).banded, "doc_id"))
+      .unionByName(groupCensus("sketch_cells", spark.table(names("sk")),
+        count(lit(1)), Seq("lang")))
+      .orderBy("state")
   }
 
   /** Build + persist the per-tenant LABEL state (the d23 class under
