@@ -608,6 +608,55 @@ object EventsStream {
     logTable
   }
 
+  /** STREAMING estate sync — the generation-swap half of the loop (the
+    * takedown stream's twin): corpus-diff files (e3's corpusDiff rows)
+    * arrive as a stream, one published generation per file, and each
+    * micro-batch fans through ONE [[graft.operators.Dedup.syncEstateWithDiff]]
+    * call against the CURRENT corpus tree (`targetsOf` re-reads the
+    * payload per batch). Two properties make this replay-safe WITHOUT a
+    * batch-identity log:
+    *
+    *   - 'added' rows apply as 'changed' (delete-then-insert): every
+    *     arm is then remove+compact+append-idempotent, so a crash-
+    *     refired or wholesale-replayed batch CONVERGES instead of
+    *     duplicating index rows (a plain append of an already-present
+    *     added id would violate the upsert contract);
+    *   - applying a diff CHAIN with the LATEST tree as payload lands
+    *     each family at the latest generation: membership telescopes
+    *     through the diffs, and any came doc's payload row is its
+    *     latest text — a doc added then later removed is simply absent
+    *     from the payload and drops in the append's semi-join.
+    *
+    * StreamingSpec drives gen A→B→C through two runs, replays the whole
+    * stream, and equality-checks every family against the gen-C
+    * recompute.
+    */
+  def runEstateSyncStream(spark: SparkSession, diffDir: String,
+      corpusPath: String,
+      targetsOf: DataFrame => graft.operators.Dedup.EstateSyncTargets,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("status", StringType),
+        StructField("lang", StringType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(diffDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val diff = batch
+          .withColumn("status", when(col("status") === "added",
+            lit("changed")).otherwise(col("status")))
+          .localCheckpoint()
+        graft.operators.Dedup.syncEstateWithDiff(spark, diff,
+          targetsOf(spark.read.parquet(corpusPath)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** STREAMING sequence packing — the ingest loop's member of the t23
     * family: each micro-batch of arriving documents gets its placements
     * from the persisted token TOTAL (t23c's one-number state) and the

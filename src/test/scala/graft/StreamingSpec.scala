@@ -757,6 +757,117 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty) // sf0.001 contains at least one in-reach pair
   }
 
+  test("streaming estate sync: diff chain A->B->C lands every family at gen C; full replays converge") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    val cw = graft.emit.CorpusWriter
+    val base60 = (1 to 60).map(i => s"t$i").mkString(" ")
+    val chainB = (1 to 60).map(i => s"u$i").mkString(" ")
+    val vocab60 = (1 to 60).map(i => s"v$i").mkString(" ")
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    def docsOf(m: Map[Long, String]) = m.toSeq.sortBy(_._1)
+      .map { case (i, t) => (i, t, if (i % 2 == 0) "en" else "de", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // gen A: bridge cluster {9,13,11}, stable pair {6,7}, 14/15 at
+    // jaccard 0.5, singletons 1/16
+    val aT = Map(1L -> noise(1), 6L -> base60, 7L -> s"$base60 extra",
+      9L -> chainB.replace("u10 ", "X1 ").replace("u20 ", "X2 "),
+      11L -> chainB.replace("u40 ", "Y1 "), 13L -> chainB,
+      14L -> "alpha beta gamma", 15L -> "alpha beta gamma v2",
+      16L -> vocab60)
+    // A->B: remove the bridge 13 (split), add 18 (twin of 16), amend 14
+    // (re-pairs with 15)
+    val bT = aT - 13L + (18L -> vocab60) + (14L -> "alpha beta gamma v2")
+    // B->C: remove 7 (the stable pair shrinks), add 20 (singleton),
+    // change 9 to 11's text (the split halves re-pair)
+    val cT = bT - 7L + (20L -> noise(20)) + (9L -> bT(11L))
+    val root = java.nio.file.Files.createTempDirectory("graft_esync").toString
+    Seq("a", "b", "c").zip(Seq(aT, bT, cT)).foreach { case (g, m) =>
+      cw.write(docsOf(m), s"$root/$g") }
+    val cur = s"$root/current"
+    val diffDir = s"$root/diffs"
+    new java.io.File(diffDir).mkdirs()
+    def publish(gen: String, m: Map[Long, String], prev: String,
+        diffName: String): Unit = {
+      cw.write(docsOf(m), cur)
+      val tmp = s"$root/tmp_$diffName"
+      cw.corpusDiff(spark, s"$root/$prev", s"$root/$gen")
+        .coalesce(1).write.parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$diffDir/$diffName.parquet"))
+    }
+    val (nd, lab, sk) = ("esstr_nd", "esstr_lab", "esstr_sk")
+    val all = Seq(s"${nd}_banded", s"${nd}_shingles", s"${nd}_meta",
+      s"${nd}_tombstones", lab, s"${lab}__gen", sk, s"${sk}__gen")
+    all.foreach(t => ops.dropTableAndLocation(spark, t))
+    def targetsOf(docs: org.apache.spark.sql.DataFrame) =
+      ops.EstateSyncTargets(nearDup = Some((nd, docs)), labels = Some(lab),
+        sketchCells = Some((sk, docs)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      ops.canonicalOfLabelState(df).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSeq
+    def cellsNow(): Map[String, Seq[Byte]] = {
+      spark.catalog.refreshTable(sk)
+      spark.table(sk).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    }
+    def freshCells(docs: org.apache.spark.sql.DataFrame) =
+      docs.groupBy(col("lang"))
+        .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq)
+        .toMap
+    def indexIds(): Set[Long] = {
+      spark.catalog.refreshTable(s"${nd}_shingles")
+      ops.loadNearDupIndex(spark, nd).shingles
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    }
+    def assertGen(m: Map[Long, String], tag: String): Unit = {
+      assert(indexIds() == m.keySet, s"$tag: index membership wrong")
+      spark.catalog.refreshTable(lab)
+      assert(canon(spark.table(lab)) == canon(ops.labelStateOf(docsOf(m))),
+        s"$tag: labels != recompute")
+      assert(cellsNow() == freshCells(docsOf(m)), s"$tag: cells != recompute")
+    }
+    try {
+      ops.saveNearDupIndex(ops.buildNearDupIndex(docsOf(aT)), nd)
+      ops.saveLabelState(spark, lab, ops.labelStateOf(docsOf(aT)))
+      docsOf(aT).groupBy(col("lang"))
+        .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
+        .write.saveAsTable(sk)
+      // publish gen B, stream the first diff
+      publish("b", bT, "a", "d1")
+      graft.streaming.EventsStream.runEstateSyncStream(spark, diffDir, cur,
+        targetsOf)
+      assertGen(bT, "after A->B")
+      // publish gen C; the new run REPLAYS d1 (fresh checkpoint) before
+      // d2 — sequencing AND replay convergence in one pass
+      publish("c", cT, "b", "d2")
+      graft.streaming.EventsStream.runEstateSyncStream(spark, diffDir, cur,
+        targetsOf)
+      assertGen(cT, "after A->B->C with d1 replayed")
+      // the hard label cases landed
+      spark.catalog.refreshTable(lab)
+      val cl = spark.table(lab).select("doc_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(!cl.contains(7L) && !cl.contains(13L), s"removed docs labeled: $cl")
+      assert(cl(9L) == cl(11L), s"gen-C re-pair of the split halves missing: $cl")
+      assert(cl(16L) == cl(18L), s"gen-B addition not merged: $cl")
+      assert(cl(14L) == cl(15L), s"gen-B amendment not re-paired: $cl")
+      // a full third replay of BOTH diffs is a no-op at the value level
+      graft.streaming.EventsStream.runEstateSyncStream(spark, diffDir, cur,
+        targetsOf)
+      assertGen(cT, "after wholesale replay")
+    } finally {
+      all.foreach(t => ops.dropTableAndLocation(spark, t))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("streaming SpaceSaving sketch == batch sketch (exact regime)") {
     val dir = sf("sf0.001")
     def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
