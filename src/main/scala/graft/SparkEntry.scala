@@ -3286,7 +3286,8 @@ object SparkEntry {
         |SELECT doc_id,
         |  CASE WHEN a.sha IS NULL THEN 'added' WHEN b.sha IS NULL THEN 'removed'
         |       WHEN a.sha != b.sha THEN 'changed' END AS status,
-        |  coalesce(b.lang, a.lang) AS lang
+        |  coalesce(b.lang, a.lang) AS lang,
+        |  a.lang AS prev_lang
         |FROM a FULL JOIN b USING (doc_id)
         |WHERE a.sha IS NULL OR b.sha IS NULL OR a.sha != b.sha
         |ORDER BY doc_id""".stripMargin,

@@ -119,26 +119,38 @@ object CorpusWriter {
   }
 
   /** E3 — corpus GENERATION DIFF: which documents were added, removed,
-    * or content-changed between two written corpus trees — the record an
+    * or changed between two written corpus trees — the record an
     * incremental retrain (or a compliance audit) reads to decide what
-    * work generation N+1 actually implies. Byte-level identity is the
-    * content sha (computed MAP-SIDE over each tree's scan, so only
-    * (doc_id, sha, lang) ever shuffles into the full-outer join — text
-    * never moves); status is a pure function of the two shas.
-    * `unchanged` rows are emitted too (callers filter) — the diff is a
-    * total account of both generations.
+    * work generation N+1 actually implies. Byte-level identity is a sha
+    * over text + lang + source (computed MAP-SIDE over each tree's scan,
+    * so only (doc_id, sha, lang) ever shuffles into the full-outer
+    * join — text never moves); status is a pure function of the two
+    * shas, so a metadata-only edit flags `changed` like a text edit
+    * does. Output carries the CURRENT lang plus `prev_lang` (the gen-A
+    * one, null for added) — the aggregate estate-sync classes need both
+    * sides of a lang move. `unchanged` rows are emitted too (callers
+    * filter) — the diff is a total account of both generations.
     */
   def corpusDiff(spark: org.apache.spark.sql.SparkSession, pathA: String,
       pathB: String): DataFrame = {
+    // the signature covers text AND the metadata the aggregate state
+    // classes group by (lang, source): a lang- or source-only edit IS a
+    // generation change — doc stats and sketch cells must follow it even
+    // though no index row moves (round-15 review finding). A control-char
+    // separator keeps field-boundary collisions out of the sha.
     def sig(p: String, side: String) = spark.read.parquet(p)
       .select(col("doc_id"), col("lang").as(s"lang_$side"),
-        sha2(col("text"), 256).as(s"sha_$side"))
+        sha2(concat_ws("\u0001", col("text"), col("lang"), col("source")),
+          256).as(s"sha_$side"))
     sig(pathA, "a").join(sig(pathB, "b"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("sha_a").isNull, lit("added"))
           .when(col("sha_b").isNull, lit("removed"))
           .when(col("sha_a") =!= col("sha_b"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"),
-        coalesce(col("lang_b"), col("lang_a")).as("lang"))
+        coalesce(col("lang_b"), col("lang_a")).as("lang"),
+        // a changed doc's OLD lang (null for added) — the aggregate
+        // sync's affected-lang set needs BOTH sides of a lang move
+        col("lang_a").as("prev_lang"))
   }
 }

@@ -1204,6 +1204,7 @@ object Dedup {
       // docStats/sketchCells carry the gen-B corpus payload their
       // affected-lang rebuild reads
       labels: Option[String] = None,
+      labelThreshold: Double = 0.8,
       docStats: Option[(String, DataFrame)] = None,
       sketchCells: Option[(String, DataFrame)] = None)
 
@@ -1283,9 +1284,16 @@ object Dedup {
     // unaffected lang. (The TAKEDOWN analogue subtracts doc stats — it
     // has the removed rows in hand; a generation swap doesn't, so both
     // aggregate slots use the a2d affected-group rebuild.)
-    lazy val affectedLangs = diff
-      .filter(col("status").isin("added", "removed", "changed"))
-      .select(col("lang")).distinct().localCheckpoint()
+    lazy val affectedLangs = {
+      val ne = diff.filter(col("status").isin("added", "removed", "changed"))
+      // BOTH sides of a lang move: the diff's lang is the CURRENT one,
+      // prev_lang the gen-A one — a changed doc that also moved lang
+      // must rebuild its OLD lang's groups too (round-15 review finding)
+      val prev = if (diff.columns.contains("prev_lang"))
+        ne.select(col("prev_lang").as("lang")).filter(col("lang").isNotNull)
+      else ne.select(col("lang")).limit(0)
+      ne.select(col("lang")).unionByName(prev).distinct().localCheckpoint()
+    }
     def swapAggregate(table: String, rebuilt: DataFrame): Unit = {
       val tmp = s"${table}__gen"
       recoverGenerationSwap(spark, table, tmp)
@@ -1326,11 +1334,13 @@ object Dedup {
         IllegalArgumentException("EstateSyncTargets.labels requires the " +
           "nearDup slot — the merge's delta pairs come from the synced index"))
       spark.catalog.refreshTable(lt)
-      val relabeled = removeFromLabelState(spark.table(lt), genB, gone)
+      val relabeled = removeFromLabelState(spark.table(lt), genB, gone,
+        targets.labelThreshold)
       applyLabelRetraction(spark, lt, gone, relabeled)
       val cameDocs = genB.join(came, Seq("doc_id"), "left_semi")
         .localCheckpoint()
-      val pairs = deltaNearDups(cameDocs, loadNearDupIndex(spark, idx))
+      val pairs = deltaNearDups(cameDocs, loadNearDupIndex(spark, idx),
+          targets.labelThreshold)
         .select(col("id_a"), col("id_b")).distinct()
       val changed = mergeLabelState(spark, spark.table(lt), pairs,
         cameDocs.select(col("doc_id"),
@@ -1347,6 +1357,9 @@ object Dedup {
         ("diffSyncedIndex", dir, splitAt)) {
       val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
       val name = f"diffsync_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      // a crashed prior session's pending tombstones would hide rows
+      // from the rebuilt gen-A index (the diffSyncedAnnSearch rule)
+      dropTableAndLocation(spark, s"${name}_tombstones")
       saveNearDupIndex(buildNearDupIndex(genA), name)
       syncEstateWithDiff(spark, diff,
         EstateSyncTargets(nearDup = Some((name, genB))))
@@ -1372,6 +1385,9 @@ object Dedup {
         ("diffSyncedSimhash", dir, splitAt)) {
       val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
       val name = f"diffsync_sh_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      // a crashed prior session's pending tombstones would hide rows
+      // from the rebuilt gen-A index (the diffSyncedAnnSearch rule)
+      dropTableAndLocation(spark, s"${name}_tombstones")
       saveSimHashIndex(buildSimHashIndex(simhash64Of(genA)), name)
       syncEstateWithDiff(spark, diff,
         EstateSyncTargets(simHash = Some((name, genB))))
@@ -1399,6 +1415,9 @@ object Dedup {
         ("diffSyncedEmb", dir, splitAt)) {
       val (diff, genA, _) = corpusGenFixture(spark, dir, splitAt)
       val name = f"diffsync_em_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      // a crashed prior session's pending tombstones would hide rows
+      // from the rebuilt gen-A index (the diffSyncedAnnSearch rule)
+      dropTableAndLocation(spark, s"${name}_tombstones")
       saveEmbIndex(buildEmbIndex(
         e.join(genA.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi")), name)
@@ -1427,6 +1446,9 @@ object Dedup {
         ("diffSyncedContain", dir, splitAt)) {
       val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
       val name = f"diffsync_ct_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      // a crashed prior session's pending tombstones would hide rows
+      // from the rebuilt gen-A index (the diffSyncedAnnSearch rule)
+      dropTableAndLocation(spark, s"${name}_tombstones")
       saveContainIndex(buildContainIndex(genA, w, winnow), name,
         w = w, winnow = winnow)
       syncEstateWithDiff(spark, diff,
@@ -1489,11 +1511,16 @@ object Dedup {
       val h = f"${dir.hashCode & 0xffffffffL}%x"
       val idx = s"diffsync_lbidx_${splitAt}_$h"
       val lt = s"diffsync_lb_${splitAt}_$h"
-      Seq(lt, s"${lt}__gen").foreach(dropTableAndLocation(spark, _))
+      // the index tombstones too: stale ones from a crashed session
+      // would hide rows from the rebuilt gen-A index and starve the
+      // merge of its delta pairs
+      Seq(lt, s"${lt}__gen", s"${idx}_tombstones")
+        .foreach(dropTableAndLocation(spark, _))
       saveNearDupIndex(buildNearDupIndex(genA), idx)
       saveLabelState(spark, lt, labelStateOf(genA, threshold))
       syncEstateWithDiff(spark, diff, EstateSyncTargets(
-        nearDup = Some((idx, genB)), labels = Some(lt)))
+        nearDup = Some((idx, genB)), labels = Some(lt),
+        labelThreshold = threshold))
       spark.table(lt).localCheckpoint()
     }.asInstanceOf[DataFrame]
     canonicalOfLabelState(state)
@@ -4066,6 +4093,12 @@ object Dedup {
   private[graft] def simhashRebandLifecycle(spark: SparkSession, name: String,
       sigs0: DataFrame, radius: Int, target: Double): DataFrame = {
     val sigs = sigs0.select(col("doc_id"), col("simhash")).localCheckpoint()
+    // crash hygiene FIRST: a prior process that died inside the swap
+    // below left either a WHOLE new generation under the __gen names
+    // (finish it) or a meta-less stray (discard it) — running recovery
+    // AFTER the gen-0 save would pair the stale __gen_meta with the
+    // fresh banded table (or replace gen 0 wholesale)
+    recoverBandedGenerationSwap(spark, name)
     // generation 0: the d11 serving default (4×16-bit banding)
     saveBandedGeneration(spark, name, sigs, bands = 4)
     def measure(phase: Int): DataFrame = {
@@ -4078,11 +4111,6 @@ object Dedup {
           (col("recall") < target).as("triggered"))
         .localCheckpoint()
     }
-    // crash hygiene: a prior process that died inside the swap below
-    // left either a WHOLE new generation under the __gen names (finish
-    // it) or a meta-less stray (discard it) — recover before gen 0
-    // overwrites anything
-    recoverBandedGenerationSwap(spark, name)
     val before = measure(0)
     if (before.head().getAs[Boolean]("triggered")) {
       // the ACTION: re-band as a complete __gen generation, swap.
@@ -4331,6 +4359,10 @@ object Dedup {
       target: Double, hotBlockRows: Long = 1L << 17): DataFrame = {
     val e = e0.select(col("vec_id"), col("label"), col("v"), col("n"))
       .localCheckpoint()
+    // crash hygiene FIRST (the simhashRebandLifecycle rule): finish or
+    // discard a prior process's half-swapped generation before the
+    // gen-0 save writes anything
+    recoverBandedGenerationSwap(spark, name)
     saveEmbBandedGeneration(spark, name, e, bands = 4)
     val audit = slice(e).localCheckpoint()
     val a = audit.select(col("label"), col("vec_id").as("id_a"),

@@ -639,7 +639,8 @@ object EventsStream {
       .schema(StructType(Seq(
         StructField("doc_id", LongType),
         StructField("status", StringType),
-        StructField("lang", StringType))))
+        StructField("lang", StringType),
+        StructField("prev_lang", StringType))))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(diffDir)
     val q = src.writeStream

@@ -766,9 +766,11 @@ class StreamingSpec extends SparkSuite {
     val vocab60 = (1 to 60).map(i => s"v$i").mkString(" ")
     def noise(id: Long) = (1 to 40).map(j =>
       s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
-    def docsOf(m: Map[Long, String]) = m.toSeq.sortBy(_._1)
-      .map { case (i, t) => (i, t, if (i % 2 == 0) "en" else "de", "s", 1L) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def docsOf(m: Map[Long, String], langs: Map[Long, String] = Map.empty) =
+      m.toSeq.sortBy(_._1)
+        .map { case (i, t) => (i, t,
+          langs.getOrElse(i, if (i % 2 == 0) "en" else "de"), "s", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
     // gen A: bridge cluster {9,13,11}, stable pair {6,7}, 14/15 at
     // jaccard 0.5, singletons 1/16
     val aT = Map(1L -> noise(1), 6L -> base60, 7L -> s"$base60 extra",
@@ -780,17 +782,22 @@ class StreamingSpec extends SparkSuite {
     // (re-pairs with 15)
     val bT = aT - 13L + (18L -> vocab60) + (14L -> "alpha beta gamma v2")
     // B->C: remove 7 (the stable pair shrinks), add 20 (singleton),
-    // change 9 to 11's text (the split halves re-pair)
+    // change 9 to 11's text (the split halves re-pair), and flip 15's
+    // LANG de->fr with the text untouched — a metadata-only generation
+    // change the diff must still flag (the aggregate classes follow it:
+    // the 'de' cell loses 15, a 'fr' cell appears)
     val cT = bT - 7L + (20L -> noise(20)) + (9L -> bT(11L))
+    val cLangs = Map(15L -> "fr")
     val root = java.nio.file.Files.createTempDirectory("graft_esync").toString
-    Seq("a", "b", "c").zip(Seq(aT, bT, cT)).foreach { case (g, m) =>
-      cw.write(docsOf(m), s"$root/$g") }
+    Seq(("a", aT, Map.empty[Long, String]), ("b", bT, Map.empty[Long, String]),
+      ("c", cT, cLangs)).foreach { case (g, m, ls) =>
+      cw.write(docsOf(m, ls), s"$root/$g") }
     val cur = s"$root/current"
     val diffDir = s"$root/diffs"
     new java.io.File(diffDir).mkdirs()
     def publish(gen: String, m: Map[Long, String], prev: String,
-        diffName: String): Unit = {
-      cw.write(docsOf(m), cur)
+        diffName: String, langs: Map[Long, String] = Map.empty): Unit = {
+      cw.write(docsOf(m, langs), cur)
       val tmp = s"$root/tmp_$diffName"
       cw.corpusDiff(spark, s"$root/$prev", s"$root/$gen")
         .coalesce(1).write.parquet(tmp)
@@ -826,12 +833,14 @@ class StreamingSpec extends SparkSuite {
       ops.loadNearDupIndex(spark, nd).shingles
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     }
-    def assertGen(m: Map[Long, String], tag: String): Unit = {
+    def assertGen(m: Map[Long, String], tag: String,
+        langs: Map[Long, String] = Map.empty): Unit = {
       assert(indexIds() == m.keySet, s"$tag: index membership wrong")
       spark.catalog.refreshTable(lab)
-      assert(canon(spark.table(lab)) == canon(ops.labelStateOf(docsOf(m))),
+      assert(canon(spark.table(lab)) == canon(ops.labelStateOf(docsOf(m, langs))),
         s"$tag: labels != recompute")
-      assert(cellsNow() == freshCells(docsOf(m)), s"$tag: cells != recompute")
+      assert(cellsNow() == freshCells(docsOf(m, langs)),
+        s"$tag: cells != recompute")
     }
     try {
       ops.saveNearDupIndex(ops.buildNearDupIndex(docsOf(aT)), nd)
@@ -846,10 +855,10 @@ class StreamingSpec extends SparkSuite {
       assertGen(bT, "after A->B")
       // publish gen C; the new run REPLAYS d1 (fresh checkpoint) before
       // d2 — sequencing AND replay convergence in one pass
-      publish("c", cT, "b", "d2")
+      publish("c", cT, "b", "d2", cLangs)
       graft.streaming.EventsStream.runEstateSyncStream(spark, diffDir, cur,
         targetsOf)
-      assertGen(cT, "after A->B->C with d1 replayed")
+      assertGen(cT, "after A->B->C with d1 replayed", cLangs)
       // the hard label cases landed
       spark.catalog.refreshTable(lab)
       val cl = spark.table(lab).select("doc_id", "cluster").collect()
@@ -861,7 +870,7 @@ class StreamingSpec extends SparkSuite {
       // a full third replay of BOTH diffs is a no-op at the value level
       graft.streaming.EventsStream.runEstateSyncStream(spark, diffDir, cur,
         targetsOf)
-      assertGen(cT, "after wholesale replay")
+      assertGen(cT, "after wholesale replay", cLangs)
     } finally {
       all.foreach(t => ops.dropTableAndLocation(spark, t))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
