@@ -33,5 +33,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (machine has 125 GiB): headroom for the 218-query
+  // inventory's session-cached localCheckpoint blocks at larger SFs.
+  // Measured GC at 8g/local[32]/sf0.1 was already benign (1.5-2.2 s per
+  // full bench pass) — see PERF.md "d31 root cause" — so this is
+  // prophylaxis, not a fix.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -36,7 +36,8 @@ object Bench {
     "td1_takedown_unified", "d31_tenant_index", "d11b_simhash_radius5",
     "d32_reband_trigger", "d29b_srp_recall_sampled",
     "td2_takedown_tenant", "d35_tenant_containment", "t25_mixture_sample",
-    "t26b_upsampled_pack", "s20_ann_tenant_store")
+    "t26b_upsampled_pack", "s20_ann_tenant_store",
+    "d49_tenant_diff_synced", "d50_tenant_estate_census")
 
   // Locale.ROOT: the f-interpolator uses the default locale, and a
   // comma-decimal locale would corrupt the JSON contract line
@@ -96,10 +97,34 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
-    def timedPass(): Map[String, (Double, Boolean)] = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (((System.nanoTime() - t0) / 1e9), ok)
+    // stall attribution (round-15 verdict asks #1/#7): cumulative JVM GC
+    // pause time sampled around every query, and a warehouse table census
+    // per pass. BENCH_r15 showed 3-9 s spikes landing on ~15 UNRELATED
+    // queries in different steady passes (d31's median caught two) — with
+    // per-query GC deltas in the artifact, a spike that is a GC pause
+    // self-identifies instead of costing a regression audit next round.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def warehouseTableCount(): Int =
+      try spark.sharedState.externalCatalog.listTables("default").size
+      catch { case _: Throwable => -1 }
+    val gcPerPass = scala.collection.mutable.ArrayBuffer[Double]()
+    val tablesPerPass = scala.collection.mutable.ArrayBuffer[Int]()
+    // per query: (wall seconds, ok, GC pause seconds inside the query)
+    def timedPass(): Map[String, (Double, Boolean, Double)] = {
+      val gc0 = gcMillis()
+      tablesPerPass += warehouseTableCount()
+      val out = selected.map { case (name, fn) =>
+        val g0 = gcMillis()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        name -> (((System.nanoTime() - t0) / 1e9), ok, (gcMillis() - g0) / 1e3)
+      }
+      gcPerPass += (gcMillis() - gc0) / 1e3
+      out
     }
     // pass 1 (cold): first computation of every query result, comparable to
     // previous rounds' `value`. passes 2-4 (steady): same queries
@@ -126,7 +151,11 @@ object Bench {
     val results = timedPass()
     val steadyPasses = Seq.fill(3) { loads += loadAvg(); timedPass() }
     loads += loadAvg()
+    tablesPerPass += warehouseTableCount()
     val loadJson = loads.map(fmt).mkString("[", ",", "]")
+    val gcJson = gcPerPass.map(fmt).mkString("[", ",", "]")
+    val tablesJson = tablesPerPass.mkString("[", ",", "]")
+    val heapMaxGb = Runtime.getRuntime.maxMemory() / (1 << 30)
     val nCpu = Runtime.getRuntime.availableProcessors()
     val steady: Map[String, (Double, Boolean)] = selected.keysIterator.map { k =>
       val vs = steadyPasses.map(_(k))
@@ -138,17 +167,18 @@ object Bench {
     // ok is per PASS: a query that succeeds cold but throws warm is a
     // steady-state regression and must land in `failed`, not masquerade as
     // ok with its failure duration recorded as the steady time
-    val failed = (results.collect { case (k, (_, false)) => k } ++
+    val failed = (results.collect { case (k, (_, false, _)) => k } ++
       steady.collect { case (k, (_, false)) => k }).toSeq.distinct.sorted
-    val detail = results.map { case (k, (v, ok)) =>
+    val detail = results.map { case (k, (v, ok, gcv)) =>
       val (sv, sok) = steady.getOrElse(k, (v, ok))
       val passes = steadyPasses.map(p => fmt(p(k)._1)).mkString("[", ",", "]")
-      s""""$k":{"sec":${fmt(v)},"steady":${fmt(sv)},"steady_passes":$passes,"ok":$ok,"steady_ok":$sok}"""
+      val gcs = (gcv +: steadyPasses.map(_(k)._3)).map(fmt).mkString("[", ",", "]")
+      s""""$k":{"sec":${fmt(v)},"steady":${fmt(sv)},"steady_passes":$passes,"gc_passes":$gcs,"ok":$ok,"steady_ok":$sok}"""
     }.mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath,
-      s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","loadavg_per_pass":$loadJson,"ncpu":$nCpu,"queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","loadavg_per_pass":$loadJson,"gc_sec_per_pass":$gcJson,"tables_per_pass":$tablesJson,"heap_max_gb":$heapMaxGb,"ncpu":$nCpu,"queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
     // the printed per-query numbers are the STEADY MEDIANS, not the cold
     // pass (round-11 verdict ask #6): a load spike landing inside any
@@ -162,6 +192,6 @@ object Bench {
     // LAST line, compact: fits entirely inside the driver's tail window;
     // "steady" is the median-of-3 total (robust), "steady_mean" the plain
     // mean of the three steady pass totals
-    println(s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","queries_kind":"steady_median","loadavg_per_pass":$loadJson,"ncpu":$nCpu,"queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","queries_kind":"steady_median","loadavg_per_pass":$loadJson,"gc_sec_per_pass":$gcJson,"tables_per_pass":$tablesJson,"heap_max_gb":$heapMaxGb,"ncpu":$nCpu,"queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench_full.json","sf":"$sfDir"}""")
   }
 }

@@ -296,6 +296,23 @@ object SparkEntry {
     // fans all nine state classes; census rows (state, n_live, n_refs)
     // against gen-B recomputes — td1's shape for the generation swap
     "d48_estate_sync_census" -> ((s, d) => Dedup.estateSyncCensus(s, d)),
+    // TENANT-SCOPED estate sync: the tenant near-dup index builds over
+    // gen A (both tenants), tenant 0's diff slice syncs its partition
+    // alone, the gate serves tenant 0's delta; oracle = d36's gen-B
+    // delta with both endpoints in the tenant
+    "d49_tenant_diff_synced" -> ((s, d) =>
+      Dedup.tenantDiffSyncedNearDups(s, d).orderBy("id_a", "id_b")),
+    // ... and the isolation contract as an ORACLE: the SAME synced
+    // table must keep serving GEN A exactly for the un-synced tenant 1
+    "d49b_tenant_sync_isolated" -> ((s, d) =>
+      Dedup.tenantDiffSyncedNearDups(s, d, tenant = 1).orderBy("id_a", "id_b")),
+    // the tenant-estate ORCHESTRATION gate: all five tenant-partitioned
+    // families over gen A, ONE syncTenantEstateWithDiff call for tenant
+    // 0, census per family × tenant — tenant 0 counts as gen B with
+    // zero removed refs, tenant 1 as gen A with its removed-class rows
+    // STILL present (nonzero n_refs IS the isolation proof)
+    "d50_tenant_estate_census" -> ((s, d) =>
+      Dedup.tenantEstateSyncCensus(s, d)),
     // the full index lifecycle on disk: save base (bucket < 150), APPEND
     // the 150-199 slice via bucket-spec-matched INSERT INTO, COMPACT back
     // to one file per bucket (generation swap), delta-join the bucket >=
@@ -598,6 +615,11 @@ object SparkEntry {
     // the d28 banding-recall audit for the perceptual family: image
     // dHashes at Hamming 5, exact side via the shared 8-bit re-blocking
     "m7_image_band_recall" -> ((s, d) => Multimodal.imageBandRecall(s, d)),
+    // the d32 monitor→action loop for the perceptual tier: planted
+    // probe images (one flipped dHash bit per 16-bit chunk) drag the
+    // persisted 4-band generation's measured recall below target, the
+    // action re-bands at 8×8 and swaps, the trigger clears
+    "m7b_image_reband_trigger" -> ((s, d) => Multimodal.imageRebandGate(s, d)),
     // video near-dup: per-frame dHash over '00db' DIB chunks decoded from
     // real AVI bytes, shared-keyframe count join (boilerplate frames
     // df-filtered first, the d12 pattern) — the oracle replays frame
@@ -654,9 +676,12 @@ object SparkEntry {
     // ---- e3: the GENERATION DIFF between two written trees — gen A is
     // the corpus minus the doc_id ≡ 5 (mod 13) class, gen B the corpus
     // minus the ≡ 4 (mod 9) class with the ≡ 3 (mod 11) class's text
-    // amended; the diff re-reads BOTH trees from disk and classifies by
-    // content sha, so a write-path corruption (dropped rows, text
-    // mangling) surfaces as a wrong status ----
+    // amended AND the ≡ 7 (mod 19) class's lang moved to 'zz' (text
+    // untouched — a METADATA-only change the sha must still flag, so a
+    // signature regressing to text-only hash-mismatches here); the diff
+    // re-reads BOTH trees from disk and classifies by content sha, so a
+    // write-path corruption (dropped rows, text mangling) surfaces as a
+    // wrong status ----
     "e3_corpus_diff" -> ((s, d) => {
       val tag = java.util.UUID.nameUUIDFromBytes(("diff:" + d).getBytes("UTF-8"))
         .toString.take(8)
@@ -669,7 +694,9 @@ object SparkEntry {
       graft.emit.CorpusWriter.write(
         docs.filter(col("doc_id") % 9 =!= 4)
           .withColumn("text", when(col("doc_id") % 11 === 3,
-            concat(col("text"), lit(" v2"))).otherwise(col("text"))),
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .withColumn("lang", when(col("doc_id") % 19 === 7, lit("zz"))
+            .otherwise(col("lang"))),
         s"$out/b", nShards = 4)
       graft.emit.CorpusWriter.corpusDiff(s, s"$out/a", s"$out/b")
         .filter(col("status") =!= "unchanged")
@@ -752,6 +779,70 @@ object SparkEntry {
        |FROM pairs JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
        |WHERE xa.bucket >= 200 OR xb.bucket >= 200
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** The d49/d49b oracles: d36's diff-synced delta SQL restricted to
+    * ONE tenant of the tenant-partitioned index — the synced tenant 0
+    * recomputes over GEN B (≡4 mod 9 dropped, ≡3 mod 11 amended), the
+    * untouched tenant 1 over GEN A (≡5 mod 13 dropped, NO amendment).
+    * One table, two generations: a sync that leaked into the other
+    * tenant's partition, or failed to erase gen A in its own,
+    * hash-mismatches on one side or the other.
+    */
+  private def tenantDiffSyncedSql(tenant: Int, genB: Boolean) = {
+    val member = if (genB) "d.doc_id % 9 != 4" else "d.doc_id % 13 != 5"
+    val amend = if (genB)
+      "CASE WHEN b0.bucket < 200 AND d.doc_id % 11 = 3 THEN d.text || ' v2' ELSE d.text END"
+    else "d.text"
+    s"""WITH bk0 AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents),
+       |t AS (SELECT d.doc_id, d.lang, regexp_split_to_array(trim($amend), '\\s+') AS w
+       |  FROM documents d JOIN bk0 b0 ON d.doc_id = b0.doc_id
+       |  WHERE d.text IS NOT NULL AND d.doc_id % 2 = $tenant
+       |    AND (b0.bucket >= 200 OR $member)),
+       |s AS (SELECT doc_id, lang, w[1] AS tok0, w[-1] AS tokz,
+       |  CASE WHEN len(w)<3 THEN [array_to_string(w,' ')]
+       |       ELSE [array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)] END AS sh FROM t),
+       |$lshPairsCtes,
+       |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+       |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b, jaccard
+       |FROM pairs JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+       |WHERE xa.bucket >= 200 OR xb.bucket >= 200
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The d50 oracle: per (family, tenant) census counts from the
+    * fixture algebra alone. The indexed universe is bucket < 200
+    * text-bearing docs; tenant 0's live set is GEN B membership
+    * (≡4 mod 9 dropped), tenant 1's is GEN A (≡5 mod 13 dropped); the
+    * removed class (in A, not B) must count ZERO rows in tenant 0
+    * (physically erased) and its FULL row complement in tenant 1
+    * (simhash ×4 — four banded rows per doc; vector families count
+    * embedding-backed ids only).
+    */
+  private lazy val tenantEstateCensusSql =
+    s"""WITH bk0 AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents),
+       |u AS (SELECT d.doc_id, CAST(d.doc_id % 2 AS BIGINT) AS tenant
+       |  FROM documents d JOIN bk0 b0 ON d.doc_id = b0.doc_id
+       |  WHERE d.text IS NOT NULL AND b0.bucket < 200),
+       |live AS (SELECT doc_id, tenant FROM u
+       |  WHERE (tenant = 0 AND doc_id % 9 != 4) OR (tenant = 1 AND doc_id % 13 != 5)),
+       |rm AS (SELECT doc_id, tenant FROM u
+       |  WHERE tenant = 1 AND doc_id % 13 != 5 AND doc_id % 9 = 4),
+       |tn AS (SELECT unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS tenant),
+       |lv AS (SELECT tenant, count(*) AS n FROM live GROUP BY tenant),
+       |rc AS (SELECT tenant, count(*) AS n FROM rm GROUP BY tenant),
+       |el AS (SELECT l.tenant, count(*) AS n FROM embeddings e JOIN live l ON e.vec_id = l.doc_id GROUP BY l.tenant),
+       |er AS (SELECT r.tenant, count(*) AS n FROM embeddings e JOIN rm r ON e.vec_id = r.doc_id GROUP BY r.tenant),
+       |base AS (SELECT t.tenant, coalesce(lv.n, 0) AS doc_live, coalesce(rc.n, 0) AS doc_rm,
+       |    coalesce(el.n, 0) AS vec_live, coalesce(er.n, 0) AS vec_rm
+       |  FROM tn t LEFT JOIN lv ON lv.tenant = t.tenant LEFT JOIN rc ON rc.tenant = t.tenant
+       |  LEFT JOIN el ON el.tenant = t.tenant LEFT JOIN er ON er.tenant = t.tenant)
+       |SELECT state, tenant, n_live, n_refs FROM (
+       |  SELECT 'ann_store' AS state, tenant, vec_live AS n_live, vec_rm AS n_refs FROM base
+       |  UNION ALL SELECT 'contain_index', tenant, doc_live, doc_rm FROM base
+       |  UNION ALL SELECT 'emb_index', tenant, vec_live, vec_rm FROM base
+       |  UNION ALL SELECT 'neardup_index', tenant, doc_live, doc_rm FROM base
+       |  UNION ALL SELECT 'simhash_index', tenant, doc_live, 4 * doc_rm FROM base
+       |) ORDER BY state, tenant""".stripMargin
 
   /** The d37 oracle: d15's simhash delta recomputed over GEN B ∪ shard —
     * signatures form over the amended gen-B text (the ≡3 mod 11 class's
@@ -841,7 +932,8 @@ object SparkEntry {
     s"""bk0 AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents),
        |gb AS (SELECT d.doc_id,
        |    CASE WHEN d.doc_id % 11 = 3 THEN d.text || ' v2' ELSE d.text END AS text,
-       |    d.lang, d.source
+       |    CASE WHEN d.doc_id % 19 = 7 THEN 'zz' ELSE d.lang END AS lang,
+       |    d.source
        |  FROM documents d JOIN bk0 b0 ON d.doc_id = b0.doc_id
        |  WHERE d.text IS NOT NULL AND b0.bucket < 200 AND d.doc_id % 9 != 4)""".stripMargin
 
@@ -1906,6 +1998,17 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) DESC, vec_id) AS rn
          |  FROM p CROSS JOIN e WHERE probe_id != vec_id)
          |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin,
+    // the TENANT-SCOPED diff sync: tenant 0's partition serves GEN B
+    // (≡4 mod 9 dropped, ≡3 mod 11 amended) ...
+    "d49_tenant_diff_synced" -> tenantDiffSyncedSql(0, genB = true),
+    // ... while the SAME table's tenant 1 still serves GEN A exactly
+    // (≡5 mod 13 dropped, NO amendment) — isolation as an oracle
+    "d49b_tenant_sync_isolated" -> tenantDiffSyncedSql(1, genB = false),
+    // the tenant-estate census: per (family, tenant) counts from the
+    // fixture algebra — tenant 0 = gen B with zero removed refs,
+    // tenant 1 = gen A with its removed-class rows still present
+    // (simhash refs ×4: four banded rows per doc)
+    "d50_tenant_estate_census" -> tenantEstateCensusSql,
     // the tenant-partitioned index serves tenant 0's delta exactly:
     // the d13 identity with both endpoints in the tenant (tenants are
     // isolated corpora — shingles and band keys are per-doc functions,
@@ -3175,6 +3278,51 @@ object SparkEntry {
     // the d28 banding recall over the image dHashes: exact side brute
     // (the Spark side's 8-bit re-blocking is pigeonhole-exact through 7,
     // so the two exact sides coincide), banded side = the 16-bit chunks
+    // the m7b oracle: the planted-probe dHash population (base grids ∪
+    // the ≡1 mod 16 class's flipped-bit probes at media_id −doc_id)
+    // re-derived arithmetically, both bandings measured, then the d32
+    // two-phase trigger/action tail — a trigger that fails to trip, an
+    // action that fails to fix, or a swap serving the wrong generation
+    // all hash-mismatch
+    "m7b_image_reband_trigger" -> {
+      def g(x: Int, y: Int): String = {
+        val md5 = s"md5('px:' || (doc_id // 4) || ':' || ${x * 8 + y})"
+        val pert = if (x == 2 && y == 3)
+          " + (CASE WHEN doc_id % 4 = 3 THEN 37 ELSE 0 END)" else ""
+        s"(((${hexv(s"substr($md5, 1, 1)")} * 16 + ${hexv(s"substr($md5, 2, 1)")}) % 200)" +
+          s" + (doc_id % 4) * 5$pert)"
+      }
+      def bitExpr(i: Int, probe: Boolean): String = {
+        val x = i % 8; val y = i / 8
+        val left = g(x + 1, y)
+        val right =
+          if (probe && x == 0 && y % 2 == 1)
+            s"(CASE WHEN $left > ${g(x, y)} THEN 255 ELSE 0 END)"
+          else g(x, y)
+        s"(CASE WHEN $left > $right THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }
+      val bits = (0 until 64).map(bitExpr(_, probe = false)).mkString(" + ")
+      val pbits = (0 until 64).map(bitExpr(_, probe = true)).mkString(" + ")
+      s"""WITH dh0 AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM documents),
+         |dhp AS (SELECT -doc_id AS doc_id, CAST($pbits AS BIGINT) AS simhash FROM documents WHERE doc_id % 16 = 1),
+         |dh AS (SELECT * FROM dh0 UNION ALL SELECT * FROM dhp),
+         |ex AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b FROM dh a JOIN dh b2 ON a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |b4 AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
+         |  FROM dh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |ap4 AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b FROM b4 a JOIN b4 b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |b8 AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS chunk
+         |  FROM dh CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b) bb),
+         |ap8 AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b FROM b8 a JOIN b8 b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+         |c4 AS (SELECT CAST(count(*) AS BIGINT) AS n4 FROM ex SEMI JOIN ap4 USING (id_a, id_b)),
+         |c8 AS (SELECT CAST(count(*) AS BIGINT) AS n8 FROM ex SEMI JOIN ap8 USING (id_a, id_b)),
+         |${rebandPhasesSql(0.95)}""".stripMargin
+    },
     "m7_image_band_recall" -> {
       def g(x: Int, y: Int): String = {
         val md5 = s"md5('px:' || (doc_id // 4) || ':' || ${x * 8 + y})"
@@ -3277,11 +3425,20 @@ object SparkEntry {
     // the generation diff: statuses recomputed straight from documents
     // under the same gen-A/gen-B membership and amendment rules — a doc
     // in both gens with equal text is 'unchanged' and filtered out
+    // the oracle mirrors the EXACT multi-field signature byte layout
+    // (chr(1) separators, chr(2) null sentinels) — a Scala signature
+    // regressing to text-only misses the planted ≡7 (mod 19) lang move
+    // (text untouched) and row-count-mismatches here
     "e3_corpus_diff" ->
-      """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
-        |a AS (SELECT doc_id, lang, sha256(text) AS sha FROM d WHERE doc_id % 13 != 5),
-        |b AS (SELECT doc_id, lang,
-        |    sha256(CASE WHEN doc_id % 11 = 3 THEN text || ' v2' ELSE text END) AS sha
+      """WITH d AS (SELECT doc_id, lang, source, text FROM documents WHERE text IS NOT NULL),
+        |a AS (SELECT doc_id, lang,
+        |    sha256(coalesce(text, chr(2)) || chr(1) || coalesce(lang, chr(2)) || chr(1) || coalesce(source, chr(2))) AS sha
+        |  FROM d WHERE doc_id % 13 != 5),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 19 = 7 THEN 'zz' ELSE lang END AS lang,
+        |    sha256(coalesce(CASE WHEN doc_id % 11 = 3 THEN text || ' v2' ELSE text END, chr(2))
+        |      || chr(1) || coalesce(CASE WHEN doc_id % 19 = 7 THEN 'zz' ELSE lang END, chr(2))
+        |      || chr(1) || coalesce(source, chr(2))) AS sha
         |  FROM d WHERE doc_id % 9 != 4)
         |SELECT doc_id,
         |  CASE WHEN a.sha IS NULL THEN 'added' WHEN b.sha IS NULL THEN 'removed'

@@ -137,11 +137,18 @@ object CorpusWriter {
     // classes group by (lang, source): a lang- or source-only edit IS a
     // generation change — doc stats and sketch cells must follow it even
     // though no index row moves (round-15 review finding). A control-char
-    // separator keeps field-boundary collisions out of the sha.
-    def sig(p: String, side: String) = spark.read.parquet(p)
-      .select(col("doc_id"), col("lang").as(s"lang_$side"),
-        sha2(concat_ws("\u0001", col("text"), col("lang"), col("source")),
-          256).as(s"sha_$side"))
+    // separator keeps field-boundary collisions out of the sha — and
+    // each field coalesces to a \u0002 sentinel FIRST, because concat_ws
+    // silently SKIPS nulls and would collapse field boundaries:
+    // (NULL, 'en', src) and ('en', NULL, src) must not hash identically
+    // (round-15 advice). The e3 oracle mirrors the exact byte layout.
+    def sig(p: String, side: String) = {
+      def f(c: String) = coalesce(col(c), lit("\u0002"))
+      spark.read.parquet(p)
+        .select(col("doc_id"), col("lang").as(s"lang_$side"),
+          sha2(concat_ws("\u0001", f("text"), f("lang"), f("source")),
+            256).as(s"sha_$side"))
+    }
     sig(pathA, "a").join(sig(pathB, "b"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("sha_a").isNull, lit("added"))

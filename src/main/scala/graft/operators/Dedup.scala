@@ -63,7 +63,7 @@ object Dedup {
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     shingleTableOf(Tables.documents(spark, dir))
 
-  private def shingleTableOf(documents: DataFrame): DataFrame =
+  private[graft] def shingleTableOf(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), col("lang"),
       graft.plans.ShinglesExpr.wordShingles(col("text"), 3).as("sh"))
 
@@ -974,6 +974,28 @@ object Dedup {
     spark.catalog.refreshTable(table)
   }
 
+  /** Every table suffix this family can leave on disk (serving tables
+    * + runtime tombstones). Fresh-state gates UNION the per-family
+    * constants (this, [[simHashTableSuffixes]], [[embIndexTableSuffixes]],
+    * [[containTableSuffixes]], [[Similarity.annTableSuffixes]] — see
+    * [[estateTableSuffixes]]) instead of inlining copies, so a suffix
+    * added next to its save* function reaches every gate's reset list
+    * (round-15 advice: stale warehouse tables must not leak across
+    * crashed sessions because one gate's list went stale).
+    */
+  private[graft] val nearDupTableSuffixes =
+    Seq("_banded", "_shingles", "_meta", "_tombstones")
+
+  /** The union of every family's on-disk suffix set, plus the bare
+    * table name (aggregate/label state) and the `__gen` generation-swap
+    * temp — the whole-estate fresh-state reset surface the census gates
+    * drop per suffix constant instead of per inlined literal.
+    */
+  private[graft] lazy val estateTableSuffixes: Seq[String] =
+    (Seq("", "__gen") ++ nearDupTableSuffixes ++ simHashTableSuffixes ++
+      embIndexTableSuffixes ++ containTableSuffixes ++
+      Similarity.annTableSuffixes).distinct
+
   def saveNearDupIndex(index: NearDupIndex, name: String, buckets: Int = 8): Unit = {
     saveBucketedTable(index.banded, s"${name}_banded", buckets, Seq("band", "bkey"))
     saveBucketedTable(index.shingles, s"${name}_shingles", buckets, Seq("doc_id"))
@@ -1176,9 +1198,17 @@ object Dedup {
       }))
       val base = docs.filter(bucket < splitAt)
       val genA = base.filter(col("doc_id") % 13 =!= 5).localCheckpoint()
+      // gen B: membership change (≡4 mod 9 dropped), a TEXT change
+      // (≡3 mod 11 amended), and a METADATA-only change (≡7 mod 19
+      // lang-moved to 'zz', text untouched) — the last one exists so
+      // the aggregate-sync oracles (d45/d46/d48) exercise the
+      // prev_lang-driven affected-lang path on BOTH sides of a move
+      // (round-15 advice)
       val genB = base.filter(col("doc_id") % 9 =!= 4)
         .withColumn("text", when(col("doc_id") % 11 === 3,
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .withColumn("lang", when(col("doc_id") % 19 === 7, lit("zz"))
+          .otherwise(col("lang")))
         .localCheckpoint()
       graft.emit.CorpusWriter.write(genA, s"$out/a")
       graft.emit.CorpusWriter.write(genB, s"$out/b")
@@ -1294,6 +1324,13 @@ object Dedup {
       else ne.select(col("lang")).limit(0)
       ne.select(col("lang")).unionByName(prev).distinct().localCheckpoint()
     }
+    // GROUP-SIZED TABLES ONLY: this swap rewrites the WHOLE aggregate
+    // table per sync (untouched groups ride through the union) — right
+    // for the (lang, source)/(lang) doc-stats and sketch-cell tables,
+    // whose row count is the group census, WRONG for anything id-keyed
+    // (an id-keyed state class needs the partition-scoped verbs the
+    // index families use, never a whole-table union). Same assumption
+    // family as the a2c algebra doc.
     def swapAggregate(table: String, rebuilt: DataFrame): Unit = {
       val tmp = s"${table}__gen"
       recoverGenerationSwap(spark, table, tmp)
@@ -1643,10 +1680,7 @@ object Dedup {
         "lab" -> s"esync_lb_$h", "st" -> s"esync_st_$h",
         "sk" -> s"esync_sk_$h")
       // fresh state every session: the gate measures one full lifecycle
-      nm.values.toSeq.flatMap(n => Seq(n, s"${n}_banded", s"${n}_shingles",
-          s"${n}_meta", s"${n}_tombstones", s"${n}_fp", s"${n}_df",
-          s"${n}_sets", s"${n}_vectors", s"${n}_centroids", s"${n}_pqbook",
-          s"${n}__gen"))
+      nm.values.toSeq.flatMap(n => estateTableSuffixes.map(s => s"$n$s"))
         .foreach(t => dropTableAndLocation(spark, t))
       saveNearDupIndex(buildNearDupIndex(genA), nm("nd"))
       saveSimHashIndex(buildSimHashIndex(simhash64Of(genA)), nm("sh"))
@@ -1712,6 +1746,345 @@ object Dedup {
       .unionByName(groupCensus("sketch_cells", spark.table(names("sk")),
         count(lit(1)), Seq("lang")))
       .orderBy("state")
+  }
+
+  /** The tenant-partitioned families one TENANT-SCOPED diff sync fans
+    * to — [[EstateSyncTargets]]'s counterpart for the d31/d33/d34/d35
+    * layouts plus the s20 two-level store ([[Takedown.TenantTargets]]
+    * is the deletion-list analogue; this is the generation-swap one).
+    * Slots carry (table, gen-B payload): documents for nearDup/simHash,
+    * the WINNOWED SELECTION frame for contain (the tenant tables carry
+    * no meta table, so the caller owns the w/winnow parameters — pass a
+    * selection built with the same parameters the index was), prepared
+    * vectors (vec_id key) for emb/annStore. Absent ⇒ the family is not
+    * deployed for this estate.
+    */
+  final case class TenantEstateSyncTargets(
+      nearDup: Option[(String, DataFrame)] = None,
+      simHash: Option[(String, DataFrame)] = None,
+      emb: Option[(String, DataFrame)] = None,
+      contain: Option[(String, DataFrame)] = None,
+      annStore: Option[(String, DataFrame)] = None,
+      // the tenant-partitioned AGGREGATE state classes (td2's other two
+      // — the sync now reaches every class a tenant takedown does):
+      // labels requires the nearDup slot (merge pairs come from the
+      // just-synced tenant index); sketchCells carries the gen-B corpus
+      // payload its affected-lang rebuild reads, and needs the diff to
+      // carry lang (+ prev_lang for moves) — e3's corpusDiff does
+      labels: Option[String] = None,
+      labelThreshold: Double = 0.8,
+      sketchCells: Option[(String, DataFrame)] = None)
+
+  /** TENANT-SCOPED diff-driven estate sync — [[syncEstateWithDiff]]'s
+    * counterpart for the tenant-partitioned estate: ONE tenant's slice
+    * of a corpus diff fans across that tenant's d31/d33/d34/d35 index
+    * partitions and its s20 store subtree, while every other tenant's
+    * files never move and their pending tombstones survive (the
+    * per-family compactTenant* contracts, TenantEstateSyncSpec pins the
+    * mtimes). Diff rows OUTSIDE the tenant are dropped, not fanned —
+    * a per-tenant corpus generation swap must not reach into another
+    * tenant's estate (isolation is the layout's point), so after
+    * syncing tenant A alone, tenant B still serves its OLD generation
+    * exactly (the d49b oracle proves it over the same table). Per
+    * family the verbs are the fleet sync's: `removed ∪ changed`
+    * tombstone out, a tenant-scoped compaction lands them physical
+    * inside the tenant's partition alone (the payload contract —
+    * re-appending a changed id must not resurrect its old rows), and
+    * `added ∪ changed` re-append from the gen-B payload into the
+    * tenant's partition as fresh bucket files (semi-join: diff ids
+    * absent from a family's payload simply don't fan there). Per-call
+    * cost is (tenant ∩ diff)-sized for remove/append and one tenant
+    * partition for compaction — independent of every other tenant.
+    */
+  def syncTenantEstateWithDiff(spark: SparkSession, diff: DataFrame,
+      tenant: Int, nTenants: Int,
+      targets: TenantEstateSyncTargets): Unit = {
+    def inTenant = pmod(col("doc_id"), lit(nTenants)) === tenant
+    val gone = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id")).filter(inTenant).localCheckpoint()
+    val came = diff.filter(col("status").isin("added", "changed"))
+      .select(col("doc_id")).filter(inTenant).localCheckpoint()
+    // skip the remove+compact (resp. append) phase outright when the
+    // tenant's diff slice has nothing for it: an empty tombstone batch
+    // would still trigger a full tenant-partition rewrite
+    val hasGone = !gone.isEmpty
+    val hasCame = !came.isEmpty
+    if (!hasGone && !hasCame) return
+    val goneVec = gone.select(col("doc_id").as("vec_id"))
+    val cameVec = came.select(col("doc_id").as("vec_id"))
+    def withTenant(df: DataFrame) = df.withColumn("tenant", lit(tenant))
+    targets.nearDup.foreach { case (t, docs) =>
+      if (hasGone) {
+        removeFromNearDupIndex(spark, t, gone)
+        compactTenantNearDupIndex(spark, t, tenant, nTenants)
+      }
+      if (hasCame) {
+        val sh = shingleTableOf(docs.join(came, Seq("doc_id"), "left_semi"))
+          .localCheckpoint() // feeds both appends
+        // banding/bucket constants = saveTenantNearDupTables' (3, 3, 8)
+        appendTenantBucketedTable(withTenant(bandedKeys(sh, 3, 3)),
+          s"${t}_banded", buckets = 8, Seq("band", "bkey"))
+        appendTenantBucketedTable(withTenant(sh), s"${t}_shingles",
+          buckets = 8, Seq("doc_id"))
+        clearTombstones(spark, s"${t}_tombstones", came, "doc_id")
+      }
+    }
+    targets.simHash.foreach { case (t, docs) =>
+      if (hasGone) {
+        removeFromSimHashIndex(spark, t, gone)
+        compactTenantSimHashIndex(spark, t, tenant, nTenants)
+      }
+      if (hasCame) {
+        appendTenantBucketedTable(
+          withTenant(simhashBanded(simhash64Of(
+            docs.join(came, Seq("doc_id"), "left_semi")))),
+          s"${t}_banded", buckets = 8, Seq("b", "chunk"))
+        clearTombstones(spark, s"${t}_tombstones", came, "doc_id")
+      }
+    }
+    targets.emb.foreach { case (t, vecs) =>
+      if (hasGone) {
+        removeFromEmbIndex(spark, t, goneVec)
+        compactTenantEmbIndex(spark, t, tenant, nTenants)
+      }
+      if (hasCame) {
+        val nv = vecs.join(cameVec, Seq("vec_id"), "left_semi")
+          .localCheckpoint() // feeds both appends
+        appendTenantBucketedTable(withTenant(embBandedOf(nv, 4, 2)),
+          s"${t}_banded", buckets = 8, Seq("label", "band", "bucket"))
+        appendTenantBucketedTable(
+          withTenant(nv.select("label", "vec_id", "v", "n")),
+          s"${t}_vectors", buckets = 8, Seq("vec_id"))
+        clearTombstones(spark, s"${t}_tombstones", cameVec, "vec_id")
+      }
+    }
+    targets.contain.foreach { case (t, sel) =>
+      if (hasGone) {
+        removeFromContainIndex(spark, t, gone)
+        compactTenantContainIndex(spark, t, tenant, nTenants)
+      }
+      if (hasCame) {
+        val newSel = sel.join(came, Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        val fp = withTenant(
+          newSel.select(col("doc_id"), explode(col("fps")).as("d")))
+          .localCheckpoint() // feeds the fp append AND the df increment
+        appendTenantBucketedTable(fp, s"${t}_fp", buckets = 8, Seq("d"))
+        // df INCREMENT rows — loadTenantContainIndex sums per digest,
+        // and the next compaction collapses the tenant's rows back to
+        // one per digest
+        appendTenantBucketedTable(
+          fp.groupBy(col("tenant"), col("d")).agg(count(lit(1)).as("n"))
+            .select(col("d"), col("n"), col("tenant")),
+          s"${t}_df", buckets = 8, Seq("d"))
+        appendTenantBucketedTable(
+          withTenant(newSel.select(col("doc_id"), col("dall"))),
+          s"${t}_sets", buckets = 8, Seq("doc_id"))
+        clearTombstones(spark, s"${t}_tombstones", came, "doc_id")
+      }
+    }
+    targets.annStore.foreach { case (t, vecs) =>
+      if (hasGone) {
+        Similarity.removeFromPartitionedAnnStore(spark, t, goneVec)
+        Similarity.compactTenantAnnStore(spark, t, tenant, nTenants)
+      }
+      if (hasCame)
+        Similarity.appendTenantAnnStore(spark, t,
+          vecs.join(cameVec, Seq("vec_id"), "left_semi"), tenant)
+    }
+    // ---- the tenant AGGREGATE state classes (td2's other two). Same
+    // composition as the fleet sync's labels/cells arms, with every
+    // read, relabel, rebuild and rewrite scoped to THIS tenant's
+    // partition (the retractTenantLabelState / rebuildTenantSketchCells
+    // mechanics, diff-driven instead of takedown-driven).
+    targets.labels.foreach { lt =>
+      val (idx, genB) = targets.nearDup.getOrElse(throw new
+        IllegalArgumentException("TenantEstateSyncTargets.labels requires " +
+          "the nearDup slot — the merge's delta pairs come from the synced " +
+          "tenant index"))
+      val genBT = genB.filter(inTenant).localCheckpoint()
+      def slice() = {
+        spark.catalog.refreshTable(lt)
+        spark.table(lt).filter(col("tenant") === tenant).drop("tenant")
+          .localCheckpoint()
+      }
+      if (hasGone) {
+        // gone docs retract: the tenant's touched clusters re-label over
+        // surviving members (vertex removal SPLITS components — the d23
+        // semantics), only this tenant's partition rewrites
+        val s = slice()
+        val relabeled = removeFromLabelState(s, genBT, gone,
+          targets.labelThreshold).localCheckpoint()
+        rewriteTenantPartition(spark, lt, tenant, buckets = 4, Seq("cluster"),
+          s.join(broadcast(gone), Seq("doc_id"), "left_anti")
+            .join(broadcast(relabeled.select(col("doc_id"))), Seq("doc_id"),
+              "left_anti")
+            .unionByName(relabeled))
+      }
+      if (hasCame) {
+        // came docs merge via their delta pairs against the JUST-SYNCED
+        // tenant index (the d16 ingest semantics) — arm order in this
+        // method guarantees the index synced first
+        val s = slice()
+        val cameDocs = genBT.join(came, Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        val pairs = deltaNearDups(cameDocs,
+            loadTenantNearDupIndex(spark, idx, tenant),
+            targets.labelThreshold)
+          .select(col("id_a"), col("id_b")).distinct()
+        val changed = mergeLabelState(spark, s, pairs,
+          cameDocs.select(col("doc_id"),
+            length(coalesce(col("text"), lit(""))).as("qlen")))
+          .localCheckpoint()
+        rewriteTenantPartition(spark, lt, tenant, buckets = 4, Seq("cluster"),
+          s.join(broadcast(changed.select(col("doc_id"))), Seq("doc_id"),
+            "left_anti").unionByName(changed))
+      }
+    }
+    targets.sketchCells.foreach { case (t, genB) =>
+      // affected langs = BOTH sides of every non-unchanged tenant diff
+      // row (lang + prev_lang — the corpusDiff contract); registers are
+      // additive, so affected cells REBUILD from the tenant's gen-B rows
+      // (the a2d rule) while untouched cells' bytes carry over, and only
+      // this tenant's partition rewrites
+      val ne = diff.filter(col("status").isin("added", "removed", "changed"))
+        .filter(inTenant)
+      val prev = if (diff.columns.contains("prev_lang"))
+        ne.select(col("prev_lang").as("lang")).filter(col("lang").isNotNull)
+      else ne.select(col("lang")).limit(0)
+      val affected = ne.select(col("lang")).unionByName(prev).distinct()
+        .localCheckpoint()
+      val genBT = genB.filter(inTenant)
+      val rebuilt = genBT.join(broadcast(affected), Seq("lang"), "left_semi")
+        .groupBy(col("lang"))
+        .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
+      spark.catalog.refreshTable(t)
+      rewriteTenantPartition(spark, t, tenant, buckets = 2, Seq("lang"),
+        spark.table(t).filter(col("tenant") === tenant).drop("tenant")
+          .join(broadcast(affected), Seq("lang"), "left_anti")
+          .unionByName(rebuilt))
+    }
+  }
+
+  /** Build-once state for d49/d49b: the tenant-partitioned near-dup
+    * index over GEN A (both tenants), then `syncTenant`'s partition
+    * alone synced to gen B through [[syncTenantEstateWithDiff]] — so
+    * one table serves gen B for the synced tenant and gen A for every
+    * other, which is exactly what the two gates' oracles pin.
+    */
+  private[graft] def tenantDiffSyncedIndex(spark: SparkSession, dir: String,
+      nTenants: Int, splitAt: Int, syncTenant: Int = 0): String =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantDiffSyncedIndex", dir, nTenants, splitAt, syncTenant)) {
+      val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
+      val t = f"tenant_ds_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      // a crashed prior session's pending tombstones would hide rows
+      // from the rebuilt gen-A index (the diffSyncedAnnSearch rule);
+      // ditto its mid-compaction temps
+      dropTableAndLocation(spark, s"${t}_tombstones")
+      Seq("banded", "shingles").foreach(h =>
+        dropTenantCompactionTemps(spark, s"${t}_$h", nTenants))
+      saveTenantNearDupTables(shingleTableOf(genA), t, nTenants)
+      syncTenantEstateWithDiff(spark, diff, syncTenant, nTenants,
+        TenantEstateSyncTargets(nearDup = Some((t, genB))))
+      t
+    }.asInstanceOf[String]
+
+  /** D49 — the d36 diff-sync discipline composed with d31's tenant
+    * isolation: the tenant-partitioned near-dup index builds over GEN A
+    * (both tenants), ONE tenant's slice of the e3 diff syncs that
+    * tenant's partition alone, and the gate serves the synced tenant's
+    * delta. Oracle: the d36 gen-B delta SQL with both endpoints in the
+    * tenant — a leftover gen-A row, a stale unamended shingle, or a
+    * missed addition inside the tenant's partition hash-mismatches.
+    * Called with `tenant` ≠ the synced tenant (d49b), the SAME table
+    * must serve gen A exactly — the isolation contract as an oracle,
+    * not just an mtime pin.
+    */
+  def tenantDiffSyncedNearDups(spark: SparkSession, dir: String,
+      tenant: Int = 0, nTenants: Int = 2, splitAt: Int = 200,
+      threshold: Double = 0.8): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sh = persistedShingleTable(spark, dir)
+    val name = tenantDiffSyncedIndex(spark, dir, nTenants, splitAt)
+    deltaNearDupsFromShingles(
+      sh.filter(bucket >= splitAt &&
+        pmod(col("doc_id"), lit(nTenants)) === tenant),
+      loadTenantNearDupIndex(spark, name, tenant), threshold)
+  }
+
+  /** D50 — the d48 orchestration census for the TENANT estate: build
+    * all five tenant-partitioned families over GEN A (both tenants),
+    * fan ONE [[syncTenantEstateWithDiff]] for tenant 0 alone, then
+    * census every family × tenant — n_live (distinct served ids) and
+    * n_refs (rows still referencing the diff's REMOVED ids). The oracle
+    * recomputes both numbers per tenant from the fixture algebra:
+    * tenant 0 must census as gen B with ZERO removed refs (the sync
+    * erased them physically), tenant 1 as gen A with its removed-class
+    * rows STILL PRESENT (nonzero n_refs is the isolation proof — a sync
+    * that leaked into tenant 1's partition shows up as a count drop).
+    */
+  def tenantEstateSyncCensus(spark: SparkSession, dir: String,
+      splitAt: Int = 200, nTenants: Int = 2): DataFrame = {
+    val h = f"${dir.hashCode & 0xffffffffL}%x"
+    val state = graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantEstateSyncCensus", dir, splitAt, nTenants)) {
+      val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
+      val e = Similarity.preparedEmbeddings(spark, dir)
+        .select("vec_id", "label", "v", "n")
+      val eA = e.join(genA.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val selA = containmentSelection(genA, 8, 4).localCheckpoint()
+      val selB = containmentSelection(genB, 8, 4).localCheckpoint()
+      val nm = Map("nd" -> s"tesync_nd_$h", "sh" -> s"tesync_sh_$h",
+        "emb" -> s"tesync_em_$h", "ct" -> s"tesync_ct_$h",
+        "ann" -> s"tesync_an_$h")
+      // fresh state every session: the gate measures one full lifecycle
+      nm.values.toSeq.flatMap(n => estateTableSuffixes.map(s => s"$n$s"))
+        .foreach { t =>
+          dropTableAndLocation(spark, t)
+          dropTenantCompactionTemps(spark, t, nTenants)
+        }
+      saveTenantNearDupTables(shingleTableOf(genA), nm("nd"), nTenants)
+      saveTenantSimHashTables(simhash64Of(genA), nm("sh"), nTenants)
+      saveTenantEmbTables(eA, nm("emb"), nTenants)
+      saveTenantContainTables(selA, nm("ct"), nTenants)
+      Similarity.saveTenantAnnStore(spark, nm("ann"), eA, nTenants)
+      // ONE call fans tenant 0's whole estate; tenant 1 never moves
+      syncTenantEstateWithDiff(spark, diff, 0, nTenants,
+        TenantEstateSyncTargets(
+          nearDup = Some((nm("nd"), genB)),
+          simHash = Some((nm("sh"), genB)),
+          emb = Some((nm("emb"), e)),
+          contain = Some((nm("ct"), selB)),
+          annStore = Some((nm("ann"), e))))
+      (nm, diff.filter(col("status") === "removed")
+        .select(col("doc_id")).localCheckpoint())
+    }.asInstanceOf[(Map[String, String], DataFrame)]
+    val (names, removed) = state
+    val rmVec = removed.select(col("doc_id").as("vec_id"))
+    def census(st: String, tenant: Int, df: DataFrame,
+        key: String): DataFrame = {
+      val rm = if (key == "vec_id") rmVec else removed
+      df.select(col(key)).distinct().agg(count(lit(1)).as("n_live"))
+        .crossJoin(df.join(broadcast(rm), Seq(key), "left_semi")
+          .agg(count(lit(1)).as("n_refs")))
+        .select(lit(st).as("state"), lit(tenant.toLong).as("tenant"),
+          col("n_live"), col("n_refs"))
+    }
+    (0 until nTenants).map { tn =>
+      census("ann_store", tn,
+          Similarity.loadTenantAnnStore(spark, names("ann"), tn), "vec_id")
+        .unionByName(census("contain_index", tn,
+          loadTenantContainIndex(spark, names("ct"), tn).sets, "doc_id"))
+        .unionByName(census("emb_index", tn,
+          loadTenantEmbIndex(spark, names("emb"), tn).vectors, "vec_id"))
+        .unionByName(census("neardup_index", tn,
+          loadTenantNearDupIndex(spark, names("nd"), tn).shingles, "doc_id"))
+        .unionByName(census("simhash_index", tn,
+          loadTenantSimHashIndex(spark, names("sh"), tn).banded, "doc_id"))
+    }.reduce(_ unionByName _)
+      .orderBy("state", "tenant")
   }
 
   /** Build + persist the per-tenant LABEL state (the d23 class under
@@ -1847,6 +2220,21 @@ object Dedup {
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite").saveAsTable(table)
   }
+
+  /** [[appendBucketedTable]]'s twin for the tenant-partitioned layout:
+    * the new rows (tenant column included) land as extra bucket files
+    * inside their tenant's partition directory — no existing file moves,
+    * scans keep bucket pruning, and (exactly like the fleet append) the
+    * reported one-file-per-bucket sort order is forfeited until the next
+    * tenant-scoped compaction restores it.
+    */
+  private[graft] def appendTenantBucketedTable(df: DataFrame, table: String,
+      buckets: Int, keys: Seq[String]): Unit =
+    df.repartition(buckets, keys.map(col): _*)
+      .write.partitionBy("tenant")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("append").saveAsTable(table)
 
   /** D31 — the MULTI-TENANT near-dup index (round-11 verdict ask #5):
     * a6b proved planning-time tenant pruning for the fact table; this
@@ -2630,7 +3018,7 @@ object Dedup {
       minShared, dfCap, threshold)
 
   /** Per-doc winnowed fingerprint set + full distinct span set. */
-  private def containmentSelection(documents: DataFrame, w: Int,
+  private[graft] def containmentSelection(documents: DataFrame, w: Int,
       winnow: Int): DataFrame =
     winnowedSelection(documents, w, winnow)
       .select(col("doc_id"),
@@ -2691,6 +3079,10 @@ object Dedup {
     * verification join key) — the d13/d15/d17 layout for the fourth
     * family.
     */
+  /** The containment family's on-disk suffix set — see [[nearDupTableSuffixes]]. */
+  private[graft] val containTableSuffixes =
+    Seq("_fp", "_df", "_sets", "_meta", "_tombstones")
+
   def saveContainIndex(index: ContainIndex, name: String, buckets: Int = 8,
       w: Int = 8, winnow: Int = 4): Unit = {
     saveBucketedTable(index.fp, s"${name}_fp", buckets, Seq("d"))
@@ -3105,6 +3497,9 @@ object Dedup {
     * scan's partitioning — the [[loadNearDupIndex]] contract for the
     * simhash family.
     */
+  /** The simhash family's on-disk suffix set — see [[nearDupTableSuffixes]]. */
+  private[graft] val simHashTableSuffixes = Seq("_banded", "_meta", "_tombstones")
+
   def loadSimHashIndex(spark: SparkSession, name: String): SimHashIndex =
     SimHashIndex(minusTombstones(spark.table(s"${name}_banded"),
       tombstoneTable(spark, s"${name}_tombstones"), "doc_id"))
@@ -4420,7 +4815,11 @@ object Dedup {
         ("srpReband", dir, threshold, target, sampleBuckets)) {
       val e = Similarity.preparedEmbeddings(spark, dir)
         .withColumn("label", lit(0))
-      val name = f"srp_rb_t${(target * 100).round}_${dir.hashCode & 0xffffffffL}%x"
+      // EVERY cache-key parameter lands in the table name (the d22
+      // rule): two same-session calls differing only in threshold or
+      // sampleBuckets must run their lifecycles against DISTINCT
+      // on-disk generations, not last-writer-wins over shared tables
+      val name = f"srp_rb_c${(threshold * 100).round}_t${(target * 100).round}_s${sampleBuckets}_${dir.hashCode & 0xffffffffL}%x"
       // fresh state every session: the gate measures one full lifecycle
       Seq("_banded", "_meta").foreach { s =>
         dropTableAndLocation(spark, s"$name$s")
@@ -4452,7 +4851,9 @@ object Dedup {
       val e = Similarity.preparedEmbeddings(spark, dir)
         .select(col("vec_id"), col("v"), col("n"))
         .withColumn("label", Similarity.assignExpr(model))
-      val name = f"sdd_rb_t${(target * 100).round}_${dir.hashCode & 0xffffffffL}%x"
+      // every cache-key parameter in the table name (the d22 rule —
+      // see srpRebandGate)
+      val name = f"sdd_rb_c${(threshold * 100).round}_t${(target * 100).round}_s${sampleBuckets}_${dir.hashCode & 0xffffffffL}%x"
       Seq("_banded", "_meta").foreach { s =>
         dropTableAndLocation(spark, s"$name$s")
         dropTableAndLocation(spark, s"${name}__gen$s")
@@ -4558,6 +4959,10 @@ object Dedup {
     * tables — banded rows on the block keys (the delta join reads them
     * bucketed), vectors on vec_id (the verify join's key).
     */
+  /** The embedding family's on-disk suffix set — see [[nearDupTableSuffixes]]. */
+  private[graft] val embIndexTableSuffixes =
+    Seq("_banded", "_vectors", "_meta", "_tombstones")
+
   def saveEmbIndex(index: EmbIndex, name: String, buckets: Int = 8,
       bands: Int = 4, planesPerBand: Int = 2): Unit = {
     saveBucketedTable(index.banded, s"${name}_banded", buckets,

@@ -219,6 +219,67 @@ object Multimodal {
       maxHamming: Int = 5): DataFrame =
     Dedup.simhashBandRecallOf(imageDhashSigs(spark, dir), maxHamming)
 
+  /** The m7b planted recall PROBE pixel grid: the doc's m4 grid except
+    * COLUMN 0 of the odd rows (y ∈ {1,3,5,7}) — each edit flips (at
+    * most) that row's x=0 dHash bit, i.e. bits 8/24/40/56, ONE PER
+    * 16-bit CHUNK, so the probe pair sits at hamming ≈4 with NO shared
+    * 16-bit chunk (the 4×16 banding misses it) while an 8×8 re-banding
+    * catches it (4 bits cannot touch all eight 8-bit chunks — the
+    * pigeonhole the action buys). Pixel rule per edited cell: 255 when
+    * the base bit was set (g(1,y) > 255 is impossible — bit forced
+    * clear), else 0 (bit = g(1,y) > 0 — set unless g(1,y) = 0, a rare
+    * non-flip BOTH engines compute identically, so the oracle never
+    * drifts). The natural m4 gallery's 4-band recall is 1.0 at every SF
+    * (measured — within-group pairs always share a chunk), so without
+    * the plant the m7b trigger could never trip; the planted population
+    * drags the measured recall to ~0.855 and the re-band restores 1.0.
+    */
+  private[graft] def probePixel(id: Long)(x: Int, y: Int): Int =
+    if (x == 0 && y % 2 == 1) {
+      if (grayPixel(id)(1, y) > grayPixel(id)(0, y)) 255 else 0
+    } else grayPixel(id)(x, y)
+
+  /** M7B — the d32 MONITOR→ACTION loop for the PERCEPTUAL banding tier
+    * (the round-15 verdict's #4 ask): image dHashes (decoded from REAL
+    * BMP bytes — the m4 decode path, probe images included) serve from
+    * a persisted 4×16-band generation; the gate measures the m7 recall
+    * of the CURRENT persisted banding at `radius`, and when it misses
+    * `target`, RE-BANDS at 8×8 bits as a complete `__gen` generation
+    * and swaps (meta-last ordering, entry recovery — the shared
+    * [[graft.operators.Dedup.simhashRebandLifecycle]], signature-
+    * agnostic over any 64-bit frame), after which the re-measured
+    * trigger clears. Probe images (media_id = −doc_id for the ≡1 mod 16
+    * class, [[probePixel]]) plant the banding misses the natural
+    * gallery lacks. Two rows out, one per phase; the oracle recomputes
+    * both recalls (base + probe dHash arithmetic) and the conditional
+    * swap.
+    */
+  def imageRebandGate(spark: SparkSession, dir: String, radius: Int = 5,
+      target: Double = 0.95): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("imageReband", dir, radius, target)) {
+      import spark.implicits._
+      val probes = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 16 === 1)
+        .select(col("doc_id")).as[Long]
+        .map(id => MediaRow(-id,
+          MediaCodecs.buildBmpGray(9, 8, probePixel(id)), "image"))
+        .toDF()
+      val sigs = imageTable(spark, dir).unionByName(probes).as[MediaRow]
+        .mapPartitions(_.flatMap(r =>
+          MediaCodecs.parseImageGray(r.payload)
+            .map(g => (r.media_id, MediaCodecs.dHash64(g)))))
+        .toDF("doc_id", "simhash")
+        .localCheckpoint()
+      val name = f"img_rb_r${radius}_t${(target * 100).round}_${dir.hashCode & 0xffffffffL}%x"
+      // fresh state every session: the gate measures one full lifecycle
+      Seq("_banded", "_meta").foreach { s =>
+        Dedup.dropTableAndLocation(spark, s"$name$s")
+        Dedup.dropTableAndLocation(spark, s"${name}__gen$s")
+      }
+      Dedup.simhashRebandLifecycle(spark, name, sigs, radius, target)
+    }.asInstanceOf[DataFrame]
+
   /** The m4 gallery re-rendered as REAL PNG bytes (m4b): the same
     * [[grayPixel]] grid per document, but the payload is a compressed
     * container — PNG signature, IHDR, zlib IDAT, CRCs

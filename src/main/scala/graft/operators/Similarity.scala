@@ -361,6 +361,22 @@ object Similarity {
       spark.table(table).filter(col("tenant") === tenant).drop("tenant"),
       Dedup.tombstoneTable(spark, s"${table}_tombstones"), "vec_id")
 
+  /** [[appendPartitionedAnnStore]]'s tenant-scoped form: new vectors
+    * land as fresh files in their (tenant, label) partitions of the
+    * two-level store — dynamic append, no existing file moves — and a
+    * re-added id lifts its tombstone (delete-then-append idempotence).
+    * insertInto is POSITION-based: the select order matches the table's
+    * data-then-partition column layout from [[saveTenantAnnStore]].
+    */
+  def appendTenantAnnStore(spark: SparkSession, table: String,
+      newVecs: DataFrame, tenant: Int): Unit = {
+    newVecs.select(col("vec_id"), col("v"), col("n"),
+        lit(tenant).as("tenant"), col("label"))
+      .write.mode("append").insertInto(table)
+    Dedup.clearTombstones(spark, s"${table}_tombstones",
+      newVecs.select(col("vec_id")), "vec_id")
+  }
+
   /** [[compactPartitionedAnnStore]]'s tenant-scoped form: only THIS
     * tenant's pending tombstones turn physical, only this tenant's
     * affected label partitions rewrite (dynamic overwrite keyed by both
@@ -1180,7 +1196,7 @@ object Similarity {
       vecIds: DataFrame): Unit =
     Dedup.appendTombstones(spark, s"${name}_tombstones", vecIds, "vec_id")
 
-  private[operators] val annTableSuffixes =
+  private[graft] val annTableSuffixes =
     Seq("_vectors", "_centroids", "_pqbook", "_meta")
 
   /** RE-TRAIN the serving index — [[annIndexDrift]]'s other half, now an

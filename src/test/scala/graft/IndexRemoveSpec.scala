@@ -894,6 +894,12 @@ class IndexRemoveSpec extends SparkSuite {
     val genB = docs.filter(col("doc_id").isin(idx.filterNot(_ == 13L): _*))
       .withColumn("text", when(col("doc_id") === 14L,
         concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      // the fixture's METADATA-only change (corpusGenFixture's ≡7 mod 19
+      // rule — doc 7 here): lang moves de→zz with the text untouched, so
+      // the d45/d46 affected-lang rebuilds must follow BOTH sides of the
+      // move (prev_lang drains 'de', lang fills 'zz')
+      .withColumn("lang", when(col("doc_id") % 19 === 7, lit("zz"))
+        .otherwise(col("lang")))
     try {
       // fixture validity: in gen A the bridge doc really bridges
       val labA = ops.labelStateOf(genA).select("doc_id", "cluster")

@@ -571,6 +571,22 @@ class PlanSpec extends SparkSuite {
       .toSeq
     assert(tenantPfs.size >= 2 && tenantPfs.forall(_.contains("= 0")),
       s"tenant predicate not pruning both index scans:\n${d31.take(2500)}")
+    // d49: the DIFF-SYNCED tenant index serves through the same
+    // planning-time pruning — the appended generation's fresh bucket
+    // files must not cost the other tenant's directories a listing
+    val d49 = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) {
+        graft.operators.Dedup.tenantDiffSyncedNearDups(spark, dir)
+          .orderBy("id_a", "id_b").explain("formatted")
+      }
+      out.toString
+    }
+    val d49Pfs = d49.linesIterator
+      .filter(_.contains("PartitionFilters")).filter(_.contains("tenant"))
+      .toSeq
+    assert(d49Pfs.size >= 2 && d49Pfs.forall(_.contains("= 0")),
+      s"tenant predicate not pruning the diff-synced index scans:\n${d49.take(2500)}")
     // s18: the filtered-search predicate must prune the label-partitioned
     // vector store at planning time
     val s18 = {

@@ -808,12 +808,29 @@ class StreamingSpec extends SparkSuite {
         java.nio.file.Paths.get(s"$diffDir/$diffName.parquet"))
     }
     val (nd, lab, sk) = ("esstr_nd", "esstr_lab", "esstr_sk")
+    val (ann, annp) = ("esstr_ann", "esstr_annp")
+    val sim = graft.operators.Similarity
     val all = Seq(s"${nd}_banded", s"${nd}_shingles", s"${nd}_meta",
-      s"${nd}_tombstones", lab, s"${lab}__gen", sk, s"${sk}__gen")
+      s"${nd}_tombstones", lab, s"${lab}__gen", sk, s"${sk}__gen",
+      annp, s"${annp}_tombstones") ++
+      (sim.annTableSuffixes :+ "_tombstones").map(s => s"$ann$s")
     all.foreach(t => ops.dropTableAndLocation(spark, t))
+    // synthetic 64-dim vectors as a PURE FUNCTION of the doc id, so the
+    // per-batch targetsOf can derive the vector payload from whatever
+    // corpus tree it just read (the production shape: vectors keyed by
+    // the same id space as the corpus)
+    def vecsOf(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col("doc_id").as("vec_id"))
+      .withColumn("label", pmod(col("vec_id"), lit(3)).cast("int"))
+      .withColumn("v", expr(
+        "transform(sequence(0, 63), d -> cast(pmod(vec_id * (d + 3) + d * d, 17) as double) / 4.0 - 2.0)"))
+      .withColumn("n", expr(
+        "sqrt(aggregate(v, cast(0 as double), (a, x) -> a + x * x))"))
     def targetsOf(docs: org.apache.spark.sql.DataFrame) =
       ops.EstateSyncTargets(nearDup = Some((nd, docs)), labels = Some(lab),
-        sketchCells = Some((sk, docs)))
+        sketchCells = Some((sk, docs)),
+        annStore = Some((ann, vecsOf(docs))),
+        annPart = Some((annp, vecsOf(docs))))
     def canon(df: org.apache.spark.sql.DataFrame) =
       ops.canonicalOfLabelState(df).orderBy("doc_id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
@@ -833,6 +850,33 @@ class StreamingSpec extends SparkSuite {
       ops.loadNearDupIndex(spark, nd).shingles
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     }
+    // served k-NN as a value set: (probe_id, neighbor_id, cos, rn) —
+    // the exact tier reads only (vec_id, v, n), so the synced store
+    // (quantized under the frozen gen-A model) must serve IDENTICALLY
+    // to a recompute over the generation's own vectors
+    def served(vectors: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      sim.bruteForceTopKIndexed(
+          sim.AnnIndex(vectors, Array.empty, 1.0, 0, 0, Array.empty),
+          nProbes = 10, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    def servedPart(store: org.apache.spark.sql.DataFrame,
+        labelEq: Int): Set[(Long, Long, Double, Int)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      val probes = store.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+      store.filter(col("label") === labelEq)
+        .select(col("vec_id").as("neighbor_id"), col("v"), col("n"))
+        .join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(graft.functions.Exprs.dotProduct(col("pv"), col("v")) /
+          (col("pn") * col("n")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    }
     def assertGen(m: Map[Long, String], tag: String,
         langs: Map[Long, String] = Map.empty): Unit = {
       assert(indexIds() == m.keySet, s"$tag: index membership wrong")
@@ -841,6 +885,21 @@ class StreamingSpec extends SparkSuite {
         s"$tag: labels != recompute")
       assert(cellsNow() == freshCells(docsOf(m, langs)),
         s"$tag: cells != recompute")
+      // the VECTOR arms: synced store membership + served exact k-NN ==
+      // recomputes over the generation's own vectors
+      spark.catalog.refreshTable(s"${ann}_vectors")
+      val fresh = vecsOf(docsOf(m, langs)).localCheckpoint()
+      val syncedStore = sim.loadAnnIndex(spark, ann).vectors
+      assert(syncedStore.select("vec_id").collect().map(_.getLong(0)).toSet ==
+        m.keySet, s"$tag: ann store membership wrong")
+      assert(served(syncedStore) == served(fresh),
+        s"$tag: ann store served k-NN != recompute")
+      spark.catalog.refreshTable(annp)
+      val partStore = sim.loadPartitionedAnnStore(spark, annp)
+      assert(partStore.select("vec_id").collect().map(_.getLong(0)).toSet ==
+        m.keySet, s"$tag: partitioned store membership wrong")
+      assert(servedPart(partStore, labelEq = 1) == servedPart(fresh, labelEq = 1),
+        s"$tag: partitioned store served k-NN != recompute")
     }
     try {
       ops.saveNearDupIndex(ops.buildNearDupIndex(docsOf(aT)), nd)
@@ -848,6 +907,10 @@ class StreamingSpec extends SparkSuite {
       docsOf(aT).groupBy(col("lang"))
         .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk"))
         .write.saveAsTable(sk)
+      // the vector stores start at gen A too (model trains on gen A and
+      // stays frozen — appends quantize under it, the s9 contract)
+      sim.saveAnnIndex(spark, ann, vecsOf(docsOf(aT)))
+      sim.savePartitionedAnnStore(spark, annp, vecsOf(docsOf(aT)))
       // publish gen B, stream the first diff
       publish("b", bT, "a", "d1")
       graft.streaming.EventsStream.runEstateSyncStream(spark, diffDir, cur,
@@ -871,6 +934,80 @@ class StreamingSpec extends SparkSuite {
       graft.streaming.EventsStream.runEstateSyncStream(spark, diffDir, cur,
         targetsOf)
       assertGen(cT, "after wholesale replay", cLangs)
+    } finally {
+      all.foreach(t => ops.dropTableAndLocation(spark, t))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("streaming estate sync with checkpointLocation: a restart resumes from the last committed diff, not a full history replay") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    val cw = graft.emit.CorpusWriter
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    def docsOf(ids: Seq[Long]) = ids.sorted
+      .map(i => (i, noise(i), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val aIds = (1L to 8L)
+    val bIds = aIds.filterNot(_ == 3L) :+ 9L   // A->B: remove 3, add 9
+    val cIds = bIds.filterNot(_ == 5L) :+ 10L  // B->C: remove 5, add 10
+    val root = java.nio.file.Files.createTempDirectory("graft_esck").toString
+    Seq(("a", aIds), ("b", bIds), ("c", cIds)).foreach { case (g, ids) =>
+      cw.write(docsOf(ids), s"$root/$g") }
+    val cur = s"$root/current"
+    val diffDir = s"$root/diffs"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(diffDir).mkdirs()
+    def publish(gen: String, ids: Seq[Long], prev: String, diffName: String): Unit = {
+      cw.write(docsOf(ids), cur)
+      val tmp = s"$root/tmp_$diffName"
+      cw.corpusDiff(spark, s"$root/$prev", s"$root/$gen")
+        .coalesce(1).write.parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$diffDir/$diffName.parquet"))
+    }
+    val nd = "esck_nd"
+    val all = Seq(s"${nd}_banded", s"${nd}_shingles", s"${nd}_meta",
+      s"${nd}_tombstones")
+    all.foreach(t => ops.dropTableAndLocation(spark, t))
+    // targetsOf fires once per MICRO-BATCH — counting its calls is the
+    // direct observable separating resume-from-checkpoint (1 new batch)
+    // from the default full-history replay (all diffs again)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def targetsOf(docs: org.apache.spark.sql.DataFrame) = {
+      batches.incrementAndGet()
+      ops.EstateSyncTargets(nearDup = Some((nd, docs)))
+    }
+    def indexIds(): Set[Long] = {
+      spark.catalog.refreshTable(s"${nd}_shingles")
+      ops.loadNearDupIndex(spark, nd).shingles
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    }
+    try {
+      ops.saveNearDupIndex(ops.buildNearDupIndex(docsOf(aIds)), nd)
+      publish("b", bIds, "a", "d1")
+      graft.streaming.EventsStream.runEstateSyncStream(spark, diffDir, cur,
+        targetsOf, checkpointLocation = Some(ckpt))
+      assert(batches.get() == 1 && indexIds() == bIds.toSet,
+        s"first run: batches=${batches.get()}, ids=${indexIds()}")
+      publish("c", cIds, "b", "d2")
+      graft.streaming.EventsStream.runEstateSyncStream(spark, diffDir, cur,
+        targetsOf, checkpointLocation = Some(ckpt))
+      // RESUME: only d2 processed — one new micro-batch, not a replay
+      assert(batches.get() == 2,
+        s"checkpointed restart replayed history: ${batches.get()} batches total")
+      assert(indexIds() == cIds.toSet, s"ids=${indexIds()}")
+      // control: the default (no checkpoint) replays BOTH diffs and
+      // still converges to the same state (the documented contract)
+      graft.streaming.EventsStream.runEstateSyncStream(spark, diffDir, cur,
+        targetsOf)
+      assert(batches.get() == 4,
+        s"uncheckpointed run must replay the whole history: ${batches.get()}")
+      assert(indexIds() == cIds.toSet, "wholesale replay diverged")
     } finally {
       all.foreach(t => ops.dropTableAndLocation(spark, t))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
