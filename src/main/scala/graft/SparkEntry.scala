@@ -306,11 +306,12 @@ object SparkEntry {
     // table must keep serving GEN A exactly for the un-synced tenant 1
     "d49b_tenant_sync_isolated" -> ((s, d) =>
       Dedup.tenantDiffSyncedNearDups(s, d, tenant = 1).orderBy("id_a", "id_b")),
-    // the tenant-estate ORCHESTRATION gate: all five tenant-partitioned
-    // families over gen A, ONE syncTenantEstateWithDiff call for tenant
-    // 0, census per family × tenant — tenant 0 counts as gen B with
-    // zero removed refs, tenant 1 as gen A with its removed-class rows
-    // STILL present (nonzero n_refs IS the isolation proof)
+    // the tenant-estate ORCHESTRATION gate: all SEVEN tenant-partitioned
+    // state classes (four index families, s20 store, labels, sketch
+    // cells — td2 parity) over gen A, ONE syncTenantEstateWithDiff call
+    // for tenant 0, census per class × tenant — tenant 0 counts as gen
+    // B with zero removed refs, tenant 1 as gen A with its removed-class
+    // rows STILL present (nonzero n_refs IS the isolation proof)
     "d50_tenant_estate_census" -> ((s, d) =>
       Dedup.tenantEstateSyncCensus(s, d)),
     // the full index lifecycle on disk: save base (bucket < 150), APPEND
@@ -820,10 +821,12 @@ object SparkEntry {
     */
   private lazy val tenantEstateCensusSql =
     s"""WITH bk0 AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents),
-       |u AS (SELECT d.doc_id, CAST(d.doc_id % 2 AS BIGINT) AS tenant
+       |u AS (SELECT d.doc_id, CAST(d.doc_id % 2 AS BIGINT) AS tenant, d.lang
        |  FROM documents d JOIN bk0 b0 ON d.doc_id = b0.doc_id
        |  WHERE d.text IS NOT NULL AND b0.bucket < 200),
-       |live AS (SELECT doc_id, tenant FROM u
+       |live AS (SELECT doc_id, tenant,
+       |    CASE WHEN tenant = 0 AND doc_id % 19 = 7 THEN 'zz' ELSE lang END AS lang
+       |  FROM u
        |  WHERE (tenant = 0 AND doc_id % 9 != 4) OR (tenant = 1 AND doc_id % 13 != 5)),
        |rm AS (SELECT doc_id, tenant FROM u
        |  WHERE tenant = 1 AND doc_id % 13 != 5 AND doc_id % 9 = 4),
@@ -832,16 +835,21 @@ object SparkEntry {
        |rc AS (SELECT tenant, count(*) AS n FROM rm GROUP BY tenant),
        |el AS (SELECT l.tenant, count(*) AS n FROM embeddings e JOIN live l ON e.vec_id = l.doc_id GROUP BY l.tenant),
        |er AS (SELECT r.tenant, count(*) AS n FROM embeddings e JOIN rm r ON e.vec_id = r.doc_id GROUP BY r.tenant),
+       |lc AS (SELECT tenant, count(DISTINCT lang) AS n FROM live GROUP BY tenant),
        |base AS (SELECT t.tenant, coalesce(lv.n, 0) AS doc_live, coalesce(rc.n, 0) AS doc_rm,
-       |    coalesce(el.n, 0) AS vec_live, coalesce(er.n, 0) AS vec_rm
+       |    coalesce(el.n, 0) AS vec_live, coalesce(er.n, 0) AS vec_rm,
+       |    coalesce(lc.n, 0) AS lang_live
        |  FROM tn t LEFT JOIN lv ON lv.tenant = t.tenant LEFT JOIN rc ON rc.tenant = t.tenant
-       |  LEFT JOIN el ON el.tenant = t.tenant LEFT JOIN er ON er.tenant = t.tenant)
+       |  LEFT JOIN el ON el.tenant = t.tenant LEFT JOIN er ON er.tenant = t.tenant
+       |  LEFT JOIN lc ON lc.tenant = t.tenant)
        |SELECT state, tenant, n_live, n_refs FROM (
        |  SELECT 'ann_store' AS state, tenant, vec_live AS n_live, vec_rm AS n_refs FROM base
        |  UNION ALL SELECT 'contain_index', tenant, doc_live, doc_rm FROM base
        |  UNION ALL SELECT 'emb_index', tenant, vec_live, vec_rm FROM base
+       |  UNION ALL SELECT 'labels', tenant, doc_live, doc_rm FROM base
        |  UNION ALL SELECT 'neardup_index', tenant, doc_live, doc_rm FROM base
        |  UNION ALL SELECT 'simhash_index', tenant, doc_live, 4 * doc_rm FROM base
+       |  UNION ALL SELECT 'sketch_cells', tenant, lang_live, CAST(0 AS BIGINT) FROM base
        |) ORDER BY state, tenant""".stripMargin
 
   /** The d37 oracle: d15's simhash delta recomputed over GEN B ∪ shard —

@@ -1915,11 +1915,16 @@ object Dedup {
         val s = slice()
         val relabeled = removeFromLabelState(s, genBT, gone,
           targets.labelThreshold).localCheckpoint()
+        // the kept slice checkpoints BEFORE the union: its anti-join
+        // references `relabeled`'s attributes, and a Union whose children
+        // share attribute lineage trips Catalyst's constraint rewrite
+        // (AttributeMap "key not found") on some inputs
+        val kept = s.join(broadcast(gone), Seq("doc_id"), "left_anti")
+          .join(broadcast(relabeled.select(col("doc_id"))), Seq("doc_id"),
+            "left_anti")
+          .localCheckpoint()
         rewriteTenantPartition(spark, lt, tenant, buckets = 4, Seq("cluster"),
-          s.join(broadcast(gone), Seq("doc_id"), "left_anti")
-            .join(broadcast(relabeled.select(col("doc_id"))), Seq("doc_id"),
-              "left_anti")
-            .unionByName(relabeled))
+          kept.unionByName(relabeled))
       }
       if (hasCame) {
         // came docs merge via their delta pairs against the JUST-SYNCED
@@ -1936,9 +1941,13 @@ object Dedup {
           cameDocs.select(col("doc_id"),
             length(coalesce(col("text"), lit(""))).as("qlen")))
           .localCheckpoint()
+        // checkpoint before the union (attribute-lineage disjointness —
+        // see the retract branch)
+        val kept = s.join(broadcast(changed.select(col("doc_id"))),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
         rewriteTenantPartition(spark, lt, tenant, buckets = 4, Seq("cluster"),
-          s.join(broadcast(changed.select(col("doc_id"))), Seq("doc_id"),
-            "left_anti").unionByName(changed))
+          kept.unionByName(changed))
       }
     }
     targets.sketchCells.foreach { case (t, genB) =>
@@ -2014,13 +2023,17 @@ object Dedup {
   }
 
   /** D50 — the d48 orchestration census for the TENANT estate: build
-    * all five tenant-partitioned families over GEN A (both tenants),
-    * fan ONE [[syncTenantEstateWithDiff]] for tenant 0 alone, then
-    * census every family × tenant — n_live (distinct served ids) and
-    * n_refs (rows still referencing the diff's REMOVED ids). The oracle
-    * recomputes both numbers per tenant from the fixture algebra:
-    * tenant 0 must census as gen B with ZERO removed refs (the sync
-    * erased them physically), tenant 1 as gen A with its removed-class
+    * all SEVEN tenant-partitioned state classes over GEN A (both
+    * tenants) — the four index families, the s20 store, and the two
+    * aggregate classes (labels, sketch cells): exact td2 parity — fan
+    * ONE [[syncTenantEstateWithDiff]] for tenant 0 alone, then census
+    * every class × tenant — n_live (distinct served ids; distinct cells
+    * for the group-keyed class) and n_refs (rows still referencing the
+    * diff's REMOVED ids; stale cells for the group-keyed class). The
+    * oracle recomputes both numbers per tenant from the fixture
+    * algebra: tenant 0 must census as gen B with ZERO removed refs
+    * (the sync erased them physically — and its cell census carries the
+    * planted 'zz' lang move), tenant 1 as gen A with its removed-class
     * rows STILL PRESENT (nonzero n_refs is the isolation proof — a sync
     * that leaked into tenant 1's partition shows up as a count drop).
     */
@@ -2038,7 +2051,8 @@ object Dedup {
       val selB = containmentSelection(genB, 8, 4).localCheckpoint()
       val nm = Map("nd" -> s"tesync_nd_$h", "sh" -> s"tesync_sh_$h",
         "emb" -> s"tesync_em_$h", "ct" -> s"tesync_ct_$h",
-        "ann" -> s"tesync_an_$h")
+        "ann" -> s"tesync_an_$h", "lab" -> s"tesync_lb_$h",
+        "sk" -> s"tesync_sk_$h")
       // fresh state every session: the gate measures one full lifecycle
       nm.values.toSeq.flatMap(n => estateTableSuffixes.map(s => s"$n$s"))
         .foreach { t =>
@@ -2050,18 +2064,24 @@ object Dedup {
       saveTenantEmbTables(eA, nm("emb"), nTenants)
       saveTenantContainTables(selA, nm("ct"), nTenants)
       Similarity.saveTenantAnnStore(spark, nm("ann"), eA, nTenants)
-      // ONE call fans tenant 0's whole estate; tenant 1 never moves
+      saveTenantLabelState(spark, nm("lab"), genA, nTenants)
+      saveTenantSketchCells(spark, nm("sk"), genA, nTenants)
+      // ONE call fans tenant 0's whole estate (all SEVEN td2 state
+      // classes); tenant 1 never moves
       syncTenantEstateWithDiff(spark, diff, 0, nTenants,
         TenantEstateSyncTargets(
           nearDup = Some((nm("nd"), genB)),
           simHash = Some((nm("sh"), genB)),
           emb = Some((nm("emb"), e)),
           contain = Some((nm("ct"), selB)),
-          annStore = Some((nm("ann"), e))))
+          annStore = Some((nm("ann"), e)),
+          labels = Some(nm("lab")),
+          sketchCells = Some((nm("sk"), genB))))
       (nm, diff.filter(col("status") === "removed")
-        .select(col("doc_id")).localCheckpoint())
-    }.asInstanceOf[(Map[String, String], DataFrame)]
-    val (names, removed) = state
+          .select(col("doc_id")).localCheckpoint(),
+        genA.localCheckpoint(), genB.localCheckpoint())
+    }.asInstanceOf[(Map[String, String], DataFrame, DataFrame, DataFrame)]
+    val (names, removed, genA, genB) = state
     val rmVec = removed.select(col("doc_id").as("vec_id"))
     def census(st: String, tenant: Int, df: DataFrame,
         key: String): DataFrame = {
@@ -2072,6 +2092,21 @@ object Dedup {
         .select(lit(st).as("state"), lit(tenant.toLong).as("tenant"),
           col("n_live"), col("n_refs"))
     }
+    // the GROUP-keyed cells class: a STALE cell — one whose lang has no
+    // live doc in the tenant's SERVED generation (gen B for the synced
+    // tenant, gen A for the untouched one) — is the leak its id-less
+    // rows can show (the d48 groupCensus convention)
+    def cellCensus(tenant: Int): DataFrame = {
+      val gen = if (tenant == 0) genB else genA
+      val langs = gen.filter(pmod(col("doc_id"), lit(nTenants)) === tenant)
+        .select(col("lang")).distinct()
+      val cells = loadTenantSketchCells(spark, names("sk"), tenant)
+      cells.agg(count(lit(1)).as("n_live"))
+        .crossJoin(cells.join(langs, Seq("lang"), "left_anti")
+          .agg(count(lit(1)).as("n_refs")))
+        .select(lit("sketch_cells").as("state"),
+          lit(tenant.toLong).as("tenant"), col("n_live"), col("n_refs"))
+    }
     (0 until nTenants).map { tn =>
       census("ann_store", tn,
           Similarity.loadTenantAnnStore(spark, names("ann"), tn), "vec_id")
@@ -2079,10 +2114,13 @@ object Dedup {
           loadTenantContainIndex(spark, names("ct"), tn).sets, "doc_id"))
         .unionByName(census("emb_index", tn,
           loadTenantEmbIndex(spark, names("emb"), tn).vectors, "vec_id"))
+        .unionByName(census("labels", tn,
+          loadTenantLabelState(spark, names("lab"), tn), "doc_id"))
         .unionByName(census("neardup_index", tn,
           loadTenantNearDupIndex(spark, names("nd"), tn).shingles, "doc_id"))
         .unionByName(census("simhash_index", tn,
           loadTenantSimHashIndex(spark, names("sh"), tn).banded, "doc_id"))
+        .unionByName(cellCensus(tn))
     }.reduce(_ unionByName _)
       .orderBy("state", "tenant")
   }

@@ -27,15 +27,25 @@ class TenantEstateSyncSpec extends SparkSuite {
   private def textOf(id: Long, gen: String): String =
     if (gen == "b" && (id == 10L || id == 7L)) noise(id) + " amended v2"
     else noise(id)
+  // doc 10 (t0, changed) ALSO moves lang en->xx in gen B — the
+  // metadata side of a change the cells arm must follow on BOTH sides
+  // (prev_lang drains 'en' of 10, a fresh 'xx' cell appears)
+  private def langOf(id: Long, gen: String): String =
+    if (gen == "b" && id == 10L) "xx" else "en"
   private def docsOf(gen: String): DataFrame = {
     import spark.implicits._
     val ids = if (gen == "a") (0L to 19L) else (0L to 21L).filterNot(i => i == 4L || i == 5L)
-    ids.map(i => (i, textOf(i, gen), "en", "s")).toDF("doc_id", "text", "lang", "source")
+    ids.map(i => (i, textOf(i, gen), langOf(i, gen), "s")).toDF("doc_id", "text", "lang", "source")
   }
   private def diffDf(): DataFrame = {
     import spark.implicits._
-    Seq((4L, "removed"), (5L, "removed"), (10L, "changed"), (7L, "changed"),
-      (20L, "added"), (21L, "added")).toDF("doc_id", "status")
+    // (doc_id, status, lang, prev_lang) — the corpusDiff contract: lang
+    // is the CURRENT (gen-B-coalesced) one, prev_lang the gen-A one
+    // (null for added)
+    Seq((4L, "removed", "en", Some("en")), (5L, "removed", "en", Some("en")),
+      (10L, "changed", "xx", Some("en")), (7L, "changed", "en", Some("en")),
+      (20L, "added", "en", None), (21L, "added", "en", None))
+      .toDF("doc_id", "status", "lang", "prev_lang")
   }
   // deterministic synthetic vectors keyed like the docs (vec_id =
   // doc_id); 64-dim — the embBandedOf default plane family's dimension
@@ -77,7 +87,7 @@ class TenantEstateSyncSpec extends SparkSuite {
         s"\n only-fresh=${onlyB.mkString("; ")}")
   }
 
-  test("tenant estate sync: tenant 0 converges to gen B in all five families; tenant 1 mtime-pinned, serves gen A, keeps its pending tombstone") {
+  test("tenant estate sync: tenant 0 converges to gen B in all seven state classes; tenant 1 mtime-pinned, serves gen A, keeps its pending tombstone") {
     import spark.implicits._
     val genA = docsOf("a").localCheckpoint()
     val genB = docsOf("b").localCheckpoint()
@@ -89,7 +99,8 @@ class TenantEstateSyncSpec extends SparkSuite {
 
     // three copies per family: s_ = gen A then SYNCED (tenant 0),
     // fb_ = fresh gen-B build, fa_ = fresh gen-A build (never touched)
-    val names = for (p <- Seq("s", "fb", "fa"); f <- Seq("nd", "sh", "em", "ct", "an"))
+    val names = for (p <- Seq("s", "fb", "fa");
+        f <- Seq("nd", "sh", "em", "ct", "an", "lb", "sk"))
       yield s"tes_${p}_$f"
     val allTables = names.flatMap(n => Seq(n, s"${n}_banded", s"${n}_shingles",
       s"${n}_tombstones", s"${n}_fp", s"${n}_df", s"${n}_sets", s"${n}_vectors"))
@@ -104,6 +115,8 @@ class TenantEstateSyncSpec extends SparkSuite {
         ops.saveTenantEmbTables(e, s"tes_${p}_em", 2)
         ops.saveTenantContainTables(sel, s"tes_${p}_ct", 2)
         sim.saveTenantAnnStore(spark, s"tes_${p}_an", e, 2)
+        ops.saveTenantLabelState(spark, s"tes_${p}_lb", docs, 2)
+        ops.saveTenantSketchCells(spark, s"tes_${p}_sk", docs, 2)
       }
       buildAll("s", genA, eA, selA)
       buildAll("fb", genB, eB, selB)
@@ -115,18 +128,20 @@ class TenantEstateSyncSpec extends SparkSuite {
 
       val pinned = Seq("tes_s_nd_banded", "tes_s_nd_shingles", "tes_s_sh_banded",
         "tes_s_em_banded", "tes_s_em_vectors", "tes_s_ct_fp", "tes_s_ct_df",
-        "tes_s_ct_sets", "tes_s_an")
+        "tes_s_ct_sets", "tes_s_an", "tes_s_lb", "tes_s_sk")
       val t1Before = pinned.map(t => t -> mtimes(t, 1)).toMap
       assert(t1Before.values.forall(_.nonEmpty), "fixture built no tenant-1 files")
 
-      // ONE call fans tenant 0's whole estate
+      // ONE call fans tenant 0's whole estate (all seven state classes)
       ops.syncTenantEstateWithDiff(spark, diff, 0, 2,
         ops.TenantEstateSyncTargets(
           nearDup = Some(("tes_s_nd", genB)),
           simHash = Some(("tes_s_sh", genB)),
           emb = Some(("tes_s_em", eB)),
           contain = Some(("tes_s_ct", selB)),
-          annStore = Some(("tes_s_an", eB))))
+          annStore = Some(("tes_s_an", eB)),
+          labels = Some("tes_s_lb"),
+          sketchCells = Some(("tes_s_sk", genB))))
 
       // tenant 1: no file moved, anywhere
       pinned.foreach(t => assert(mtimes(t, 1) == t1Before(t),
@@ -158,10 +173,33 @@ class TenantEstateSyncSpec extends SparkSuite {
       def halves(p: String, tn: Int) =
         ndHalves(p, tn) ++ shHalves(p, tn) ++ emHalves(p, tn) ++
           ctHalves(p, tn) ++ anHalves(p, tn)
+      // the two AGGREGATE state classes (labels, cells): same
+      // three-copy equality, byte-level for the HLL cells
+      def cellsOf(p: String, tn: Int): Map[String, Seq[Byte]] = {
+        spark.catalog.refreshTable(s"tes_${p}_sk")
+        ops.loadTenantSketchCells(spark, s"tes_${p}_sk", tn).collect()
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      }
+      def assertAggregates(tag: String): Unit = {
+        Seq("s", "fb", "fa").foreach(p => spark.catalog.refreshTable(s"tes_${p}_lb"))
+        assertSameRows(ops.loadTenantLabelState(spark, "tes_s_lb", 0),
+          ops.loadTenantLabelState(spark, "tes_fb_lb", 0),
+          s"$tag tenant-0 labels vs fresh gen-B")
+        assertSameRows(ops.loadTenantLabelState(spark, "tes_s_lb", 1),
+          ops.loadTenantLabelState(spark, "tes_fa_lb", 1),
+          s"$tag tenant-1 labels vs fresh gen-A")
+        assert(cellsOf("s", 0) == cellsOf("fb", 0), s"$tag tenant-0 cells != fresh gen-B")
+        assert(cellsOf("s", 1) == cellsOf("fa", 1), s"$tag tenant-1 cells != fresh gen-A")
+        // the planted lang move landed: tenant 0 serves an 'xx' cell
+        // (doc 10's gen-B lang), tenant 1 never grows one
+        assert(cellsOf("s", 0).contains("xx"), s"$tag tenant-0 lost the moved-lang cell")
+        assert(!cellsOf("s", 1).contains("xx"), s"$tag lang move leaked into tenant 1")
+      }
       halves("s", 0).zip(halves("fb", 0)).foreach { case ((what, a), (_, b)) =>
         assertSameRows(a, b, s"tenant-0 $what vs fresh gen-B") }
       halves("s", 1).zip(halves("fa", 1)).foreach { case ((what, a), (_, b)) =>
         assertSameRows(a, b, s"tenant-1 $what vs fresh gen-A") }
+      assertAggregates("first sync")
 
       // replay idempotence UNDER THE STREAMING CONTRACT: a replayed diff
       // arrives with added→changed (runEstateSyncStream's mapping), so
@@ -175,11 +213,14 @@ class TenantEstateSyncSpec extends SparkSuite {
           simHash = Some(("tes_s_sh", genB)),
           emb = Some(("tes_s_em", eB)),
           contain = Some(("tes_s_ct", selB)),
-          annStore = Some(("tes_s_an", eB))))
+          annStore = Some(("tes_s_an", eB)),
+          labels = Some("tes_s_lb"),
+          sketchCells = Some(("tes_s_sk", genB))))
       halves("s", 0).zip(halves("fb", 0)).foreach { case ((what, a), (_, b)) =>
         assertSameRows(a, b, s"replayed tenant-0 $what vs fresh gen-B") }
       halves("s", 1).zip(halves("fa", 1)).foreach { case ((what, a), (_, b)) =>
         assertSameRows(a, b, s"replayed tenant-1 $what vs fresh gen-A") }
+      assertAggregates("replay")
     } finally allTables.foreach(t => ops.dropTableAndLocation(spark, t))
   }
 
