@@ -863,7 +863,17 @@ object Dedup {
     * actually happened.
     */
   private[graft] def tombstoneTable(spark: SparkSession, table: String): Option[DataFrame] =
-    if (spark.catalog.tableExists(table)) Some(spark.table(table)) else None
+    if (spark.catalog.tableExists(table)) {
+      // refresh FIRST: an append from the same session can leave a stale
+      // relation-cache file listing (the r9/r11 catalog invariant) — a
+      // compaction that then reads an empty/old tombstone list silently
+      // skips its minus filter, and the following re-append DUPLICATES
+      // the rows it was supposed to replace (bit the tenant streaming
+      // replay in round 16; the set-based membership checks elsewhere
+      // cannot see duplicates, so this is the one true read path)
+      spark.catalog.refreshTable(table)
+      Some(spark.table(table))
+    } else None
 
   /** Record ids as removed. Append-mode into the tombstone table (created
     * on first use) — a takedown list is small by nature, so readers apply

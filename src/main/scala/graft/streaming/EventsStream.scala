@@ -679,6 +679,48 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** [[runEstateSyncStream]]'s TENANT-SCOPED member — the takedown
+    * stream's applyTenant twin for the generation-swap half: each
+    * micro-batch fans ONE tenant's slice of the arriving diff through
+    * [[graft.operators.Dedup.syncTenantEstateWithDiff]], so a
+    * per-tenant corpus publisher gets the same no-log replay safety
+    * (added→changed delete-then-insert; diff chains telescope under
+    * the latest payload) while every OTHER tenant's partitions never
+    * move across the whole chain — isolation held batch after batch,
+    * not just for one sync (StreamingSpec pins the other tenant at its
+    * original generation through an A→B→C chain plus a full replay).
+    * Same per-batch corpus re-read and `checkpointLocation` contracts
+    * as the fleet stream.
+    */
+  def runTenantEstateSyncStream(spark: SparkSession, diffDir: String,
+      corpusPath: String, tenant: Int, nTenants: Int,
+      targetsOf: DataFrame => graft.operators.Dedup.TenantEstateSyncTargets,
+      maxFilesPerTrigger: Int = 1,
+      checkpointLocation: Option[String] = None): Unit = {
+    val src = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("status", StringType),
+        StructField("lang", StringType),
+        StructField("prev_lang", StringType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(diffDir)
+    val q = checkpointLocation.foldLeft(src.writeStream)(
+        (w, dir) => w.option("checkpointLocation", dir))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val diff = batch
+          .withColumn("status", when(col("status") === "added",
+            lit("changed")).otherwise(col("status")))
+          .localCheckpoint()
+        graft.operators.Dedup.syncTenantEstateWithDiff(spark, diff,
+          tenant, nTenants, targetsOf(spark.read.parquet(corpusPath)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** STREAMING sequence packing — the ingest loop's member of the t23
     * family: each micro-batch of arriving documents gets its placements
     * from the persisted token TOTAL (t23c's one-number state) and the

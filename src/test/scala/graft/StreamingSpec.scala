@@ -880,6 +880,12 @@ class StreamingSpec extends SparkSuite {
     def assertGen(m: Map[Long, String], tag: String,
         langs: Map[Long, String] = Map.empty): Unit = {
       assert(indexIds() == m.keySet, s"$tag: index membership wrong")
+      // set-based membership hides DUPLICATES (a stale tombstone-list
+      // read lets a replayed re-append double-insert — round 16): the
+      // shingle table must hold exactly one row per doc
+      val dups = ops.loadNearDupIndex(spark, nd).shingles
+        .groupBy(col("doc_id")).count().filter(col("count") > 1).count()
+      assert(dups == 0, s"$tag: $dups docs have duplicated shingle rows")
       spark.catalog.refreshTable(lab)
       assert(canon(spark.table(lab)) == canon(ops.labelStateOf(docsOf(m, langs))),
         s"$tag: labels != recompute")
@@ -934,6 +940,103 @@ class StreamingSpec extends SparkSuite {
       graft.streaming.EventsStream.runEstateSyncStream(spark, diffDir, cur,
         targetsOf)
       assertGen(cT, "after wholesale replay", cLangs)
+    } finally {
+      all.foreach(t => ops.dropTableAndLocation(spark, t))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("tenant streaming estate sync: the synced tenant follows the diff chain A->B->C; the other tenant never moves; full replay converges") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    val cw = graft.emit.CorpusWriter
+    def noise(id: Long) = (1 to 40).map(j =>
+      s"n${scala.util.hashing.MurmurHash3.productHash((id, j)) & 0xffff}").mkString(" ")
+    def textOf(id: Long, gen: String): String = gen match {
+      case "a" => noise(id)
+      case "b" => if (id == 10L) noise(id) + " v2" else noise(id)
+      case _ => if (id == 10L) noise(id) + " v2"
+        else if (id == 2L) noise(id) + " v3" else noise(id)
+    }
+    def idsOf(gen: String): Seq[Long] = gen match {
+      case "a" => (0L to 19L)
+      case "b" => (0L to 21L).filterNot(i => i == 4L || i == 5L)
+      case _ => (0L to 23L).filterNot(i => Set(4L, 5L, 6L, 9L).contains(i))
+    }
+    def docsOf(gen: String) = idsOf(gen)
+      .map(i => (i, textOf(i, gen), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val root = java.nio.file.Files.createTempDirectory("graft_tesync").toString
+    Seq("a", "b", "c").foreach(g => cw.write(docsOf(g), s"$root/$g"))
+    val cur = s"$root/current"
+    val diffDir = s"$root/diffs"
+    new java.io.File(diffDir).mkdirs()
+    def publish(gen: String, prev: String, diffName: String): Unit = {
+      cw.write(docsOf(gen), cur)
+      val tmp = s"$root/tmp_$diffName"
+      cw.corpusDiff(spark, s"$root/$prev", s"$root/$gen")
+        .coalesce(1).write.parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part,
+        java.nio.file.Paths.get(s"$diffDir/$diffName.parquet"))
+    }
+    val (nd, sk) = ("tstr_nd", "tstr_sk")
+    val all = Seq(s"${nd}_banded", s"${nd}_shingles", s"${nd}_tombstones", sk)
+    all.foreach { t =>
+      ops.dropTableAndLocation(spark, t)
+      ops.dropTenantCompactionTemps(spark, t, 2)
+    }
+    def targetsOf(docs: org.apache.spark.sql.DataFrame) =
+      ops.TenantEstateSyncTargets(nearDup = Some((nd, docs)),
+        sketchCells = Some((sk, docs)))
+    def sortedCols(df: org.apache.spark.sql.DataFrame) =
+      df.select(df.columns.sorted.map(col): _*)
+    // the synced tenant's shingles must equal a from-scratch build over
+    // the generation's OWN slice (tombstone filtering reorders columns
+    // via usingColumns — compare name-sorted)
+    def assertSlice(tn: Int, gen: String, tag: String): Unit = {
+      spark.catalog.refreshTable(s"${nd}_shingles")
+      spark.catalog.refreshTable(s"${nd}_banded")
+      val got = sortedCols(ops.loadTenantNearDupIndex(spark, nd, tn).shingles)
+      val want = sortedCols(ops.shingleTableOf(
+        docsOf(gen).filter(pmod(col("doc_id"), lit(2)) === tn)))
+      val onlyGot = got.exceptAll(want).take(5)
+      val onlyWant = want.exceptAll(got).take(5)
+      assert(onlyGot.isEmpty && onlyWant.isEmpty,
+        s"$tag: tenant-$tn shingles != gen-$gen recompute:" +
+          s"\n only-got=${onlyGot.mkString("; ")}" +
+          s"\n only-want=${onlyWant.mkString("; ")}")
+      spark.catalog.refreshTable(sk)
+      val cells = ops.loadTenantSketchCells(spark, sk, tn).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      val fresh = docsOf(gen).filter(pmod(col("doc_id"), lit(2)) === tn)
+        .groupBy(col("lang"))
+        .agg(graft.plans.HllAgg.hllSketch(col("doc_id")).as("sk")).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      assert(cells == fresh, s"$tag: tenant-$tn cells != gen-$gen recompute")
+    }
+    try {
+      ops.saveTenantNearDupTables(ops.shingleTableOf(docsOf("a")), nd, 2)
+      ops.saveTenantSketchCells(spark, sk, docsOf("a"), 2)
+      publish("b", "a", "d1")
+      graft.streaming.EventsStream.runTenantEstateSyncStream(spark, diffDir,
+        cur, 0, 2, targetsOf)
+      assertSlice(0, "b", "after A->B")
+      assertSlice(1, "a", "after A->B")
+      publish("c", "b", "d2")
+      // fresh run (no checkpoint): REPLAYS d1 against the gen-C payload
+      // before d2 — sequencing AND replay convergence in one pass
+      graft.streaming.EventsStream.runTenantEstateSyncStream(spark, diffDir,
+        cur, 0, 2, targetsOf)
+      assertSlice(0, "c", "after A->B->C with d1 replayed")
+      assertSlice(1, "a", "after A->B->C with d1 replayed")
+      // a full third replay of BOTH diffs is a no-op at the value level
+      graft.streaming.EventsStream.runTenantEstateSyncStream(spark, diffDir,
+        cur, 0, 2, targetsOf)
+      assertSlice(0, "c", "after wholesale replay")
+      assertSlice(1, "a", "after wholesale replay")
     } finally {
       all.foreach(t => ops.dropTableAndLocation(spark, t))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
