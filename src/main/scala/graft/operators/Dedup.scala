@@ -862,18 +862,17 @@ object Dedup {
     * plans — the anti-join below only enters a pipeline once a takedown
     * actually happened.
     */
+  /** Freshness contract: [[appendTombstones]] refreshes the relation
+    * cache at the WRITE site (the r9/r11 catalog invariant — a same-
+    * session append can otherwise leave a stale file listing), so this
+    * read stays cheap. A stale read here is not a small bug: a
+    * compaction reading an empty/old tombstone list silently skips its
+    * minus filter and the following re-append DUPLICATES the rows it
+    * was supposed to replace (bit the tenant streaming replay in round
+    * 16; set-based membership checks cannot see duplicates).
+    */
   private[graft] def tombstoneTable(spark: SparkSession, table: String): Option[DataFrame] =
-    if (spark.catalog.tableExists(table)) {
-      // refresh FIRST: an append from the same session can leave a stale
-      // relation-cache file listing (the r9/r11 catalog invariant) — a
-      // compaction that then reads an empty/old tombstone list silently
-      // skips its minus filter, and the following re-append DUPLICATES
-      // the rows it was supposed to replace (bit the tenant streaming
-      // replay in round 16; the set-based membership checks elsewhere
-      // cannot see duplicates, so this is the one true read path)
-      spark.catalog.refreshTable(table)
-      Some(spark.table(table))
-    } else None
+    if (spark.catalog.tableExists(table)) Some(spark.table(table)) else None
 
   /** Record ids as removed. Append-mode into the tombstone table (created
     * on first use) — a takedown list is small by nature, so readers apply
@@ -888,6 +887,12 @@ object Dedup {
     // saveBucketedTable gotcha applied to the tombstone list
     if (!spark.catalog.tableExists(table)) dropTableAndLocation(spark, table)
     ids.select(col(key)).distinct().write.mode("append").saveAsTable(table)
+    // write-site refresh: a same-session append can leave a stale
+    // relation-cache file listing (the r9/r11 catalog invariant), and
+    // every downstream [[tombstoneTable]] read trusts this write to
+    // have published — a stale empty read turns the next compaction's
+    // minus filter into a no-op and the re-append duplicates rows
+    spark.catalog.refreshTable(table)
   }
 
   /** Delete-then-append idempotence: re-ingesting an id lifts its
