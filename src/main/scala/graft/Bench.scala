@@ -37,7 +37,8 @@ object Bench {
     "d32_reband_trigger", "d29b_srp_recall_sampled",
     "td2_takedown_tenant", "d35_tenant_containment", "t25_mixture_sample",
     "t26b_upsampled_pack", "s20_ann_tenant_store",
-    "d49_tenant_diff_synced", "d50_tenant_estate_census")
+    "d49_tenant_diff_synced", "d50_tenant_estate_census",
+    "d43_minhash_reband_trigger", "m7b_image_reband_trigger")
 
   // Locale.ROOT: the f-interpolator uses the default locale, and a
   // comma-decimal locale would corrupt the JSON contract line

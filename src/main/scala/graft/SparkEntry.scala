@@ -444,6 +444,12 @@ object SparkEntry {
     // ACTING on d30b: the same loop for d21c's within-cluster banded
     // stage under the frozen k-means model
     "d42_semdedup_reband_trigger" -> ((s, d) => Dedup.semDedupRebandGate(s, d)),
+    // the d32 loop for the MINHASH tier (the last banding tier without
+    // one): planted probe pairs (offline-searched salts — jaccard 0.81,
+    // all 3x3 bands disagree, 9x1 catches) drag the persisted 3x3
+    // generation's measured recall below target over a bounded audit
+    // slice; the action re-bands at 9x1 and swaps; the trigger clears
+    "d43_minhash_reband_trigger" -> ((s, d) => Dedup.minhashRebandGate(s, d)),
     "d30b_semdedup_recall_sampled" ->
       ((s, d) => Dedup.semDedupBandRecall(s, d, sampleBuckets = 64)),
     "s3_label_centroids" -> ((s, d) => Similarity.labelCentroidsFlat(s, d).orderBy("label", "dim_idx")),
@@ -1332,7 +1338,8 @@ object SparkEntry {
     * phase 1 = the post-action generation (8 bands iff triggered).
     * Expects CTEs nx(n_exact), c4(n4), c8(n8) upstream.
     */
-  private def rebandPhasesSql(target: Double): String =
+  private def rebandPhasesSql(target: Double, bands0: Int = 4,
+      bands1: Int = 8): String =
     s"""r AS (SELECT n_exact, n4, n8,
        |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
        |       ELSE round(CAST(n4 AS DOUBLE) / n_exact, 4) END AS r4,
@@ -1340,14 +1347,50 @@ object SparkEntry {
        |       ELSE round(CAST(n8 AS DOUBLE) / n_exact, 4) END AS r8
        |  FROM nx CROSS JOIN c4 CROSS JOIN c8)
        |SELECT * FROM (
-       |  SELECT CAST(0 AS BIGINT) AS phase, CAST(4 AS BIGINT) AS bands,
+       |  SELECT CAST(0 AS BIGINT) AS phase, CAST($bands0 AS BIGINT) AS bands,
        |    n_exact, n4 AS n_caught, r4 AS recall, r4 < $target AS triggered FROM r
        |  UNION ALL
-       |  SELECT CAST(1 AS BIGINT), CAST(CASE WHEN r4 < $target THEN 8 ELSE 4 END AS BIGINT),
+       |  SELECT CAST(1 AS BIGINT), CAST(CASE WHEN r4 < $target THEN $bands1 ELSE $bands0 END AS BIGINT),
        |    n_exact, CASE WHEN r4 < $target THEN n8 ELSE n4 END,
        |    CASE WHEN r4 < $target THEN r8 ELSE r4 END,
        |    (CASE WHEN r4 < $target THEN r8 ELSE r4 END) < $target FROM r
        |) ORDER BY phase""".stripMargin
+
+  /** The d43 oracle: the minhash reband loop replayed arithmetically —
+    * exact jaccard pairs over the BOUNDED audit set (one md5-bucket
+    * slice of the documents ∪ the planted probe pairs, whose texts are
+    * generated by the SAME Scala construction the gate uses — zero
+    * drift), catches at both bandings over the same 9-hash md5 family
+    * (3×3 = triple equality, 9×1 = any single minhash equality), then
+    * the shared two-phase trigger/action tail with bands 3 → 9.
+    */
+  private lazy val minhashRebandSql: String = {
+    val probeRows = (for (k <- 0 to 3; v <- 0 to 1) yield
+      s"(${-(2 * k + 1 + v)}, '${graft.operators.Dedup.minhashProbeText(k, v == 1)}')")
+      .mkString(", ")
+    val sigList = (0 until 9).map(i =>
+      s"list_min([md5('mh$i:' || x) for x in sh])").mkString(", ")
+    s"""WITH probes(doc_id, text) AS (VALUES $probeRows),
+       |u AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND $splitBucketSql < 128
+       |  UNION ALL SELECT doc_id, text FROM probes),
+       |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM u),
+       |s AS (SELECT doc_id,
+       |  CASE WHEN len(w)<3 THEN [array_to_string(w,' ')]
+       |       ELSE [array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)] END AS sh FROM t),
+       |sig AS (SELECT doc_id, [$sigList] AS mh FROM s),
+       |dsh AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s),
+       |ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM dsh a JOIN dsh b ON a.doc_id < b.doc_id
+       |  WHERE round(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE) / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) >= 0.8),
+       |ap3 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE len([b3 for b3 in range(0,3) if a.mh[b3*3+1:b3*3+3] = b.mh[b3*3+1:b3*3+3]]) > 0),
+       |ap9 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE len([i for i in range(1,10) if a.mh[i] = b.mh[i]]) > 0),
+       |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+       |c4 AS (SELECT CAST(count(*) AS BIGINT) AS n4 FROM ex SEMI JOIN ap3 USING (id_a, id_b)),
+       |c8 AS (SELECT CAST(count(*) AS BIGINT) AS n8 FROM ex SEMI JOIN ap9 USING (id_a, id_b)),
+       |${rebandPhasesSql(0.95, 3, 9)}""".stripMargin
+  }
 
   /** The d41 oracle: the d29c-family measurement replayed for BOTH
     * bandings over the md5-sliced audit corpus, then the d32 two-phase
@@ -1945,6 +1988,7 @@ object SparkEntry {
     // the two monitor→action gates: trigger + action + serving replayed
     "d41_srp_reband_trigger" -> srpRebandSql,
     "d42_semdedup_reband_trigger" -> semDedupRebandSql,
+    "d43_minhash_reband_trigger" -> minhashRebandSql,
     // incremental ingest identity: delta(index over bucket<200, shard
     // bucket>=200) == full-recompute pairs restricted to shard-touching
     // pairs (signatures are per-doc functions, so both computations hash

@@ -4535,6 +4535,135 @@ object Dedup {
       simhashRebandLifecycle(spark, name, sigs, radius, target)
     }.asInstanceOf[DataFrame]
 
+  /** The d43 planted PROBE documents — the m7b planting technique
+    * applied to the MINHASH tier (the last banding tier without a
+    * monitor→action loop; round 15 skipped it because the natural
+    * corpus's 3×3 banding never misses at sf ≤ 0.01, so the trigger
+    * could not trip). Four synthetic pairs (doc_id −1..−8, unique
+    * q/r token families — Jaccard 0 against every real doc): pair k's
+    * variant replaces tokens 17 and 41 with an OFFLINE-SEARCHED salt
+    * (s ∈ {16, 102, 25, 33}) chosen so the pair sits at jaccard 0.8125
+    * (52 shared / 64 distinct 3-gram shingles) while ALL THREE 3×3
+    * minhash bands disagree (the 3×3 banding misses it) and 5–6 of the
+    * 9 single minhashes still agree (the 9×1 re-banding catches it —
+    * OR amplification is monotone in band count). The md5 'mh{i}:'
+    * hash family is engine/oracle-portable, so the searched salts hold
+    * in BOTH; IndexRemoveSpec asserts the fixture validity.
+    */
+  private[graft] def minhashProbeDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (for (k <- 0 to 3; v <- 0 to 1)
+      yield (-(2L * k + 1 + v), minhashProbeText(k, v == 1), "xx"))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  private[graft] val minhashProbeSalts = Map(0 -> 16, 1 -> 102, 2 -> 25, 3 -> 33)
+
+  private[graft] def minhashProbeText(k: Int, variant: Boolean): String =
+    (0 until 60).map { i =>
+      if (variant && i == 17) s"r${k}s${minhashProbeSalts(k)}a"
+      else if (variant && i == 41) s"r${k}s${minhashProbeSalts(k)}b"
+      else s"q${k}x$i"
+    }.mkString(" ")
+
+  /** One minhash banding generation on disk: the (doc_id, band, bkey)
+    * table bucketed on its join keys plus a meta row recording
+    * (bands, rows_per_band) — meta LAST (the saveBandedGeneration
+    * crash-safety ordering; [[recoverBandedGenerationSwap]] and
+    * [[swapInBandedGeneration]] are suffix-generic and work unchanged).
+    */
+  private[graft] def saveMinhashBandedGeneration(spark: SparkSession,
+      name: String, sh: DataFrame, bands: Int, rowsPerBand: Int,
+      buckets: Int = 8): Unit = {
+    saveBucketedTable(bandedKeys(sh, bands, rowsPerBand), s"${name}_banded",
+      buckets, Seq("band", "bkey"))
+    import spark.implicits._
+    dropTableAndLocation(spark, s"${name}_meta")
+    Seq((buckets, bands, rowsPerBand))
+      .toDF("buckets", "bands", "rows_per_band")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** D43 — the MONITOR→ACTION loop for the MINHASH banding tier (the
+    * d32/d41/d42/m7b pattern on the last unlooped tier): the persisted
+    * 3×3 LSH serving generation records its banding in a meta table;
+    * the gate measures the banding's recall against the EXACT jaccard
+    * pair set of a bounded audit corpus (one md5-bucket slice of the
+    * documents — the d24b convention — plus the [[minhashProbeDocs]]
+    * planted misses), and when recall misses `target`, RE-BANDS at 9×1
+    * (OR amplification over the same 9-hash family — the candidate set
+    * can only GROW) as a complete `__gen` generation and swaps
+    * meta-last with entry recovery, after which the re-measured trigger
+    * clears. Measured at sf0.01: 0.4286 → 1.0 across the 0.95 target.
+    * The oracle replays both bandings' catches over the same audit set
+    * plus the two-phase conditional swap. The 9×1 serving trade is the
+    * honest one the gate prices: per-doc index rows go 3 → 9 and
+    * per-pair candidate probability rises (more verify work), bought
+    * only when the measured miss rate says the 3×3 tier is under-
+    * recalling the corpus at the curation threshold.
+    */
+  def minhashRebandGate(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, target: Double = 0.95,
+      sampleBuckets: Int = 128): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("minhashReband", dir, threshold, target, sampleBuckets)) {
+      val docs = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull &&
+          TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(minhashProbeDocs(spark))
+      // every cache-key parameter in the table name (the d22 rule)
+      val name = f"mh_rb_c${(threshold * 100).round}_t${(target * 100).round}_s${sampleBuckets}_${dir.hashCode & 0xffffffffL}%x"
+      // fresh state every session: the gate measures one full lifecycle
+      Seq("_banded", "_meta").foreach { s =>
+        dropTableAndLocation(spark, s"$name$s")
+        dropTableAndLocation(spark, s"${name}__gen$s")
+      }
+      minhashRebandLifecycle(spark, name, docs, threshold, target)
+    }.asInstanceOf[DataFrame]
+
+  /** The d43 lifecycle over an explicit (doc_id, text) audit frame and
+    * state name. The exact side is all-pairs jaccard WITHIN the audit
+    * set — deliberately audit-priced (the set is sampleBuckets-bounded
+    * by construction, the d29b pricing rule), never corpus-quadratic.
+    */
+  private[graft] def minhashRebandLifecycle(spark: SparkSession,
+      name: String, docs: DataFrame, threshold: Double,
+      target: Double): DataFrame = {
+    // crash hygiene FIRST (the simhashRebandLifecycle entry rule): a
+    // prior process that died inside the swap left either a WHOLE new
+    // generation (finish it) or a meta-less stray (discard it)
+    recoverBandedGenerationSwap(spark, name)
+    val sh = shingleTableOf(docs).localCheckpoint()
+    saveMinhashBandedGeneration(spark, name, sh, bands = 3, rowsPerBand = 3)
+    val ids = sh.select(col("doc_id")).localCheckpoint()
+    val allPairs = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val exact = verifyJaccard(sh, allPairs, threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    def measure(phase: Int): DataFrame = {
+      spark.catalog.refreshTable(s"${name}_banded")
+      val bands = spark.table(s"${name}_meta").head().getAs[Int]("bands")
+      val cand = blockedPairCandidates(
+        spark.table(s"${name}_banded").localCheckpoint(),
+        Seq("band", "bkey"), Nil, 1L << 17, salts = 16)
+      recallRowOf(exact, cand.select(col("id_a"), col("id_b")))
+        .select(lit(phase).cast("long").as("phase"),
+          lit(bands).cast("long").as("bands"),
+          col("n_exact"), col("n_caught"), col("recall"),
+          (col("recall") < target).as("triggered"))
+        .localCheckpoint()
+    }
+    val before = measure(0)
+    if (before.head().getAs[Boolean]("triggered")) {
+      saveMinhashBandedGeneration(spark, s"${name}__gen", sh,
+        bands = 9, rowsPerBand = 1)
+      swapInBandedGeneration(spark, name)
+    }
+    before.unionByName(measure(1)).orderBy("phase")
+  }
+
   /** The d32 lifecycle over an explicit (doc_id, simhash) frame and
     * state name — shared by the gate and the planted-degradation spec.
     */

@@ -1107,6 +1107,41 @@ class IndexRemoveSpec extends SparkSuite {
     } finally all.foreach(t => ops.dropTableAndLocation(spark, t))
   }
 
+  test("d43 probe fixture validity: each planted pair sits at jaccard >= 0.8, evades EVERY 3x3 band, and shares a 9x1 band") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    val docs = ops.minhashProbeDocs(spark)
+    val sh = ops.shingleTableOf(docs).localCheckpoint()
+    // pair k = (-(2k+1), -(2k+2)); jaccard via the engine's own verify
+    val pairs = (0 to 3).map(k => (-(2L * k + 1), -(2L * k + 2)))
+      .toDF("id_a", "id_b")
+    val jac = sh.select(col("doc_id").as("id_a"), array_distinct(col("sh")).as("sa"))
+      .join(pairs, Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), array_distinct(col("sh")).as("sb")), Seq("id_b"))
+      .withColumn("j", round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))), 4))
+      .select("id_a", "id_b", "j").collect()
+    assert(jac.length == 4 && jac.forall(_.getDouble(2) >= 0.8),
+      s"planted pairs drifted below the curation threshold: ${jac.mkString("; ")}")
+    // the 3x3 banding must see NO shared (band, bkey) within any pair;
+    // the 9x1 banding must see at least one per pair — the offline
+    // search's two conditions re-asserted against the ENGINE's hashes
+    def sharedBands(bands: Int, rows: Int): Map[(Long, Long), Long] = {
+      val bk = ops.bandedKeys(sh, bands, rows)
+      bk.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+        .join(pairs, Seq("id_a"))
+        .join(bk.select(col("doc_id").as("id_b"), col("band"), col("bkey")),
+          Seq("id_b", "band", "bkey"))
+        .groupBy(col("id_a"), col("id_b")).count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val at33 = sharedBands(3, 3)
+    assert(at33.isEmpty, s"a planted pair shares a 3x3 band (the miss rotted): $at33")
+    val at91 = sharedBands(9, 1)
+    assert(at91.size == 4 && at91.values.forall(_ >= 1),
+      s"a planted pair lost its 9x1 catch: $at91")
+  }
+
   test("d32 reband loop: planted Hamming-5 evaders trip the trigger; the 8-band swap clears it") {
     import spark.implicits._
     val ops = graft.operators.Dedup
