@@ -1371,7 +1371,7 @@ object SparkEntry {
     val sigList = (0 until 9).map(i =>
       s"list_min([md5('mh$i:' || x) for x in sh])").mkString(", ")
     s"""WITH probes(doc_id, text) AS (VALUES $probeRows),
-       |u AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND $splitBucketSql < 128
+       |u AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND $splitBucketSql < 64
        |  UNION ALL SELECT doc_id, text FROM probes),
        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM u),
        |s AS (SELECT doc_id,

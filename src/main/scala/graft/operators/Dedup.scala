@@ -4594,7 +4594,10 @@ object Dedup {
     * (OR amplification over the same 9-hash family — the candidate set
     * can only GROW) as a complete `__gen` generation and swaps
     * meta-last with entry recovery, after which the re-measured trigger
-    * clears. Measured at sf0.01: 0.4286 → 1.0 across the 0.95 target.
+    * clears. Measured at sf0.01: 0.2 → 1.0 across the 0.95 target
+    * (one natural in-slice pair + the four planted misses at the
+    * 64-bucket default — the all-pairs exact side quadruples in cost
+    * per sampleBuckets doubling, so the default stays lean).
     * The oracle replays both bandings' catches over the same audit set
     * plus the two-phase conditional swap. The 9×1 serving trade is the
     * honest one the gate prices: per-doc index rows go 3 → 9 and
@@ -4604,7 +4607,7 @@ object Dedup {
     */
   def minhashRebandGate(spark: SparkSession, dir: String,
       threshold: Double = 0.8, target: Double = 0.95,
-      sampleBuckets: Int = 128): DataFrame =
+      sampleBuckets: Int = 64): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark,
         ("minhashReband", dir, threshold, target, sampleBuckets)) {
       val docs = Tables.documents(spark, dir)
@@ -4626,6 +4629,11 @@ object Dedup {
     * state name. The exact side is all-pairs jaccard WITHIN the audit
     * set — deliberately audit-priced (the set is sampleBuckets-bounded
     * by construction, the d29b pricing rule), never corpus-quadratic.
+    * The gate's 64/256 default suits the test corpus's CONSTANT
+    * 500-row documents table (it buys a natural in-slice pair for a
+    * non-degenerate phase-0 recall); a production deployment dials
+    * `sampleBuckets` down so (corpus × fraction)² stays
+    * exact-join-affordable — the d24b knob, same semantics.
     */
   private[graft] def minhashRebandLifecycle(spark: SparkSession,
       name: String, docs: DataFrame, threshold: Double,
