@@ -314,6 +314,18 @@ object SparkEntry {
     // rows STILL present (nonzero n_refs IS the isolation proof)
     "d50_tenant_estate_census" -> ((s, d) =>
       Dedup.tenantEstateSyncCensus(s, d)),
+    // the d49 discipline on the SIMHASH family: synced tenant serves
+    // gen B (re-signed amended text), the other still serves gen A
+    "d51_tenant_diff_synced_simhash" -> ((s, d) =>
+      Dedup.tenantDiffSyncedSimhash(s, d).orderBy("id_a", "id_b")),
+    "d51b_tenant_sh_isolated" -> ((s, d) =>
+      Dedup.tenantDiffSyncedSimhash(s, d, tenant = 1).orderBy("id_a", "id_b")),
+    // ... and on the EMBEDDING family: membership classes change the
+    // served pairs (vectors aren't text-derived — the d38 rule)
+    "d52_tenant_diff_synced_emb" -> ((s, d) =>
+      Dedup.tenantDiffSyncedEmbedding(s, d).orderBy("id_a", "id_b")),
+    "d52b_tenant_emb_isolated" -> ((s, d) =>
+      Dedup.tenantDiffSyncedEmbedding(s, d, tenant = 1).orderBy("id_a", "id_b")),
     // the full index lifecycle on disk: save base (bucket < 150), APPEND
     // the 150-199 slice via bucket-spec-matched INSERT INTO, COMPACT back
     // to one file per bucket (generation swap), delta-join the bucket >=
@@ -813,6 +825,65 @@ object SparkEntry {
        |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b, jaccard
        |FROM pairs JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
        |WHERE xa.bucket >= 200 OR xb.bucket >= 200
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The d51/d51b oracles: d37's diff-synced simhash delta restricted
+    * to ONE tenant — the synced tenant recomputes over GEN B (amended
+    * text re-signed), the untouched one over GEN A.
+    */
+  private def tenantDiffSyncedShSql(tenant: Int, genB: Boolean) = {
+    val member = if (genB) "d.doc_id % 9 != 4" else "d.doc_id % 13 != 5"
+    val amend = if (genB)
+      "CASE WHEN b0.bucket < 200 AND d.doc_id % 11 = 3 THEN d.text || ' v2' ELSE d.text END"
+    else "d.text"
+    s"""WITH bk0 AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents),
+       |t AS (SELECT d.doc_id, regexp_split_to_array(trim($amend), '\\s+') AS w
+       |  FROM documents d JOIN bk0 b0 ON d.doc_id = b0.doc_id
+       |  WHERE d.text IS NOT NULL AND d.doc_id % 2 = $tenant
+       |    AND (b0.bucket >= 200 OR $member)),
+       |sh64 AS (SELECT doc_id, CAST($simhash64BitsSql AS BIGINT) AS simhash FROM t),
+       |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
+       |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+       |    a.simhash AS sh_a, b2.simhash AS sh_b
+       |  FROM banded a JOIN banded b2
+       |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id)
+       |SELECT id_a, id_b, xa.bucket >= 200 AS new_a, xb.bucket >= 200 AS new_b,
+       |  CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+       |FROM cand JOIN bk0 xa ON xa.doc_id = id_a JOIN bk0 xb ON xb.doc_id = id_b
+       |WHERE bit_count(xor(sh_a, sh_b)) <= 3 AND (xa.bucket >= 200 OR xb.bucket >= 200)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The d52/d52b oracles: d38's membership-only embedding delta
+    * restricted to ONE tenant — indexed-side vectors survive only if
+    * their id is live in the tenant's served generation (gen B for the
+    * synced tenant, gen A for the untouched one); vectors re-append
+    * value-identically, so membership alone moves the output.
+    */
+  private def tenantDiffSyncedEmbSql(tenant: Int, genB: Boolean) = {
+    val member = if (genB) "doc_id % 9 != 4" else "doc_id % 13 != 5"
+    val coeff = hexv("substr(md5('plane:' || (b*2+j) || ':' || i), 1, 1)")
+    val vecBucket = s"(${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)")} * 16 + ${hexv("substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)")})"
+    s"""WITH gen AS (SELECT doc_id FROM documents WHERE text IS NOT NULL AND $member),
+       |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n,
+       |  $vecBucket AS sbucket FROM embeddings WHERE vec_id % 2 = $tenant),
+       |eu AS (SELECT * FROM e WHERE sbucket >= 200
+       |  OR vec_id IN (SELECT doc_id FROM gen)),
+       |bkd AS (SELECT vec_id, label, b,
+       |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+       |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) AS bucket
+       |  FROM eu CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |  FROM bkd a JOIN bkd b2 ON a.label = b2.label AND a.b = b2.b AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |SELECT id_a, id_b, xa.sbucket >= 200 AS new_a, xb.sbucket >= 200 AS new_b, cos
+       |FROM (
+       |  SELECT id_a, id_b, round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) AS cos
+       |  FROM cand JOIN eu x ON x.vec_id = id_a JOIN eu y ON y.vec_id = id_b) p
+       |JOIN e xa ON xa.vec_id = id_a JOIN e xb ON xb.vec_id = id_b
+       |WHERE cos >= 0.35 AND (xa.sbucket >= 200 OR xb.sbucket >= 200)
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -2056,6 +2127,12 @@ object SparkEntry {
     // ... while the SAME table's tenant 1 still serves GEN A exactly
     // (≡5 mod 13 dropped, NO amendment) — isolation as an oracle
     "d49b_tenant_sync_isolated" -> tenantDiffSyncedSql(1, genB = false),
+    // the simhash and embedding families under the same two-sided
+    // tenant-sync contract
+    "d51_tenant_diff_synced_simhash" -> tenantDiffSyncedShSql(0, genB = true),
+    "d51b_tenant_sh_isolated" -> tenantDiffSyncedShSql(1, genB = false),
+    "d52_tenant_diff_synced_emb" -> tenantDiffSyncedEmbSql(0, genB = true),
+    "d52b_tenant_emb_isolated" -> tenantDiffSyncedEmbSql(1, genB = false),
     // the tenant-estate census: per (family, tenant) counts from the
     // fixture algebra — tenant 0 = gen B with zero removed refs,
     // tenant 1 = gen A with its removed-class rows still present

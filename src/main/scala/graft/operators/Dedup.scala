@@ -2037,6 +2037,88 @@ object Dedup {
       loadTenantNearDupIndex(spark, name, tenant), threshold)
   }
 
+  /** d51/d51b's build-once state — [[tenantDiffSyncedIndex]]'s SIMHASH
+    * twin: the tenant-partitioned banded signature table over gen A,
+    * tenant `syncTenant` alone synced to gen B (changed docs re-SIGN
+    * from the amended gen-B text inside the tenant's partition).
+    */
+  private[graft] def tenantDiffSyncedShIndex(spark: SparkSession,
+      dir: String, nTenants: Int, splitAt: Int,
+      syncTenant: Int = 0): String =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantDiffSyncedSh", dir, nTenants, splitAt, syncTenant)) {
+      val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
+      val t = f"tenant_dsh_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      dropTableAndLocation(spark, s"${t}_tombstones")
+      dropTenantCompactionTemps(spark, s"${t}_banded", nTenants)
+      saveTenantSimHashTables(simhash64Of(genA), t, nTenants)
+      syncTenantEstateWithDiff(spark, diff, syncTenant, nTenants,
+        TenantEstateSyncTargets(simHash = Some((t, genB))))
+      t
+    }.asInstanceOf[String]
+
+  /** D51 — the d49 discipline for the SIMHASH family (d37 composed with
+    * d33's tenant isolation): the tenant-partitioned banded index over
+    * gen A, ONE tenant synced, that tenant's d15 delta served. Oracle =
+    * d37's gen-B simhash delta tenant-restricted; with `tenant` ≠ the
+    * synced one (d51b) the SAME table must serve gen A exactly — a
+    * stale unamended signature, a leftover drop, or a cross-tenant leak
+    * hash-mismatches on one side or the other.
+    */
+  def tenantDiffSyncedSimhash(spark: SparkSession, dir: String,
+      tenant: Int = 0, nTenants: Int = 2, splitAt: Int = 200,
+      maxHamming: Int = 3): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val sigs = simhash64Cached(spark, dir)
+    val name = tenantDiffSyncedShIndex(spark, dir, nTenants, splitAt)
+    deltaSimhashPairs(
+      sigs.filter(bucket >= splitAt &&
+        pmod(col("doc_id"), lit(nTenants)) === tenant),
+      loadTenantSimHashIndex(spark, name, tenant), maxHamming)
+  }
+
+  /** d52/d52b's build-once state — the EMBEDDING twin: both tenant-
+    * partitioned halves (banded LSH rows + verification vectors) over
+    * gen A's membership, one tenant synced to gen B (vectors are not
+    * text-derived, so the changed class re-appends value-identically —
+    * membership classes change the served output, the d38 rule).
+    */
+  private[graft] def tenantDiffSyncedEmIndex(spark: SparkSession,
+      dir: String, nTenants: Int, splitAt: Int,
+      syncTenant: Int = 0): String =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantDiffSyncedEm", dir, nTenants, splitAt, syncTenant)) {
+      val e = Similarity.preparedEmbeddings(spark, dir)
+      val (diff, genA, _) = corpusGenFixture(spark, dir, splitAt)
+      val t = f"tenant_dse_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
+      dropTableAndLocation(spark, s"${t}_tombstones")
+      Seq("banded", "vectors").foreach(h =>
+        dropTenantCompactionTemps(spark, s"${t}_$h", nTenants))
+      saveTenantEmbTables(
+        e.join(genA.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"), t, nTenants)
+      syncTenantEstateWithDiff(spark, diff, syncTenant, nTenants,
+        TenantEstateSyncTargets(emb = Some((t, e))))
+      t
+    }.asInstanceOf[String]
+
+  /** D52 — the d49 discipline for the EMBEDDING family (d38 composed
+    * with d34's tenant isolation); oracle = d38's gen-B-membership
+    * delta tenant-restricted, and d52b pins the un-synced tenant at
+    * gen-A membership over the SAME table.
+    */
+  def tenantDiffSyncedEmbedding(spark: SparkSession, dir: String,
+      tenant: Int = 0, nTenants: Int = 2, splitAt: Int = 200,
+      threshold: Double = 0.35): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("vec_id"))
+    val e = Similarity.preparedEmbeddings(spark, dir)
+    val name = tenantDiffSyncedEmIndex(spark, dir, nTenants, splitAt)
+    deltaEmbeddingPairs(
+      e.filter(bucket >= splitAt &&
+        pmod(col("vec_id"), lit(nTenants)) === tenant),
+      loadTenantEmbIndex(spark, name, tenant), threshold)
+  }
+
   /** D50 — the d48 orchestration census for the TENANT estate: build
     * all SEVEN tenant-partitioned state classes over GEN A (both
     * tenants) — the four index families, the s20 store, and the two
