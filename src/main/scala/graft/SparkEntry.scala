@@ -326,6 +326,22 @@ object SparkEntry {
       Dedup.tenantDiffSyncedEmbedding(s, d).orderBy("id_a", "id_b")),
     "d52b_tenant_emb_isolated" -> ((s, d) =>
       Dedup.tenantDiffSyncedEmbedding(s, d, tenant = 1).orderBy("id_a", "id_b")),
+    // ... and on the CONTAINMENT family — the last cell of the 4-family
+    // x 2-side isolation matrix, served from the SHARED synced estate
+    // (the d50 build): df cap re-forms within the tenant, so a count the
+    // sync corrupted flips the cap and hash-mismatches
+    "d53_tenant_diff_synced_contain" -> ((s, d) =>
+      Dedup.tenantDiffSyncedContainment(s, d).orderBy("id_a", "id_b")),
+    "d53b_tenant_ct_isolated" -> ((s, d) =>
+      Dedup.tenantDiffSyncedContainment(s, d, tenant = 1).orderBy("id_a", "id_b")),
+    // the d40 serving contract tenant-scoped: exact k-NN from the synced
+    // estate's s20 store — tenant 0 must serve gen-B membership, tenant
+    // 1 gen-A, from the SAME table (the fleet d40 gate's stake, both
+    // sides of the isolation boundary)
+    "d54_tenant_synced_ann" -> ((s, d) =>
+      Dedup.tenantSyncedAnnSearch(s, d).orderBy("probe_id", "rn")),
+    "d54b_tenant_ann_isolated" -> ((s, d) =>
+      Dedup.tenantSyncedAnnSearch(s, d, tenant = 1).orderBy("probe_id", "rn")),
     // the full index lifecycle on disk: save base (bucket < 150), APPEND
     // the 150-199 slice via bucket-spec-matched INSERT INTO, COMPACT back
     // to one file per bucket (generation swap), delta-join the bucket >=
@@ -436,6 +452,15 @@ object SparkEntry {
     // the 100 TB audit mode: exact recall over one md5-bucket slice
     // (both endpoints in-slice), sharing d24's machinery and oracle
     "d24b_dedup_recall_sampled" -> ((s, d) => Dedup.dedupRecallAuditSampled(s, d)),
+    // measured detection of the winnowed-fingerprint containment tier
+    // over an md5-slice audit set — the last approximate blocking tier
+    // gets its gauge (exact overlap-coefficient side vs the
+    // df-capped fingerprint-blocked candidates)
+    "d55_winnow_detection" -> ((s, d) => Dedup.winnowDetectionAudit(s, d)),
+    // ... and its monitor->action loop: planted short-doc misses trip
+    // the detection trigger, the winnow 4->2 re-fingerprint generation
+    // swaps meta-last, the re-measure clears (0.2 -> 1.0 at sf0.01)
+    "d55b_winnow_retune_trigger" -> ((s, d) => Dedup.winnowRetuneGate(s, d)),
     // the d24 pattern stamped onto the remaining approximate dedup tiers
     // (round-11 verdict ask #3): simhash banding past its pigeonhole
     // radius (exact side = finer 8-bit bands, still sub-quadratic), the
@@ -887,6 +912,54 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The d53/d53b oracles: d39's diff-synced containment chain — the
+    * WHOLE d20b pipeline, df census and cap included — restricted to
+    * ONE tenant of the tenant-partitioned index: the synced tenant 0
+    * recomputes over GEN B (≡4 mod 9 dropped, ≡3 mod 11 amended), the
+    * untouched tenant 1 over GEN A (≡5 mod 13 dropped, NO amendment).
+    * The df cap re-forms WITHIN the tenant (isolated corpora — the d35
+    * rule), which the filtered CTE chain delivers by construction.
+    */
+  private def tenantSyncedContainSql(tenant: Int, genB: Boolean) = {
+    val dropCls = if (genB) "doc_id % 9 = 4" else "doc_id % 13 = 5"
+    val amend = if (genB)
+      s"CASE WHEN $splitBucketSql < 200 AND doc_id % 11 = 3 THEN text || ' v2' ELSE text END"
+    else "text"
+    val filt = s" AND doc_id % 2 = $tenant AND NOT ($splitBucketSql < 200 AND $dropCls)"
+    s"""${containmentCtesOf(amend, filt)},
+       |bk AS (SELECT doc_id, $splitBucketSql AS bucket FROM documents)
+       |SELECT id_a, id_b, CAST(shared_fp AS BIGINT) AS shared_fp,
+       |  round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
+       |    least(len(fa.dall), len(fb.dall)), 4) AS containment
+       |FROM cand JOIN f fa ON fa.doc_id = id_a JOIN f fb ON fb.doc_id = id_b
+       |JOIN bk xa ON xa.doc_id = id_a JOIN bk xb ON xb.doc_id = id_b
+       |WHERE (xa.bucket >= 200 OR xb.bucket >= 200)
+       |  AND round(CAST(len(list_intersect(fa.dall, fb.dall)) AS DOUBLE) /
+       |    least(len(fa.dall), len(fb.dall)), 4) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The d54/d54b oracles: d40's brute-force k-NN recompute restricted
+    * to ONE tenant's SERVED generation membership (gen B for the synced
+    * tenant 0, gen A for the untouched tenant 1) — probes are the
+    * tenant's live vectors with vec_id < nProbes × nTenants (the s20
+    * convention, membership-filtered like the store itself).
+    */
+  private def tenantSyncedAnnSql(tenant: Int, genB: Boolean) = {
+    val member = if (genB) "doc_id % 9 != 4" else "doc_id % 13 != 5"
+    s"""WITH gen AS (SELECT doc_id FROM documents
+       |  WHERE text IS NOT NULL AND $member AND $splitBucketSql < 200),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE vec_id % 2 = $tenant AND vec_id IN (SELECT doc_id FROM gen)),
+       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 20)
+       |SELECT probe_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT probe_id, vec_id AS neighbor_id,
+       |    round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) AS cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 4) DESC, vec_id) AS rn
+       |  FROM p CROSS JOIN e WHERE probe_id != vec_id)
+       |WHERE rn <= 10 ORDER BY probe_id, rn""".stripMargin
+  }
+
   /** The d50 oracle: per (family, tenant) census counts from the
     * fixture algebra alone. The indexed universe is bucket < 200
     * text-bearing docs; tenant 0's live set is GEN B membership
@@ -1232,6 +1305,83 @@ object SparkEntry {
        |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
        |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
        |FROM nx CROSS JOIN ct""".stripMargin
+
+  /** The d55 oracle: the d20 CTE chain restricted to the md5-slice
+    * audit set (bucketCap buckets), exact overlap-coefficient pairs over
+    * the full digest sets via digest postings, detection = caught/exact.
+    */
+  private def winnowDetectionSql(bucketCap: Int): String =
+    s"""${containmentCtesOf("text", s" AND $splitBucketSql < $bucketCap")},
+       |al AS (SELECT doc_id, len(dall) AS l, unnest(dall) AS key FROM f),
+       |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS la, b.l AS lb,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM al a JOIN al b ON a.key = b.key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |ex2 AS (SELECT id_a, id_b FROM co
+       |  WHERE round(CAST(inter AS DOUBLE) / least(la, lb), 4) >= 0.9),
+       |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM ex2 SEMI JOIN cand USING (id_a, id_b)),
+       |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex2)
+       |SELECT n_exact, n_caught,
+       |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS detection
+       |FROM nx CROSS JOIN ct""".stripMargin
+
+  /** The d55b oracle: replay BOTH winnowing generations (4 then 2) over
+    * the audit slice + the planted probe docs (literal texts — the same
+    * Scala generator builds gate and oracle, so they cannot drift), plus
+    * the two-phase conditional swap: phase 0 serves winnow 4; phase 1
+    * serves winnow 2 iff phase 0's detection missed the target.
+    */
+  private lazy val winnowRetuneSql: String = {
+    val probeVals = (0 to 3).flatMap { k =>
+      Seq(s"(${-(2 * k + 1)}, '${graft.operators.Dedup.winnowProbeText(k, variant = false)}')",
+        s"(${-(2 * k + 2)}, '${graft.operators.Dedup.winnowProbeText(k, variant = true)}')")
+    }.mkString(", ")
+    def chain(wn: Int, sfx: String) =
+      s"""sel$sfx AS (SELECT doc_id, digs,
+         |  list_sort(list_distinct([j + list_position(digs[j:j+${wn - 1}], list_min(digs[j:j+${wn - 1}])) - 1
+         |    for j in range(1, greatest(len(digs)-${wn - 1}, 1)+1)])) AS fpos FROM dg),
+         |f$sfx AS (SELECT doc_id, list_distinct([digs[i] for i in fpos]) AS fps FROM sel$sfx),
+         |ex$sfx AS (SELECT doc_id, unnest(fps) AS d FROM f$sfx),
+         |df$sfx AS (SELECT d FROM (SELECT d, count(DISTINCT doc_id) AS n FROM ex$sfx GROUP BY 1)
+         |  WHERE n >= 2 AND n <= 64),
+         |kept$sfx AS (SELECT ex$sfx.doc_id, ex$sfx.d FROM ex$sfx JOIN df$sfx USING (d)),
+         |cand$sfx AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM kept$sfx a JOIN kept$sfx b ON a.d = b.d AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+    s"""WITH probes(doc_id, text) AS (VALUES $probeVals),
+       |d0 AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND $splitBucketSql < 64
+       |  UNION ALL SELECT doc_id, text FROM probes),
+       |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM d0),
+       |sp AS (SELECT doc_id, CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+       |       ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] END AS spans FROM t),
+       |dg AS (SELECT doc_id, [md5(s) for s in spans] AS digs FROM sp),
+       |${chain(4, "4")},
+       |${chain(2, "2")},
+       |fall AS (SELECT doc_id, list_distinct(digs) AS dall FROM dg),
+       |al AS (SELECT doc_id, len(dall) AS l, unnest(dall) AS key FROM fall),
+       |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS la, b.l AS lb,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM al a JOIN al b ON a.key = b.key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |ex0 AS (SELECT id_a, id_b FROM co
+       |  WHERE round(CAST(inter AS DOUBLE) / least(la, lb), 4) >= 0.9),
+       |sc AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ex0) AS n_exact,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ex0 SEMI JOIN cand4 USING (id_a, id_b)) AS c4,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM ex0 SEMI JOIN cand2 USING (id_a, id_b)) AS c2),
+       |sc2 AS (SELECT n_exact, c4, c2,
+       |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(c4 AS DOUBLE) / n_exact, 4) END AS det4,
+       |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(c2 AS DOUBLE) / n_exact, 4) END AS det2 FROM sc)
+       |SELECT CAST(0 AS BIGINT) AS phase, CAST(4 AS BIGINT) AS winnow, n_exact, c4 AS n_caught,
+       |  det4 AS detection, det4 < 0.95 AS triggered FROM sc2
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT), CASE WHEN det4 < 0.95 THEN CAST(2 AS BIGINT) ELSE CAST(4 AS BIGINT) END,
+       |  n_exact, CASE WHEN det4 < 0.95 THEN c2 ELSE c4 END,
+       |  CASE WHEN det4 < 0.95 THEN det2 ELSE det4 END,
+       |  (CASE WHEN det4 < 0.95 THEN det2 ELSE det4 END) < 0.95 FROM sc2
+       |ORDER BY phase""".stripMargin
+  }
 
   private lazy val deltaNearDupSql =
     s"""$shinglesCte,
@@ -1936,6 +2086,8 @@ object SparkEntry {
     "d24_dedup_recall" -> dedupRecallSql(256),
     // the sampled twin: d24's SQL restricted to the md5-bucket slice
     "d24b_dedup_recall_sampled" -> dedupRecallSql(64),
+    "d55_winnow_detection" -> winnowDetectionSql(64),
+    "d55b_winnow_retune_trigger" -> winnowRetuneSql,
     // measured simhash-banding recall at Hamming 5 (past the 4-band
     // pigeonhole guarantee of 3): exact side brute-forced here — the
     // Spark side's finer 8-bit banding is pigeonhole-exact through 7,
@@ -2133,6 +2285,12 @@ object SparkEntry {
     "d51b_tenant_sh_isolated" -> tenantDiffSyncedShSql(1, genB = false),
     "d52_tenant_diff_synced_emb" -> tenantDiffSyncedEmbSql(0, genB = true),
     "d52b_tenant_emb_isolated" -> tenantDiffSyncedEmbSql(1, genB = false),
+    // the containment family completes the 4-family x 2-side matrix
+    "d53_tenant_diff_synced_contain" -> tenantSyncedContainSql(0, genB = true),
+    "d53b_tenant_ct_isolated" -> tenantSyncedContainSql(1, genB = false),
+    // the s20 store's tenant-sync SERVING gates (the fleet d40, scoped)
+    "d54_tenant_synced_ann" -> tenantSyncedAnnSql(0, genB = true),
+    "d54b_tenant_ann_isolated" -> tenantSyncedAnnSql(1, genB = false),
     // the tenant-estate census: per (family, tenant) counts from the
     // fixture algebra — tenant 0 = gen B with zero removed refs,
     // tenant 1 = gen A with its removed-class rows still present
@@ -3555,20 +3713,29 @@ object SparkEntry {
     // under the same gen-A/gen-B membership and amendment rules — a doc
     // in both gens with equal text is 'unchanged' and filtered out
     // the oracle mirrors the EXACT multi-field signature byte layout
-    // (chr(1) separators, chr(2) null sentinels) — a Scala signature
-    // regressing to text-only misses the planted ≡7 (mod 19) lang move
-    // (text untouched) and row-count-mismatches here
+    // (length-prefixed fields, chr(1) separators, chr(2) null
+    // sentinels) — a Scala signature regressing to text-only misses the
+    // planted ≡7 (mod 19) lang move (text untouched) and
+    // row-count-mismatches here
     "e3_corpus_diff" ->
       """WITH d AS (SELECT doc_id, lang, source, text FROM documents WHERE text IS NOT NULL),
-        |a AS (SELECT doc_id, lang,
-        |    sha256(coalesce(text, chr(2)) || chr(1) || coalesce(lang, chr(2)) || chr(1) || coalesce(source, chr(2))) AS sha
+        |af AS (SELECT doc_id, lang, coalesce(text, chr(2)) AS ft,
+        |    coalesce(lang, chr(2)) AS fl, coalesce(source, chr(2)) AS fs
         |  FROM d WHERE doc_id % 13 != 5),
-        |b AS (SELECT doc_id,
+        |a AS (SELECT doc_id, lang,
+        |    sha256(CAST(length(ft) AS VARCHAR) || ':' || ft || chr(1)
+        |      || CAST(length(fl) AS VARCHAR) || ':' || fl || chr(1)
+        |      || CAST(length(fs) AS VARCHAR) || ':' || fs) AS sha FROM af),
+        |bf AS (SELECT doc_id,
         |    CASE WHEN doc_id % 19 = 7 THEN 'zz' ELSE lang END AS lang,
-        |    sha256(coalesce(CASE WHEN doc_id % 11 = 3 THEN text || ' v2' ELSE text END, chr(2))
-        |      || chr(1) || coalesce(CASE WHEN doc_id % 19 = 7 THEN 'zz' ELSE lang END, chr(2))
-        |      || chr(1) || coalesce(source, chr(2))) AS sha
-        |  FROM d WHERE doc_id % 9 != 4)
+        |    coalesce(CASE WHEN doc_id % 11 = 3 THEN text || ' v2' ELSE text END, chr(2)) AS ft,
+        |    coalesce(CASE WHEN doc_id % 19 = 7 THEN 'zz' ELSE lang END, chr(2)) AS fl,
+        |    coalesce(source, chr(2)) AS fs
+        |  FROM d WHERE doc_id % 9 != 4),
+        |b AS (SELECT doc_id, lang,
+        |    sha256(CAST(length(ft) AS VARCHAR) || ':' || ft || chr(1)
+        |      || CAST(length(fl) AS VARCHAR) || ':' || fl || chr(1)
+        |      || CAST(length(fs) AS VARCHAR) || ':' || fs) AS sha FROM bf)
         |SELECT doc_id,
         |  CASE WHEN a.sha IS NULL THEN 'added' WHEN b.sha IS NULL THEN 'removed'
         |       WHEN a.sha != b.sha THEN 'changed' END AS status,

@@ -141,9 +141,19 @@ object CorpusWriter {
     // each field coalesces to a \u0002 sentinel FIRST, because concat_ws
     // silently SKIPS nulls and would collapse field boundaries:
     // (NULL, 'en', src) and ('en', NULL, src) must not hash identically
-    // (round-15 advice). The e3 oracle mirrors the exact byte layout.
+    // (round-15 advice). Each field is additionally LENGTH-PREFIXED:
+    // a bare control-char separator still collides when a value CONTAINS
+    // the separator — (text='a\u0001b', lang='c') and (text='a',
+    // lang='b\u0001c') concat to identical bytes, so a real change
+    // classifies 'unchanged' and silently evades the sync (round-16
+    // advice). The decimal length pins each field's extent; no value
+    // content can shift bytes across a boundary. The e3 oracle mirrors
+    // the exact byte layout.
     def sig(p: String, side: String) = {
-      def f(c: String) = coalesce(col(c), lit("\u0002"))
+      def f(c: String) = {
+        val v = coalesce(col(c), lit("\u0002"))
+        concat(length(v).cast("string"), lit(":"), v)
+      }
       spark.read.parquet(p)
         .select(col("doc_id"), col("lang").as(s"lang_$side"),
           sha2(concat_ws("\u0001", f("text"), f("lang"), f("source")),

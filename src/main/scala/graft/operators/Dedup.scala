@@ -1232,6 +1232,27 @@ object Dedup {
       (diff, genA, genB)
     }.asInstanceOf[(DataFrame, DataFrame, DataFrame)]
 
+  /** Derived gen-A payload frames shared by the census gates (d48
+    * fleet, d50 tenant): both otherwise recompute shingles, signatures,
+    * the winnowed selection, and the embedding membership join over the
+    * SAME fixture — one localCheckpoint per frame per session instead
+    * (round-16 ask #6, the cold-build consolidation). Returns
+    * (shingles A, simhash A, containment selection A, embeddings A).
+    */
+  private[graft] def corpusGenDerived(spark: SparkSession, dir: String,
+      splitAt: Int): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("corpusGenDerived", dir, splitAt)) {
+      val (_, genA, _) = corpusGenFixture(spark, dir, splitAt)
+      val e = Similarity.preparedEmbeddings(spark, dir)
+        .select("vec_id", "label", "v", "n")
+      (shingleTableOf(genA).localCheckpoint(),
+        simhash64Of(genA).localCheckpoint(),
+        containmentSelection(genA, 8, 4).localCheckpoint(),
+        e.join(genA.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi").localCheckpoint())
+    }.asInstanceOf[(DataFrame, DataFrame, DataFrame, DataFrame)]
+
   /** The per-family payloads one diff-driven estate sync fans to: each
     * slot is (index table name, gen-B payload source) — documents for
     * the text families, prepared vectors (vec_id key) for the embedding
@@ -1687,8 +1708,7 @@ object Dedup {
       val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
       val e = Similarity.preparedEmbeddings(spark, dir)
         .select("vec_id", "label", "v", "n")
-      val eA = e.join(genA.select(col("doc_id").as("vec_id")),
-        Seq("vec_id"), "left_semi")
+      val (shA, simA, selA, eA) = corpusGenDerived(spark, dir, splitAt)
       val nm = Map("nd" -> s"esync_nd_$h", "sh" -> s"esync_sh_$h",
         "emb" -> s"esync_em_$h", "ct" -> s"esync_ct_$h",
         "ann" -> s"esync_an_$h", "annp" -> s"esync_ap_$h",
@@ -1697,10 +1717,11 @@ object Dedup {
       // fresh state every session: the gate measures one full lifecycle
       nm.values.toSeq.flatMap(n => estateTableSuffixes.map(s => s"$n$s"))
         .foreach(t => dropTableAndLocation(spark, t))
-      saveNearDupIndex(buildNearDupIndex(genA), nm("nd"))
-      saveSimHashIndex(buildSimHashIndex(simhash64Of(genA)), nm("sh"))
+      saveNearDupIndex(NearDupIndex(bandedKeys(shA, 3, 3), shA, 3, 3),
+        nm("nd"))
+      saveSimHashIndex(buildSimHashIndex(simA), nm("sh"))
       saveEmbIndex(buildEmbIndex(eA), nm("emb"))
-      saveContainIndex(buildContainIndex(genA), nm("ct"))
+      saveContainIndex(containIndexFromSelection(selA), nm("ct"))
       Similarity.saveAnnIndex(spark, nm("ann"), eA)
       Similarity.savePartitionedAnnStore(spark, nm("annp"), eA)
       saveLabelState(spark, nm("lab"), labelStateOf(genA))
@@ -1767,12 +1788,11 @@ object Dedup {
     * to — [[EstateSyncTargets]]'s counterpart for the d31/d33/d34/d35
     * layouts plus the s20 two-level store ([[Takedown.TenantTargets]]
     * is the deletion-list analogue; this is the generation-swap one).
-    * Slots carry (table, gen-B payload): documents for nearDup/simHash,
-    * the WINNOWED SELECTION frame for contain (the tenant tables carry
-    * no meta table, so the caller owns the w/winnow parameters — pass a
-    * selection built with the same parameters the index was), prepared
-    * vectors (vec_id key) for emb/annStore. Absent ⇒ the family is not
-    * deployed for this estate.
+    * Slots carry (table, gen-B payload): DOCUMENTS for nearDup/simHash
+    * AND contain (the sync re-fingerprints appended docs itself under
+    * the w/winnow the family's `_meta` table recorded at save time —
+    * the fleet contract), prepared vectors (vec_id key) for
+    * emb/annStore. Absent ⇒ the family is not deployed for this estate.
     */
   final case class TenantEstateSyncTargets(
       nearDup: Option[(String, DataFrame)] = None,
@@ -1825,9 +1845,17 @@ object Dedup {
     val hasGone = !gone.isEmpty
     val hasCame = !came.isEmpty
     if (!hasGone && !hasCame) return
+    // validate every deployed index family's meta BEFORE any mutation —
+    // a tenant-count mismatch must refuse outright, not tombstone under
+    // the wrong tenant assignment first
+    Seq(targets.nearDup, targets.simHash, targets.emb, targets.contain)
+      .flatten.foreach { case (t, _) => requireTenantMeta(spark, t, nTenants) }
     val goneVec = gone.select(col("doc_id").as("vec_id"))
     val cameVec = came.select(col("doc_id").as("vec_id"))
-    def withTenant(df: DataFrame) = df.withColumn("tenant", lit(tenant))
+    // .toLong: the saved tables derive tenant via pmod over a Long key
+    // (LongType); an Int literal rides Spark's implicit upcast today but
+    // would throw under a stricter store-assignment policy (r16 advice)
+    def withTenant(df: DataFrame) = df.withColumn("tenant", lit(tenant.toLong))
     targets.nearDup.foreach { case (t, docs) =>
       if (hasGone) {
         removeFromNearDupIndex(spark, t, gone)
@@ -1836,11 +1864,15 @@ object Dedup {
       if (hasCame) {
         val sh = shingleTableOf(docs.join(came, Seq("doc_id"), "left_semi"))
           .localCheckpoint() // feeds both appends
-        // banding/bucket constants = saveTenantNearDupTables' (3, 3, 8)
-        appendTenantBucketedTable(withTenant(bandedKeys(sh, 3, 3)),
-          s"${t}_banded", buckets = 8, Seq("band", "bkey"))
+        // banding/bucket parameters come from the meta the save wrote —
+        // never re-hardcoded here (round-16 ask #3)
+        val m = requireTenantMeta(spark, t, nTenants)
+        val bk = m.getAs[Int]("buckets")
+        appendTenantBucketedTable(withTenant(bandedKeys(sh,
+            m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"))),
+          s"${t}_banded", bk, Seq("band", "bkey"))
         appendTenantBucketedTable(withTenant(sh), s"${t}_shingles",
-          buckets = 8, Seq("doc_id"))
+          bk, Seq("doc_id"))
         clearTombstones(spark, s"${t}_tombstones", came, "doc_id")
       }
     }
@@ -1853,7 +1885,9 @@ object Dedup {
         appendTenantBucketedTable(
           withTenant(simhashBanded(simhash64Of(
             docs.join(came, Seq("doc_id"), "left_semi")))),
-          s"${t}_banded", buckets = 8, Seq("b", "chunk"))
+          s"${t}_banded",
+          requireTenantMeta(spark, t, nTenants).getAs[Int]("buckets"),
+          Seq("b", "chunk"))
         clearTombstones(spark, s"${t}_tombstones", came, "doc_id")
       }
     }
@@ -1865,36 +1899,47 @@ object Dedup {
       if (hasCame) {
         val nv = vecs.join(cameVec, Seq("vec_id"), "left_semi")
           .localCheckpoint() // feeds both appends
-        appendTenantBucketedTable(withTenant(embBandedOf(nv, 4, 2)),
-          s"${t}_banded", buckets = 8, Seq("label", "band", "bucket"))
+        val m = requireTenantMeta(spark, t, nTenants)
+        val bk = m.getAs[Int]("buckets")
+        appendTenantBucketedTable(withTenant(embBandedOf(nv,
+            m.getAs[Int]("bands"), m.getAs[Int]("planes_per_band"))),
+          s"${t}_banded", bk, Seq("label", "band", "bucket"))
         appendTenantBucketedTable(
           withTenant(nv.select("label", "vec_id", "v", "n")),
-          s"${t}_vectors", buckets = 8, Seq("vec_id"))
+          s"${t}_vectors", bk, Seq("vec_id"))
         clearTombstones(spark, s"${t}_tombstones", cameVec, "vec_id")
       }
     }
-    targets.contain.foreach { case (t, sel) =>
+    targets.contain.foreach { case (t, docs) =>
       if (hasGone) {
         removeFromContainIndex(spark, t, gone)
         compactTenantContainIndex(spark, t, tenant, nTenants)
       }
       if (hasCame) {
-        val newSel = sel.join(came, Seq("doc_id"), "left_semi")
-          .localCheckpoint()
+        // the slot carries gen-B DOCUMENTS (the fleet EstateSyncTargets
+        // contract): w/winnow come from the meta the save wrote, so the
+        // appended docs can never fingerprint under drifted parameters
+        // (containmentSelection is per-doc — restricting docs before
+        // selection equals restricting the selection)
+        val m = requireTenantMeta(spark, t, nTenants)
+        val bk = m.getAs[Int]("buckets")
+        val newSel = containmentSelection(
+          docs.join(came, Seq("doc_id"), "left_semi"),
+          m.getAs[Int]("w"), m.getAs[Int]("winnow")).localCheckpoint()
         val fp = withTenant(
           newSel.select(col("doc_id"), explode(col("fps")).as("d")))
           .localCheckpoint() // feeds the fp append AND the df increment
-        appendTenantBucketedTable(fp, s"${t}_fp", buckets = 8, Seq("d"))
+        appendTenantBucketedTable(fp, s"${t}_fp", bk, Seq("d"))
         // df INCREMENT rows — loadTenantContainIndex sums per digest,
         // and the next compaction collapses the tenant's rows back to
         // one per digest
         appendTenantBucketedTable(
           fp.groupBy(col("tenant"), col("d")).agg(count(lit(1)).as("n"))
             .select(col("d"), col("n"), col("tenant")),
-          s"${t}_df", buckets = 8, Seq("d"))
+          s"${t}_df", bk, Seq("d"))
         appendTenantBucketedTable(
           withTenant(newSel.select(col("doc_id"), col("dall"))),
-          s"${t}_sets", buckets = 8, Seq("doc_id"))
+          s"${t}_sets", bk, Seq("doc_id"))
         clearTombstones(spark, s"${t}_tombstones", came, "doc_id")
       }
     }
@@ -1918,52 +1963,52 @@ object Dedup {
           "the nearDup slot — the merge's delta pairs come from the synced " +
           "tenant index"))
       val genBT = genB.filter(inTenant).localCheckpoint()
-      def slice() = {
-        spark.catalog.refreshTable(lt)
-        spark.table(lt).filter(col("tenant") === tenant).drop("tenant")
-          .localCheckpoint()
-      }
-      if (hasGone) {
+      spark.catalog.refreshTable(lt)
+      val slice = spark.table(lt).filter(col("tenant") === tenant)
+        .drop("tenant").localCheckpoint()
+      // ONE fused partition rewrite even when the diff carries BOTH gone
+      // and came rows (round-16 ask #4 — the retract branch used to land
+      // its own rewrite and the merge re-read it): the retract result
+      // feeds the merge in memory, the tenant partition rewrites once.
+      val retracted = if (!hasGone) slice else {
         // gone docs retract: the tenant's touched clusters re-label over
         // surviving members (vertex removal SPLITS components — the d23
-        // semantics), only this tenant's partition rewrites
-        val s = slice()
-        val relabeled = removeFromLabelState(s, genBT, gone,
+        // semantics)
+        val relabeled = removeFromLabelState(slice, genBT, gone,
           targets.labelThreshold).localCheckpoint()
         // the kept slice checkpoints BEFORE the union: its anti-join
         // references `relabeled`'s attributes, and a Union whose children
         // share attribute lineage trips Catalyst's constraint rewrite
         // (AttributeMap "key not found") on some inputs
-        val kept = s.join(broadcast(gone), Seq("doc_id"), "left_anti")
+        val kept = slice.join(broadcast(gone), Seq("doc_id"), "left_anti")
           .join(broadcast(relabeled.select(col("doc_id"))), Seq("doc_id"),
             "left_anti")
           .localCheckpoint()
-        rewriteTenantPartition(spark, lt, tenant, buckets = 4, Seq("cluster"),
-          kept.unionByName(relabeled))
+        kept.unionByName(relabeled).localCheckpoint()
       }
-      if (hasCame) {
+      val merged = if (!hasCame) retracted else {
         // came docs merge via their delta pairs against the JUST-SYNCED
         // tenant index (the d16 ingest semantics) — arm order in this
         // method guarantees the index synced first
-        val s = slice()
         val cameDocs = genBT.join(came, Seq("doc_id"), "left_semi")
           .localCheckpoint()
         val pairs = deltaNearDups(cameDocs,
             loadTenantNearDupIndex(spark, idx, tenant),
             targets.labelThreshold)
           .select(col("id_a"), col("id_b")).distinct()
-        val changed = mergeLabelState(spark, s, pairs,
+        val changed = mergeLabelState(spark, retracted, pairs,
           cameDocs.select(col("doc_id"),
             length(coalesce(col("text"), lit(""))).as("qlen")))
           .localCheckpoint()
         // checkpoint before the union (attribute-lineage disjointness —
         // see the retract branch)
-        val kept = s.join(broadcast(changed.select(col("doc_id"))),
+        val kept = retracted.join(broadcast(changed.select(col("doc_id"))),
             Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        rewriteTenantPartition(spark, lt, tenant, buckets = 4, Seq("cluster"),
-          kept.unionByName(changed))
+        kept.unionByName(changed)
       }
+      rewriteTenantPartition(spark, lt, tenant, buckets = 4, Seq("cluster"),
+        merged)
     }
     targets.sketchCells.foreach { case (t, genB) =>
       // affected langs = BOTH sides of every non-unchanged tenant diff
@@ -2119,6 +2164,114 @@ object Dedup {
       loadTenantEmbIndex(spark, name, tenant), threshold)
   }
 
+  /** D53 — the d49 discipline for the CONTAINMENT family, the last
+    * cell of the 4-family × 2-side tenant-sync isolation matrix: the
+    * SHARED synced estate's three containment tables hold gen B in
+    * tenant 0's partitions after the fan, and the gate serves the
+    * tenant's bucket ≥ splitAt delta against them — df cap included, so
+    * a per-digest count the sync corrupted flips the cap and
+    * hash-mismatches (the d39 stake, tenant-scoped; oracle = d39's
+    * gen-B containment chain tenant-restricted). With `tenant` = 1
+    * (d53b) the SAME tables must serve gen A exactly — isolation as a
+    * content-level serving oracle, not just the d50 census counts.
+    */
+  def tenantDiffSyncedContainment(spark: SparkSession, dir: String,
+      tenant: Int = 0, splitAt: Int = 200, nTenants: Int = 2, w: Int = 8,
+      winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
+      threshold: Double = 0.9): DataFrame = {
+    def bucket = TextAnalysis.splitBucket(col("doc_id"))
+    val (names, _, _, _) = tenantSyncedEstate(spark, dir, splitAt, nTenants)
+    val sel = containmentSelCached(spark, dir, w, winnow)
+    deltaContainmentFromSelection(
+      sel.filter(bucket >= splitAt &&
+        pmod(col("doc_id"), lit(nTenants)) === tenant),
+      loadTenantContainIndex(spark, names("ct"), tenant), minShared, dfCap,
+      threshold)
+  }
+
+  /** D54 — the d40 serving contract tenant-scoped: exact brute-force
+    * k-NN served from the SHARED synced estate's s20 two-level store,
+    * one tenant's partition subtree — probes are the tenant's own first
+    * vectors (the s20 convention; tenants never probe with another
+    * tenant's vector). Oracle recomputes the k-NN over the tenant's
+    * SERVED generation membership alone — gen B for the synced tenant 0,
+    * gen A for the untouched tenant 1 (d54b) — so a leftover dropped
+    * vector, a missed addition, or an uncompacted tombstone
+    * hash-mismatches on one side or the other.
+    */
+  def tenantSyncedAnnSearch(spark: SparkSession, dir: String,
+      tenant: Int = 0, splitAt: Int = 200, nTenants: Int = 2,
+      nProbes: Int = 10, k: Int = 10): DataFrame = {
+    val (names, _, _, _) = tenantSyncedEstate(spark, dir, splitAt, nTenants)
+    val store = Similarity.loadTenantAnnStore(spark, names("ann"), tenant)
+    val probes = store
+      .filter(col("vec_id") < lit(nProbes.toLong * nTenants))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("n").as("pn"))
+    val corpus = store.select(col("vec_id").as("neighbor_id"), col("v"),
+      col("n"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotProduct(col("pv"), col("v")) /
+        (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** Build-once SHARED synced tenant estate: all seven tenant-
+    * partitioned state classes over gen A (both tenants), tenant 0
+    * synced to gen B by ONE [[syncTenantEstateWithDiff]] fan. d50
+    * censuses it; d53/d53b serve the containment delta from its ct
+    * tables; d54/d54b serve exact k-NN from its s20 store — the serving
+    * oracles and the census amortize ONE cold build (round-16 asks #1,
+    * #2, #6). Returns (table names, removed ids, gen A, gen B).
+    */
+  private[graft] def tenantSyncedEstate(spark: SparkSession, dir: String,
+      splitAt: Int = 200, nTenants: Int = 2):
+      (Map[String, String], DataFrame, DataFrame, DataFrame) = {
+    val h = f"${dir.hashCode & 0xffffffffL}%x"
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantEstateSyncCensus", dir, splitAt, nTenants)) {
+      val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
+      val e = Similarity.preparedEmbeddings(spark, dir)
+        .select("vec_id", "label", "v", "n")
+      val (shA, simA, selA, eA) = corpusGenDerived(spark, dir, splitAt)
+      val nm = Map("nd" -> s"tesync_nd_$h", "sh" -> s"tesync_sh_$h",
+        "emb" -> s"tesync_em_$h", "ct" -> s"tesync_ct_$h",
+        "ann" -> s"tesync_an_$h", "lab" -> s"tesync_lb_$h",
+        "sk" -> s"tesync_sk_$h")
+      // fresh state every session: the gate measures one full lifecycle
+      nm.values.toSeq.flatMap(n => estateTableSuffixes.map(s => s"$n$s"))
+        .foreach { t =>
+          dropTableAndLocation(spark, t)
+          dropTenantCompactionTemps(spark, t, nTenants)
+        }
+      saveTenantNearDupTables(shA, nm("nd"), nTenants)
+      saveTenantSimHashTables(simA, nm("sh"), nTenants)
+      saveTenantEmbTables(eA, nm("emb"), nTenants)
+      saveTenantContainTables(selA, nm("ct"), nTenants)
+      Similarity.saveTenantAnnStore(spark, nm("ann"), eA, nTenants)
+      saveTenantLabelState(spark, nm("lab"), genA, nTenants)
+      saveTenantSketchCells(spark, nm("sk"), genA, nTenants)
+      // ONE call fans tenant 0's whole estate (all SEVEN td2 state
+      // classes); tenant 1 never moves
+      syncTenantEstateWithDiff(spark, diff, 0, nTenants,
+        TenantEstateSyncTargets(
+          nearDup = Some((nm("nd"), genB)),
+          simHash = Some((nm("sh"), genB)),
+          emb = Some((nm("emb"), e)),
+          contain = Some((nm("ct"), genB)),
+          annStore = Some((nm("ann"), e)),
+          labels = Some(nm("lab")),
+          sketchCells = Some((nm("sk"), genB))))
+      (nm, diff.filter(col("status") === "removed")
+          .select(col("doc_id")).localCheckpoint(),
+        genA.localCheckpoint(), genB.localCheckpoint())
+    }.asInstanceOf[(Map[String, String], DataFrame, DataFrame, DataFrame)]
+  }
+
   /** D50 — the d48 orchestration census for the TENANT estate: build
     * all SEVEN tenant-partitioned state classes over GEN A (both
     * tenants) — the four index families, the s20 store, and the two
@@ -2136,49 +2289,8 @@ object Dedup {
     */
   def tenantEstateSyncCensus(spark: SparkSession, dir: String,
       splitAt: Int = 200, nTenants: Int = 2): DataFrame = {
-    val h = f"${dir.hashCode & 0xffffffffL}%x"
-    val state = graft.SessionCache.getOrElseUpdate(spark,
-        ("tenantEstateSyncCensus", dir, splitAt, nTenants)) {
-      val (diff, genA, genB) = corpusGenFixture(spark, dir, splitAt)
-      val e = Similarity.preparedEmbeddings(spark, dir)
-        .select("vec_id", "label", "v", "n")
-      val eA = e.join(genA.select(col("doc_id").as("vec_id")),
-        Seq("vec_id"), "left_semi")
-      val selA = containmentSelection(genA, 8, 4).localCheckpoint()
-      val selB = containmentSelection(genB, 8, 4).localCheckpoint()
-      val nm = Map("nd" -> s"tesync_nd_$h", "sh" -> s"tesync_sh_$h",
-        "emb" -> s"tesync_em_$h", "ct" -> s"tesync_ct_$h",
-        "ann" -> s"tesync_an_$h", "lab" -> s"tesync_lb_$h",
-        "sk" -> s"tesync_sk_$h")
-      // fresh state every session: the gate measures one full lifecycle
-      nm.values.toSeq.flatMap(n => estateTableSuffixes.map(s => s"$n$s"))
-        .foreach { t =>
-          dropTableAndLocation(spark, t)
-          dropTenantCompactionTemps(spark, t, nTenants)
-        }
-      saveTenantNearDupTables(shingleTableOf(genA), nm("nd"), nTenants)
-      saveTenantSimHashTables(simhash64Of(genA), nm("sh"), nTenants)
-      saveTenantEmbTables(eA, nm("emb"), nTenants)
-      saveTenantContainTables(selA, nm("ct"), nTenants)
-      Similarity.saveTenantAnnStore(spark, nm("ann"), eA, nTenants)
-      saveTenantLabelState(spark, nm("lab"), genA, nTenants)
-      saveTenantSketchCells(spark, nm("sk"), genA, nTenants)
-      // ONE call fans tenant 0's whole estate (all SEVEN td2 state
-      // classes); tenant 1 never moves
-      syncTenantEstateWithDiff(spark, diff, 0, nTenants,
-        TenantEstateSyncTargets(
-          nearDup = Some((nm("nd"), genB)),
-          simHash = Some((nm("sh"), genB)),
-          emb = Some((nm("emb"), e)),
-          contain = Some((nm("ct"), selB)),
-          annStore = Some((nm("ann"), e)),
-          labels = Some(nm("lab")),
-          sketchCells = Some((nm("sk"), genB))))
-      (nm, diff.filter(col("status") === "removed")
-          .select(col("doc_id")).localCheckpoint(),
-        genA.localCheckpoint(), genB.localCheckpoint())
-    }.asInstanceOf[(Map[String, String], DataFrame, DataFrame, DataFrame)]
-    val (names, removed, genA, genB) = state
+    val (names, removed, genA, genB) =
+      tenantSyncedEstate(spark, dir, splitAt, nTenants)
     val rmVec = removed.select(col("doc_id").as("vec_id"))
     def census(st: String, tenant: Int, df: DataFrame,
         key: String): DataFrame = {
@@ -2371,6 +2483,61 @@ object Dedup {
       .sortBy(keys.head, keys.tail: _*)
       .mode("append").saveAsTable(table)
 
+  /** Write a tenant family's parameter meta table — the fleet invariant
+    * (banding/bucket constants ride the index state, never the caller —
+    * [[saveNearDupIndex]], [[saveContainIndex]]) applied to the
+    * tenant-partitioned layouts: [[syncTenantEstateWithDiff]]'s append
+    * arms, the tenant loads, and the tenant compactions read THESE
+    * values, so no call site can append or rewrite under a different
+    * banding than the tables were saved with (round-16 verdict ask #3 —
+    * the constants previously lived duplicated-by-convention at the
+    * save AND sync sites).
+    */
+  private def saveTenantMeta(spark: SparkSession, name: String,
+      fields: (String, Int)*): Unit = {
+    dropTableAndLocation(spark, s"${name}_meta")
+    val schema = org.apache.spark.sql.types.StructType(fields.map(f =>
+      org.apache.spark.sql.types.StructField(f._1,
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row.fromSeq(fields.map(_._2))), schema)
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** A tenant family's saved meta row; None for a raw
+    * [[saveTenantBucketedTable]] fixture that never wrote one.
+    */
+  private[graft] def tenantMeta(spark: SparkSession,
+      name: String): Option[org.apache.spark.sql.Row] =
+    if (spark.catalog.tableExists(s"${name}_meta"))
+      Some(spark.table(s"${name}_meta").head())
+    else None
+
+  /** Meta-or-fallback bucket count for a tenant family's compaction —
+    * the saved layout is authoritative whenever a meta table exists;
+    * the parameter only serves raw test fixtures without one.
+    */
+  private def tenantBuckets(spark: SparkSession, name: String,
+      fallback: Int): Int =
+    tenantMeta(spark, name).map(_.getAs[Int]("buckets")).getOrElse(fallback)
+
+  /** A synced family's meta row — the sync REFUSES to guess banding
+    * (appending under drifted constants would produce a silently
+    * under-recalling index only the recall monitors could catch), and
+    * a tenant-count mismatch would reassign doc→tenant wholesale.
+    */
+  private def requireTenantMeta(spark: SparkSession, name: String,
+      nTenants: Int): org.apache.spark.sql.Row = {
+    val m = tenantMeta(spark, name).getOrElse(throw new IllegalStateException(
+      s"$name has no _meta table — tenant families record banding/bucket " +
+        "parameters at save time; rebuild via the saveTenant* entry point"))
+    require(m.getAs[Int]("n_tenants") == nTenants,
+      s"$name was saved with n_tenants=${m.getAs[Int]("n_tenants")} but " +
+        s"the sync was invoked with $nTenants — tenant assignment would drift")
+    m
+  }
+
   /** D31 — the MULTI-TENANT near-dup index (round-11 verdict ask #5):
     * a6b proved planning-time tenant pruning for the fact table; this
     * gate extends the tenant column into persisted INDEX state. The
@@ -2407,13 +2574,17 @@ object Dedup {
     * (doc_id, sh, qlen…) shingle frame WITHOUT a tenant column.
     */
   private[graft] def saveTenantNearDupTables(sh: DataFrame, t: String,
-      nTenants: Int): Unit = {
+      nTenants: Int, bands: Int = 3, rowsPerBand: Int = 3,
+      buckets: Int = 8): Unit = {
     def withTenant(df: DataFrame) =
       df.withColumn("tenant", pmod(col("doc_id"), lit(nTenants)))
-    saveTenantBucketedTable(withTenant(bandedKeys(sh, 3, 3)),
-      s"${t}_banded", buckets = 8, Seq("band", "bkey"))
-    saveTenantBucketedTable(withTenant(sh), s"${t}_shingles", buckets = 8,
+    saveTenantBucketedTable(withTenant(bandedKeys(sh, bands, rowsPerBand)),
+      s"${t}_banded", buckets, Seq("band", "bkey"))
+    saveTenantBucketedTable(withTenant(sh), s"${t}_shingles", buckets,
       Seq("doc_id"))
+    saveTenantMeta(sh.sparkSession, t, "bands" -> bands,
+      "rows_per_band" -> rowsPerBand, "buckets" -> buckets,
+      "n_tenants" -> nTenants)
   }
 
   /** [[compactTenantSimHashIndex]]'s near-dup twin, over both halves of
@@ -2423,14 +2594,16 @@ object Dedup {
     */
   def compactTenantNearDupIndex(spark: SparkSession, name: String,
       tenant: Int, nTenants: Int, buckets: Int = 8): Unit = {
+    // saved layout wins over the parameter whenever a meta row exists
+    val bk = tenantBuckets(spark, name, buckets)
     val ts = tombstoneTable(spark, s"${name}_tombstones")
       .map(_.select(col("doc_id")).localCheckpoint())
     ts.foreach { t =>
       val tenantIds = t.filter(pmod(col("doc_id"), lit(nTenants)) === tenant)
         .localCheckpoint()
-      compactTenantPartition(spark, s"${name}_banded", tenant, buckets,
+      compactTenantPartition(spark, s"${name}_banded", tenant, bk,
         Seq("band", "bkey"), Some((tenantIds, "doc_id")))
-      compactTenantPartition(spark, s"${name}_shingles", tenant, buckets,
+      compactTenantPartition(spark, s"${name}_shingles", tenant, bk,
         Seq("doc_id"), Some((tenantIds, "doc_id")))
       clearTombstones(spark, s"${name}_tombstones", tenantIds, "doc_id")
     }
@@ -2444,12 +2617,16 @@ object Dedup {
   private[graft] def loadTenantNearDupIndex(spark: SparkSession,
       name: String, tenant: Int): NearDupIndex = {
     val ts = tombstoneTable(spark, s"${name}_tombstones")
+    // banding from the saved meta (the fleet loadNearDupIndex contract);
+    // (3, 3) only serves raw fixtures without one
+    val m = tenantMeta(spark, name)
     NearDupIndex(
       minusTombstones(spark.table(s"${name}_banded")
         .filter(col("tenant") === tenant).drop("tenant"), ts, "doc_id"),
       minusTombstones(spark.table(s"${name}_shingles")
         .filter(col("tenant") === tenant).drop("tenant"), ts, "doc_id"),
-      3, 3)
+      m.map(_.getAs[Int]("bands")).getOrElse(3),
+      m.map(_.getAs[Int]("rows_per_band")).getOrElse(3))
   }
 
   /** D31B — a TAKEDOWN against the tenant-partitioned index: tombstone
@@ -3827,11 +4004,16 @@ object Dedup {
     * tenant column.
     */
   private[graft] def saveTenantSimHashTables(sigs: DataFrame, t: String,
-      nTenants: Int): Unit =
+      nTenants: Int, buckets: Int = 8): Unit = {
     saveTenantBucketedTable(
       simhashBanded(sigs)
         .withColumn("tenant", pmod(col("doc_id"), lit(nTenants))),
-      s"${t}_banded", buckets = 8, Seq("b", "chunk"))
+      s"${t}_banded", buckets, Seq("b", "chunk"))
+    // the 4x16-bit banding is intrinsic to the 64-bit signature (no
+    // parameter) — only the physical layout rides the meta
+    saveTenantMeta(sigs.sparkSession, t, "buckets" -> buckets,
+      "n_tenants" -> nTenants)
+  }
 
   /** One tenant's slice of the partitioned simhash index,
     * tombstone-filtered like [[loadSimHashIndex]]: partition pruning at
@@ -3912,9 +4094,18 @@ object Dedup {
     dropTableAndLocation(spark, s"${table}__tcomp")
   }
 
+  /** Per-table rewrite tally — test/bench instrumentation only (the
+    * single-rewrite assertion for the fused labels arm; a rewrite-churn
+    * gauge for bench forensics). Monotonic within a JVM.
+    */
+  private[graft] val tenantRewriteCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private[graft] def rewriteTenantPartition(spark: SparkSession,
       table: String, tenant: Int, buckets: Int, keys: Seq[String],
       rows: DataFrame): Unit = {
+    tenantRewriteCounts.merge(table, 1L,
+      (a, b) => java.lang.Long.valueOf(a + b))
     val root = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val partDir = new org.apache.hadoop.fs.Path(root, s"tenant=$tenant")
@@ -3967,12 +4158,13 @@ object Dedup {
     */
   def compactTenantSimHashIndex(spark: SparkSession, name: String,
       tenant: Int, nTenants: Int, buckets: Int = 8): Unit = {
+    val bk = tenantBuckets(spark, name, buckets)
     val ts = tombstoneTable(spark, s"${name}_tombstones")
       .map(_.select(col("doc_id")).localCheckpoint())
     ts.foreach { t =>
       val tenantIds = t.filter(pmod(col("doc_id"), lit(nTenants)) === tenant)
         .localCheckpoint()
-      compactTenantPartition(spark, s"${name}_banded", tenant, buckets,
+      compactTenantPartition(spark, s"${name}_banded", tenant, bk,
         Seq("b", "chunk"), Some((tenantIds, "doc_id")))
       clearTombstones(spark, s"${name}_tombstones", tenantIds, "doc_id")
     }
@@ -4078,13 +4270,17 @@ object Dedup {
     * the d31 layout (partitioned by tenant, bucketed within).
     */
   private[graft] def saveTenantEmbTables(base: DataFrame, t: String,
-      nTenants: Int): Unit = {
+      nTenants: Int, bands: Int = 4, planesPerBand: Int = 2,
+      buckets: Int = 8): Unit = {
     def withTenant(df: DataFrame) =
       df.withColumn("tenant", pmod(col("vec_id"), lit(nTenants)))
-    saveTenantBucketedTable(withTenant(embBandedOf(base, 4, 2)),
-      s"${t}_banded", buckets = 8, Seq("label", "band", "bucket"))
+    saveTenantBucketedTable(withTenant(embBandedOf(base, bands, planesPerBand)),
+      s"${t}_banded", buckets, Seq("label", "band", "bucket"))
     saveTenantBucketedTable(withTenant(base.select("label", "vec_id", "v", "n")),
-      s"${t}_vectors", buckets = 8, Seq("vec_id"))
+      s"${t}_vectors", buckets, Seq("vec_id"))
+    saveTenantMeta(base.sparkSession, t, "bands" -> bands,
+      "planes_per_band" -> planesPerBand, "buckets" -> buckets,
+      "n_tenants" -> nTenants)
   }
 
   /** One tenant's slice of the partitioned embedding index, tombstone-
@@ -4140,14 +4336,15 @@ object Dedup {
     */
   def compactTenantEmbIndex(spark: SparkSession, name: String,
       tenant: Int, nTenants: Int, buckets: Int = 8): Unit = {
+    val bk = tenantBuckets(spark, name, buckets)
     val ts = tombstoneTable(spark, s"${name}_tombstones")
       .map(_.select(col("vec_id")).localCheckpoint())
     ts.foreach { t =>
       val tenantIds = t.filter(pmod(col("vec_id"), lit(nTenants)) === tenant)
         .localCheckpoint()
-      compactTenantPartition(spark, s"${name}_banded", tenant, buckets,
+      compactTenantPartition(spark, s"${name}_banded", tenant, bk,
         Seq("label", "band", "bucket"), Some((tenantIds, "vec_id")))
-      compactTenantPartition(spark, s"${name}_vectors", tenant, buckets,
+      compactTenantPartition(spark, s"${name}_vectors", tenant, bk,
         Seq("vec_id"), Some((tenantIds, "vec_id")))
       clearTombstones(spark, s"${name}_tombstones", tenantIds, "vec_id")
     }
@@ -4236,20 +4433,27 @@ object Dedup {
     * The df table's rows are PER (tenant, digest) — each tenant's cap
     * evaluates over its own corpus only.
     */
+  /** `sel` must be a [[containmentSelection]] built with the DECLARED
+    * (w, winnow) — the meta records them so [[syncTenantEstateWithDiff]]
+    * can re-fingerprint appended docs identically (the fleet
+    * [[appendContainIndex]] contract, tenant-layout edition).
+    */
   private[graft] def saveTenantContainTables(sel: DataFrame, t: String,
-      nTenants: Int): Unit = {
+      nTenants: Int, w: Int = 8, winnow: Int = 4, buckets: Int = 8): Unit = {
     def withTenant(df: DataFrame) =
       df.withColumn("tenant", pmod(col("doc_id"), lit(nTenants)))
     val fp = sel.select(col("doc_id"), explode(col("fps")).as("d"))
     saveTenantBucketedTable(withTenant(fp), s"${t}_fp",
-      buckets = 8, Seq("d"))
+      buckets, Seq("d"))
     saveTenantBucketedTable(
       withTenant(fp).groupBy(col("tenant"), col("d"))
         .agg(count(lit(1)).as("n"))
         .select(col("d"), col("n"), col("tenant")),
-      s"${t}_df", buckets = 8, Seq("d"))
+      s"${t}_df", buckets, Seq("d"))
     saveTenantBucketedTable(withTenant(sel.select(col("doc_id"), col("dall"))),
-      s"${t}_sets", buckets = 8, Seq("doc_id"))
+      s"${t}_sets", buckets, Seq("doc_id"))
+    saveTenantMeta(sel.sparkSession, t, "w" -> w, "winnow" -> winnow,
+      "buckets" -> buckets, "n_tenants" -> nTenants)
   }
 
   /** One tenant's slice of the partitioned containment index — the
@@ -4335,16 +4539,17 @@ object Dedup {
     */
   def compactTenantContainIndex(spark: SparkSession, name: String,
       tenant: Int, nTenants: Int, buckets: Int = 8): Unit = {
+    val bk = tenantBuckets(spark, name, buckets)
     val ts = tombstoneTable(spark, s"${name}_tombstones")
       .map(_.select(col("doc_id")).localCheckpoint())
     ts.foreach { t =>
       val tenantIds = t.filter(pmod(col("doc_id"), lit(nTenants)) === tenant)
         .localCheckpoint()
-      compactTenantPartition(spark, s"${name}_fp", tenant, buckets,
+      compactTenantPartition(spark, s"${name}_fp", tenant, bk,
         Seq("d"), Some((tenantIds, "doc_id")))
-      compactTenantPartition(spark, s"${name}_sets", tenant, buckets,
+      compactTenantPartition(spark, s"${name}_sets", tenant, bk,
         Seq("doc_id"), Some((tenantIds, "doc_id")))
-      rewriteTenantPartition(spark, s"${name}_df", tenant, buckets,
+      rewriteTenantPartition(spark, s"${name}_df", tenant, bk,
         Seq("d"),
         spark.table(s"${name}_fp").filter(col("tenant") === tenant)
           .groupBy(col("d")).agg(count(lit(1)).as("n")))
@@ -4475,6 +4680,204 @@ object Dedup {
       minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")),
       Seq("id_a", "id_b"), "left_semi")
     recallRow(exact, caught)
+  }
+
+  /** D55 — MEASURED DETECTION of the winnowed-fingerprint containment
+    * tier, the one approximate blocking tier that had a guarantee argued
+    * in scaladoc but no in-engine gauge (round-16 ask #5). Over an
+    * md5-slice audit set (the d24b pricing — both pair endpoints inside
+    * the slice, the quadratic exact side bounded by `sampleBuckets`):
+    * the EXACT side is every pair with overlap coefficient ≥ threshold
+    * over the FULL span-digest sets (dall — no winnowing, no df cap),
+    * via digest postings (a pair sharing zero digests has containment 0,
+    * so postings lose nothing); the CAUGHT side intersects it with the
+    * d20 fingerprint-blocked candidate chain (winnowed fps, slice-local
+    * df census with the cap, shared_fp ≥ minShared). Winnowing
+    * guarantees a shared span RUN of length ≥ w + winnow − 1 shares a
+    * fingerprint, so detection should sit at/near 1.0 — this gauge
+    * MEASURES it instead of arguing it, and prices what the df cap
+    * costs (a digest too common to keep removes pair evidence — the
+    * same dfCap knob production tunes; a w/winnow retune loop becomes
+    * possible the day the measured number isn't 1.0). One row:
+    * (n_exact, n_caught, detection); empty exact set ⇒ 1.0.
+    */
+  def winnowDetectionAudit(spark: SparkSession, dir: String,
+      sampleBuckets: Int = 64, w: Int = 8, winnow: Int = 4,
+      minShared: Int = 2, dfCap: Int = 64,
+      threshold: Double = 0.9): DataFrame = {
+    val sel = containmentSelCached(spark, dir, w, winnow)
+      .filter(TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets)
+      .localCheckpoint()
+    val al = sel.select(col("doc_id"), size(col("dall")).as("l"),
+      explode(col("dall")).as("key"))
+    val exact = al
+      .select(col("key"), col("doc_id").as("id_a"), col("l").as("la"))
+      .join(al.select(col("key"), col("doc_id").as("id_b"),
+        col("l").as("lb")), Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(round(col("inter").cast("double") /
+        least(col("la"), col("lb")), 4) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    // the d20 candidate chain, slice-local: the df census (and its cap)
+    // re-form over the slice's winnowed fingerprints exactly as they
+    // would over a corpus this size
+    val fp = sel.select(col("doc_id"), explode(col("fps")).as("d"))
+    val kept = fp.join(
+      fp.groupBy(col("d")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2 && col("n") <= dfCap)
+        .select(col("d")), Seq("d"))
+    val cand = kept.select(col("d"), col("doc_id").as("id_a"))
+      .join(kept.select(col("d"), col("doc_id").as("id_b")), Seq("d"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+      .select(col("id_a"), col("id_b"))
+    recallRowOf(exact, cand).withColumnRenamed("recall", "detection")
+  }
+
+  /** The d55b planted PROBE documents — the d43/m7b planting technique
+    * applied to the WINNOWING tier. The d55 gauge surfaced the tier's
+    * real failure mode at sf0.001: SHORT documents (≤ winnow spans) get
+    * ONE winnowed fingerprint, so a near-identical short pair shares
+    * < minShared fingerprints and the candidate join drops it even at
+    * overlap 1.0 (the winnowing guarantee covers runs ≥ w+winnow−1 —
+    * short docs never reach it). At sf0.01's 64-bucket slice the
+    * natural corpus has no such pair (detection 1.0 — the trigger could
+    * never trip), so four probe pairs plant the miss: pair k = an
+    * 11-token doc (4 spans) and its 10-token prefix (3 spans, dall ⊂,
+    * overlap 1.0); winnow 4 gives each ONE fingerprint (≤ 1 shared →
+    * missed at minShared 2), winnow 2 gives 2–3 with an OFFLINE-SEARCHED
+    * salt (s ∈ {0, 0, 3, 0}) ensuring the prefix's two window minima are
+    * DISTINCT digests (≥ 2 shared → caught). Token families are unique
+    * per pair ('v{k}s{salt}x{i}') — zero span-digest collisions with
+    * the corpus or each other; md5 is engine/oracle-portable, so the
+    * searched salts hold in BOTH engines.
+    */
+  private[graft] def winnowProbeDocs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (for (k <- 0 to 3; v <- 0 to 1)
+      yield (-(2L * k + 1 + v), winnowProbeText(k, v == 1)))
+      .toDF("doc_id", "text")
+  }
+
+  private[graft] val winnowProbeSalts = Map(0 -> 0, 1 -> 0, 2 -> 3, 3 -> 0)
+
+  private[graft] def winnowProbeText(k: Int, variant: Boolean): String =
+    (0 until (if (variant) 10 else 11))
+      .map(i => s"v${k}s${winnowProbeSalts(k)}x$i").mkString(" ")
+
+  /** One winnowed-fingerprint generation on disk: the (doc_id, d) rows
+    * bucketed on the digest plus a meta row recording (w, winnow) —
+    * meta LAST (the saveBandedGeneration crash-safety ordering;
+    * [[recoverBandedGenerationSwap]] / [[swapInBandedGeneration]] are
+    * suffix-generic and work unchanged over the _banded/_meta names).
+    */
+  private[graft] def saveWinnowFpGeneration(spark: SparkSession,
+      name: String, sel: DataFrame, w: Int, winnow: Int,
+      buckets: Int = 8): Unit = {
+    saveBucketedTable(sel.select(col("doc_id"), explode(col("fps")).as("d")),
+      s"${name}_banded", buckets, Seq("d"))
+    import spark.implicits._
+    dropTableAndLocation(spark, s"${name}_meta")
+    Seq((buckets, w, winnow)).toDF("buckets", "w", "winnow")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+  }
+
+  /** D55B — the MONITOR→ACTION loop for the winnowing tier, closing the
+    * gap d55 opened: the persisted fingerprint generation records its
+    * (w, winnow) in meta; the gate measures detection against the exact
+    * overlap-coefficient pair set of the bounded audit corpus (one
+    * md5-bucket slice + the [[winnowProbeDocs]] planted short-doc
+    * misses), and when detection misses `target`, RE-WINNOWS at
+    * winnow 2 (denser fingerprints — selection windows halve, so short
+    * docs gain the second shared fingerprint minShared demands) as a
+    * complete `__gen` generation and swaps meta-last with entry
+    * recovery, after which the re-measured trigger clears. Measured at
+    * sf0.01: 1 natural pair caught + 4 planted misses = 0.2 → 1.0
+    * across the 0.95 target. The exact side is winnow-INDEPENDENT
+    * (dall = ALL span digests), so both phases audit against the same
+    * truth. The serving trade is the honest one the gate prices:
+    * winnow 2 doubles fingerprint rows (~1/winnow density) and grows
+    * the candidate join, bought only when the measured miss rate says
+    * the tier is under-detecting at the curation threshold.
+    */
+  def winnowRetuneGate(spark: SparkSession, dir: String,
+      target: Double = 0.95, sampleBuckets: Int = 64): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("winnowRetune", dir, target, sampleBuckets)) {
+      val docs = Tables.documents(spark, dir)
+        .filter(col("text").isNotNull &&
+          TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets)
+        .select(col("doc_id"), col("text"))
+        .unionByName(winnowProbeDocs(spark))
+      // every cache-key parameter in the table name (the d22 rule)
+      val name = f"wn_rt_t${(target * 100).round}_s${sampleBuckets}_${dir.hashCode & 0xffffffffL}%x"
+      // fresh state every session: the gate measures one full lifecycle
+      Seq("_banded", "_meta").foreach { s =>
+        dropTableAndLocation(spark, s"$name$s")
+        dropTableAndLocation(spark, s"${name}__gen$s")
+      }
+      winnowRetuneLifecycle(spark, name, docs, target)
+    }.asInstanceOf[DataFrame]
+
+  /** The d55b lifecycle over an explicit (doc_id, text) audit frame and
+    * state name — the d43 shape for the winnowing dial.
+    */
+  private[graft] def winnowRetuneLifecycle(spark: SparkSession,
+      name: String, docs: DataFrame, target: Double, w: Int = 8,
+      minShared: Int = 2, dfCap: Int = 64,
+      threshold: Double = 0.9): DataFrame = {
+    // crash hygiene FIRST (the simhashRebandLifecycle entry rule)
+    recoverBandedGenerationSwap(spark, name)
+    val sel4 = containmentSelection(docs, w, 4).localCheckpoint()
+    saveWinnowFpGeneration(spark, name, sel4, w, winnow = 4)
+    // the EXACT side (winnow-independent: dall carries every span
+    // digest) — computed once, audits both phases
+    val al = sel4.select(col("doc_id"), size(col("dall")).as("l"),
+      explode(col("dall")).as("key"))
+    val exact = al
+      .select(col("key"), col("doc_id").as("id_a"), col("l").as("la"))
+      .join(al.select(col("key"), col("doc_id").as("id_b"),
+        col("l").as("lb")), Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(round(col("inter").cast("double") /
+        least(col("la"), col("lb")), 4) >= threshold)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    def measure(phase: Int): DataFrame = {
+      spark.catalog.refreshTable(s"${name}_banded")
+      val winnow = spark.table(s"${name}_meta").head().getAs[Int]("winnow")
+      val fp = spark.table(s"${name}_banded")
+      val kept = fp.join(
+        fp.groupBy(col("d")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2 && col("n") <= dfCap)
+          .select(col("d")), Seq("d"))
+      val cand = kept.select(col("d"), col("doc_id").as("id_a"))
+        .join(kept.select(col("d"), col("doc_id").as("id_b")), Seq("d"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("shared_fp"))
+        .filter(col("shared_fp") >= minShared)
+        .select(col("id_a"), col("id_b"))
+      recallRowOf(exact, cand)
+        .select(lit(phase).cast("long").as("phase"),
+          lit(winnow).cast("long").as("winnow"),
+          col("n_exact"), col("n_caught"),
+          col("recall").as("detection"),
+          (col("recall") < target).as("triggered"))
+        .localCheckpoint()
+    }
+    val before = measure(0)
+    if (before.head().getAs[Boolean]("triggered")) {
+      saveWinnowFpGeneration(spark, s"${name}__gen",
+        containmentSelection(docs, w, 2).localCheckpoint(), w, winnow = 2)
+      swapInBandedGeneration(spark, name)
+    }
+    before.unionByName(measure(1)).orderBy("phase")
   }
 
   /** The audit's EXACT pair set (true Jaccard ≥ t up to the gate's

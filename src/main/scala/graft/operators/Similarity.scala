@@ -371,7 +371,7 @@ object Similarity {
   def appendTenantAnnStore(spark: SparkSession, table: String,
       newVecs: DataFrame, tenant: Int): Unit = {
     newVecs.select(col("vec_id"), col("v"), col("n"),
-        lit(tenant).as("tenant"), col("label"))
+        lit(tenant.toLong).as("tenant"), col("label"))
       .write.mode("append").insertInto(table)
     Dedup.clearTombstones(spark, s"${table}_tombstones",
       newVecs.select(col("vec_id")), "vec_id")

@@ -1142,6 +1142,44 @@ class IndexRemoveSpec extends SparkSuite {
       s"a planted pair lost its 9x1 catch: $at91")
   }
 
+  test("d55b probe fixture validity: each planted short pair is overlap-1.0, <2-shared-fps at winnow 4, >=2 at winnow 2") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    val docs = ops.winnowProbeDocs(spark)
+    // pair k = (A = -(2k+1), B = -(2k+2)); id_a < id_b => (B, A)
+    val pairs = (0 to 3).map(k => (-(2L * k + 2), -(2L * k + 1)))
+      .toDF("id_a", "id_b")
+    val s4 = ops.containmentSelection(docs, 8, 4).localCheckpoint()
+    val s2 = ops.containmentSelection(docs, 8, 2).localCheckpoint()
+    // overlap coefficient 1.0: B's spans are a strict prefix of A's
+    val ov = s4.select(col("doc_id").as("id_a"), col("dall").as("da"))
+      .join(pairs, Seq("id_a"))
+      .join(s4.select(col("doc_id").as("id_b"), col("dall").as("db")), Seq("id_b"))
+      .withColumn("ov", round(
+        size(array_intersect(col("da"), col("db"))).cast("double") /
+          least(size(col("da")), size(col("db"))), 4))
+      .select("id_a", "id_b", "ov").collect()
+    assert(ov.length == 4 && ov.forall(_.getAs[Double]("ov") >= 0.9),
+      s"planted pairs drifted below the detection threshold: ${ov.mkString("; ")}")
+    // the offline search's two conditions re-asserted against the
+    // ENGINE's own winnowing: winnow 4 shares < 2 fingerprints (missed
+    // at minShared 2), winnow 2 shares >= 2 (caught)
+    def sharedFps(sel: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] = {
+      val fp = sel.select(col("doc_id"), explode(col("fps")).as("d"))
+      fp.select(col("doc_id").as("id_a"), col("d"))
+        .join(pairs, Seq("id_a"))
+        .join(fp.select(col("doc_id").as("id_b"), col("d")), Seq("id_b", "d"))
+        .groupBy(col("id_a"), col("id_b")).count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val at4 = sharedFps(s4)
+    assert(at4.values.forall(_ < 2) || at4.isEmpty,
+      s"a planted pair shares >= 2 winnow-4 fingerprints (the miss rotted): $at4")
+    val at2 = sharedFps(s2)
+    assert(at2.size == 4 && at2.values.forall(_ >= 2),
+      s"a planted pair lost its winnow-2 catch: $at2")
+  }
+
   test("d32 reband loop: planted Hamming-5 evaders trip the trigger; the 8-band swap clears it") {
     import spark.implicits._
     val ops = graft.operators.Dedup

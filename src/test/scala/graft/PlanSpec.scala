@@ -702,5 +702,36 @@ class PlanSpec extends SparkSuite {
     assert(annPfs.nonEmpty &&
       annPfs.forall(l => l.contains("= 0") && l.contains("label")),
       s"tenant+label predicates not pruning the two-level store scan:\n${s20.take(2500)}")
+    // d53/d54: the SHARED synced estate's serving gates keep
+    // planning-time tenant pruning — the sync's appended generations
+    // (fresh bucket files, rewritten partitions) must not cost the other
+    // tenant a directory listing on ANY of the containment family's
+    // three scans or the s20 store's subtree
+    val d53 = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) {
+        graft.operators.Dedup.tenantDiffSyncedContainment(spark, dir)
+          .orderBy("id_a", "id_b").explain("formatted")
+      }
+      out.toString
+    }
+    val d53Pfs = d53.linesIterator
+      .filter(_.contains("PartitionFilters")).filter(_.contains("tenant"))
+      .toSeq
+    assert(d53Pfs.size >= 3 && d53Pfs.forall(_.contains("= 0")),
+      s"tenant predicate not pruning the synced containment scans:\n${d53.take(2500)}")
+    val d54 = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) {
+        graft.operators.Dedup.tenantSyncedAnnSearch(spark, dir)
+          .orderBy("probe_id", "rn").explain("formatted")
+      }
+      out.toString
+    }
+    val d54Pfs = d54.linesIterator
+      .filter(_.contains("PartitionFilters")).filter(_.contains("tenant"))
+      .toSeq
+    assert(d54Pfs.nonEmpty && d54Pfs.forall(_.contains("= 0")),
+      s"tenant predicate not pruning the synced s20 store scan:\n${d54.take(2500)}")
   }
 }

@@ -103,7 +103,8 @@ class TenantEstateSyncSpec extends SparkSuite {
         f <- Seq("nd", "sh", "em", "ct", "an", "lb", "sk"))
       yield s"tes_${p}_$f"
     val allTables = names.flatMap(n => Seq(n, s"${n}_banded", s"${n}_shingles",
-      s"${n}_tombstones", s"${n}_fp", s"${n}_df", s"${n}_sets", s"${n}_vectors"))
+      s"${n}_tombstones", s"${n}_fp", s"${n}_df", s"${n}_sets", s"${n}_vectors",
+      s"${n}_meta"))
     allTables.foreach { t =>
       ops.dropTableAndLocation(spark, t)
       ops.dropTenantCompactionTemps(spark, t, 2)
@@ -113,7 +114,7 @@ class TenantEstateSyncSpec extends SparkSuite {
         ops.saveTenantNearDupTables(ops.shingleTableOf(docs), s"tes_${p}_nd", 2)
         ops.saveTenantSimHashTables(ops.simhash64Of(docs), s"tes_${p}_sh", 2)
         ops.saveTenantEmbTables(e, s"tes_${p}_em", 2)
-        ops.saveTenantContainTables(sel, s"tes_${p}_ct", 2)
+        ops.saveTenantContainTables(sel, s"tes_${p}_ct", 2, w = 4, winnow = 2)
         sim.saveTenantAnnStore(spark, s"tes_${p}_an", e, 2)
         ops.saveTenantLabelState(spark, s"tes_${p}_lb", docs, 2)
         ops.saveTenantSketchCells(spark, s"tes_${p}_sk", docs, 2)
@@ -133,15 +134,23 @@ class TenantEstateSyncSpec extends SparkSuite {
       assert(t1Before.values.forall(_.nonEmpty), "fixture built no tenant-1 files")
 
       // ONE call fans tenant 0's whole estate (all seven state classes)
+      def rewrites(t: String): Long =
+        Option(ops.tenantRewriteCounts.get(t)).map(_.longValue).getOrElse(0L)
+      val lbRewritesBefore = rewrites("tes_s_lb")
       ops.syncTenantEstateWithDiff(spark, diff, 0, 2,
         ops.TenantEstateSyncTargets(
           nearDup = Some(("tes_s_nd", genB)),
           simHash = Some(("tes_s_sh", genB)),
           emb = Some(("tes_s_em", eB)),
-          contain = Some(("tes_s_ct", selB)),
+          contain = Some(("tes_s_ct", genB)),
           annStore = Some(("tes_s_an", eB)),
           labels = Some("tes_s_lb"),
           sketchCells = Some(("tes_s_sk", genB))))
+      // the diff carries BOTH gone (4, 10) and came (10, 20) rows for
+      // tenant 0, yet the labels partition rewrites exactly ONCE — the
+      // retract result feeds the merge in memory (round-16 ask #4)
+      assert(rewrites("tes_s_lb") == lbRewritesBefore + 1,
+        s"labels arm rewrote the tenant partition ${rewrites("tes_s_lb") - lbRewritesBefore}x for one both-sided diff")
 
       // tenant 1: no file moved, anywhere
       pinned.foreach(t => assert(mtimes(t, 1) == t1Before(t),
@@ -212,7 +221,7 @@ class TenantEstateSyncSpec extends SparkSuite {
           nearDup = Some(("tes_s_nd", genB)),
           simHash = Some(("tes_s_sh", genB)),
           emb = Some(("tes_s_em", eB)),
-          contain = Some(("tes_s_ct", selB)),
+          contain = Some(("tes_s_ct", genB)),
           annStore = Some(("tes_s_an", eB)),
           labels = Some("tes_s_lb"),
           sketchCells = Some(("tes_s_sk", genB))))
@@ -243,5 +252,56 @@ class TenantEstateSyncSpec extends SparkSuite {
       assert(!spark.catalog.tableExists("tes_noop_nd_tombstones"),
         "an empty tenant diff slice created a tombstone table")
     } finally tables.foreach(t => ops.dropTableAndLocation(spark, t))
+  }
+
+  test("tenant meta: a NONSTANDARD banding saved once drives sync, load, and compact — no constant drift; a tenant-count mismatch refuses") {
+    import spark.implicits._
+    val genA = docsOf("a").localCheckpoint()
+    val genB = docsOf("b").localCheckpoint()
+    val diff = diffDf()
+    val tables = Seq("tes_meta_nd", "tes_meta_fb")
+      .flatMap(n => Seq(s"${n}_banded", s"${n}_shingles", s"${n}_meta",
+        s"${n}_tombstones"))
+    tables.foreach { t =>
+      ops.dropTableAndLocation(spark, t)
+      ops.dropTenantCompactionTemps(spark, t, 2)
+    }
+    try {
+      // save with banding NOBODY hardcodes anywhere: 2 bands x 2 rows,
+      // 4 buckets — if any sync/load/compact site still used the old
+      // (3, 3, 8) constants, the synced slice could not equal a fresh
+      // same-banding build (appended band keys would hash differently)
+      ops.saveTenantNearDupTables(ops.shingleTableOf(genA), "tes_meta_nd", 2,
+        bands = 2, rowsPerBand = 2, buckets = 4)
+      ops.saveTenantNearDupTables(ops.shingleTableOf(genB), "tes_meta_fb", 2,
+        bands = 2, rowsPerBand = 2, buckets = 4)
+      ops.syncTenantEstateWithDiff(spark, diff, 0, 2,
+        ops.TenantEstateSyncTargets(nearDup = Some(("tes_meta_nd", genB))))
+      val synced = ops.loadTenantNearDupIndex(spark, "tes_meta_nd", 0)
+      val fresh = ops.loadTenantNearDupIndex(spark, "tes_meta_fb", 0)
+      assert(synced.bands == 2 && synced.rowsPerBand == 2,
+        "loadTenantNearDupIndex ignored the saved meta banding")
+      assertSameRows(synced.banded, fresh.banded,
+        "nonstandard-banding synced banded vs fresh gen-B")
+      assertSameRows(synced.shingles, fresh.shingles,
+        "nonstandard-banding synced shingles vs fresh gen-B")
+      // the appended generation respects the 4-bucket layout: no banded
+      // file exceeds the saved bucket count within the tenant partition
+      val t0Files = mtimes("tes_meta_nd_banded", 0).keys
+        .map(f => new java.io.File(f).getName).toSet
+      val bucketIds = t0Files.map(_.split("_")(1).take(5))
+      assert(bucketIds.forall(b => b < "00004"),
+        s"appended banded files escaped the saved 4-bucket layout: $t0Files")
+      // nTenants drift refuses outright instead of silently reassigning
+      val ex = intercept[IllegalArgumentException] {
+        ops.syncTenantEstateWithDiff(spark, diff, 0, 3,
+          ops.TenantEstateSyncTargets(nearDup = Some(("tes_meta_nd", genB))))
+      }
+      assert(ex.getMessage.contains("n_tenants"),
+        s"unexpected refusal message: ${ex.getMessage}")
+    } finally tables.foreach { t =>
+      ops.dropTableAndLocation(spark, t)
+      ops.dropTenantCompactionTemps(spark, t, 2)
+    }
   }
 }
