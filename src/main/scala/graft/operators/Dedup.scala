@@ -1847,9 +1847,15 @@ object Dedup {
     if (!hasGone && !hasCame) return
     // validate every deployed index family's meta BEFORE any mutation —
     // a tenant-count mismatch must refuse outright, not tombstone under
-    // the wrong tenant assignment first
-    Seq(targets.nearDup, targets.simHash, targets.emb, targets.contain)
-      .flatten.foreach { case (t, _) => requireTenantMeta(spark, t, nTenants) }
+    // the wrong tenant assignment first; the rows are cached so each
+    // append arm reads the 1-row table once, not twice (and a streaming
+    // micro-batch doesn't re-pay the catalog round-trips)
+    val metas: Map[String, org.apache.spark.sql.Row] =
+      (Seq(targets.nearDup, targets.simHash, targets.emb, targets.contain)
+        .flatten ++ targets.annStore)
+        .map { case (t, _) =>
+          t -> requireTenantMeta(spark, t, nTenants)
+        }.toMap
     val goneVec = gone.select(col("doc_id").as("vec_id"))
     val cameVec = came.select(col("doc_id").as("vec_id"))
     // .toLong: the saved tables derive tenant via pmod over a Long key
@@ -1866,7 +1872,7 @@ object Dedup {
           .localCheckpoint() // feeds both appends
         // banding/bucket parameters come from the meta the save wrote —
         // never re-hardcoded here (round-16 ask #3)
-        val m = requireTenantMeta(spark, t, nTenants)
+        val m = metas(t)
         val bk = m.getAs[Int]("buckets")
         appendTenantBucketedTable(withTenant(bandedKeys(sh,
             m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"))),
@@ -1885,8 +1891,7 @@ object Dedup {
         appendTenantBucketedTable(
           withTenant(simhashBanded(simhash64Of(
             docs.join(came, Seq("doc_id"), "left_semi")))),
-          s"${t}_banded",
-          requireTenantMeta(spark, t, nTenants).getAs[Int]("buckets"),
+          s"${t}_banded", metas(t).getAs[Int]("buckets"),
           Seq("b", "chunk"))
         clearTombstones(spark, s"${t}_tombstones", came, "doc_id")
       }
@@ -1899,7 +1904,7 @@ object Dedup {
       if (hasCame) {
         val nv = vecs.join(cameVec, Seq("vec_id"), "left_semi")
           .localCheckpoint() // feeds both appends
-        val m = requireTenantMeta(spark, t, nTenants)
+        val m = metas(t)
         val bk = m.getAs[Int]("buckets")
         appendTenantBucketedTable(withTenant(embBandedOf(nv,
             m.getAs[Int]("bands"), m.getAs[Int]("planes_per_band"))),
@@ -1921,7 +1926,7 @@ object Dedup {
         // appended docs can never fingerprint under drifted parameters
         // (containmentSelection is per-doc — restricting docs before
         // selection equals restricting the selection)
-        val m = requireTenantMeta(spark, t, nTenants)
+        val m = metas(t)
         val bk = m.getAs[Int]("buckets")
         val newSel = containmentSelection(
           docs.join(came, Seq("doc_id"), "left_semi"),
@@ -2176,12 +2181,17 @@ object Dedup {
     * content-level serving oracle, not just the d50 census counts.
     */
   def tenantDiffSyncedContainment(spark: SparkSession, dir: String,
-      tenant: Int = 0, splitAt: Int = 200, nTenants: Int = 2, w: Int = 8,
-      winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
+      tenant: Int = 0, splitAt: Int = 200, nTenants: Int = 2,
+      minShared: Int = 2, dfCap: Int = 64,
       threshold: Double = 0.9): DataFrame = {
     def bucket = TextAnalysis.splitBucket(col("doc_id"))
     val (names, _, _, _) = tenantSyncedEstate(spark, dir, splitAt, nTenants)
-    val sel = containmentSelCached(spark, dir, w, winnow)
+    // the delta side fingerprints under the INDEX's saved (w, winnow) —
+    // read from its meta, never a caller parameter (a drifted value
+    // would serve a silently near-empty pair set instead of refusing)
+    val m = requireTenantMeta(spark, names("ct"), nTenants)
+    val sel = containmentSelCached(spark, dir,
+      m.getAs[Int]("w"), m.getAs[Int]("winnow"))
     deltaContainmentFromSelection(
       sel.filter(bucket >= splitAt &&
         pmod(col("doc_id"), lit(nTenants)) === tenant),
@@ -2493,7 +2503,7 @@ object Dedup {
     * the constants previously lived duplicated-by-convention at the
     * save AND sync sites).
     */
-  private def saveTenantMeta(spark: SparkSession, name: String,
+  private[operators] def saveTenantMeta(spark: SparkSession, name: String,
       fields: (String, Int)*): Unit = {
     dropTableAndLocation(spark, s"${name}_meta")
     val schema = org.apache.spark.sql.types.StructType(fields.map(f =>
@@ -4407,7 +4417,8 @@ object Dedup {
     val name = graft.SessionCache.getOrElseUpdate(spark,
         ("tenantContainIndex", dir, nTenants, splitAt)) {
       val t = f"tenant_cn_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
-      saveTenantContainTables(sel.filter(bucket < splitAt), t, nTenants)
+      saveTenantContainTables(sel.filter(bucket < splitAt), t, nTenants,
+        w = w, winnow = winnow)
       t
     }.asInstanceOf[String]
     deltaContainmentFromSelection(
@@ -4509,7 +4520,8 @@ object Dedup {
       // each other's tombstone list
       val t = f"tenant_cnrm_${tenant}_${nTenants}_${splitAt}_${dir.hashCode & 0xffffffffL}%x"
       dropTableAndLocation(spark, s"${t}_tombstones")
-      saveTenantContainTables(sel.filter(bucket < splitAt), t, nTenants)
+      saveTenantContainTables(sel.filter(bucket < splitAt), t, nTenants,
+        w = w, winnow = winnow)
       removeFromContainIndex(spark, t,
         Tables.documents(spark, dir)
           .filter(bucket < splitAt &&
@@ -4578,7 +4590,8 @@ object Dedup {
       dropTableAndLocation(spark, s"${t}_tombstones")
       Seq("fp", "sets", "df").foreach(h =>
         dropTenantCompactionTemps(spark, s"${t}_$h", nTenants))
-      saveTenantContainTables(sel.filter(bucket < splitAt), t, nTenants)
+      saveTenantContainTables(sel.filter(bucket < splitAt), t, nTenants,
+        w = w, winnow = winnow)
       removeFromContainIndex(spark, t,
         Tables.documents(spark, dir)
           .filter(bucket < splitAt &&

@@ -349,6 +349,10 @@ object Similarity {
     e.select("vec_id", "v", "n", "label")
       .withColumn("tenant", pmod(col("vec_id"), lit(nTenants)))
       .write.partitionBy("tenant", "label").saveAsTable(table)
+    // the store has no banding, but the vec_id -> tenant assignment IS a
+    // saved parameter: the meta pins n_tenants so a sync invoked with a
+    // different count refuses instead of appending into wrong partitions
+    Dedup.saveTenantMeta(spark, table, "n_tenants" -> nTenants)
   }
 
   /** One tenant's slice of the two-level store minus pending takedowns —

@@ -1173,7 +1173,7 @@ class IndexRemoveSpec extends SparkSuite {
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     }
     val at4 = sharedFps(s4)
-    assert(at4.values.forall(_ < 2) || at4.isEmpty,
+    assert(at4.values.forall(_ < 2),
       s"a planted pair shares >= 2 winnow-4 fingerprints (the miss rotted): $at4")
     val at2 = sharedFps(s2)
     assert(at2.size == 4 && at2.values.forall(_ >= 2),
