@@ -461,6 +461,10 @@ object SparkEntry {
     // the detection trigger, the winnow 4->2 re-fingerprint generation
     // swaps meta-last, the re-measure clears (0.2 -> 1.0 at sf0.01)
     "d55b_winnow_retune_trigger" -> ((s, d) => Dedup.winnowRetuneGate(s, d)),
+    // per-tenant recall census: the d24 measurement scoped to each
+    // tenant — the gauge a per-tenant reband/sync decision acts on (a
+    // skewed tenant can under-recall while the fleet average looks fine)
+    "d56_tenant_recall_census" -> ((s, d) => Dedup.tenantRecallCensus(s, d)),
     // the d24 pattern stamped onto the remaining approximate dedup tiers
     // (round-11 verdict ask #3): simhash banding past its pigeonhole
     // radius (exact side = finer 8-bit bands, still sub-quadratic), the
@@ -1306,6 +1310,38 @@ object SparkEntry {
        |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
        |FROM nx CROSS JOIN ct""".stripMargin
 
+  /** The d56 oracle: the d24 recall recompute PER TENANT — the shared
+    * shingle + verified-pair CTEs evaluate once, each tenant gets its
+    * own exact chain (both pair endpoints inside slice ∩ tenant), and
+    * the rows union with the tenant literal.
+    */
+  private def tenantRecallCensusSql(nTenants: Int, bucketCap: Int): String = {
+    def tenantChain(tn: Int) =
+      s"""dl$tn AS (SELECT doc_id, list_distinct(sh) AS dsh, len(list_distinct(sh)) AS l
+         |  FROM s WHERE len(sh) > 0 AND ($splitBucketSql < $bucketCap) AND doc_id % $nTenants = $tn),
+         |al$tn AS (SELECT doc_id, l, unnest(dsh) AS key FROM dl$tn),
+         |co$tn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS la, b.l AS lb,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM al$tn a JOIN al$tn b ON a.key = b.key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |ex$tn AS (SELECT id_a, id_b FROM co$tn
+         |  WHERE round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8),
+         |r$tn AS (SELECT CAST($tn AS BIGINT) AS tenant,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN pairs USING (id_a, id_b)) AS n_caught)""".stripMargin
+    val chains = (0 until nTenants).map(tenantChain).mkString(",\n")
+    val union = (0 until nTenants).map(tn => s"SELECT * FROM r$tn")
+      .mkString(" UNION ALL ")
+    s"""$shinglesCte,
+       |$lshPairsCtes,
+       |$chains
+       |SELECT tenant, n_exact, n_caught,
+       |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
+       |FROM ($union)
+       |ORDER BY tenant""".stripMargin
+  }
+
   /** The d55 oracle: the d20 CTE chain restricted to the md5-slice
     * audit set (bucketCap buckets), exact overlap-coefficient pairs over
     * the full digest sets via digest postings, detection = caught/exact.
@@ -2088,6 +2124,7 @@ object SparkEntry {
     "d24b_dedup_recall_sampled" -> dedupRecallSql(64),
     "d55_winnow_detection" -> winnowDetectionSql(64),
     "d55b_winnow_retune_trigger" -> winnowRetuneSql,
+    "d56_tenant_recall_census" -> tenantRecallCensusSql(2, 256),
     // measured simhash-banding recall at Hamming 5 (past the 4-band
     // pigeonhole guarantee of 3): exact side brute-forced here — the
     // Spark side's finer 8-bit banding is pigeonhole-exact through 7,

@@ -4751,6 +4751,39 @@ object Dedup {
     recallRowOf(exact, cand).withColumnRenamed("recall", "detection")
   }
 
+  /** D56 — PER-TENANT recall census of the MinHash-LSH tier: the d24
+    * measurement scoped to each tenant of a multi-tenant estate. The
+    * round-17 meta work's rationale was that a drifted banding produces
+    * an under-recalling index "only the recall monitors would catch" —
+    * but every recall monitor measured the FLEET: a tenant whose corpus
+    * skews (short docs, one language, adversarial near-dups) can
+    * under-recall while the fleet average looks fine, and a per-tenant
+    * operator (takedown, sync, reband) needs a per-tenant gauge to act
+    * on. One row per tenant: (tenant, n_exact, n_caught, recall) — the
+    * exact side is the d24 PPJoin-prefix machinery with the doc filter
+    * extended by the tenant predicate (tenancy HALVES each quadratic
+    * term: two half-corpus audits cost ~half the fleet audit), the
+    * caught side is the session-shared verified pair table restricted
+    * by the semi-join. `sampleBuckets` stays the 100 TB dial (the d24b
+    * convention); the default audits the whole corpus because tenant
+    * slices at test SF are already thin.
+    */
+  def tenantRecallCensus(spark: SparkSession, dir: String,
+      nTenants: Int = 2, threshold: Double = 0.8, sampleBuckets: Int = 256,
+      hotBlockRows: Long = 1L << 17): DataFrame = {
+    val banded = minhashLshPairs(spark, dir).select(col("id_a"), col("id_b"))
+    (0 until nTenants).map { tn =>
+      val inScope =
+        TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets &&
+          pmod(col("doc_id"), lit(nTenants)) === tn
+      val exact = exactJaccardPairs(spark, dir, threshold, hotBlockRows,
+        inScope)
+      recallRow(exact, exact.join(banded, Seq("id_a", "id_b"), "left_semi"))
+        .select(lit(tn.toLong).as("tenant"), col("n_exact"),
+          col("n_caught"), col("recall"))
+    }.reduce(_ unionByName _).orderBy("tenant")
+  }
+
   /** The d55b planted PROBE documents — the d43/m7b planting technique
     * applied to the WINNOWING tier. The d55 gauge surfaced the tier's
     * real failure mode at sf0.001: SHORT documents (≤ winnow spans) get
