@@ -1239,6 +1239,16 @@ object Dedup {
     * (round-16 ask #6, the cold-build consolidation). Returns
     * (shingles A, simhash A, containment selection A, embeddings A).
     */
+  /** The estate builds' shared containment parameters — ONE definition,
+    * so the (w, winnow) a census/takedown build fingerprints its
+    * selection with and the meta its save records can never drift
+    * (round-17 review: two saves recorded the DEFAULT meta while their
+    * selections came from independently hardcoded literals — consistent
+    * only by coincidence of constants).
+    */
+  private[graft] val estateContainW = 8
+  private[graft] val estateContainWinnow = 4
+
   private[graft] def corpusGenDerived(spark: SparkSession, dir: String,
       splitAt: Int): (DataFrame, DataFrame, DataFrame, DataFrame) =
     graft.SessionCache.getOrElseUpdate(spark,
@@ -1248,7 +1258,8 @@ object Dedup {
         .select("vec_id", "label", "v", "n")
       (shingleTableOf(genA).localCheckpoint(),
         simhash64Of(genA).localCheckpoint(),
-        containmentSelection(genA, 8, 4).localCheckpoint(),
+        containmentSelection(genA, estateContainW, estateContainWinnow)
+          .localCheckpoint(),
         e.join(genA.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi").localCheckpoint())
     }.asInstanceOf[(DataFrame, DataFrame, DataFrame, DataFrame)]
@@ -1721,7 +1732,8 @@ object Dedup {
         nm("nd"))
       saveSimHashIndex(buildSimHashIndex(simA), nm("sh"))
       saveEmbIndex(buildEmbIndex(eA), nm("emb"))
-      saveContainIndex(containIndexFromSelection(selA), nm("ct"))
+      saveContainIndex(containIndexFromSelection(selA), nm("ct"),
+        w = estateContainW, winnow = estateContainWinnow)
       Similarity.saveAnnIndex(spark, nm("ann"), eA)
       Similarity.savePartitionedAnnStore(spark, nm("annp"), eA)
       saveLabelState(spark, nm("lab"), labelStateOf(genA))
@@ -2261,7 +2273,8 @@ object Dedup {
       saveTenantNearDupTables(shA, nm("nd"), nTenants)
       saveTenantSimHashTables(simA, nm("sh"), nTenants)
       saveTenantEmbTables(eA, nm("emb"), nTenants)
-      saveTenantContainTables(selA, nm("ct"), nTenants)
+      saveTenantContainTables(selA, nm("ct"), nTenants,
+        w = estateContainW, winnow = estateContainWinnow)
       Similarity.saveTenantAnnStore(spark, nm("ann"), eA, nTenants)
       saveTenantLabelState(spark, nm("lab"), genA, nTenants)
       saveTenantSketchCells(spark, nm("sk"), genA, nTenants)
@@ -4778,7 +4791,7 @@ object Dedup {
           pmod(col("doc_id"), lit(nTenants)) === tn
       val exact = exactJaccardPairs(spark, dir, threshold, hotBlockRows,
         inScope)
-      recallRow(exact, exact.join(banded, Seq("id_a", "id_b"), "left_semi"))
+      recallRowOf(exact, banded)
         .select(lit(tn.toLong).as("tenant"), col("n_exact"),
           col("n_caught"), col("recall"))
     }.reduce(_ unionByName _).orderBy("tenant")

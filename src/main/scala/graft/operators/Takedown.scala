@@ -477,7 +477,10 @@ object Takedown {
         Dedup.simhash64Cached(spark, dir), nm("sh"), nTenants)
       Dedup.saveTenantEmbTables(e, nm("emb"), nTenants)
       Dedup.saveTenantContainTables(
-        Dedup.containmentSelCached(spark, dir, 8, 4), nm("ct"), nTenants)
+        Dedup.containmentSelCached(spark, dir,
+          Dedup.estateContainW, Dedup.estateContainWinnow), nm("ct"),
+        nTenants, w = Dedup.estateContainW,
+        winnow = Dedup.estateContainWinnow)
       Similarity.saveTenantAnnStore(spark, nm("ann"), e, nTenants)
       Dedup.saveTenantLabelState(spark, nm("lab"), docs, nTenants)
       Dedup.saveTenantSketchCells(spark, nm("sk"), docs, nTenants)
