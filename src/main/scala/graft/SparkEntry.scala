@@ -465,6 +465,10 @@ object SparkEntry {
     // tenant — the gauge a per-tenant reband/sync decision acts on (a
     // skewed tenant can under-recall while the fleet average looks fine)
     "d56_tenant_recall_census" -> ((s, d) => Dedup.tenantRecallCensus(s, d)),
+    // ... and ACTING on it: the tenant-scoped reband loop — each
+    // tenant's banded generation is its own table pair, the tripped
+    // tenant rebands 3x3 -> 9x1 alone, the healthy tenant stays at 3
+    "d57_tenant_reband_trigger" -> ((s, d) => Dedup.tenantRebandGate(s, d)),
     // the d24 pattern stamped onto the remaining approximate dedup tiers
     // (round-11 verdict ask #3): simhash banding past its pigeonhole
     // radius (exact side = finer 8-bit bands, still sub-quadratic), the
@@ -1342,6 +1346,64 @@ object SparkEntry {
        |ORDER BY tenant""".stripMargin
   }
 
+  /** The d57 oracle: the d43 reband replay PER TENANT — each tenant's
+    * audit universe is its slice ∪ its planted probes (tenant 1 = the
+    * four miss pairs under odd ids, tenant 0 = the identical-text
+    * control pair), both bandings' catches over the 9-hash md5 family,
+    * and the two-phase trigger/action tail per tenant. Tenant 0 must
+    * come out untriggered at 3 bands in BOTH phases; tenant 1 must
+    * trip and clear at 9 — a reband that leaked into the wrong
+    * tenant's generation flips the bands column on the wrong row.
+    */
+  private lazy val tenantRebandSql: String = {
+    val sigList = (0 until 9).map(i =>
+      s"list_min([md5('mh$i:' || x) for x in sh])").mkString(", ")
+    def probeRows(tn: Int) =
+      if (tn == 0)
+        Seq(-10, -12).map(id =>
+          s"($id, '${graft.operators.Dedup.tenantRebandControlText}')")
+          .mkString(", ")
+      else (for (k <- 0 to 3; v <- 0 to 1) yield
+        s"(${-(4 * k + 1 + 2 * v)}, '${graft.operators.Dedup.minhashProbeText(k, v == 1)}')")
+        .mkString(", ")
+    def chain(tn: Int) =
+      s"""p$tn(doc_id, text) AS (VALUES ${probeRows(tn)}),
+         |u$tn AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL AND $splitBucketSql < 64 AND doc_id % 2 = $tn
+         |  UNION ALL SELECT doc_id, text FROM p$tn),
+         |t$tn AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM u$tn),
+         |s$tn AS (SELECT doc_id,
+         |  CASE WHEN len(w)<3 THEN [array_to_string(w,' ')]
+         |       ELSE [array_to_string(w[i:i+2],' ') for i in range(1, len(w)-1)] END AS sh FROM t$tn),
+         |sig$tn AS (SELECT doc_id, [$sigList] AS mh FROM s$tn),
+         |dsh$tn AS (SELECT doc_id, list_distinct(sh) AS dsh FROM s$tn),
+         |ex$tn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM dsh$tn a JOIN dsh$tn b ON a.doc_id < b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE) / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) >= 0.8),
+         |ap3$tn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig$tn a JOIN sig$tn b ON a.doc_id < b.doc_id
+         |  WHERE len([b3 for b3 in range(0,3) if a.mh[b3*3+1:b3*3+3] = b.mh[b3*3+1:b3*3+3]]) > 0),
+         |ap9$tn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig$tn a JOIN sig$tn b ON a.doc_id < b.doc_id
+         |  WHERE len([i for i in range(1,10) if a.mh[i] = b.mh[i]]) > 0),
+         |r$tn AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN ap3$tn USING (id_a, id_b)) AS n3,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN ap9$tn USING (id_a, id_b)) AS n9),
+         |rr$tn AS (SELECT n_exact, n3, n9,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(n3 AS DOUBLE) / n_exact, 4) END AS r3,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(n9 AS DOUBLE) / n_exact, 4) END AS r9 FROM r$tn),
+         |ph$tn AS (
+         |  SELECT CAST($tn AS BIGINT) AS tenant, CAST(0 AS BIGINT) AS phase, CAST(3 AS BIGINT) AS bands,
+         |    n_exact, n3 AS n_caught, r3 AS recall, r3 < 0.95 AS triggered FROM rr$tn
+         |  UNION ALL
+         |  SELECT CAST($tn AS BIGINT), CAST(1 AS BIGINT), CAST(CASE WHEN r3 < 0.95 THEN 9 ELSE 3 END AS BIGINT),
+         |    n_exact, CASE WHEN r3 < 0.95 THEN n9 ELSE n3 END,
+         |    CASE WHEN r3 < 0.95 THEN r9 ELSE r3 END,
+         |    (CASE WHEN r3 < 0.95 THEN r9 ELSE r3 END) < 0.95 FROM rr$tn)""".stripMargin
+    s"""WITH ${chain(0)},
+       |${chain(1)}
+       |SELECT * FROM (SELECT * FROM ph0 UNION ALL SELECT * FROM ph1)
+       |ORDER BY tenant, phase""".stripMargin
+  }
+
   /** The d55 oracle: the d20 CTE chain restricted to the md5-slice
     * audit set (bucketCap buckets), exact overlap-coefficient pairs over
     * the full digest sets via digest postings, detection = caught/exact.
@@ -2125,6 +2187,7 @@ object SparkEntry {
     "d55_winnow_detection" -> winnowDetectionSql(64),
     "d55b_winnow_retune_trigger" -> winnowRetuneSql,
     "d56_tenant_recall_census" -> tenantRecallCensusSql(2, 256),
+    "d57_tenant_reband_trigger" -> tenantRebandSql,
     // measured simhash-banding recall at Hamming 5 (past the 4-band
     // pigeonhole guarantee of 3): exact side brute-forced here — the
     // Spark side's finer 8-bit banding is pigeonhole-exact through 7,

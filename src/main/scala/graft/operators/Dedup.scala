@@ -4797,6 +4797,74 @@ object Dedup {
     }.reduce(_ unionByName _).orderBy("tenant")
   }
 
+  /** The d57 per-tenant probe documents: tenant 1 gets the four d43
+    * miss pairs under ODD negative ids (-(4k+1), -(4k+3) — the texts
+    * are id-independent, so the offline-searched salts hold unchanged);
+    * tenant 0 gets ONE control pair (identical texts — jaccard 1.0,
+    * every band shared, caught by ANY banding), so the untripped
+    * tenant's audit is non-degenerate without planting a miss.
+    */
+  private[graft] def tenantRebandProbeDocs(spark: SparkSession,
+      tenant: Int): DataFrame = {
+    import spark.implicits._
+    val rows: Seq[(Long, String, String)] =
+      if (tenant == 0)
+        Seq((-10L, tenantRebandControlText, "xx"),
+          (-12L, tenantRebandControlText, "xx"))
+      else (for (k <- 0 to 3; v <- 0 to 1)
+        yield (-(4L * k + 1 + 2 * v), minhashProbeText(k, v == 1), "xx"))
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  private[graft] val tenantRebandControlText: String =
+    (0 until 60).map(i => s"c0x$i").mkString(" ")
+
+  /** D57 — ACTING on the d56 signal, tenant-scoped: d56 measures recall
+    * PER TENANT, and when one tenant's number misses the target the
+    * honest action touches THAT tenant's serving state alone. Each
+    * tenant's banded minhash generation lives as its own table pair
+    * (the per-tenant form of the d31 isolation — per-tenant banding
+    * inside one shared table would force every reader through
+    * per-tenant meta rows; separate pairs make "only the tripped
+    * tenant's state moves" structural AND reuse the crash-tested
+    * generation-swap machinery verbatim), so the loop is
+    * [[minhashRebandLifecycle]] per tenant: measure each tenant's
+    * banding against its own bounded audit set, re-band ONLY the
+    * tripped tenant 3×3 → 9×1 (meta-last swap, entry recovery), leave
+    * the healthy tenant's generation untouched at 3×3. At sf0.01 the
+    * planted fixture makes the asymmetry sharp: tenant 0 measures 1.0
+    * (its control pair caught — bands stay 3, no trigger), tenant 1
+    * trips at ~0.2 and clears to 1.0 at 9 bands. Emits two rows per
+    * tenant: (tenant, phase, bands, n_exact, n_caught, recall,
+    * triggered).
+    */
+  def tenantRebandGate(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, target: Double = 0.95,
+      sampleBuckets: Int = 64, nTenants: Int = 2): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantReband", dir, threshold, target, sampleBuckets, nTenants)) {
+      (0 until nTenants).map { tn =>
+        val docs = Tables.documents(spark, dir)
+          .filter(col("text").isNotNull &&
+            TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets &&
+            pmod(col("doc_id"), lit(nTenants)) === tn)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .unionByName(tenantRebandProbeDocs(spark, tn))
+        // every cache-key parameter in the table name (the d22 rule)
+        val name = f"mh_trb_${tn}_c${(threshold * 100).round}_t${(target * 100).round}_s${sampleBuckets}_${dir.hashCode & 0xffffffffL}%x"
+        // fresh state every session: the gate measures one full lifecycle
+        Seq("_banded", "_meta").foreach { sfx =>
+          dropTableAndLocation(spark, s"$name$sfx")
+          dropTableAndLocation(spark, s"${name}__gen$sfx")
+        }
+        minhashRebandLifecycle(spark, name, docs, threshold, target)
+          .withColumn("tenant", lit(tn.toLong))
+          .select(col("tenant"), col("phase"), col("bands"),
+            col("n_exact"), col("n_caught"), col("recall"),
+            col("triggered"))
+      }.reduce(_ unionByName _).orderBy("tenant", "phase")
+    }.asInstanceOf[DataFrame]
+
   /** The d55b planted PROBE documents — the d43/m7b planting technique
     * applied to the WINNOWING tier. The d55 gauge surfaced the tier's
     * real failure mode at sf0.001: SHORT documents (≤ winnow spans) get

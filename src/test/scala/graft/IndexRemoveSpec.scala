@@ -1180,6 +1180,40 @@ class IndexRemoveSpec extends SparkSuite {
       s"a planted pair lost its winnow-2 catch: $at2")
   }
 
+  test("d57 probe fixture validity: the control pair is jaccard-1.0 and 3x3-caught; the odd-id miss pairs keep their parity and conditions") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    // tenant parity: every tenant-1 probe id must pmod to 1, the
+    // controls to 0 (a drifted id constant would plant the miss in the
+    // wrong tenant's audit and flip which tenant trips)
+    val t1Ids = (for (k <- 0 to 3; v <- 0 to 1) yield -(4L * k + 1 + 2 * v))
+    assert(t1Ids.forall(id => ((id % 2) + 2) % 2 == 1),
+      s"a tenant-1 probe id lost its parity: $t1Ids")
+    assert(Seq(-10L, -12L).forall(id => ((id % 2) + 2) % 2 == 0))
+    // the control pair: identical texts => jaccard 1.0, EVERY 3x3 band
+    // shared (caught at the serving banding — tenant 0 must not trip)
+    val ctl = ops.tenantRebandProbeDocs(spark, 0)
+    val sh = ops.shingleTableOf(ctl).localCheckpoint()
+    val bk = ops.bandedKeys(sh, 3, 3)
+    val shared = bk.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+      .filter(col("id_a") === -12L)
+      .join(bk.select(col("doc_id").as("id_b"), col("band"), col("bkey"))
+        .filter(col("id_b") === -10L), Seq("band", "bkey"))
+      .count()
+    assert(shared == 3L, s"control pair shares $shared of 3 bands (must be all)")
+    // the tenant-1 probes are the d43 texts verbatim (id-independent
+    // salts) — spot-check pair 0 still misses every 3x3 band
+    val p1 = ops.tenantRebandProbeDocs(spark, 1)
+    val sh1 = ops.shingleTableOf(p1).localCheckpoint()
+    val bk1 = ops.bandedKeys(sh1, 3, 3)
+    val missShared = bk1.select(col("doc_id").as("id_a"), col("band"), col("bkey"))
+      .filter(col("id_a") === -1L)
+      .join(bk1.select(col("doc_id").as("id_b"), col("band"), col("bkey"))
+        .filter(col("id_b") === -3L), Seq("band", "bkey"))
+      .count()
+    assert(missShared == 0L, s"planted miss pair 0 shares a 3x3 band (the miss rotted)")
+  }
+
   test("d32 reband loop: planted Hamming-5 evaders trip the trigger; the 8-band swap clears it") {
     import spark.implicits._
     val ops = graft.operators.Dedup
