@@ -469,6 +469,26 @@ object SparkEntry {
     // tenant's banded generation is its own table pair, the tripped
     // tenant rebands 3x3 -> 9x1 alone, the healthy tenant stays at 3
     "d57_tenant_reband_trigger" -> ((s, d) => Dedup.tenantRebandGate(s, d)),
+    // the d56 census's 100 TB mode gate-checked (the d24b sampled-twin
+    // discipline): the same grouped chain over one md5-slice
+    "d56b_tenant_recall_census_sampled" ->
+      ((s, d) => Dedup.tenantRecallCensus(s, d, sampleBuckets = 64)),
+    // the d56 monitor-scope lesson stamped onto every remaining family
+    // with tenant-scoped actions, each ONE grouped chain (never a
+    // per-tenant union): simhash (the d33 estate's gauge), banded SRP
+    // (d34's), winnow detection (d35's — the tier whose fleet gauge
+    // just caught a real hole), and the ANN bucket tier (s20's)
+    "d58_tenant_simhash_census" -> ((s, d) => Dedup.tenantSimhashCensus(s, d)),
+    "d59_tenant_srp_census" -> ((s, d) => Dedup.tenantSrpCensus(s, d)),
+    "d60_tenant_winnow_census" -> ((s, d) => Dedup.tenantWinnowCensus(s, d)),
+    "s21_tenant_ann_census" ->
+      ((s, d) => Similarity.tenantAnnRecallCensus(s, d)),
+    // ACTING on d60 per tenant: the d57 table-pair layout for the
+    // winnowing dial — tenant 1 trips on planted short-doc pairs and
+    // retunes winnow 4->2 through the crash-tested swap; tenant 0's
+    // generation (and its meta) never moves
+    "d61_tenant_winnow_retune" ->
+      ((s, d) => Dedup.tenantWinnowRetuneGate(s, d)),
     // the d24 pattern stamped onto the remaining approximate dedup tiers
     // (round-11 verdict ask #3): simhash banding past its pigeonhole
     // radius (exact side = finer 8-bit bands, still sub-quadratic), the
@@ -571,7 +591,18 @@ object SparkEntry {
     // GPT-style contiguous token packing: per-doc pack index / offset /
     // boundary-straddle flag from a per-lang running token count
     "t19_token_packing" -> ((s, d) => TextAnalysis.tokenPacking(s, d).orderBy("doc_id")),
+    // the 100 TB stream-key form: per-(lang, shard) bounded windows +
+    // a one-number carry per key — row-identical to the flat plan
+    // (integer prefix sums are associative-exact), t19's oracle verbatim
+    "t19b_token_packing_sharded" ->
+      ((s, d) => TextAnalysis.tokenPackingSharded(s, d).orderBy("doc_id")),
     "t20_source_cap" -> ((s, d) => TextAnalysis.perSourceCap(s, d).orderBy("doc_id")),
+    // the cap-pushdown mode: the kept set via the w9 bounded top-k
+    // aggregate — map-side partial aggregation prunes each partition to
+    // cap rows per source BEFORE the shuffle (the mega-host fix t20's
+    // scaladoc names), ranks identical to the window form
+    "t20b_source_cap_pushdown" ->
+      ((s, d) => TextAnalysis.perSourceCapPushdown(s, d).orderBy("doc_id")),
     "t3_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d).orderBy("doc_id")),
     "t4_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(s, d).orderBy("doc_id")),
     "t5_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).orderBy("doc_id")),
@@ -1344,6 +1375,208 @@ object SparkEntry {
        |       ELSE round(CAST(n_caught AS DOUBLE) / n_exact, 4) END AS recall
        |FROM ($union)
        |ORDER BY tenant""".stripMargin
+  }
+
+  /** The t19 packing oracle — per-lang running token count (ROWS ... 1
+    * PRECEDING, doc_id order), pack = offset div budget. ONE definition
+    * gates both the flat plan (t19) and the sharded-stream-key plan
+    * (t19b): integer prefix sums are associative-exact, so the two
+    * plans are row-identical by construction and share this truth.
+    */
+  private lazy val tokenPackingSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
+      |o AS (SELECT doc_id, lang, n_tokens,
+      |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM t)
+      |SELECT doc_id, lang, n_tokens,
+      |  CAST(off // 256 AS BIGINT) AS pack_idx, CAST(off % 256 AS BIGINT) AS pack_offset,
+      |  (off % 256 + n_tokens > 256) AS spans_packs
+      |FROM o ORDER BY doc_id""".stripMargin
+
+  /** The shared per-tenant audit tail of the d58/d59/d60 census oracles:
+    * expects CTEs `ex(tenant, id_a, id_b)` (exact pairs, same-tenant
+    * only) and `ap(id_a, id_b)` (the serving tier's pairs) upstream; a
+    * tenant spine keeps a row per tenant even with zero exact pairs
+    * (metric 1.0 — the d24 empty-set convention).
+    */
+  private def tenantCensusTailSql(metric: String,
+      nTenants: Int = 2, exCte: String = "ex"): String =
+    s"""ca AS (SELECT tenant, CAST(count(*) AS BIGINT) AS n_caught
+       |  FROM $exCte SEMI JOIN ap USING (id_a, id_b) GROUP BY 1),
+       |nx AS (SELECT tenant, CAST(count(*) AS BIGINT) AS n_exact FROM $exCte GROUP BY 1),
+       |tns AS (SELECT CAST(range AS BIGINT) AS tenant FROM range(0, $nTenants))
+       |SELECT tns.tenant, CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact,
+       |  CAST(coalesce(n_caught, 0) AS BIGINT) AS n_caught,
+       |  CASE WHEN coalesce(n_exact, 0) = 0 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round(CAST(coalesce(n_caught, 0) AS DOUBLE) / n_exact, 4) END AS $metric
+       |FROM tns LEFT JOIN nx USING (tenant) LEFT JOIN ca USING (tenant)
+       |ORDER BY tenant""".stripMargin
+
+  /** The d58 oracle: d28's recompute grouped by tenant — exact side
+    * all-pairs Hamming ≤ 5 filtered to same-tenant pairs, caught side
+    * the 4-band serving tier.
+    */
+  private lazy val tenantSimhashCensusSql: String =
+    s"""$simhash64Cte,
+       |ex AS (SELECT a.doc_id % 2 AS tenant, a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM sh64 a JOIN sh64 b2 ON a.doc_id < b2.doc_id
+       |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5
+       |    AND a.doc_id % 2 = b2.doc_id % 2),
+       |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
+       |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+       |ap AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM banded a JOIN banded b2
+       |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+       |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+       |${tenantCensusTailSql("recall")}""".stripMargin
+
+  /** The d59 oracle: d29c's banded-SRP recompute grouped by tenant. */
+  private lazy val tenantSrpCensusSql: String = {
+    val bandCoeff = hexv("substr(md5('plane:' || (2 * b + j) || ':' || i), 1, 1)")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+       |ex AS (SELECT a.vec_id % 2 AS tenant, a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) >= 0.3
+       |    AND a.vec_id % 2 = b.vec_id % 2),
+       |bks AS (SELECT vec_id,
+       |  [list_sum([CASE WHEN list_sum([v[i+1] * ($bandCoeff - 7.5) for i in range(0, 64)]) > 0
+       |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) for b in range(0, 8)] AS bk FROM e),
+       |ap AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM e x
+       |  JOIN e y ON x.vec_id < y.vec_id
+       |  JOIN bks bx ON bx.vec_id = x.vec_id
+       |  JOIN bks yb ON yb.vec_id = y.vec_id
+       |  WHERE len([b for b in range(1, 9) if bx.bk[b] = yb.bk[b]]) > 0
+       |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.3),
+       |${tenantCensusTailSql("recall")}""".stripMargin
+  }
+
+  /** The d60 oracle: d55's detection recompute grouped by tenant over
+    * the md5-slice audit set.
+    */
+  private def tenantWinnowCensusSql(bucketCap: Int): String =
+    s"""${containmentCtesOf("text", s" AND $splitBucketSql < $bucketCap")},
+       |al AS (SELECT doc_id, len(dall) AS l, unnest(dall) AS key FROM f),
+       |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS la, b.l AS lb,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM al a JOIN al b ON a.key = b.key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |exo AS (SELECT id_a % 2 AS tenant, id_a, id_b FROM co
+       |  WHERE round(CAST(inter AS DOUBLE) / least(la, lb), 4) >= 0.9
+       |    AND id_a % 2 = id_b % 2),
+       |ap AS (SELECT id_a, id_b FROM cand),
+       |${tenantCensusTailSql("detection", exCte = "exo")}""".stripMargin
+
+  /** The s21 oracle: s14's per-probe recall recompute grouped by tenant
+    * — probes are each tenant's own first vectors, exact ranking within
+    * the tenant corpus, the LSH bucket join also keyed on tenant.
+    */
+  private lazy val tenantAnnCensusSql: String = {
+    val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
+    s"""WITH e AS (SELECT vec_id, vec_id % 2 AS tenant, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+       |p0 AS (SELECT tenant, vec_id AS probe_id, v AS pv, n AS pn FROM e WHERE vec_id < 10),
+       |exact AS (SELECT tenant, probe_id, neighbor_id FROM (
+       |  SELECT p0.tenant, probe_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS rn
+       |  FROM p0 JOIN e c ON p0.tenant = c.tenant WHERE probe_id != c.vec_id) WHERE rn <= 5),
+       |bk AS (SELECT vec_id,
+       |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+       |    THEN 1 << j ELSE 0 END for j in range(0, 8)]) AS bucket FROM e),
+       |w AS (SELECT e.vec_id, e.tenant, e.v, e.n, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
+       |p AS (SELECT tenant, vec_id AS probe_id, v AS pv, n AS pn, bucket FROM w WHERE vec_id < 10),
+       |approx AS (SELECT probe_id, neighbor_id FROM (
+       |  SELECT probe_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS rn
+       |  FROM p JOIN w c ON p.tenant = c.tenant AND p.bucket = c.bucket
+       |  WHERE probe_id != c.vec_id) WHERE rn <= 5),
+       |hits AS (SELECT tenant, probe_id, neighbor_id
+       |  FROM exact SEMI JOIN approx USING (probe_id, neighbor_id)),
+       |nx AS (SELECT tenant, CAST(count(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1),
+       |ch AS (SELECT tenant, CAST(count(*) AS BIGINT) AS n_hits FROM hits GROUP BY 1),
+       |tns AS (SELECT CAST(range AS BIGINT) AS tenant FROM range(0, 2))
+       |SELECT tns.tenant, CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact,
+       |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       |  CASE WHEN coalesce(n_exact, 0) = 0 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 4) END AS recall
+       |FROM tns LEFT JOIN nx USING (tenant) LEFT JOIN ch USING (tenant)
+       |ORDER BY tenant""".stripMargin
+  }
+
+  /** The d61 oracle: the d55b winnow-retune replay PER TENANT (the
+    * tenantRebandSql layout for the winnowing dial) — each tenant's
+    * audit universe is its slice ∪ its planted probes (tenant 1 = the
+    * four short-doc miss pairs under odd ids, tenant 0 = the identical
+    * long-doc control pair), BOTH winnowing generations' candidate sets
+    * recomputed per tenant, and the two-phase conditional swap per
+    * tenant. Tenant 0 must come out untriggered at winnow 4 in both
+    * phases; tenant 1 must trip and clear at winnow 2 — a retune that
+    * leaked into the wrong tenant's generation flips the winnow column
+    * on the wrong row.
+    */
+  private lazy val tenantWinnowRetuneSql: String = {
+    def probeRows(tn: Int) =
+      if (tn == 0)
+        Seq(-10, -12).map(id =>
+          s"($id, '${graft.operators.Dedup.tenantWinnowControlText}')")
+          .mkString(", ")
+      else (for (k <- 0 to 3; v <- 0 to 1) yield
+        s"(${-(4 * k + 1 + 2 * v)}, '${graft.operators.Dedup.winnowProbeText(k, v == 1)}')")
+        .mkString(", ")
+    def genChain(wn: Int, sfx: String, dgName: String) =
+      s"""sel$sfx AS (SELECT doc_id, digs,
+         |  list_sort(list_distinct([j + list_position(digs[j:j+${wn - 1}], list_min(digs[j:j+${wn - 1}])) - 1
+         |    for j in range(1, greatest(len(digs)-${wn - 1}, 1)+1)])) AS fpos FROM $dgName),
+         |f$sfx AS (SELECT doc_id, list_distinct([digs[i] for i in fpos]) AS fps FROM sel$sfx),
+         |exx$sfx AS (SELECT doc_id, unnest(fps) AS d FROM f$sfx),
+         |df$sfx AS (SELECT d FROM (SELECT d, count(DISTINCT doc_id) AS n FROM exx$sfx GROUP BY 1)
+         |  WHERE n >= 2 AND n <= 64),
+         |kept$sfx AS (SELECT exx$sfx.doc_id, exx$sfx.d FROM exx$sfx JOIN df$sfx USING (d)),
+         |cand$sfx AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM kept$sfx a JOIN kept$sfx b ON a.d = b.d AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+    def chain(tn: Int) =
+      s"""pr$tn(doc_id, text) AS (VALUES ${probeRows(tn)}),
+         |d$tn AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL AND $splitBucketSql < 64 AND doc_id % 2 = $tn
+         |  UNION ALL SELECT doc_id, text FROM pr$tn),
+         |t$tn AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM d$tn),
+         |sp$tn AS (SELECT doc_id, CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+         |       ELSE [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)] END AS spans FROM t$tn),
+         |dg$tn AS (SELECT doc_id, [md5(s) for s in spans] AS digs FROM sp$tn),
+         |${genChain(4, s"4$tn", s"dg$tn")},
+         |${genChain(2, s"2$tn", s"dg$tn")},
+         |fall$tn AS (SELECT doc_id, list_distinct(digs) AS dall FROM dg$tn),
+         |al$tn AS (SELECT doc_id, len(dall) AS l, unnest(dall) AS key FROM fall$tn),
+         |co$tn AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS la, b.l AS lb,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM al$tn a JOIN al$tn b ON a.key = b.key AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |ex$tn AS (SELECT id_a, id_b FROM co$tn
+         |  WHERE round(CAST(inter AS DOUBLE) / least(la, lb), 4) >= 0.9),
+         |sc$tn AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN cand4$tn USING (id_a, id_b)) AS c4,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN cand2$tn USING (id_a, id_b)) AS c2),
+         |sc2$tn AS (SELECT n_exact, c4, c2,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(c4 AS DOUBLE) / n_exact, 4) END AS det4,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(c2 AS DOUBLE) / n_exact, 4) END AS det2 FROM sc$tn),
+         |ph$tn AS (
+         |  SELECT CAST($tn AS BIGINT) AS tenant, CAST(0 AS BIGINT) AS phase, CAST(4 AS BIGINT) AS winnow,
+         |    n_exact, c4 AS n_caught, det4 AS detection, det4 < 0.95 AS triggered FROM sc2$tn
+         |  UNION ALL
+         |  SELECT CAST($tn AS BIGINT), CAST(1 AS BIGINT),
+         |    CASE WHEN det4 < 0.95 THEN CAST(2 AS BIGINT) ELSE CAST(4 AS BIGINT) END,
+         |    n_exact, CASE WHEN det4 < 0.95 THEN c2 ELSE c4 END,
+         |    CASE WHEN det4 < 0.95 THEN det2 ELSE det4 END,
+         |    (CASE WHEN det4 < 0.95 THEN det2 ELSE det4 END) < 0.95 FROM sc2$tn)""".stripMargin
+    s"""WITH ${chain(0)},
+       |${chain(1)}
+       |SELECT * FROM (SELECT * FROM ph0 UNION ALL SELECT * FROM ph1)
+       |ORDER BY tenant, phase""".stripMargin
   }
 
   /** The d57 oracle: the d43 reband replay PER TENANT — each tenant's
@@ -2187,7 +2420,22 @@ object SparkEntry {
     "d55_winnow_detection" -> winnowDetectionSql(64),
     "d55b_winnow_retune_trigger" -> winnowRetuneSql,
     "d56_tenant_recall_census" -> tenantRecallCensusSql(2, 256),
+    // the census's 100 TB sampled mode, gate-checked (the d24b
+    // discipline): same chain, one md5-slice, both endpoints in-slice
+    "d56b_tenant_recall_census_sampled" -> tenantRecallCensusSql(2, 64),
     "d57_tenant_reband_trigger" -> tenantRebandSql,
+    // the d56 monitor-scope lesson stamped onto every remaining family
+    // with tenant-scoped actions: one grouped chain per family, the
+    // exact side's pair set filtered to same-tenant pairs (tenancy is a
+    // per-doc id function, so that equals the per-tenant audits' union)
+    "d58_tenant_simhash_census" -> tenantSimhashCensusSql,
+    "d59_tenant_srp_census" -> tenantSrpCensusSql,
+    "d60_tenant_winnow_census" -> tenantWinnowCensusSql(64),
+    // ACTING on d60 per tenant: the d57 table-pair replay for the
+    // winnowing dial — both generations (winnow 4 and 2) recomputed per
+    // tenant over its slice ∪ its planted probes, two-phase conditional
+    // swap per tenant
+    "d61_tenant_winnow_retune" -> tenantWinnowRetuneSql,
     // measured simhash-banding recall at Hamming 5 (past the 4-band
     // pigeonhole guarantee of 3): exact side brute-forced here — the
     // Spark side's finer 8-bit banding is pigeonhole-exact through 7,
@@ -2715,6 +2963,16 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS src_rank
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // the cap-pushdown mode: kept rows only, ranked by the 52-bit md5
+    // prefix (fixed-width lowercase hex — lexicographic order IS the
+    // numeric order the Spark aggregate scores by)
+    "t20b_source_cap_pushdown" ->
+      """SELECT doc_id, source, src_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS BIGINT) AS src_rank
+        |  FROM documents)
+        |WHERE src_rank <= 20 ORDER BY doc_id""".stripMargin,
     // boilerplate: chunk membership decided on md5 digests, the rewrite
     // witnessed by the sha-256 of the cleaned text — both hashes the two
     // engines spell identically
@@ -2928,6 +3186,9 @@ object SparkEntry {
     // ... minus the removed class on the corpus side (probes < 10 are
     // never removed — the s13 convention)
     "s20b_ann_tenant_remove" -> tenantAnnSql(removed = true),
+    // the per-tenant ANN recall census: s14's measurement grouped by
+    // tenant, bucket join tenant-keyed, one row per tenant
+    "s21_tenant_ann_census" -> tenantAnnCensusSql,
     "s12_ann_filtered" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5)
@@ -3254,17 +3515,14 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
     // contiguous packing: per-lang running token count (ROWS ... 1
     // PRECEDING, doc_id order), pack = offset div budget — both engines
-    // share exact integer division on the non-negative offsets
-    "t19_token_packing" ->
-      """WITH t AS (SELECT doc_id, lang,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens FROM documents),
-        |o AS (SELECT doc_id, lang, n_tokens,
-        |  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM t)
-        |SELECT doc_id, lang, n_tokens,
-        |  CAST(off // 256 AS BIGINT) AS pack_idx, CAST(off % 256 AS BIGINT) AS pack_offset,
-        |  (off % 256 + n_tokens > 256) AS spans_packs
-        |FROM o ORDER BY doc_id""".stripMargin,
+    // share exact integer division on the non-negative offsets; ONE
+    // definition gates both the flat (t19) and sharded (t19b) plans
+    "t19_token_packing" -> tokenPackingSql,
+    // the sharded stream-key form: per-(lang, shard) local sums + a
+    // one-number carry per key — integer addition is associative-exact,
+    // so t19's flat-key oracle gates it VERBATIM (the shared-oracle d18
+    // pattern: one truth, two plans)
+    "t19b_token_packing_sharded" -> tokenPackingSql,
     "t4_token_counts" ->
       """SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens

@@ -1851,15 +1851,11 @@ object Dedup {
       .select(col("doc_id")).filter(inTenant).localCheckpoint()
     val came = diff.filter(col("status").isin("added", "changed"))
       .select(col("doc_id")).filter(inTenant).localCheckpoint()
-    // skip the remove+compact (resp. append) phase outright when the
-    // tenant's diff slice has nothing for it: an empty tombstone batch
-    // would still trigger a full tenant-partition rewrite
-    val hasGone = !gone.isEmpty
-    val hasCame = !came.isEmpty
-    if (!hasGone && !hasCame) return
-    // validate every deployed index family's meta BEFORE any mutation —
-    // a tenant-count mismatch must refuse outright, not tombstone under
-    // the wrong tenant assignment first; the rows are cached so each
+    // validate every deployed index family's meta BEFORE anything else —
+    // a tenant-count mismatch must refuse AT ENTRY (even on an empty
+    // diff slice: a misconfigured caller gets the signal on its first
+    // batch, not whenever a non-empty one arrives), never tombstone
+    // under the wrong tenant assignment; the rows are cached so each
     // append arm reads the 1-row table once, not twice (and a streaming
     // micro-batch doesn't re-pay the catalog round-trips)
     val metas: Map[String, org.apache.spark.sql.Row] =
@@ -1868,6 +1864,12 @@ object Dedup {
         .map { case (t, _) =>
           t -> requireTenantMeta(spark, t, nTenants)
         }.toMap
+    // skip the remove+compact (resp. append) phase outright when the
+    // tenant's diff slice has nothing for it: an empty tombstone batch
+    // would still trigger a full tenant-partition rewrite
+    val hasGone = !gone.isEmpty
+    val hasCame = !came.isEmpty
+    if (!hasGone && !hasCame) return
     val goneVec = gone.select(col("doc_id").as("vec_id"))
     val cameVec = came.select(col("doc_id").as("vec_id"))
     // .toLong: the saved tables derive tenant via pmod over a Long key
@@ -4784,17 +4786,125 @@ object Dedup {
   def tenantRecallCensus(spark: SparkSession, dir: String,
       nTenants: Int = 2, threshold: Double = 0.8, sampleBuckets: Int = 256,
       hotBlockRows: Long = 1L << 17): DataFrame = {
-    val banded = minhashLshPairs(spark, dir).select(col("id_a"), col("id_b"))
-    (0 until nTenants).map { tn =>
-      val inScope =
-        TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets &&
-          pmod(col("doc_id"), lit(nTenants)) === tn
-      val exact = exactJaccardPairs(spark, dir, threshold, hotBlockRows,
-        inScope)
-      recallRowOf(exact, banded)
-        .select(lit(tn.toLong).as("tenant"), col("n_exact"),
-          col("n_caught"), col("recall"))
-    }.reduce(_ unionByName _).orderBy("tenant")
+    // ONE chain (round-17 verdict ask #1): the fleet exact machinery runs
+    // once over the slice; tenancy is a per-doc function of the id, so
+    // filtering its pair set to same-tenant pairs equals the union of
+    // per-tenant audit runs — exactly, because PPJoin is exact under any
+    // total order (including the fleet slice's df order)
+    val exact = sameTenantPairs(
+      exactJaccardPairs(spark, dir, threshold, hotBlockRows,
+        TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets),
+      nTenants)
+    tenantRecallRows(spark, nTenants, exact,
+      minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")))
+  }
+
+  /** D58 — the d56 census for the SIMHASH family (round-17 verdict
+    * ask #1: a per-tenant gauge for every family with tenant-scoped
+    * actions — the d33 estate's sync/compact/reband act per tenant, so
+    * its recall monitor must localize per tenant too). d28's measurement
+    * grouped by tenant in ONE chain: the exact side is the 8×8-bit
+    * fine re-blocking (pigeonhole-exact through Hamming 7) over the
+    * md5-slice audit signatures, its pair set filtered to same-tenant
+    * pairs (tenancy is a per-doc id function — the filtered fleet set
+    * equals the per-tenant runs' union, and cross-tenant pairs are not
+    * a tenant estate's serving obligation); the caught side is the
+    * 4-band serving tier over the same slice. `sampleBuckets` is the
+    * 100 TB dial (the d24b convention — simhash is per-doc, so both
+    * sides' in-slice pair sets equal the full run's restricted to the
+    * slice); the default audits the whole corpus because tenant slices
+    * at test SF are already thin (the d56 convention).
+    */
+  def tenantSimhashCensus(spark: SparkSession, dir: String,
+      nTenants: Int = 2, maxHamming: Int = 5, sampleBuckets: Int = 256,
+      hotBlockRows: Long = 1L << 17, servingBands: Int = 4): DataFrame = {
+    require(maxHamming <= 7,
+      "the 8-band exact side is pigeonhole-exact only through Hamming 7")
+    val sigs0 = simhash64Cached(spark, dir)
+    val sigs = (if (sampleBuckets >= 256) sigs0
+      else sigs0.filter(TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets))
+      .localCheckpoint()
+    val fine = sigs.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+      .withColumn("chunk", expr("(simhash >> (b * 8)) & 255"))
+    val exact = sameTenantPairs(
+      blockedPairCandidates(fine, Seq("b", "chunk"), Seq("simhash"),
+          hotBlockRows, salts = 16)
+        .filter(expr("CAST(bit_count(simhash_a ^ simhash_b) AS INT)") <= maxHamming)
+        .select(col("id_a"), col("id_b")),
+      nTenants)
+    tenantRecallRows(spark, nTenants, exact,
+      simhashPairsOf(sigs, maxHamming, hotBlockRows, bands = servingBands)
+        .select(col("id_a"), col("id_b")))
+  }
+
+  /** D59 — the d56 census for the EMBEDDING family: d29c's banded-SRP
+    * measurement (the serving tier the d34 estate persists) grouped by
+    * tenant in one chain. Exact side = all-pairs cosine at audit scale
+    * filtered to same-tenant pairs (the audit's price, bounded by
+    * `sampleBuckets` — the d29b slice convention: both endpoints
+    * in-slice, cosine and banding are per-vector so sampled recall
+    * composes per slice); caught side = the 8×2 OR-amplified banded
+    * candidate tier with its exact-cosine verify.
+    */
+  def tenantSrpCensus(spark: SparkSession, dir: String,
+      nTenants: Int = 2, threshold: Double = 0.3, bands: Int = 8,
+      planesPerBand: Int = 2, hotBlockRows: Long = 1L << 17,
+      sampleBuckets: Int = 256): DataFrame = {
+    val e = srpAuditVectors(spark, dir, sampleBuckets)
+    val exact = sameTenantPairs(srpExactPairs(e, threshold), nTenants)
+    tenantRecallRows(spark, nTenants, exact,
+      embeddingNearDupsBoundedOf(e.withColumn("label", lit(0)),
+        threshold, bands, planesPerBand, hotBlockRows)
+        .select(col("id_a"), col("id_b")))
+  }
+
+  /** D60 — the d56 census for the CONTAINMENT/WINNOW family: d55's
+    * detection gauge (the one whose FLEET number just caught the
+    * short-doc hole) grouped by tenant in one chain, because the d35
+    * estate's sync/compact and the d61 retune act per tenant — a
+    * tenant whose corpus skews short can under-detect while the fleet
+    * gauge reads 1.0 (the d56 255/256 lesson, applied to the tier where
+    * it already drew blood). Exact side = overlap-coefficient ≥
+    * threshold over FULL span-digest sets via digest postings, filtered
+    * to same-tenant pairs; caught side = the d20 fingerprint-blocked
+    * candidate chain over the same slice (slice-local df census + cap,
+    * shared_fp ≥ minShared). `sampleBuckets` bounds the quadratic exact
+    * side (the d24b pricing — d55's own default).
+    */
+  def tenantWinnowCensus(spark: SparkSession, dir: String,
+      nTenants: Int = 2, sampleBuckets: Int = 64, w: Int = 8,
+      winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
+      threshold: Double = 0.9): DataFrame = {
+    val sel = containmentSelCached(spark, dir, w, winnow)
+      .filter(TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets)
+      .localCheckpoint()
+    val al = sel.select(col("doc_id"), size(col("dall")).as("l"),
+      explode(col("dall")).as("key"))
+    val exact = sameTenantPairs(
+      al.select(col("key"), col("doc_id").as("id_a"), col("l").as("la"))
+        .join(al.select(col("key"), col("doc_id").as("id_b"),
+          col("l").as("lb")), Seq("key"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("la"), col("lb"))
+        .agg(count(lit(1)).as("inter"))
+        .filter(round(col("inter").cast("double") /
+          least(col("la"), col("lb")), 4) >= threshold)
+        .select(col("id_a"), col("id_b")),
+      nTenants)
+    val fp = sel.select(col("doc_id"), explode(col("fps")).as("d"))
+    val kept = fp.join(
+      fp.groupBy(col("d")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2 && col("n") <= dfCap)
+        .select(col("d")), Seq("d"))
+    val cand = kept.select(col("d"), col("doc_id").as("id_a"))
+      .join(kept.select(col("d"), col("doc_id").as("id_b")), Seq("d"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+      .select(col("id_a"), col("id_b"))
+    tenantRecallRows(spark, nTenants, exact, cand, metric = "detection")
   }
 
   /** The d57 per-tenant probe documents: tenant 1 gets the four d43
@@ -4851,7 +4961,7 @@ object Dedup {
           .select(col("doc_id"), col("text"), col("lang"))
           .unionByName(tenantRebandProbeDocs(spark, tn))
         // every cache-key parameter in the table name (the d22 rule)
-        val name = f"mh_trb_${tn}_c${(threshold * 100).round}_t${(target * 100).round}_s${sampleBuckets}_${dir.hashCode & 0xffffffffL}%x"
+        val name = f"mh_trb_${tn}_n${nTenants}_c${(threshold * 100).round}_t${(target * 100).round}_s${sampleBuckets}_${dir.hashCode & 0xffffffffL}%x"
         // fresh state every session: the gate measures one full lifecycle
         Seq("_banded", "_meta").foreach { sfx =>
           dropTableAndLocation(spark, s"$name$sfx")
@@ -5007,6 +5117,75 @@ object Dedup {
     before.unionByName(measure(1)).orderBy("phase")
   }
 
+  /** The d61 per-tenant probe documents (the d57 layout for the
+    * WINNOWING tier): tenant 1 gets the four d55b short-doc miss pairs
+    * under odd negative ids (-(4k+1), -(4k+3) — the texts are
+    * id-independent, so the offline-searched winnow-2 salts hold
+    * unchanged); tenant 0 gets ONE control pair (identical 60-token
+    * docs — overlap 1.0, a shared run far past w+winnow−1, so BOTH
+    * winnowing generations catch it), making the untripped tenant's
+    * audit non-degenerate without planting a miss.
+    */
+  private[graft] def tenantWinnowProbeDocs(spark: SparkSession,
+      tenant: Int): DataFrame = {
+    import spark.implicits._
+    val rows: Seq[(Long, String)] =
+      if (tenant == 0)
+        Seq((-10L, tenantWinnowControlText), (-12L, tenantWinnowControlText))
+      else (for (k <- 0 to 3; v <- 0 to 1)
+        yield (-(4L * k + 1 + 2 * v), winnowProbeText(k, v == 1)))
+    rows.toDF("doc_id", "text")
+  }
+
+  private[graft] val tenantWinnowControlText: String =
+    (0 until 60).map(i => s"wc0x$i").mkString(" ")
+
+  /** D61 — ACTING on the d60 signal, tenant-scoped (round-17 verdict
+    * ask #2 — the d57 table-pair layout for the d35/winnowing family,
+    * so w/winnow can move PER TENANT): each tenant's winnowed
+    * fingerprint generation lives as its own table pair, and the loop
+    * is [[winnowRetuneLifecycle]] per tenant over its audit slice ∪ its
+    * planted probes — the tripped tenant re-winnows 4 → 2 through the
+    * crash-tested meta-last swap (entry recovery runs verbatim per
+    * tenant); the healthy tenant's generation (and its winnow) never
+    * moves. This exercises the round-17 meta contract per tenant: each
+    * pair's meta records ITS OWN (w, winnow), so tenant 1 can serve
+    * winnow 2 while tenant 0 serves 4 with no shared-row ambiguity —
+    * the reason the layout is table pairs, not per-tenant meta rows in
+    * one shared table (every reader stays on the single-row meta
+    * contract). At sf0.01 the planted fixture makes the asymmetry
+    * sharp: tenant 0 measures 1.0 (control pair caught at winnow 4 —
+    * no trigger), tenant 1 trips at ~0.2 and clears to 1.0 at winnow 2.
+    * Emits two rows per tenant: (tenant, phase, winnow, n_exact,
+    * n_caught, detection, triggered).
+    */
+  def tenantWinnowRetuneGate(spark: SparkSession, dir: String,
+      target: Double = 0.95, sampleBuckets: Int = 64,
+      nTenants: Int = 2): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantWinnowRetune", dir, target, sampleBuckets, nTenants)) {
+      (0 until nTenants).map { tn =>
+        val docs = Tables.documents(spark, dir)
+          .filter(col("text").isNotNull &&
+            TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets &&
+            pmod(col("doc_id"), lit(nTenants)) === tn)
+          .select(col("doc_id"), col("text"))
+          .unionByName(tenantWinnowProbeDocs(spark, tn))
+        // every cache-key parameter in the table name (the d22 rule)
+        val name = f"wn_trt_${tn}_n${nTenants}_t${(target * 100).round}_s${sampleBuckets}_${dir.hashCode & 0xffffffffL}%x"
+        // fresh state every session: the gate measures one full lifecycle
+        Seq("_banded", "_meta").foreach { s =>
+          dropTableAndLocation(spark, s"$name$s")
+          dropTableAndLocation(spark, s"${name}__gen$s")
+        }
+        winnowRetuneLifecycle(spark, name, docs, target)
+          .withColumn("tenant", lit(tn.toLong))
+          .select(col("tenant"), col("phase"), col("winnow"),
+            col("n_exact"), col("n_caught"), col("detection"),
+            col("triggered"))
+      }.reduce(_ unionByName _).orderBy("tenant", "phase")
+    }.asInstanceOf[DataFrame]
+
   /** The audit's EXACT pair set (true Jaccard ≥ t up to the gate's
     * 4-decimal rounding), prefix-filtered + salted as the d24 scaladoc
     * describes. Shared by the full audit and the sampled twin.
@@ -5070,6 +5249,48 @@ object Dedup {
 
   private def recallRowOf(exact: DataFrame, approx: DataFrame): DataFrame =
     recallRow(exact, exact.join(approx, Seq("id_a", "id_b"), "left_semi"))
+
+  /** The PER-TENANT audit tail shared by every tenant census (d56, d58,
+    * d59, d60): ONE grouped rollup over a tenant-tagged exact pair frame
+    * — never a per-tenant union of single-row audits (the round-17
+    * lesson: n union arms re-run the whole candidate machinery n times;
+    * grouping runs it once). `exact` carries (tenant, id_a, id_b); the
+    * left joins onto the tenant spine keep a row per tenant even when a
+    * tenant's slice has no exact pairs (recall 1.0 — the d24 empty-set
+    * convention, and the alerting shape: silence must not look like
+    * health).
+    */
+  private def tenantRecallRows(spark: SparkSession, nTenants: Int,
+      exact: DataFrame, approx: DataFrame,
+      metric: String = "recall"): DataFrame = {
+    import spark.implicits._
+    val caught = exact.join(approx, Seq("id_a", "id_b"), "left_semi")
+    (0L until nTenants.toLong).toDF("tenant")
+      .join(exact.groupBy(col("tenant")).agg(count(lit(1)).as("n_exact")),
+        Seq("tenant"), "left_outer")
+      .join(caught.groupBy(col("tenant")).agg(count(lit(1)).as("n_caught")),
+        Seq("tenant"), "left_outer")
+      .select(col("tenant"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        when(coalesce(col("n_exact"), lit(0L)) === 0, lit(1.0))
+          .otherwise(round(coalesce(col("n_caught"), lit(0L)).cast("double") /
+            col("n_exact"), 4)).as(metric))
+      .orderBy("tenant")
+  }
+
+  /** Tag a fleet exact-pair frame with its tenant and drop cross-tenant
+    * pairs: tenancy is a per-doc function of the id (pmod), so the fleet
+    * machinery's pair set filtered to same-tenant pairs IS the union of
+    * the per-tenant audits' pair sets — one pass over the postings
+    * instead of nTenants.
+    */
+  private def sameTenantPairs(pairs: DataFrame, nTenants: Int): DataFrame =
+    pairs
+      .filter(pmod(col("id_a"), lit(nTenants.toLong)) ===
+        pmod(col("id_b"), lit(nTenants.toLong)))
+      .withColumn("tenant", pmod(col("id_a"), lit(nTenants.toLong)))
+      .select(col("tenant"), col("id_a"), col("id_b"))
 
   /** D28 — measured recall of the 16-bit simhash banding PAST its
     * pigeonhole guarantee: 4 bands catch every pair through Hamming
@@ -5282,6 +5503,81 @@ object Dedup {
       swapInBandedGeneration(spark, name)
     }
     before.unionByName(measure(1)).orderBy("phase")
+  }
+
+  /** Initialize the STREAMING reband loop's state (the prior-state
+    * contract of [[graft.streaming.EventsStream.runIngestRebandLoop]],
+    * the runIngestCuration convention): the base corpus's shingle sets
+    * persist next to the banded generation — the reband ACTION rebuilds
+    * the whole generation from retained shingles, so the loop owns a
+    * `_shingles` companion exactly like the near-dup index does.
+    */
+  private[graft] def initMinhashRebandState(spark: SparkSession,
+      name: String, baseDocs: DataFrame, bands: Int = 3,
+      rowsPerBand: Int = 3, buckets: Int = 8): Unit = {
+    Seq("_banded", "_meta", "_shingles").foreach(s =>
+      dropTableAndLocation(spark, s"$name$s"))
+    Seq("_banded", "_meta").foreach(s =>
+      dropTableAndLocation(spark, s"${name}__gen$s"))
+    val sh = shingleTableOf(baseDocs).localCheckpoint()
+    saveBucketedTable(sh, s"${name}_shingles", buckets, Seq("doc_id"))
+    saveMinhashBandedGeneration(spark, name, sh, bands, rowsPerBand, buckets)
+  }
+
+  /** One streaming micro-batch's APPEND into the reband loop's state:
+    * banded keys land under the banding the meta records (the round-17
+    * contract — an append can never band under drifted parameters),
+    * shingles land in the companion table the reband action rebuilds
+    * from. `newSh` must be id-disjoint from the persisted state (the
+    * caller's anti-join guarantees it).
+    */
+  private[graft] def appendMinhashRebandState(spark: SparkSession,
+      name: String, newSh: DataFrame): Unit = {
+    val meta = spark.table(s"${name}_meta").head()
+    val buckets = meta.getAs[Int]("buckets")
+    appendBucketedTable(
+      bandedKeys(newSh, meta.getAs[Int]("bands"),
+        meta.getAs[Int]("rows_per_band")),
+      s"${name}_banded", buckets, Seq("band", "bkey"))
+    appendBucketedTable(newSh, s"${name}_shingles", buckets, Seq("doc_id"))
+  }
+
+  /** The MONITOR half of the streaming reband loop: the PERSISTED
+    * generation's recall over an explicit audit shingle frame — the d43
+    * measure body factored out so the per-micro-batch evaluation and
+    * the batch lifecycle read the same serving table the same way. The
+    * exact side is all-pairs jaccard WITHIN the audit frame
+    * (audit-priced: the caller bounds it — the d24b sampleBuckets
+    * discipline; never the ingested corpus itself).
+    */
+  private[graft] def minhashServingRecall(spark: SparkSession, name: String,
+      auditSh: DataFrame, threshold: Double): DataFrame = {
+    spark.catalog.refreshTable(s"${name}_banded")
+    val sh = auditSh.localCheckpoint()
+    val ids = sh.select(col("doc_id"))
+    val allPairs = ids.select(col("doc_id").as("id_a"))
+      .crossJoin(ids.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val exact = verifyJaccard(sh, allPairs, threshold)
+      .select(col("id_a"), col("id_b"))
+    val cand = blockedPairCandidates(
+      spark.table(s"${name}_banded").localCheckpoint(),
+      Seq("band", "bkey"), Nil, 1L << 17, salts = 16)
+    recallRowOf(exact, cand.select(col("id_a"), col("id_b")))
+  }
+
+  /** The ACTION half: re-band the WHOLE retained corpus (the `_shingles`
+    * companion) as a complete `__gen` generation and swap it in
+    * meta-last — the d43 action driven from persisted state instead of
+    * an in-memory frame, so a streaming micro-batch can fire it.
+    */
+  private[graft] def rebandMinhashGenerationFromShingles(
+      spark: SparkSession, name: String, bands: Int,
+      rowsPerBand: Int): Unit = {
+    spark.catalog.refreshTable(s"${name}_shingles")
+    saveMinhashBandedGeneration(spark, s"${name}__gen",
+      spark.table(s"${name}_shingles"), bands, rowsPerBand)
+    swapInBandedGeneration(spark, name)
   }
 
   /** The d32 lifecycle over an explicit (doc_id, simhash) frame and

@@ -857,6 +857,67 @@ object Similarity {
         round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 4).as("recall_at_k"))
   }
 
+  /** S21 — the d56 PER-TENANT census for the ANN family (round-17
+    * verdict ask #1 applied to the s20 store's family): the s14
+    * measurement scoped to each tenant of a multi-tenant estate, ONE
+    * grouped chain — tenant rides the join keys, so exact ranking,
+    * LSH-bucket serving, and the hit rollup all evaluate once. Per
+    * tenant: probes are the tenant's own first vectors (the s20
+    * convention — a tenant never probes with another tenant's vector),
+    * the exact side is brute-force top-k WITHIN the tenant's corpus
+    * (tenant joins the probe–corpus pairing), the approx side is the
+    * s2 LSH bucket tier with the bucket join ALSO keyed on tenant
+    * (the serving path a tenant-isolated deployment runs — candidates
+    * never cross tenants). One row per tenant: (tenant, n_exact,
+    * n_hits, recall) — n_exact = the tenant's probes × k, so a
+    * tenant whose bucket tier collapses shows up as its own low row
+    * while the fleet s14 average looks fine (the d56 monitor-scope
+    * lesson). At 100 TB the probe set per tenant is sampled — recall
+    * is per-probe, so sampling composes; the exact side stays the s1
+    * broadcast scan over the tenant slice.
+    */
+  def tenantAnnRecallCensus(spark: SparkSession, dir: String,
+      nTenants: Int = 2, nProbes: Int = 5, k: Int = 5,
+      nPlanes: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = preparedEmbeddings(spark, dir)
+      .withColumn("tenant", pmod(col("vec_id"), lit(nTenants.toLong)))
+      .withColumn("bucket", bucketExpr(col("v"), nPlanes))
+      .localCheckpoint()
+    val probes = e.filter(col("vec_id") < nProbes.toLong * nTenants)
+      .select(col("tenant").as("ptenant"), col("bucket").as("pbucket"),
+        col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
+    val corpus = e.select(col("tenant"), col("bucket"),
+      col("vec_id").as("neighbor_id"), col("v"), col("n"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    def topK(pairs: DataFrame): DataFrame = pairs
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val exact = topK(corpus.join(broadcast(probes),
+        col("tenant") === col("ptenant")))
+      .select(col("tenant"), col("probe_id"), col("neighbor_id"))
+    val approx = topK(corpus.join(broadcast(probes),
+        col("tenant") === col("ptenant") && col("bucket") === col("pbucket")))
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+    (0L until nTenants.toLong).toDF("tenant")
+      .join(exact.groupBy(col("tenant")).agg(count(lit(1)).as("n_exact")),
+        Seq("tenant"), "left_outer")
+      .join(hits.groupBy(col("tenant")).agg(count(lit(1)).as("n_hits")),
+        Seq("tenant"), "left_outer")
+      .select(col("tenant"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_exact"), lit(0L)) === 0, lit(1.0))
+          .otherwise(round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_exact"), 4)).as("recall"))
+      .orderBy("tenant")
+  }
+
   /** S15 — measured recall of the trained-k-means IVF tier (s6): the
     * coarse quantizer's nprobe dial is exactly a recall trade, so the
     * monitor that prices it belongs next to it.

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -487,6 +487,82 @@ object EventsStream {
       .start()
     q.awaitTermination()
     spark.table(s"${name}_labels")
+  }
+
+  /** CONTINUOUS MONITOR→ACTION — the d43/d57 reband loop's STREAMING
+    * member (round-17 verdict ask #3: a monitor→action loop that fires
+    * from ingest instead of a one-shot gate). A stream of document
+    * shards maintains a persisted minhash banded generation; per
+    * micro-batch:
+    *
+    *   1. drop already-indexed ids (anti-join on the `_shingles`
+    *      companion — idempotence under at-least-once delivery: a
+    *      replayed shard appends nothing and touches nothing);
+    *   2. append the batch's shingles + banded keys UNDER THE BANDING
+    *      THE META RECORDS ([[graft.operators.Dedup
+    *      .appendMinhashRebandState]] — the round-17 contract: an
+    *      append can never band under drifted parameters);
+    *   3. MONITOR: measure the persisted generation's recall over the
+    *      bounded audit set ([[graft.operators.Dedup
+    *      .minhashServingRecall]] — the audit is the retained corpus
+    *      restricted by `auditFilter`, the d24b sampleBuckets pricing:
+    *      at 100 TB the ingested corpus is unbounded but the audit
+    *      slice ∪ planted probes is not, and negative probe ids ride
+    *      the default filter);
+    *   4. ACTION on a miss: re-band the WHOLE retained corpus 3×3 →
+    *      9×1 as a complete `__gen` generation and swap meta-last —
+    *      the crash-tested [[graft.operators.Dedup
+    *      .swapInBandedGeneration]] verbatim; entry recovery runs at
+    *      stream start (the lifecycle-ENTRY rule).
+    *
+    * Because the reband rebuilds from ALL retained shingles, the final
+    * generation equals [[graft.operators.Dedup.minhashRebandLifecycle]]
+    * run one-shot over (base ∪ all shards) — StreamingSpec asserts that
+    * identity (the shared-oracle d18 pattern: d43's oracle already
+    * gates the lifecycle, so the stream needs no oracle of its own) and
+    * that replaying a delivered shard is a state no-op. Caller
+    * initializes via [[graft.operators.Dedup.initMinhashRebandState]]
+    * over the base corpus — the same prior-state contract as
+    * [[runIngestCuration]].
+    */
+  def runIngestRebandLoop(spark: SparkSession, shardDir: String,
+      name: String, threshold: Double = 0.8, target: Double = 0.95,
+      auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
+        col("doc_id")) < 64 || col("doc_id") < 0,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.Dedup
+    // crash hygiene at lifecycle ENTRY (the simhashRebandLifecycle rule):
+    // finish or discard a swap a prior process died inside before any
+    // batch reads the serving generation
+    Dedup.recoverBandedGenerationSwap(spark, name)
+    val src = spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        spark.catalog.refreshTable(s"${name}_shingles")
+        val fresh = batch
+          .join(spark.table(s"${name}_shingles").select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        if (!fresh.isEmpty) {
+          Dedup.appendMinhashRebandState(spark, name,
+            Dedup.shingleTableOf(fresh).localCheckpoint())
+          spark.catalog.refreshTable(s"${name}_shingles")
+          val audit = spark.table(s"${name}_shingles").filter(auditFilter)
+          val row = Dedup.minhashServingRecall(spark, name, audit,
+            threshold).head()
+          if (row.getAs[Double]("recall") < target)
+            Dedup.rebandMinhashGenerationFromShingles(spark, name,
+              bands = 9, rowsPerBand = 1)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(s"${name}_banded")
+    spark.table(s"${name}_banded")
   }
 
   /** CONTINUOUS RETRACTION — the takedown half of [[runIngestCuration]]:

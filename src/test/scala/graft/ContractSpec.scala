@@ -46,7 +46,14 @@ class ContractSpec extends AnyFunSuite {
     // anywhere upstream of the operand) is provably not the HUGEINT
     // shape; pinned here by exact text so any edit re-trips the guard
     val safeBaseColumn = Set(
-      "p_partkey // 4 AS parent")
+      "p_partkey // 4 AS parent",
+      // tenancy tags over base id columns (BIGINT % INTEGER → BIGINT,
+      // no sum upstream of the operand — the d58/d59/d60/s21 census
+      // oracles; hash-checked int64 against the driver)
+      "a.doc_id % 2 AS tenant",
+      "a.vec_id % 2 AS tenant",
+      "vec_id % 2 AS tenant",
+      "id_a % 2 AS tenant")
     val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
       if (!sql.contains("sum(")) Nil
       else sql.linesIterator.zipWithIndex.collect {

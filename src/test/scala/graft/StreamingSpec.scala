@@ -1134,4 +1134,56 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty && streamed.values.exists(_.nonEmpty))
   }
+
+  test("streaming reband loop: ingest trips the monitor, final generation == batch lifecycle's; replay is a no-op") {
+    import graft.operators.Dedup
+    val dir = sf("sf0.001")
+    // base = the d43 audit slice (natural corpus); shard = the planted
+    // miss pairs whose ARRIVAL trips the per-batch monitor
+    val base = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull &&
+        graft.operators.TextAnalysis.splitBucket(col("doc_id")) < 64)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .localCheckpoint()
+    val probes = Dedup.minhashProbeDocs(spark)
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_reband").toString
+    probes.withColumn("source", lit("s")).withColumn("n_chars", lit(1L))
+      .coalesce(1).write.mode("append").parquet(shardDir)
+    def dropAll(n: String): Unit =
+      Seq("_banded", "_meta", "_shingles").foreach { s =>
+        Dedup.dropTableAndLocation(spark, s"$n$s")
+        Dedup.dropTableAndLocation(spark, s"${n}__gen$s")
+      }
+    dropAll("rbl_stream"); dropAll("rbl_ref")
+    try {
+      Dedup.initMinhashRebandState(spark, "rbl_stream", base)
+      // sanity: the serving generation starts at the 3×3 default
+      assert(spark.table("rbl_stream_meta").head().getAs[Int]("bands") == 3)
+      EventsStream.runIngestRebandLoop(spark, shardDir, "rbl_stream")
+      // the batch reference: the d43 lifecycle one-shot over base ∪ shard
+      Dedup.minhashRebandLifecycle(spark, "rbl_ref",
+        base.unionByName(probes), threshold = 0.8, target = 0.95)
+      def banded(t: String) = spark.table(t)
+        .select("doc_id", "band", "bkey").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      def metaRow(t: String) = {
+        val m = spark.table(t).head()
+        (m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"))
+      }
+      // the monitor tripped and the action landed: 9×1, equal to the
+      // batch lifecycle's final generation row for row
+      assert(metaRow("rbl_stream_meta") == ((9, 1)))
+      assert(metaRow("rbl_ref_meta") == metaRow("rbl_stream_meta"))
+      val afterFirst = banded("rbl_stream_banded")
+      assert(afterFirst == banded("rbl_ref_banded"))
+      assert(afterFirst.nonEmpty)
+      // replay: the same shard content re-delivered (fresh stream over
+      // the same dir) anti-joins to empty — a state no-op
+      EventsStream.runIngestRebandLoop(spark, shardDir, "rbl_stream")
+      assert(banded("rbl_stream_banded") == afterFirst)
+      assert(metaRow("rbl_stream_meta") == ((9, 1)))
+    } finally {
+      dropAll("rbl_stream"); dropAll("rbl_ref")
+    }
+  }
 }
