@@ -483,12 +483,31 @@ object SparkEntry {
     "d60_tenant_winnow_census" -> ((s, d) => Dedup.tenantWinnowCensus(s, d)),
     "s21_tenant_ann_census" ->
       ((s, d) => Similarity.tenantAnnRecallCensus(s, d)),
+    // ACTING on s21: recall-routed serving — a tenant whose measured
+    // bucket recall misses the target serves exact, one that clears it
+    // serves the cheap LSH tier; the two gates pin BOTH policy arms
+    // (default target routes exact at the measured 0.04, the floor
+    // target routes lsh)
+    "s22_tenant_ann_routing" ->
+      ((s, d) => Similarity.tenantAnnRouting(s, d)),
+    "s22b_tenant_ann_routing_floor" ->
+      ((s, d) => Similarity.tenantAnnRouting(s, d, target = 0.02)),
     // ACTING on d60 per tenant: the d57 table-pair layout for the
     // winnowing dial — tenant 1 trips on planted short-doc pairs and
     // retunes winnow 4->2 through the crash-tested swap; tenant 0's
     // generation (and its meta) never moves
     "d61_tenant_winnow_retune" ->
       ((s, d) => Dedup.tenantWinnowRetuneGate(s, d)),
+    // ACTING on d58 per tenant — the first tenant loop with a NATURAL
+    // trigger: tenant 1's own corpus skew misses at 4 bands (0.9 at
+    // sf0.01), rebands to the radius-exact 8x8 tier, clears to 1.0;
+    // tenant 0 never moves
+    "d62_tenant_simhash_reband" ->
+      ((s, d) => Dedup.tenantSimhashRebandGate(s, d)),
+    // the monitor-scope sweep COMPLETE: SemDeDup's within-cluster
+    // banding gauge grouped by tenant (frozen fleet k-means model)
+    "d63_tenant_semdedup_census" ->
+      ((s, d) => Dedup.tenantSemDedupCensus(s, d)),
     // the d24 pattern stamped onto the remaining approximate dedup tiers
     // (round-11 verdict ask #3): simhash banding past its pigeonhole
     // radius (exact side = finer 8-bit bands, still sub-quadratic), the
@@ -1506,6 +1525,56 @@ object SparkEntry {
        |ORDER BY tenant""".stripMargin
   }
 
+  /** The s22 oracle: the s21 census replayed, the routing CASE applied
+    * per tenant, and the routed tier's top-k served — both tiers carry
+    * (tenant, probe_id, neighbor_id, cos, rn) so the policy arms union
+    * cleanly. Parameterized by the routing target (0.5 = the default
+    * gate, exact arm at the measured 0.04; 0.02 = the floor twin, lsh
+    * arm).
+    */
+  private def tenantAnnRoutingSql(target: Double): String = {
+    val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
+    s"""WITH e AS (SELECT vec_id, vec_id % 2 AS tenant, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+       |p0 AS (SELECT tenant, vec_id AS probe_id, v AS pv, n AS pn FROM e WHERE vec_id < 10),
+       |exact AS (SELECT tenant, probe_id, neighbor_id, cos, rn FROM (
+       |  SELECT p0.tenant, probe_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(pv, c.v) / (pn * c.n), 4) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS BIGINT) AS rn
+       |  FROM p0 JOIN e c ON p0.tenant = c.tenant WHERE probe_id != c.vec_id) WHERE rn <= 5),
+       |bk AS (SELECT vec_id,
+       |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+       |    THEN 1 << j ELSE 0 END for j in range(0, 8)]) AS bucket FROM e),
+       |w AS (SELECT e.vec_id, e.tenant, e.v, e.n, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
+       |p AS (SELECT tenant, vec_id AS probe_id, v AS pv, n AS pn, bucket FROM w WHERE vec_id < 10),
+       |approx AS (SELECT tenant, probe_id, neighbor_id, cos, rn FROM (
+       |  SELECT p.tenant, probe_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(pv, c.v) / (pn * c.n), 4) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS BIGINT) AS rn
+       |  FROM p JOIN w c ON p.tenant = c.tenant AND p.bucket = c.bucket
+       |  WHERE probe_id != c.vec_id) WHERE rn <= 5),
+       |hits AS (SELECT tenant, probe_id, neighbor_id
+       |  FROM exact SEMI JOIN approx USING (probe_id, neighbor_id)),
+       |nx AS (SELECT tenant, CAST(count(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1),
+       |ch AS (SELECT tenant, CAST(count(*) AS BIGINT) AS n_hits FROM hits GROUP BY 1),
+       |tns AS (SELECT CAST(range AS BIGINT) AS tenant FROM range(0, 2)),
+       |census AS (SELECT tns.tenant,
+       |  CASE WHEN coalesce(n_exact, 0) = 0 THEN CAST(1.0 AS DOUBLE)
+       |       ELSE round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 4) END AS recall
+       |  FROM tns LEFT JOIN nx USING (tenant) LEFT JOIN ch USING (tenant)),
+       |routed AS (SELECT tenant,
+       |  CASE WHEN recall >= $target THEN 'lsh' ELSE 'exact' END AS tier FROM census)
+       |SELECT tenant, tier, probe_id, neighbor_id, cos, rn FROM (
+       |  SELECT a.tenant, 'lsh' AS tier, probe_id, neighbor_id, cos, rn FROM approx a
+       |    SEMI JOIN (SELECT tenant FROM routed WHERE tier = 'lsh') rl USING (tenant)
+       |  UNION ALL
+       |  SELECT x.tenant, 'exact' AS tier, probe_id, neighbor_id, cos, rn FROM exact x
+       |    SEMI JOIN (SELECT tenant FROM routed WHERE tier = 'exact') rx USING (tenant))
+       |ORDER BY tenant, probe_id, rn""".stripMargin
+  }
+
   /** The d61 oracle: the d55b winnow-retune replay PER TENANT (the
     * tenantRebandSql layout for the winnowing dial) — each tenant's
     * audit universe is its slice ∪ its planted probes (tenant 1 = the
@@ -1577,6 +1646,79 @@ object SparkEntry {
        |${chain(1)}
        |SELECT * FROM (SELECT * FROM ph0 UNION ALL SELECT * FROM ph1)
        |ORDER BY tenant, phase""".stripMargin
+  }
+
+  /** The d62 oracle: the d32 reband replay PER TENANT — each tenant's
+    * audit universe is its signature slice, exact side all-pairs
+    * Hamming ≤ 5 within the tenant, both bandings' catches (4×16-bit
+    * and 8×8-bit), and the two-phase conditional swap per tenant. The
+    * trigger is NATURAL (no probe rows): tenant 1's corpus skew misses
+    * at 4 bands while tenant 0 reads 1.0 (the d58 localization).
+    */
+  private lazy val tenantSimhashRebandSql: String = {
+    def chain(tn: Int) =
+      s"""sh$tn AS (SELECT doc_id, simhash FROM sh64 WHERE doc_id % 2 = $tn),
+         |ex$tn AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM sh$tn a JOIN sh$tn b2 ON a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |b4$tn AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
+         |  FROM sh$tn CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |ap4$tn AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM b4$tn a JOIN b4$tn b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |b8$tn AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS chunk
+         |  FROM sh$tn CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b) bb),
+         |ap8$tn AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM b8$tn a JOIN b8$tn b2
+         |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |r$tn AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN ap4$tn USING (id_a, id_b)) AS n4,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN ap8$tn USING (id_a, id_b)) AS n8),
+         |rr$tn AS (SELECT n_exact, n4, n8,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(n4 AS DOUBLE) / n_exact, 4) END AS r4,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(n8 AS DOUBLE) / n_exact, 4) END AS r8 FROM r$tn),
+         |ph$tn AS (
+         |  SELECT CAST($tn AS BIGINT) AS tenant, CAST(0 AS BIGINT) AS phase, CAST(4 AS BIGINT) AS bands,
+         |    n_exact, n4 AS n_caught, r4 AS recall, r4 < 0.95 AS triggered FROM rr$tn
+         |  UNION ALL
+         |  SELECT CAST($tn AS BIGINT), CAST(1 AS BIGINT), CAST(CASE WHEN r4 < 0.95 THEN 8 ELSE 4 END AS BIGINT),
+         |    n_exact, CASE WHEN r4 < 0.95 THEN n8 ELSE n4 END,
+         |    CASE WHEN r4 < 0.95 THEN r8 ELSE r4 END,
+         |    (CASE WHEN r4 < 0.95 THEN r8 ELSE r4 END) < 0.95 FROM rr$tn)""".stripMargin
+    s"""$simhash64Cte,
+       |${chain(0)},
+       |${chain(1)}
+       |SELECT * FROM (SELECT * FROM ph0 UNION ALL SELECT * FROM ph1)
+       |ORDER BY tenant, phase""".stripMargin
+  }
+
+  /** The d63 oracle: d30's SemDeDup-banding recompute grouped by tenant
+    * — the k-means CTEs stay on the FULL embedding table (frozen fleet
+    * model), the exact within-cluster pairs filter to same-tenant.
+    */
+  private lazy val tenantSemDedupCensusSql: String = {
+    val bandCoeff = hexv("substr(md5('plane:' || (2 * b + j) || ':' || i), 1, 1)")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+       |${kmeansCtes()},
+       |memb AS (SELECT en.vec_id, en.v, en.n, a3.cl FROM en JOIN a3 USING (vec_id)),
+       |ex AS (SELECT x.vec_id % 2 AS tenant, x.vec_id AS id_a, y.vec_id AS id_b FROM memb x
+       |  JOIN memb y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |  WHERE round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.45
+       |    AND x.vec_id % 2 = y.vec_id % 2),
+       |bks AS (SELECT vec_id,
+       |  [list_sum([CASE WHEN list_sum([v[i+1] * ($bandCoeff - 7.5) for i in range(0, 64)]) > 0
+       |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) for b in range(0, 8)] AS bk FROM e),
+       |ap AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM memb x
+       |  JOIN memb y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       |  JOIN bks bx ON bx.vec_id = x.vec_id
+       |  JOIN bks yb ON yb.vec_id = y.vec_id
+       |  WHERE len([b for b in range(1, 9) if bx.bk[b] = yb.bk[b]]) > 0
+       |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.45),
+       |${tenantCensusTailSql("recall")}""".stripMargin
   }
 
   /** The d57 oracle: the d43 reband replay PER TENANT — each tenant's
@@ -2436,6 +2578,13 @@ object SparkEntry {
     // tenant over its slice ∪ its planted probes, two-phase conditional
     // swap per tenant
     "d61_tenant_winnow_retune" -> tenantWinnowRetuneSql,
+    // ACTING on d58 per tenant: the d32 replay per tenant — exact side
+    // all-pairs Hamming <= 5 within the tenant, both bandings' catches,
+    // per-tenant conditional swap (a reband leaking into the wrong
+    // tenant flips the bands column on the wrong row)
+    "d62_tenant_simhash_reband" -> tenantSimhashRebandSql,
+    // d30's recompute grouped by tenant (frozen fleet k-means)
+    "d63_tenant_semdedup_census" -> tenantSemDedupCensusSql,
     // measured simhash-banding recall at Hamming 5 (past the 4-band
     // pigeonhole guarantee of 3): exact side brute-forced here — the
     // Spark side's finer 8-bit banding is pigeonhole-exact through 7,
@@ -3189,6 +3338,11 @@ object SparkEntry {
     // the per-tenant ANN recall census: s14's measurement grouped by
     // tenant, bucket join tenant-keyed, one row per tenant
     "s21_tenant_ann_census" -> tenantAnnCensusSql,
+    // recall-routed serving, both policy arms (the routing decision is
+    // deterministic — the census is oracle-exact — so the served rows
+    // replay verbatim)
+    "s22_tenant_ann_routing" -> tenantAnnRoutingSql(0.5),
+    "s22b_tenant_ann_routing_floor" -> tenantAnnRoutingSql(0.02),
     "s12_ann_filtered" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5)

@@ -4975,6 +4975,44 @@ object Dedup {
       }.reduce(_ unionByName _).orderBy("tenant", "phase")
     }.asInstanceOf[DataFrame]
 
+  /** D62 — ACTING on the d58 signal, tenant-scoped: the d57 table-pair
+    * layout for the SIMHASH family, and the first tenant loop whose
+    * trigger is NATURAL — d58 measured tenant 1's 4-band recall at 0.9
+    * (sf0.01; 0.8182 at sf0.001) against tenant 0's 1.0, so the tripped
+    * tenant is the corpus's own skew, not a planted fixture. Each
+    * tenant's banded simhash generation is its own table pair; the loop
+    * is [[simhashRebandLifecycle]] per tenant over the tenant's
+    * signature slice: measure the persisted 4×16-bit banding at radius
+    * `maxHamming`, re-band ONLY the tripped tenant to 8×8-bit
+    * (pigeonhole-exact through Hamming 7 ≥ the audited radius, so the
+    * re-measure provably clears to 1.0) through the crash-tested
+    * meta-last swap; the healthy tenant's generation never moves.
+    * Emits two rows per tenant: (tenant, phase, bands, n_exact,
+    * n_caught, recall, triggered).
+    */
+  def tenantSimhashRebandGate(spark: SparkSession, dir: String,
+      maxHamming: Int = 5, target: Double = 0.95,
+      nTenants: Int = 2): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantSimhashReband", dir, maxHamming, target, nTenants)) {
+      (0 until nTenants).map { tn =>
+        val sigs = simhash64Cached(spark, dir)
+          .filter(pmod(col("doc_id"), lit(nTenants)) === tn)
+        // every cache-key parameter in the table name (the d22 rule)
+        val name = f"sh_trb_${tn}_n${nTenants}_h${maxHamming}_t${(target * 100).round}_${dir.hashCode & 0xffffffffL}%x"
+        // fresh state every session: the gate measures one full lifecycle
+        Seq("_banded", "_meta").foreach { sfx =>
+          dropTableAndLocation(spark, s"$name$sfx")
+          dropTableAndLocation(spark, s"${name}__gen$sfx")
+        }
+        simhashRebandLifecycle(spark, name, sigs, maxHamming, target)
+          .withColumn("tenant", lit(tn.toLong))
+          .select(col("tenant"), col("phase"), col("bands"),
+            col("n_exact"), col("n_caught"), col("recall"),
+            col("triggered"))
+      }.reduce(_ unionByName _).orderBy("tenant", "phase")
+    }.asInstanceOf[DataFrame]
+
   /** The d55b planted PROBE documents — the d43/m7b planting technique
     * applied to the WINNOWING tier. The d55 gauge surfaced the tier's
     * real failure mode at sf0.001: SHORT documents (≤ winnow spans) get
@@ -5792,6 +5830,37 @@ object Dedup {
   def semDedupBandRecall(spark: SparkSession, dir: String,
       threshold: Double = 0.45, bands: Int = 8, planesPerBand: Int = 2,
       hotBlockRows: Long = 1L << 17, sampleBuckets: Int = 256): DataFrame = {
+    val (exact, approx) = semDedupAuditPairs(spark, dir, threshold, bands,
+      planesPerBand, hotBlockRows, sampleBuckets)
+    recallRowOf(exact, approx)
+  }
+
+  /** D63 — the d56 census for the SEMDEDUP family, completing the
+    * monitor-scope sweep: every measured approximate tier now has a
+    * per-tenant gauge (minhash d56, simhash d58, SRP d59, winnow d60,
+    * ANN s21, SemDeDup here). d30's measurement grouped by tenant in
+    * one chain — the frozen k-means model stays FLEET-trained (the
+    * model is corpus state, not tenant state; slicing must not move
+    * centroids), the exact within-cluster pair set filters to
+    * same-tenant pairs, the banded candidate tier is the production
+    * machinery unchanged.
+    */
+  def tenantSemDedupCensus(spark: SparkSession, dir: String,
+      nTenants: Int = 2, threshold: Double = 0.45, bands: Int = 8,
+      planesPerBand: Int = 2, hotBlockRows: Long = 1L << 17,
+      sampleBuckets: Int = 256): DataFrame = {
+    val (exact, approx) = semDedupAuditPairs(spark, dir, threshold, bands,
+      planesPerBand, hotBlockRows, sampleBuckets)
+    tenantRecallRows(spark, nTenants, sameTenantPairs(exact, nTenants),
+      approx)
+  }
+
+  /** The d30 audit's two pair frames (exact within-cluster, banded+
+    * verified) — shared by the fleet gate and the d63 tenant census.
+    */
+  private def semDedupAuditPairs(spark: SparkSession, dir: String,
+      threshold: Double, bands: Int, planesPerBand: Int,
+      hotBlockRows: Long, sampleBuckets: Int): (DataFrame, DataFrame) = {
     val model = Similarity.kmeansModel(spark, dir)
     val vecs0 = Similarity.preparedEmbeddings(spark, dir)
     val vecs = (if (sampleBuckets >= 256) vecs0
@@ -5814,7 +5883,7 @@ object Dedup {
       Nil, hotBlockRows, salts = 16, idCol = "vec_id")
     val approx = verifyCosine(vecs, cand, threshold)
       .select(col("id_a"), col("id_b"))
-    recallRowOf(exact, approx)
+    (exact, approx)
   }
 
   /** One SRP banded generation on disk — [[saveBandedGeneration]]'s

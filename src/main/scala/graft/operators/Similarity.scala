@@ -880,6 +880,43 @@ object Similarity {
       nTenants: Int = 2, nProbes: Int = 5, k: Int = 5,
       nPlanes: Int = 8): DataFrame = {
     import spark.implicits._
+    val (exact, approx) = tenantAnnTiers(spark, dir, nTenants, nProbes, k,
+      nPlanes)
+    val hits = exact.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+    (0L until nTenants.toLong).toDF("tenant")
+      .join(exact.groupBy(col("tenant")).agg(count(lit(1)).as("n_exact")),
+        Seq("tenant"), "left_outer")
+      .join(hits.groupBy(col("tenant")).agg(count(lit(1)).as("n_hits")),
+        Seq("tenant"), "left_outer")
+      .select(col("tenant"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_exact"), lit(0L)) === 0, lit(1.0))
+          .otherwise(round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_exact"), 4)).as("recall"))
+      .orderBy("tenant")
+  }
+
+  /** The s21/s22 tier frames: per-tenant exact top-k and LSH-bucket
+    * top-k over the tenant's own probes — both carrying (tenant,
+    * probe_id, neighbor_id, cos, rn), one chain each (tenant rides the
+    * join keys). Shared by the census (rollup) and the router (serve).
+    */
+  private def tenantAnnTiers(spark: SparkSession, dir: String,
+      nTenants: Int, nProbes: Int, k: Int,
+      nPlanes: Int): (DataFrame, DataFrame) =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantAnnTiers", dir, nTenants, nProbes, k, nPlanes)) {
+      val (ex, ap) = tenantAnnTiersUncached(spark, dir, nTenants, nProbes,
+        k, nPlanes)
+      // materialized once per session: the census (s21) and BOTH
+      // routing gates (s22, s22b) read the same two frames
+      (ex.localCheckpoint(), ap.localCheckpoint())
+    }.asInstanceOf[(DataFrame, DataFrame)]
+
+  private def tenantAnnTiersUncached(spark: SparkSession, dir: String,
+      nTenants: Int, nProbes: Int, k: Int,
+      nPlanes: Int): (DataFrame, DataFrame) = {
     val e = preparedEmbeddings(spark, dir)
       .withColumn("tenant", pmod(col("vec_id"), lit(nTenants.toLong)))
       .withColumn("bucket", bucketExpr(col("v"), nPlanes))
@@ -895,27 +932,47 @@ object Similarity {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos",
         round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
-    val exact = topK(corpus.join(broadcast(probes),
-        col("tenant") === col("ptenant")))
-      .select(col("tenant"), col("probe_id"), col("neighbor_id"))
-    val approx = topK(corpus.join(broadcast(probes),
-        col("tenant") === col("ptenant") && col("bucket") === col("pbucket")))
-      .select(col("probe_id"), col("neighbor_id"))
-    val hits = exact.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
-    (0L until nTenants.toLong).toDF("tenant")
-      .join(exact.groupBy(col("tenant")).agg(count(lit(1)).as("n_exact")),
-        Seq("tenant"), "left_outer")
-      .join(hits.groupBy(col("tenant")).agg(count(lit(1)).as("n_hits")),
-        Seq("tenant"), "left_outer")
+      .select(col("tenant"), col("probe_id"), col("neighbor_id"),
+        col("cos"), col("rn"))
+    (topK(corpus.join(broadcast(probes), col("tenant") === col("ptenant"))),
+      topK(corpus.join(broadcast(probes),
+        col("tenant") === col("ptenant") && col("bucket") === col("pbucket"))))
+  }
+
+  /** S22 — ACTING on the s21 signal: RECALL-ROUTED SERVING. A tenant
+    * whose measured bucket-tier recall clears `target` serves its
+    * queries from the cheap LSH tier; a tenant whose census misses
+    * routes to the exact tier at its documented cost — the per-tenant
+    * serving policy a production vector deployment derives from exactly
+    * this census (auto-tier selection is the standard answer to "the
+    * approximate tier is cheap but this tenant's corpus defeats it";
+    * the alternative actions — re-bucketing, retrain — are the d62/s19
+    * loops). The routing decision is DETERMINISTIC (the census is
+    * oracle-exact), so the served rows replay in SQL: at the default
+    * target both tenants measure 0.04 and route exact; the s22b twin
+    * at a floor target routes both to the LSH tier — the two gates pin
+    * both arms of the policy. Emits (tenant, tier, probe_id,
+    * neighbor_id, cos, rn) — the tenant's routed top-k.
+    */
+  def tenantAnnRouting(spark: SparkSession, dir: String,
+      nTenants: Int = 2, nProbes: Int = 5, k: Int = 5, nPlanes: Int = 8,
+      target: Double = 0.5): DataFrame = {
+    val (exact, approx) = tenantAnnTiers(spark, dir, nTenants, nProbes, k,
+      nPlanes)
+    val routed = tenantAnnRecallCensus(spark, dir, nTenants, nProbes, k,
+        nPlanes)
       .select(col("tenant"),
-        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        when(coalesce(col("n_exact"), lit(0L)) === 0, lit(1.0))
-          .otherwise(round(coalesce(col("n_hits"), lit(0L)).cast("double") /
-            col("n_exact"), 4)).as("recall"))
-      .orderBy("tenant")
+        when(col("recall") >= target, "lsh").otherwise("exact").as("tier"))
+    def arm(tierDf: DataFrame, name: String) = tierDf
+      .join(routed.filter(col("tier") === name).select(col("tenant")),
+        Seq("tenant"), "left_semi")
+      .withColumn("tier", lit(name))
+    arm(approx, "lsh").unionByName(arm(exact, "exact"))
+      .select(col("tenant"), col("tier"), col("probe_id"),
+        col("neighbor_id"), col("cos"), col("rn"))
+      .orderBy("tenant", "probe_id", "rn")
   }
 
   /** S15 — measured recall of the trained-k-means IVF tier (s6): the

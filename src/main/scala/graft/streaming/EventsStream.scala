@@ -565,6 +565,64 @@ object EventsStream {
     spark.table(s"${name}_banded")
   }
 
+  /** [[runIngestRebandLoop]]'s TENANT-SCOPED member — the d57/d62
+    * table-pair layout driven from ingest (the tenant composition of
+    * round 18's three monitor asks): each tenant's banded generation is
+    * its own `${namePrefix}_t$tn` table pair, a micro-batch fans its
+    * rows to their tenants' states (pmod — the estate-sync tenancy), and
+    * each tenant's monitor→action evaluates INDEPENDENTLY per batch: a
+    * shard full of one tenant's misses rebands that tenant's generation
+    * alone, the other tenants' tables never move (their batch slice
+    * anti-joins empty, their monitor never re-fires — the structural
+    * isolation the table-pair layout buys). Entry recovery runs per
+    * tenant at stream start. Caller initializes each tenant's state via
+    * [[graft.operators.Dedup.initMinhashRebandState]] over the tenant's
+    * base slice. StreamingSpec proves: the streamed tenant's final
+    * generation == its per-tenant batch lifecycle, the untouched
+    * tenant's generation content-identical to init, replay a no-op.
+    */
+  def runTenantIngestRebandLoop(spark: SparkSession, shardDir: String,
+      namePrefix: String, nTenants: Int = 2, threshold: Double = 0.8,
+      target: Double = 0.95,
+      auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
+        col("doc_id")) < 64 || col("doc_id") < 0,
+      maxFilesPerTrigger: Int = 1): Unit = {
+    import graft.operators.Dedup
+    (0 until nTenants).foreach(tn =>
+      Dedup.recoverBandedGenerationSwap(spark, s"${namePrefix}_t$tn"))
+    val src = spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        for (tn <- 0 until nTenants) {
+          val name = s"${namePrefix}_t$tn"
+          spark.catalog.refreshTable(s"${name}_shingles")
+          val fresh = b
+            .filter(pmod(col("doc_id"), lit(nTenants)) === tn)
+            .join(spark.table(s"${name}_shingles").select("doc_id"),
+              Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          if (!fresh.isEmpty) {
+            Dedup.appendMinhashRebandState(spark, name,
+              Dedup.shingleTableOf(fresh).localCheckpoint())
+            spark.catalog.refreshTable(s"${name}_shingles")
+            val audit = spark.table(s"${name}_shingles").filter(auditFilter)
+            val row = Dedup.minhashServingRecall(spark, name, audit,
+              threshold).head()
+            if (row.getAs[Double]("recall") < target)
+              Dedup.rebandMinhashGenerationFromShingles(spark, name,
+                bands = 9, rowsPerBand = 1)
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** CONTINUOUS RETRACTION — the takedown half of [[runIngestCuration]]:
     * a stream of takedown requests (doc_id rows) maintains the SAME
     * persisted stores the ingest loop grows. Per micro-batch:

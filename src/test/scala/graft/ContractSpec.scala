@@ -53,6 +53,7 @@ class ContractSpec extends AnyFunSuite {
       "a.doc_id % 2 AS tenant",
       "a.vec_id % 2 AS tenant",
       "vec_id % 2 AS tenant",
+      "x.vec_id % 2 AS tenant",
       "id_a % 2 AS tenant")
     val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
       if (!sql.contains("sum(")) Nil

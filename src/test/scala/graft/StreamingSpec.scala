@@ -1186,4 +1186,57 @@ class StreamingSpec extends SparkSuite {
       dropAll("rbl_stream"); dropAll("rbl_ref")
     }
   }
+
+  test("tenant streaming reband loop: only the shard's tenant trips and rebands; the other tenant's generation never moves") {
+    import graft.operators.Dedup
+    val dir = sf("sf0.001")
+    def tenantBase(tn: Int) = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull &&
+        graft.operators.TextAnalysis.splitBucket(col("doc_id")) < 64 &&
+        pmod(col("doc_id"), lit(2)) === tn)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .localCheckpoint()
+    // the shard carries ONLY tenant 1's planted misses (odd negative
+    // ids — the d57 probe layout)
+    val probes = Dedup.tenantRebandProbeDocs(spark, 1)
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_trb").toString
+    probes.withColumn("source", lit("s")).withColumn("n_chars", lit(1L))
+      .coalesce(1).write.mode("append").parquet(shardDir)
+    def dropAll(n: String): Unit =
+      Seq("_banded", "_meta", "_shingles").foreach { s =>
+        Dedup.dropTableAndLocation(spark, s"$n$s")
+        Dedup.dropTableAndLocation(spark, s"${n}__gen$s")
+      }
+    Seq("trbl_t0", "trbl_t1", "trbl_ref1").foreach(dropAll)
+    try {
+      Dedup.initMinhashRebandState(spark, "trbl_t0", tenantBase(0))
+      Dedup.initMinhashRebandState(spark, "trbl_t1", tenantBase(1))
+      def banded(t: String) = spark.table(t)
+        .select("doc_id", "band", "bkey").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      def metaRow(t: String) = {
+        val m = spark.table(t).head()
+        (m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"))
+      }
+      val t0Init = banded("trbl_t0_banded")
+      EventsStream.runTenantIngestRebandLoop(spark, shardDir, "trbl")
+      // tenant 1 tripped on its planted misses and rebanded to 9x1,
+      // equal to its own per-tenant batch lifecycle
+      Dedup.minhashRebandLifecycle(spark, "trbl_ref1",
+        tenantBase(1).unionByName(probes), threshold = 0.8, target = 0.95)
+      assert(metaRow("trbl_t1_meta") == ((9, 1)))
+      assert(banded("trbl_t1_banded") == banded("trbl_ref1_banded"))
+      // tenant 0's generation NEVER moved: same banding, same rows
+      assert(metaRow("trbl_t0_meta") == ((3, 3)))
+      assert(banded("trbl_t0_banded") == t0Init)
+      // replay: a re-delivered shard is a state no-op for BOTH tenants
+      val t1After = banded("trbl_t1_banded")
+      EventsStream.runTenantIngestRebandLoop(spark, shardDir, "trbl")
+      assert(banded("trbl_t1_banded") == t1After)
+      assert(banded("trbl_t0_banded") == t0Init)
+      assert(metaRow("trbl_t1_meta") == ((9, 1)))
+    } finally {
+      Seq("trbl_t0", "trbl_t1", "trbl_ref1").foreach(dropAll)
+    }
+  }
 }
