@@ -4821,9 +4821,12 @@ object Dedup {
     require(maxHamming <= 7,
       "the 8-band exact side is pigeonhole-exact only through Hamming 7")
     val sigs0 = simhash64Cached(spark, dir)
-    val sigs = (if (sampleBuckets >= 256) sigs0
-      else sigs0.filter(TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets))
-      .localCheckpoint()
+    // checkpoint only the SLICED branch: the unsliced frame is already
+    // the session-persisted signature cache — re-materializing it would
+    // just copy it
+    val sigs = if (sampleBuckets >= 256) sigs0
+      else sigs0.filter(TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets)
+        .localCheckpoint()
     val fine = sigs.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(7))).as("b"))
       .withColumn("chunk", expr("(simhash >> (b * 8)) & 255"))
@@ -5298,21 +5301,22 @@ object Dedup {
     * convention, and the alerting shape: silence must not look like
     * health).
     */
-  private def tenantRecallRows(spark: SparkSession, nTenants: Int,
-      exact: DataFrame, approx: DataFrame,
-      metric: String = "recall"): DataFrame = {
+  private[graft] def tenantRecallRows(spark: SparkSession, nTenants: Int,
+      exact: DataFrame, approx: DataFrame, metric: String = "recall",
+      joinKeys: Seq[String] = Seq("id_a", "id_b"),
+      caughtName: String = "n_caught"): DataFrame = {
     import spark.implicits._
-    val caught = exact.join(approx, Seq("id_a", "id_b"), "left_semi")
+    val caught = exact.join(approx, joinKeys, "left_semi")
     (0L until nTenants.toLong).toDF("tenant")
       .join(exact.groupBy(col("tenant")).agg(count(lit(1)).as("n_exact")),
         Seq("tenant"), "left_outer")
-      .join(caught.groupBy(col("tenant")).agg(count(lit(1)).as("n_caught")),
+      .join(caught.groupBy(col("tenant")).agg(count(lit(1)).as(caughtName)),
         Seq("tenant"), "left_outer")
       .select(col("tenant"),
         coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        coalesce(col(caughtName), lit(0L)).as(caughtName),
         when(coalesce(col("n_exact"), lit(0L)) === 0, lit(1.0))
-          .otherwise(round(coalesce(col("n_caught"), lit(0L)).cast("double") /
+          .otherwise(round(coalesce(col(caughtName), lit(0L)).cast("double") /
             col("n_exact"), 4)).as(metric))
       .orderBy("tenant")
   }
@@ -5522,12 +5526,11 @@ object Dedup {
     val exact = verifyJaccard(sh, allPairs, threshold)
       .select(col("id_a"), col("id_b")).localCheckpoint()
     def measure(phase: Int): DataFrame = {
-      spark.catalog.refreshTable(s"${name}_banded")
+      // the ONE candidate chain the streaming monitor also reads
+      // ([[servingBandedCandidates]]): here the audit set IS the whole
+      // lifecycle corpus, so the id restriction is a semantic no-op
       val bands = spark.table(s"${name}_meta").head().getAs[Int]("bands")
-      val cand = blockedPairCandidates(
-        spark.table(s"${name}_banded").localCheckpoint(),
-        Seq("band", "bkey"), Nil, 1L << 17, salts = 16)
-      recallRowOf(exact, cand.select(col("id_a"), col("id_b")))
+      recallRowOf(exact, servingBandedCandidates(spark, name, ids))
         .select(lit(phase).cast("long").as("phase"),
           lit(bands).cast("long").as("bands"),
           col("n_exact"), col("n_caught"), col("recall"),
@@ -5570,14 +5573,27 @@ object Dedup {
     * caller's anti-join guarantees it).
     */
   private[graft] def appendMinhashRebandState(spark: SparkSession,
-      name: String, newSh: DataFrame): Unit = {
+      name: String, newSh0: DataFrame): Unit = {
     val meta = spark.table(s"${name}_meta").head()
     val buckets = meta.getAs[Int]("buckets")
+    val newSh = newSh0.localCheckpoint()
+    // idempotence is PER TABLE (each append anti-joins its own target's
+    // ids), so a crash BETWEEN the two appends self-heals on replay:
+    // the banded rows already landed get skipped, the missing shingle
+    // rows get appended — no window leaves duplicate banded rows or a
+    // shingle-less banded doc behind (the review-18 crash-window fix;
+    // a single shared "fresh" check keyed on one table could not heal
+    // a death between the appends)
+    spark.catalog.refreshTable(s"${name}_banded")
     appendBucketedTable(
-      bandedKeys(newSh, meta.getAs[Int]("bands"),
-        meta.getAs[Int]("rows_per_band")),
+      bandedKeys(newSh.join(spark.table(s"${name}_banded")
+          .select("doc_id").distinct(), Seq("doc_id"), "left_anti"),
+        meta.getAs[Int]("bands"), meta.getAs[Int]("rows_per_band")),
       s"${name}_banded", buckets, Seq("band", "bkey"))
-    appendBucketedTable(newSh, s"${name}_shingles", buckets, Seq("doc_id"))
+    appendBucketedTable(
+      newSh.join(spark.table(s"${name}_shingles").select("doc_id"),
+        Seq("doc_id"), "left_anti"),
+      s"${name}_shingles", buckets, Seq("doc_id"))
   }
 
   /** The MONITOR half of the streaming reband loop: the PERSISTED
@@ -5590,18 +5606,33 @@ object Dedup {
     */
   private[graft] def minhashServingRecall(spark: SparkSession, name: String,
       auditSh: DataFrame, threshold: Double): DataFrame = {
-    spark.catalog.refreshTable(s"${name}_banded")
     val sh = auditSh.localCheckpoint()
-    val ids = sh.select(col("doc_id"))
+    val ids = sh.select(col("doc_id")).localCheckpoint()
     val allPairs = ids.select(col("doc_id").as("id_a"))
       .crossJoin(ids.select(col("doc_id").as("id_b")))
       .filter(col("id_a") < col("id_b"))
     val exact = verifyJaccard(sh, allPairs, threshold)
       .select(col("id_a"), col("id_b"))
-    val cand = blockedPairCandidates(
-      spark.table(s"${name}_banded").localCheckpoint(),
+    recallRowOf(exact, servingBandedCandidates(spark, name, ids))
+  }
+
+  /** The serving generation's candidate pairs RESTRICTED to the audit
+    * ids — the one candidate chain both the streaming monitor and the
+    * batch lifecycle's measure read (one definition, so the stream and
+    * the gate the oracle checks can never diverge). The semi-join
+    * before pair generation keeps the per-call cost audit-bounded (only
+    * pairs with BOTH endpoints in the audit set can survive the recall
+    * semi-join, so restricting the banded rows first is result-
+    * identical and never corpus-priced).
+    */
+  private def servingBandedCandidates(spark: SparkSession, name: String,
+      auditIds: DataFrame): DataFrame = {
+    spark.catalog.refreshTable(s"${name}_banded")
+    blockedPairCandidates(
+      spark.table(s"${name}_banded")
+        .join(auditIds, Seq("doc_id"), "left_semi").localCheckpoint(),
       Seq("band", "bkey"), Nil, 1L << 17, salts = 16)
-    recallRowOf(exact, cand.select(col("id_a"), col("id_b")))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** The ACTION half: re-band the WHOLE retained corpus (the `_shingles`
@@ -5613,8 +5644,14 @@ object Dedup {
       spark: SparkSession, name: String, bands: Int,
       rowsPerBand: Int): Unit = {
     spark.catalog.refreshTable(s"${name}_shingles")
+    // the new generation keeps the STATE'S bucket layout (read from the
+    // serving meta, never re-defaulted): the `_shingles` companion is
+    // bucketed at init's count, and the next append reads buckets from
+    // the post-swap meta — a drifted count would make that append throw
+    // against the shingle table's saved layout
+    val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
     saveMinhashBandedGeneration(spark, s"${name}__gen",
-      spark.table(s"${name}_shingles"), bands, rowsPerBand)
+      spark.table(s"${name}_shingles"), bands, rowsPerBand, buckets)
     swapInBandedGeneration(spark, name)
   }
 

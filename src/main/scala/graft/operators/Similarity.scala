@@ -879,22 +879,12 @@ object Similarity {
   def tenantAnnRecallCensus(spark: SparkSession, dir: String,
       nTenants: Int = 2, nProbes: Int = 5, k: Int = 5,
       nPlanes: Int = 8): DataFrame = {
-    import spark.implicits._
     val (exact, approx) = tenantAnnTiers(spark, dir, nTenants, nProbes, k,
       nPlanes)
-    val hits = exact.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
-    (0L until nTenants.toLong).toDF("tenant")
-      .join(exact.groupBy(col("tenant")).agg(count(lit(1)).as("n_exact")),
-        Seq("tenant"), "left_outer")
-      .join(hits.groupBy(col("tenant")).agg(count(lit(1)).as("n_hits")),
-        Seq("tenant"), "left_outer")
-      .select(col("tenant"),
-        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        when(coalesce(col("n_exact"), lit(0L)) === 0, lit(1.0))
-          .otherwise(round(coalesce(col("n_hits"), lit(0L)).cast("double") /
-            col("n_exact"), 4)).as("recall"))
-      .orderBy("tenant")
+    // the ONE tenant-spine rollup every census shares (the d24
+    // empty-set convention lives in exactly one place)
+    Dedup.tenantRecallRows(spark, nTenants, exact, approx,
+      joinKeys = Seq("probe_id", "neighbor_id"), caughtName = "n_hits")
   }
 
   /** The s21/s22 tier frames: per-tenant exact top-k and LSH-bucket

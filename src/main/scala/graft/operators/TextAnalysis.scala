@@ -732,10 +732,16 @@ object TextAnalysis {
       .agg(sum(col("n_tokens")).as("shard_tokens"))
       .withColumn("carry",
         coalesce(sum(col("shard_tokens")).over(wCarry), lit(0L)))
-      .select(col("lang"), col("shard"), col("carry"))
+      .select(col("lang").as("clang"), col("shard").as("cshard"),
+        col("carry"))
     base
       .withColumn("loff", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-      .join(carry, Seq("lang", "shard"))
+      // null-SAFE carry attach: a window's PARTITION BY keeps NULL lang
+      // as its own stream (and so do t19 and the shared oracle), so the
+      // join that re-attaches the carry must not be null-rejecting — a
+      // plain equi-join on lang would silently drop NULL-lang documents
+      .join(carry, col("lang") <=> col("clang") &&
+        col("shard") === col("cshard"))
       .withColumn("off", col("loff") + col("carry"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         floor(col("off") / budget).cast("long").as("pack_idx"),

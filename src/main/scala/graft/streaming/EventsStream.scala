@@ -553,7 +553,14 @@ object EventsStream {
           val audit = spark.table(s"${name}_shingles").filter(auditFilter)
           val row = Dedup.minhashServingRecall(spark, name, audit,
             threshold).head()
-          if (row.getAs[Double]("recall") < target)
+          // the action is a no-op once the generation already serves the
+          // re-banding (9x1 is this loop's whole dial) — without the
+          // guard, a corpus whose 9x1 recall still misses the target
+          // would rebuild the FULL retained corpus on every later batch
+          val m = spark.table(s"${name}_meta").head()
+          val already9x1 = m.getAs[Int]("bands") == 9 &&
+            m.getAs[Int]("rows_per_band") == 1
+          if (row.getAs[Double]("recall") < target && !already9x1)
             Dedup.rebandMinhashGenerationFromShingles(spark, name,
               bands = 9, rowsPerBand = 1)
         }
@@ -612,7 +619,12 @@ object EventsStream {
             val audit = spark.table(s"${name}_shingles").filter(auditFilter)
             val row = Dedup.minhashServingRecall(spark, name, audit,
               threshold).head()
-            if (row.getAs[Double]("recall") < target)
+            // skip the action when this tenant already serves 9x1 (the
+            // fleet loop's guard, per tenant)
+            val m = spark.table(s"${name}_meta").head()
+            val already9x1 = m.getAs[Int]("bands") == 9 &&
+              m.getAs[Int]("rows_per_band") == 1
+            if (row.getAs[Double]("recall") < target && !already9x1)
               Dedup.rebandMinhashGenerationFromShingles(spark, name,
                 bands = 9, rowsPerBand = 1)
           }

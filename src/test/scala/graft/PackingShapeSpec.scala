@@ -36,6 +36,34 @@ class PackingShapeSpec extends SparkSuite {
       s"per-doc window not sharded:\n${docWindow.getOrElse(plan.take(800))}")
   }
 
+  test("t19b: NULL-lang documents survive the carry join (null-safe key)") {
+    import spark.implicits._
+    // a window's PARTITION BY keeps NULL lang as its own stream — the
+    // sharded form's carry join must too (a plain equi-join on lang is
+    // null-rejecting and silently dropped these rows; the corpus
+    // fixture has no NULL langs, so this probe pins the regression).
+    // Docs 1/65 sit in DIFFERENT shards (shardDocs 64), so the NULL
+    // stream exercises the cross-shard carry, not just the local sum.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t19b").toString
+    Seq((1L, "a b c", null.asInstanceOf[String], "s", 1L),
+        (2L, "d e", "en", "s", 1L),
+        (65L, "f g h i", null.asInstanceOf[String], "s", 1L),
+        (66L, "j", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "n_tokens", "pack_idx", "pack_offset")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val flat = rows(TextAnalysis.tokenPacking(spark, tmp))
+    val sharded = rows(TextAnalysis.tokenPackingSharded(spark, tmp))
+    assert(flat.size == 4) // nothing dropped in either form
+    assert(sharded == flat)
+    // the NULL stream accumulated across shards: doc 65's offset is
+    // doc 1's token count (3), not 0
+    assert(sharded.exists(r => r._1 == 65L && r._2 == null && r._5 == 3L))
+  }
+
   test("t20b: cap pushdown == ranking window (same comparator) == t20's kept set; partial top_k, no corpus window") {
     val dir = sf("sf0.001")
     def rows(df: org.apache.spark.sql.DataFrame) =

@@ -1187,6 +1187,45 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("reband-state append heals a crash between the banded and shingle appends (per-table idempotence)") {
+    import graft.operators.Dedup
+    def docs(rows: Seq[(Long, String)]) =
+      rows.map { case (i, t) => (i, t, "en") }.toDF("doc_id", "text", "lang")
+    val base = docs(Seq((1L, (1 to 20).map(i => s"b$i").mkString(" "))))
+    val fresh = docs(Seq(
+      (10L, (1 to 20).map(i => s"x$i").mkString(" ")),
+      (11L, (1 to 20).map(i => s"y$i").mkString(" "))))
+    def dropAll(): Unit =
+      Seq("_banded", "_meta", "_shingles").foreach { s =>
+        Dedup.dropTableAndLocation(spark, s"rblcrash$s")
+        Dedup.dropTableAndLocation(spark, s"rblcrash__gen$s")
+      }
+    dropAll()
+    try {
+      Dedup.initMinhashRebandState(spark, "rblcrash", base)
+      val newSh = Dedup.shingleTableOf(fresh).localCheckpoint()
+      // stage the crash: the banded append landed, the shingle append
+      // (the old idempotence marker) did not
+      val m = spark.table("rblcrash_meta").head()
+      Dedup.appendBucketedTable(
+        Dedup.bandedKeys(newSh, m.getAs[Int]("bands"),
+          m.getAs[Int]("rows_per_band")),
+        "rblcrash_banded", m.getAs[Int]("buckets"), Seq("band", "bkey"))
+      // the redelivered batch re-runs the append — per-table anti-joins
+      // must skip the landed banded rows and land the missing shingles
+      Dedup.appendMinhashRebandState(spark, "rblcrash", newSh)
+      spark.catalog.refreshTable("rblcrash_banded")
+      spark.catalog.refreshTable("rblcrash_shingles")
+      val dup = spark.table("rblcrash_banded")
+        .groupBy("doc_id", "band", "bkey").count()
+        .filter(col("count") > 1)
+      assert(dup.isEmpty, "duplicate banded rows after healed replay")
+      assert(spark.table("rblcrash_shingles").count() == 3)
+      assert(spark.table("rblcrash_banded")
+        .select("doc_id").distinct().count() == 3)
+    } finally dropAll()
+  }
+
   test("tenant streaming reband loop: only the shard's tenant trips and rebands; the other tenant's generation never moves") {
     import graft.operators.Dedup
     val dir = sf("sf0.001")
