@@ -4736,34 +4736,14 @@ object Dedup {
     val sel = containmentSelCached(spark, dir, w, winnow)
       .filter(TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets)
       .localCheckpoint()
-    val al = sel.select(col("doc_id"), size(col("dall")).as("l"),
-      explode(col("dall")).as("key"))
-    val exact = al
-      .select(col("key"), col("doc_id").as("id_a"), col("l").as("la"))
-      .join(al.select(col("key"), col("doc_id").as("id_b"),
-        col("l").as("lb")), Seq("key"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("la"), col("lb"))
-      .agg(count(lit(1)).as("inter"))
-      .filter(round(col("inter").cast("double") /
-        least(col("la"), col("lb")), 4) >= threshold)
-      .select(col("id_a"), col("id_b"))
     // the d20 candidate chain, slice-local: the df census (and its cap)
     // re-form over the slice's winnowed fingerprints exactly as they
     // would over a corpus this size
-    val fp = sel.select(col("doc_id"), explode(col("fps")).as("d"))
-    val kept = fp.join(
-      fp.groupBy(col("d")).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2 && col("n") <= dfCap)
-        .select(col("d")), Seq("d"))
-    val cand = kept.select(col("d"), col("doc_id").as("id_a"))
-      .join(kept.select(col("d"), col("doc_id").as("id_b")), Seq("d"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared_fp"))
-      .filter(col("shared_fp") >= minShared)
-      .select(col("id_a"), col("id_b"))
-    recallRowOf(exact, cand).withColumnRenamed("recall", "detection")
+    val cand = winnowCandidatesOf(
+      sel.select(col("doc_id"), explode(col("fps")).as("d")),
+      minShared, dfCap)
+    recallRowOf(overlapExactPairs(sel, threshold), cand)
+      .withColumnRenamed("recall", "detection")
   }
 
   /** D56 — PER-TENANT recall census of the MinHash-LSH tier: the d24
@@ -4882,32 +4862,12 @@ object Dedup {
     val sel = containmentSelCached(spark, dir, w, winnow)
       .filter(TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets)
       .localCheckpoint()
-    val al = sel.select(col("doc_id"), size(col("dall")).as("l"),
-      explode(col("dall")).as("key"))
-    val exact = sameTenantPairs(
-      al.select(col("key"), col("doc_id").as("id_a"), col("l").as("la"))
-        .join(al.select(col("key"), col("doc_id").as("id_b"),
-          col("l").as("lb")), Seq("key"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"), col("la"), col("lb"))
-        .agg(count(lit(1)).as("inter"))
-        .filter(round(col("inter").cast("double") /
-          least(col("la"), col("lb")), 4) >= threshold)
-        .select(col("id_a"), col("id_b")),
-      nTenants)
-    val fp = sel.select(col("doc_id"), explode(col("fps")).as("d"))
-    val kept = fp.join(
-      fp.groupBy(col("d")).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2 && col("n") <= dfCap)
-        .select(col("d")), Seq("d"))
-    val cand = kept.select(col("d"), col("doc_id").as("id_a"))
-      .join(kept.select(col("d"), col("doc_id").as("id_b")), Seq("d"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared_fp"))
-      .filter(col("shared_fp") >= minShared)
-      .select(col("id_a"), col("id_b"))
-    tenantRecallRows(spark, nTenants, exact, cand, metric = "detection")
+    val cand = winnowCandidatesOf(
+      sel.select(col("doc_id"), explode(col("fps")).as("d")),
+      minShared, dfCap)
+    tenantRecallRows(spark, nTenants,
+      sameTenantPairs(overlapExactPairs(sel, threshold), nTenants),
+      cand, metric = "detection")
   }
 
   /** The d57 per-tenant probe documents: tenant 1 gets the four d43
@@ -5104,6 +5064,47 @@ object Dedup {
   /** The d55b lifecycle over an explicit (doc_id, text) audit frame and
     * state name — the d43 shape for the winnowing dial.
     */
+  /** Exact overlap-coefficient pairs over a containment-selection
+    * frame's FULL digest sets (dall — winnow-independent), via digest
+    * postings (a pair sharing zero digests has containment 0, so
+    * postings lose nothing). ONE definition — the d55 gauge, the d60
+    * census, the d55b/d61 lifecycles, and the streaming monitor all
+    * audit against this chain.
+    */
+  private def overlapExactPairs(sel: DataFrame,
+      threshold: Double): DataFrame = {
+    val al = sel.select(col("doc_id"), size(col("dall")).as("l"),
+      explode(col("dall")).as("key"))
+    al.select(col("key"), col("doc_id").as("id_a"), col("l").as("la"))
+      .join(al.select(col("key"), col("doc_id").as("id_b"),
+        col("l").as("lb")), Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(round(col("inter").cast("double") /
+        least(col("la"), col("lb")), 4) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** The d20 candidate chain over an exploded (doc_id, d) fingerprint
+    * frame: df census (2..dfCap), posting self-join, shared_fp ≥
+    * minShared — the one definition every winnow gauge/lifecycle reads.
+    */
+  private def winnowCandidatesOf(fp: DataFrame, minShared: Int,
+      dfCap: Int): DataFrame = {
+    val kept = fp.join(
+      fp.groupBy(col("d")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2 && col("n") <= dfCap)
+        .select(col("d")), Seq("d"))
+    kept.select(col("d"), col("doc_id").as("id_a"))
+      .join(kept.select(col("d"), col("doc_id").as("id_b")), Seq("d"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+      .select(col("id_a"), col("id_b"))
+  }
+
   private[graft] def winnowRetuneLifecycle(spark: SparkSession,
       name: String, docs: DataFrame, target: Double, w: Int = 8,
       minShared: Int = 2, dfCap: Int = 64,
@@ -5114,33 +5115,12 @@ object Dedup {
     saveWinnowFpGeneration(spark, name, sel4, w, winnow = 4)
     // the EXACT side (winnow-independent: dall carries every span
     // digest) — computed once, audits both phases
-    val al = sel4.select(col("doc_id"), size(col("dall")).as("l"),
-      explode(col("dall")).as("key"))
-    val exact = al
-      .select(col("key"), col("doc_id").as("id_a"), col("l").as("la"))
-      .join(al.select(col("key"), col("doc_id").as("id_b"),
-        col("l").as("lb")), Seq("key"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("la"), col("lb"))
-      .agg(count(lit(1)).as("inter"))
-      .filter(round(col("inter").cast("double") /
-        least(col("la"), col("lb")), 4) >= threshold)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val exact = overlapExactPairs(sel4, threshold).localCheckpoint()
     def measure(phase: Int): DataFrame = {
       spark.catalog.refreshTable(s"${name}_banded")
       val winnow = spark.table(s"${name}_meta").head().getAs[Int]("winnow")
-      val fp = spark.table(s"${name}_banded")
-      val kept = fp.join(
-        fp.groupBy(col("d")).agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 2 && col("n") <= dfCap)
-          .select(col("d")), Seq("d"))
-      val cand = kept.select(col("d"), col("doc_id").as("id_a"))
-        .join(kept.select(col("d"), col("doc_id").as("id_b")), Seq("d"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("shared_fp"))
-        .filter(col("shared_fp") >= minShared)
-        .select(col("id_a"), col("id_b"))
+      val cand = winnowCandidatesOf(spark.table(s"${name}_banded"),
+        minShared, dfCap)
       recallRowOf(exact, cand)
         .select(lit(phase).cast("long").as("phase"),
           lit(winnow).cast("long").as("winnow"),
@@ -5156,6 +5136,96 @@ object Dedup {
       swapInBandedGeneration(spark, name)
     }
     before.unionByName(measure(1)).orderBy("phase")
+  }
+
+  /** Initialize the streaming winnow-retune loop's state (the
+    * [[initMinhashRebandState]] pattern for the d55b family): the
+    * winnowed fingerprint generation plus a `_docs` companion holding
+    * the raw texts — the retune ACTION re-fingerprints the WHOLE
+    * retained corpus under a new winnow, and fingerprints are not
+    * invertible, so the loop owns the texts like the reband loop owns
+    * shingles.
+    */
+  private[graft] def initWinnowRetuneState(spark: SparkSession,
+      name: String, baseDocs: DataFrame, w: Int = 8, winnow: Int = 4,
+      buckets: Int = 8): Unit = {
+    Seq("_banded", "_meta", "_docs").foreach(s =>
+      dropTableAndLocation(spark, s"$name$s"))
+    Seq("_banded", "_meta").foreach(s =>
+      dropTableAndLocation(spark, s"${name}__gen$s"))
+    val docs = baseDocs.select(col("doc_id"), col("text")).localCheckpoint()
+    saveBucketedTable(docs, s"${name}_docs", buckets, Seq("doc_id"))
+    saveWinnowFpGeneration(spark, name,
+      containmentSelection(docs, w, winnow).localCheckpoint(), w, winnow,
+      buckets)
+  }
+
+  /** One micro-batch's APPEND into the winnow-retune state: new docs
+    * fingerprint UNDER THE META'S (w, winnow) (the round-17 contract),
+    * texts land in the `_docs` companion. Idempotence is PER TABLE
+    * (each append anti-joins its own target — the
+    * [[appendMinhashRebandState]] crash-window rule).
+    */
+  private[graft] def appendWinnowRetuneState(spark: SparkSession,
+      name: String, newDocs0: DataFrame): Unit = {
+    val meta = spark.table(s"${name}_meta").head()
+    val buckets = meta.getAs[Int]("buckets")
+    val newDocs = newDocs0.select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    spark.catalog.refreshTable(s"${name}_banded")
+    val freshFp = newDocs.join(spark.table(s"${name}_banded")
+        .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    appendBucketedTable(
+      containmentSelection(freshFp, meta.getAs[Int]("w"),
+          meta.getAs[Int]("winnow"))
+        .select(col("doc_id"), explode(col("fps")).as("d")),
+      s"${name}_banded", buckets, Seq("d"))
+    appendBucketedTable(
+      newDocs.join(spark.table(s"${name}_docs").select("doc_id"),
+        Seq("doc_id"), "left_anti"),
+      s"${name}_docs", buckets, Seq("doc_id"))
+  }
+
+  /** The MONITOR half of the streaming winnow loop: the PERSISTED
+    * generation's detection over an audit doc frame — the d55b measure
+    * factored onto persisted state. The exact side recomputes dall from
+    * the audit texts (winnow-independent); the candidate side restricts
+    * the persisted fingerprints to the audit ids BEFORE the df census
+    * (audit-priced — the [[servingBandedCandidates]] rule — and the
+    * same slice-local census semantics as the d55/d60 gauges).
+    */
+  private[graft] def winnowServingDetection(spark: SparkSession,
+      name: String, auditDocs: DataFrame, threshold: Double = 0.9,
+      minShared: Int = 2, dfCap: Int = 64): DataFrame = {
+    val w = spark.table(s"${name}_meta").head().getAs[Int]("w")
+    val sel = containmentSelection(
+      auditDocs.select(col("doc_id"), col("text")), w, 4)
+      .localCheckpoint()
+    val ids = sel.select(col("doc_id"))
+    spark.catalog.refreshTable(s"${name}_banded")
+    val fp = spark.table(s"${name}_banded")
+      .join(ids, Seq("doc_id"), "left_semi").localCheckpoint()
+    recallRowOf(overlapExactPairs(sel, threshold),
+        winnowCandidatesOf(fp, minShared, dfCap))
+      .withColumnRenamed("recall", "detection")
+  }
+
+  /** The ACTION half: re-fingerprint the WHOLE retained corpus (the
+    * `_docs` companion) at `newWinnow` as a complete `__gen` generation
+    * and swap it in meta-last — the d55b action driven from persisted
+    * state so a streaming micro-batch can fire it. Keeps the state's
+    * saved w and bucket layout (the [[rebandMinhashGenerationFromShingles]]
+    * rule).
+    */
+  private[graft] def rewinnowGenerationFromDocs(spark: SparkSession,
+      name: String, newWinnow: Int): Unit = {
+    spark.catalog.refreshTable(s"${name}_docs")
+    val meta = spark.table(s"${name}_meta").head()
+    saveWinnowFpGeneration(spark, s"${name}__gen",
+      containmentSelection(spark.table(s"${name}_docs"),
+        meta.getAs[Int]("w"), newWinnow).localCheckpoint(),
+      meta.getAs[Int]("w"), newWinnow, meta.getAs[Int]("buckets"))
+    swapInBandedGeneration(spark, name)
   }
 
   /** The d61 per-tenant probe documents (the d57 layout for the

@@ -635,6 +635,61 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** [[runIngestRebandLoop]]'s WINNOWING-family member — the d55b
+    * monitor→action loop driven from ingest: a stream of document
+    * shards maintains a persisted winnowed-fingerprint generation (plus
+    * its `_docs` companion — fingerprints are not invertible, so the
+    * retune action re-fingerprints from retained texts). Per
+    * micro-batch: per-table idempotent appends UNDER THE META'S
+    * (w, winnow), then the detection monitor over the bounded audit set
+    * ([[graft.operators.Dedup.winnowServingDetection]] — exact side
+    * from the audit texts' full digest sets, candidate side
+    * audit-restricted BEFORE the df census), and on a miss the
+    * re-winnow at 2 through the crash-tested meta-last swap (skipped
+    * once the generation already serves winnow 2 — the reband loop's
+    * guard). Entry recovery at stream start. StreamingSpec proves the
+    * final generation equals [[graft.operators.Dedup
+    * .winnowRetuneLifecycle]] one-shot over (base ∪ shards) and that a
+    * replayed shard is a state no-op — the shared-oracle d18 pattern
+    * (d55b's oracle already gates the lifecycle).
+    */
+  def runIngestWinnowRetuneLoop(spark: SparkSession, shardDir: String,
+      name: String, target: Double = 0.95, threshold: Double = 0.9,
+      auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
+        col("doc_id")) < 64 || col("doc_id") < 0,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.recoverBandedGenerationSwap(spark, name)
+    val src = spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        spark.catalog.refreshTable(s"${name}_docs")
+        val fresh = batch
+          .join(spark.table(s"${name}_docs").select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        if (!fresh.isEmpty) {
+          Dedup.appendWinnowRetuneState(spark, name, fresh)
+          spark.catalog.refreshTable(s"${name}_docs")
+          val audit = spark.table(s"${name}_docs").filter(auditFilter)
+          val row = Dedup.winnowServingDetection(spark, name, audit,
+            threshold).head()
+          val winnow = spark.table(s"${name}_meta").head()
+            .getAs[Int]("winnow")
+          if (row.getAs[Double]("detection") < target && winnow != 2)
+            Dedup.rewinnowGenerationFromDocs(spark, name, newWinnow = 2)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(s"${name}_banded")
+    spark.table(s"${name}_banded")
+  }
+
   /** CONTINUOUS RETRACTION — the takedown half of [[runIngestCuration]]:
     * a stream of takedown requests (doc_id rows) maintains the SAME
     * persisted stores the ingest loop grows. Per micro-batch:

@@ -734,4 +734,25 @@ class PlanSpec extends SparkSuite {
     assert(d54Pfs.nonEmpty && d54Pfs.forall(_.contains("= 0")),
       s"tenant predicate not pruning the synced s20 store scan:\n${d54.take(2500)}")
   }
+
+  test("round-18 ops: tenant censuses and routing keep their scale shapes") {
+    // the census/routing chains pair rows ONLY through equi joins on
+    // their blocking keys (band/chunk, digest, tenant, bucket) — a
+    // cartesian or nested-loop here is the O(n²) regression this guard
+    // exists for. (d59/d63's EXACT sides are the documented broadcast
+    // audit-price exception and are deliberately not listed.)
+    val dir = sf("sf0.001")
+    val plans = Seq(
+      "d58" -> graft.operators.Dedup.tenantSimhashCensus(spark, dir),
+      "d60" -> graft.operators.Dedup.tenantWinnowCensus(spark, dir),
+      "s21" -> graft.operators.Similarity.tenantAnnRecallCensus(spark, dir),
+      "s22" -> graft.operators.Similarity.tenantAnnRouting(spark, dir))
+    for ((name, df) <- plans) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plan has a CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plan has a nested-loop join")
+    }
+  }
 }

@@ -1187,6 +1187,51 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming winnow retune loop: short-doc shard trips the detection monitor, final generation == batch lifecycle's; replay is a no-op") {
+    import graft.operators.Dedup
+    val dir = sf("sf0.001")
+    // base = the d55b audit slice; shard = the planted short-doc miss
+    // pairs whose ARRIVAL trips the per-batch detection monitor
+    val base = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull &&
+        graft.operators.TextAnalysis.splitBucket(col("doc_id")) < 64)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val probes = Dedup.winnowProbeDocs(spark)
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_wrt").toString
+    probes.withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(1L))
+      .coalesce(1).write.mode("append").parquet(shardDir)
+    def dropAll(n: String): Unit =
+      Seq("_banded", "_meta", "_docs").foreach { s =>
+        Dedup.dropTableAndLocation(spark, s"$n$s")
+        Dedup.dropTableAndLocation(spark, s"${n}__gen$s")
+      }
+    dropAll("wrl_stream"); dropAll("wrl_ref")
+    try {
+      Dedup.initWinnowRetuneState(spark, "wrl_stream", base)
+      assert(spark.table("wrl_stream_meta").head().getAs[Int]("winnow") == 4)
+      EventsStream.runIngestWinnowRetuneLoop(spark, shardDir, "wrl_stream")
+      // the batch reference: the d55b lifecycle one-shot over base ∪ shard
+      Dedup.winnowRetuneLifecycle(spark, "wrl_ref",
+        base.unionByName(probes), target = 0.95)
+      def fps(t: String) = spark.table(t).select("doc_id", "d").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      def metaWinnow(t: String) = spark.table(t).head().getAs[Int]("winnow")
+      assert(metaWinnow("wrl_stream_meta") == 2) // the monitor tripped
+      assert(metaWinnow("wrl_ref_meta") == 2)
+      val afterFirst = fps("wrl_stream_banded")
+      assert(afterFirst == fps("wrl_ref_banded"))
+      assert(afterFirst.nonEmpty)
+      // replay: re-delivered shard anti-joins to empty — a state no-op
+      EventsStream.runIngestWinnowRetuneLoop(spark, shardDir, "wrl_stream")
+      assert(fps("wrl_stream_banded") == afterFirst)
+      assert(metaWinnow("wrl_stream_meta") == 2)
+    } finally {
+      dropAll("wrl_stream"); dropAll("wrl_ref")
+    }
+  }
+
   test("reband-state append heals a crash between the banded and shingle appends (per-table idempotence)") {
     import graft.operators.Dedup
     def docs(rows: Seq[(Long, String)]) =
