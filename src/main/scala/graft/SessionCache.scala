@@ -22,15 +22,39 @@ import scala.collection.concurrent.TrieMap
   * clones sharing one SparkContext are all evicted when that context
   * stops. That is the right lifetime for what lives here — persisted
   * DataFrames' cached blocks die with the context anyway.
+  *
+  * SHARED-RDD LEDGER (round 19): every RDD persisted while a cache
+  * entry's `create` runs is recorded as session-SHARED — these are the
+  * blocks other queries will read again (persisted shingle tables,
+  * containment selections, tier caches), so [[Scratch.scoped]]'s
+  * end-of-gate sweep must never unpersist them (a localCheckpoint's
+  * lineage is truncated: unpersisting one that is still referenced is
+  * not a slowdown but a "checkpoint block not found" failure). A gate
+  * that is ITSELF a cache entry sweeps its scratch INSIDE `create`
+  * (before this wrapper diffs), so its dead intermediates are gone from
+  * `getPersistentRDDs` by the time the ledger records survivors.
   */
 object SessionCache {
   private val store = TrieMap.empty[(SparkSession, Any), Any]
   private val hooked = TrieMap.empty[SparkSession, Unit]
+  private val sharedIds = TrieMap.empty[(SparkSession, Int), Unit]
 
   def getOrElseUpdate[V](spark: SparkSession, key: Any)(create: => V): V = {
     hook(spark)
-    store.getOrElseUpdate((spark, key), create).asInstanceOf[V]
+    store.getOrElseUpdate((spark, key), {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val out = create
+      (spark.sparkContext.getPersistentRDDs.keySet -- before)
+        .foreach(id => sharedIds.put((spark, id), ()))
+      out
+    }).asInstanceOf[V]
   }
+
+  /** Is this RDD id one a session cache entry persisted (and so may be
+    * re-read by any later query)? Consulted by [[Scratch.scoped]].
+    */
+  private[graft] def isShared(spark: SparkSession, id: Int): Boolean =
+    sharedIds.contains((spark, id))
 
   def get[V](spark: SparkSession, key: Any): Option[V] =
     store.get((spark, key)).map(_.asInstanceOf[V])
@@ -45,6 +69,7 @@ object SessionCache {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = {
           store.filterInPlace { case ((s, _), _) => s ne spark }
+          sharedIds.filterInPlace { case ((s, _), _) => s ne spark }
           hooked.remove(spark)
           ()
         }

@@ -1495,7 +1495,9 @@ object SparkEntry {
     val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
     s"""WITH e AS (SELECT vec_id, vec_id % 2 AS tenant, embedding::DOUBLE[] AS v,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
-       |p0 AS (SELECT tenant, vec_id AS probe_id, v AS pv, n AS pn FROM e WHERE vec_id < 10),
+       |p0 AS (SELECT tenant, probe_id, pv, pn FROM (SELECT tenant, vec_id AS probe_id,
+       |  v AS pv, n AS pn, row_number() OVER (PARTITION BY tenant ORDER BY vec_id) AS prn
+       |  FROM e) WHERE prn <= 5),
        |exact AS (SELECT tenant, probe_id, neighbor_id FROM (
        |  SELECT p0.tenant, probe_id, c.vec_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY probe_id
@@ -1505,7 +1507,9 @@ object SparkEntry {
        |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
        |    THEN 1 << j ELSE 0 END for j in range(0, 8)]) AS bucket FROM e),
        |w AS (SELECT e.vec_id, e.tenant, e.v, e.n, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
-       |p AS (SELECT tenant, vec_id AS probe_id, v AS pv, n AS pn, bucket FROM w WHERE vec_id < 10),
+       |p AS (SELECT tenant, probe_id, pv, pn, bucket FROM (SELECT tenant, vec_id AS probe_id,
+       |  v AS pv, n AS pn, bucket, row_number() OVER (PARTITION BY tenant ORDER BY vec_id) AS prn
+       |  FROM w) WHERE prn <= 5),
        |approx AS (SELECT probe_id, neighbor_id FROM (
        |  SELECT probe_id, c.vec_id AS neighbor_id,
        |    row_number() OVER (PARTITION BY probe_id
@@ -1536,7 +1540,9 @@ object SparkEntry {
     val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
     s"""WITH e AS (SELECT vec_id, vec_id % 2 AS tenant, embedding::DOUBLE[] AS v,
        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
-       |p0 AS (SELECT tenant, vec_id AS probe_id, v AS pv, n AS pn FROM e WHERE vec_id < 10),
+       |p0 AS (SELECT tenant, probe_id, pv, pn FROM (SELECT tenant, vec_id AS probe_id,
+       |  v AS pv, n AS pn, row_number() OVER (PARTITION BY tenant ORDER BY vec_id) AS prn
+       |  FROM e) WHERE prn <= 5),
        |exact AS (SELECT tenant, probe_id, neighbor_id, cos, rn FROM (
        |  SELECT p0.tenant, probe_id, c.vec_id AS neighbor_id,
        |    round(list_dot_product(pv, c.v) / (pn * c.n), 4) AS cos,
@@ -1547,7 +1553,9 @@ object SparkEntry {
        |  list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
        |    THEN 1 << j ELSE 0 END for j in range(0, 8)]) AS bucket FROM e),
        |w AS (SELECT e.vec_id, e.tenant, e.v, e.n, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
-       |p AS (SELECT tenant, vec_id AS probe_id, v AS pv, n AS pn, bucket FROM w WHERE vec_id < 10),
+       |p AS (SELECT tenant, probe_id, pv, pn, bucket FROM (SELECT tenant, vec_id AS probe_id,
+       |  v AS pv, n AS pn, bucket, row_number() OVER (PARTITION BY tenant ORDER BY vec_id) AS prn
+       |  FROM w) WHERE prn <= 5),
        |approx AS (SELECT tenant, probe_id, neighbor_id, cos, rn FROM (
        |  SELECT p.tenant, probe_id, c.vec_id AS neighbor_id,
        |    round(list_dot_product(pv, c.v) / (pn * c.n), 4) AS cos,

@@ -4687,8 +4687,13 @@ object Dedup {
     */
   def dedupRecallAudit(spark: SparkSession, dir: String,
       threshold: Double = 0.8, hotBlockRows: Long = 1L << 17): DataFrame =
-    recallRowOf(exactJaccardPairs(spark, dir, threshold, hotBlockRows),
-      minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")))
+    // scoped: the PPJoin scratch (materialized set/posting checkpoints)
+    // is dead once the one audit row exists — sweep it instead of
+    // leaving 4 bench passes' worth of corpus-sized blocks to the GC
+    graft.Scratch.scoped(spark) {
+      recallRowOf(exactJaccardPairs(spark, dir, threshold, hotBlockRows),
+        minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")))
+    }
 
   /** D24B — the SAMPLED audit, the 100 TB mode the d24 scaladoc
     * promises: exact recall measured over one md5-bucket slice of the
@@ -4701,14 +4706,15 @@ object Dedup {
     */
   def dedupRecallAuditSampled(spark: SparkSession, dir: String,
       threshold: Double = 0.8, sampleBuckets: Int = 64,
-      hotBlockRows: Long = 1L << 17): DataFrame = {
-    val inSlice = TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets
-    val exact = exactJaccardPairs(spark, dir, threshold, hotBlockRows, inSlice)
-    val caught = exact.join(
-      minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")),
-      Seq("id_a", "id_b"), "left_semi")
-    recallRow(exact, caught)
-  }
+      hotBlockRows: Long = 1L << 17): DataFrame =
+    graft.Scratch.scoped(spark) {
+      val inSlice = TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets
+      val exact = exactJaccardPairs(spark, dir, threshold, hotBlockRows, inSlice)
+      val caught = exact.join(
+        minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")),
+        Seq("id_a", "id_b"), "left_semi")
+      recallRow(exact, caught)
+    }
 
   /** D55 — MEASURED DETECTION of the winnowed-fingerprint containment
     * tier, the one approximate blocking tier that had a guarantee argued
@@ -4732,7 +4738,7 @@ object Dedup {
   def winnowDetectionAudit(spark: SparkSession, dir: String,
       sampleBuckets: Int = 64, w: Int = 8, winnow: Int = 4,
       minShared: Int = 2, dfCap: Int = 64,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9): DataFrame = graft.Scratch.scoped(spark) {
     val sel = containmentSelCached(spark, dir, w, winnow)
       .filter(TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets)
       .localCheckpoint()
@@ -4765,7 +4771,7 @@ object Dedup {
     */
   def tenantRecallCensus(spark: SparkSession, dir: String,
       nTenants: Int = 2, threshold: Double = 0.8, sampleBuckets: Int = 256,
-      hotBlockRows: Long = 1L << 17): DataFrame = {
+      hotBlockRows: Long = 1L << 17): DataFrame = graft.Scratch.scoped(spark) {
     // ONE chain (round-17 verdict ask #1): the fleet exact machinery runs
     // once over the slice; tenancy is a per-doc function of the id, so
     // filtering its pair set to same-tenant pairs equals the union of
@@ -4797,7 +4803,8 @@ object Dedup {
     */
   def tenantSimhashCensus(spark: SparkSession, dir: String,
       nTenants: Int = 2, maxHamming: Int = 5, sampleBuckets: Int = 256,
-      hotBlockRows: Long = 1L << 17, servingBands: Int = 4): DataFrame = {
+      hotBlockRows: Long = 1L << 17,
+      servingBands: Int = 4): DataFrame = graft.Scratch.scoped(spark) {
     require(maxHamming <= 7,
       "the 8-band exact side is pigeonhole-exact only through Hamming 7")
     val sigs0 = simhash64Cached(spark, dir)
@@ -4833,7 +4840,7 @@ object Dedup {
   def tenantSrpCensus(spark: SparkSession, dir: String,
       nTenants: Int = 2, threshold: Double = 0.3, bands: Int = 8,
       planesPerBand: Int = 2, hotBlockRows: Long = 1L << 17,
-      sampleBuckets: Int = 256): DataFrame = {
+      sampleBuckets: Int = 256): DataFrame = graft.Scratch.scoped(spark) {
     val e = srpAuditVectors(spark, dir, sampleBuckets)
     val exact = sameTenantPairs(srpExactPairs(e, threshold), nTenants)
     tenantRecallRows(spark, nTenants, exact,
@@ -4858,7 +4865,7 @@ object Dedup {
   def tenantWinnowCensus(spark: SparkSession, dir: String,
       nTenants: Int = 2, sampleBuckets: Int = 64, w: Int = 8,
       winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9): DataFrame = graft.Scratch.scoped(spark) {
     val sel = containmentSelCached(spark, dir, w, winnow)
       .filter(TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets)
       .localCheckpoint()
@@ -4916,6 +4923,9 @@ object Dedup {
       sampleBuckets: Int = 64, nTenants: Int = 2): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark,
         ("tenantReband", dir, threshold, target, sampleBuckets, nTenants)) {
+      // scoped: the per-tenant lifecycles' checkpoints (shingle frames,
+      // exact pair sets, measure rows) are dead once the gate rows exist
+      graft.Scratch.scoped(spark) {
       (0 until nTenants).map { tn =>
         val docs = Tables.documents(spark, dir)
           .filter(col("text").isNotNull &&
@@ -4936,6 +4946,7 @@ object Dedup {
             col("n_exact"), col("n_caught"), col("recall"),
             col("triggered"))
       }.reduce(_ unionByName _).orderBy("tenant", "phase")
+      }
     }.asInstanceOf[DataFrame]
 
   /** D62 — ACTING on the d58 signal, tenant-scoped: the d57 table-pair
@@ -4958,6 +4969,7 @@ object Dedup {
       nTenants: Int = 2): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark,
         ("tenantSimhashReband", dir, maxHamming, target, nTenants)) {
+      graft.Scratch.scoped(spark) {
       (0 until nTenants).map { tn =>
         val sigs = simhash64Cached(spark, dir)
           .filter(pmod(col("doc_id"), lit(nTenants)) === tn)
@@ -4974,6 +4986,7 @@ object Dedup {
             col("n_exact"), col("n_caught"), col("recall"),
             col("triggered"))
       }.reduce(_ unionByName _).orderBy("tenant", "phase")
+      }
     }.asInstanceOf[DataFrame]
 
   /** The d55b planted PROBE documents — the d43/m7b planting technique
@@ -5046,6 +5059,7 @@ object Dedup {
       target: Double = 0.95, sampleBuckets: Int = 64): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark,
         ("winnowRetune", dir, target, sampleBuckets)) {
+      graft.Scratch.scoped(spark) {
       val docs = Tables.documents(spark, dir)
         .filter(col("text").isNotNull &&
           TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets)
@@ -5059,6 +5073,7 @@ object Dedup {
         dropTableAndLocation(spark, s"${name}__gen$s")
       }
       winnowRetuneLifecycle(spark, name, docs, target)
+      }
     }.asInstanceOf[DataFrame]
 
   /** The d55b lifecycle over an explicit (doc_id, text) audit frame and
@@ -5173,10 +5188,10 @@ object Dedup {
     val newDocs = newDocs0.select(col("doc_id"), col("text"))
       .localCheckpoint()
     spark.catalog.refreshTable(s"${name}_banded")
-    val freshFp = newDocs.join(spark.table(s"${name}_banded")
+    val freshDocs = newDocs.join(spark.table(s"${name}_banded")
         .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     appendBucketedTable(
-      containmentSelection(freshFp, meta.getAs[Int]("w"),
+      containmentSelection(freshDocs, meta.getAs[Int]("w"),
           meta.getAs[Int]("winnow"))
         .select(col("doc_id"), explode(col("fps")).as("d")),
       s"${name}_banded", buckets, Seq("d"))
@@ -5197,9 +5212,14 @@ object Dedup {
   private[graft] def winnowServingDetection(spark: SparkSession,
       name: String, auditDocs: DataFrame, threshold: Double = 0.9,
       minShared: Int = 2, dfCap: Int = 64): DataFrame = {
-    val w = spark.table(s"${name}_meta").head().getAs[Int]("w")
+    val meta = spark.table(s"${name}_meta").head()
+    // BOTH parameters come from meta (the round-18 verdict nit: a
+    // hard-coded winnow was harmless — only the winnow-independent
+    // `dall` and the ids are read below — but a reader trap the day
+    // anyone touches `sel.fps` here)
     val sel = containmentSelection(
-      auditDocs.select(col("doc_id"), col("text")), w, 4)
+      auditDocs.select(col("doc_id"), col("text")),
+      meta.getAs[Int]("w"), meta.getAs[Int]("winnow"))
       .localCheckpoint()
     val ids = sel.select(col("doc_id"))
     spark.catalog.refreshTable(s"${name}_banded")
@@ -5275,6 +5295,7 @@ object Dedup {
       nTenants: Int = 2): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark,
         ("tenantWinnowRetune", dir, target, sampleBuckets, nTenants)) {
+      graft.Scratch.scoped(spark) {
       (0 until nTenants).map { tn =>
         val docs = Tables.documents(spark, dir)
           .filter(col("text").isNotNull &&
@@ -5295,6 +5316,7 @@ object Dedup {
             col("n_exact"), col("n_caught"), col("detection"),
             col("triggered"))
       }.reduce(_ unionByName _).orderBy("tenant", "phase")
+      }
     }.asInstanceOf[DataFrame]
 
   /** The audit's EXACT pair set (true Jaccard ≥ t up to the gate's
@@ -5470,6 +5492,7 @@ object Dedup {
       target: Double = 0.95): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark,
         ("simhashReband", dir, radius, target)) {
+      graft.Scratch.scoped(spark) {
       val sigs = simhash64Cached(spark, dir)
       val name = f"simhash_rb_r${radius}_t${(target * 100).round}_${dir.hashCode & 0xffffffffL}%x"
       // fresh state every session: the gate measures one full lifecycle
@@ -5478,6 +5501,7 @@ object Dedup {
         dropTableAndLocation(spark, s"${name}__gen$s")
       }
       simhashRebandLifecycle(spark, name, sigs, radius, target)
+      }
     }.asInstanceOf[DataFrame]
 
   /** The d43 planted PROBE documents — the m7b planting technique
@@ -5555,6 +5579,7 @@ object Dedup {
       sampleBuckets: Int = 64): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark,
         ("minhashReband", dir, threshold, target, sampleBuckets)) {
+      graft.Scratch.scoped(spark) {
       val docs = Tables.documents(spark, dir)
         .filter(col("text").isNotNull &&
           TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets)
@@ -5568,6 +5593,7 @@ object Dedup {
         dropTableAndLocation(spark, s"${name}__gen$s")
       }
       minhashRebandLifecycle(spark, name, docs, threshold, target)
+      }
     }.asInstanceOf[DataFrame]
 
   /** The d43 lifecycle over an explicit (doc_id, text) audit frame and
@@ -5936,7 +5962,8 @@ object Dedup {
     */
   def semDedupBandRecall(spark: SparkSession, dir: String,
       threshold: Double = 0.45, bands: Int = 8, planesPerBand: Int = 2,
-      hotBlockRows: Long = 1L << 17, sampleBuckets: Int = 256): DataFrame = {
+      hotBlockRows: Long = 1L << 17,
+      sampleBuckets: Int = 256): DataFrame = graft.Scratch.scoped(spark) {
     val (exact, approx) = semDedupAuditPairs(spark, dir, threshold, bands,
       planesPerBand, hotBlockRows, sampleBuckets)
     recallRowOf(exact, approx)
@@ -5955,7 +5982,7 @@ object Dedup {
   def tenantSemDedupCensus(spark: SparkSession, dir: String,
       nTenants: Int = 2, threshold: Double = 0.45, bands: Int = 8,
       planesPerBand: Int = 2, hotBlockRows: Long = 1L << 17,
-      sampleBuckets: Int = 256): DataFrame = {
+      sampleBuckets: Int = 256): DataFrame = graft.Scratch.scoped(spark) {
     val (exact, approx) = semDedupAuditPairs(spark, dir, threshold, bands,
       planesPerBand, hotBlockRows, sampleBuckets)
     tenantRecallRows(spark, nTenants, sameTenantPairs(exact, nTenants),
@@ -6087,6 +6114,7 @@ object Dedup {
       sampleBuckets: Int = 64): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark,
         ("srpReband", dir, threshold, target, sampleBuckets)) {
+      graft.Scratch.scoped(spark) {
       val e = Similarity.preparedEmbeddings(spark, dir)
         .withColumn("label", lit(0))
       // EVERY cache-key parameter lands in the table name (the d22
@@ -6102,6 +6130,7 @@ object Dedup {
       srpRebandLifecycle(spark, name, e,
         df => df.filter(TextAnalysis.splitBucket(col("vec_id")) < sampleBuckets),
         threshold, target)
+      }
     }.asInstanceOf[DataFrame]
 
   /** D42 — the same loop for d21c's within-cluster banded candidate
@@ -6121,6 +6150,7 @@ object Dedup {
       sampleBuckets: Int = 64): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark,
         ("semDedupReband", dir, threshold, target, sampleBuckets)) {
+      graft.Scratch.scoped(spark) {
       val model = Similarity.kmeansModel(spark, dir)
       val e = Similarity.preparedEmbeddings(spark, dir)
         .select(col("vec_id"), col("v"), col("n"))
@@ -6135,6 +6165,7 @@ object Dedup {
       srpRebandLifecycle(spark, name, e,
         df => df.filter(TextAnalysis.splitBucket(col("vec_id")) < sampleBuckets),
         threshold, target)
+      }
     }.asInstanceOf[DataFrame]
 
   /** Bounded near-dup tier: block by (label, band, band-bucket) with

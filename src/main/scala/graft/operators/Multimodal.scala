@@ -258,6 +258,7 @@ object Multimodal {
       target: Double = 0.95): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark,
         ("imageReband", dir, radius, target)) {
+      graft.Scratch.scoped(spark) {
       import spark.implicits._
       val probes = Tables.documents(spark, dir)
         .filter(col("doc_id") % 16 === 1)
@@ -278,6 +279,7 @@ object Multimodal {
         Dedup.dropTableAndLocation(spark, s"${name}__gen$s")
       }
       Dedup.simhashRebandLifecycle(spark, name, sigs, radius, target)
+      }
     }.asInstanceOf[DataFrame]
 
   /** The m4 gallery re-rendered as REAL PNG bytes (m4b): the same

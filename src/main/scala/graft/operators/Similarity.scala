@@ -911,7 +911,16 @@ object Similarity {
       .withColumn("tenant", pmod(col("vec_id"), lit(nTenants.toLong)))
       .withColumn("bucket", bucketExpr(col("v"), nPlanes))
       .localCheckpoint()
-    val probes = e.filter(col("vec_id") < nProbes.toLong * nTenants)
+    // each tenant's FIRST nProbes vectors by a per-tenant row_number
+    // (the ADVICE-18 fix: a global `vec_id < nProbes·nTenants` threshold
+    // yields nProbes per tenant only when vec_ids are contiguous from 0
+    // and pmod-balanced — with id gaps a tenant silently gets fewer, or
+    // zero, probes; the rank-based selection is general). Under the
+    // fixture's contiguous ids the two selections are identical, so the
+    // oracle replays the same set either way.
+    val wp = Window.partitionBy(col("tenant")).orderBy(col("vec_id"))
+    val probes = e.withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbes)
       .select(col("tenant").as("ptenant"), col("bucket").as("pbucket"),
         col("vec_id").as("probe_id"), col("v").as("pv"), col("n").as("pn"))
     val corpus = e.select(col("tenant"), col("bucket"),

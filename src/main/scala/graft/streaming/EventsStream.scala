@@ -505,10 +505,12 @@ object EventsStream {
     *   3. MONITOR: measure the persisted generation's recall over the
     *      bounded audit set ([[graft.operators.Dedup
     *      .minhashServingRecall]] — the audit is the retained corpus
-    *      restricted by `auditFilter`, the d24b sampleBuckets pricing:
-    *      at 100 TB the ingested corpus is unbounded but the audit
-    *      slice ∪ planted probes is not, and negative probe ids ride
-    *      the default filter);
+    *      restricted by `auditFilter` AND capped at `auditCap` non-probe
+    *      docs by [[boundedAudit]]: the default filter is a md5-bucket
+    *      FRACTION of the corpus, which alone would let the quadratic
+    *      exact side grow with ingest — the cap makes the audit a true
+    *      fixed-size set at any corpus size, and negative probe ids
+    *      always ride);
     *   4. ACTION on a miss: re-band the WHOLE retained corpus 3×3 →
     *      9×1 as a complete `__gen` generation and swap meta-last —
     *      the crash-tested [[graft.operators.Dedup
@@ -529,7 +531,7 @@ object EventsStream {
       name: String, threshold: Double = 0.8, target: Double = 0.95,
       auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
         col("doc_id")) < 64 || col("doc_id") < 0,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): DataFrame = {
     import graft.operators.Dedup
     // crash hygiene at lifecycle ENTRY (the simhashRebandLifecycle rule):
     // finish or discard a swap a prior process died inside before any
@@ -541,29 +543,8 @@ object EventsStream {
       .parquet(shardDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        spark.catalog.refreshTable(s"${name}_shingles")
-        val fresh = batch
-          .join(spark.table(s"${name}_shingles").select("doc_id"),
-            Seq("doc_id"), "left_anti")
-          .localCheckpoint()
-        if (!fresh.isEmpty) {
-          Dedup.appendMinhashRebandState(spark, name,
-            Dedup.shingleTableOf(fresh).localCheckpoint())
-          spark.catalog.refreshTable(s"${name}_shingles")
-          val audit = spark.table(s"${name}_shingles").filter(auditFilter)
-          val row = Dedup.minhashServingRecall(spark, name, audit,
-            threshold).head()
-          // the action is a no-op once the generation already serves the
-          // re-banding (9x1 is this loop's whole dial) — without the
-          // guard, a corpus whose 9x1 recall still misses the target
-          // would rebuild the FULL retained corpus on every later batch
-          val m = spark.table(s"${name}_meta").head()
-          val already9x1 = m.getAs[Int]("bands") == 9 &&
-            m.getAs[Int]("rows_per_band") == 1
-          if (row.getAs[Double]("recall") < target && !already9x1)
-            Dedup.rebandMinhashGenerationFromShingles(spark, name,
-              bands = 9, rowsPerBand = 1)
-        }
+        rebandBatchStep(spark, name, batch, threshold, target,
+          auditFilter, auditCap)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -571,6 +552,74 @@ object EventsStream {
     spark.catalog.refreshTable(s"${name}_banded")
     spark.table(s"${name}_banded")
   }
+
+  /** Bound a monitor's audit frame to at most `cap` non-probe docs:
+    * planted probes (negative ids) always ride; the rest rank by
+    * md5(doc_id) (deterministic, engine-portable — never rand) and keep
+    * the lowest `cap` via sort+limit, which Spark plans as
+    * TakeOrderedAndProject (per-partition bounded top-k, then a
+    * cap-row merge — no full shuffle). The ADVICE-18 fix: the default
+    * `auditFilter` is a md5-bucket FRACTION of the retained corpus, and
+    * a fraction is not a bound — the monitor's quadratic exact side
+    * would grow with ingest. With the cap it is O(cap²) forever. At
+    * test SF the default cap (1M docs) is far above every corpus, so
+    * behavior is unchanged; at 100 TB the cap is the dial.
+    */
+  private def boundedAudit(df: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) df
+    else df.filter(col("doc_id") < 0).unionByName(
+      df.filter(col("doc_id") >= 0)
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(cap))
+
+  /** One micro-batch's monitor→action step for a minhash reband state
+    * (ONE definition — the fleet loop and the tenant loop both run
+    * exactly this body per state, so the two can never drift on a dial
+    * change; the fleet loop is the one-state case): anti-join the
+    * slice's fresh ids, append under the meta's banding, measure the
+    * persisted generation's recall over the bounded audit set, and
+    * re-band 9×1 on a miss unless the generation already serves 9×1.
+    */
+  private def rebandBatchStep(spark: SparkSession, name: String,
+      slice: DataFrame, threshold: Double, target: Double,
+      auditFilter: Column, auditCap: Int): Unit = {
+    import graft.operators.Dedup
+    spark.catalog.refreshTable(s"${name}_shingles")
+    val fresh = slice
+      .join(spark.table(s"${name}_shingles").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (!fresh.isEmpty) {
+      Dedup.appendMinhashRebandState(spark, name,
+        Dedup.shingleTableOf(fresh).localCheckpoint())
+      spark.catalog.refreshTable(s"${name}_shingles")
+      val audit = boundedAudit(
+        spark.table(s"${name}_shingles").filter(auditFilter), auditCap)
+      val row = Dedup.minhashServingRecall(spark, name, audit,
+        threshold).head()
+      // the action is a no-op once the generation already serves the
+      // re-banding (9x1 is this loop's whole dial) — without the
+      // guard, a corpus whose 9x1 recall still misses the target
+      // would rebuild the FULL retained corpus on every later batch
+      val m = spark.table(s"${name}_meta").head()
+      val already9x1 = m.getAs[Int]("bands") == 9 &&
+        m.getAs[Int]("rows_per_band") == 1
+      if (row.getAs[Double]("recall") < target && !already9x1)
+        Dedup.rebandMinhashGenerationFromShingles(spark, name,
+          bands = 9, rowsPerBand = 1)
+    }
+  }
+
+  /** The tenants a micro-batch actually carries rows for (distinct pmod
+    * over the batch — a batch-sized aggregation collecting ≤ nTenants
+    * ints): the per-tenant loops iterate THIS set, not 0 until nTenants
+    * (the round-18 verdict nit — at hundreds of tenants, a sequential
+    * anti-join + isEmpty per untouched tenant is 2N catalog reads per
+    * batch for nothing).
+    */
+  private def touchedTenants(batch: DataFrame, nTenants: Int): Seq[Int] =
+    batch.select(pmod(col("doc_id"), lit(nTenants)).cast("int").as("tn"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
 
   /** [[runIngestRebandLoop]]'s TENANT-SCOPED member — the d57/d62
     * table-pair layout driven from ingest (the tenant composition of
@@ -593,7 +642,7 @@ object EventsStream {
       target: Double = 0.95,
       auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
         col("doc_id")) < 64 || col("doc_id") < 0,
-      maxFilesPerTrigger: Int = 1): Unit = {
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): Unit = {
     import graft.operators.Dedup
     (0 until nTenants).foreach(tn =>
       Dedup.recoverBandedGenerationSwap(spark, s"${namePrefix}_t$tn"))
@@ -604,31 +653,13 @@ object EventsStream {
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.localCheckpoint()
-        for (tn <- 0 until nTenants) {
-          val name = s"${namePrefix}_t$tn"
-          spark.catalog.refreshTable(s"${name}_shingles")
-          val fresh = b
-            .filter(pmod(col("doc_id"), lit(nTenants)) === tn)
-            .join(spark.table(s"${name}_shingles").select("doc_id"),
-              Seq("doc_id"), "left_anti")
-            .localCheckpoint()
-          if (!fresh.isEmpty) {
-            Dedup.appendMinhashRebandState(spark, name,
-              Dedup.shingleTableOf(fresh).localCheckpoint())
-            spark.catalog.refreshTable(s"${name}_shingles")
-            val audit = spark.table(s"${name}_shingles").filter(auditFilter)
-            val row = Dedup.minhashServingRecall(spark, name, audit,
-              threshold).head()
-            // skip the action when this tenant already serves 9x1 (the
-            // fleet loop's guard, per tenant)
-            val m = spark.table(s"${name}_meta").head()
-            val already9x1 = m.getAs[Int]("bands") == 9 &&
-              m.getAs[Int]("rows_per_band") == 1
-            if (row.getAs[Double]("recall") < target && !already9x1)
-              Dedup.rebandMinhashGenerationFromShingles(spark, name,
-                bands = 9, rowsPerBand = 1)
-          }
-        }
+        // only the tenants this batch carries rows for — an untouched
+        // tenant's state is never opened (its slice would anti-join to
+        // empty anyway; deriving the set first skips the catalog reads)
+        for (tn <- touchedTenants(b, nTenants))
+          rebandBatchStep(spark, s"${namePrefix}_t$tn",
+            b.filter(pmod(col("doc_id"), lit(nTenants)) === tn),
+            threshold, target, auditFilter, auditCap)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -657,7 +688,7 @@ object EventsStream {
       name: String, target: Double = 0.95, threshold: Double = 0.9,
       auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
         col("doc_id")) < 64 || col("doc_id") < 0,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): DataFrame = {
     import graft.operators.Dedup
     Dedup.recoverBandedGenerationSwap(spark, name)
     val src = spark.readStream
@@ -666,28 +697,92 @@ object EventsStream {
       .parquet(shardDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        spark.catalog.refreshTable(s"${name}_docs")
-        val fresh = batch
-          .join(spark.table(s"${name}_docs").select("doc_id"),
-            Seq("doc_id"), "left_anti")
-          .localCheckpoint()
-        if (!fresh.isEmpty) {
-          Dedup.appendWinnowRetuneState(spark, name, fresh)
-          spark.catalog.refreshTable(s"${name}_docs")
-          val audit = spark.table(s"${name}_docs").filter(auditFilter)
-          val row = Dedup.winnowServingDetection(spark, name, audit,
-            threshold).head()
-          val winnow = spark.table(s"${name}_meta").head()
-            .getAs[Int]("winnow")
-          if (row.getAs[Double]("detection") < target && winnow != 2)
-            Dedup.rewinnowGenerationFromDocs(spark, name, newWinnow = 2)
-        }
+        winnowBatchStep(spark, name, batch, target, threshold,
+          auditFilter, auditCap)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.catalog.refreshTable(s"${name}_banded")
     spark.table(s"${name}_banded")
+  }
+
+  /** One micro-batch's monitor→action step for a winnow-retune state —
+    * the [[rebandBatchStep]] shape for the winnowing dial (one
+    * definition, fleet and tenant members): anti-join the slice's fresh
+    * ids, append texts + fingerprints under the meta's (w, winnow),
+    * measure the persisted generation's detection over the bounded
+    * audit set, and re-winnow at 2 on a miss unless the generation
+    * already serves winnow 2.
+    */
+  private def winnowBatchStep(spark: SparkSession, name: String,
+      slice: DataFrame, target: Double, threshold: Double,
+      auditFilter: Column, auditCap: Int): Unit = {
+    import graft.operators.Dedup
+    spark.catalog.refreshTable(s"${name}_docs")
+    val fresh = slice
+      .join(spark.table(s"${name}_docs").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (!fresh.isEmpty) {
+      Dedup.appendWinnowRetuneState(spark, name, fresh)
+      spark.catalog.refreshTable(s"${name}_docs")
+      val audit = boundedAudit(
+        spark.table(s"${name}_docs").filter(auditFilter), auditCap)
+      val row = Dedup.winnowServingDetection(spark, name, audit,
+        threshold).head()
+      val winnow = spark.table(s"${name}_meta").head()
+        .getAs[Int]("winnow")
+      if (row.getAs[Double]("detection") < target && winnow != 2)
+        Dedup.rewinnowGenerationFromDocs(spark, name, newWinnow = 2)
+    }
+  }
+
+  /** [[runIngestWinnowRetuneLoop]]'s TENANT-SCOPED member (round-18
+    * verdict ask #2 — the winnow family's batch action was already
+    * tenant-scoped in d61, but a tenant whose short-doc skew arrives
+    * via ingest could not retune from the stream): each tenant's
+    * winnowed fingerprint generation + `_docs` companion is its own
+    * `${namePrefix}_t$tn` table pair (the d61 layout), a micro-batch
+    * fans its rows to their tenants' states (pmod — the estate-sync
+    * tenancy, restricted to the batch's touched-tenant set first), and
+    * each touched tenant runs [[winnowBatchStep]] independently: a
+    * shard full of one tenant's short-doc misses retunes that tenant's
+    * winnow alone, every other tenant's tables (and their meta's
+    * winnow) never move. Entry recovery runs per tenant at stream
+    * start. Caller initializes each tenant's state via
+    * [[graft.operators.Dedup.initWinnowRetuneState]] over the tenant's
+    * base slice. StreamingSpec proves: the streamed tenant's final
+    * generation == its per-tenant batch lifecycle
+    * ([[graft.operators.Dedup.winnowRetuneLifecycle]] over
+    * base ∪ shard — the shared-oracle d18 pattern, d61's oracle already
+    * gates the lifecycle), the untouched tenant's generation
+    * content-identical to init, replay a no-op.
+    */
+  def runTenantIngestWinnowRetuneLoop(spark: SparkSession, shardDir: String,
+      namePrefix: String, nTenants: Int = 2, target: Double = 0.95,
+      threshold: Double = 0.9,
+      auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
+        col("doc_id")) < 64 || col("doc_id") < 0,
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): Unit = {
+    import graft.operators.Dedup
+    (0 until nTenants).foreach(tn =>
+      Dedup.recoverBandedGenerationSwap(spark, s"${namePrefix}_t$tn"))
+    val src = spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        for (tn <- touchedTenants(b, nTenants))
+          winnowBatchStep(spark, s"${namePrefix}_t$tn",
+            b.filter(pmod(col("doc_id"), lit(nTenants)) === tn),
+            target, threshold, auditFilter, auditCap)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** CONTINUOUS RETRACTION — the takedown half of [[runIngestCuration]]:

@@ -1232,6 +1232,58 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("tenant streaming winnow retune loop: only the shard's tenant trips and retunes; the other tenant's generation never moves") {
+    import graft.operators.Dedup
+    val dir = sf("sf0.001")
+    def tenantBase(tn: Int) = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull &&
+        graft.operators.TextAnalysis.splitBucket(col("doc_id")) < 64 &&
+        pmod(col("doc_id"), lit(2)) === tn)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    // the shard carries ONLY tenant 1's planted short-doc misses (odd
+    // negative ids — the d61 probe layout)
+    val probes = Dedup.tenantWinnowProbeDocs(spark, 1)
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_twrt").toString
+    probes.withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(1L))
+      .coalesce(1).write.mode("append").parquet(shardDir)
+    def dropAll(n: String): Unit =
+      Seq("_banded", "_meta", "_docs").foreach { s =>
+        Dedup.dropTableAndLocation(spark, s"$n$s")
+        Dedup.dropTableAndLocation(spark, s"${n}__gen$s")
+      }
+    Seq("twrl_t0", "twrl_t1", "twrl_ref1").foreach(dropAll)
+    try {
+      Dedup.initWinnowRetuneState(spark, "twrl_t0", tenantBase(0))
+      Dedup.initWinnowRetuneState(spark, "twrl_t1", tenantBase(1))
+      def fps(t: String) = spark.table(t).select("doc_id", "d").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      def metaWinnow(t: String) = spark.table(t).head().getAs[Int]("winnow")
+      val t0Init = fps("twrl_t0_banded")
+      EventsStream.runTenantIngestWinnowRetuneLoop(spark, shardDir, "twrl")
+      // tenant 1 tripped on its planted short-doc misses and retuned to
+      // winnow 2, equal to its own per-tenant batch lifecycle (the d18
+      // shared-oracle pattern — d61's oracle already gates the lifecycle)
+      Dedup.winnowRetuneLifecycle(spark, "twrl_ref1",
+        tenantBase(1).unionByName(probes), target = 0.95)
+      assert(metaWinnow("twrl_t1_meta") == 2)
+      assert(fps("twrl_t1_banded") == fps("twrl_ref1_banded"))
+      assert(fps("twrl_t1_banded").nonEmpty)
+      // tenant 0's generation NEVER moved: same winnow, same rows
+      assert(metaWinnow("twrl_t0_meta") == 4)
+      assert(fps("twrl_t0_banded") == t0Init)
+      // replay: a re-delivered shard is a state no-op for BOTH tenants
+      val t1After = fps("twrl_t1_banded")
+      EventsStream.runTenantIngestWinnowRetuneLoop(spark, shardDir, "twrl")
+      assert(fps("twrl_t1_banded") == t1After)
+      assert(fps("twrl_t0_banded") == t0Init)
+      assert(metaWinnow("twrl_t1_meta") == 2)
+    } finally {
+      Seq("twrl_t0", "twrl_t1", "twrl_ref1").foreach(dropAll)
+    }
+  }
+
   test("reband-state append heals a crash between the banded and shingle appends (per-table idempotence)") {
     import graft.operators.Dedup
     def docs(rows: Seq[(Long, String)]) =
