@@ -492,6 +492,14 @@ object SparkEntry {
       ((s, d) => Similarity.tenantAnnRouting(s, d)),
     "s22b_tenant_ann_routing_floor" ->
       ((s, d) => Similarity.tenantAnnRouting(s, d, target = 0.02)),
+    // ACTING on s21 with a REPAIR (the d62 pattern for the vector
+    // store): a tenant whose persisted bucket tier misses re-buckets
+    // COARSER (3 -> 1 planes) through the crash-tested meta-last swap
+    // on its own table pair; the healthy tenant pins. Natural trigger:
+    // at sf0.01 tenant 0 trips at 0.24 (target 0.3) and clears to
+    // 0.56, tenant 1 reads 0.32 and never moves
+    "s23_tenant_ann_rebucket" ->
+      ((s, d) => Similarity.tenantAnnRebucketGate(s, d)),
     // ACTING on d60 per tenant: the d57 table-pair layout for the
     // winnowing dial — tenant 1 trips on planted short-doc pairs and
     // retunes winnow 4->2 through the crash-tested swap; tenant 0's
@@ -508,6 +516,36 @@ object SparkEntry {
     // banding gauge grouped by tenant (frozen fleet k-means model)
     "d63_tenant_semdedup_census" ->
       ((s, d) => Dedup.tenantSemDedupCensus(s, d)),
+    // the d56b sampled-twin discipline stamped onto the remaining
+    // census families (round-18 verdict ask #3): every tenant gauge's
+    // 100 TB dial is now GATE-CHECKED, not just a parameter — one
+    // md5-slice (64 buckets), both audit sides slice-bounded
+    "d58b_tenant_simhash_census_sampled" ->
+      ((s, d) => Dedup.tenantSimhashCensus(s, d, sampleBuckets = 64)),
+    "d59b_tenant_srp_census_sampled" ->
+      ((s, d) => Dedup.tenantSrpCensus(s, d, sampleBuckets = 64)),
+    "d63b_tenant_semdedup_census_sampled" ->
+      ((s, d) => Dedup.tenantSemDedupCensus(s, d, sampleBuckets = 64)),
+    // ... and the winnow census's missing pair member: d60 DEFAULTS to
+    // the 64-bucket slice, so its twin gates the UNBOUNDED mode
+    "d60b_tenant_winnow_census_full" ->
+      ((s, d) => Dedup.tenantWinnowCensus(s, d, sampleBuckets = 256)),
+    // tenant-count scale EXERCISED, not asserted (round-18 verdict ask
+    // #4): the grouped census chain at T=8 — one pass over the posting
+    // machinery where a per-tenant union would have been 8 plan
+    // subtrees — and the d62 action layout at T=8 (8 sequential
+    // lifecycles over 8 table pairs; the natural trigger localizes to
+    // the skewed tenants alone)
+    "d56c_tenant_recall_census_t8" ->
+      ((s, d) => Dedup.tenantRecallCensus(s, d, nTenants = 8,
+        sampleBuckets = 64)),
+    // radius 6 (still inside the 8x8 pigeonhole guarantee): at T=8 the
+    // per-tenant slices are thin enough that radius 5 never misses at
+    // sf0.01 — 6 is the smallest radius where the corpus trips exactly
+    // one of the eight tenants (tenant 0, 0.5 -> 1.0)
+    "d62b_tenant_simhash_reband_t8" ->
+      ((s, d) => Dedup.tenantSimhashRebandGate(s, d, maxHamming = 6,
+        nTenants = 8)),
     // the d24 pattern stamped onto the remaining approximate dedup tiers
     // (round-11 verdict ask #3): simhash banding past its pigeonhole
     // radius (exact side = finer 8-bit bands, still sub-quadratic), the
@@ -1434,27 +1472,36 @@ object SparkEntry {
 
   /** The d58 oracle: d28's recompute grouped by tenant — exact side
     * all-pairs Hamming ≤ 5 filtered to same-tenant pairs, caught side
-    * the 4-band serving tier.
+    * the 4-band serving tier. `bucketCap` < 256 is the d58b sampled
+    * mode: BOTH sides restrict to the md5 slice (simhash is per-doc,
+    * so the in-slice pair sets equal the full run's restricted to the
+    * slice — the d24b composition argument); 256 constant-folds the
+    * predicate away.
     */
-  private lazy val tenantSimhashCensusSql: String =
+  private def tenantSimhashCensusSql(bucketCap: Int = 256): String =
     s"""$simhash64Cte,
+       |shs AS (SELECT * FROM sh64 WHERE $bucketCap >= 256 OR $splitBucketSql < $bucketCap),
        |ex AS (SELECT a.doc_id % 2 AS tenant, a.doc_id AS id_a, b2.doc_id AS id_b
-       |  FROM sh64 a JOIN sh64 b2 ON a.doc_id < b2.doc_id
+       |  FROM shs a JOIN shs b2 ON a.doc_id < b2.doc_id
        |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5
        |    AND a.doc_id % 2 = b2.doc_id % 2),
        |banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
-       |  FROM sh64 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+       |  FROM shs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
        |ap AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
        |  FROM banded a JOIN banded b2
        |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
        |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
        |${tenantCensusTailSql("recall")}""".stripMargin
 
-  /** The d59 oracle: d29c's banded-SRP recompute grouped by tenant. */
-  private lazy val tenantSrpCensusSql: String = {
+  /** The d59 oracle: d29c's banded-SRP recompute grouped by tenant.
+    * `bucketCap` < 256 is the d59b sampled mode (the d29b vec-slice
+    * convention — both endpoints in-slice on BOTH sides).
+    */
+  private def tenantSrpCensusSql(bucketCap: Int = 256): String = {
     val bandCoeff = hexv("substr(md5('plane:' || (2 * b + j) || ':' || i), 1, 1)")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings
+       |  WHERE $bucketCap >= 256 OR $vecBucketSql < $bucketCap),
        |ex AS (SELECT a.vec_id % 2 AS tenant, a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
        |  WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) >= 0.3
@@ -1475,7 +1522,8 @@ object SparkEntry {
     * the md5-slice audit set.
     */
   private def tenantWinnowCensusSql(bucketCap: Int): String =
-    s"""${containmentCtesOf("text", s" AND $splitBucketSql < $bucketCap")},
+    s"""${containmentCtesOf("text",
+         if (bucketCap >= 256) "" else s" AND $splitBucketSql < $bucketCap")},
        |al AS (SELECT doc_id, len(dall) AS l, unnest(dall) AS key FROM f),
        |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.l AS la, b.l AS lb,
        |    CAST(count(*) AS BIGINT) AS inter
@@ -1583,6 +1631,68 @@ object SparkEntry {
        |ORDER BY tenant, probe_id, rn""".stripMargin
   }
 
+  /** The s23 oracle: the d62-shape replay for the vector store — per
+    * tenant, the exact top-k over the tenant's corpus, BOTH plane
+    * tiers' bucket top-k recalls (planes0 serving, planes1 repair),
+    * and the two-phase conditional swap. Probes are the tenant's first
+    * `nProbes` vec_ids (ORDER BY vec_id LIMIT — the lifecycle's
+    * sort+limit, id-gap-safe). The trigger CASE recomputes per tenant,
+    * so which tenants trip is derived from the corpus at any SF.
+    */
+  private def tenantAnnRebucketSql(nTenants: Int = 2, nProbes: Int = 5,
+      k: Int = 5, planes0: Int = 3, planes1: Int = 1,
+      target: Double = 0.3): String = {
+    val coeff = hexv("substr(md5('plane:' || j || ':' || i), 1, 1)")
+    def bucketList(planes: Int) =
+      s"""list_sum([CASE WHEN list_sum([v[i+1] * ($coeff - 7.5) for i in range(0, 64)]) > 0
+         |    THEN 1 << j ELSE 0 END for j in range(0, $planes)])""".stripMargin
+    def tier(tn: Int, planes: Int, sfx: String) =
+      s"""w$sfx$tn AS (SELECT vec_id, v, n, ${bucketList(planes)} AS bucket FROM e$tn),
+         |pb$sfx$tn AS (SELECT probe_id, pv, pn, bucket
+         |  FROM p$tn JOIN w$sfx$tn ON probe_id = vec_id),
+         |ap$sfx$tn AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT probe_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS rn
+         |  FROM pb$sfx$tn p JOIN w$sfx$tn c ON p.bucket = c.bucket
+         |  WHERE probe_id != c.vec_id) WHERE rn <= $k)""".stripMargin
+    def chain(tn: Int) =
+      s"""e$tn AS (SELECT vec_id, v, n FROM e WHERE vec_id % $nTenants = $tn),
+         |p$tn AS (SELECT vec_id AS probe_id, v AS pv, n AS pn FROM e$tn
+         |  ORDER BY vec_id LIMIT $nProbes),
+         |ex$tn AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT probe_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY round(list_dot_product(pv, c.v) / (pn * c.n), 4) DESC, c.vec_id) AS rn
+         |  FROM p$tn JOIN e$tn c ON probe_id != c.vec_id) WHERE rn <= $k),
+         |${tier(tn, planes0, "a")},
+         |${tier(tn, planes1, "b")},
+         |r$tn AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN apa$tn USING (probe_id, neighbor_id)) AS h0,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN apb$tn USING (probe_id, neighbor_id)) AS h1),
+         |rr$tn AS (SELECT n_exact, h0, h1,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(h0 AS DOUBLE) / n_exact, 4) END AS r0,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(h1 AS DOUBLE) / n_exact, 4) END AS r1 FROM r$tn),
+         |ph$tn AS (
+         |  SELECT CAST($tn AS BIGINT) AS tenant, CAST(0 AS BIGINT) AS phase, CAST($planes0 AS BIGINT) AS planes,
+         |    n_exact, h0 AS n_hits, r0 AS recall, r0 < $target AS triggered FROM rr$tn
+         |  UNION ALL
+         |  SELECT CAST($tn AS BIGINT), CAST(1 AS BIGINT),
+         |    CAST(CASE WHEN r0 < $target THEN $planes1 ELSE $planes0 END AS BIGINT),
+         |    n_exact, CASE WHEN r0 < $target THEN h1 ELSE h0 END,
+         |    CASE WHEN r0 < $target THEN r1 ELSE r0 END,
+         |    (CASE WHEN r0 < $target THEN r1 ELSE r0 END) < $target FROM rr$tn)""".stripMargin
+    val chains = (0 until nTenants).map(chain).mkString(",\n")
+    val union = (0 until nTenants).map(tn => s"SELECT * FROM ph$tn")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+       |$chains
+       |SELECT * FROM ($union)
+       |ORDER BY tenant, phase""".stripMargin
+  }
+
   /** The d61 oracle: the d55b winnow-retune replay PER TENANT (the
     * tenantRebandSql layout for the winnowing dial) — each tenant's
     * audit universe is its slice ∪ its planted probes (tenant 1 = the
@@ -1660,27 +1770,31 @@ object SparkEntry {
     * audit universe is its signature slice, exact side all-pairs
     * Hamming ≤ 5 within the tenant, both bandings' catches (4×16-bit
     * and 8×8-bit), and the two-phase conditional swap per tenant. The
-    * trigger is NATURAL (no probe rows): tenant 1's corpus skew misses
-    * at 4 bands while tenant 0 reads 1.0 (the d58 localization).
+    * trigger is NATURAL (no probe rows): at T=2, tenant 1's corpus skew
+    * misses at 4 bands while tenant 0 reads 1.0 (the d58 localization).
+    * Parameterized by tenant count for the d62b T=8 twin — the replay
+    * recomputes each tenant's phase-0 recall and applies the trigger
+    * CASE, so WHICH tenants trip is derived, never hard-coded.
     */
-  private lazy val tenantSimhashRebandSql: String = {
+  private def tenantSimhashRebandSql(nTenants: Int = 2,
+      maxHamming: Int = 5): String = {
     def chain(tn: Int) =
-      s"""sh$tn AS (SELECT doc_id, simhash FROM sh64 WHERE doc_id % 2 = $tn),
+      s"""sh$tn AS (SELECT doc_id, simhash FROM sh64 WHERE doc_id % $nTenants = $tn),
          |ex$tn AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
          |  FROM sh$tn a JOIN sh$tn b2 ON a.doc_id < b2.doc_id
-         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= $maxHamming),
          |b4$tn AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
          |  FROM sh$tn CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb),
          |ap4$tn AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
          |  FROM b4$tn a JOIN b4$tn b2
          |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
-         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= $maxHamming),
          |b8$tn AS (SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS chunk
          |  FROM sh$tn CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b) bb),
          |ap8$tn AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
          |  FROM b8$tn a JOIN b8$tn b2
          |  ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
-         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= 5),
+         |  WHERE bit_count(xor(a.simhash, b2.simhash)) <= $maxHamming),
          |r$tn AS (SELECT
          |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn) AS n_exact,
          |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN ap4$tn USING (id_a, id_b)) AS n4,
@@ -1696,23 +1810,29 @@ object SparkEntry {
          |    n_exact, CASE WHEN r4 < 0.95 THEN n8 ELSE n4 END,
          |    CASE WHEN r4 < 0.95 THEN r8 ELSE r4 END,
          |    (CASE WHEN r4 < 0.95 THEN r8 ELSE r4 END) < 0.95 FROM rr$tn)""".stripMargin
+    val chains = (0 until nTenants).map(chain).mkString(",\n")
+    val union = (0 until nTenants).map(tn => s"SELECT * FROM ph$tn")
+      .mkString(" UNION ALL ")
     s"""$simhash64Cte,
-       |${chain(0)},
-       |${chain(1)}
-       |SELECT * FROM (SELECT * FROM ph0 UNION ALL SELECT * FROM ph1)
+       |$chains
+       |SELECT * FROM ($union)
        |ORDER BY tenant, phase""".stripMargin
   }
 
   /** The d63 oracle: d30's SemDeDup-banding recompute grouped by tenant
     * — the k-means CTEs stay on the FULL embedding table (frozen fleet
-    * model), the exact within-cluster pairs filter to same-tenant.
+    * model — slicing must not move centroids), the exact within-cluster
+    * pairs filter to same-tenant. `bucketCap` < 256 is the d63b sampled
+    * mode: the MEMBERSHIP slice bounds both audit sides while the model
+    * stays fleet-trained (the d30b convention).
     */
-  private lazy val tenantSemDedupCensusSql: String = {
+  private def tenantSemDedupCensusSql(bucketCap: Int = 256): String = {
     val bandCoeff = hexv("substr(md5('plane:' || (2 * b + j) || ':' || i), 1, 1)")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
        |${kmeansCtes()},
-       |memb AS (SELECT en.vec_id, en.v, en.n, a3.cl FROM en JOIN a3 USING (vec_id)),
+       |memb AS (SELECT en.vec_id, en.v, en.n, a3.cl FROM en JOIN a3 USING (vec_id)
+       |  WHERE $bucketCap >= 256 OR $vecBucketSql < $bucketCap),
        |ex AS (SELECT x.vec_id % 2 AS tenant, x.vec_id AS id_a, y.vec_id AS id_b FROM memb x
        |  JOIN memb y ON x.cl = y.cl AND x.vec_id < y.vec_id
        |  WHERE round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.45
@@ -2578,9 +2698,23 @@ object SparkEntry {
     // with tenant-scoped actions: one grouped chain per family, the
     // exact side's pair set filtered to same-tenant pairs (tenancy is a
     // per-doc id function, so that equals the per-tenant audits' union)
-    "d58_tenant_simhash_census" -> tenantSimhashCensusSql,
-    "d59_tenant_srp_census" -> tenantSrpCensusSql,
+    "d58_tenant_simhash_census" -> tenantSimhashCensusSql(),
+    "d59_tenant_srp_census" -> tenantSrpCensusSql(),
     "d60_tenant_winnow_census" -> tenantWinnowCensusSql(64),
+    // the d56b sampled-twin discipline completed across the census
+    // families (round-19): every tenant gauge's 100 TB dial is gate-
+    // checked — d58b/d59b/d63b at the 64-bucket slice, d60b gating the
+    // UNBOUNDED mode its 64-default family was missing
+    "d58b_tenant_simhash_census_sampled" -> tenantSimhashCensusSql(64),
+    "d59b_tenant_srp_census_sampled" -> tenantSrpCensusSql(64),
+    "d63b_tenant_semdedup_census_sampled" -> tenantSemDedupCensusSql(64),
+    "d60b_tenant_winnow_census_full" -> tenantWinnowCensusSql(256),
+    // tenant-count scale exercised: the d56 grouped chain at T=8 over
+    // the 64-bucket slice, and the d62 reband replay at T=8 (the
+    // trigger CASE recomputes per tenant — which tenants trip is
+    // derived from the corpus, never hard-coded)
+    "d56c_tenant_recall_census_t8" -> tenantRecallCensusSql(8, 64),
+    "d62b_tenant_simhash_reband_t8" -> tenantSimhashRebandSql(8, 6),
     // ACTING on d60 per tenant: the d57 table-pair replay for the
     // winnowing dial — both generations (winnow 4 and 2) recomputed per
     // tenant over its slice ∪ its planted probes, two-phase conditional
@@ -2590,9 +2724,9 @@ object SparkEntry {
     // all-pairs Hamming <= 5 within the tenant, both bandings' catches,
     // per-tenant conditional swap (a reband leaking into the wrong
     // tenant flips the bands column on the wrong row)
-    "d62_tenant_simhash_reband" -> tenantSimhashRebandSql,
+    "d62_tenant_simhash_reband" -> tenantSimhashRebandSql(),
     // d30's recompute grouped by tenant (frozen fleet k-means)
-    "d63_tenant_semdedup_census" -> tenantSemDedupCensusSql,
+    "d63_tenant_semdedup_census" -> tenantSemDedupCensusSql(),
     // measured simhash-banding recall at Hamming 5 (past the 4-band
     // pigeonhole guarantee of 3): exact side brute-forced here — the
     // Spark side's finer 8-bit banding is pigeonhole-exact through 7,
@@ -3351,6 +3485,10 @@ object SparkEntry {
     // replay verbatim)
     "s22_tenant_ann_routing" -> tenantAnnRoutingSql(0.5),
     "s22b_tenant_ann_routing_floor" -> tenantAnnRoutingSql(0.02),
+    // the per-tenant re-bucket REPAIR: both plane tiers' recalls
+    // recomputed per tenant, the trigger CASE applied per tenant (which
+    // tenants trip is derived from the corpus, never hard-coded)
+    "s23_tenant_ann_rebucket" -> tenantAnnRebucketSql(),
     "s12_ann_filtered" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5)

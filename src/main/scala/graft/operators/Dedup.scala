@@ -4691,9 +4691,19 @@ object Dedup {
     // is dead once the one audit row exists — sweep it instead of
     // leaving 4 bench passes' worth of corpus-sized blocks to the GC
     graft.Scratch.scoped(spark) {
-      recallRowOf(exactJaccardPairs(spark, dir, threshold, hotBlockRows),
-        minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")))
+      dedupRecallAuditUnscoped(spark, dir, threshold, hotBlockRows)
     }
+
+  /** The d24 plan BEFORE the scope collapse — what actually executes
+    * inside [[dedupRecallAudit]]'s scratch scope (the scoped gate's
+    * result is a LocalRelation, so PlanSpec's salt/prefix/verify shape
+    * assertions read this frame).
+    */
+  private[graft] def dedupRecallAuditUnscoped(spark: SparkSession,
+      dir: String, threshold: Double = 0.8,
+      hotBlockRows: Long = 1L << 17): DataFrame =
+    recallRowOf(exactJaccardPairs(spark, dir, threshold, hotBlockRows),
+      minhashLshPairs(spark, dir).select(col("id_a"), col("id_b")))
 
   /** D24B — the SAMPLED audit, the 100 TB mode the d24 scaladoc
     * promises: exact recall measured over one md5-bucket slice of the
@@ -4805,6 +4815,17 @@ object Dedup {
       nTenants: Int = 2, maxHamming: Int = 5, sampleBuckets: Int = 256,
       hotBlockRows: Long = 1L << 17,
       servingBands: Int = 4): DataFrame = graft.Scratch.scoped(spark) {
+    tenantSimhashCensusUnscoped(spark, dir, nTenants, maxHamming,
+      sampleBuckets, hotBlockRows, servingBands)
+  }
+
+  /** The d58 plan BEFORE the scope collapse (PlanSpec reads this — the
+    * scoped gate returns a LocalRelation).
+    */
+  private[graft] def tenantSimhashCensusUnscoped(spark: SparkSession,
+      dir: String, nTenants: Int = 2, maxHamming: Int = 5,
+      sampleBuckets: Int = 256, hotBlockRows: Long = 1L << 17,
+      servingBands: Int = 4): DataFrame = {
     require(maxHamming <= 7,
       "the 8-band exact side is pigeonhole-exact only through Hamming 7")
     val sigs0 = simhash64Cached(spark, dir)
@@ -4866,6 +4887,15 @@ object Dedup {
       nTenants: Int = 2, sampleBuckets: Int = 64, w: Int = 8,
       winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
       threshold: Double = 0.9): DataFrame = graft.Scratch.scoped(spark) {
+    tenantWinnowCensusUnscoped(spark, dir, nTenants, sampleBuckets, w,
+      winnow, minShared, dfCap, threshold)
+  }
+
+  /** The d60 plan BEFORE the scope collapse (PlanSpec reads this). */
+  private[graft] def tenantWinnowCensusUnscoped(spark: SparkSession,
+      dir: String, nTenants: Int = 2, sampleBuckets: Int = 64, w: Int = 8,
+      winnow: Int = 4, minShared: Int = 2, dfCap: Int = 64,
+      threshold: Double = 0.9): DataFrame = {
     val sel = containmentSelCached(spark, dir, w, winnow)
       .filter(TextAnalysis.splitBucket(col("doc_id")) < sampleBuckets)
       .localCheckpoint()
@@ -5964,6 +5994,15 @@ object Dedup {
       threshold: Double = 0.45, bands: Int = 8, planesPerBand: Int = 2,
       hotBlockRows: Long = 1L << 17,
       sampleBuckets: Int = 256): DataFrame = graft.Scratch.scoped(spark) {
+    semDedupBandRecallUnscoped(spark, dir, threshold, bands, planesPerBand,
+      hotBlockRows, sampleBuckets)
+  }
+
+  /** The d30 plan BEFORE the scope collapse (PlanSpec reads this). */
+  private[graft] def semDedupBandRecallUnscoped(spark: SparkSession,
+      dir: String, threshold: Double = 0.45, bands: Int = 8,
+      planesPerBand: Int = 2, hotBlockRows: Long = 1L << 17,
+      sampleBuckets: Int = 256): DataFrame = {
     val (exact, approx) = semDedupAuditPairs(spark, dir, threshold, bands,
       planesPerBand, hotBlockRows, sampleBuckets)
     recallRowOf(exact, approx)

@@ -512,7 +512,11 @@ class PlanSpec extends SparkSuite {
     // expression (crc32) proves the blockedPairCandidates path, the
     // array_intersect proves the candidate-bounded verify (never the
     // posting-count join), and nothing may go quadratic
-    val d24 = executedPlan(graft.operators.Dedup.dedupRecallAudit(spark, dir))
+    // the UNscoped frame: the gate itself returns a LocalRelation (its
+    // scratch is swept once the row is collected — Scratch.scoped), so
+    // the shape assertions read the plan that executes inside the scope
+    val d24 = executedPlan(
+      graft.operators.Dedup.dedupRecallAuditUnscoped(spark, dir))
     assert(d24.contains("crc32"),
       s"d24 exact side lost the hot-block salt path:\n${d24.take(1500)}")
     assert(d24.contains("array_intersect"),
@@ -631,8 +635,8 @@ class PlanSpec extends SparkSuite {
     // DuckDB's in-slice recompute) and the row-count bound below; the
     // plan assertions pin what remains visible: nothing goes cartesian,
     // and the one nested-loop join is the one-row recall assembly
-    val d30b = executedPlan(
-      graft.operators.Dedup.semDedupBandRecall(spark, dir, sampleBuckets = 64))
+    val d30b = executedPlan(graft.operators.Dedup
+      .semDedupBandRecallUnscoped(spark, dir, sampleBuckets = 64))
     assert(!d30b.contains("CartesianProduct"), "d30b went cartesian")
     assert(d30b.split("BroadcastNestedLoopJoin").length <= 2,
       "d30b has a nested-loop join beyond the one-row recall assembly")
@@ -742,9 +746,12 @@ class PlanSpec extends SparkSuite {
     // exists for. (d59/d63's EXACT sides are the documented broadcast
     // audit-price exception and are deliberately not listed.)
     val dir = sf("sf0.001")
+    // d58/d60 use the UNscoped variants: the public gates return
+    // LocalRelations (Scratch.scoped), which would satisfy the negative
+    // assertions below trivially
     val plans = Seq(
-      "d58" -> graft.operators.Dedup.tenantSimhashCensus(spark, dir),
-      "d60" -> graft.operators.Dedup.tenantWinnowCensus(spark, dir),
+      "d58" -> graft.operators.Dedup.tenantSimhashCensusUnscoped(spark, dir),
+      "d60" -> graft.operators.Dedup.tenantWinnowCensusUnscoped(spark, dir),
       "s21" -> graft.operators.Similarity.tenantAnnRecallCensus(spark, dir),
       "s22" -> graft.operators.Similarity.tenantAnnRouting(spark, dir))
     for ((name, df) <- plans) {
