@@ -32,7 +32,7 @@ object Similarity {
     * natural shared intermediate (the vector-store "loaded index" step).
     * Evicted with the session via [[graft.SessionCache]].
     */
-  private[operators] def preparedEmbeddings(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def preparedEmbeddings(spark: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrElseUpdate(spark, ("embeddingsVN", dir)) {
       withVecNorm(Tables.embeddings(spark, dir), "label").persist()
     }
@@ -843,6 +843,16 @@ object Similarity {
     * recall monitor — one definition, N audited tiers.
     */
   private def annRecallOf(spark: SparkSession, dir: String,
+      approxTier: DataFrame, nProbes: Int, k: Int): DataFrame =
+    // scoped-collect keeps the measurement HONEST: a bare count() over
+    // the probe-spine left join lets Catalyst prune the whole recall
+    // computation (the r19 census finding), so the monitor's cost
+    // would otherwise never be paid by a count-gated bench pass
+    graft.Scratch.scoped(spark) {
+      annRecallOfUnscoped(spark, dir, approxTier, nProbes, k)
+    }
+
+  private def annRecallOfUnscoped(spark: SparkSession, dir: String,
       approxTier: DataFrame, nProbes: Int, k: Int): DataFrame = {
     val exact = bruteForceTopK(spark, dir, nProbes, k)
       .select(col("probe_id"), col("neighbor_id"))
@@ -878,7 +888,7 @@ object Similarity {
     */
   def tenantAnnRecallCensus(spark: SparkSession, dir: String,
       nTenants: Int = 2, nProbes: Int = 5, k: Int = 5,
-      nPlanes: Int = 8): DataFrame = {
+      nPlanes: Int = 8): DataFrame = graft.Scratch.scoped(spark) {
     val (exact, approx) = tenantAnnTiers(spark, dir, nTenants, nProbes, k,
       nPlanes)
     // the ONE tenant-spine rollup every census shares (the d24
@@ -1050,23 +1060,69 @@ object Similarity {
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
-  /** The s23 lifecycle over one tenant's vector frame: generation 0 at
-    * `planes0`, measure the persisted tier's recall@k, re-bucket at
-    * `planes1` on a miss (meta-last `__gen` swap, entry recovery),
-    * re-measure. The measure reads buckets from the PERSISTED table —
-    * the serving path, not a recompute — so a swap serving the wrong
-    * generation fails the gate.
+  /** Initialize the streaming ANN re-bucket loop's state (the
+    * [[graft.operators.Dedup.initMinhashRebandState]] pattern for the
+    * vector store): the bucket generation plus a `_vecs` companion
+    * holding the prepared vectors — the re-bucket ACTION re-hashes the
+    * WHOLE retained corpus under a new plane count, so the loop owns
+    * the vectors like the reband loop owns shingles.
     */
-  private[graft] def annRebucketLifecycle(spark: SparkSession,
-      name: String, vecs: DataFrame, nProbes: Int, k: Int,
-      planes0: Int, planes1: Int, target: Double): DataFrame = {
-    // crash hygiene FIRST (the simhashRebandLifecycle entry rule)
-    Dedup.recoverBandedGenerationSwap(spark, name)
-    saveAnnBucketGeneration(spark, name, vecs, planes0)
-    // the tenant's first nProbes vectors by id — sort+limit, the
-    // bounded TakeOrderedAndProject (probe sets are sampled at scale;
-    // recall is per-probe, so sampling composes — the s14 convention)
-    val probes = vecs.orderBy(col("vec_id")).limit(nProbes)
+  private[graft] def initAnnRebucketState(spark: SparkSession,
+      name: String, baseVecs: DataFrame, planes: Int = 3,
+      buckets: Int = 8): Unit = {
+    Seq("_banded", "_meta", "_vecs").foreach(s =>
+      Dedup.dropTableAndLocation(spark, s"$name$s"))
+    Seq("_banded", "_meta").foreach(s =>
+      Dedup.dropTableAndLocation(spark, s"${name}__gen$s"))
+    val vecs = baseVecs.select(col("vec_id"), col("v"), col("n"))
+      .localCheckpoint()
+    Dedup.saveBucketedTable(vecs, s"${name}_vecs", buckets, Seq("vec_id"))
+    saveAnnBucketGeneration(spark, name, vecs, planes, buckets)
+  }
+
+  /** One micro-batch's APPEND into the re-bucket state: new vectors
+    * hash UNDER THE META'S planes (the round-17 contract — an append
+    * can never bucket under drifted parameters), raw vectors land in
+    * the `_vecs` companion. Idempotence is PER TABLE (each append
+    * anti-joins its own target — the crash-window rule).
+    */
+  private[graft] def appendAnnRebucketState(spark: SparkSession,
+      name: String, newVecs0: DataFrame): Unit = {
+    val meta = spark.table(s"${name}_meta").head()
+    val buckets = meta.getAs[Int]("buckets")
+    val newVecs = newVecs0.select(col("vec_id"), col("v"), col("n"))
+      .localCheckpoint()
+    spark.catalog.refreshTable(s"${name}_banded")
+    Dedup.appendBucketedTable(
+      newVecs.join(spark.table(s"${name}_banded").select("vec_id"),
+          Seq("vec_id"), "left_anti")
+        .select(col("vec_id"),
+          bucketExpr(col("v"), meta.getAs[Int]("planes")).as("bucket")),
+      s"${name}_banded", buckets, Seq("bucket"))
+    Dedup.appendBucketedTable(
+      newVecs.join(spark.table(s"${name}_vecs").select("vec_id"),
+        Seq("vec_id"), "left_anti"),
+      s"${name}_vecs", buckets, Seq("vec_id"))
+  }
+
+  /** The MONITOR half, ONE definition for the s23 lifecycle and the
+    * streaming loops (the minhashServingRecall rule — the stream and
+    * the gate the oracle checks can never diverge): the PERSISTED
+    * bucket generation's recall@k over an audit vector frame. Probes
+    * are the audit's first `nProbes` ids (sort+limit — the bounded
+    * TakeOrderedAndProject; probe sets are sampled at scale and recall
+    * is per-probe, so sampling composes — the s14 convention); the
+    * exact side is the broadcast scan WITHIN the audit frame
+    * (audit-priced — the caller bounds it); the serving side reads the
+    * persisted buckets restricted to the audit ids BEFORE the bucket
+    * join. One row: (n_exact, n_hits, recall), empty exact ⇒ 1.0.
+    */
+  private[graft] def annServingBucketRecall(spark: SparkSession,
+      name: String, auditVecs: DataFrame, nProbes: Int = 5,
+      k: Int = 5): DataFrame = {
+    val av = auditVecs.select(col("vec_id"), col("v"), col("n"))
+      .localCheckpoint()
+    val probes = av.orderBy(col("vec_id")).limit(nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("n").as("pn"))
       .localCheckpoint()
@@ -1080,41 +1136,74 @@ object Similarity {
         .filter(col("rn") <= k)
         .select(col("probe_id"), col("neighbor_id"))
     }
-    val exact = topK(vecs.select(col("vec_id").as("neighbor_id"),
+    val exact = topK(av.select(col("vec_id").as("neighbor_id"),
         col("v"), col("n"))
       .crossJoin(broadcast(probes)))
       .localCheckpoint()
+    spark.catalog.refreshTable(s"${name}_banded")
+    val served = spark.table(s"${name}_banded")
+      .join(av.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    val corpus = served.join(av, Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("v"), col("n"))
+    val pb = probes.join(
+      served.select(col("vec_id").as("probe_id"),
+        col("bucket").as("pbucket")), Seq("probe_id"))
+    val approx = topK(corpus.join(broadcast(pb),
+      col("bucket") === col("pbucket")))
+    val hits = exact.join(approx, Seq("probe_id", "neighbor_id"),
+      "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_exact"), col("n_hits"),
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(round(col("n_hits").cast("double") / col("n_exact"), 4))
+          .as("recall"))
+  }
+
+  /** The ACTION half: re-hash the WHOLE retained corpus (the `_vecs`
+    * companion) at `newPlanes` as a complete `__gen` generation and
+    * swap it in meta-last — driven from persisted state so a streaming
+    * micro-batch can fire it. Keeps the state's bucket layout.
+    */
+  private[graft] def rebucketGenerationFromVecs(spark: SparkSession,
+      name: String, newPlanes: Int): Unit = {
+    spark.catalog.refreshTable(s"${name}_vecs")
+    val meta = spark.table(s"${name}_meta").head()
+    saveAnnBucketGeneration(spark, s"${name}__gen",
+      spark.table(s"${name}_vecs"), newPlanes, meta.getAs[Int]("buckets"))
+    Dedup.swapInBandedGeneration(spark, name)
+  }
+
+  /** The s23 lifecycle over one tenant's vector frame: generation 0 at
+    * `planes0` (plus the `_vecs` companion — the same prior-state
+    * layout the streaming loop grows), measure the persisted tier's
+    * recall@k through [[annServingBucketRecall]] (the monitor the
+    * streaming loops share — one definition), re-bucket at `planes1`
+    * on a miss (meta-last `__gen` swap, entry recovery), re-measure.
+    * The measure reads buckets from the PERSISTED table — the serving
+    * path, not a recompute — so a swap serving the wrong generation
+    * fails the gate.
+    */
+  private[graft] def annRebucketLifecycle(spark: SparkSession,
+      name: String, vecs: DataFrame, nProbes: Int, k: Int,
+      planes0: Int, planes1: Int, target: Double): DataFrame = {
+    // crash hygiene FIRST (the simhashRebandLifecycle entry rule)
+    Dedup.recoverBandedGenerationSwap(spark, name)
+    initAnnRebucketState(spark, name, vecs, planes0)
     def measure(phase: Int): DataFrame = {
-      spark.catalog.refreshTable(s"${name}_banded")
       val planes = spark.table(s"${name}_meta").head().getAs[Int]("planes")
-      val served = spark.table(s"${name}_banded")
-      val corpus = served
-        .join(vecs, Seq("vec_id"))
-        .select(col("vec_id").as("neighbor_id"), col("bucket"),
-          col("v"), col("n"))
-      val pb = probes.join(
-        served.select(col("vec_id").as("probe_id"),
-          col("bucket").as("pbucket")), Seq("probe_id"))
-      val approx = topK(corpus.join(broadcast(pb),
-        col("bucket") === col("pbucket")))
-      val hits = exact.join(approx, Seq("probe_id", "neighbor_id"),
-        "left_semi")
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      annServingBucketRecall(spark, name, vecs, nProbes, k)
         .select(lit(phase).cast("long").as("phase"),
           lit(planes).cast("long").as("planes"),
-          col("n_exact"), col("n_hits"),
-          when(col("n_exact") === 0, lit(1.0))
-            .otherwise(round(col("n_hits").cast("double") / col("n_exact"), 4))
-            .as("recall"))
-        .withColumn("triggered", col("recall") < target)
+          col("n_exact"), col("n_hits"), col("recall"),
+          (col("recall") < target).as("triggered"))
         .localCheckpoint()
     }
     val before = measure(0)
-    if (before.head().getAs[Boolean]("triggered")) {
-      saveAnnBucketGeneration(spark, s"${name}__gen", vecs, planes1)
-      Dedup.swapInBandedGeneration(spark, name)
-    }
+    if (before.head().getAs[Boolean]("triggered"))
+      rebucketGenerationFromVecs(spark, name, planes1)
     before.unionByName(measure(1)).orderBy("phase")
   }
 

@@ -565,11 +565,12 @@ object EventsStream {
     * test SF the default cap (1M docs) is far above every corpus, so
     * behavior is unchanged; at 100 TB the cap is the dial.
     */
-  private def boundedAudit(df: DataFrame, cap: Int): DataFrame =
+  private def boundedAudit(df: DataFrame, cap: Int,
+      idCol: String = "doc_id"): DataFrame =
     if (cap <= 0) df
-    else df.filter(col("doc_id") < 0).unionByName(
-      df.filter(col("doc_id") >= 0)
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    else df.filter(col(idCol) < 0).unionByName(
+      df.filter(col(idCol) >= 0)
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
         .limit(cap))
 
   /** One micro-batch's monitor→action step for a minhash reband state
@@ -617,8 +618,9 @@ object EventsStream {
     * anti-join + isEmpty per untouched tenant is 2N catalog reads per
     * batch for nothing).
     */
-  private def touchedTenants(batch: DataFrame, nTenants: Int): Seq[Int] =
-    batch.select(pmod(col("doc_id"), lit(nTenants)).cast("int").as("tn"))
+  private def touchedTenants(batch: DataFrame, nTenants: Int,
+      idCol: String = "doc_id"): Seq[Int] =
+    batch.select(pmod(col(idCol), lit(nTenants)).cast("int").as("tn"))
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
 
   /** [[runIngestRebandLoop]]'s TENANT-SCOPED member — the d57/d62
@@ -783,6 +785,124 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** [[runIngestRebandLoop]]'s ANN-family member — the s23 re-bucket
+    * loop driven from ingest (completing the batch + streaming + tenant
+    * symmetry for the vector store's repair action): a stream of
+    * embedding shards maintains a persisted LSH bucket generation plus
+    * its `_vecs` companion (the re-bucket re-hashes retained vectors).
+    * Per micro-batch: per-table idempotent appends UNDER THE META'S
+    * planes, then the recall monitor over the bounded audit set
+    * ([[graft.operators.Similarity.annServingBucketRecall]] — the ONE
+    * monitor definition the s23 lifecycle also reads; serving buckets
+    * audit-restricted BEFORE the bucket join, probes sort+limit), and
+    * on a miss the re-bucket at `planes1` through the crash-tested
+    * meta-last swap (skipped once the generation already serves
+    * `planes1` — the reband loop's guard). Entry recovery at stream
+    * start. StreamingSpec proves the final generation equals
+    * [[graft.operators.Similarity.annRebucketLifecycle]] one-shot over
+    * (base ∪ shards) and that a replayed shard is a state no-op — the
+    * shared-oracle d18 pattern (s23's oracle already gates the
+    * lifecycle). Caller initializes via [[graft.operators.Similarity
+    * .initAnnRebucketState]].
+    */
+  def runIngestAnnRebucketLoop(spark: SparkSession, shardDir: String,
+      name: String, target: Double = 0.3, planes1: Int = 1,
+      nProbes: Int = 5, k: Int = 5,
+      auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
+        col("vec_id")) < 64 || col("vec_id") < 0,
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): DataFrame = {
+    graft.operators.Dedup.recoverBandedGenerationSwap(spark, name)
+    val src = spark.readStream
+      .schema(embeddingSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        annRebucketBatchStep(spark, name, preparedVecsOf(batch), target,
+          planes1, nProbes, k, auditFilter, auditCap)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(s"${name}_banded")
+    spark.table(s"${name}_banded")
+  }
+
+  /** [[runIngestAnnRebucketLoop]]'s TENANT-SCOPED member — s23's table-
+    * pair layout driven from ingest: micro-batches fan to their
+    * tenants' (banded, vecs, meta) pairs (pmod over vec_id — the s20
+    * tenancy), restricted to the batch's touched-tenant set first, and
+    * each touched tenant runs the shared batch step independently: a
+    * shard full of one tenant's vectors re-buckets that tenant's
+    * generation alone, every other tenant's tables (and their meta's
+    * planes) never move. Entry recovery per tenant at stream start;
+    * caller initializes each tenant's state over its base slice.
+    */
+  def runTenantIngestAnnRebucketLoop(spark: SparkSession, shardDir: String,
+      namePrefix: String, nTenants: Int = 2, target: Double = 0.3,
+      planes1: Int = 1, nProbes: Int = 5, k: Int = 5,
+      auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
+        col("vec_id")) < 64 || col("vec_id") < 0,
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): Unit = {
+    (0 until nTenants).foreach(tn =>
+      graft.operators.Dedup.recoverBandedGenerationSwap(spark,
+        s"${namePrefix}_t$tn"))
+    val src = spark.readStream
+      .schema(embeddingSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = preparedVecsOf(batch).localCheckpoint()
+        for (tn <- touchedTenants(b, nTenants, idCol = "vec_id"))
+          annRebucketBatchStep(spark, s"${namePrefix}_t$tn",
+            b.filter(pmod(col("vec_id"), lit(nTenants)) === tn),
+            target, planes1, nProbes, k, auditFilter, auditCap)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** An arriving embedding batch prepared to the state layout's
+    * (vec_id, v, n) — the d17 map-side preparation.
+    */
+  private def preparedVecsOf(batch: DataFrame): DataFrame = {
+    import graft.functions.Exprs.{doubleVector, l2Norm}
+    batch.select(col("vec_id"), doubleVector(col("embedding")).as("v"))
+      .withColumn("n", l2Norm(col("v")))
+  }
+
+  /** One micro-batch's monitor→action step for an ANN re-bucket state
+    * (ONE definition — fleet and tenant loops; the rebandBatchStep
+    * shape for the vector store).
+    */
+  private def annRebucketBatchStep(spark: SparkSession, name: String,
+      slice: DataFrame, target: Double, planes1: Int, nProbes: Int,
+      k: Int, auditFilter: Column, auditCap: Int): Unit = {
+    import graft.operators.Similarity
+    spark.catalog.refreshTable(s"${name}_vecs")
+    val fresh = slice
+      .join(spark.table(s"${name}_vecs").select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (!fresh.isEmpty) {
+      Similarity.appendAnnRebucketState(spark, name, fresh)
+      spark.catalog.refreshTable(s"${name}_vecs")
+      val audit = boundedAudit(
+        spark.table(s"${name}_vecs").filter(auditFilter), auditCap,
+        idCol = "vec_id")
+      val row = Similarity.annServingBucketRecall(spark, name, audit,
+        nProbes, k).head()
+      // skip the action once the generation already serves planes1
+      // (the reband loop's guard — without it a corpus whose coarse
+      // recall still misses would re-hash the full corpus every batch)
+      val planes = spark.table(s"${name}_meta").head().getAs[Int]("planes")
+      if (row.getAs[Double]("recall") < target && planes != planes1)
+        Similarity.rebucketGenerationFromVecs(spark, name, planes1)
+    }
   }
 
   /** CONTINUOUS RETRACTION — the takedown half of [[runIngestCuration]]:

@@ -1284,6 +1284,113 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming ANN rebucket loop: ingest trips the recall monitor, final generation == batch lifecycle's; replay is a no-op") {
+    import graft.operators.{Dedup, Similarity}
+    val dir = sf("sf0.001")
+    val all = Similarity.preparedEmbeddings(spark, dir)
+      .select(col("vec_id"), col("v"), col("n")).localCheckpoint()
+    // base = the corpus minus a holdout; the holdout's ARRIVAL trips
+    // the per-batch monitor NATURALLY (the 3-plane bucket tier at
+    // sf0.001 measures well under the 0.3 target — no planted probes)
+    val base = all.filter(col("vec_id") < 400)
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_arb").toString
+    Tables.read(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 400)
+      .select("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(shardDir)
+    def dropAll(n: String): Unit =
+      Seq("_banded", "_meta", "_vecs").foreach { s =>
+        Dedup.dropTableAndLocation(spark, s"$n$s")
+        Dedup.dropTableAndLocation(spark, s"${n}__gen$s")
+      }
+    Seq("arb_stream", "arb_ref").foreach(dropAll)
+    try {
+      Similarity.initAnnRebucketState(spark, "arb_stream", base)
+      assert(spark.table("arb_stream_meta").head().getAs[Int]("planes") == 3)
+      // audit = the whole retained corpus: makes the stream's monitor
+      // read exactly the lifecycle's measure (the spec's identity is
+      // about final STATE; the bounded-audit dial is exercised by the
+      // loop's defaults in production)
+      // target 0.5: the FLEET corpus at sf0.001 measures 0.40 at
+      // planes 3 (trips) and 0.76 at planes 1 (clears) — the per-
+      // tenant slices sit lower (0.16/0.20), which is what the tenant
+      // twin exercises at the default 0.3
+      EventsStream.runIngestAnnRebucketLoop(spark, shardDir, "arb_stream",
+        target = 0.5, auditFilter = lit(true))
+      Similarity.annRebucketLifecycle(spark, "arb_ref", all,
+        nProbes = 5, k = 5, planes0 = 3, planes1 = 1, target = 0.5)
+      def buckets(t: String) = spark.table(t)
+        .select(col("vec_id"), col("bucket").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def metaPlanes(t: String) = spark.table(t).head().getAs[Int]("planes")
+      assert(metaPlanes("arb_stream_meta") == 1) // the monitor tripped
+      assert(metaPlanes("arb_ref_meta") == 1)
+      val afterFirst = buckets("arb_stream_banded")
+      assert(afterFirst == buckets("arb_ref_banded"))
+      assert(afterFirst.nonEmpty)
+      // replay: re-delivered shard anti-joins to empty — a state no-op
+      EventsStream.runIngestAnnRebucketLoop(spark, shardDir, "arb_stream",
+        target = 0.5, auditFilter = lit(true))
+      assert(buckets("arb_stream_banded") == afterFirst)
+      assert(metaPlanes("arb_stream_meta") == 1)
+    } finally {
+      Seq("arb_stream", "arb_ref").foreach(dropAll)
+    }
+  }
+
+  test("tenant streaming ANN rebucket loop: only the shard's tenant trips and re-buckets; the other tenant's generation never moves") {
+    import graft.operators.{Dedup, Similarity}
+    val dir = sf("sf0.001")
+    def tenantVecs(tn: Int) = Similarity.preparedEmbeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(2)) === tn)
+      .select(col("vec_id"), col("v"), col("n")).localCheckpoint()
+    val t1 = tenantVecs(1)
+    // the shard carries ONLY tenant 1's holdout vectors
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_tarb").toString
+    Tables.read(spark, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(2)) === 1 && col("vec_id") >= 400)
+      .select("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(shardDir)
+    def dropAll(n: String): Unit =
+      Seq("_banded", "_meta", "_vecs").foreach { s =>
+        Dedup.dropTableAndLocation(spark, s"$n$s")
+        Dedup.dropTableAndLocation(spark, s"${n}__gen$s")
+      }
+    Seq("tarb_t0", "tarb_t1", "tarb_ref1").foreach(dropAll)
+    try {
+      Similarity.initAnnRebucketState(spark, "tarb_t0", tenantVecs(0))
+      Similarity.initAnnRebucketState(spark, "tarb_t1",
+        t1.filter(col("vec_id") < 400))
+      def buckets(t: String) = spark.table(t)
+        .select(col("vec_id"), col("bucket").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def metaPlanes(t: String) = spark.table(t).head().getAs[Int]("planes")
+      val t0Init = buckets("tarb_t0_banded")
+      EventsStream.runTenantIngestAnnRebucketLoop(spark, shardDir, "tarb",
+        auditFilter = lit(true))
+      // tenant 1 tripped naturally and re-bucketed to planes 1, equal
+      // to its own per-tenant batch lifecycle (the d18 shared-oracle
+      // pattern — s23's oracle gates the lifecycle)
+      Similarity.annRebucketLifecycle(spark, "tarb_ref1", t1,
+        nProbes = 5, k = 5, planes0 = 3, planes1 = 1, target = 0.3)
+      assert(metaPlanes("tarb_t1_meta") == 1)
+      assert(buckets("tarb_t1_banded") == buckets("tarb_ref1_banded"))
+      assert(buckets("tarb_t1_banded").nonEmpty)
+      // tenant 0's generation NEVER moved: same planes, same rows
+      assert(metaPlanes("tarb_t0_meta") == 3)
+      assert(buckets("tarb_t0_banded") == t0Init)
+      // replay: a re-delivered shard is a state no-op for BOTH tenants
+      val t1After = buckets("tarb_t1_banded")
+      EventsStream.runTenantIngestAnnRebucketLoop(spark, shardDir, "tarb",
+        auditFilter = lit(true))
+      assert(buckets("tarb_t1_banded") == t1After)
+      assert(buckets("tarb_t0_banded") == t0Init)
+      assert(metaPlanes("tarb_t1_meta") == 1)
+    } finally {
+      Seq("tarb_t0", "tarb_t1", "tarb_ref1").foreach(dropAll)
+    }
+  }
+
   test("reband-state append heals a crash between the banded and shingle appends (per-table idempotence)") {
     import graft.operators.Dedup
     def docs(rows: Seq[(Long, String)]) =
