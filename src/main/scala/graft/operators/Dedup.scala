@@ -5914,6 +5914,88 @@ object Dedup {
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
+  /** Initialize the streaming simhash-reband loop's state (the
+    * [[initMinhashRebandState]] pattern for the simhash family) —
+    * ONE table, no companion: the banded rows carry the signature
+    * itself ((doc_id, simhash, b, chunk) — the 8-byte signature IS the
+    * verification payload), so the re-band action rebuilds from the
+    * retained banded rows' distinct (doc_id, simhash) and idempotence
+    * is a single anti-join.
+    */
+  private[graft] def initSimhashRebandState(spark: SparkSession,
+      name: String, baseSigs: DataFrame, bands: Int = 4,
+      buckets: Int = 8): Unit = {
+    Seq("_banded", "_meta").foreach { s =>
+      dropTableAndLocation(spark, s"$name$s")
+      dropTableAndLocation(spark, s"${name}__gen$s")
+    }
+    saveBandedGeneration(spark, name,
+      baseSigs.select(col("doc_id"), col("simhash")).localCheckpoint(),
+      bands, buckets)
+  }
+
+  /** One micro-batch's APPEND into the simhash-reband state: new
+    * signatures band UNDER THE META'S bands (the round-17 contract).
+    * `newSigs` need not be pre-deduped — the anti-join drops
+    * already-indexed ids.
+    */
+  private[graft] def appendSimhashRebandState(spark: SparkSession,
+      name: String, newSigs: DataFrame): Unit = {
+    val meta = spark.table(s"${name}_meta").head()
+    spark.catalog.refreshTable(s"${name}_banded")
+    appendBucketedTable(
+      simhashBanded(
+        newSigs.select(col("doc_id"), col("simhash"))
+          .join(spark.table(s"${name}_banded").select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti"),
+        meta.getAs[Int]("bands")),
+      s"${name}_banded", meta.getAs[Int]("buckets"), Seq("b", "chunk"))
+  }
+
+  /** The retained corpus's signatures, recovered from the banded rows
+    * (signatures are banding-independent — every generation carries
+    * them verbatim, so the loop needs no companion table).
+    */
+  private[graft] def retainedSimhashSigs(spark: SparkSession,
+      name: String): DataFrame = {
+    spark.catalog.refreshTable(s"${name}_banded")
+    spark.table(s"${name}_banded").select(col("doc_id"), col("simhash"))
+      .distinct()
+  }
+
+  /** The MONITOR half of the streaming simhash loop: the PERSISTED
+    * generation's d28 recall over an audit signature frame — the d32
+    * measure body factored onto persisted state (the
+    * [[minhashServingRecall]] rule: one definition for the stream and
+    * the batch lifecycle). The serving side restricts to the audit ids
+    * BEFORE pair generation (audit-priced, result-identical — only
+    * both-endpoint-in-audit pairs can survive the recall semi-join).
+    */
+  private[graft] def simhashServingRecall(spark: SparkSession,
+      name: String, auditSigs: DataFrame, radius: Int): DataFrame = {
+    val sigs = auditSigs.select(col("doc_id"), col("simhash"))
+      .localCheckpoint()
+    spark.catalog.refreshTable(s"${name}_banded")
+    val banded = spark.table(s"${name}_banded")
+      .join(sigs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    servingBandRecall(sigs, banded, radius)
+  }
+
+  /** The ACTION half: re-band the WHOLE retained corpus (recovered via
+    * [[retainedSimhashSigs]]) as a complete `__gen` generation and swap
+    * meta-last — the d32 action driven from persisted state so a
+    * streaming micro-batch can fire it.
+    */
+  private[graft] def rebandSimhashGenerationFromState(spark: SparkSession,
+      name: String, bands: Int): Unit = {
+    val meta = spark.table(s"${name}_meta").head()
+    saveBandedGeneration(spark, s"${name}__gen",
+      retainedSimhashSigs(spark, name).localCheckpoint(), bands,
+      meta.getAs[Int]("buckets"))
+    swapInBandedGeneration(spark, name)
+  }
+
   /** d28's recall measurement where the approx side is a PERSISTED
     * banded table (whatever banding it carries) instead of a freshly
     * banded signature frame — the serving-generation form the d32

@@ -787,6 +787,117 @@ object EventsStream {
     q.awaitTermination()
   }
 
+  /** [[runIngestRebandLoop]]'s SIMHASH-family member, completing the
+    * monitor→action matrix: every looped family (minhash reband,
+    * winnow retune, ANN re-bucket, simhash reband) now has batch fleet
+    * + batch tenant + STREAMING fleet + streaming tenant members. A
+    * stream of document shards maintains a persisted 4×16-bit simhash
+    * banded generation — ONE table, no companion (the banded rows
+    * carry the signature, so the re-band action rebuilds from retained
+    * rows' distinct (doc_id, simhash) and idempotence is one
+    * anti-join). Per micro-batch: signatures compute MAP-SIDE
+    * ([[graft.operators.Dedup.simhash64Of]]), band under the meta's
+    * bands, then the d28 recall monitor over the bounded audit set
+    * ([[graft.operators.Dedup.simhashServingRecall]] — serving rows
+    * audit-restricted BEFORE pair generation), and on a miss the
+    * re-band at the radius-exact 8×8-bit tier through the crash-tested
+    * meta-last swap (skipped once already 8-band). Entry recovery at
+    * stream start. StreamingSpec proves the final generation equals
+    * [[graft.operators.Dedup.simhashRebandLifecycle]] one-shot over
+    * (base ∪ shards) — the d18 shared-oracle pattern (d32/d62's
+    * oracles gate the lifecycle) — and replay is a state no-op. The
+    * sf0.001 trigger is NATURAL: the fleet corpus measures 0.9048 at 4
+    * bands / radius 5 (38 of 42 exact pairs caught), below the 0.95
+    * target.
+    */
+  def runIngestSimhashRebandLoop(spark: SparkSession, shardDir: String,
+      name: String, radius: Int = 5, target: Double = 0.95,
+      auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
+        col("doc_id")) < 64 || col("doc_id") < 0,
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.recoverBandedGenerationSwap(spark, name)
+    val src = spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        simhashRebandBatchStep(spark, name,
+          graft.operators.Dedup.simhash64Of(batch), radius, target,
+          auditFilter, auditCap)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(s"${name}_banded")
+    spark.table(s"${name}_banded")
+  }
+
+  /** [[runIngestSimhashRebandLoop]]'s TENANT-SCOPED member — d62's
+    * table-pair layout driven from ingest: micro-batches fan to their
+    * tenants' (banded, meta) pairs (pmod tenancy, restricted to the
+    * batch's touched-tenant set first), each touched tenant runs the
+    * shared batch step independently — the tripped tenant re-bands to
+    * the radius-exact 8×8 tier alone, every other tenant's generation
+    * (and its meta's bands) never moves. Entry recovery per tenant at
+    * stream start; caller initializes each tenant's state over its
+    * base signature slice via [[graft.operators.Dedup
+    * .initSimhashRebandState]].
+    */
+  def runTenantIngestSimhashRebandLoop(spark: SparkSession,
+      shardDir: String, namePrefix: String, nTenants: Int = 2,
+      radius: Int = 5, target: Double = 0.95,
+      auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
+        col("doc_id")) < 64 || col("doc_id") < 0,
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): Unit = {
+    import graft.operators.Dedup
+    (0 until nTenants).foreach(tn =>
+      Dedup.recoverBandedGenerationSwap(spark, s"${namePrefix}_t$tn"))
+    val src = spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = graft.operators.Dedup.simhash64Of(batch).localCheckpoint()
+        for (tn <- touchedTenants(b, nTenants))
+          simhashRebandBatchStep(spark, s"${namePrefix}_t$tn",
+            b.filter(pmod(col("doc_id"), lit(nTenants)) === tn),
+            radius, target, auditFilter, auditCap)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch's monitor→action step for a simhash reband state
+    * (ONE definition — fleet and tenant loops).
+    */
+  private def simhashRebandBatchStep(spark: SparkSession, name: String,
+      slice: DataFrame, radius: Int, target: Double, auditFilter: Column,
+      auditCap: Int): Unit = {
+    import graft.operators.Dedup
+    spark.catalog.refreshTable(s"${name}_banded")
+    val fresh = slice
+      .join(spark.table(s"${name}_banded").select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (!fresh.isEmpty) {
+      Dedup.appendSimhashRebandState(spark, name, fresh)
+      val audit = boundedAudit(
+        Dedup.retainedSimhashSigs(spark, name).filter(auditFilter),
+        auditCap)
+      val row = Dedup.simhashServingRecall(spark, name, audit, radius)
+        .head()
+      // skip the action once the generation already serves the
+      // radius-exact 8-band tier (the reband loop's guard)
+      val bands = spark.table(s"${name}_meta").head().getAs[Int]("bands")
+      if (row.getAs[Double]("recall") < target && bands != 8)
+        Dedup.rebandSimhashGenerationFromState(spark, name, bands = 8)
+    }
+  }
+
   /** [[runIngestRebandLoop]]'s ANN-family member — the s23 re-bucket
     * loop driven from ingest (completing the batch + streaming + tenant
     * symmetry for the vector store's repair action): a stream of

@@ -1284,6 +1284,109 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming simhash reband loop: ingest trips the d28 monitor, final generation == batch lifecycle's; replay is a no-op") {
+    import graft.operators.Dedup
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .localCheckpoint()
+    val allSigs = Dedup.simhash64Of(docs).localCheckpoint()
+    // base = ids < 400; the holdout's ARRIVAL trips the monitor
+    // NATURALLY: the full fleet at 4 bands / radius 5 measures 0.9048
+    // (38/42) at sf0.001 — below the 0.95 target, no planted probes
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_shrb").toString
+    docs.filter(col("doc_id") >= 400)
+      .coalesce(1).write.mode("append").parquet(shardDir)
+    def dropAll(n: String): Unit =
+      Seq("_banded", "_meta").foreach { s =>
+        Dedup.dropTableAndLocation(spark, s"$n$s")
+        Dedup.dropTableAndLocation(spark, s"${n}__gen$s")
+      }
+    Seq("shrb_stream", "shrb_ref").foreach(dropAll)
+    try {
+      Dedup.initSimhashRebandState(spark, "shrb_stream",
+        allSigs.filter(col("doc_id") < 400))
+      assert(spark.table("shrb_stream_meta").head().getAs[Int]("bands") == 4)
+      EventsStream.runIngestSimhashRebandLoop(spark, shardDir,
+        "shrb_stream", auditFilter = lit(true))
+      // the batch reference: the d32 lifecycle one-shot over all sigs
+      Dedup.simhashRebandLifecycle(spark, "shrb_ref", allSigs,
+        radius = 5, target = 0.95)
+      def banded(t: String) = spark.table(t)
+        .select("doc_id", "simhash", "b", "chunk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      def metaBands(t: String) = spark.table(t).head().getAs[Int]("bands")
+      assert(metaBands("shrb_stream_meta") == 8) // the monitor tripped
+      assert(metaBands("shrb_ref_meta") == 8)
+      val afterFirst = banded("shrb_stream_banded")
+      assert(afterFirst == banded("shrb_ref_banded"))
+      assert(afterFirst.nonEmpty)
+      // replay: re-delivered shard anti-joins to empty — a state no-op
+      EventsStream.runIngestSimhashRebandLoop(spark, shardDir,
+        "shrb_stream", auditFilter = lit(true))
+      assert(banded("shrb_stream_banded") == afterFirst)
+      assert(metaBands("shrb_stream_meta") == 8)
+    } finally {
+      Seq("shrb_stream", "shrb_ref").foreach(dropAll)
+    }
+  }
+
+  test("tenant streaming simhash reband loop: only the shard's tenant trips (the d62 natural skew) and rebands; the other tenant never moves") {
+    import graft.operators.Dedup
+    val dir = sf("sf0.001")
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .localCheckpoint()
+    val allSigs = Dedup.simhash64Of(docs).localCheckpoint()
+    def tenantSigs(tn: Int) =
+      allSigs.filter(pmod(col("doc_id"), lit(2)) === tn)
+    // the shard carries ONLY tenant 1's holdout docs; tenant 1's slice
+    // trips NATURALLY (d62's localization: 0.8182 at sf0.001) while
+    // tenant 0 measures 1.0 at radius 5
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_tshrb").toString
+    docs.filter(pmod(col("doc_id"), lit(2)) === 1 && col("doc_id") >= 400)
+      .coalesce(1).write.mode("append").parquet(shardDir)
+    def dropAll(n: String): Unit =
+      Seq("_banded", "_meta").foreach { s =>
+        Dedup.dropTableAndLocation(spark, s"$n$s")
+        Dedup.dropTableAndLocation(spark, s"${n}__gen$s")
+      }
+    Seq("tshrb_t0", "tshrb_t1", "tshrb_ref1").foreach(dropAll)
+    try {
+      Dedup.initSimhashRebandState(spark, "tshrb_t0", tenantSigs(0))
+      Dedup.initSimhashRebandState(spark, "tshrb_t1",
+        tenantSigs(1).filter(col("doc_id") < 400))
+      def banded(t: String) = spark.table(t)
+        .select("doc_id", "simhash", "b", "chunk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      def metaBands(t: String) = spark.table(t).head().getAs[Int]("bands")
+      val t0Init = banded("tshrb_t0_banded")
+      EventsStream.runTenantIngestSimhashRebandLoop(spark, shardDir,
+        "tshrb", auditFilter = lit(true))
+      // tenant 1 tripped naturally and rebanded to the radius-exact
+      // 8x8 tier, equal to its own per-tenant batch lifecycle
+      Dedup.simhashRebandLifecycle(spark, "tshrb_ref1", tenantSigs(1),
+        radius = 5, target = 0.95)
+      assert(metaBands("tshrb_t1_meta") == 8)
+      assert(banded("tshrb_t1_banded") == banded("tshrb_ref1_banded"))
+      assert(banded("tshrb_t1_banded").nonEmpty)
+      // tenant 0's generation NEVER moved: same banding, same rows
+      assert(metaBands("tshrb_t0_meta") == 4)
+      assert(banded("tshrb_t0_banded") == t0Init)
+      // replay: a re-delivered shard is a state no-op for BOTH tenants
+      val t1After = banded("tshrb_t1_banded")
+      EventsStream.runTenantIngestSimhashRebandLoop(spark, shardDir,
+        "tshrb", auditFilter = lit(true))
+      assert(banded("tshrb_t1_banded") == t1After)
+      assert(banded("tshrb_t0_banded") == t0Init)
+      assert(metaBands("tshrb_t1_meta") == 8)
+    } finally {
+      Seq("tshrb_t0", "tshrb_t1", "tshrb_ref1").foreach(dropAll)
+    }
+  }
+
   test("streaming ANN rebucket loop: ingest trips the recall monitor, final generation == batch lifecycle's; replay is a no-op") {
     import graft.operators.{Dedup, Similarity}
     val dir = sf("sf0.001")
