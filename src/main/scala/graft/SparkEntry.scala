@@ -546,6 +546,12 @@ object SparkEntry {
     "d62b_tenant_simhash_reband_t8" ->
       ((s, d) => Dedup.tenantSimhashRebandGate(s, d, maxHamming = 6,
         nTenants = 8)),
+    // ACTING on d59 per tenant — the last census-without-action
+    // asymmetry closed: the d57/d62 table-pair loop for the SRP-banded
+    // family; natural trigger at sf0.01 (tenant 1 at 0.7143 vs target
+    // 0.8 rebands 4->8 and clears to 0.9524; tenant 0 pins at 0.8889)
+    "d64_tenant_srp_reband" ->
+      ((s, d) => Dedup.tenantSrpRebandGate(s, d)),
     // the d24 pattern stamped onto the remaining approximate dedup tiers
     // (round-11 verdict ask #3): simhash banding past its pigeonhole
     // radius (exact side = finer 8-bit bands, still sub-quadratic), the
@@ -2244,6 +2250,63 @@ object SparkEntry {
        |${rebandPhasesSql(0.9)}""".stripMargin
   }
 
+  /** The d64 oracle: the d41 replay PER TENANT (the
+    * tenantSimhashRebandSql layout for the SRP-banded family) — each
+    * tenant's audit universe is its md5-sliced vector slice, exact
+    * side in-slice all-pairs cosine within the tenant, both bandings'
+    * catches (4 and 8 of the shared 8×2 plane family), and the
+    * two-phase conditional swap per tenant. The trigger CASE
+    * recomputes per tenant, so which tenants trip is derived from the
+    * corpus at any SF (sf0.01: tenant 1 alone at target 0.8; sf0.001:
+    * neither).
+    */
+  private def tenantSrpRebandSql(nTenants: Int = 2,
+      target: Double = 0.8): String = {
+    val bandCoeff = hexv("substr(md5('plane:' || (2 * b + j) || ':' || i), 1, 1)")
+    def chain(tn: Int) =
+      s"""e$tn AS (SELECT vec_id, v, n FROM eb WHERE vec_id % $nTenants = $tn),
+         |bk$tn AS (SELECT vec_id,
+         |  [list_sum([CASE WHEN list_sum([v[i+1] * ($bandCoeff - 7.5) for i in range(0, 64)]) > 0
+         |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) for b in range(0, 8)] AS bk FROM e$tn),
+         |ex$tn AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM e$tn a JOIN e$tn b
+         |  ON a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) >= 0.3),
+         |ap4$tn AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM e$tn x JOIN e$tn y
+         |  ON x.vec_id < y.vec_id
+         |  JOIN bk$tn bx ON bx.vec_id = x.vec_id JOIN bk$tn yb ON yb.vec_id = y.vec_id
+         |  WHERE len([b for b in range(1, 5) if bx.bk[b] = yb.bk[b]]) > 0
+         |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.3),
+         |ap8$tn AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM e$tn x JOIN e$tn y
+         |  ON x.vec_id < y.vec_id
+         |  JOIN bk$tn bx ON bx.vec_id = x.vec_id JOIN bk$tn yb ON yb.vec_id = y.vec_id
+         |  WHERE len([b for b in range(1, 9) if bx.bk[b] = yb.bk[b]]) > 0
+         |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.3),
+         |r$tn AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN ap4$tn USING (id_a, id_b)) AS n4,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN ap8$tn USING (id_a, id_b)) AS n8),
+         |rr$tn AS (SELECT n_exact, n4, n8,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(n4 AS DOUBLE) / n_exact, 4) END AS r4,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(n8 AS DOUBLE) / n_exact, 4) END AS r8 FROM r$tn),
+         |ph$tn AS (
+         |  SELECT CAST($tn AS BIGINT) AS tenant, CAST(0 AS BIGINT) AS phase, CAST(4 AS BIGINT) AS bands,
+         |    n_exact, n4 AS n_caught, r4 AS recall, r4 < $target AS triggered FROM rr$tn
+         |  UNION ALL
+         |  SELECT CAST($tn AS BIGINT), CAST(1 AS BIGINT), CAST(CASE WHEN r4 < $target THEN 8 ELSE 4 END AS BIGINT),
+         |    n_exact, CASE WHEN r4 < $target THEN n8 ELSE n4 END,
+         |    CASE WHEN r4 < $target THEN r8 ELSE r4 END,
+         |    (CASE WHEN r4 < $target THEN r8 ELSE r4 END) < $target FROM rr$tn)""".stripMargin
+    val chains = (0 until nTenants).map(chain).mkString(",\n")
+    val union = (0 until nTenants).map(tn => s"SELECT * FROM ph$tn")
+      .mkString(" UNION ALL ")
+    s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings
+       |  WHERE $vecBucketSql < 64),
+       |$chains
+       |SELECT * FROM ($union)
+       |ORDER BY tenant, phase""".stripMargin
+  }
+
   /** The d42 oracle: d30b's within-cluster measurement (frozen k-means
     * CTEs on the FULL table — slicing must not move centroids) replayed
     * for both bandings at the gate's audit threshold, then the two-phase
@@ -2715,6 +2778,9 @@ object SparkEntry {
     // derived from the corpus, never hard-coded)
     "d56c_tenant_recall_census_t8" -> tenantRecallCensusSql(8, 64),
     "d62b_tenant_simhash_reband_t8" -> tenantSimhashRebandSql(8, 6),
+    // ACTING on d59 per tenant: the d41 replay per tenant over the
+    // md5-sliced vector slices, per-tenant conditional swap
+    "d64_tenant_srp_reband" -> tenantSrpRebandSql(),
     // ACTING on d60 per tenant: the d57 table-pair replay for the
     // winnowing dial — both generations (winnow 4 and 2) recomputed per
     // tenant over its slice ∪ its planted probes, two-phase conditional

@@ -6290,6 +6290,57 @@ object Dedup {
       }
     }.asInstanceOf[DataFrame]
 
+  /** D64 — ACTING on the d59 signal, tenant-scoped: the d57/d62
+    * table-pair layout for the SRP-banded embedding family, closing
+    * the last census-without-action asymmetry (d59 measured per-tenant
+    * SRP recall since round 18; the action stayed fleet-only in d41).
+    * Each tenant's banded SRP generation is its own table pair; the
+    * loop is [[srpRebandLifecycle]] per tenant over the tenant's
+    * vector slice with the md5-slice audit bound: measure the
+    * persisted 4-band generation's in-slice recall at cos ≥
+    * `threshold`, re-band ONLY the tripped tenant at 8 bands
+    * (OR amplification is monotone — the 8-band candidate set contains
+    * the 4-band one, so the re-measure can only rise) through the
+    * crash-tested meta-last swap; the healthy tenant's generation
+    * never moves. The trigger is NATURAL (the d62/s23 discipline — no
+    * planted probes): at sf0.01 / target 0.8, tenant 1's slice recall
+    * reads 0.7143 (trips, clears to 0.9524 at 8 bands) while tenant
+    * 0's reads 0.8889 and pins at 4 bands; at sf0.001 neither trips —
+    * the oracle recomputes both bandings' recalls and the per-tenant
+    * conditional CASE, so which tenants trip is derived at any SF.
+    * Emits two rows per tenant: (tenant, phase, bands, n_exact,
+    * n_caught, recall, triggered).
+    */
+  def tenantSrpRebandGate(spark: SparkSession, dir: String,
+      threshold: Double = 0.3, target: Double = 0.8,
+      sampleBuckets: Int = 64, nTenants: Int = 2): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantSrpReband", dir, threshold, target, sampleBuckets,
+          nTenants)) {
+      graft.Scratch.scoped(spark) {
+      (0 until nTenants).map { tn =>
+        val e = Similarity.preparedEmbeddings(spark, dir)
+          .filter(pmod(col("vec_id"), lit(nTenants.toLong)) === tn)
+          .withColumn("label", lit(0))
+        // every cache-key parameter in the table name (the d22 rule)
+        val name = f"srp_trb_${tn}_n${nTenants}_c${(threshold * 100).round}_t${(target * 100).round}_s${sampleBuckets}_${dir.hashCode & 0xffffffffL}%x"
+        // fresh state every session: the gate measures one full lifecycle
+        Seq("_banded", "_meta").foreach { sfx =>
+          dropTableAndLocation(spark, s"$name$sfx")
+          dropTableAndLocation(spark, s"${name}__gen$sfx")
+        }
+        srpRebandLifecycle(spark, name, e,
+          df => df.filter(
+            TextAnalysis.splitBucket(col("vec_id")) < sampleBuckets),
+          threshold, target)
+          .withColumn("tenant", lit(tn.toLong))
+          .select(col("tenant"), col("phase"), col("bands"),
+            col("n_exact"), col("n_caught"), col("recall"),
+            col("triggered"))
+      }.reduce(_ unionByName _).orderBy("tenant", "phase")
+      }
+    }.asInstanceOf[DataFrame]
+
   /** D42 — the same loop for d21c's within-cluster banded candidate
     * stage under the FROZEN k-means model (d30b's measurement finally
     * driving an action): membership comes from [[Similarity.assignExpr]]
