@@ -552,6 +552,12 @@ object SparkEntry {
     // 0.8 rebands 4->8 and clears to 0.9524; tenant 0 pins at 0.8889)
     "d64_tenant_srp_reband" ->
       ((s, d) => Dedup.tenantSrpRebandGate(s, d)),
+    // ACTING on d63 per tenant — every tenant census now pairs with a
+    // tenant action: the d64 loop under the FROZEN fleet k-means
+    // labels; natural trigger at sf0.01 (tenant 1 at 0.6923 vs target
+    // 0.72 rebands 4->8, clears to 0.9231; tenant 0 pins at 0.75)
+    "d65_tenant_semdedup_reband" ->
+      ((s, d) => Dedup.tenantSemDedupRebandGate(s, d)),
     // the d24 pattern stamped onto the remaining approximate dedup tiers
     // (round-11 verdict ask #3): simhash banding past its pigeonhole
     // radius (exact side = finer 8-bit bands, still sub-quadratic), the
@@ -2341,6 +2347,62 @@ object SparkEntry {
        |${rebandPhasesSql(0.9)}""".stripMargin
   }
 
+  /** The d65 oracle: the d42 replay PER TENANT — the k-means CTEs stay
+    * on the FULL embedding table (frozen fleet model — the d63 rule),
+    * each tenant's audit universe is its md5-sliced membership slice,
+    * exact side in-slice within-cluster all-pairs cosine, both
+    * bandings' catches off one shared `bks`, and the two-phase
+    * conditional swap per tenant (which tenants trip is derived).
+    */
+  private def tenantSemDedupRebandSql(nTenants: Int = 2,
+      target: Double = 0.72): String = {
+    val bandCoeff = hexv("substr(md5('plane:' || (2 * b + j) || ':' || i), 1, 1)")
+    def chain(tn: Int) =
+      s"""mb$tn AS (SELECT * FROM memb WHERE vec_id % $nTenants = $tn),
+         |ex$tn AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM mb$tn x JOIN mb$tn y
+         |  ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |  WHERE round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.3),
+         |ap4$tn AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM mb$tn x JOIN mb$tn y
+         |  ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |  JOIN bks bx ON bx.vec_id = x.vec_id JOIN bks yb ON yb.vec_id = y.vec_id
+         |  WHERE len([b for b in range(1, 5) if bx.bk[b] = yb.bk[b]]) > 0
+         |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.3),
+         |ap8$tn AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b FROM mb$tn x JOIN mb$tn y
+         |  ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |  JOIN bks bx ON bx.vec_id = x.vec_id JOIN bks yb ON yb.vec_id = y.vec_id
+         |  WHERE len([b for b in range(1, 9) if bx.bk[b] = yb.bk[b]]) > 0
+         |    AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 4) >= 0.3),
+         |r$tn AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN ap4$tn USING (id_a, id_b)) AS n4,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex$tn SEMI JOIN ap8$tn USING (id_a, id_b)) AS n8),
+         |rr$tn AS (SELECT n_exact, n4, n8,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(n4 AS DOUBLE) / n_exact, 4) END AS r4,
+         |  CASE WHEN n_exact = 0 THEN CAST(1.0 AS DOUBLE) ELSE round(CAST(n8 AS DOUBLE) / n_exact, 4) END AS r8 FROM r$tn),
+         |ph$tn AS (
+         |  SELECT CAST($tn AS BIGINT) AS tenant, CAST(0 AS BIGINT) AS phase, CAST(4 AS BIGINT) AS bands,
+         |    n_exact, n4 AS n_caught, r4 AS recall, r4 < $target AS triggered FROM rr$tn
+         |  UNION ALL
+         |  SELECT CAST($tn AS BIGINT), CAST(1 AS BIGINT), CAST(CASE WHEN r4 < $target THEN 8 ELSE 4 END AS BIGINT),
+         |    n_exact, CASE WHEN r4 < $target THEN n8 ELSE n4 END,
+         |    CASE WHEN r4 < $target THEN r8 ELSE r4 END,
+         |    (CASE WHEN r4 < $target THEN r8 ELSE r4 END) < $target FROM rr$tn)""".stripMargin
+    val chains = (0 until nTenants).map(chain).mkString(",\n")
+    val union = (0 until nTenants).map(tn => s"SELECT * FROM ph$tn")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+       |${kmeansCtes()},
+       |memb AS (SELECT en.vec_id, en.v, en.n, a3.cl FROM en JOIN a3 USING (vec_id)
+       |  WHERE $vecBucketSql < 64),
+       |bks AS (SELECT vec_id,
+       |  [list_sum([CASE WHEN list_sum([v[i+1] * ($bandCoeff - 7.5) for i in range(0, 64)]) > 0
+       |    THEN 1 << j ELSE 0 END for j in range(0, 2)]) for b in range(0, 8)] AS bk FROM e),
+       |$chains
+       |SELECT * FROM ($union)
+       |ORDER BY tenant, phase""".stripMargin
+  }
+
   /** Marker lexicons — the SQL rendering of TextAnalysis.lexicons, shared
     * by the t2 and t8 oracles.
     */
@@ -2781,6 +2843,9 @@ object SparkEntry {
     // ACTING on d59 per tenant: the d41 replay per tenant over the
     // md5-sliced vector slices, per-tenant conditional swap
     "d64_tenant_srp_reband" -> tenantSrpRebandSql(),
+    // ACTING on d63 per tenant: the d42 replay per tenant (frozen
+    // fleet k-means CTEs, per-tenant membership slices)
+    "d65_tenant_semdedup_reband" -> tenantSemDedupRebandSql(),
     // ACTING on d60 per tenant: the d57 table-pair replay for the
     // winnowing dial — both generations (winnow 4 and 2) recomputed per
     // tenant over its slice ∪ its planted probes, two-phase conditional

@@ -6376,6 +6376,55 @@ object Dedup {
       }
     }.asInstanceOf[DataFrame]
 
+  /** D65 — ACTING on the d63 signal, tenant-scoped: the d64 loop for
+    * the SemDeDup within-cluster banded family, completing the
+    * census→action pairing for EVERY tenant census (d56→d57, d58→d62,
+    * d59→d64, d60→d61, d63→here, s21→s22/s23). The k-means model stays
+    * FLEET-trained (the model is corpus state — the d42/d63 rule;
+    * per-tenant labels come from [[Similarity.assignExpr]] as a pure
+    * per-row function), each tenant's within-cluster banded generation
+    * is its own table pair, and the loop is [[srpRebandLifecycle]] per
+    * tenant (label = the frozen assignment instead of lit(0)) over the
+    * tenant's md5-sliced audit: a tripped tenant re-bands 4 → 8
+    * through the crash-tested meta-last swap, the healthy tenant never
+    * moves. NATURAL trigger at sf0.01 / target 0.72: tenant 1 trips at
+    * 0.6923 and clears to 0.9231, tenant 0 pins at 0.75; at sf0.001
+    * neither trips (0.8333 / 1.0) — the oracle recomputes both
+    * bandings' in-slice within-cluster recalls and the per-tenant
+    * conditional CASE, so which tenants trip is derived at any SF.
+    */
+  def tenantSemDedupRebandGate(spark: SparkSession, dir: String,
+      threshold: Double = 0.3, target: Double = 0.72,
+      sampleBuckets: Int = 64, nTenants: Int = 2): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("tenantSemDedupReband", dir, threshold, target, sampleBuckets,
+          nTenants)) {
+      graft.Scratch.scoped(spark) {
+      val model = Similarity.kmeansModel(spark, dir)
+      (0 until nTenants).map { tn =>
+        val e = Similarity.preparedEmbeddings(spark, dir)
+          .filter(pmod(col("vec_id"), lit(nTenants.toLong)) === tn)
+          .select(col("vec_id"), col("v"), col("n"))
+          .withColumn("label", Similarity.assignExpr(model))
+        // every cache-key parameter in the table name (the d22 rule)
+        val name = f"sdd_trb_${tn}_n${nTenants}_c${(threshold * 100).round}_t${(target * 100).round}_s${sampleBuckets}_${dir.hashCode & 0xffffffffL}%x"
+        // fresh state every session: the gate measures one full lifecycle
+        Seq("_banded", "_meta").foreach { sfx =>
+          dropTableAndLocation(spark, s"$name$sfx")
+          dropTableAndLocation(spark, s"${name}__gen$sfx")
+        }
+        srpRebandLifecycle(spark, name, e,
+          df => df.filter(
+            TextAnalysis.splitBucket(col("vec_id")) < sampleBuckets),
+          threshold, target)
+          .withColumn("tenant", lit(tn.toLong))
+          .select(col("tenant"), col("phase"), col("bands"),
+            col("n_exact"), col("n_caught"), col("recall"),
+            col("triggered"))
+      }.reduce(_ unionByName _).orderBy("tenant", "phase")
+      }
+    }.asInstanceOf[DataFrame]
+
   /** Bounded near-dup tier: block by (label, band, band-bucket) with
     * OR-amplified sign-random-projection LSH — the banded analogue of the
     * minhash-LSH pipeline (`minhashLshPairs`). `bands` disjoint slices of
