@@ -28,14 +28,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Scratch {
   /** Maximum rows a scoped gate result may carry — a tripwire, not a
-    * tuning knob: gates hand back audit/census/trigger rows (1–100);
-    * if a corpus-sized frame ever lands here the collect would be the
-    * bug, so fail loud instead of materializing it on the driver.
+    * tuning knob: every scoped call site (the ~25 recall audits,
+    * censuses, reband/retune lifecycles, and the routed-top-k gates)
+    * hands back monitor rows — 1 to ~50 today (phases × tenants, or
+    * tenants × probes × k), T=8 censuses at 8–16. 10k gives two-plus
+    * orders of magnitude of growth headroom (more tenants, more
+    * probes) while a corpus-sized frame (5k docs already at sf0.1,
+    * growing with SF) fails LOUD at the smallest real scale before
+    * materializing on the driver. (Round-20 right-sizing: the old
+    * 100k ceiling sat ABOVE small-SF corpus sizes, so a leaked
+    * corpus frame would have slipped through exactly where the tests
+    * run.)
     */
-  private val MaxScopedRows = 100000
+  private val MaxScopedRows = 10000
+
+  /** The one active scope per SparkContext (owner thread). Scopes may
+    * NEST on one thread (an outer gate's cache-entry body running its
+    * own inner scope — the sweep diffs compose: the inner scope's
+    * `before` set contains every outer checkpoint, so it never sweeps
+    * them), but two scopes on DIFFERENT threads would each diff the
+    * GLOBAL getPersistentRDDs set and sweep the other's live
+    * truncated-lineage checkpoints — a "checkpoint block not found"
+    * failure, not a slowdown. All call sites are sequential today;
+    * this guard makes a future parallel caller fail loudly at scope
+    * entry instead of corrupting another scope's blocks (ADVICE r19).
+    */
+  private val activeScope =
+    scala.collection.concurrent.TrieMap.empty[
+      org.apache.spark.SparkContext, Thread]
 
   def scoped(spark: SparkSession)(body: => DataFrame): DataFrame = {
     val sc = spark.sparkContext
+    val me = Thread.currentThread()
+    val owner = activeScope.putIfAbsent(sc, me)
+    val nested = owner.exists(_ eq me)
+    require(owner.isEmpty || nested,
+      "Scratch.scoped: a scope is already active on this SparkContext " +
+        s"from thread '${owner.get.getName}' — concurrent scopes would " +
+        "sweep each other's live localCheckpoint blocks")
+    try scopedBody(spark, sc, body)
+    finally if (!nested) { activeScope.remove(sc); () }
+  }
+
+  private def scopedBody(spark: SparkSession,
+      sc: org.apache.spark.SparkContext,
+      body: => DataFrame): DataFrame = {
+    // entry-time ledger prune: shared-cache ids whose RDDs have been
+    // unpersisted are dead forever (RDD ids are monotonic), so dropping
+    // them bounds the ledger over a long session (ADVICE r19 #3)
+    SessionCache.pruneLedger(spark)
     val before = sc.getPersistentRDDs.keySet
     val out = body
     val rows = out.collect()

@@ -56,6 +56,21 @@ object SessionCache {
   private[graft] def isShared(spark: SparkSession, id: Int): Boolean =
     sharedIds.contains((spark, id))
 
+  /** Drop ledger entries whose RDDs are no longer persistent: an
+    * unpersisted id never returns (RDD ids are allocated monotonically
+    * per context), so a dead entry can only overshoot — it permanently
+    * exempts a future *different* leak from sweeping if the ledger is
+    * consulted by id alone. Pruning at every [[Scratch.scoped]] entry
+    * bounds the ledger at the LIVE persistent-RDD count for the life
+    * of the session (the ADVICE-r19 unbounded-growth fix).
+    */
+  private[graft] def pruneLedger(spark: SparkSession): Unit = {
+    val live = spark.sparkContext.getPersistentRDDs.keySet
+    sharedIds.filterInPlace { case ((s, id), _) =>
+      (s ne spark) || live.contains(id) }
+    ()
+  }
+
   def get[V](spark: SparkSession, key: Any): Option[V] =
     store.get((spark, key)).map(_.asInstanceOf[V])
 

@@ -546,6 +546,13 @@ object SparkEntry {
     "d62b_tenant_simhash_reband_t8" ->
       ((s, d) => Dedup.tenantSimhashRebandGate(s, d, maxHamming = 6,
         nTenants = 8)),
+    // the ANN repair action at T=8 (round-19 verdict ask #3 — the
+    // strongest test of the batched tenant engine: three tables per
+    // tenant, 24 writes + a grouped measure where the sequential loop
+    // ran 8 full lifecycles); natural per-tenant triggers, derived by
+    // the oracle's per-tenant conditional CASE at any SF
+    "s23b_tenant_ann_rebucket_t8" ->
+      ((s, d) => Similarity.tenantAnnRebucketGate(s, d, nTenants = 8)),
     // ACTING on d59 per tenant — the last census-without-action
     // asymmetry closed: the d57/d62 table-pair loop for the SRP-banded
     // family; natural trigger at sf0.01 (tenant 1 at 0.7143 vs target
@@ -3620,6 +3627,9 @@ object SparkEntry {
     // recomputed per tenant, the trigger CASE applied per tenant (which
     // tenants trip is derived from the corpus, never hard-coded)
     "s23_tenant_ann_rebucket" -> tenantAnnRebucketSql(),
+    // the ANN repair action replay at T=8 — same per-tenant CTEs, the
+    // trigger CASE derives which of the eight tenants trip at any SF
+    "s23b_tenant_ann_rebucket_t8" -> tenantAnnRebucketSql(8),
     "s12_ann_filtered" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5)

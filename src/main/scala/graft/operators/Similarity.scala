@@ -835,22 +835,34 @@ object Similarity {
     */
   def annRecallLsh(spark: SparkSession, dir: String,
       nProbes: Int = 5, k: Int = 5): DataFrame =
-    annRecallOf(spark, dir, lshTopK(spark, dir, nProbes, k), nProbes, k)
+    annRecallOf(spark, dir, lshTopK(spark, dir, nProbes, k), nProbes, k,
+      tier = "lsh")
 
   /** The s14 measurement against an arbitrary approximate tier: per
     * probe, |approx-top-k ∩ exact-top-k| / k, empty intersections as 0
     * rows (silence must not look like health). Shared by every ANN
-    * recall monitor — one definition, N audited tiers.
+    * recall monitor — one definition, N audited tiers. `tier` names the
+    * audited tier in the session-cache key (the tier frame itself
+    * can't key a cache).
     */
   private def annRecallOf(spark: SparkSession, dir: String,
-      approxTier: DataFrame, nProbes: Int, k: Int): DataFrame =
-    // scoped-collect keeps the measurement HONEST: a bare count() over
-    // the probe-spine left join lets Catalyst prune the whole recall
-    // computation (the r19 census finding), so the monitor's cost
-    // would otherwise never be paid by a count-gated bench pass
-    graft.Scratch.scoped(spark) {
-      annRecallOfUnscoped(spark, dir, approxTier, nProbes, k)
-    }
+      approxTier: DataFrame, nProbes: Int, k: Int,
+      tier: String): DataFrame =
+    // session-cached like the censuses, and on the same reasoning
+    // (r19 verdict "what's wrong" #2): the COLD pass pays the honest
+    // audit price through the scoped collect below; steady passes
+    // serve the collected monitor rows — the cadence a deployment
+    // actually runs a recall monitor at. Scoped-collect keeps the
+    // measurement HONEST: a bare count() over the probe-spine left
+    // join lets Catalyst prune the whole recall computation (the r19
+    // census finding), so the monitor's cost would otherwise never be
+    // paid by a count-gated bench pass.
+    graft.SessionCache.getOrElseUpdate(spark,
+        ("annRecall", tier, dir, nProbes, k)) {
+      graft.Scratch.scoped(spark) {
+        annRecallOfUnscoped(spark, dir, approxTier, nProbes, k)
+      }
+    }.asInstanceOf[DataFrame]
 
   private def annRecallOfUnscoped(spark: SparkSession, dir: String,
       approxTier: DataFrame, nProbes: Int, k: Int): DataFrame = {
@@ -889,6 +901,17 @@ object Similarity {
   def tenantAnnRecallCensus(spark: SparkSession, dir: String,
       nTenants: Int = 2, nProbes: Int = 5, k: Int = 5,
       nPlanes: Int = 8): DataFrame = graft.Scratch.scoped(spark) {
+    tenantAnnRecallCensusUnscoped(spark, dir, nTenants, nProbes, k, nPlanes)
+  }
+
+  /** The s21 plan BEFORE the scope collapse — PlanSpec reads THIS (the
+    * CLAUDE.md rule: a scoped gate's executed plan is a LocalTableScan,
+    * so negative plan assertions against the public entry pass
+    * vacuously — the ADVICE-19 s21 finding).
+    */
+  private[graft] def tenantAnnRecallCensusUnscoped(spark: SparkSession,
+      dir: String, nTenants: Int = 2, nProbes: Int = 5, k: Int = 5,
+      nPlanes: Int = 8): DataFrame = {
     val (exact, approx) = tenantAnnTiers(spark, dir, nTenants, nProbes, k,
       nPlanes)
     // the ONE tenant-spine rollup every census shares (the d24
@@ -1022,26 +1045,137 @@ object Similarity {
         ("tenantAnnRebucket", dir, nTenants, nProbes, k, planes0, planes1,
           target)) {
       graft.Scratch.scoped(spark) {
-      (0 until nTenants).map { tn =>
-        val vecs = preparedEmbeddings(spark, dir)
-          .filter(pmod(col("vec_id"), lit(nTenants.toLong)) === tn)
-          .select(col("vec_id"), col("v"), col("n"))
-          .localCheckpoint()
-        // every cache-key parameter in the table name (the d22 rule)
-        val name = f"ann_rbk_${tn}_n${nTenants}_p${planes0}_q${planes1}_t${(target * 100).round}_${dir.hashCode & 0xffffffffL}%x"
-        // fresh state every session: the gate measures one full lifecycle
-        Seq("_banded", "_meta").foreach { sfx =>
+      // every cache-key parameter in the table name (the d22 rule)
+      val names = (0 until nTenants).map(tn =>
+        f"ann_rbk_${tn}_n${nTenants}_p${planes0}_q${planes1}_t${(target * 100).round}_${dir.hashCode & 0xffffffffL}%x")
+      // fresh state every session: the gate measures one full lifecycle
+      Dedup.parForeachTenant(names) { name =>
+        Seq("_banded", "_meta", "_vecs").foreach { sfx =>
           Dedup.dropTableAndLocation(spark, s"$name$sfx")
           Dedup.dropTableAndLocation(spark, s"${name}__gen$sfx")
         }
-        annRebucketLifecycle(spark, name, vecs, nProbes, k, planes0,
-          planes1, target)
-          .withColumn("tenant", lit(tn.toLong))
-          .select(col("tenant"), col("phase"), col("planes"),
-            col("n_exact"), col("n_hits"), col("recall"), col("triggered"))
-      }.reduce(_ unionByName _).orderBy("tenant", "phase")
+      }
+      // batched, not per-tenant-sequential (the round-19 weak): one
+      // grouped measure pass per phase, one shared bucketing pass per
+      // generation, the per-tenant table triples (_banded/_meta/_vecs)
+      // and crash-tested meta-last swaps unchanged
+      batchedTenantAnnRebucket(spark, names,
+        preparedEmbeddings(spark, dir).select(col("vec_id"), col("v"),
+          col("n")),
+        nTenants, nProbes, k, planes0, planes1, target)
       }
     }.asInstanceOf[DataFrame]
+
+  /** The BATCHED form of running [[annRebucketLifecycle]] once per
+    * tenant (the [[graft.operators.Dedup.batchedTenantSimhashReband]]
+    * engine for the vector store): per-tenant state layout — the
+    * `_banded`/`_meta` pair plus the `_vecs` companion the streaming
+    * loop grows — and the meta-last swap stay verbatim; every
+    * corpus-sized pass runs once, grouped by tenant. Probes are each
+    * tenant's first `nProbes` vectors via one tenant-partitioned
+    * row_number (value-identical to the per-tenant sort+limit — ids
+    * are distinct); the exact side is ONE broadcast probe×corpus pass
+    * joined on tenant; the serving side union-reads the PERSISTED
+    * per-tenant bucket tables with tenant riding the bucket join; the
+    * re-bucket rebuilds tripped tenants from their PERSISTED `_vecs`
+    * companions (the action contract: driven from on-disk state) in
+    * one shared hashing pass. Tenancy is pmod(vec_id, nTenants).
+    */
+  private[graft] def batchedTenantAnnRebucket(spark: SparkSession,
+      names: Seq[String], vecs0: DataFrame, nTenants: Int, nProbes: Int,
+      k: Int, planes0: Int, planes1: Int, target: Double): DataFrame = {
+    val nT = lit(nTenants.toLong)
+    val all = vecs0.select(col("vec_id"), col("v"), col("n"))
+      .withColumn("tenant", pmod(col("vec_id"), nT))
+      .localCheckpoint()
+    names.foreach(Dedup.recoverBandedGenerationSwap(spark, _))
+    // generation 0 + the _vecs companion for every tenant from ONE
+    // bucketing pass over the shared checkpoint
+    val bucketed0 = all.select(col("tenant"), col("vec_id"),
+        bucketExpr(col("v"), planes0).as("bucket"))
+      .localCheckpoint()
+    Dedup.parForeachTenant(names.zipWithIndex) { case (name, tn) =>
+      Dedup.saveBucketedTable(
+        all.filter(col("tenant") === tn.toLong)
+          .select(col("vec_id"), col("v"), col("n")),
+        s"${name}_vecs", 8, Seq("vec_id"))
+      saveAnnBucketGenerationRows(spark, name,
+        bucketed0.filter(col("tenant") === tn.toLong), planes0)
+    }
+    // each tenant's first nProbes vectors (one tenant-partitioned rank
+    // — equal to the per-tenant orderBy(vec_id).limit(nProbes) set)
+    val wp = Window.partitionBy(col("tenant")).orderBy(col("vec_id"))
+    val probes = all.withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbes)
+      .select(col("tenant"), col("vec_id").as("probe_id"),
+        col("v").as("pv"), col("n").as("pn"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    def topK(pairs: DataFrame): DataFrame = pairs
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(dotProduct(col("pv"), col("v")) / (col("pn") * col("n")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+    // the exact side (phase-independent): probe×corpus within tenant
+    val exact = topK(all.select(col("tenant"),
+        col("vec_id").as("neighbor_id"), col("v"), col("n"))
+      .join(broadcast(probes), Seq("tenant")))
+      .withColumn("tenant", pmod(col("probe_id"), nT))
+      .localCheckpoint()
+    def measureAll(phase: Int): DataFrame = {
+      val metas = broadcast(names.zipWithIndex.map { case (name, tn) =>
+        spark.catalog.refreshTable(s"${name}_meta")
+        spark.table(s"${name}_meta").select(lit(tn.toLong).as("tenant"),
+          col("planes").cast("long").as("planes"))
+      }.reduce(_ unionByName _))
+      val served = names.map { name =>
+        spark.catalog.refreshTable(s"${name}_banded")
+        spark.table(s"${name}_banded")
+      }.reduce(_ unionByName _)
+        .withColumn("tenant", pmod(col("vec_id"), nT))
+        .localCheckpoint()
+      val corpus = served.join(all, Seq("tenant", "vec_id"))
+        .select(col("tenant"), col("vec_id").as("neighbor_id"),
+          col("bucket"), col("v"), col("n"))
+      val pb = probes.join(
+        served.select(col("tenant"), col("vec_id").as("probe_id"),
+          col("bucket").as("pbucket")), Seq("tenant", "probe_id"))
+      val approx = topK(corpus.join(broadcast(pb),
+        Seq("tenant")).filter(col("bucket") === col("pbucket")))
+      Dedup.tenantRecallRows(spark, nTenants, exact, approx,
+          joinKeys = Seq("probe_id", "neighbor_id"),
+          caughtName = "n_hits")
+        .join(metas, Seq("tenant"))
+        .select(col("tenant"), lit(phase).cast("long").as("phase"),
+          col("planes"), col("n_exact"), col("n_hits"), col("recall"),
+          (col("recall") < target).as("triggered"))
+        .localCheckpoint()
+    }
+    val m0 = measureAll(0)
+    val tripped = m0.collect().filter(_.getAs[Boolean]("triggered"))
+      .map(_.getAs[Long]("tenant")).sorted.toSeq
+    if (tripped.nonEmpty) {
+      // rebuild from the PERSISTED _vecs companions (the action
+      // contract), hashed at planes1 in one shared pass
+      val retained = tripped.map { tn =>
+        spark.catalog.refreshTable(s"${names(tn.toInt)}_vecs")
+        spark.table(s"${names(tn.toInt)}_vecs")
+          .withColumn("tenant", lit(tn))
+      }.reduce(_ unionByName _)
+      val bucketed1 = retained.select(col("tenant"), col("vec_id"),
+          bucketExpr(col("v"), planes1).as("bucket"))
+        .localCheckpoint()
+      Dedup.parForeachTenant(tripped) { tn =>
+        saveAnnBucketGenerationRows(spark, s"${names(tn.toInt)}__gen",
+          bucketed1.filter(col("tenant") === tn), planes1)
+        Dedup.swapInBandedGeneration(spark, names(tn.toInt))
+      }
+    }
+    m0.unionByName(measureAll(1)).orderBy("tenant", "phase")
+  }
 
   /** One LSH bucket generation on disk — the [[graft.operators.Dedup
     * .saveMinhashBandedGeneration]] shape for the vector store: the
@@ -1050,9 +1184,19 @@ object Similarity {
     * ordering; the suffix-generic swap/recovery work unchanged).
     */
   private def saveAnnBucketGeneration(spark: SparkSession, name: String,
-      vecs: DataFrame, planes: Int, buckets: Int = 8): Unit = {
-    Dedup.saveBucketedTable(
+      vecs: DataFrame, planes: Int, buckets: Int = 8): Unit =
+    saveAnnBucketGenerationRows(spark, name,
       vecs.select(col("vec_id"), bucketExpr(col("v"), planes).as("bucket")),
+      planes, buckets)
+
+  /** [[saveAnnBucketGeneration]] over PRE-HASHED (vec_id, bucket) rows
+    * — the batched tenant engine hashes every tenant's vectors in one
+    * pass and hands each tenant its slice. Same layout, meta LAST.
+    */
+  private def saveAnnBucketGenerationRows(spark: SparkSession,
+      name: String, bucketRows: DataFrame, planes: Int,
+      buckets: Int = 8): Unit = {
+    Dedup.saveBucketedTable(bucketRows.select(col("vec_id"), col("bucket")),
       s"${name}_banded", buckets, Seq("bucket"))
     import spark.implicits._
     Dedup.dropTableAndLocation(spark, s"${name}_meta")
@@ -1214,7 +1358,8 @@ object Similarity {
   def annRecallKmeans(spark: SparkSession, dir: String,
       nProbes: Int = 5, k: Int = 5): DataFrame =
     annRecallOf(spark, dir,
-      kmeansIvfTopK(spark, dir, nProbes = nProbes, k = k), nProbes, k)
+      kmeansIvfTopK(spark, dir, nProbes = nProbes, k = k), nProbes, k,
+      tier = "kmeans")
 
   /** S16 — measured recall of the int8-quantized tier (s7): quantization
     * reorders candidates only through the rerank-window cut, and this is
@@ -1222,7 +1367,8 @@ object Similarity {
     */
   def annRecallQuantized(spark: SparkSession, dir: String,
       nProbes: Int = 5, k: Int = 5): DataFrame =
-    annRecallOf(spark, dir, quantizedTopK(spark, dir, nProbes, k), nProbes, k)
+    annRecallOf(spark, dir, quantizedTopK(spark, dir, nProbes, k),
+      nProbes, k, tier = "quantized")
 
   /** S17 — measured recall of the product-quantized tier (s11): PQ's ADC
     * scores are the coarsest of the three compressed tiers, so its
@@ -1230,7 +1376,8 @@ object Similarity {
     */
   def annRecallPq(spark: SparkSession, dir: String,
       nProbes: Int = 5, k: Int = 5): DataFrame =
-    annRecallOf(spark, dir, pqTopK(spark, dir, nProbes, k), nProbes, k)
+    annRecallOf(spark, dir, pqTopK(spark, dir, nProbes, k), nProbes, k,
+      tier = "pq")
 
   /** IVF-style ANN: label is the coarse cluster (the trained quantizer's
     * assignment); each probe ranks the cluster CENTROIDS first, then
@@ -1323,7 +1470,7 @@ object Similarity {
     * first occurrence on ties — `array_position` mirrors DuckDB's
     * `list_position` exactly.
     */
-  private[operators] def assignExpr(model: Array[(Int, Array[Double])]): Column = {
+  private[graft] def assignExpr(model: Array[(Int, Array[Double])]): Column = {
     val scores = array(model.map { case (_, c) =>
       val litC = array(c.toIndexedSeq.map(lit): _*)
       // ‖c‖² as a driver-side left fold — the same sequential IEEE order

@@ -531,7 +531,7 @@ object EventsStream {
       name: String, threshold: Double = 0.8, target: Double = 0.95,
       auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
         col("doc_id")) < 64 || col("doc_id") < 0,
-      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): DataFrame = {
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 17): DataFrame = {
     import graft.operators.Dedup
     // crash hygiene at lifecycle ENTRY (the simhashRebandLifecycle rule):
     // finish or discard a swap a prior process died inside before any
@@ -561,9 +561,17 @@ object EventsStream {
     * cap-row merge — no full shuffle). The ADVICE-18 fix: the default
     * `auditFilter` is a md5-bucket FRACTION of the retained corpus, and
     * a fraction is not a bound — the monitor's quadratic exact side
-    * would grow with ingest. With the cap it is O(cap²) forever. At
-    * test SF the default cap (1M docs) is far above every corpus, so
-    * behavior is unchanged; at 100 TB the cap is the dial.
+    * would grow with ingest. With the cap it is O(cap²) forever.
+    *
+    * The DEFAULT cap (2^17 ≈ 131k ids) is derived from a PAIR budget,
+    * not a row count (the r19 right-sizing): the exact side audits
+    * ≤ cap²/2 candidate pairs, so 2^17 ids ⇒ ≤ 2^33 ≈ 8.6B pairs per
+    * micro-batch — generous for a distributed audit but bounded at a
+    * price a deployment could actually pay per batch, where the old
+    * 1M-id default encoded "never reached at test SF" (5×10¹¹ pairs —
+    * a number nobody would knowingly schedule). Test corpora sit far
+    * below either value, so behavior is unchanged; at 100 TB the cap
+    * is the dial and its default is now a defensible price.
     */
   private def boundedAudit(df: DataFrame, cap: Int,
       idCol: String = "doc_id"): DataFrame =
@@ -644,7 +652,7 @@ object EventsStream {
       target: Double = 0.95,
       auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
         col("doc_id")) < 64 || col("doc_id") < 0,
-      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): Unit = {
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 17): Unit = {
     import graft.operators.Dedup
     (0 until nTenants).foreach(tn =>
       Dedup.recoverBandedGenerationSwap(spark, s"${namePrefix}_t$tn"))
@@ -690,7 +698,7 @@ object EventsStream {
       name: String, target: Double = 0.95, threshold: Double = 0.9,
       auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
         col("doc_id")) < 64 || col("doc_id") < 0,
-      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): DataFrame = {
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 17): DataFrame = {
     import graft.operators.Dedup
     Dedup.recoverBandedGenerationSwap(spark, name)
     val src = spark.readStream
@@ -766,7 +774,7 @@ object EventsStream {
       threshold: Double = 0.9,
       auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
         col("doc_id")) < 64 || col("doc_id") < 0,
-      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): Unit = {
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 17): Unit = {
     import graft.operators.Dedup
     (0 until nTenants).foreach(tn =>
       Dedup.recoverBandedGenerationSwap(spark, s"${namePrefix}_t$tn"))
@@ -814,7 +822,7 @@ object EventsStream {
       name: String, radius: Int = 5, target: Double = 0.95,
       auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
         col("doc_id")) < 64 || col("doc_id") < 0,
-      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): DataFrame = {
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 17): DataFrame = {
     import graft.operators.Dedup
     Dedup.recoverBandedGenerationSwap(spark, name)
     val src = spark.readStream
@@ -850,7 +858,7 @@ object EventsStream {
       radius: Int = 5, target: Double = 0.95,
       auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
         col("doc_id")) < 64 || col("doc_id") < 0,
-      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): Unit = {
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 17): Unit = {
     import graft.operators.Dedup
     (0 until nTenants).foreach(tn =>
       Dedup.recoverBandedGenerationSwap(spark, s"${namePrefix}_t$tn"))
@@ -923,7 +931,7 @@ object EventsStream {
       nProbes: Int = 5, k: Int = 5,
       auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
         col("vec_id")) < 64 || col("vec_id") < 0,
-      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): DataFrame = {
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 17): DataFrame = {
     graft.operators.Dedup.recoverBandedGenerationSwap(spark, name)
     val src = spark.readStream
       .schema(embeddingSchema)
@@ -956,7 +964,7 @@ object EventsStream {
       planes1: Int = 1, nProbes: Int = 5, k: Int = 5,
       auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
         col("vec_id")) < 64 || col("vec_id") < 0,
-      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 20): Unit = {
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 17): Unit = {
     (0 until nTenants).foreach(tn =>
       graft.operators.Dedup.recoverBandedGenerationSwap(spark,
         s"${namePrefix}_t$tn"))
@@ -1013,6 +1021,159 @@ object EventsStream {
       val planes = spark.table(s"${name}_meta").head().getAs[Int]("planes")
       if (row.getAs[Double]("recall") < target && planes != planes1)
         Similarity.rebucketGenerationFromVecs(spark, name, planes1)
+    }
+  }
+
+  /** [[runIngestRebandLoop]]'s SRP-BANDED-family member — the d41/d64
+    * monitor→action loop driven from ingest (the FIFTH looped family;
+    * CLAUDE.md's own invariant: keep the matrix square): a stream of
+    * embedding shards maintains a persisted SRP banded generation
+    * (label, vec_id, band, bucket) plus its `_vecs` companion (the
+    * re-band re-hashes retained labeled vectors). Per micro-batch:
+    * per-table idempotent appends UNDER THE META'S bands, then the
+    * recall monitor over the bounded audit set ([[graft.operators
+    * .Dedup.srpServingRecall]] — the ONE monitor definition the
+    * d41/d64 lifecycles also measure with; serving rows
+    * audit-restricted BEFORE candidate generation), and on a miss the
+    * re-band at 8 (OR amplification is monotone — candidates only
+    * grow) through the crash-tested meta-last swap, skipped once the
+    * generation already serves 8 bands (the reband loop's guard).
+    * Entry recovery at stream start; caller initializes via
+    * [[graft.operators.Dedup.initSrpRebandState]]. `labelOf` attaches
+    * the family's label to arriving vectors: the global-SRP member
+    * uses the default lit(0); the SemDeDup members pass the FROZEN
+    * fleet k-means assignment (see [[runIngestSemDedupRebandLoop]]).
+    * StreamingSpec proves the final generation equals
+    * [[graft.operators.Dedup.srpRebandLifecycle]] one-shot over
+    * (base ∪ shards) and replay is a state no-op — the d18
+    * shared-oracle pattern (d41/d64's oracles gate the lifecycle).
+    */
+  def runIngestSrpRebandLoop(spark: SparkSession, shardDir: String,
+      name: String, threshold: Double = 0.3, target: Double = 0.9,
+      auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
+        col("vec_id")) < 64 || col("vec_id") < 0,
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 17,
+      labelOf: DataFrame => DataFrame =
+        _.withColumn("label", lit(0))): DataFrame = {
+    graft.operators.Dedup.recoverBandedGenerationSwap(spark, name)
+    val src = spark.readStream
+      .schema(embeddingSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        srpRebandBatchStep(spark, name, labelOf(preparedVecsOf(batch)),
+          threshold, target, auditFilter, auditCap)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(s"${name}_banded")
+    spark.table(s"${name}_banded")
+  }
+
+  /** [[runIngestSrpRebandLoop]]'s TENANT-SCOPED member — d64's
+    * table-pair layout driven from ingest: micro-batches fan to their
+    * tenants' (banded, vecs, meta) tables (pmod over vec_id),
+    * restricted to the batch's touched-tenant set first; each touched
+    * tenant runs the shared batch step independently — a tripped
+    * tenant re-bands alone, every other tenant's generation (and its
+    * meta's bands) never moves. Entry recovery per tenant at stream
+    * start; caller initializes each tenant's state over its base
+    * slice via [[graft.operators.Dedup.initSrpRebandState]].
+    */
+  def runTenantIngestSrpRebandLoop(spark: SparkSession, shardDir: String,
+      namePrefix: String, nTenants: Int = 2, threshold: Double = 0.3,
+      target: Double = 0.9,
+      auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
+        col("vec_id")) < 64 || col("vec_id") < 0,
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 17,
+      labelOf: DataFrame => DataFrame =
+        _.withColumn("label", lit(0))): Unit = {
+    (0 until nTenants).foreach(tn =>
+      graft.operators.Dedup.recoverBandedGenerationSwap(spark,
+        s"${namePrefix}_t$tn"))
+    val src = spark.readStream
+      .schema(embeddingSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(shardDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = labelOf(preparedVecsOf(batch)).localCheckpoint()
+        for (tn <- touchedTenants(b, nTenants, idCol = "vec_id"))
+          srpRebandBatchStep(spark, s"${namePrefix}_t$tn",
+            b.filter(pmod(col("vec_id"), lit(nTenants)) === tn),
+            threshold, target, auditFilter, auditCap)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The SEMDEDUP members (the SIXTH looped family): the SRP reband
+    * loop under the FROZEN fleet k-means labels — the d42/d65 action
+    * driven from ingest. The model is corpus state (the d42/d63 rule:
+    * slicing or ingest must not move centroids), so arriving vectors
+    * are labeled by the CALLER-PROVIDED frozen model and the loop
+    * machinery — ONE batch-step body — is [[runIngestSrpRebandLoop]]'s
+    * verbatim; within-cluster banding falls out of label riding the
+    * candidate block keys.
+    */
+  def runIngestSemDedupRebandLoop(spark: SparkSession, shardDir: String,
+      name: String, model: Array[(Int, Array[Double])],
+      threshold: Double = 0.3, target: Double = 0.9,
+      auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
+        col("vec_id")) < 64 || col("vec_id") < 0,
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 17): DataFrame =
+    runIngestSrpRebandLoop(spark, shardDir, name, threshold, target,
+      auditFilter, maxFilesPerTrigger, auditCap,
+      labelOf = _.withColumn("label",
+        graft.operators.Similarity.assignExpr(model)))
+
+  /** [[runIngestSemDedupRebandLoop]]'s TENANT-SCOPED member — d65's
+    * table-pair layout driven from ingest, same frozen-model labeling,
+    * same shared batch-step body.
+    */
+  def runTenantIngestSemDedupRebandLoop(spark: SparkSession,
+      shardDir: String, namePrefix: String,
+      model: Array[(Int, Array[Double])], nTenants: Int = 2,
+      threshold: Double = 0.3, target: Double = 0.9,
+      auditFilter: Column = graft.operators.TextAnalysis.splitBucket(
+        col("vec_id")) < 64 || col("vec_id") < 0,
+      maxFilesPerTrigger: Int = 1, auditCap: Int = 1 << 17): Unit =
+    runTenantIngestSrpRebandLoop(spark, shardDir, namePrefix, nTenants,
+      threshold, target, auditFilter, maxFilesPerTrigger, auditCap,
+      labelOf = _.withColumn("label",
+        graft.operators.Similarity.assignExpr(model)))
+
+  /** One micro-batch's monitor→action step for an SRP/SemDeDup reband
+    * state (ONE definition — fleet, tenant, global-SRP, and
+    * frozen-label SemDeDup members all run exactly this body; the
+    * rebandBatchStep shape for the vector banding families).
+    */
+  private def srpRebandBatchStep(spark: SparkSession, name: String,
+      slice: DataFrame, threshold: Double, target: Double,
+      auditFilter: Column, auditCap: Int): Unit = {
+    import graft.operators.Dedup
+    spark.catalog.refreshTable(s"${name}_vecs")
+    val fresh = slice
+      .join(spark.table(s"${name}_vecs").select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (!fresh.isEmpty) {
+      Dedup.appendSrpRebandState(spark, name, fresh)
+      spark.catalog.refreshTable(s"${name}_vecs")
+      val audit = boundedAudit(
+        spark.table(s"${name}_vecs").filter(auditFilter), auditCap,
+        idCol = "vec_id")
+      val row = Dedup.srpServingRecall(spark, name, audit, threshold)
+        .head()
+      // skip the action once the generation already serves 8 bands
+      // (the reband loop's guard — without it a corpus whose 8-band
+      // recall still misses would rebuild every later batch)
+      val bands = spark.table(s"${name}_meta").head().getAs[Int]("bands")
+      if (row.getAs[Double]("recall") < target && bands != 8)
+        Dedup.rebandSrpGenerationFromVecs(spark, name, bands = 8)
     }
   }
 

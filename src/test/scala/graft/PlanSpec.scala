@@ -752,7 +752,7 @@ class PlanSpec extends SparkSuite {
     val plans = Seq(
       "d58" -> graft.operators.Dedup.tenantSimhashCensusUnscoped(spark, dir),
       "d60" -> graft.operators.Dedup.tenantWinnowCensusUnscoped(spark, dir),
-      "s21" -> graft.operators.Similarity.tenantAnnRecallCensus(spark, dir),
+      "s21" -> graft.operators.Similarity.tenantAnnRecallCensusUnscoped(spark, dir),
       "s22" -> graft.operators.Similarity.tenantAnnRouting(spark, dir))
     for ((name, df) <- plans) {
       val plan = executedPlan(df)

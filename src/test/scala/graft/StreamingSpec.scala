@@ -1494,6 +1494,186 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming SRP reband loop: ingest trips the banded-recall monitor, final generation == batch lifecycle's; replay is a no-op") {
+    import graft.operators.{Dedup, Similarity}
+    val dir = sf("sf0.001")
+    val all = Similarity.preparedEmbeddings(spark, dir)
+      .select(col("vec_id"), col("v"), col("n"))
+      .withColumn("label", lit(0)).localCheckpoint()
+    // base = the corpus minus a holdout; the holdout's ARRIVAL trips
+    // the monitor NATURALLY: 4×2 OR-amplified SRP at cos 0.3 sits near
+    // the closed form's ~0.83 — below the loop's 0.9 default target —
+    // and 8 bands near ~0.97 (no planted probes)
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_srb").toString
+    Tables.read(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 400)
+      .select("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(shardDir)
+    def dropAll(n: String): Unit =
+      Seq("_banded", "_meta", "_vecs").foreach { s =>
+        Dedup.dropTableAndLocation(spark, s"$n$s")
+        Dedup.dropTableAndLocation(spark, s"${n}__gen$s")
+      }
+    Seq("srb_stream", "srb_ref").foreach(dropAll)
+    try {
+      Dedup.initSrpRebandState(spark, "srb_stream",
+        all.filter(col("vec_id") < 400))
+      assert(spark.table("srb_stream_meta").head().getAs[Int]("bands") == 4)
+      EventsStream.runIngestSrpRebandLoop(spark, shardDir, "srb_stream",
+        auditFilter = lit(true))
+      // the batch reference: the d41 lifecycle one-shot over all vecs
+      Dedup.srpRebandLifecycle(spark, "srb_ref", all, df => df,
+        threshold = 0.3, target = 0.9)
+      def banded(t: String) = spark.table(t)
+        .select(col("label").cast("long"), col("vec_id"), col("band"),
+          col("bucket").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      def metaBands(t: String) = spark.table(t).head().getAs[Int]("bands")
+      assert(metaBands("srb_stream_meta") == 8) // the monitor tripped
+      assert(metaBands("srb_ref_meta") == 8)
+      val afterFirst = banded("srb_stream_banded")
+      assert(afterFirst == banded("srb_ref_banded"))
+      assert(afterFirst.nonEmpty)
+      // replay: re-delivered shard anti-joins to empty — a state no-op
+      EventsStream.runIngestSrpRebandLoop(spark, shardDir, "srb_stream",
+        auditFilter = lit(true))
+      assert(banded("srb_stream_banded") == afterFirst)
+      assert(metaBands("srb_stream_meta") == 8)
+    } finally {
+      Seq("srb_stream", "srb_ref").foreach(dropAll)
+    }
+  }
+
+  test("tenant streaming SRP reband loop at T=8: skewed batches touch a subset of tenants; touched == their batch lifecycles, untouched pinned") {
+    import graft.operators.{Dedup, Similarity}
+    val dir = sf("sf0.001")
+    val all = Similarity.preparedEmbeddings(spark, dir)
+      .select(col("vec_id"), col("v"), col("n"))
+      .withColumn("label", lit(0)).localCheckpoint()
+    def tenantVecs(tn: Int) =
+      all.filter(pmod(col("vec_id"), lit(8)) === tn)
+    // TWO shard files (maxFilesPerTrigger=1 ⇒ two micro-batches), each
+    // carrying a DIFFERENT tenant subset — per-batch, most of the 8
+    // tenants are absent, which is exactly the touched-tenant fan-out
+    // the loop optimizes (and what the round-19 verdict asked to pin:
+    // the per-batch touched-set under T=8 skew)
+    val raw = Tables.read(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label")
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_tsrb8").toString
+    raw.filter(pmod(col("vec_id"), lit(8)) === 1 && col("vec_id") >= 400)
+      .coalesce(1).write.mode("append").parquet(shardDir)
+    raw.filter(pmod(col("vec_id"), lit(8)).isin(3, 5) &&
+        col("vec_id") >= 400)
+      .coalesce(1).write.mode("append").parquet(shardDir)
+    val touched = Seq(1, 3, 5)
+    def dropAll(n: String): Unit =
+      Seq("_banded", "_meta", "_vecs").foreach { s =>
+        Dedup.dropTableAndLocation(spark, s"$n$s")
+        Dedup.dropTableAndLocation(spark, s"${n}__gen$s")
+      }
+    (0 until 8).foreach(tn => dropAll(s"tsrb8_t$tn"))
+    touched.foreach(tn => dropAll(s"tsrb8_ref$tn"))
+    try {
+      (0 until 8).foreach { tn =>
+        val base = if (touched.contains(tn))
+          tenantVecs(tn).filter(col("vec_id") < 400)
+        else tenantVecs(tn)
+        Dedup.initSrpRebandState(spark, s"tsrb8_t$tn", base)
+      }
+      def banded(t: String) = spark.table(t)
+        .select(col("label").cast("long"), col("vec_id"), col("band"),
+          col("bucket").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      def metaBands(t: String) = spark.table(t).head().getAs[Int]("bands")
+      val untouchedInit =
+        (0 until 8).filterNot(touched.contains)
+          .map(tn => tn -> banded(s"tsrb8_t${tn}_banded")).toMap
+      EventsStream.runTenantIngestSrpRebandLoop(spark, shardDir, "tsrb8",
+        nTenants = 8, auditFilter = lit(true))
+      // every touched tenant's final state == its own batch lifecycle
+      // (whether or not its slice tripped — equality, not a fixed
+      // banding, is the contract)
+      touched.foreach { tn =>
+        Dedup.srpRebandLifecycle(spark, s"tsrb8_ref$tn", tenantVecs(tn),
+          df => df, threshold = 0.3, target = 0.9)
+        assert(metaBands(s"tsrb8_t${tn}_meta") ==
+          metaBands(s"tsrb8_ref${tn}_meta"))
+        assert(banded(s"tsrb8_t${tn}_banded") ==
+          banded(s"tsrb8_ref${tn}_banded"))
+        assert(banded(s"tsrb8_t${tn}_banded").nonEmpty)
+      }
+      // at least one touched tenant REBANDED — the spec is not vacuous
+      assert(touched.exists(tn => metaBands(s"tsrb8_t${tn}_meta") == 8))
+      // untouched tenants: same banding, same rows — never opened
+      untouchedInit.foreach { case (tn, rows) =>
+        assert(metaBands(s"tsrb8_t${tn}_meta") == 4)
+        assert(banded(s"tsrb8_t${tn}_banded") == rows)
+      }
+      // replay: both shards re-deliver, state a no-op for ALL tenants
+      val after = touched.map(tn => tn -> banded(s"tsrb8_t${tn}_banded"))
+      EventsStream.runTenantIngestSrpRebandLoop(spark, shardDir, "tsrb8",
+        nTenants = 8, auditFilter = lit(true))
+      after.foreach { case (tn, rows) =>
+        assert(banded(s"tsrb8_t${tn}_banded") == rows) }
+      untouchedInit.foreach { case (tn, rows) =>
+        assert(banded(s"tsrb8_t${tn}_banded") == rows) }
+    } finally {
+      (0 until 8).foreach(tn => dropAll(s"tsrb8_t$tn"))
+      touched.foreach(tn => dropAll(s"tsrb8_ref$tn"))
+    }
+  }
+
+  test("streaming SemDeDup reband loop: frozen-model labels ride the state; final generation == the d42-twin lifecycle; replay is a no-op") {
+    import graft.operators.{Dedup, Similarity}
+    val dir = sf("sf0.001")
+    val model = Similarity.kmeansModel(spark, dir)
+    val all = Similarity.preparedEmbeddings(spark, dir)
+      .select(col("vec_id"), col("v"), col("n"))
+      .withColumn("label", Similarity.assignExpr(model))
+      .localCheckpoint()
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_sdrb").toString
+    Tables.read(spark, dir, "embeddings")
+      .filter(col("vec_id") >= 400)
+      .select("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("append").parquet(shardDir)
+    def dropAll(n: String): Unit =
+      Seq("_banded", "_meta", "_vecs").foreach { s =>
+        Dedup.dropTableAndLocation(spark, s"$n$s")
+        Dedup.dropTableAndLocation(spark, s"${n}__gen$s")
+      }
+    Seq("sdrb_stream", "sdrb_ref").foreach(dropAll)
+    try {
+      Dedup.initSrpRebandState(spark, "sdrb_stream",
+        all.filter(col("vec_id") < 400))
+      EventsStream.runIngestSemDedupRebandLoop(spark, shardDir,
+        "sdrb_stream", model, auditFilter = lit(true))
+      // the batch reference: the d42 lifecycle one-shot over all vecs
+      // under the SAME frozen labels — ingest must not move centroids
+      Dedup.srpRebandLifecycle(spark, "sdrb_ref", all, df => df,
+        threshold = 0.3, target = 0.9)
+      def banded(t: String) = spark.table(t)
+        .select(col("label").cast("long"), col("vec_id"), col("band"),
+          col("bucket").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .toSet
+      def metaBands(t: String) = spark.table(t).head().getAs[Int]("bands")
+      assert(metaBands("sdrb_stream_meta") == metaBands("sdrb_ref_meta"))
+      val afterFirst = banded("sdrb_stream_banded")
+      assert(afterFirst == banded("sdrb_ref_banded"))
+      assert(afterFirst.nonEmpty)
+      // the labels in the persisted state are the MODEL'S, not lit(0):
+      // the within-cluster blocking is real, not vacuous
+      assert(afterFirst.map(_._1).toSet.size > 1)
+      EventsStream.runIngestSemDedupRebandLoop(spark, shardDir,
+        "sdrb_stream", model, auditFilter = lit(true))
+      assert(banded("sdrb_stream_banded") == afterFirst)
+    } finally {
+      Seq("sdrb_stream", "sdrb_ref").foreach(dropAll)
+    }
+  }
+
   test("reband-state append heals a crash between the banded and shingle appends (per-table idempotence)") {
     import graft.operators.Dedup
     def docs(rows: Seq[(Long, String)]) =
