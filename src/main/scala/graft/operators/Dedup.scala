@@ -5321,10 +5321,19 @@ object Dedup {
     val tripped = m0.collect().filter(_.getAs[Boolean]("triggered"))
       .map(_.getAs[Long]("tenant")).sorted.toSeq
     if (tripped.nonEmpty) {
-      // ONE winnow-2 re-selection pass over the tripped tenants' docs
-      val sel2 = withTenant(containmentSelection(
+      // ONE winnow-2 re-selection pass over the tripped tenants' docs.
+      // The FULL selection (fps AND dall) checkpoints BEFORE the
+      // explode projection — dropping dall first leaves `digs`
+      // single-referenced, CollapseProject inlines the md5 span array
+      // into fps's per-element lambda, and every selected fingerprint
+      // recomputes ALL span md5s (~30x — the PERF.md §1 trap; the
+      // sequential lifecycle dodged it by checkpointing the full
+      // selection, so the batched engine does exactly that)
+      val sel2full = withTenant(containmentSelection(
           docs.filter(col("tenant").isin(tripped: _*))
             .select(col("doc_id"), col("text")), w, 2))
+        .localCheckpoint()
+      val sel2 = sel2full
         .select(col("tenant"), col("doc_id"), explode(col("fps")).as("d"))
         .localCheckpoint()
       parForeachTenant(tripped) { tn =>
@@ -5373,9 +5382,15 @@ object Dedup {
     spark.catalog.refreshTable(s"${name}_banded")
     val freshDocs = newDocs.join(spark.table(s"${name}_banded")
         .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    // the full selection (fps AND dall) materializes BEFORE the
+    // explode-only projection: pruning dall first leaves `digs`
+    // single-referenced and CollapseProject inlines the md5 span
+    // array into fps's per-element lambda — every selected
+    // fingerprint would recompute ALL span md5s (the PERF.md §1
+    // trap, found on the batched d61 action in round 20)
     appendBucketedTable(
       containmentSelection(freshDocs, meta.getAs[Int]("w"),
-          meta.getAs[Int]("winnow"))
+          meta.getAs[Int]("winnow")).localCheckpoint()
         .select(col("doc_id"), explode(col("fps")).as("d")),
       s"${name}_banded", buckets, Seq("d"))
     appendBucketedTable(

@@ -2,9 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-loop profiler for the batched tenant action gates: times the
-  * gate cold, then prints the per-phase wall clock the engine logs
-  * when SPARK_GRAFT_PROFILE=1. Not part of any driver contract.
+/** Dev-loop profiler for the batched tenant action gates: times one
+  * gate cold in a fresh session (pick via SPARK_GRAFT_GATE =
+  * d57|d61|d62b|s23b; default d62b). Not part of any driver contract.
   */
 object ProfileTenantGate {
   def main(args: Array[String]): Unit = {
@@ -19,10 +19,17 @@ object ProfileTenantGate {
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val gate = sys.env.getOrElse("SPARK_GRAFT_GATE", "d62b")
     val t0 = System.nanoTime()
-    val n = graft.operators.Dedup.tenantSimhashRebandGate(spark, dir,
-      maxHamming = 6, nTenants = 8).count()
-    println(f"d62b_total ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    val n = gate match {
+      case "d57" => graft.operators.Dedup.tenantRebandGate(spark, dir).count()
+      case "d61" => graft.operators.Dedup.tenantWinnowRetuneGate(spark, dir).count()
+      case "s23b" => graft.operators.Similarity
+        .tenantAnnRebucketGate(spark, dir, nTenants = 8).count()
+      case _ => graft.operators.Dedup.tenantSimhashRebandGate(spark, dir,
+        maxHamming = 6, nTenants = 8).count()
+    }
+    println(f"${gate}_total ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     spark.stop()
   }
 }
