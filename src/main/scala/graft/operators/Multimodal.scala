@@ -217,7 +217,13 @@ object Multimodal {
     */
   def imageBandRecall(spark: SparkSession, dir: String,
       maxHamming: Int = 5): DataFrame =
-    Dedup.simhashBandRecallOf(imageDhashSigs(spark, dir), maxHamming)
+    // session-cached + scoped: the d24 monitor treatment (cold pays
+    // the honest exact-side audit, steady serves the collected row)
+    graft.SessionCache.getOrElseUpdate(spark, ("imageBandRecall", dir, maxHamming)) {
+      graft.Scratch.scoped(spark) {
+        Dedup.simhashBandRecallOf(imageDhashSigs(spark, dir), maxHamming)
+      }
+    }.asInstanceOf[DataFrame]
 
   /** The m7b planted recall PROBE pixel grid: the doc's m4 grid except
     * COLUMN 0 of the odd rows (y ∈ {1,3,5,7}) — each edit flips (at

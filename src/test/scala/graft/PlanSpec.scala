@@ -625,7 +625,7 @@ class PlanSpec extends SparkSuite {
     // filter evaluates over the scan, so the quadratic term is
     // (n·f)², never n² sliced after the fact
     val d29b = executedPlan(
-      graft.operators.Dedup.srpBucketRecall(spark, dir, sampleBuckets = 64))
+      graft.operators.Dedup.srpBucketRecallUnscoped(spark, dir, sampleBuckets = 64))
     assert(d29b.contains("md5(cast(cast(vec_id") &&d29b.contains("< 64"),
       s"d29b slice predicate missing from the plan:\n${d29b.take(2000)}")
     // d30b: the membership frame checkpoints AFTER the slice filter (the
