@@ -50,11 +50,15 @@ object ProfileGate {
       try graft.operators.Similarity.warmServingIndexes(spark, dir)
       catch { case _: Throwable => () }
     }
-    val gate = sys.env.getOrElse("SPARK_GRAFT_GATE", "d43_minhash_reband_trigger")
-    val t0 = System.nanoTime()
-    val n = graft.SparkEntry.queries(gate)(spark, dir).count()
-    println(f"${gate}_total ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n " +
-      f"jobs=${nJobs.get()} job_sec=${totJob.get() / 1000.0}%.2f")
+    val gates = sys.env.getOrElse("SPARK_GRAFT_GATE", "d43_minhash_reband_trigger")
+      .split(",").toSeq
+    gates.foreach { gate =>
+      val j0 = nJobs.get(); val s0 = totJob.get()
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(gate)(spark, dir).count()
+      println(f"${gate}_total ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n " +
+        f"jobs=${nJobs.get() - j0} job_sec=${(totJob.get() - s0) / 1000.0}%.2f")
+    }
     Thread.sleep(500)
     spark.stop()
   }
