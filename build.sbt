@@ -40,3 +40,43 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // prophylaxis, not a fix.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// `sbt test` wall time: ~900 s of suite time runs SEQUENTIALLY in one
+// forked JVM (suites share one SparkSession; in-JVM parallelism would race
+// on SessionCache table builds and trip Scratch.scoped's cross-thread
+// guard). Instead, suites are partitioned into four balanced groups, each
+// forked into its OWN JVM with its OWN warehouse/derby dirs — full
+// isolation (separate SparkContexts, separate catalogs, PID-keyed fixture
+// paths), zero fixture or coverage changes, wall time = slowest group
+// (~260 s) instead of the 900 s sum. Grouping is by measured suite cost
+// (see OPTIMIZATION_r21.md); unknown/new suites land in group 3.
+val slowTestGroup: String => Int = {
+  case s if s.endsWith("StreamingSpec") => 0
+  case s if s.endsWith("TakedownSpec") || s.endsWith("DedupSimilaritySpec") ||
+    s.endsWith("ItdbOpsSpec") || s.endsWith("EventsEncodingSpec") => 1
+  case s if s.endsWith("IndexRemoveSpec") || s.endsWith("TenantEstateSyncSpec") ||
+    s.endsWith("BucketingSpec") || s.endsWith("CurationOpsSpec") => 2
+  case _ => 3
+}
+Test / testGrouping := {
+  val base = (Test / javaOptions).value.toVector
+  val tgt = target.value
+  (Test / definedTests).value.groupBy(t => slowTestGroup(t.name)).toSeq
+    .sortBy(_._1).map { case (g, ts) =>
+      Tests.Group(s"group$g", ts, Tests.SubProcess(ForkOptions()
+        .withRunJVMOptions(base ++ Vector(
+          // per-group catalog + warehouse isolation; -Xmx LAST wins in
+          // HotSpot, so 12g here overrides the 24g single-JVM default
+          // (measured suite heap stays well under it; 4 x 12g fits the box)
+          s"-Dspark.sql.warehouse.dir=${(tgt / s"test-wh-g$g").getAbsolutePath}",
+          s"-Dderby.system.home=${(tgt / s"test-derby-g$g").getAbsolutePath}",
+          "-Xmx12g"))))
+    }
+}
+// the four groups genuinely run concurrently: sbt's DEFAULT restrictions
+// include Tags.limit(ForkedTestGroup, 1) and restrictions compose as a
+// minimum, so the default set must be REPLACED (appending a higher limit
+// changes nothing). limitAll keeps ordinary task parallelism bounded.
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(java.lang.Runtime.getRuntime.availableProcessors()),
+  Tags.limit(Tags.ForkedTestGroup, 4),
+  Tags.exclusiveGroup(Tags.Clean))

@@ -52,12 +52,18 @@ object ProfileGate {
     }
     val gates = sys.env.getOrElse("SPARK_GRAFT_GATE", "d43_minhash_reband_trigger")
       .split(",").toSeq
-    gates.foreach { gate =>
-      val j0 = nJobs.get(); val s0 = totJob.get()
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(gate)(spark, dir).count()
-      println(f"${gate}_total ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n " +
-        f"jobs=${nJobs.get() - j0} job_sec=${(totJob.get() - s0) / 1000.0}%.2f")
+    // SPARK_GRAFT_PASSES=n re-runs every gate n times (default 1): pass 1
+    // is the cold/lifecycle run, later passes profile the STEADY shape —
+    // the per-job lines attribute where a steady median actually goes.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt
+    (1 to passes).foreach { p =>
+      gates.foreach { gate =>
+        val j0 = nJobs.get(); val s0 = totJob.get()
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(gate)(spark, dir).count()
+        println(f"${gate}_total[pass$p] ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n " +
+          f"jobs=${nJobs.get() - j0} job_sec=${(totJob.get() - s0) / 1000.0}%.2f")
+      }
     }
     Thread.sleep(500)
     spark.stop()
