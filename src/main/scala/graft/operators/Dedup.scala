@@ -223,21 +223,37 @@ object Dedup {
     val hotSizes = rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") > hotBlockRows)
-    val tagged = rows.join(broadcast(hotSizes), keys, "left")
-    val cold = tagged.filter(col("bn").isNull)
-    val hot = tagged.filter(col("bn").isNotNull)
     def side(df: DataFrame, sfx: String, extra: Seq[Column] = Nil) =
       df.select(keys.map(col) ++ Seq(col(idCol).as(s"id_$sfx")) ++
         carry.map(c => col(c).as(s"${c}_$sfx")) ++ extra: _*)
     val out = (Seq("id_a", "id_b") ++
       carry.flatMap(c => Seq(s"${c}_a", s"${c}_b"))).map(col)
-    val coldCand = side(cold, "a").join(side(cold, "b"), keys)
-    val hotCand = side(hot, "a",
-        Seq(pmod(crc32(col(idCol).cast("string")), lit(salts.toLong)).as("__salt")))
-      .join(side(hot, "b")
-        .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L)))),
-        keys :+ "__salt")
-    coldCand.select(out: _*).unionByName(hotCand.select(out: _*))
+    // DRIVER-SIDE ADAPTIVE BRANCH (the AQE pattern, round 21): probe the
+    // hot-filtered census — tiny by construction, ≤ corpus/hotBlockRows
+    // rows, the same bound that makes its broadcast safe — and only build
+    // the tag/salt machinery when a hot block actually exists. The common
+    // (no-skew) case then plans ONE plain self-join instead of the
+    // census-tagged two-branch union, which measured ~4-6 extra jobs per
+    // pass (broadcast builds + both branch subtrees) on every pair gate.
+    // Output-identical by construction: with zero hot blocks every row is
+    // cold, the hot branch is empty, and union(coldCand, ∅) == coldCand.
+    // The probe re-runs per pass, so the guard stays data-adaptive — a
+    // corpus that grows a hot block flips back to the salted plan.
+    val pairs = if (hotSizes.isEmpty) {
+      side(rows, "a").join(side(rows, "b"), keys)
+    } else {
+      val tagged = rows.join(broadcast(hotSizes), keys, "left")
+      val cold = tagged.filter(col("bn").isNull)
+      val hot = tagged.filter(col("bn").isNotNull)
+      val coldCand = side(cold, "a").join(side(cold, "b"), keys)
+      val hotCand = side(hot, "a",
+          Seq(pmod(crc32(col(idCol).cast("string")), lit(salts.toLong)).as("__salt")))
+        .join(side(hot, "b")
+          .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L)))),
+          keys :+ "__salt")
+      coldCand.select(out: _*).unionByName(hotCand.select(out: _*))
+    }
+    pairs.select(out: _*)
       .filter(col("id_a") < col("id_b"))
       .distinct()
   }
@@ -269,9 +285,17 @@ object Dedup {
     val hotBlocks = iN.join(sN, keys)
       .filter(col("bn_i") + col("bn_s") > hotBlockRows)
       .select(keys.map(col): _*)
-      .withColumn("__hot", lit(true))
-    val iT = index.join(broadcast(hotBlocks), keys, "left")
-    val sT = shard.join(broadcast(hotBlocks), keys, "left")
+    // the blockedPairCandidates adaptive probe, two-sided: the combined
+    // census is hot-filtered (tiny by the same corpus/hotBlockRows bound
+    // that makes its broadcast safe), so an isEmpty probe per pass is one
+    // small job — and the no-skew case plans the PLAIN bucketed-layout
+    // join (Exchange-free on the index side) instead of the tag + two-
+    // branch union. With zero hot blocks every row lands in the cold
+    // branch, so union(cold, ∅) == index ⋈ shard — output-identical.
+    if (hotBlocks.isEmpty) return index.join(shard, keys)
+    val hotTag = hotBlocks.withColumn("__hot", lit(true))
+    val iT = index.join(broadcast(hotTag), keys, "left")
+    val sT = shard.join(broadcast(hotTag), keys, "left")
     val cold = iT.filter(col("__hot").isNull).drop("__hot")
       .join(sT.filter(col("__hot").isNull).drop("__hot"), keys)
     // the EXPLICIT repartition on the salted keys is load-bearing when the

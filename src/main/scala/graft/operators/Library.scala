@@ -910,31 +910,41 @@ object Library {
       }: _*)).as("s"))
       .select(col("key_r"), col("name_r"), col("ll"),
         col("s.i").as("i"), col("s.seg").as("seg"))
-    // s-role: one struct per (segment index, r-length delta, start shift),
-    // nulled out when the window falls outside the string
-    val candStructs = for {
+    // s-role: one candidate per (segment index, r-length delta, start
+    // shift), dropped when the window falls outside the string.
+    // slen == 0 (hence L == 0) candidates MUST stay in: a string of
+    // length <= maxDist has empty segments, and a qualifying pair may
+    // meet ONLY on one of them (e.g. ("ab","xy") at maxDist 2 — both
+    // 1-char segments carry an edit; the error-free segment is the
+    // empty seg0). Empty segments exist only for L <= maxDist, so the
+    // ("", i, L) blocks join a stratum bounded by len <= 2*maxDist.
+    //
+    // The (i, dL, dq) grid is a LITERAL ARRAY exploded into rows with ONE
+    // substring expression after the explode — not (pre-round-21)
+    // nSegs·(2·maxDist+1)² parallel expression trees per row: that
+    // 75-expression projection cost ~1 s of analyzer/optimizer time on
+    // EVERY pass (wall 1.9 s vs 0.86 s of job time — guide §7.3's
+    // planning-dominated signature). The candidate SET per name is
+    // unchanged (the old array_distinct only collapsed duplicate
+    // (i, ll, sub) triples, which the pair-level distinct() below
+    // already absorbs), so the output is identical.
+    val grid = array((for {
       i <- 0 until nSegs; dL <- -maxDist to maxDist; dq <- -maxDist to maxDist
-    } yield {
-      // target r-length L, its segment-i bounds, the shifted start
-      val L = s"(len + ${dL})"
-      val p0 = s"($L * $i div $nSegs)"
-      val slen = s"($L * ${i + 1} div $nSegs - $p0)"
-      val q = s"($p0 + ${dq})"
-      // slen == 0 (hence L == 0) candidates MUST stay in: a string of
-      // length <= maxDist has empty segments, and a qualifying pair may
-      // meet ONLY on one of them (e.g. ("ab","xy") at maxDist 2 — both
-      // 1-char segments carry an edit; the error-free segment is the
-      // empty seg0). Empty segments exist only for L <= maxDist, so the
-      // ("", i, L) blocks join a stratum bounded by len <= 2*maxDist.
-      expr(s"""IF($L >= 0 AND $slen >= 0 AND $q >= 0 AND $q + $slen <= len,
-        named_struct('i', $i, 'll', CAST($L AS INT),
-          'sub', substring(name, CAST($q AS INT) + 1, CAST($slen AS INT))),
-        NULL)""")
-    }
+    } yield struct(lit(i).as("i"), lit(dL).as("dl"), lit(dq).as("dq"))): _*)
     val candSide = p.select(col("key").as("key_s"), col("name").as("name_s"),
-        explode(array_distinct(filter(array(candStructs: _*), x => x.isNotNull))).as("c"))
-      .select(col("key_s"), col("name_s"),
-        col("c.i").as("i"), col("c.ll").as("ll"), col("c.sub").as("seg"))
+        col("len"), explode(grid).as("t"))
+      .select(col("key_s"), col("name_s"), col("len"),
+        col("t.i").as("i"),
+        (col("len") + col("t.dl")).cast("int").as("ll"),
+        col("t.dq").as("dq"))
+      .withColumn("p0", expr(s"ll * i div $nSegs"))
+      .withColumn("slen", expr(s"ll * (i + 1) div $nSegs") - col("p0"))
+      .withColumn("q", col("p0") + col("dq"))
+      .filter(col("ll") >= 0 && col("slen") >= 0 && col("q") >= 0 &&
+        col("q") + col("slen") <= col("len"))
+      .select(col("key_s"), col("name_s"), col("i"), col("ll"),
+        expr("substring(name_s, CAST(q AS INT) + 1, CAST(slen AS INT))")
+          .as("seg"))
     val dist = levenshtein(col("name_a"), col("name_b"))
     segSide.join(candSide, Seq("ll", "i", "seg"))
       .filter(col("key_r") =!= col("key_s"))

@@ -337,13 +337,25 @@ class PlanSpec extends SparkSuite {
     // use the non-session-cached builder with NON-DEFAULT banding so the
     // logical Join structure is visible (the default-parameter plan is
     // canonically identical to the session-cached d3 result and would
-    // collapse to a single InMemoryRelation with zero joins)
+    // collapse to a single InMemoryRelation with zero joins).
+    // hotBlockRows = 1 forces the hot branch: since round 21 the builders
+    // PROBE the hot-filtered census and only construct the tag/salt
+    // machinery when a hot block exists (driver-side adaptive branch), so
+    // under the default threshold the sf0.001 plans are plain joins with
+    // no census in them at all — the guard must look at the plan that
+    // actually contains the census consumer. PropertiesSpec pins the
+    // salted and plain branches output-identical on duplicated corpora.
     assertCensusFiltered(
       graft.operators.Dedup.minhashLshPairsOf(
-        Tables.documents(spark, dir), bands = 2, rowsPerBand = 2), "d3")
-    assertCensusFiltered(graft.operators.Dedup.ngramJaccardPairs(spark, dir), "d4")
-    assertCensusFiltered(graft.operators.Dedup.embeddingNearDupsBounded(spark, dir), "d6")
-    assertCensusFiltered(graft.operators.Dedup.simhashPairs(spark, dir), "d11")
+        Tables.documents(spark, dir), bands = 2, rowsPerBand = 2,
+        hotBlockRows = 1), "d3")
+    assertCensusFiltered(
+      graft.operators.Dedup.ngramJaccardPairs(spark, dir, hotBlockRows = 1), "d4")
+    assertCensusFiltered(
+      graft.operators.Dedup.embeddingNearDupsBounded(spark, dir,
+        hotBlockRows = 1), "d6")
+    assertCensusFiltered(
+      graft.operators.Dedup.simhashPairs(spark, dir, hotBlockRows = 1), "d11")
   }
 
   test("salted join: result identical to plain join, salt column gone") {
@@ -517,8 +529,15 @@ class PlanSpec extends SparkSuite {
     // the shape assertions read the plan that executes inside the scope
     val d24 = executedPlan(
       graft.operators.Dedup.dedupRecallAuditUnscoped(spark, dir))
-    assert(d24.contains("crc32"),
-      s"d24 exact side lost the hot-block salt path:\n${d24.take(1500)}")
+    // the salt path is ADAPTIVE since round 21 (the builders probe the
+    // hot-filtered census and plan the plain join when no block is hot —
+    // sf0.001 has none), so the crc32 assertion reads a forced-hot build;
+    // the default build must stay free of quadratic joins either way
+    val d24hot = executedPlan(
+      graft.operators.Dedup.dedupRecallAuditUnscoped(spark, dir,
+        hotBlockRows = 1))
+    assert(d24hot.contains("crc32"),
+      s"d24 exact side lost the hot-block salt path:\n${d24hot.take(1500)}")
     assert(d24.contains("array_intersect"),
       s"d24 verify must be candidate-bounded:\n${d24.take(1500)}")
     assert(d24.contains("row_number"),
@@ -616,8 +635,14 @@ class PlanSpec extends SparkSuite {
       .orderBy("id_a", "id_b"))
     assert(d11b.contains("& 255"),
       s"d11b lost its 8-bit band chunks:\n${d11b.take(1500)}")
-    assert(d11b.contains("crc32"),
-      s"d11b lost the hot-block salt path:\n${d11b.take(1500)}")
+    // the salt path is adaptive since round 21 (plain join when the hot
+    // census is empty — sf0.001 has no hot block), so the crc32 assertion
+    // reads a forced-hot build
+    val d11bHot = executedPlan(graft.operators.Dedup
+      .simhashPairsWide(spark, dir, hotBlockRows = 1)
+      .orderBy("id_a", "id_b"))
+    assert(d11bHot.contains("crc32"),
+      s"d11b lost the hot-block salt path:\n${d11bHot.take(1500)}")
     assert(!d11b.contains("CartesianProduct") &&
       !d11b.contains("BroadcastNestedLoopJoin"), "d11b went quadratic")
     // d29b: the md5-slice predicate must restrict BOTH all-pairs sides
