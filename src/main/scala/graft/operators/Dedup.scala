@@ -7430,24 +7430,41 @@ object Dedup {
     * ccos, keep) — the embedding-side analogue of d19's canonical table.
     */
   def semDedup(spark: SparkSession, dir: String,
-      threshold: Double = 0.999): DataFrame = {
-    val model = Similarity.kmeansModel(spark, dir)
-    semDedupOf(
-      Similarity.preparedEmbeddings(spark, dir)
-        .select(col("vec_id"), col("v"), col("n"))
-        .withColumn("cl", Similarity.assignExpr(model)),
-      model, threshold)
-  }
+      threshold: Double = 0.999): DataFrame =
+    semDedupOf(assignedCcosCached(spark, dir),
+      Similarity.kmeansModel(spark, dir), threshold)
+
+  /** The session-shared (vec_id, v, n, cl, ccos) projection under the
+    * frozen corpus k-means model — the SemDeDup family's input cache,
+    * same class as the shingle/signature tables (a per-vector map-side
+    * function of the corpus): d21 and d21c each re-derived AND
+    * re-persisted it on every pass, so steady passes paid the full
+    * assignment + centroid-cosine expression and leaked one new cached
+    * RDD per execution until the ContextCleaner caught up.
+    */
+  private[graft] def assignedCcosCached(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.SessionCache.getOrElseUpdate(spark, ("assignCcos", dir)) {
+      val model = Similarity.kmeansModel(spark, dir)
+      withCentroidCos(
+        Similarity.preparedEmbeddings(spark, dir)
+          .select(col("vec_id"), col("v"), col("n"))
+          .withColumn("cl", Similarity.assignExpr(model)),
+        model).persist()
+    }.asInstanceOf[DataFrame]
 
   /** [[semDedup]]'s core over an arbitrary (vec_id, v, n, cl) frame and a
-    * FROZEN model — the assignment is the caller's (recomputed for d21,
-    * read from the serving index for d21b), the centroids only feed the
-    * keep-order cosine. Reused by the incremental path, whose training
-    * corpus is the already-ingested base slice.
+    * FROZEN model — the assignment is the caller's (the shared cached
+    * projection for d21, read from the serving index for d21b), the
+    * centroids only feed the keep-order cosine. Reused by the incremental
+    * path, whose training corpus is the already-ingested base slice. A
+    * frame already carrying `ccos` (the session-cached projection) is
+    * used as-is instead of being re-derived and re-persisted.
     */
   private[graft] def semDedupOf(vectors: DataFrame,
       model: Array[(Int, Array[Double])], threshold: Double): DataFrame = {
-    val withCcos = withCentroidCos(vectors, model).persist()
+    val withCcos = if (vectors.columns.contains("ccos")) vectors
+      else withCentroidCos(vectors, model).persist()
     val a = withCcos.select(col("cl"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("n").as("n_a"))
     val b = withCcos.select(col("cl"), col("vec_id").as("id_b"),
@@ -7514,12 +7531,7 @@ object Dedup {
   def semDedupBanded(spark: SparkSession, dir: String,
       threshold: Double = 0.45, bands: Int = 8, planesPerBand: Int = 2,
       hotBlockRows: Long = 1L << 17): DataFrame = {
-    val model = Similarity.kmeansModel(spark, dir)
-    val withCcos = withCentroidCos(
-      Similarity.preparedEmbeddings(spark, dir)
-        .select(col("vec_id"), col("v"), col("n"))
-        .withColumn("cl", Similarity.assignExpr(model)),
-      model).persist()
+    val withCcos = assignedCcosCached(spark, dir)
     // the cl takes the banded projection's "label" slot — same row
     // format, same (key, band, bucket) block join as the d8/d17 family
     val banded = embBandedOf(
