@@ -2984,6 +2984,14 @@ object Dedup {
     // as a transform() lambda over the array, which is interpreted HOF
     // eval and rebuilds the whole array per row. size() on the raw
     // distinct array is the same count (transform preserves length).
+    // explode_OUTER + a null filter ABOVE the Generate, not plain
+    // explode: InferFiltersFromGenerate turns a plain explode into an
+    // inferred `size(g8) > 0 AND isnotnull(g8)` filter that pushdown
+    // rewrites in terms of the generator INPUT — re-evaluating
+    // word_shingles(text) two extra times per document below the
+    // projection (seen in the r21 plan dump). The outer form infers
+    // nothing; empty-gram docs surface one null-graw row that the cheap
+    // graw filter (or the inner equi-join) drops — row-identical output.
     val docs = documents
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
@@ -2991,10 +2999,12 @@ object Dedup {
         array_distinct(graft.plans.ShinglesExpr.wordShingles(col("text"), k)).as("g8"))
     val train = docs.filter(col("bucket") < trainUpTo)
       .select(col("doc_id"), size(col("g8")).cast("long").as("n_shingles"),
-        explode(col("g8")).as("graw"))
+        explode_outer(col("g8")).as("graw"))
+      .filter(col("graw").isNotNull)
       .select(col("doc_id"), col("n_shingles"), md5(col("graw")).as("g"))
     val test = docs.filter(col("bucket") >= valUpTo)
-      .select(explode(col("g8")).as("graw"))
+      .select(explode_outer(col("g8")).as("graw"))
+      .filter(col("graw").isNotNull)
       .select(md5(col("graw")).as("g")).distinct()
     train.join(test, Seq("g"))
       .groupBy(col("doc_id"), col("n_shingles"))
@@ -3090,10 +3100,13 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
+    // outer + null filter: the plain explode's inferred filter would
+    // re-evaluate word_shingles 2x per doc (crossSplitContaminationOf)
     val testRaw = evalDocs
       .filter(col("text").isNotNull)
-      .select(explode(array_distinct(
+      .select(explode_outer(array_distinct(
         graft.plans.ShinglesExpr.wordShingles(col("text"), k))).as("graw"))
+      .filter(col("graw").isNotNull)
     // no distinct before the bloom build: inserts are idempotent and the
     // partial buffers merge map-side, so the dedup shuffle is skipped
     val bloomAgg = Bridge.column(new BloomFilterAggregate(
@@ -3140,8 +3153,11 @@ object Dedup {
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         array_distinct(graft.plans.ShinglesExpr.wordShingles(col("text"), k)).as("g8"))
+      // outer + null filter: see crossSplitContaminationOf — the plain
+      // explode's inferred filter re-evaluates word_shingles 2x per doc
       .select(col("doc_id"), size(col("g8")).cast("long").as("n_shingles"),
-        explode(col("g8")).as("graw"))
+        explode_outer(col("g8")).as("graw"))
+      .filter(col("graw").isNotNull)
     val trainHits = bloomBytes match {
       case None => train.filter(lit(false))
       case Some(bytes) => train.filter(Bridge.column(BloomFilterMightContain(
@@ -3188,9 +3204,15 @@ object Dedup {
       .select(col("doc_id"), expr(
         s"transform(sequence(0, CAST((size(toks) + ${k - 1}) div $k AS INT) - 1), " +
           s"i -> array_join(slice(toks, i * $k + 1, $k), ' '))").as("chunks"))
-    // (doc_id, pos, digest): fixed-width digests in every shuffle
+    // (doc_id, pos, digest): fixed-width digests in every shuffle.
+    // posexplode_OUTER + a null filter above the Generate: the plain
+    // form's InferFiltersFromGenerate pushes a size/isnotnull filter
+    // below the projection that re-evaluates the whole chunking
+    // expression (split + transform + array_join) twice more per doc
+    // (seen in the r21 plan dump — the crossSplitContaminationOf fix)
     val exploded = base
-      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("pos", "chunk")))
+      .select(col("doc_id"), posexplode_outer(col("chunks")).as(Seq("pos", "chunk")))
+      .filter(col("chunk").isNotNull)
       .select(col("doc_id"), col("pos"), md5(col("chunk")).as("digest"))
     val boiler = exploded.groupBy(col("digest"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -3244,8 +3266,11 @@ object Dedup {
         graft.plans.ShinglesExpr.wordShingles(col("text"), w).as("spans"))
     // (doc_id, pos, digest): pos is 0-based; a span at pos covers tokens
     // [pos, pos + w - 1] (a short doc yields one whole-doc span at 0)
+    // outer + null filter: see boilerplateChunksOf — the plain explode's
+    // inferred filter re-evaluates word_shingles twice more per doc
     val exploded = base
-      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .select(col("doc_id"), posexplode_outer(col("spans")).as(Seq("pos", "span")))
+      .filter(col("span").isNotNull)
       .select(col("doc_id"), col("pos"), md5(col("span")).as("digest"))
     val shared = exploded.groupBy(col("digest"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -3311,8 +3336,12 @@ object Dedup {
   def spanScrubWinnowedOf(documents: DataFrame, w: Int = 8, winnow: Int = 4,
       minDocs: Int = 2): DataFrame = {
     val withSel = winnowedSelection(documents, w, winnow)
+    // outer + null filter: the plain explode's inferred filter would
+    // re-evaluate the whole winnow-argmin selection twice more per doc
+    // (see boilerplateChunksOf)
     val selected = withSel
-      .select(col("doc_id"), col("digs"), explode(col("fpos")).as("pos"))
+      .select(col("doc_id"), col("digs"), explode_outer(col("fpos")).as("pos"))
+      .filter(col("pos").isNotNull)
       .select(col("doc_id"), col("pos"),
         element_at(col("digs"), (col("pos") + 1).cast("int")).as("digest"))
     val shared = selected.groupBy(col("digest"))

@@ -184,8 +184,12 @@ object TextAnalysis {
     * a global sort materialization. Ties break by token text.
     */
   def vocabulary(spark: SparkSession, dir: String, topK: Int = 50): DataFrame =
+    // outer + null filter: a plain explode's inferred size/isnotnull
+    // filter re-evaluates tokens(text) twice more per doc (the
+    // InferFiltersFromGenerate trap — see Dedup.boilerplateChunksOf)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_total").desc, col("token"))
