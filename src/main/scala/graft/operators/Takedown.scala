@@ -315,11 +315,20 @@ object Takedown {
     * facade contract is every `n_refs` = 0 and every `n_live` equal to
     * the oracle's recompute over corpus ∖ removed.
     */
-  private def statRow(state: String, live: DataFrame, liveAgg: Column,
-      refs: DataFrame): DataFrame =
-    live.agg(liveAgg.as("n_live"))
-      .crossJoin(refs.agg(count(lit(1)).as("n_refs")))
-      .select(lit(state).as("state"), col("n_live"), col("n_refs"))
+  // one-scan id/group censuses (round 21): both counts off a single pass
+  // over the state table — see Dedup.idCensusRow / groupCensusRow
+  private def idRow(state: String, df: DataFrame, key: String,
+      removed: DataFrame): DataFrame =
+    Dedup.idCensusRow(state, df, key, removed)
+
+  /** The log census in one scan: n_live = distinct logged ids, n_refs =
+    * logged rows outside the expected class (equal to the historical
+    * distinct-count × filter-count pair; ids are non-null).
+    */
+  private def logRow(logged: DataFrame, offClass: Column): DataFrame =
+    logged.agg(countDistinct(col("doc_id")).as("n_live"),
+        count(when(offClass, lit(1))).as("n_refs"))
+      .select(lit("takedown_log").as("state"), col("n_live"), col("n_refs"))
 
   /** TD1 — the unified-takedown gate: build EVERY state class over the
     * full corpus (session-cached ingest-side work, the d22 convention),
@@ -383,9 +392,8 @@ object Takedown {
     val loggedVec = logged.select(col("doc_id").as("vec_id"))
     val docs = Tables.documents(spark, dir)
     val liveGroups = docs.join(broadcast(logged), Seq("doc_id"), "left_anti")
-    def semi(df: DataFrame, key: String) =
-      df.join(broadcast(if (key == "vec_id") loggedVec else logged),
-        Seq(key), "left_semi")
+    def census(state: String, df: DataFrame, key: String) =
+      idRow(state, df, key, if (key == "vec_id") loggedVec else logged)
     val nd = Dedup.loadNearDupIndex(spark, names("nd")).shingles
     val sh = Dedup.loadSimHashIndex(spark, names("sh")).banded
     val emb = Dedup.loadEmbIndex(spark, names("emb")).vectors
@@ -396,30 +404,20 @@ object Takedown {
     val st = spark.table(names("st"))
     val sk = spark.table(names("sk"))
     val corpus = spark.read.parquet(names("corpus"))
-    statRow("ann_part_store", annp.select(col("vec_id")).distinct(),
-        count(lit(1)), semi(annp, "vec_id"))
-      .unionByName(statRow("ann_store", ann.select(col("vec_id")).distinct(),
-        count(lit(1)), semi(ann, "vec_id")))
-      .unionByName(statRow("contain_index",
-        ct.select(col("doc_id")).distinct(), count(lit(1)), semi(ct, "doc_id")))
-      .unionByName(statRow("corpus_tree",
-        corpus.select(col("doc_id")).distinct(), count(lit(1)),
-        semi(corpus, "doc_id")))
-      .unionByName(statRow("doc_stats", st, sum(col("n")),
-        st.join(liveGroups.select(col("lang"), col("source")).distinct(),
-          Seq("lang", "source"), "left_anti")))
-      .unionByName(statRow("emb_index",
-        emb.select(col("vec_id")).distinct(), count(lit(1)), semi(emb, "vec_id")))
-      .unionByName(statRow("labels",
-        lab.select(col("doc_id")).distinct(), count(lit(1)), semi(lab, "doc_id")))
-      .unionByName(statRow("neardup_index",
-        nd.select(col("doc_id")).distinct(), count(lit(1)), semi(nd, "doc_id")))
-      .unionByName(statRow("simhash_index",
-        sh.select(col("doc_id")).distinct(), count(lit(1)), semi(sh, "doc_id")))
-      .unionByName(statRow("sketch_cells", sk, count(lit(1)),
-        sk.join(liveGroups.select(col("lang")).distinct(), Seq("lang"), "left_anti")))
-      .unionByName(statRow("takedown_log", logged.distinct(), count(lit(1)),
-        logged.filter(col("doc_id") % 9 =!= 4)))
+    census("ann_part_store", annp, "vec_id")
+      .unionByName(census("ann_store", ann, "vec_id"))
+      .unionByName(census("contain_index", ct, "doc_id"))
+      .unionByName(census("corpus_tree", corpus, "doc_id"))
+      .unionByName(Dedup.groupCensusRow("doc_stats", st, sum(col("n")),
+        liveGroups.select(col("lang"), col("source")).distinct(),
+        Seq("lang", "source")))
+      .unionByName(census("emb_index", emb, "vec_id"))
+      .unionByName(census("labels", lab, "doc_id"))
+      .unionByName(census("neardup_index", nd, "doc_id"))
+      .unionByName(census("simhash_index", sh, "doc_id"))
+      .unionByName(Dedup.groupCensusRow("sketch_cells", sk, count(lit(1)),
+        liveGroups.select(col("lang")).distinct(), Seq("lang")))
+      .unionByName(logRow(logged, col("doc_id") % 9 =!= 4))
   }
 
   // ---- the td2 gate -----------------------------------------------------
@@ -500,15 +498,17 @@ object Takedown {
     val logged = spark.table(names("log")).select(col("doc_id"))
       .localCheckpoint()
     val other = (tenant + 1) % nTenants
+    // one-scan live+refs census per family (idCensusRow); the other
+    // tenant's count is its own partition-pruned scan by design (tenant
+    // slices are separate partition subtrees — the isolation being
+    // proved), collapsed to a single countDistinct pass
     def census(state: String, slice: Int => DataFrame,
         key: String): DataFrame = {
       val rm = if (key == "vec_id")
         logged.select(col("doc_id").as("vec_id")) else logged
-      statRow(state, slice(tenant).select(col(key)).distinct(),
-        count(lit(1)),
-        slice(tenant).join(broadcast(rm), Seq(key), "left_semi"))
-        .crossJoin(slice(other).select(col(key)).distinct()
-          .agg(count(lit(1)).as("n_other")))
+      idRow(state, slice(tenant), key, rm)
+        .crossJoin(slice(other)
+          .agg(countDistinct(col(key)).as("n_other")))
         .select(col("state"), col("n_live"), col("n_other"), col("n_refs"))
     }
     census("neardup_index",
@@ -537,14 +537,13 @@ object Takedown {
           .filter(pmod(col("doc_id"), lit(nTenants)) === tenant)
           .join(broadcast(logged), Seq("doc_id"), "left_anti")
           .select(col("lang")).distinct()
-        statRow("sketch_cells", cells(tenant), count(lit(1)),
-            cells(tenant).join(liveLangs, Seq("lang"), "left_anti"))
+        Dedup.groupCensusRow("sketch_cells", cells(tenant), count(lit(1)),
+            liveLangs, Seq("lang"))
           .crossJoin(cells(other).agg(count(lit(1)).as("n_other")))
           .select(col("state"), col("n_live"), col("n_other"), col("n_refs"))
       }
-      .unionByName(statRow("takedown_log", logged.distinct(), count(lit(1)),
-          logged.filter(col("doc_id") % 9 =!= 4 ||
-            pmod(col("doc_id"), lit(nTenants)) =!= tenant))
+      .unionByName(logRow(logged, col("doc_id") % 9 =!= 4 ||
+          pmod(col("doc_id"), lit(nTenants)) =!= tenant)
         .select(col("state"), col("n_live"), lit(0L).as("n_other"),
           col("n_refs")))
       .orderBy("state")
