@@ -28,10 +28,12 @@ object CorpusWriter {
   def shardedLayout(docs: DataFrame, nShards: Int,
       trainUpTo: Int = 250, valUpTo: Int = 253): DataFrame = {
     val b = TextAnalysis.splitBucket(col("doc_id"))
-    val shardHash = graft.functions.Exprs.hexVal(
-      substring(graft.functions.Exprs.seededHash("shard", col("doc_id").cast("string")), 1, 1)) * 16 +
-      graft.functions.Exprs.hexVal(
-        substring(graft.functions.Exprs.seededHash("shard", col("doc_id").cast("string")), 2, 1))
+    // conv over the first TWO hex chars in one expression — value-equal
+    // to hexVal(c1)*16 + hexVal(c2) but hashes the id ONCE per row (the
+    // historical form embedded seededHash twice in the expression tree)
+    val shardHash = conv(substring(
+        graft.functions.Exprs.seededHash("shard", col("doc_id").cast("string")),
+        1, 2), 16, 10).cast("int")
     docs
       .withColumn("split",
         when(b < trainUpTo, "train").when(b < valUpTo, "val").otherwise("test"))
@@ -81,11 +83,21 @@ object CorpusWriter {
     val affectedPred = affected.map { case (s, l) =>
       col("split") === s && col("lang") === l
     }.reduce(_ || _)
-    val slice = corpus.filter(affectedPred)
-    val removedCount = slice.join(rm, Seq("doc_id"), "left_semi").count()
-    // localCheckpoint: the write replaces the directories its own input
-    // was read from — freeze the retained rows first
-    val retained = slice.join(rm, Seq("doc_id"), "left_anti").localCheckpoint()
+    // ONE scan of the affected partitions (round 21): tag each row with
+    // membership in the (distinct, broadcast) removal set and freeze the
+    // tagged slice — the removed count, the retained rows the rewrite
+    // reads, and the non-empty partition set all come off the checkpoint
+    // instead of three separate parquet scans. localCheckpoint stays
+    // load-bearing: the write replaces the directories its own input was
+    // read from. The removal set is made distinct first so the left join
+    // preserves slice row multiplicity (the semi/anti forms were
+    // duplicate-tolerant).
+    val tagged = corpus.filter(affectedPred)
+      .join(broadcast(removedIds.select(col("doc_id")).distinct()
+        .withColumn("__rm", lit(true))), Seq("doc_id"), "left")
+      .localCheckpoint()
+    val removedCount = tagged.filter(col("__rm").isNotNull).count()
+    val retained = tagged.filter(col("__rm").isNull).drop("__rm")
     val nonEmpty = retained.select(col("split"), col("lang")).distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     if (nonEmpty.nonEmpty) {
