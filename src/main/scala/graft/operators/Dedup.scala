@@ -1473,7 +1473,15 @@ object Dedup {
         EstateSyncTargets(nearDup = Some((name, genB))))
       loadNearDupIndex(spark, name)
     }.asInstanceOf[NearDupIndex]
-    deltaNearDups(docs.filter(bucket >= splitAt), index, threshold)
+    // slice the session-cached shingle table instead of re-tokenizing the
+    // shard every pass (the d13 convention — round 21; the semi-join
+    // keeps d36's text-bearing-docs-only universe, and shingles are
+    // per-doc functions, so the rows are identical)
+    deltaNearDupsFromShingles(
+      persistedShingleTable(spark, dir)
+        .join(docs.filter(bucket >= splitAt).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"),
+      index, threshold)
   }
 
   /** D37 — the d36 discipline for the SIMHASH family: build the banded
@@ -1501,8 +1509,15 @@ object Dedup {
         EstateSyncTargets(simHash = Some((name, genB))))
       loadSimHashIndex(spark, name)
     }.asInstanceOf[SimHashIndex]
-    deltaSimhashPairs(simhash64Of(docs.filter(bucket >= splitAt)), index,
-      maxHamming)
+    // slice the session-cached signature table instead of re-signing the
+    // shard every pass (the d15 convention — round 21; the semi-join
+    // keeps d37's text-bearing-docs-only universe, and signatures are
+    // per-doc functions, so the rows are identical)
+    deltaSimhashPairs(
+      simhash64Cached(spark, dir)
+        .join(docs.filter(bucket >= splitAt).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"),
+      index, maxHamming)
   }
 
   /** D38 — the d36 discipline for the EMBEDDING family: the index holds
